@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the reference's single entry point (a Jet `Pipeline` needs a
+  * `HazelcastInstance`; our queries need a `SparkSession`). Defaults follow
+  * SURVEY.md §7.1: UTC session time zone, AQE on, shuffle partitions sized to
+  * the local core count rather than Spark's default 200 (we run `local[32]`;
+  * on a real cluster this is overridden by the deployment).
+  */
+object GraftSession {
+
+  /** Standard config applied to any builder (idempotent). */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // driver-generated events.parquet carries TIMESTAMP(NANOS) which Spark
+      // has no native type for; read as long and convert in Tables.load
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / bench: one JVM, `cpus` executor threads. */
+  def local(cpus: Int = 4, appName: String = "graft"): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cpus]").appName(appName),
+      shufflePartitions = math.max(cpus, 4)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.registerAll(spark)
+    spark
+  }
+
+  /** Ensure graft SQL functions are registered on an externally-built session. */
+  def prepare(spark: SparkSession): SparkSession = {
+    graft.functions.registerAll(spark)
+    spark
+  }
+}
+
+/** Test-data table loader (driver-generated parquet, TESTDATA.md). */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // TIMESTAMP(NANOS) columns surface as LongType under nanosAsLong; floor
+    // to micros (integral DIV — ns epoch values exceed 2^53, so no doubles).
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case (d, _) => d
+    }
+  }
+
+  /** Register every table under its bare name as a temp view. */
+  def views(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** graft column-function surface.
+  *
+  * Everything here composes codegen'd Spark built-ins
+  * (`org.apache.spark.sql.functions._`) — no Scala UDFs — so filters and
+  * projections built from these stay inside whole-stage codegen and push
+  * down to the scan where Catalyst allows.
+  *
+  * The only custom Catalyst expression is [[graft.functions.HyperLogLogPP]]
+  * (the reference's sole custom aggregation, SURVEY.md §2.3); it is
+  * registered as SQL function `hyper_log_log` by [[registerAll]].
+  */
+package object functions {
+
+  /** Register graft SQL functions on a session (idempotent). */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyper_log_log", HyperLogLogPP.builder, "scala_udf")
+  }
+
+  // ---------------------------------------------------------------- A1/A2
+
+  /** HLL cardinality over pre-hashed 64-bit values; precision in [4,16]. */
+  def hyper_log_log(c: Column, precision: Int = HyperLogLogPP.DefaultPrecision): Column =
+    call_function("hyper_log_log", c, lit(precision))
+
+  /** 64-bit deterministic hash — the engine-side analog of the reference's
+    * serialization-based `hash64` service (`HashingSupport.java:42-74`). */
+  def hash64(cols: Column*): Column = xxhash64(cols: _*)
+
+  // ------------------------------------------------------------ text (§ LLM-pipeline)
+
+  /** Whitespace tokenization. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def token_count(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword split: word pieces, digits, and punctuation as tokens. */
+  def bpeish_tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Whitespace-collapsed, lower-cased normal form used for fingerprinting. */
+  def norm_text(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** 64-bit document fingerprint of the normal form (rolling-hash analog). */
+  def fingerprint64(c: Column): Column = xxhash64(norm_text(c))
+
+  /** Count of punctuation characters. */
+  def punct_count(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,;:!?'\"()-]", ""))
+
+  def punct_ratio(c: Column): Column =
+    punct_count(c).cast("double") / greatest(length(c), lit(1)).cast("double")
+
+  private val StopWords = Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopword_ratio(c: Column): Column = {
+    val toks = tokens(lower(c))
+    val stops = filter(toks, t => t.isInCollection(StopWords))
+    size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Deterministic quality score in [0,1]: length + cleanliness + stopword mass. */
+  def quality_score(c: Column): Column =
+    lit(0.3) * least(lit(1.0), token_count(c).cast("double") / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - punct_ratio(c)) +
+      lit(0.4) * least(lit(1.0), stopword_ratio(c) * lit(4.0))
+
+  /** N-gram-heuristic language guess. Marker-word counting, deterministic and
+    * SQL-replicable (the oracle mirrors the same CASE chain). */
+  def lang_guess(c: Column): Column = {
+    val t = lower(c)
+    def cnt(w: String): Column = size(filter(tokens(t), x => x === w))
+    when(cnt("der") + cnt("und") + cnt("das") >= 1, "de")
+      .when(cnt("el") + cnt("la") + cnt("los") >= 1, "es")
+      .when(cnt("le") + cnt("et") + cnt("les") >= 1, "fr")
+      .when(cnt("the") + cnt("and") + cnt("of") >= 1, "en")
+      .otherwise("und")
+  }
+
+  /** Distinct word n-gram shingles; whole text as single shingle if shorter
+    * than n tokens. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Distinct character n-gram shingles. */
+  def char_shingles(c: Column, n: Int): Column = {
+    val s = norm_text(c)
+    when(length(s) >= n,
+      array_distinct(transform(sequence(lit(1), length(s) - (n - 1)),
+        i => substring(s, i, lit(n)))))
+      .otherwise(array(s))
+  }
+
+  // ------------------------------------------------------- vector similarity
+
+  /** Elementwise cast to double — do this BEFORE any arithmetic so float
+    * rounding never enters the accumulation. */
+  def vec_double(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sequential-fold dot product (index order, double accumulation).
+    * Bit-reproducible across engines that fold the same way. */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity = dot/(sqrt(na)*sqrt(nb)) over double-cast inputs. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = vec_double(a)
+    val bd = vec_double(b)
+    dotd(ad, bd) / (sqrt(dotd(ad, ad)) * sqrt(dotd(bd, bd)))
+  }
+
+  /** L2 norm. */
+  def l2_norm(a: Column): Column = sqrt(dotd(vec_double(a), vec_double(a)))
+}

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{char_shingles, fingerprint64, shingles}
+
+/** Large-scale deduplication operators (LLM-data-pipeline surface).
+  *
+  * All operators are declarative DataFrame plans — shuffles are on the
+  * natural keys only (doc_id / shingle / band bucket) so every stage scales
+  * horizontally; nothing is collected to the driver.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical `keyCols` tuple.
+    * One hash-shuffle on the group key; at 100 TB pre-hash the key
+    * (fingerprint64) so the shuffle key is a fixed-width long. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Group stats per identical text (fingerprint-first at scale). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Deterministic per-index rehash of a base 64-bit shingle hash: minhash
+    * function i = xxhash64(h0, i). No long arithmetic → safe under ANSI. */
+  private def minhashCol(i: Int): Column = xxhash64(col("__h0"), lit(i))
+
+  /** MinHash + LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * shingle → minhash(numHashes) → band(bands) → bucket self-join →
+    * exact verify. With r = numHashes/bands rows per band, the probability
+    * of missing a pair at Jaccard j is (1 - j^r)^bands — at the defaults
+    * (128/32 ⇒ r=4) and j=0.8 that is ~5e-8, so the verified output is the
+    * exact set of pairs with jaccard >= threshold (w.h.p.).
+    *
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+
+    val sh = df.select(col(idCol).cast("long").as("doc_id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("__h0", xxhash64(col("g")))
+
+    val mhAggs = (0 until numHashes).map(i => min(minhashCol(i)).as(s"mh$i"))
+    val sig = exploded.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i")) :+ lit(b)
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    val bucketed = sig.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact Jaccard for candidate (doc_a, doc_b) pairs against shingle sets. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Brute-force word n-gram Jaccard pairs within a blocking key. The block
+    * bounds the quadratic term: at 100 TB, block on a coarse partition
+    * (source, near-length bucket, LSH band...) — never globally. */
+  def ngramJaccardBlocked(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(blockCol).as("blk"), col(idCol).cast("long").as("doc_id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash signature per document over word-shingle hashes. */
+  def simhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 2): DataFrame = {
+    val exploded = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(shingles(col(textCol), shingleSize)).as("g"))
+      .withColumn("__h0", xxhash64(col("g")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h0"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val agg = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64)
+      .map(i => when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    agg.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance <= maxDist (default 3).
+    * Blocking: split the 64-bit signature into (maxDist+1) chunks — any pair
+    * within distance maxDist agrees exactly on >= 1 chunk (pigeonhole), so
+    * the chunk-equality self-join has full recall. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 2,
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val sig = simhashSignatures(df, idCol, textCol, shingleSize)
+    val chunkStructs = (0 until chunks).map { ci =>
+      val v = shiftright(col("simhash"), ci * bitsPer)
+        .bitwiseAND(lit((1L << bitsPer) - 1))
+      struct(lit(ci).as("ci"), v.as("cv"))
+    }
+    val blocked = sig.select(col("doc_id"), col("simhash"),
+      explode(array(chunkStructs: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Fingerprint-level dedup summary: distinct normalized docs vs total. */
+  def fingerprintSummary(df: DataFrame, textCol: String): DataFrame =
+    df.agg(
+      countDistinct(fingerprint64(col(textCol))).as("n_unique"),
+      count(lit(1)).as("n_docs"))
+
+  /** Character n-gram containment dedup within a block (URL-less CC-style). */
+  def charNgramPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int = 5,
+      threshold: Double = 0.7): DataFrame = {
+    val sh = df.select(col(blockCol).as("blk"), col(idCol).cast("long").as("doc_id"),
+      char_shingles(col(textCol), n).as("sh"))
+    sh.as("x").join(sh.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("x.sh")) + size(col("y.sh")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{cosine, vec_double}
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — at 100 TB the corpus scan is embarrassingly parallel and
+  * the only shuffle is the final per-query top-k, which is tiny).
+  *
+  * Scale path: LSH-bucketed search (random-hyperplane signs) that probes
+  * only matching buckets — trades recall for a corpus-partition-pruned scan.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k.
+    *
+    * @param queries (id, vector) rows — must be small enough to broadcast.
+    * @param corpus  (id, vector) rows — arbitrarily large.
+    * Output: (query_id, neighbor_id, cos, rank), rank 1..k, ties broken by
+    * neighbor_id so results are fully deterministic.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusVec: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryId).cast("long").as("query_id"), col(queryVec).as("qv")))
+    val c = corpus.select(
+      col(corpusId).cast("long").as("neighbor_id"), col(corpusVec).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (dim index d, plane p).
+    * Derived from a splitmix64-style avalanche of (d, p) — reproducible with
+    * no RNG state, computable inside codegen'd expressions. */
+  private def planeComponent(p: Int, dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      var z = (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L) + 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      // map to [-1, 1)
+      out(d) = (z >> 11).toDouble / (1L << 52).toDouble
+      d += 1
+    }
+    out
+  }
+
+  /** Sign-LSH bucket id: `planes` random-hyperplane sign bits packed into a
+    * long. Vectors in the same bucket are likely-similar (SimHash for
+    * embeddings). */
+  def signBucket(df: DataFrame, vecCol: String, planes: Int, dim: Int): DataFrame = {
+    val vd = vec_double(col(vecCol))
+    val bits = (0 until planes).map { p =>
+      val comps = planeComponent(p, dim)
+      val dot = aggregate(
+        zip_with(vd, typedLit(comps.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", bits.reduce(_ bitwiseOR _))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the sign-LSH bucket
+    * (or differ in <= 1 probe bit); exact cosine + rank within candidates.
+    * Recall < 1 by construction — spec-tested against brute force. */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusVec: String,
+      k: Int,
+      planes: Int = 12,
+      dim: Int = 64): DataFrame = {
+    val qb = signBucket(
+      queries.select(col(queryId).cast("long").as("query_id"), col(queryVec).as("qv")),
+      "qv", planes, dim)
+    // multi-probe: query joins its own bucket plus all 1-bit-flip buckets
+    val probes = (0 until planes)
+      .map(p => col("bucket").bitwiseXOR(shiftleft(lit(1L), p))) :+ col("bucket")
+    val qProbe = qb.select(col("query_id"), col("qv"),
+      explode(array(probes: _*)).as("bucket"))
+    val cb = signBucket(
+      corpus.select(col(corpusId).cast("long").as("neighbor_id"), col(corpusVec).as("cv")),
+      "cv", planes, dim)
+    val scored = broadcast(qProbe).join(cb, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(first(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold within a blocking
+    * column (block quadratic work; at scale block = LSH bucket). */
+  def cosinePairsBlocked(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(blockCol).as("blk"), col(idCol).cast("long").as("vid"),
+      col(vecCol).as("vec"))
+    v.as("x").join(v.as("y"),
+        col("x.blk") === col("y.blk") && col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"),
+        cosine(col("x.vec"), col("y.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,463 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** One driver-checkable query: a Spark plan plus (when SQL-expressible) an
+  * equivalent DuckDB oracle over the same parquet tables.
+  *
+  * Numeric-parity rules (so value hashes match the oracle bit-for-bit):
+  *  - money arithmetic goes through DECIMAL(18,2)/(18,6) and only the final
+  *    aggregate is cast to DOUBLE (decimal sums are exact in both engines);
+  *  - double sums are only taken over integral values (< 2^53);
+  *  - ratios are a single division of identical operands;
+  *  - vector math folds sequentially in index order over double-cast
+  *    elements (matches DuckDB's list_* over DOUBLE[]);
+  *  - timestamps are reduced to epoch millis / date parts (BIGINT/INT) —
+  *    never emitted raw (parquet ns vs µs);
+  *  - every INT-vs-BIGINT mismatch is settled by explicit casts on both
+  *    sides; row order is pinned by ORDER BY on both sides.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Catalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** l_extendedprice * (1 - l_discount) as exact decimal. */
+  private def discPrice: Column =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(18,2)")
+
+  // =========================================================== relational core
+
+  private val q01 = QueryDef(
+    "q01_pricing_summary",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+        SUM(l_quantity) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        COUNT(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  private val q02 = QueryDef(
+    "q02_filter_project",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          discPrice.cast("double").as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+      FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  private val q03 = QueryDef(
+    "q03_revenue_by_nation",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey  = o_orderkey
+      JOIN customer ON o_custkey   = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  private val q04 = QueryDef(
+    "q04_top_order_per_customer",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) x
+      WHERE rn = 1 ORDER BY o_custkey"""))
+
+  private val q05 = QueryDef(
+    "q05_running_quantity",
+    (s, dir) => {
+      // RANGE frame, not ROWS: (l_orderkey, l_linenumber) is not unique in the
+      // synthetic data, and RANGE includes order-by peers → deterministic.
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(w).as("running_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+        SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  private val q06 = QueryDef(
+    "q06_rollup_counts",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  private val q07 = QueryDef(
+    "q07_customers_without_orders",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  private val q08 = QueryDef(
+    "q08_customers_with_open_orders",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      ORDER BY c_custkey"""))
+
+  private val q09 = QueryDef(
+    "q09_top10_orders",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  private val q10 = QueryDef(
+    "q10_string_funcs",
+    (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        length(col("p_type")).as("type_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("bt"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 5) AS name5,
+        CAST(length(p_type) AS INTEGER) AS type_len, p_brand || '#' || p_type AS bt
+      FROM part ORDER BY p_partkey"""))
+
+  private val q11 = QueryDef(
+    "q11_orders_by_month",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy(col("yr"), col("mo")),
+    Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo,
+        COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val q12 = QueryDef(
+    "q12_json_extract",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  private val q13 = QueryDef(
+    "q13_hourly_events",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+        .orderBy(col("hour_ms"), col("event_type")),
+    Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val q14 = QueryDef(
+    "q14_distinct_users",
+    (s, dir) =>
+      t(s, dir, "events").agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")),
+    Some("SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events"))
+
+  /** A1: HLL over xxhash64 input — estimate not oracle-replicable (rows-only
+    * driver check); the ±5% band vs exact is asserted in HyperLogLogSpec. */
+  private val q15 = QueryDef(
+    "q15_hll_users",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(hash64(col("user_id")).as("h"))
+        .agg(hyper_log_log(col("h"), 14).as("hll_users")),
+    None)
+
+  private val q25 = QueryDef(
+    "q25_set_ops",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val bld = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      open.union(fin).distinct().except(bld).orderBy(col("k"))
+    },
+    Some("""SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      ORDER BY k"""))
+
+  private val q26 = QueryDef(
+    "q26_event_pivot",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+        COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+        COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  private val q27 = QueryDef(
+    "q27_ship_lag",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("dd"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("dd")).cast("long").as("total_lag_days"),
+          count(lit(1)).as("n"),
+          (sum(col("dd")).cast("double") / count(lit(1))).as("avg_lag"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+        CAST(SUM(dd) AS BIGINT) AS total_lag_days, COUNT(*) AS n,
+        CAST(SUM(dd) AS DOUBLE) / COUNT(*) AS avg_lag
+      FROM (SELECT o_orderpriority, CAST(date_diff('day', o_orderdate, l_shipdate) AS INTEGER) AS dd
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey) x
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // =========================================== text analysis / dedup (LLM pipeline)
+
+  private val q16 = QueryDef(
+    "q16_dedup_exact",
+    (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("keep_id")),
+    Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_id"""))
+
+  private val q17 = QueryDef(
+    "q17_token_counts",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        token_count(col("text")).as("n_tokens"),
+        size(bpeish_tokens(col("text"))).as("n_subwords"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS INTEGER) AS n_subwords
+      FROM documents ORDER BY doc_id"""))
+
+  private val q18 = QueryDef(
+    "q18_quality_scores",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        punct_count(col("text")).as("n_punct"),
+        quality_score(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+    Some("""WITH f AS (
+        SELECT doc_id,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS INTEGER) AS n_punct,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+          CAST(length(text) AS INTEGER) AS n_chars,
+          CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            x -> list_contains(['the','a','and','of','to','in','is','for','on','with'], x))) AS INTEGER) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_punct,
+        0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+        + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE))
+        + 0.4 * least(1.0, (CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 4.0) AS quality
+      FROM f ORDER BY doc_id"""))
+
+  private val q19 = QueryDef(
+    "q19_lang_guess",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(lang_guess(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred")),
+    Some("""WITH toks AS (
+        SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      pred AS (SELECT CASE
+          WHEN len(list_filter(t, x -> x = 'der')) + len(list_filter(t, x -> x = 'und')) + len(list_filter(t, x -> x = 'das')) >= 1 THEN 'de'
+          WHEN len(list_filter(t, x -> x = 'el')) + len(list_filter(t, x -> x = 'la')) + len(list_filter(t, x -> x = 'los')) >= 1 THEN 'es'
+          WHEN len(list_filter(t, x -> x = 'le')) + len(list_filter(t, x -> x = 'et')) + len(list_filter(t, x -> x = 'les')) >= 1 THEN 'fr'
+          WHEN len(list_filter(t, x -> x = 'the')) + len(list_filter(t, x -> x = 'and')) + len(list_filter(t, x -> x = 'of')) >= 1 THEN 'en'
+          ELSE 'und' END AS lang_pred FROM toks)
+      SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY lang_pred ORDER BY lang_pred"""))
+
+  private val q20 = QueryDef(
+    "q20_fingerprint_summary",
+    (s, dir) => Dedup.fingerprintSummary(t(s, dir, "documents"), "text"),
+    // countDistinct(xxhash64(norm)) == countDistinct(norm) absent 64-bit collisions
+    Some("""SELECT COUNT(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_unique,
+        COUNT(*) AS n_docs FROM documents"""))
+
+  private val q21 = QueryDef(
+    "q21_minhash_dedup",
+    (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+      ORDER BY doc_a, doc_b"""))
+
+  /** SimHash near-dup pairs — signature not oracle-replicable in SQL
+    * (rows-only check); recall/precision spec-tested in DedupSpec. */
+  private val q22 = QueryDef(
+    "q22_simhash_pairs",
+    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 2, maxDist = 3)
+      .orderBy(col("doc_a"), col("doc_b")),
+    None)
+
+  private val q28 = QueryDef(
+    "q28_ngram_jaccard_blocked",
+    (s, dir) => Dedup.ngramJaccardBlocked(t(s, dir, "documents"), "doc_id", "text",
+      blockCol = "lang", shingleSize = 2, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some("""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, lang, CASE WHEN len(t) >= 2
+          THEN list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+             CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+            CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
+  // ================================================== similarity search (vectors)
+
+  private val q23 = QueryDef(
+    "q23_cosine_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 100),
+      c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      sc AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos FROM q, c WHERE qid <> nid),
+      r AS (SELECT qid AS query_id, nid AS neighbor_id, cos,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rnk
+            FROM sc)
+      SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+
+  private val q24 = QueryDef(
+    "q24_cosine_pairs_blocked",
+    (s, dir) => Similarity.cosinePairsBlocked(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.35)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_cosine_similarity(a.e, b.e) AS cos
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+      ORDER BY id_a, id_b"""))
+
+  /** LSH-bucketed ANN — approximate by construction (rows-only check);
+    * recall vs brute force asserted in SimilaritySpec. */
+  private val q29 = QueryDef(
+    "q29_lsh_ann",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26, q27, q28, q29)
+}
