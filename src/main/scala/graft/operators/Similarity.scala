@@ -90,14 +90,19 @@ object Similarity {
       corpusId: String,
       corpusVec: String,
       k: Int,
-      planes: Int = 12,
+      planes: Int = 8,
       dim: Int = 64): DataFrame = {
     val qb = signBucket(
       queries.select(col(queryId).cast("long").as("query_id"), col(queryVec).as("qv")),
       "qv", planes, dim)
-    // multi-probe: query joins its own bucket plus all 1-bit-flip buckets
-    val probes = (0 until planes)
-      .map(p => col("bucket").bitwiseXOR(shiftleft(lit(1L), p))) :+ col("bucket")
+    // multi-probe: the query's own bucket plus every 1-bit and 2-bit flip —
+    // recall/scan-fraction trade-off tunable via `planes`
+    val oneBit = (0 until planes)
+      .map(p => col("bucket").bitwiseXOR(shiftleft(lit(1L), p)))
+    val twoBit = for {
+      p <- 0 until planes; q <- (p + 1) until planes
+    } yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << q)))
+    val probes = (oneBit ++ twoBit) :+ col("bucket")
     val qProbe = qb.select(col("query_id"), col("qv"),
       explode(array(probes: _*)).as("bucket"))
     val cb = signBucket(

@@ -1,0 +1,418 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.token_count
+import graft.sinks.GraftSinks
+import graft.sources.{GraftSources, SourceTaskLike}
+import graft.sources.hub.MemHub
+
+/** Connector operators (SURVEY.md §2.1/§2.2) as driver-checkable queries.
+  *
+  * Each query seeds the hub transport from a parquet table (deterministic
+  * order), drives the real DSv2 source/sink path — scan, pushdown, input
+  * partitions, or the sink receive/flush lifecycle — and produces output the
+  * DuckDB oracle reproduces from the same parquet.
+  */
+object ConnectorQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val seeded = TrieMap.empty[String, Boolean]
+  private def seedOnce(key: String)(f: => Unit): Unit =
+    seeded.getOrElseUpdate(key, { f; true })
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  // ------------------------------------------------------------------ sources
+
+  private val srcRedisHash = QueryDef(
+    "src_redis_hash",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_redis_hash"
+      seedOnce(uri) {
+        val rows = t(s, dir, "customer").select("c_custkey", "c_name").collect()
+        MemHub.hashPut(s"$uri/cust",
+          rows.sortBy(_.getLong(0)).iterator.map(r => r.getLong(0).toString -> r.getString(1)))
+      }
+      GraftSources.redisHash(s, uri, "cust")
+        .select(col("key").cast("long").as("c_custkey"), col("value").as("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("SELECT c_custkey, c_name FROM customer ORDER BY c_custkey"))
+
+  private val srcRedisZset = QueryDef(
+    "src_redis_zset_pushdown",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_redis_zset"
+      seedOnce(uri) {
+        val rows = t(s, dir, "customer").select("c_custkey", "c_acctbal").collect()
+        MemHub.zadd(s"$uri/bal",
+          rows.sortBy(_.getLong(0)).iterator.map(r => r.getLong(0).toString -> r.getDouble(1)))
+      }
+      // no from/to options: the score range reaches the store via Catalyst
+      // filter pushdown (SupportsPushDownFilters → ZRANGEBYSCORE)
+      GraftSources.redisSortedSet(s, uri, "bal")
+        .filter(col("score") >= 0.0 && col("score") <= 5000.0)
+        .select(col("value").cast("long").as("c_custkey"), col("score").as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_acctbal BETWEEN 0 AND 5000 ORDER BY c_custkey"""))
+
+  private val srcRedisStream = QueryDef(
+    "src_redis_stream",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_redis_stream"
+      seedOnce(uri) {
+        val rows = t(s, dir, "events").select("event_id", "event_type", "user_id").collect()
+        rows.groupBy(_.getString(1)).toSeq.sortBy(_._1).foreach { case (et, rs) =>
+          MemHub.xadd(uri, et, rs.sortBy(_.getLong(0)).iterator.map(r =>
+            Map("event_id" -> r.getLong(0).toString, "user_id" -> r.getLong(2).toString)))
+        }
+      }
+      val streams = Seq("click", "view", "purchase", "signup", "error")
+      GraftSources.redisStreamBatch(s, uri, streams)
+        .groupBy(col("stream"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("body").getItem("user_id").cast("long")).as("user_sum"))
+        .orderBy(col("stream"))
+    },
+    Some("""SELECT event_type AS stream, COUNT(*) AS n,
+        CAST(SUM(user_id) AS BIGINT) AS user_sum
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  private val mongoOrderSchema = StructType(Seq(
+    StructField("k", LongType), StructField("c", LongType),
+    StructField("p", DoubleType), StructField("st", StringType)))
+
+  private def seedMongoOrders(s: SparkSession, dir: String, uri: String): Unit =
+    seedOnce(uri) {
+      val rows = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus").collect()
+      MemHub.insertMany(uri, rows.sortBy(_.getLong(0)).iterator.map { r =>
+        s"""{"k":${r.getLong(0)},"c":${r.getLong(1)},"p":${r.getDouble(2)},"st":"${esc(r.getString(3))}"}"""
+      })
+    }
+
+  private val srcMongoFind = QueryDef(
+    "src_mongo_find_pushdown",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_mongo"
+      seedMongoOrders(s, dir, uri)
+      // filter reaches the store via Catalyst pushdown; column pruning drops st
+      GraftSources.mongoBatch(s, uri, mongoOrderSchema)
+        .filter(col("p") >= 100000.0 && col("st") === "O")
+        .select(col("k"), col("c"), col("p"))
+        .orderBy(col("k"))
+    },
+    Some("""SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p
+      FROM orders WHERE o_totalprice >= 100000 AND o_orderstatus = 'O'
+      ORDER BY k"""))
+
+  private val srcMongoCdc = QueryDef(
+    "src_mongo_cdc",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_mongo_cdc"
+      seedMongoOrders(s, dir, uri)
+      GraftSources.mongoCdcBatch(s, uri)
+        .agg(count(lit(1)).as("n_changes"),
+          sum(get_json_object(col("fullDocument"), "$.k").cast("long")).as("k_sum"),
+          count(when(col("operationType") === "insert", 1)).as("n_inserts"))
+    },
+    Some("""SELECT COUNT(*) AS n_changes, CAST(SUM(o_orderkey) AS BIGINT) AS k_sum,
+      COUNT(*) AS n_inserts FROM orders"""))
+
+  private val srcInflux = QueryDef(
+    "src_influx_range",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_influx"
+      seedOnce(uri) {
+        val rows = t(s, dir, "events")
+          .select(col("event_id"), unix_millis(col("ts")).as("ms"), col("event_type"), col("value"))
+          .collect()
+        MemHub.writePoints(uri, "events", rows.sortBy(_.getLong(0)).iterator.map { r =>
+          (r.getLong(1), Map("type" -> r.getString(2)), Map("value" -> r.getDouble(3)))
+        })
+      }
+      // 2024-01-05T00:00Z .. 2024-01-15T00:00Z, inclusive server-side range
+      GraftSources.influx(s, uri, "events", 1704412800000L, 1705276800000L)
+        .groupBy(col("tags").getItem("type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("fields").getItem("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM events
+      WHERE epoch_ms(ts) >= 1704412800000 AND epoch_ms(ts) <= 1705276800000
+      GROUP BY event_type ORDER BY event_type"""))
+
+  private val srcMqtt = QueryDef(
+    "src_mqtt_topics",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_mqtt"
+      seedOnce(uri) {
+        val rows = t(s, dir, "documents").select("doc_id", "lang", "text").collect()
+        rows.groupBy(_.getString(1)).toSeq.sortBy(_._1).foreach { case (lang, rs) =>
+          MemHub.publish(uri, lang, rs.sortBy(_.getLong(0)).iterator.map(r =>
+            ("", Map.empty[String, String], 0L, r.getString(2).getBytes("UTF-8"))))
+        }
+      }
+      GraftSources.mqttBatch(s, uri, Seq("de", "en", "es", "fr", "zh"))
+        .select(col("topic"), decode(col("payload"), "UTF-8").as("text"))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).cast("long").as("chars"))
+        .orderBy(col("topic"))
+    },
+    Some("""SELECT lang AS topic, COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  private val srcPulsar = QueryDef(
+    "src_pulsar_reader",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_pulsar"
+      seedOnce(uri) {
+        val rows = t(s, dir, "documents").select("doc_id", "text", "source").collect()
+        MemHub.publish(uri, "docs", rows.sortBy(_.getLong(0)).iterator.map { r =>
+          (r.getLong(0).toString, Map("src" -> r.getString(2)), r.getLong(0),
+            r.getString(1).getBytes("UTF-8"))
+        })
+      }
+      GraftSources.pulsarReaderBatch(s, uri, "docs")
+        .select(col("key").cast("long").as("doc_id"),
+          token_count(decode(col("value"), "UTF-8")).as("n_tokens"),
+          col("properties").getItem("src").as("src"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        source AS src
+      FROM documents ORDER BY doc_id"""))
+
+  private val srcHttp = QueryDef(
+    "src_http_listener",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_http"
+      seedOnce(uri) {
+        val rows = t(s, dir, "part").select("p_partkey", "p_name").collect()
+        MemHub.publish(uri, "http", rows.sortBy(_.getLong(0)).iterator.map { r =>
+          ("", Map.empty[String, String], 0L,
+            s"""{"id":${r.getLong(0)},"name":"${esc(r.getString(1))}"}""".getBytes("UTF-8"))
+        })
+      }
+      val beanSchema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))
+      GraftSources.httpListenerBatch(s, uri)
+        .select(from_json(col("payload"), beanSchema).as("bean"))
+        .select(col("bean.id").as("id"), upper(col("bean.name")).as("name_u"))
+        .orderBy(col("id"))
+    },
+    Some("SELECT p_partkey AS id, upper(p_name) AS name_u FROM part ORDER BY id"))
+
+  private val srcTwitter = QueryDef(
+    "src_twitter_stream",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_twitter"
+      seedOnce(uri) {
+        val rows = t(s, dir, "documents").select("doc_id", "text").collect()
+        MemHub.publish(uri, "tweets", rows.sortBy(_.getLong(0)).iterator.map { r =>
+          val ts = 1704067200000L + r.getLong(0)
+          ("", Map.empty[String, String], ts,
+            s"""{"id":${r.getLong(0)},"text":"${esc(r.getString(1))}","timestamp_ms":"$ts"}"""
+              .getBytes("UTF-8"))
+        })
+      }
+      GraftSources.twitterStreamBatch(s, uri)
+        .select(get_json_object(col("json"), "$.id").cast("long").as("id"),
+          col("timestamp_ms").as("ts_ms"),
+          length(get_json_object(col("json"), "$.text")).as("tlen"))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT doc_id AS id, 1704067200000 + doc_id AS ts_ms,
+        CAST(length(text) AS INTEGER) AS tlen
+      FROM documents ORDER BY id"""))
+
+  private val srcConnect = QueryDef(
+    "src_kafka_connect",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_connect"
+      seedOnce(uri) {
+        GraftSources.kafkaConnect(s, uri, classOf[RangeSourceTask].getName,
+          Map("n" -> "1000", "partitions" -> "2"))
+      }
+      s.read.format("graft-topic").option("profile", "connect").option("uri", uri)
+        .option("topics", "p0,p1").load()
+        .select(get_json_object(col("valueJson"), "$.i").cast("long").as("i"))
+        .agg(count(lit(1)).as("n"), sum(col("i")).as("i_sum"))
+    },
+    Some("SELECT COUNT(*) AS n, CAST(SUM(i) AS BIGINT) AS i_sum FROM range(0, 1000) t(i)"))
+
+  // -------------------------------------------------------------------- sinks
+
+  private val snkRedisHash = QueryDef(
+    "snk_redis_hash",
+    (s, dir) => {
+      val uri = s"hub:$dir/snk_redis_hash"
+      seedOnce(uri) {
+        GraftSinks.redisHash(
+          t(s, dir, "customer").select(col("c_custkey").cast("string").as("key"),
+            col("c_name").as("value")),
+          uri, "cust")
+      }
+      GraftSources.redisHash(s, uri, "cust")
+        .select(col("key").cast("long").as("c_custkey"), col("value").as("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("SELECT c_custkey, c_name FROM customer ORDER BY c_custkey"))
+
+  private val snkRedisZset = QueryDef(
+    "snk_redis_zset",
+    (s, dir) => {
+      val uri = s"hub:$dir/snk_redis_zset"
+      seedOnce(uri) {
+        GraftSinks.redisZSet(
+          t(s, dir, "supplier").select(col("s_suppkey").cast("string").as("value"),
+            col("s_acctbal").as("score")),
+          uri, "bal")
+      }
+      GraftSources.redisSortedSet(s, uri, "bal")
+        .select(col("value").cast("long").as("s_suppkey"), col("score").as("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("SELECT s_suppkey, s_acctbal FROM supplier ORDER BY s_suppkey"))
+
+  private val snkMongoInsert = QueryDef(
+    "snk_mongo_insert",
+    (s, dir) => {
+      val uri = s"hub:$dir/snk_mongo"
+      seedOnce(uri) {
+        GraftSinks.mongoInsertMany(
+          t(s, dir, "part").select(concat(lit("{\"id\":"), col("p_partkey"),
+            lit(",\"rp\":"), col("p_retailprice"), lit("}")).as("doc")),
+          uri, ordered = true, batchSize = 256)
+      }
+      GraftSources.mongoBatch(s, uri, StructType(Seq(
+        StructField("id", LongType), StructField("rp", DoubleType))))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rp").cast("decimal(18,2)")).cast("double").as("rp_sum"))
+    },
+    Some("""SELECT COUNT(*) AS n,
+      CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS rp_sum FROM part"""))
+
+  private val snkPulsar = QueryDef(
+    "snk_pulsar_produce",
+    (s, dir) => {
+      val uri = s"hub:$dir/snk_pulsar"
+      seedOnce(uri) {
+        GraftSinks.pulsarProduce(
+          t(s, dir, "nation").select(col("n_nationkey").cast("string").as("key"),
+            encode(col("n_name"), "UTF-8").as("value"),
+            map(lit("rk"), col("n_regionkey").cast("string")).as("properties"),
+            col("n_nationkey").cast("long").as("eventTimeMs")),
+          uri, "nations")
+      }
+      GraftSources.pulsarReaderBatch(s, uri, "nations")
+        .select(col("key").cast("int").as("n_nationkey"),
+          decode(col("value"), "UTF-8").as("n_name"),
+          col("properties").getItem("rk").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
+
+  private val snkInflux = QueryDef(
+    "snk_influx_points",
+    (s, dir) => {
+      val uri = s"hub:$dir/snk_influx"
+      seedOnce(uri) {
+        GraftSinks.influxWrite(
+          t(s, dir, "events").select(unix_millis(col("ts")).as("timeMs"),
+            map(lit("type"), col("event_type")).as("tags"),
+            map(lit("value"), col("value")).as("fields")),
+          uri, "events")
+      }
+      GraftSources.influx(s, uri, "events")
+        .groupBy(unix_millis(date_trunc("hour", col("time"))).as("hour_ms"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("hour_ms"))
+    },
+    Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  private val snkMqtt = QueryDef(
+    "snk_mqtt_publish",
+    (s, dir) => {
+      val uri = s"hub:$dir/snk_mqtt"
+      seedOnce(uri) {
+        GraftSinks.mqttPublish(
+          t(s, dir, "region").select(lit("regions").as("topic"),
+            encode(col("r_name"), "UTF-8").as("payload")),
+          uri, maxAttempts = 3)
+      }
+      GraftSources.mqttBatch(s, uri, Seq("regions"))
+        .select(decode(col("payload"), "UTF-8").as("r_name"))
+        .orderBy(col("r_name"))
+    },
+    Some("SELECT r_name FROM region ORDER BY r_name"))
+
+  private val snkWs = QueryDef(
+    "snk_ws_broadcast",
+    (s, dir) => {
+      val uri = s"hub:$dir/snk_ws"
+      seedOnce(uri) {
+        GraftSinks.wsBroadcast(
+          t(s, dir, "orders").select(col("o_orderkey").cast("string").as("payload"))
+            .orderBy(col("o_orderkey").cast("long")),
+          uri, accumulateLimit = 100)
+      }
+      s.read.format("graft-topic").option("profile", "http").option("uri", uri)
+        .option("topics", "ws").load()
+        .select(col("payload").cast("long").as("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey FROM (
+        SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 100) x
+      ORDER BY o_orderkey"""))
+
+  val all: Seq[QueryDef] = Seq(
+    srcRedisHash, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoCdc,
+    srcInflux, srcMqtt, srcPulsar, srcHttp, srcTwitter, srcConnect,
+    snkRedisHash, snkRedisZset, snkMongoInsert, snkPulsar, snkInflux,
+    snkMqtt, snkWs)
+}
+
+/** Deterministic stand-in for a hosted third-party connector task (the
+  * reference tests use a random-int connector,
+  * `KafkaConnectRandomIntIntegrationTest.java:40-43`). Emits {"i": k} for
+  * k in [0, n), round-robined over `partitions` source partitions. */
+class RangeSourceTask extends SourceTaskLike {
+  private var n = 0L
+  private var parts = 1
+  private var emitted = 0L
+  override def start(props: Map[String, String]): Unit = {
+    n = props("n").toLong
+    parts = props.getOrElse("partitions", "1").toInt
+  }
+  override def poll(): Seq[(String, Long, String)] = {
+    if (emitted >= n) return Seq.empty
+    val batch = (emitted until math.min(emitted + 100, n)).map { i =>
+      (s"p${i % parts}", i, s"""{"i":$i}""")
+    }
+    emitted += batch.size
+    batch
+  }
+  override def stop(): Unit = ()
+}

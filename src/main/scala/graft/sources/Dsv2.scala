@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.Offset
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared DSv2 plumbing for the graft connectors. */
+object Dsv2 {
+
+  def utf8(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+
+  def stringMap(m: Map[String, String]): ArrayBasedMapData = {
+    val ks = m.keys.toArray[Any].map(k => utf8(k.asInstanceOf[String]): Any)
+    val vs = m.values.toArray[Any].map(v => utf8(v.asInstanceOf[String]): Any)
+    new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+  }
+
+  def doubleMap(m: Map[String, Double]): ArrayBasedMapData = {
+    val ks = m.keys.toArray[Any].map(k => utf8(k.asInstanceOf[String]): Any)
+    val vs = m.values.toArray[Any]
+    new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+  }
+
+  def row(values: Any*): InternalRow = new GenericInternalRow(values.toArray)
+
+  def msToMicros(ms: Long): Long = math.multiplyExact(ms, 1000L)
+
+  /** PartitionReader over a pre-materialized iterator. */
+  final class IterReader(it: Iterator[InternalRow]) extends PartitionReader[InternalRow] {
+    private var cur: InternalRow = _
+    override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
+    override def get(): InternalRow = cur
+    override def close(): Unit = ()
+  }
+
+  /** A Batch producing one partition per element of `parts`; `readFn` runs on
+    * the executor. */
+  final case class FnPartition(idx: Int, tag: String, from: Long, to: Long) extends InputPartition
+
+  final class FnBatch(parts: Seq[FnPartition],
+      readFn: FnPartition => Iterator[InternalRow]) extends Batch with Serializable {
+    override def planInputPartitions(): Array[InputPartition] = parts.toArray
+    override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new IterReader(readFn(p.asInstanceOf[FnPartition]))
+    }
+  }
+
+  /** Scan that is its own Batch. */
+  abstract class BatchScan extends Scan {
+    override def toBatch: Batch = batch
+    def batch: Batch
+  }
+
+  /** Serializable reader factory: `readFn` must capture only serializable
+    * state (strings, primitives) — never the enclosing Table/Stream. */
+  final case class FnReaderFactory(
+      readFn: FnPartition => Iterator[InternalRow]) extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new IterReader(readFn(p.asInstanceOf[FnPartition]))
+  }
+
+  // ------------------------------------------------------- streaming offsets
+
+  /** Offset = per-partition high-water sequence, JSON `{"name":seq,...}`.
+    * The serialized form is what lands in the checkpoint dir — the analog of
+    * the reference's snapshotted offset maps (RedisSources.java:613-662,
+    * AbstractKafkaConnectSource.java:101-107). */
+  final case class MapOffset(m: Map[String, Long]) extends Offset {
+    override def json(): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + MapOffset.esc(k) + "\":" + v }
+        .mkString("{", ",", "}")
+  }
+
+  object MapOffset {
+    private def esc(s: String): String =
+      s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    private val Entry = """"((?:[^"\\]|\\.)*)"\s*:\s*(-?\d+)""".r
+    private def unesc(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'u' => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case x   => sb.append(x); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    def parse(json: String): MapOffset =
+      MapOffset(Entry.findAllMatchIn(json).map(m => unesc(m.group(1)) -> m.group(2).toLong).toMap)
+  }
+}

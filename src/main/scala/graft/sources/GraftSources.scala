@@ -1,0 +1,167 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.hub.MemHub
+
+/** User-facing source surface, one method per reference operator
+  * (SURVEY.md §2.1). Batch methods return a `DataFrame`; `*Stream` methods
+  * return a streaming `DataFrame` (pair with `withWatermark` for the
+  * `withNativeTimestamps(lag)` analog).
+  *
+  * Delivery semantics per profile (mirroring the reference's guarantees):
+  *  - redisStream / pulsarReader / mongoCdc / kafkaConnect: replayable
+  *    offsets → exactly-once with checkpointing (S8, S12, S4, S9).
+  *  - pulsarConsumer: at-least-once, acks after epoch commit (S11).
+  *  - mqtt / httpListener / twitterStream: non-replayable in the reference
+  *    (at-least-once, MqttSources.java:47-52); the log transport here is
+  *    replayable, which only strengthens the guarantee.
+  */
+object GraftSources {
+
+  /** S6 — Redis hash batch scan. */
+  def redisHash(spark: SparkSession, uri: String, hash: String): DataFrame =
+    spark.read.format("graft-redis-hash").option("uri", uri).option("hash", hash).load()
+
+  /** S7 — Redis sorted-set range scan; from/to are the server-side
+    * ZRANGEBYSCORE bounds (score filters also push down via Catalyst). */
+  def redisSortedSet(spark: SparkSession, uri: String, key: String,
+      from: Option[Double] = None, to: Option[Double] = None): DataFrame = {
+    var r = spark.read.format("graft-redis-zset").option("uri", uri).option("key", key)
+    from.foreach(f => r = r.option("from", f.toString))
+    to.foreach(t => r = r.option("to", t.toString))
+    r.load()
+  }
+
+  /** S8 — Redis streams, batch read of the current contents. */
+  def redisStreamBatch(spark: SparkSession, uri: String, streams: Seq[String]): DataFrame =
+    spark.read.format("graft-redis-stream").option("uri", uri)
+      .option("streams", streams.mkString(",")).load()
+
+  /** S8 — Redis streams, micro-batch stream (one partition per stream,
+    * per-stream offsets in the checkpoint). */
+  def redisStream(spark: SparkSession, uri: String, streams: Seq[String]): DataFrame =
+    spark.readStream.format("graft-redis-stream").option("uri", uri)
+      .option("streams", streams.mkString(",")).load()
+
+  /** S3 — document find with predicate doc + schema (projection prunes). */
+  def mongoBatch(spark: SparkSession, uri: String, schema: StructType,
+      filterJson: String = ""): DataFrame =
+    spark.read.format("graft-mongo").schema(schema)
+      .option("uri", uri).option("filter", filterJson).load()
+
+  /** S4/S5 — CDC change log, batch view (startAt = resume position). */
+  def mongoCdcBatch(spark: SparkSession, uri: String, startAt: Long = -1L): DataFrame =
+    spark.read.format("graft-mongo-cdc").option("uri", uri)
+      .option("startAt", startAt.toString).load()
+
+  /** S4/S5 — CDC change stream with resume-token offsets. */
+  def mongoCdc(spark: SparkSession, uri: String, startAt: Long = -1L): DataFrame =
+    spark.readStream.format("graft-mongo-cdc").option("uri", uri)
+      .option("startAt", startAt.toString).load()
+
+  /** S1 — time-series range query (measurement projection shape). */
+  def influx(spark: SparkSession, uri: String, measurement: String,
+      fromMs: Long = Long.MinValue, toMs: Long = Long.MaxValue): DataFrame =
+    spark.read.format("graft-influx").option("uri", uri).option("measurement", measurement)
+      .option("fromMs", fromMs.toString).option("toMs", toMs.toString).load()
+
+  /** S2 — POJO path: flatten tags/fields to top-level columns, then `.as[T]`. */
+  def influxFlat(df: DataFrame, tags: Seq[String], fields: Seq[String]): DataFrame = {
+    val cols = col("time") +:
+      (tags.map(t => col("tags").getItem(t).as(t)) ++
+        fields.map(f => col("fields").getItem(f).as(f)))
+    df.select(cols: _*)
+  }
+
+  private def topic(spark: SparkSession, profile: String, uri: String,
+      topics: Seq[String], streaming: Boolean, ackAs: Option[String] = None): DataFrame = {
+    if (streaming) {
+      var r = spark.readStream.format("graft-topic").option("profile", profile)
+        .option("uri", uri).option("topics", topics.mkString(","))
+      ackAs.foreach(a => r = r.option("ackAs", a))
+      r.load()
+    } else {
+      var r = spark.read.format("graft-topic").option("profile", profile)
+        .option("uri", uri).option("topics", topics.mkString(","))
+      ackAs.foreach(a => r = r.option("ackAs", a))
+      r.load()
+    }
+  }
+
+  /** S10 — MQTT subscribe (multi-topic; payload binary). */
+  def mqttBatch(spark: SparkSession, uri: String, topics: Seq[String]): DataFrame =
+    topic(spark, "mqtt", uri, topics, streaming = false)
+  def mqtt(spark: SparkSession, uri: String, topics: Seq[String]): DataFrame =
+    topic(spark, "mqtt", uri, topics, streaming = true)
+
+  /** S11 — Pulsar shared-subscription consumer; acks land after epoch commit. */
+  def pulsarConsumer(spark: SparkSession, uri: String, topics: Seq[String],
+      subscription: String): DataFrame =
+    topic(spark, "pulsar", uri, topics, streaming = true, ackAs = Some(subscription))
+
+  /** S12 — Pulsar reader: MessageId-offset replayable read. */
+  def pulsarReaderBatch(spark: SparkSession, uri: String, t: String): DataFrame =
+    topic(spark, "pulsar", uri, Seq(t), streaming = false)
+  def pulsarReader(spark: SparkSession, uri: String, t: String): DataFrame =
+    topic(spark, "pulsar", uri, Seq(t), streaming = true)
+
+  /** S13 — HTTP(S) listener (payload string; JSON-bean via from_json). */
+  def httpListenerBatch(spark: SparkSession, uri: String): DataFrame =
+    topic(spark, "http", uri, Seq("http"), streaming = false)
+  def httpListener(spark: SparkSession, uri: String): DataFrame =
+    topic(spark, "http", uri, Seq("http"), streaming = true)
+
+  /** S14 — Twitter stream (json + native timestamp_ms). */
+  def twitterStreamBatch(spark: SparkSession, uri: String): DataFrame =
+    topic(spark, "twitter", uri, Seq("tweets"), streaming = false)
+  def twitterStream(spark: SparkSession, uri: String): DataFrame =
+    topic(spark, "twitter", uri, Seq("tweets"), streaming = true)
+
+  /** S15 — Twitter search (paginated batch). */
+  def twitterSearch(spark: SparkSession, uri: String, query: String): DataFrame =
+    topic(spark, "twitter", uri, Seq(s"search/$query"), streaming = false)
+
+  /** S9 — Kafka Connect adapter: host a `SourceTaskLike` by class name and
+    * read its records (sourcePartition/sourceOffset/timestamp/value). */
+  def kafkaConnect(spark: SparkSession, uri: String, taskClass: String,
+      props: Map[String, String], streaming: Boolean = false): DataFrame = {
+    val partitions = ConnectorHost.run(uri, taskClass, props)
+    topic(spark, "connect", uri, partitions, streaming)
+  }
+}
+
+/** S9 hosting trick (KafkaConnectSources.java:59-83): instantiate a
+  * third-party source task by class name inside the engine and pump its
+  * records into partitioned logs keyed by sourcePartition. */
+trait SourceTaskLike {
+  def start(props: Map[String, String]): Unit
+  /** (sourcePartition, timestampMs, valueJson); one poll = one batch. */
+  def poll(): Seq[(String, Long, String)]
+  def stop(): Unit
+}
+
+object ConnectorHost {
+  /** Runs the task to exhaustion (empty poll ends it), returns partitions. */
+  def run(uri: String, taskClass: String, props: Map[String, String]): Seq[String] = {
+    val task = Class.forName(taskClass).getDeclaredConstructor()
+      .newInstance().asInstanceOf[SourceTaskLike]
+    task.start(props)
+    try {
+      val seen = scala.collection.mutable.SortedSet.empty[String]
+      var batch = task.poll()
+      while (batch.nonEmpty) {
+        batch.groupBy(_._1).foreach { case (part, recs) =>
+          seen += part
+          MemHub.publish(uri, part, recs.iterator.map { case (_, ts, v) =>
+            ("", Map.empty[String, String], ts, v.getBytes("UTF-8"))
+          })
+        }
+        batch = task.poll()
+      }
+      seen.toSeq
+    } finally task.stop()
+  }
+}

@@ -1,0 +1,184 @@
+package graft.sources.hub
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** In-process "external world" the connectors talk to.
+  *
+  * The container is zero-egress — there is no live Redis/Mongo/Influx/MQTT/
+  * Pulsar broker to connect to — so each connector's *transport* is this
+  * hub while everything Spark-side (DSv2 tables, scan pushdown, input
+  * partitions, micro-batch offsets, sink receive/flush lifecycle) is the
+  * real production code path. On a cluster, swap the hub client for the
+  * network client; the DSv2 classes do not change (they only see the
+  * small client traits defined by each connector).
+  *
+  * Stores are keyed by `uri` (namespace) so concurrent queries/tests never
+  * collide. All appends are synchronized and reads snapshot — readers on
+  * executor threads (local mode shares the JVM) see immutable copies.
+  */
+object MemHub {
+
+  // ---- Redis-shaped stores -------------------------------------------------
+
+  /** hash: field -> value (HGETALL source, HMSET sink). */
+  private val hashes = new ConcurrentHashMap[String, TrieMap[String, String]]()
+
+  /** sorted set: member -> score (ZRANGEBYSCORE source, ZADD sink). */
+  private val zsets = new ConcurrentHashMap[String, TrieMap[String, Double]]()
+
+  /** stream: append log of (id, body) (XREAD source, XADD sink). */
+  private val streams = new ConcurrentHashMap[String, ArrayBuffer[(Long, Map[String, String])]]()
+
+  // ---- document store (Mongo-shaped): collection of JSON docs + oplog -----
+
+  private val collections = new ConcurrentHashMap[String, ArrayBuffer[String]]()
+
+  /** change log entries: (seq, operationType, fullDocument, clusterTimeMs). */
+  private val oplogs = new ConcurrentHashMap[String, ArrayBuffer[(Long, String, String, Long)]]()
+
+  // ---- time-series store (Influx-shaped) ----------------------------------
+
+  /** measurement points: (timeMs, tags, fields). */
+  private val series = new ConcurrentHashMap[String, ArrayBuffer[(Long, Map[String, String], Map[String, Double])]]()
+
+  // ---- topic log (MQTT/Pulsar/HTTP/Twitter/Kafka-Connect-shaped) ----------
+
+  /** message: (seq, key, props, eventTimeMs, payload). */
+  final case class Msg(seq: Long, key: String, props: Map[String, String],
+      eventTimeMs: Long, payload: Array[Byte])
+
+  private val topics = new ConcurrentHashMap[String, ArrayBuffer[Msg]]()
+
+  /** Monotone per-topic sequence — independent of buffer length so trims
+    * (drop-oldest caps) never reuse a seq. */
+  private val topicSeq = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** per-consumer acknowledged sequence (Pulsar ack-after-commit analog). */
+  private val acks = new ConcurrentHashMap[String, java.lang.Long]()
+
+  private def buf[T](m: ConcurrentHashMap[String, ArrayBuffer[T]], k: String): ArrayBuffer[T] =
+    m.computeIfAbsent(k, _ => new ArrayBuffer[T]())
+
+  // ---- hash ----------------------------------------------------------------
+
+  def hashPut(uri: String, kvs: Iterator[(String, String)]): Unit = {
+    val h = hashes.computeIfAbsent(uri, _ => TrieMap.empty)
+    kvs.foreach { case (k, v) => h.put(k, v) }
+  }
+  def hashGetAll(uri: String): Map[String, String] =
+    Option(hashes.get(uri)).map(_.toMap).getOrElse(Map.empty)
+
+  // ---- zset ----------------------------------------------------------------
+
+  def zadd(uri: String, svs: Iterator[(String, Double)]): Unit = {
+    val z = zsets.computeIfAbsent(uri, _ => TrieMap.empty)
+    svs.foreach { case (m, s) => z.put(m, s) }
+  }
+  /** ZRANGEBYSCORE [from, to] inclusive — the server-side range predicate. */
+  def zrangeByScore(uri: String, from: Double, to: Double): Seq[(String, Double)] =
+    Option(zsets.get(uri)).map(_.iterator.filter { case (_, s) => s >= from && s <= to }
+      .toSeq.sortBy { case (m, s) => (s, m) }).getOrElse(Seq.empty)
+
+  // ---- stream ----------------------------------------------------------------
+
+  def xadd(uri: String, stream: String, bodies: Iterator[Map[String, String]]): Unit = {
+    val b = buf(streams, s"$uri/$stream")
+    b.synchronized { bodies.foreach(body => b += ((b.length.toLong, body))) }
+  }
+  /** XREAD from exclusive offset. */
+  def xread(uri: String, stream: String, afterId: Long, count: Int = Int.MaxValue): Seq[(Long, Map[String, String])] = {
+    val b = buf(streams, s"$uri/$stream")
+    b.synchronized { b.iterator.filter(_._1 > afterId).take(count).toVector }
+  }
+  def xlen(uri: String, stream: String): Long = {
+    val b = buf(streams, s"$uri/$stream")
+    b.synchronized { b.length.toLong }
+  }
+
+  // ---- documents -------------------------------------------------------------
+
+  def insertMany(uri: String, docs: Iterator[String], ordered: Boolean = true): Unit = {
+    val c = buf(collections, uri)
+    val o = buf(oplogs, uri)
+    val now = 0L // deterministic cluster time base; callers may append real ts in doc
+    c.synchronized {
+      docs.foreach { d =>
+        c += d
+        o.synchronized { o += ((o.length.toLong, "insert", d, now + o.length)) }
+      }
+    }
+  }
+  def find(uri: String): Seq[String] = {
+    val c = buf(collections, uri)
+    c.synchronized { c.toVector }
+  }
+  def oplog(uri: String, afterSeq: Long): Seq[(Long, String, String, Long)] = {
+    val o = buf(oplogs, uri)
+    o.synchronized { o.iterator.filter(_._1 > afterSeq).toVector }
+  }
+  def oplogLen(uri: String): Long = {
+    val o = buf(oplogs, uri)
+    o.synchronized { o.length.toLong }
+  }
+
+  // ---- series ----------------------------------------------------------------
+
+  def writePoints(uri: String, measurement: String,
+      pts: Iterator[(Long, Map[String, String], Map[String, Double])]): Unit = {
+    val b = buf(series, s"$uri/$measurement")
+    b.synchronized { pts.foreach(b += _) }
+  }
+  def queryRange(uri: String, measurement: String, fromMs: Long, toMs: Long):
+      Seq[(Long, Map[String, String], Map[String, Double])] = {
+    val b = buf(series, s"$uri/$measurement")
+    b.synchronized { b.iterator.filter(p => p._1 >= fromMs && p._1 <= toMs).toVector }
+  }
+
+  // ---- topics ----------------------------------------------------------------
+
+  def publish(uri: String, topic: String,
+      msgs: Iterator[(String, Map[String, String], Long, Array[Byte])]): Unit = {
+    val b = buf(topics, s"$uri/$topic")
+    val seq = topicSeq.computeIfAbsent(s"$uri/$topic",
+      _ => new java.util.concurrent.atomic.AtomicLong(0L))
+    b.synchronized {
+      msgs.foreach { case (k, props, et, payload) =>
+        b += Msg(seq.getAndIncrement(), k, props, et, payload)
+      }
+    }
+  }
+  def poll(uri: String, topic: String, afterSeq: Long, max: Int = Int.MaxValue): Seq[Msg] = {
+    val b = buf(topics, s"$uri/$topic")
+    b.synchronized { b.iterator.filter(_.seq > afterSeq).take(max).toVector }
+  }
+  def topicLen(uri: String, topic: String): Long = {
+    val b = buf(topics, s"$uri/$topic")
+    b.synchronized { b.length.toLong }
+  }
+  /** High-water mark: max assigned seq (survives trimTopic), -1 if empty. */
+  def topicMaxSeq(uri: String, topic: String): Long = {
+    val b = buf(topics, s"$uri/$topic")
+    b.synchronized { if (b.isEmpty) -1L else b.last.seq }
+  }
+  /** Drop-oldest cap (WS/SSE sink accumulate buffer, HttpListenerSinkContext.java:128-152). */
+  def trimTopic(uri: String, topic: String, cap: Int): Unit = {
+    val b = buf(topics, s"$uri/$topic")
+    b.synchronized { if (b.length > cap) b.remove(0, b.length - cap) }
+  }
+
+  def ack(consumer: String, seq: Long): Unit =
+    acks.merge(consumer, java.lang.Long.valueOf(seq),
+      (a, b) => java.lang.Long.valueOf(math.max(a, b)))
+  def acked(consumer: String): Long = Option(acks.get(consumer)).map(_.longValue()).getOrElse(-1L)
+
+  /** Test/bench hygiene: drop every store under a namespace prefix. */
+  def clear(prefix: String): Unit = {
+    def sweep(m: ConcurrentHashMap[String, _]): Unit =
+      m.keySet().asScala.filter(_.startsWith(prefix)).foreach(m.remove)
+    sweep(hashes); sweep(zsets); sweep(streams); sweep(collections)
+    sweep(oplogs); sweep(series); sweep(topics); sweep(acks)
+  }
+}

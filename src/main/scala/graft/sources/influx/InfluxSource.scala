@@ -1,0 +1,64 @@
+package graft.sources.influx
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.Dsv2
+import graft.sources.Dsv2.{FnBatch, FnPartition}
+import graft.sources.hub.MemHub
+
+/** Time-series connector (SURVEY.md §2.1 S1-S2, reference
+  * `influxdb/src/main/java/com/hazelcast/jet/contrib/influxdb/InfluxDbSources.java:79-136`).
+  *
+  * The reference pushes an InfluxQL string verbatim to the server and maps
+  * each series row via `(name, tags, columns, values) → T`. Here the query
+  * is the (measurement, fromMs, toMs) triple pushed to the store, and rows
+  * surface as `struct<time: timestamp, tags: map<string,string>,
+  * fields: map<string,double>>` — the measurement-projection shape
+  * (`MeasurementProjection.java:29-39`). The POJO path (S2) is
+  * `.as[T]` over a flattening select (see GraftSources.influxTyped).
+  */
+object InfluxSource {
+  val schema: StructType = StructType(Seq(
+    StructField("time", TimestampType, nullable = false),
+    StructField("tags", MapType(StringType, StringType), nullable = false),
+    StructField("fields", MapType(StringType, DoubleType), nullable = false)))
+}
+
+class InfluxProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-influx"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = InfluxSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new InfluxTable(new CaseInsensitiveStringMap(properties))
+}
+
+class InfluxTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  private val uri = options.get("uri")
+  private val measurement = options.get("measurement")
+  private val fromMs = Option(options.get("fromMs")).map(_.toLong).getOrElse(Long.MinValue)
+  private val toMs = Option(options.get("toMs")).map(_.toLong).getOrElse(Long.MaxValue)
+  override def name(): String = s"influx($uri/$measurement)"
+  override def schema(): StructType = InfluxSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Dsv2.BatchScan {
+      override def readSchema(): StructType = InfluxSource.schema
+      override def description(): String = s"influx($uri/$measurement) time=[$fromMs,$toMs]"
+      override def batch: Batch = {
+        val (u, m, f, t) = (uri, measurement, fromMs, toMs)
+        new FnBatch(Seq(FnPartition(0, m, f, t)), p =>
+          MemHub.queryRange(u, m, p.from, p.to).iterator.map { case (ms, tags, fields) =>
+            Dsv2.row(Dsv2.msToMicros(ms), Dsv2.stringMap(tags), Dsv2.doubleMap(fields))
+          })
+      }
+    }
+}

@@ -1,0 +1,232 @@
+package graft.sources.mongo
+
+import java.util
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.Dsv2
+import graft.sources.Dsv2.{FnBatch, FnPartition, MapOffset}
+import graft.sources.hub.MemHub
+
+/** Document-store connector (SURVEY.md §2.1 S3-S5, reference
+  * `mongodb/src/main/java/com/hazelcast/jet/contrib/mongodb/`).
+  *
+  * Batch (S3, MongoDBSources.java:80-96): `find(filter, projection)` over
+  * JSON documents. The user schema (`.schema(...)`) defines the typed row;
+  * a `filter` option carries a predicate document (`{"val":{"$gte":10}}`,
+  * the reference's user-facing shape) and Catalyst comparison filters on
+  * top-level fields are additionally pushed down
+  * (`SupportsPushDownFilters`), as is column pruning
+  * (`SupportsPushDownRequiredColumns`) — the analog of
+  * `.projection(doc)` (MongoDBSources.java:93).
+  *
+  * CDC (S4/S5, MongoDBSourceBuilder.java:265-270, 791-860): the change log
+  * as a stream; the offset is the change sequence (resume-token analog,
+  * :853-859), snapshotted in the Spark checkpoint. `startAt` option mirrors
+  * `startAtOperationTime`.
+  */
+object MongoJson {
+  private val mapper = new ObjectMapper()
+
+  def parse(doc: String): JsonNode = mapper.readTree(doc)
+
+  /** predicate doc: {"field": {"$gte": v}} / {"$eq"|"$gt"|"$lte"|"$lt"|"$ne"} */
+  final case class Pred(field: String, op: String, value: JsonNode) {
+    def eval(doc: JsonNode): Boolean = {
+      val n = doc.get(field)
+      if (n == null || n.isNull) return false
+      val cmp: Int =
+        if (n.isNumber && value.isNumber) java.lang.Double.compare(n.asDouble(), value.asDouble())
+        else n.asText().compareTo(value.asText())
+      op match {
+        case "$eq" => cmp == 0
+        case "$ne" => cmp != 0
+        case "$gt" => cmp > 0
+        case "$gte" => cmp >= 0
+        case "$lt" => cmp < 0
+        case "$lte" => cmp <= 0
+        case _ => true
+      }
+    }
+  }
+
+  def parseFilter(filterJson: String): Seq[Pred] = {
+    if (filterJson == null || filterJson.isEmpty) return Seq.empty
+    val root = mapper.readTree(filterJson)
+    val it = root.properties().iterator()
+    val preds = Seq.newBuilder[Pred]
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue
+      if (v.isObject) {
+        val oit = v.properties().iterator()
+        while (oit.hasNext) {
+          val oe = oit.next()
+          preds += Pred(e.getKey, oe.getKey, oe.getValue)
+        }
+      } else preds += Pred(e.getKey, "$eq", v)
+    }
+    preds.result()
+  }
+
+  def catalystToPred(f: Filter): Option[Pred] = {
+    def lit(v: Any): JsonNode = v match {
+      case n: java.lang.Number => mapper.getNodeFactory.numberNode(new java.math.BigDecimal(n.toString))
+      case s => mapper.getNodeFactory.textNode(String.valueOf(s))
+    }
+    f match {
+      case EqualTo(a, v) if !a.contains(".") => Some(Pred(a, "$eq", lit(v)))
+      case GreaterThan(a, v) if !a.contains(".") => Some(Pred(a, "$gt", lit(v)))
+      case GreaterThanOrEqual(a, v) if !a.contains(".") => Some(Pred(a, "$gte", lit(v)))
+      case LessThan(a, v) if !a.contains(".") => Some(Pred(a, "$lt", lit(v)))
+      case LessThanOrEqual(a, v) if !a.contains(".") => Some(Pred(a, "$lte", lit(v)))
+      case _ => None
+    }
+  }
+
+  /** Flat JSON document → InternalRow under `schema`. */
+  def toRow(doc: JsonNode, schema: StructType): InternalRow = {
+    val vals = schema.fields.map { f =>
+      val n = doc.get(f.name)
+      if (n == null || n.isNull) null
+      else f.dataType match {
+        case IntegerType => n.asInt()
+        case LongType => n.asLong()
+        case DoubleType => n.asDouble()
+        case BooleanType => n.asBoolean()
+        case StringType => Dsv2.utf8(if (n.isTextual) n.asText() else n.toString)
+        case TimestampType => Dsv2.msToMicros(n.asLong())
+        case other => throw new IllegalArgumentException(s"unsupported field type $other")
+      }
+    }
+    Dsv2.row(vals.toIndexedSeq: _*)
+  }
+}
+
+class MongoProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-mongo"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType(Seq(StructField("doc", StringType))) // raw passthrough when no user schema
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MongoTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  private val uri = options.get("uri")
+  private val filterJson = Option(options.get("filter")).getOrElse("")
+  override def name(): String = s"mongo($uri)"
+  override def schema(): StructType = userSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var required: StructType = userSchema
+      private var pushed = Array.empty[Filter]
+      private var preds = MongoJson.parseFilter(filterJson)
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val converted = filters.map(f => f -> MongoJson.catalystToPred(f))
+        pushed = converted.collect { case (f, Some(_)) => f }
+        preds = preds ++ converted.collect { case (_, Some(p)) => p }
+        converted.collect { case (f, None) => f }
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): Scan = new Dsv2.BatchScan {
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"mongo($uri) preds=${preds.map(p => s"${p.field}${p.op}").mkString(",")} cols=${required.fieldNames.mkString(",")}"
+        override def batch: Batch = {
+          val (u, ps, rs) = (uri, preds, required)
+          val isRaw = rs.length == 1 && rs.head.name == "doc"
+          new FnBatch(Seq(FnPartition(0, "find", 0, 0)), _ =>
+            MemHub.find(u).iterator.flatMap { docStr =>
+              val doc = MongoJson.parse(docStr)
+              if (ps.forall(_.eval(doc)))
+                Some(if (isRaw) Dsv2.row(Dsv2.utf8(docStr)) else MongoJson.toRow(doc, rs))
+              else None
+            })
+        }
+      }
+    }
+}
+
+/** CDC over the document store's change log. */
+object MongoCdc {
+  val schema: StructType = StructType(Seq(
+    StructField("operationType", StringType, nullable = false),
+    StructField("clusterTime", TimestampType, nullable = false),
+    StructField("resumeToken", StringType, nullable = false),
+    StructField("fullDocument", StringType, nullable = true)))
+
+  def rows(uri: String, after: Long, until: Long): Iterator[InternalRow] =
+    MemHub.oplog(uri, after).iterator.filter(_._1 <= until).map {
+      case (seq, op, doc, ctMs) =>
+        Dsv2.row(Dsv2.utf8(op), Dsv2.msToMicros(ctMs), Dsv2.utf8(seq.toString), Dsv2.utf8(doc))
+    }
+
+  /** Standalone serializable factory (must not capture the stream/table). */
+  final case class Factory(uri: String) extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val fp = p.asInstanceOf[FnPartition]
+      new Dsv2.IterReader(rows(uri, fp.from, fp.to))
+    }
+  }
+}
+
+class MongoCdcProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-mongo-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = MongoCdc.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MongoCdcTable(new CaseInsensitiveStringMap(properties))
+}
+
+class MongoCdcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  private val uri = options.get("uri")
+  private val startAt = Option(options.get("startAt")).map(_.toLong).getOrElse(-1L)
+  override def name(): String = s"mongo-cdc($uri)"
+  override def schema(): StructType = MongoCdc.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = MongoCdc.schema
+      override def description(): String = name()
+      override def toBatch: Batch = {
+        val (u, s) = (uri, startAt)
+        new FnBatch(Seq(FnPartition(0, "cdc", s, Long.MaxValue)), p =>
+          MongoCdc.rows(u, p.from, p.to))
+      }
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new MicroBatchStream {
+          private val u = uri
+          override def latestOffset(): Offset = MapOffset(Map("cdc" -> (MemHub.oplogLen(u) - 1)))
+          override def initialOffset(): Offset = MapOffset(Map("cdc" -> startAt))
+          override def deserializeOffset(json: String): Offset = MapOffset.parse(json)
+          override def commit(end: Offset): Unit = ()
+          override def stop(): Unit = ()
+          override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+            Array(FnPartition(0, "cdc",
+              start.asInstanceOf[MapOffset].m.getOrElse("cdc", -1L),
+              end.asInstanceOf[MapOffset].m.getOrElse("cdc", -1L)))
+          override def createReaderFactory(): PartitionReaderFactory =
+            MongoCdc.Factory(u)
+        }
+    }
+}

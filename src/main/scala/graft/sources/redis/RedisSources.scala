@@ -1,0 +1,204 @@
+package graft.sources.redis
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.Dsv2
+import graft.sources.Dsv2.{FnBatch, FnPartition, MapOffset}
+import graft.sources.hub.MemHub
+
+/** Redis-family connectors (SURVEY.md §2.1 S6-S8, reference
+  * `redis/src/main/java/com/hazelcast/jet/contrib/redis/RedisSources.java`).
+  *
+  * - `graft-redis-hash`  — HGETALL batch scan (S6, RedisSources.java:100-183):
+  *   struct<key,value>, single partition (a hash lives on one server).
+  * - `graft-redis-zset`  — ZRANGEBYSCORE batch scan (S7, :186-256): the
+  *   [from,to] score range is a server-side predicate; Catalyst score
+  *   filters are pushed down (SupportsPushDownFilters) and further narrow it.
+  * - `graft-redis-stream`— XREAD scan + micro-batch stream (S8, :273-395):
+  *   one input partition per Redis stream (the analog of the reference's
+  *   stream→member round-robin, :693-708), per-stream offsets snapshotted
+  *   into the checkpoint (analog of :613-662).
+  */
+object RedisHash {
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+}
+
+class RedisHashProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-redis-hash"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RedisHash.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RedisHashTable(new CaseInsensitiveStringMap(properties))
+}
+
+class RedisHashTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  private val uri = options.get("uri")
+  private val hash = options.get("hash")
+  override def name(): String = s"redis-hash($uri/$hash)"
+  override def schema(): StructType = RedisHash.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Dsv2.BatchScan {
+      override def readSchema(): StructType = RedisHash.schema
+      override def description(): String = name()
+      override def batch: Batch = {
+        val (u, h) = (uri, hash)
+        new FnBatch(Seq(FnPartition(0, h, 0, 0)), _ =>
+          MemHub.hashGetAll(s"$u/$h").toSeq.sortBy(_._1).iterator.map { case (k, v) =>
+            Dsv2.row(Dsv2.utf8(k), Dsv2.utf8(v))
+          })
+      }
+    }
+}
+
+object RedisZSet {
+  val schema: StructType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+}
+
+class RedisZSetProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-redis-zset"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RedisZSet.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RedisZSetTable(new CaseInsensitiveStringMap(properties))
+}
+
+class RedisZSetTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  private val uri = options.get("uri")
+  private val key = options.get("key")
+  private val optFrom = Option(options.get("from")).map(_.toDouble).getOrElse(Double.NegativeInfinity)
+  private val optTo = Option(options.get("to")).map(_.toDouble).getOrElse(Double.PositiveInfinity)
+  override def name(): String = s"redis-zset($uri/$key)"
+  override def schema(): StructType = RedisZSet.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters {
+      private var from = optFrom
+      private var to = optTo
+      private var pushed = Array.empty[Filter]
+
+      // ZRANGEBYSCORE is an inclusive server-side range: consume >=/<=/= on
+      // score exactly; leave anything else (and strict bounds) to Spark.
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (accepted, residual) = filters.partition {
+          case GreaterThanOrEqual("score", _: java.lang.Number) => true
+          case LessThanOrEqual("score", _: java.lang.Number) => true
+          case EqualTo("score", _: java.lang.Number) => true
+          case _ => false
+        }
+        accepted.foreach {
+          case GreaterThanOrEqual(_, v: java.lang.Number) => from = math.max(from, v.doubleValue())
+          case LessThanOrEqual(_, v: java.lang.Number) => to = math.min(to, v.doubleValue())
+          case EqualTo(_, v: java.lang.Number) =>
+            from = math.max(from, v.doubleValue()); to = math.min(to, v.doubleValue())
+          case _ =>
+        }
+        pushed = accepted
+        residual
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def build(): Scan = new Dsv2.BatchScan {
+        override def readSchema(): StructType = RedisZSet.schema
+        override def description(): String = s"redis-zset($uri/$key) range=[$from,$to]"
+        override def batch: Batch = {
+          val (u, k, f, t) = (uri, key, from, to)
+          new FnBatch(Seq(FnPartition(0, k, 0, 0)), _ =>
+            MemHub.zrangeByScore(s"$u/$k", f, t).iterator.map { case (m, s) =>
+              Dsv2.row(s, Dsv2.utf8(m))
+            })
+        }
+      }
+    }
+}
+
+object RedisStream {
+  val schema: StructType = StructType(Seq(
+    StructField("stream", StringType, nullable = false),
+    StructField("id", StringType, nullable = false),
+    StructField("body", MapType(StringType, StringType), nullable = false)))
+
+  def readRows(uri: String, stream: String, after: Long, until: Long): Iterator[InternalRow] =
+    MemHub.xread(uri, stream, after).iterator
+      .filter(_._1 <= until)
+      .map { case (id, body) =>
+        Dsv2.row(Dsv2.utf8(stream), Dsv2.utf8(s"0-$id"), Dsv2.stringMap(body))
+      }
+
+  /** Standalone serializable factory (must not capture the stream/table). */
+  final case class Factory(uri: String) extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val fp = p.asInstanceOf[FnPartition]
+      new Dsv2.IterReader(readRows(uri, fp.tag, fp.from, fp.to))
+    }
+  }
+}
+
+class RedisStreamProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-redis-stream"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RedisStream.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RedisStreamTable(new CaseInsensitiveStringMap(properties))
+}
+
+class RedisStreamTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  private val uri = options.get("uri")
+  private val streamNames = options.get("streams").split(",").toSeq.sorted
+  override def name(): String = s"redis-stream($uri)"
+  override def schema(): StructType = RedisStream.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = RedisStream.schema
+      override def description(): String = name()
+
+      override def toBatch: Batch = {
+        val u = uri
+        val parts = streamNames.zipWithIndex.map { case (s, i) =>
+          FnPartition(i, s, -1, MemHub.xlen(u, s) - 1)
+        }
+        new FnBatch(parts, p => RedisStream.readRows(u, p.tag, p.from, p.to))
+      }
+
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new MicroBatchStream {
+          private val u = uri
+          private val names = streamNames
+          override def latestOffset(): Offset =
+            MapOffset(names.map(s => s -> (MemHub.xlen(u, s) - 1)).toMap)
+          override def initialOffset(): Offset = MapOffset(names.map(_ -> -1L).toMap)
+          override def deserializeOffset(json: String): Offset = MapOffset.parse(json)
+          override def commit(end: Offset): Unit = ()
+          override def stop(): Unit = ()
+          override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+            val s = start.asInstanceOf[MapOffset].m
+            val e = end.asInstanceOf[MapOffset].m
+            names.zipWithIndex.map { case (n, i) =>
+              FnPartition(i, n, s.getOrElse(n, -1L), e.getOrElse(n, -1L)): InputPartition
+            }.toArray
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            RedisStream.Factory(u)
+        }
+    }
+}

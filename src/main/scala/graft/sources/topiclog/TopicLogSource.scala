@@ -1,0 +1,147 @@
+package graft.sources.topiclog
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.Dsv2
+import graft.sources.Dsv2.{FnBatch, FnPartition, MapOffset}
+import graft.sources.hub.MemHub
+
+/** Message-bus connectors over the shared topic log: MQTT (S10), Pulsar
+  * consumer/reader (S11-S12), HTTP listener (S13), Twitter (S14-S15),
+  * Kafka Connect adapter (S9). One provider, one `profile` per system —
+  * each profile carries that system's row shape and delivery semantics.
+  * Every profile follows the reference's universal source pattern —
+  * client-callback → bounded buffer → fill (SURVEY.md §3.2) — collapsed
+  * onto the log; the per-topic sequence is the offset the reference
+  * snapshots (MessageId for Pulsar `PulsarReaderBuilder.java:193-199`,
+  * sourceOffset map for Connect `AbstractKafkaConnectSource.java:101-107`).
+  *
+  * Profiles and schemas:
+  *  - mqtt:    topic string, payload binary                     (MqttSourceBuilder.java:137-141)
+  *  - pulsar:  key string, value binary, properties map, eventTime timestamp, messageId long
+  *             (PulsarSinkBuilder.java:193-211 extractors, PulsarConsumerBuilder.java:180-188 ts)
+  *  - http:    payload string                                    (HttpListenerSourceBuilder.java:237-246)
+  *  - twitter: json string, timestamp_ms long                    (TwitterSources.java:245-262)
+  *  - connect: sourcePartition string, sourceOffset long, timestamp timestamp, valueJson string
+  *             (KafkaConnectSources.java:59-83)
+  *
+  * MQTT/HTTP/Twitter are non-replayable in the reference (at-least-once,
+  * `MqttSources.java:47-52`); the log emulation makes them replayable here,
+  * which only strengthens the delivery guarantee — semantics documented per
+  * profile in GraftSources.
+  */
+object TopicProfiles {
+  val schemas: Map[String, StructType] = Map(
+    "mqtt" -> StructType(Seq(
+      StructField("topic", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))),
+    "pulsar" -> StructType(Seq(
+      StructField("key", StringType, nullable = true),
+      StructField("value", BinaryType, nullable = false),
+      StructField("properties", MapType(StringType, StringType), nullable = false),
+      StructField("eventTime", TimestampType, nullable = false),
+      StructField("messageId", LongType, nullable = false))),
+    "http" -> StructType(Seq(
+      StructField("payload", StringType, nullable = false))),
+    "twitter" -> StructType(Seq(
+      StructField("json", StringType, nullable = false),
+      StructField("timestamp_ms", LongType, nullable = false))),
+    "connect" -> StructType(Seq(
+      StructField("sourcePartition", StringType, nullable = false),
+      StructField("sourceOffset", LongType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("valueJson", StringType, nullable = false))))
+
+  def toRow(profile: String, topic: String, m: MemHub.Msg): InternalRow = profile match {
+    case "mqtt" => Dsv2.row(Dsv2.utf8(topic), m.payload)
+    case "pulsar" => Dsv2.row(Dsv2.utf8(m.key), m.payload, Dsv2.stringMap(m.props),
+      Dsv2.msToMicros(m.eventTimeMs), m.seq)
+    case "http" => Dsv2.row(Dsv2.utf8(new String(m.payload, "UTF-8")))
+    case "twitter" => Dsv2.row(Dsv2.utf8(new String(m.payload, "UTF-8")), m.eventTimeMs)
+    case "connect" => Dsv2.row(Dsv2.utf8(topic), m.seq, Dsv2.msToMicros(m.eventTimeMs),
+      Dsv2.utf8(new String(m.payload, "UTF-8")))
+    case other => throw new IllegalArgumentException(s"unknown profile $other")
+  }
+
+  def rows(profile: String, uri: String, topic: String, after: Long, until: Long): Iterator[InternalRow] =
+    MemHub.poll(uri, topic, after).iterator.filter(_.seq <= until).map(toRow(profile, topic, _))
+
+  /** Standalone serializable factory (must not capture the stream/table). */
+  final case class Factory(profile: String, uri: String) extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val fp = p.asInstanceOf[FnPartition]
+      new Dsv2.IterReader(rows(profile, uri, fp.tag, fp.from, fp.to))
+    }
+  }
+}
+
+class TopicLogProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-topic"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TopicProfiles.schemas(options.get("profile"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TopicLogTable(new CaseInsensitiveStringMap(properties))
+}
+
+class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  private val uri = options.get("uri")
+  private val profile = options.get("profile")
+  private val topicNames = options.get("topics").split(",").toSeq.sorted
+  /** Pulsar-consumer semantics: ack up to the committed offset after each
+    * epoch (PulsarConsumerBuilder.java:142-221 async ack). */
+  private val ackAs = Option(options.get("ackAs"))
+
+  override def name(): String = s"topic-log($profile:$uri)"
+  override def schema(): StructType = TopicProfiles.schemas(profile)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = TopicProfiles.schemas(profile)
+      override def description(): String = name()
+
+      override def toBatch: Batch = {
+        val (u, pr) = (uri, profile)
+        val parts = topicNames.zipWithIndex.map { case (t, i) =>
+          FnPartition(i, t, -1, MemHub.topicMaxSeq(u, t))
+        }
+        new FnBatch(parts, p => TopicProfiles.rows(pr, u, p.tag, p.from, p.to))
+      }
+
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new MicroBatchStream {
+          private val (u, pr, names, ack) = (uri, profile, topicNames, ackAs)
+          override def latestOffset(): Offset =
+            MapOffset(names.map(t => t -> MemHub.topicMaxSeq(u, t)).toMap)
+          override def initialOffset(): Offset = MapOffset(names.map(_ -> -1L).toMap)
+          override def deserializeOffset(json: String): Offset = MapOffset.parse(json)
+          override def commit(end: Offset): Unit =
+            ack.foreach { consumer =>
+              end.asInstanceOf[MapOffset].m.foreach { case (t, seq) =>
+                MemHub.ack(s"$consumer/$t", seq)
+              }
+            }
+          override def stop(): Unit = ()
+          override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+            val s = start.asInstanceOf[MapOffset].m
+            val e = end.asInstanceOf[MapOffset].m
+            names.zipWithIndex.map { case (t, i) =>
+              FnPartition(i, t, s.getOrElse(t, -1L), e.getOrElse(t, -1L)): InputPartition
+            }.toArray
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            TopicProfiles.Factory(pr, u)
+        }
+    }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash LSH pairs == brute-force jaccard pairs at threshold 0.8") {
+    val docs = Tables.load(spark, dir, "documents")
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 128, 32, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all-pairs (single block) exact jaccard on the same shingles
+    val brute = Dedup.ngramJaccardBlocked(
+      docs.withColumn("blk", lit(1)), "doc_id", "text", "blk", 3, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"LSH missed ${brute -- lsh}, extra ${lsh -- brute}")
+    assert(brute.nonEmpty, "test data should contain planted near-dups")
+  }
+
+  test("exact dedup keeps lowest id per duplicate group") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a")).toDF("id", "t")
+    val kept = Dedup.exact(df, "id", Seq("t")).select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("simhash: identical docs collide, near-dups within hamming 3") {
+    val docs = Tables.load(spark, dir, "documents")
+    val sig = Dedup.simhashSignatures(docs, "doc_id", "text", 2)
+    // exact duplicates of shingle sets must produce identical signatures:
+    // take the minhash-verified jaccard=1.0 pairs and check hamming == 0
+    val exactPairs = Dedup.minhashLsh(docs, "doc_id", "text", 2, 64, 16, 1.0)
+      .select("doc_a", "doc_b")
+    val joined = exactPairs
+      .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sa"), "doc_a")
+      .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "sb"), "doc_b")
+      .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("d"))
+      .collect().map(_.getInt(0))
+    assert(joined.nonEmpty && joined.forall(_ == 0),
+      s"jaccard-1.0 pairs must simhash-collide, distances: ${joined.toSeq}")
+  }
+
+  test("brute-force cosine top-k matches local computation") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val local = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { q =>
+      val expect = local.toSeq.filter(_._1 != q)
+        .map { case (id, v) => id -> cos(local(q), v) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+      val ours = (1 to 3).map(r => got((q, r)))
+      assert(ours == expect, s"query $q: $ours vs $expect")
+    }
+  }
+
+  test("LSH ANN recall vs brute force is usable (scale path)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val k = 10
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      val hit = ann.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hit.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, f"mean LSH recall $mean%.2f too low for a usable ANN path")
+    info(f"mean LSH@$k recall: $mean%.2f")
+  }
+}

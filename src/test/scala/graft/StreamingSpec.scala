@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.functions.{hash64, hyper_log_log}
+import graft.sinks.GraftSinks
+import graft.sources.GraftSources
+import graft.sources.hub.MemHub
+
+/** Streaming semantics from the reference (SURVEY.md §2.4, §3.2-3.3):
+  * micro-batch offsets, checkpoint restart without loss/dup, rolling
+  * aggregate, event-time windows + watermark, ack-after-commit. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private def ckpt(): String = Files.createTempDirectory("graft-ckpt").toString
+
+  test("redis-stream micro-batch: per-stream offsets advance, no re-reads") {
+    val uri = "hub:test/rs-basic"
+    MemHub.xadd(uri, "s1", (0 until 100).iterator.map(i => Map("v" -> i.toString)))
+    MemHub.xadd(uri, "s2", (0 until 50).iterator.map(i => Map("v" -> i.toString)))
+    val q = GraftSources.redisStream(spark, uri, Seq("s1", "s2"))
+      .writeStream.format("memory").queryName("rs_basic")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("rs_basic").count() == 150)
+
+    MemHub.xadd(uri, "s1", (100 until 120).iterator.map(i => Map("v" -> i.toString)))
+    val q2 = GraftSources.redisStream(spark, uri, Seq("s1", "s2"))
+      .writeStream.format("memory").queryName("rs_basic2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // fresh query, no checkpoint → reads everything from 0
+    assert(spark.table("rs_basic2").count() == 170)
+  }
+
+  test("checkpoint restart resumes from offsets — no loss, no dup (MongoDBSourceTest.java:54-94 analog)") {
+    val uri = "hub:test/rs-ckpt"
+    val out = "hub:test/rs-ckpt-out"
+    val cp = ckpt()
+    MemHub.xadd(uri, "s1", (0 until 1000).iterator.map(i => Map("v" -> i.toString)))
+
+    def run(): Unit = {
+      val q = GraftSources.redisStream(spark, uri, Seq("s1"))
+        .select(lit("out").as("stream"), col("body").as("body"))
+        .writeStream.option("checkpointLocation", cp)
+        .foreach(GraftSinks.redisXAddWriter(out))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(MemHub.xread(out, "out", -1).size == 1000)
+
+    // "kill" (query already stopped), append, restart from the checkpoint
+    MemHub.xadd(uri, "s1", (1000 until 1500).iterator.map(i => Map("v" -> i.toString)))
+    run()
+    val all = MemHub.xread(out, "out", -1).map(_._2("v")).toVector
+    assert(all.size == 1500, s"expected 1500, got ${all.size} (loss or dup)")
+    assert(all.distinct.size == 1500, "duplicate delivery after restart")
+  }
+
+  test("rolling aggregate: streaming HLL in update mode (HyperLogLogTest.java:79-86 analog)") {
+    val input = MemoryStream[Long](spark)
+    val agg = input.toDF().select(hash64(col("value")).as("h"))
+      .agg(hyper_log_log(col("h"), 14).as("card"))
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("rolling_hll").start()
+    val rnd = new scala.util.Random(7)
+    input.addData((1 to 20000).map(_ => rnd.nextInt(1234).toLong))
+    q.processAllAvailable()
+    input.addData((1 to 20000).map(_ => rnd.nextInt(1234).toLong))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("rolling_hll").collect().last.getLong(0)
+    assert(math.abs(last - 1234).toDouble / 1234 <= 0.05, s"rolling estimate $last")
+  }
+
+  test("event-time window + watermark over pulsar-profile eventTime (withNativeTimestamps analog)") {
+    val uri = "hub:test/pulsar-win"
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    // 3 windows of 1 minute: 40 msgs in w0, 30 in w1, 20 in w2
+    def seed(winIdx: Int, n: Int): Unit =
+      MemHub.publish(uri, "t", (0 until n).iterator.map(i =>
+        (s"k$i", Map.empty[String, String], base + winIdx * 60000L + i * 100L,
+          Array[Byte](1))))
+    seed(0, 40); seed(1, 30); seed(2, 20)
+    val q = GraftSources.pulsarReader(spark, uri, "t")
+      .withWatermark("eventTime", "10 seconds")
+      .groupBy(window(col("eventTime"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("ws"), col("n"))
+      .writeStream.outputMode("complete").format("memory").queryName("pw")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("pw").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(base -> 40L, (base + 60000L) -> 30L, (base + 120000L) -> 20L))
+  }
+
+  test("pulsar consumer acks after epoch commit (PulsarConsumerBuilder.java:142-221 analog)") {
+    val uri = "hub:test/pulsar-ack"
+    MemHub.publish(uri, "t", (0 until 25).iterator.map(i =>
+      (s"k$i", Map.empty[String, String], 0L, Array[Byte](1))))
+    assert(MemHub.acked("sub1/t") == -1L)
+    val q = GraftSources.pulsarConsumer(spark, uri, Seq("t"), "sub1")
+      .writeStream.format("memory").queryName("pack")
+      .option("checkpointLocation", ckpt())
+      .start()
+    q.processAllAvailable()
+    // acks lag one epoch: they land when the NEXT batch commits the previous
+    // one — publish more, let another epoch run, then the first range is acked
+    MemHub.publish(uri, "t", (25 until 30).iterator.map(i =>
+      (s"k$i", Map.empty[String, String], 0L, Array[Byte](1))))
+    q.processAllAvailable()
+    q.stop()
+    assert(MemHub.acked("sub1/t") >= 24L, "commit(offset) must ack the consumed range")
+  }
+
+  test("mongo CDC stream: exactly-once observable across restart (MongoDBSourceTest.java:54-94 analog)") {
+    val uri = "hub:test/cdc-stream"
+    val out = "hub:test/cdc-stream-out"
+    MemHub.insertMany(uri, (0 until 40).iterator.map(i => s"""{"val":$i}"""))
+    val cp = ckpt()
+    def run(): Unit = {
+      val q = GraftSources.mongoCdc(spark, uri)
+        .select(col("fullDocument").as("doc"))
+        .writeStream.option("checkpointLocation", cp)
+        .foreach(GraftSinks.mongoInsertWriter(out))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(MemHub.find(out).size == 40)
+    MemHub.insertMany(uri, (40 until 60).iterator.map(i => s"""{"val":$i}"""))
+    run() // restart from the same checkpoint → resume token skips the first 40
+    val vals = MemHub.find(out).map(d => MongoJsonVal(d))
+    assert(vals.size == 60, s"loss or dup: ${vals.size}")
+    assert(vals.toSet == (0 until 60).toSet, "exactly-once observable violated")
+  }
+
+  private def MongoJsonVal(doc: String): Int =
+    """"val"\s*:\s*(\d+)""".r.findFirstMatchIn(doc).get.group(1).toInt
+
+  test("ingestion-timestamp policy analog: current_timestamp column on non-timestamped source") {
+    val uri = "hub:test/mqtt-ingest"
+    MemHub.publish(uri, "a", (0 until 5).iterator.map(i =>
+      ("", Map.empty[String, String], 0L, s"m$i".getBytes("UTF-8"))))
+    val df = GraftSources.mqttBatch(spark, uri, Seq("a"))
+      .withColumn("ingest_ts", current_timestamp())
+    assert(df.filter(col("ingest_ts").isNotNull).count() == 5)
+  }
+}
