@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed batch-wise with iterator-to-iterator
+  * `mapPartitions` (no per-row setup; the decoder/service initializes once
+  * per partition — the `mapUsingService` shape at scale).
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (byte-histogram "features",
+  * length-derived "dimensions"); the Spark-side contract — schema,
+  * batching, partitioning, output shape — is the real, tested path. Swap
+  * `StubCodec` for a real codec (JNI/FFmpeg/ImageIO) on a cluster.
+  */
+object Media {
+
+  /** media struct: payload + mime + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = false)))
+
+  /** Wrap a binary column into the media struct. */
+  def asMedia(bytesCol: String, mime: String): org.apache.spark.sql.Column =
+    struct(col(bytesCol).as("bytes"), lit(mime).as("mime"),
+      map(lit("origin"), lit("graft")).as("meta"))
+
+  /** STUB CODEC — stands in for image/audio decode in this container.
+    * Deterministic pure function of the payload bytes. */
+  object StubCodec {
+    /** "decode" → (width, height) pretend-dimensions from the byte length. */
+    def dimensions(bytes: Array[Byte]): (Int, Int) =
+      (bytes.length % 640 + 1, bytes.length % 480 + 1)
+
+    /** "feature-extract" → 16-bin normalized byte histogram. */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val h = new Array[Float](16)
+      var i = 0
+      while (i < bytes.length) { h((bytes(i) & 0xFF) >> 4) += 1f; i += 1 }
+      val n = math.max(bytes.length, 1).toFloat
+      var j = 0
+      while (j < 16) { h(j) /= n; j += 1 }
+      h
+    }
+
+    /** "frame-sample" → n offsets evenly spaced over the payload. */
+    def frameOffsets(bytes: Array[Byte], n: Int): Array[Int] =
+      Array.tabulate(n)(i => if (bytes.isEmpty) 0 else (i * bytes.length) / n)
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType), nullable = false)))
+
+  /** Decode + feature-extract a media table: (id, media struct) →
+    * (id, mime, n_bytes, width, height, features[16]).
+    *
+    * Iterator-to-iterator mapPartitions: the codec (real ones hold native
+    * handles) is instantiated once per partition, rows stream through in
+    * batch shape — this is the Spark analog of a Pandas-UDF `mapInPandas`
+    * pipeline and survives arbitrary partition counts at 100 TB. */
+  def decodeAndFeaturize(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodedSchema)
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .mapPartitions { rows =>
+        // per-partition "codec handle" — stub here, JNI context in production
+        val codec = StubCodec
+        rows.map { r =>
+          val id = r.getLong(0)
+          val m = r.getStruct(1)
+          val bytes = m.getAs[Array[Byte]](0)
+          val mime = m.getString(1)
+          val (w, h) = codec.dimensions(bytes)
+          Row(id, mime, bytes.length, w, h, codec.features(bytes).toSeq)
+        }
+      }(enc)
+  }
+}

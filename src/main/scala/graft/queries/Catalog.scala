@@ -456,9 +456,28 @@ object Catalog {
     },
     None)
 
+  // ============================================== multimodal binary plumbing
+
+  private val q30 = QueryDef(
+    "q30_media_decode_stub",
+    (s, dir) => {
+      val media = t(s, dir, "documents")
+        .withColumn("bin", encode(col("text"), "UTF-8"))
+        .withColumn("media", graft.operators.Media.asMedia("bin", "text/plain"))
+      graft.operators.Media.decodeAndFeaturize(media, "doc_id", "media")
+        .select(col("id"), col("mime"), col("n_bytes"), col("width"), col("height"))
+        .orderBy(col("id"))
+    },
+    // decode itself is the stub; the byte-level outputs are SQL-derivable
+    Some("""SELECT doc_id AS id, 'text/plain' AS mime,
+        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+      FROM documents ORDER BY id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29) ++
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30) ++
     ConnectorQueries.all
 }

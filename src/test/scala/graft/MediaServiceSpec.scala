@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.Media
+import graft.streaming.{ServiceMap, Timestamps}
+
+class MediaServiceSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("media decode stub: batch shape, deterministic features, any partitioning") {
+    val media = Tables.load(spark, dir, "documents")
+      .withColumn("bin", encode(col("text"), "UTF-8"))
+      .withColumn("media", Media.asMedia("bin", "text/plain"))
+    val one = Media.decodeAndFeaturize(media.repartition(1), "doc_id", "media")
+      .orderBy("id").collect()
+    val many = Media.decodeAndFeaturize(media.repartition(13), "doc_id", "media")
+      .orderBy("id").collect()
+    assert(one.length == 500)
+    assert(one.map(_.toString).toSeq == many.map(_.toString).toSeq,
+      "features must not depend on partitioning")
+    val f = one.head.getSeq[Float](5)
+    assert(f.length == 16 && math.abs(f.sum - 1.0f) < 1e-3, "normalized histogram")
+  }
+
+  test("frame-sample stub emits n evenly spaced offsets") {
+    val offs = Media.StubCodec.frameOffsets(Array.fill[Byte](1000)(1), 4)
+    assert(offs.toSeq == Seq(0, 250, 500, 750))
+  }
+
+  test("mapUsingService: service created once per partition (HashingSupport analog)") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    // note: counter mutates on executors — same JVM in local mode
+    val ds = spark.range(0, 1000).repartition(4).as[Long]
+    val out = ServiceMap.mapUsingService(ds, () => {
+      GraftCounters.services.incrementAndGet(); new StringBuilder("svc")
+    })((svc, v) => v * 2 + svc.length - 3)
+    GraftCounters.services.set(0)
+    assert(out.collect().sorted.toSeq == (0L until 2000L by 2).toSeq)
+    assert(GraftCounters.services.get() == 4,
+      s"expected one service per partition, got ${GraftCounters.services.get()}")
+  }
+
+  test("timestamp policies compose with streaming aggregation") {
+    val df = Tables.load(spark, dir, "events")
+    val stamped = Timestamps.withIngestionTimestamps(df)
+    assert(stamped.columns.contains("ingest_time"))
+    val derived = Timestamps.addTimestamps(
+      spark.readStream.format("rate").option("rowsPerSecond", "1").load(),
+      col("timestamp"), lagMs = 5000)
+    assert(derived.isStreaming && derived.columns.contains("event_time"))
+  }
+
+  test("streaming dedup within watermark (exactly-once sink idiom, SURVEY §7.3)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val deduped = input.toDF().toDF("id", "ts")
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wm").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData((1L, t0), (2L, t0), (1L, t0)) // dup in batch
+    q.processAllAvailable()
+    input.addData((2L, t0), (3L, t0)) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_wm").select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+  }
+}
+
+object GraftCounters {
+  val services = new java.util.concurrent.atomic.AtomicInteger(0)
+}
