@@ -72,17 +72,23 @@ package object functions {
       lit(0.3) * (lit(1.0) - punct_ratio(c)) +
       lit(0.4) * least(lit(1.0), stopword_ratio(c) * lit(4.0))
 
-  /** N-gram-heuristic language guess. Marker-word counting, deterministic and
-    * SQL-replicable (the oracle mirrors the same CASE chain). */
-  def lang_guess(c: Column): Column = {
-    val t = lower(c)
-    def cnt(w: String): Column = size(filter(tokens(t), x => x === w))
-    when(cnt("der") + cnt("und") + cnt("das") >= 1, "de")
-      .when(cnt("el") + cnt("la") + cnt("los") >= 1, "es")
-      .when(cnt("le") + cnt("et") + cnt("les") >= 1, "fr")
-      .when(cnt("the") + cnt("and") + cnt("of") >= 1, "en")
+  /** N-gram-heuristic language guess over a pre-tokenized (lowercased)
+    * array column — single pass per marker set via arrays_overlap.
+    * "any marker token present" ≡ the oracle's marker-count >= 1. */
+  def lang_guess_tokens(toks: Column): Column = {
+    def anyOf(ws: String*): Column = arrays_overlap(toks, array(ws.map(lit): _*))
+    when(anyOf("der", "und", "das"), "de")
+      .when(anyOf("el", "la", "los"), "es")
+      .when(anyOf("le", "et", "les"), "fr")
+      .when(anyOf("the", "and", "of"), "en")
       .otherwise("und")
   }
+
+  /** N-gram-heuristic language guess. Marker-word matching, deterministic and
+    * SQL-replicable (the oracle mirrors the same CASE chain). Prefer
+    * projecting `tokens(lower(c))` once and using [[lang_guess_tokens]] when
+    * the tokenization is reused. */
+  def lang_guess(c: Column): Column = lang_guess_tokens(tokens(lower(c)))
 
   /** Distinct word n-gram shingles; whole text as single shingle if shorter
     * than n tokens. */

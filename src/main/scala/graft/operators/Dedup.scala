@@ -92,9 +92,16 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
-  /** Brute-force word n-gram Jaccard pairs within a blocking key. The block
-    * bounds the quadratic term: at 100 TB, block on a coarse partition
-    * (source, near-length bucket, LSH band...) — never globally. */
+  /** Word n-gram Jaccard pairs within a blocking key.
+    *
+    * Inverted-index formulation, not pairwise: explode shingles, self-join
+    * on (block, shingle), count matches per pair — only pairs that share at
+    * least one shingle are ever materialized (a pair with an empty
+    * intersection has jaccard 0 and can never pass a positive threshold),
+    * and the per-pair work is a counting aggregate instead of an
+    * array_intersect over full shingle arrays. The block bounds the
+    * quadratic term: at 100 TB, block on a coarse partition (source,
+    * near-length bucket, LSH band...) — never globally. */
   def ngramJaccardBlocked(
       df: DataFrame,
       idCol: String,
@@ -102,17 +109,24 @@ object Dedup {
       blockCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0, "inverted-index jaccard needs a positive threshold")
     val sh = df.select(col(blockCol).as("blk"), col(idCol).cast("long").as("doc_id"),
       shingles(col(textCol), shingleSize).as("sh"))
-    val pairs = sh.as("x").join(sh.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
-    pairs
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    // join on the 64-bit shingle hash: fixed-width shuffle keys instead of
+    // variable-length strings (collision odds ~|shingles|²/2^64, negligible)
+    val sg = sh.select(col("blk"), col("doc_id"),
+      explode(col("sh")).as("g")).select(col("blk"), col("doc_id"), xxhash64(col("g")).as("g"))
+    val inter = sg.as("x").join(sg.as("y"),
+        col("x.blk") === col("y.blk") && col("x.g") === col("y.g") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

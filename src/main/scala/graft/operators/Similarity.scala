@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{cosine, vec_double}
+import graft.functions.{dotd, vec_double}
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -31,14 +31,20 @@ object Similarity {
       corpusId: String,
       corpusVec: String,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(
-      col(queryId).cast("long").as("query_id"), col(queryVec).as("qv")))
-    val c = corpus.select(
-      col(corpusId).cast("long").as("neighbor_id"), col(corpusVec).as("cv"))
+    // norms are per-vector, not per-pair: precompute once on each side
+    // (cos = dot/(qn*cn) — identical doubles to the per-pair formula)
+    val q = broadcast(queries
+      .select(col(queryId).cast("long").as("query_id"),
+        vec_double(col(queryVec)).as("qv"))
+      .withColumn("qn", sqrt(dotd(col("qv"), col("qv")))))
+    val c = corpus
+      .select(col(corpusId).cast("long").as("neighbor_id"),
+        vec_double(col(corpusVec)).as("cv"))
+      .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -93,7 +99,9 @@ object Similarity {
       planes: Int = 8,
       dim: Int = 64): DataFrame = {
     val qb = signBucket(
-      queries.select(col(queryId).cast("long").as("query_id"), col(queryVec).as("qv")),
+      queries.select(col(queryId).cast("long").as("query_id"),
+        vec_double(col(queryVec)).as("qv"))
+        .withColumn("qn", sqrt(dotd(col("qv"), col("qv")))),
       "qv", planes, dim)
     // multi-probe: the query's own bucket plus every 1-bit and 2-bit flip —
     // recall/scan-fraction trade-off tunable via `planes`
@@ -103,15 +111,17 @@ object Similarity {
       p <- 0 until planes; q <- (p + 1) until planes
     } yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << q)))
     val probes = (oneBit ++ twoBit) :+ col("bucket")
-    val qProbe = qb.select(col("query_id"), col("qv"),
+    val qProbe = qb.select(col("query_id"), col("qv"), col("qn"),
       explode(array(probes: _*)).as("bucket"))
     val cb = signBucket(
-      corpus.select(col(corpusId).cast("long").as("neighbor_id"), col(corpusVec).as("cv")),
+      corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+        vec_double(col(corpusVec)).as("cv"))
+        .withColumn("cn", sqrt(dotd(col("cv"), col("cv")))),
       "cv", planes, dim)
     val scored = broadcast(qProbe).join(cb, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .groupBy(col("query_id"), col("neighbor_id")).agg(first(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -128,11 +138,12 @@ object Similarity {
       blockCol: String,
       threshold: Double): DataFrame = {
     val v = df.select(col(blockCol).as("blk"), col(idCol).cast("long").as("vid"),
-      col(vecCol).as("vec"))
+      vec_double(col(vecCol)).as("vec"))
+      .withColumn("nrm", sqrt(dotd(col("vec"), col("vec"))))
     v.as("x").join(v.as("y"),
         col("x.blk") === col("y.blk") && col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"),
-        cosine(col("x.vec"), col("y.vec")).as("cos"))
+        (dotd(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -112,7 +112,7 @@ object ConnectorQueries {
   private val srcMongoFind = QueryDef(
     "src_mongo_find_pushdown",
     (s, dir) => {
-      val uri = s"hub:$dir/src_mongo"
+      val uri = s"hub:$dir/mongo_orders"
       seedMongoOrders(s, dir, uri)
       // filter reaches the store via Catalyst pushdown; column pruning drops st
       GraftSources.mongoBatch(s, uri, mongoOrderSchema)
@@ -127,7 +127,7 @@ object ConnectorQueries {
   private val srcMongoCdc = QueryDef(
     "src_mongo_cdc",
     (s, dir) => {
-      val uri = s"hub:$dir/src_mongo_cdc"
+      val uri = s"hub:$dir/mongo_orders"
       seedMongoOrders(s, dir, uri)
       GraftSources.mongoCdcBatch(s, uri)
         .agg(count(lit(1)).as("n_changes"),
@@ -245,6 +245,26 @@ object ConnectorQueries {
     Some("""SELECT doc_id AS id, 1704067200000 + doc_id AS ts_ms,
         CAST(length(text) AS INTEGER) AS tlen
       FROM documents ORDER BY id"""))
+
+  private val srcTwitterSearch = QueryDef(
+    "src_twitter_search",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_twsearch"
+      seedOnce(uri) {
+        // the "search API" side: server-filtered result pages for a query
+        val rows = t(s, dir, "documents").select("doc_id", "text").collect()
+          .filter(_.getString(1).contains("query"))
+        MemHub.publish(uri, "search/query", rows.sortBy(_.getLong(0)).iterator.map { r =>
+          ("", Map.empty[String, String], r.getLong(0),
+            s"""{"id":${r.getLong(0)}}""".getBytes("UTF-8"))
+        })
+      }
+      GraftSources.twitterSearch(s, uri, "query")
+        .select(get_json_object(col("json"), "$.id").cast("long").as("id"))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT doc_id AS id FROM documents
+      WHERE contains(text, 'query') ORDER BY id"""))
 
   private val srcConnect = QueryDef(
     "src_kafka_connect",
@@ -389,7 +409,7 @@ object ConnectorQueries {
 
   val all: Seq[QueryDef] = Seq(
     srcRedisHash, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoCdc,
-    srcInflux, srcMqtt, srcPulsar, srcHttp, srcTwitter, srcConnect,
+    srcInflux, srcMqtt, srcPulsar, srcHttp, srcTwitter, srcTwitterSearch, srcConnect,
     snkRedisHash, snkRedisZset, snkMongoInsert, snkPulsar, snkInflux,
     snkMqtt, snkWs)
 }

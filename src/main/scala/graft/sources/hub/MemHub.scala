@@ -119,6 +119,16 @@ object MemHub {
     val o = buf(oplogs, uri)
     o.synchronized { o.iterator.filter(_._1 > afterSeq).toVector }
   }
+  /** Range read [afterSeq+1, until] — seq == index (the oplog never trims),
+    * so this is an O(slice) copy, not a scan. */
+  def oplogRange(uri: String, afterSeq: Long, until: Long): Seq[(Long, String, String, Long)] = {
+    val o = buf(oplogs, uri)
+    o.synchronized {
+      val lo = math.max(afterSeq + 1, 0L).toInt
+      val hi = math.min(until, o.length - 1L).toInt
+      if (lo > hi) Vector.empty else o.slice(lo, hi + 1).toVector
+    }
+  }
   def oplogLen(uri: String): Long = {
     val o = buf(oplogs, uri)
     o.synchronized { o.length.toLong }

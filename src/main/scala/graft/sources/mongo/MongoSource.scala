@@ -53,6 +53,7 @@ object MongoJson {
         case "$gte" => cmp >= 0
         case "$lt" => cmp < 0
         case "$lte" => cmp <= 0
+        case "$exists" => true // field presence already established above
         case _ => true
       }
     }
@@ -88,6 +89,10 @@ object MongoJson {
       case GreaterThanOrEqual(a, v) if !a.contains(".") => Some(Pred(a, "$gte", lit(v)))
       case LessThan(a, v) if !a.contains(".") => Some(Pred(a, "$lt", lit(v)))
       case LessThanOrEqual(a, v) if !a.contains(".") => Some(Pred(a, "$lte", lit(v)))
+      // IsNotNull → {$exists}: Pred.eval already rejects missing/null fields,
+      // and consuming it lets Catalyst prune filter-only columns from the scan
+      case IsNotNull(a) if !a.contains(".") =>
+        Some(Pred(a, "$exists", mapper.getNodeFactory.booleanNode(true)))
       case _ => None
     }
   }
@@ -174,7 +179,7 @@ object MongoCdc {
     StructField("fullDocument", StringType, nullable = true)))
 
   def rows(uri: String, after: Long, until: Long): Iterator[InternalRow] =
-    MemHub.oplog(uri, after).iterator.filter(_._1 <= until).map {
+    MemHub.oplogRange(uri, after, until).iterator.map {
       case (seq, op, doc, ctMs) =>
         Dsv2.row(Dsv2.utf8(op), Dsv2.msToMicros(ctMs), Dsv2.utf8(seq.toString), Dsv2.utf8(doc))
     }
@@ -210,8 +215,16 @@ class MongoCdcTable(options: CaseInsensitiveStringMap) extends Table with Suppor
       override def description(): String = name()
       override def toBatch: Batch = {
         val (u, s) = (uri, startAt)
-        new FnBatch(Seq(FnPartition(0, "cdc", s, Long.MaxValue)), p =>
-          MongoCdc.rows(u, p.from, p.to))
+        // split the change-log range into parallel slices (the log is
+        // ordered and dense, so equal seq ranges are balanced)
+        val hi = MemHub.oplogLen(u) - 1
+        val n = math.max(1, math.min(8, ((hi - s) / 4096) + 1)).toInt
+        val step = math.max(1L, (hi - s + n - 1) / n)
+        // partition i covers the half-open seq range (s + i*step, s + (i+1)*step]
+        val parts = (0 until n).map { i =>
+          FnPartition(i, "cdc", s + i * step, math.min(hi, s + (i + 1) * step))
+        }.filter(p => p.from < p.to || p.idx == 0)
+        new FnBatch(parts, p => MongoCdc.rows(u, p.from, p.to))
       }
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new MicroBatchStream {
