@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.Offset
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared DSv2 plumbing for the graft connectors. */
@@ -74,6 +74,71 @@ object Dsv2 {
       m.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + MapOffset.esc(k) + "\":" + v }
         .mkString("{", ",", "}")
+  }
+
+  /** Shared micro-batch stream over per-partition monotone sequence logs.
+    *
+    * - offsets: [[MapOffset]] per partition name (checkpointed);
+    * - admission control: `maxPerTrigger` caps rows admitted per micro-batch
+    *   (the reference's bounded-queue backpressure, SURVEY.md §4.1 — XREAD
+    *   count, batchReceive size, fill caps), spread across partitions;
+    * - Trigger.AvailableNow: target pinned at query start, batches respect
+    *   the rate limit until the target is reached.
+    */
+  abstract class SeqLogMicroBatchStream(
+      names: Seq[String],
+      maxPerTrigger: Option[Long]) extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+    /** current high-water sequence for a partition (inclusive), -1 if empty. */
+    def currentMax(name: String): Long
+    def factory: PartitionReaderFactory
+    /** called when Spark commits an epoch (ack hook). */
+    def onCommit(end: MapOffset): Unit = ()
+
+    private var availableNowTarget: Option[Map[String, Long]] = None
+    private def maxNow(): Map[String, Long] = names.map(n => n -> currentMax(n)).toMap
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowTarget = Some(maxNow())
+
+    override def getDefaultReadLimit: ReadLimit =
+      maxPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
+
+    override def initialOffset(): Offset = MapOffset(names.map(_ -> -1L).toMap)
+    override def deserializeOffset(json: String): Offset = MapOffset.parse(json)
+    override def latestOffset(): Offset =
+      throw new UnsupportedOperationException("latestOffset(Offset, ReadLimit)")
+
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val s = start.asInstanceOf[MapOffset].m
+      val target = availableNowTarget.getOrElse(maxNow())
+      limit match {
+        case mr: ReadMaxRows =>
+          // greedy per-partition admission up to the row budget
+          var budget = mr.maxRows()
+          val out = names.map { n =>
+            val from = s.getOrElse(n, -1L)
+            val avail = math.max(0L, target.getOrElse(n, -1L) - from)
+            val take = math.min(avail, budget)
+            budget -= take
+            n -> (from + take)
+          }.toMap
+          MapOffset(out)
+        case _ => MapOffset(target)
+      }
+    }
+    override def reportLatestOffset(): Offset = MapOffset(maxNow())
+
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+      val s = start.asInstanceOf[MapOffset].m
+      val e = end.asInstanceOf[MapOffset].m
+      names.zipWithIndex.map { case (n, i) =>
+        FnPartition(i, n, s.getOrElse(n, -1L), e.getOrElse(n, -1L)): InputPartition
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory = factory
+    override def commit(end: Offset): Unit = onCommit(end.asInstanceOf[MapOffset])
+    override def stop(): Unit = ()
   }
 
   object MapOffset {

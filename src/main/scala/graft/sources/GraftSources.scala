@@ -41,10 +41,15 @@ object GraftSources {
       .option("streams", streams.mkString(",")).load()
 
   /** S8 — Redis streams, micro-batch stream (one partition per stream,
-    * per-stream offsets in the checkpoint). */
-  def redisStream(spark: SparkSession, uri: String, streams: Seq[String]): DataFrame =
-    spark.readStream.format("graft-redis-stream").option("uri", uri)
-      .option("streams", streams.mkString(",")).load()
+    * per-stream offsets in the checkpoint). `maxPerTrigger` is the XREAD
+    * COUNT/backpressure analog (RedisSources.java:522-523). */
+  def redisStream(spark: SparkSession, uri: String, streams: Seq[String],
+      maxPerTrigger: Option[Long] = None): DataFrame = {
+    var r = spark.readStream.format("graft-redis-stream").option("uri", uri)
+      .option("streams", streams.mkString(","))
+    maxPerTrigger.foreach(m => r = r.option("maxPerTrigger", m.toString))
+    r.load()
+  }
 
   /** S3 — document find with predicate doc + schema (projection prunes). */
   def mongoBatch(spark: SparkSession, uri: String, schema: StructType,

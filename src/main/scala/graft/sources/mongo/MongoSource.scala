@@ -204,6 +204,8 @@ class MongoCdcProvider extends TableProvider with DataSourceRegister {
 class MongoCdcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   private val uri = options.get("uri")
   private val startAt = Option(options.get("startAt")).map(_.toLong).getOrElse(-1L)
+  /** cursor batch-size analog (MongoDBSourceBuilder.java:57). */
+  private val maxPerTrigger = Option(options.get("maxPerTrigger")).map(_.toLong)
   override def name(): String = s"mongo-cdc($uri)"
   override def schema(): StructType = MongoCdc.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -226,20 +228,13 @@ class MongoCdcTable(options: CaseInsensitiveStringMap) extends Table with Suppor
         }.filter(p => p.from < p.to || p.idx == 0)
         new FnBatch(parts, p => MongoCdc.rows(u, p.from, p.to))
       }
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new MicroBatchStream {
-          private val u = uri
-          override def latestOffset(): Offset = MapOffset(Map("cdc" -> (MemHub.oplogLen(u) - 1)))
-          override def initialOffset(): Offset = MapOffset(Map("cdc" -> startAt))
-          override def deserializeOffset(json: String): Offset = MapOffset.parse(json)
-          override def commit(end: Offset): Unit = ()
-          override def stop(): Unit = ()
-          override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-            Array(FnPartition(0, "cdc",
-              start.asInstanceOf[MapOffset].m.getOrElse("cdc", -1L),
-              end.asInstanceOf[MapOffset].m.getOrElse("cdc", -1L)))
-          override def createReaderFactory(): PartitionReaderFactory =
-            MongoCdc.Factory(u)
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+        val (u, s0) = (uri, startAt)
+        new Dsv2.SeqLogMicroBatchStream(Seq("cdc"), maxPerTrigger) {
+          override def currentMax(name: String): Long = MemHub.oplogLen(u) - 1
+          override def factory: PartitionReaderFactory = MongoCdc.Factory(u)
+          override def initialOffset(): Offset = MapOffset(Map("cdc" -> s0))
         }
+      }
     }
 }

@@ -162,6 +162,8 @@ class RedisStreamProvider extends TableProvider with DataSourceRegister {
 class RedisStreamTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   private val uri = options.get("uri")
   private val streamNames = options.get("streams").split(",").toSeq.sorted
+  /** XREAD COUNT analog (RedisSources.java:522-523): rows per micro-batch. */
+  private val maxPerTrigger = Option(options.get("maxPerTrigger")).map(_.toLong)
   override def name(): String = s"redis-stream($uri)"
   override def schema(): StructType = RedisStream.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -180,25 +182,12 @@ class RedisStreamTable(options: CaseInsensitiveStringMap) extends Table with Sup
         new FnBatch(parts, p => RedisStream.readRows(u, p.tag, p.from, p.to))
       }
 
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new MicroBatchStream {
-          private val u = uri
-          private val names = streamNames
-          override def latestOffset(): Offset =
-            MapOffset(names.map(s => s -> (MemHub.xlen(u, s) - 1)).toMap)
-          override def initialOffset(): Offset = MapOffset(names.map(_ -> -1L).toMap)
-          override def deserializeOffset(json: String): Offset = MapOffset.parse(json)
-          override def commit(end: Offset): Unit = ()
-          override def stop(): Unit = ()
-          override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-            val s = start.asInstanceOf[MapOffset].m
-            val e = end.asInstanceOf[MapOffset].m
-            names.zipWithIndex.map { case (n, i) =>
-              FnPartition(i, n, s.getOrElse(n, -1L), e.getOrElse(n, -1L)): InputPartition
-            }.toArray
-          }
-          override def createReaderFactory(): PartitionReaderFactory =
-            RedisStream.Factory(u)
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+        val u = uri
+        new Dsv2.SeqLogMicroBatchStream(streamNames, maxPerTrigger) {
+          override def currentMax(name: String): Long = MemHub.xlen(u, name) - 1
+          override def factory: PartitionReaderFactory = RedisStream.Factory(u)
         }
+      }
     }
 }

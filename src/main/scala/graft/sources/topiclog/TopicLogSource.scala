@@ -100,6 +100,8 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
   /** Pulsar-consumer semantics: ack up to the committed offset after each
     * epoch (PulsarConsumerBuilder.java:142-221 async ack). */
   private val ackAs = Option(options.get("ackAs"))
+  /** batchReceive/fill-cap analog (PulsarConsumerBuilder.java:89-96 etc.). */
+  private val maxPerTrigger = Option(options.get("maxPerTrigger")).map(_.toLong)
 
   override def name(): String = s"topic-log($profile:$uri)"
   override def schema(): StructType = TopicProfiles.schemas(profile)
@@ -119,29 +121,16 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
         new FnBatch(parts, p => TopicProfiles.rows(pr, u, p.tag, p.from, p.to))
       }
 
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new MicroBatchStream {
-          private val (u, pr, names, ack) = (uri, profile, topicNames, ackAs)
-          override def latestOffset(): Offset =
-            MapOffset(names.map(t => t -> MemHub.topicMaxSeq(u, t)).toMap)
-          override def initialOffset(): Offset = MapOffset(names.map(_ -> -1L).toMap)
-          override def deserializeOffset(json: String): Offset = MapOffset.parse(json)
-          override def commit(end: Offset): Unit =
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+        val (u, pr, ack) = (uri, profile, ackAs)
+        new Dsv2.SeqLogMicroBatchStream(topicNames, maxPerTrigger) {
+          override def currentMax(name: String): Long = MemHub.topicMaxSeq(u, name)
+          override def factory: PartitionReaderFactory = TopicProfiles.Factory(pr, u)
+          override def onCommit(end: Dsv2.MapOffset): Unit =
             ack.foreach { consumer =>
-              end.asInstanceOf[MapOffset].m.foreach { case (t, seq) =>
-                MemHub.ack(s"$consumer/$t", seq)
-              }
+              end.m.foreach { case (t, seq) => MemHub.ack(s"$consumer/$t", seq) }
             }
-          override def stop(): Unit = ()
-          override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-            val s = start.asInstanceOf[MapOffset].m
-            val e = end.asInstanceOf[MapOffset].m
-            names.zipWithIndex.map { case (t, i) =>
-              FnPartition(i, t, s.getOrElse(t, -1L), e.getOrElse(t, -1L)): InputPartition
-            }.toArray
-          }
-          override def createReaderFactory(): PartitionReaderFactory =
-            TopicProfiles.Factory(pr, u)
         }
+      }
     }
 }

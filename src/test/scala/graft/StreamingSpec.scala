@@ -66,6 +66,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.distinct.size == 1500, "duplicate delivery after restart")
   }
 
+  test("maxPerTrigger admission control: rate-limited micro-batches, complete coverage") {
+    val uri = "hub:test/rs-rate"
+    val out = "hub:test/rs-rate-out"
+    (0 until 4).foreach { s =>
+      MemHub.xadd(uri, s"s$s", (0 until 250).iterator.map(i => Map("v" -> s"$s-$i")))
+    }
+    var batches = 0
+    val q = GraftSources.redisStream(spark, uri, (0 until 4).map(i => s"s$i"),
+      maxPerTrigger = Some(100))
+      .writeStream.option("checkpointLocation", ckpt())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        val rows = df.select("body").collect()
+        MemHub.xadd(out, "all", rows.iterator.map(_.getMap[String, String](0).toMap))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = MemHub.xread(out, "all", -1).map(_._2("v"))
+    assert(got.size == 1000 && got.distinct.size == 1000, s"got ${got.size}")
+    assert(batches >= 10, s"expected >=10 rate-limited batches, got $batches")
+  }
+
+  test("kill mid-stream + rejoin: 4 streams x 1000, no loss/dup (RedisSourceTest.java:182-223 analog)") {
+    val uri = "hub:test/rs-ft"
+    val out = "hub:test/rs-ft-out"
+    val cp = ckpt()
+    val streams = (0 until 4).map(i => s"s$i")
+    (0 until 4).foreach { s =>
+      MemHub.xadd(uri, s"s$s", (0 until 500).iterator.map(i => Map("v" -> s"$s-$i")))
+    }
+    def run(): Unit = {
+      val q = GraftSources.redisStream(spark, uri, streams, maxPerTrigger = Some(300))
+        .select(lit("all").as("stream"), col("body"))
+        .writeStream.option("checkpointLocation", cp)
+        .foreach(GraftSinks.redisXAddWriter(out))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // consumes the first 2000 in rate-limited batches
+    // second producer wave, then "rejoin" from the checkpoint
+    (0 until 4).foreach { s =>
+      MemHub.xadd(uri, s"s$s", (500 until 1000).iterator.map(i => Map("v" -> s"$s-$i")))
+    }
+    run()
+    val got = MemHub.xread(out, "all", -1).map(_._2("v"))
+    assert(got.size == 4000, s"loss or dup: ${got.size}")
+    assert(got.distinct.size == 4000, "duplicate delivery")
+  }
+
   test("rolling aggregate: streaming HLL in update mode (HyperLogLogTest.java:79-86 analog)") {
     val input = MemoryStream[Long](spark)
     val agg = input.toDF().select(hash64(col("value")).as("h"))
