@@ -20,6 +20,8 @@ package object functions {
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyper_log_log", HyperLogLogPP.builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "seq_dot", { exprs => SeqDot(exprs(0), exprs(1)) }, "scala_udf")
   }
 
   // ---------------------------------------------------------------- A1/A2
@@ -91,12 +93,18 @@ package object functions {
   def lang_guess(c: Column): Column = lang_guess_tokens(tokens(lower(c)))
 
   /** Distinct word n-gram shingles; whole text as single shingle if shorter
-    * than n tokens. */
+    * than n tokens.
+    *
+    * Built from n shifted slices zipped together (n slices + n-1 zip passes
+    * per ROW) rather than a per-element `transform(i -> slice(...))` (which
+    * copies a subarray per shingle — ~10x slower interpreted). Output
+    * strings are identical: toks[i] + " " + ... + toks[i+n-1]. */
   def shingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+    val m = size(toks) - (n - 1) // number of shingles
+    val shifted = (0 until n).map(i => slice(toks, lit(i + 1), m))
+    val joined = shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(size(toks) >= n, array_distinct(joined))
       .otherwise(array(concat_ws(" ", toks)))
   }
 
@@ -115,9 +123,15 @@ package object functions {
     * rounding never enters the accumulation. */
   def vec_double(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Sequential-fold dot product (index order, double accumulation).
-    * Bit-reproducible across engines that fold the same way. */
-  def dotd(a: Column, b: Column): Column =
+  /** Sequential-fold dot product (index order, double accumulation) over
+    * `array<double>` inputs. Bit-reproducible across engines that fold the
+    * same way; codegen'd via [[SeqDot]] (requires [[registerAll]], which
+    * every GraftSession/SparkEntry path applies). */
+  def dotd(a: Column, b: Column): Column = call_function("seq_dot", a, b)
+
+  /** Interpreted HOF formulation of [[dotd]] — kept as the executable
+    * specification SeqDot is tested against. */
+  def dotd_hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Cosine similarity = dot/(sqrt(na)*sqrt(nb)) over double-cast inputs. */

@@ -71,6 +71,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("codegen SeqDot is bit-identical to the HOF fold specification") {
+    import graft.functions.{dotd, dotd_hof, vec_double}
+    val emb = Tables.load(spark, dir, "embeddings")
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < 20 && col("b.vec_id") < 20)
+      .select(vec_double(col("a.embedding")).as("x"), vec_double(col("b.embedding")).as("y"))
+    val diffs = pairs
+      .select((dotd(col("x"), col("y")) =!= dotd_hof(col("x"), col("y"))).as("d"))
+      .filter(col("d")).count()
+    assert(diffs == 0, s"$diffs pairs diverge from the HOF specification")
+  }
+
   test("LSH ANN recall vs brute force is usable (scale path)") {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 50)

@@ -196,6 +196,34 @@ class StreamingSpec extends AnyFunSuite {
   private def MongoJsonVal(doc: String): Int =
     """"val"\s*:\s*(\d+)""".r.findFirstMatchIn(doc).get.group(1).toInt
 
+  test("sessionization with custom keyed state matches batch reference semantics") {
+    import graft.streaming.Sessionize
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val df = input.toDF().toDF("user_id", "ts")
+    val q = Sessionize.sessions(df, gapMs = 60000).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    def t(min: Int, sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+    // user 1: two sessions (gap > 1 min between 00:30 and 05:00); user 2: one
+    input.addData((1L, t(0, 0)), (1L, t(0, 30)), (2L, t(0, 10)))
+    q.processAllAvailable()
+    input.addData((1L, t(5, 0)), (1L, t(5, 20)), (2L, t(1, 0)))
+    q.processAllAvailable()
+    // watermark push so timeouts fire and open sessions close
+    input.addData((99L, t(30, 0)))
+    q.processAllAvailable()
+    input.addData((99L, t(59, 0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess")
+      .select("userId", "startMs", "endMs", "nEvents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val base = 1704067200000L // 2024-01-01T00:00:00Z (session tz is UTC)
+    assert(got.contains((1L, base, base + 30000, 2L)), s"user1 first session missing in $got")
+    assert(got.contains((1L, base + 300000, base + 320000, 2L)), s"user1 second session missing in $got")
+    assert(got.contains((2L, base + 10000, base + 60000, 2L)), s"user2 session missing in $got")
+  }
+
   test("ingestion-timestamp policy analog: current_timestamp column on non-timestamped source") {
     val uri = "hub:test/mqtt-ingest"
     MemHub.publish(uri, "a", (0 until 5).iterator.map(i =>
