@@ -61,25 +61,7 @@ case class HyperLogLogPP(
     buf
   }
 
-  override def eval(buf: Array[Byte]): Any = {
-    var sum = 0.0
-    var zeros = 0
-    var i = 0
-    while (i < m) {
-      sum += HyperLogLogPP.InvPow2(buf(i))
-      if (buf(i) == 0) zeros += 1
-      i += 1
-    }
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _  => 0.7213 / (1.0 + 1.079 / m)
-    }
-    var e = alpha * m * m / sum
-    if (e <= 2.5 * m && zeros > 0) e = m * math.log(m.toDouble / zeros)
-    math.round(e)
-  }
+  override def eval(buf: Array[Byte]): Any = HyperLogLogPP.estimate(buf)
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
@@ -104,6 +86,28 @@ object HyperLogLogPP {
 
   private[functions] val InvPow2: Array[Double] =
     Array.tabulate(64)(r => java.lang.Math.pow(2.0, -r))
+
+  /** HLL estimator over a register array (m = regs.length = 2^precision). */
+  def estimate(regs: Array[Byte]): Long = {
+    val m = regs.length
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += InvPow2(regs(i))
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var e = alpha * m * m / sum
+    if (e <= 2.5 * m && zeros > 0) e = m * math.log(m.toDouble / zeros)
+    math.round(e)
+  }
 
   /** FunctionRegistry builder: hyper_log_log(col[, precision]). The input is
     * cast to LongType (a long→long cast is elided by SimplifyCasts). */

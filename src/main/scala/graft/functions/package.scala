@@ -22,6 +22,10 @@ package object functions {
       "hyper_log_log", HyperLogLogPP.builder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "seq_dot", { exprs => SeqDot(exprs(0), exprs(1)) }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_sketch", HllSketchAgg.builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_merge", { exprs => HllMergeAgg(exprs.head) }, "scala_udf")
   }
 
   // ---------------------------------------------------------------- A1/A2
@@ -29,6 +33,13 @@ package object functions {
   /** HLL cardinality over pre-hashed 64-bit values; precision in [4,16]. */
   def hyper_log_log(c: Column, precision: Int = HyperLogLogPP.DefaultPrecision): Column =
     call_function("hyper_log_log", c, lit(precision))
+
+  /** Mergeable binary HLL sketch (persist, then roll up with [[hll_merge]]). */
+  def hll_sketch(c: Column, precision: Int = HyperLogLogPP.DefaultPrecision): Column =
+    call_function("hll_sketch", c, lit(precision))
+
+  /** Merge binary sketches of equal precision → cardinality estimate. */
+  def hll_merge(c: Column): Column = call_function("hll_merge", c)
 
   /** 64-bit deterministic hash — the engine-side analog of the reference's
     * serialization-based `hash64` service (`HashingSupport.java:42-74`). */

@@ -458,6 +458,32 @@ object Catalog {
     },
     None)
 
+  private val q31 = QueryDef(
+    "q31_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  /** Sketch-persist-merge path: per-month HLL sketches rolled up to a
+    * global estimate — estimate values aren't oracle-replicable (rows-only);
+    * merge==direct equality is spec-asserted in HyperLogLogSpec. */
+  private val q32 = QueryDef(
+    "q32_hll_sketch_merge",
+    (s, dir) => {
+      val sketches = t(s, dir, "events")
+        .groupBy(month(col("ts")).as("mo"))
+        .agg(hll_sketch(hash64(col("user_id")), 14).as("sk"))
+      sketches.agg(hll_merge(col("sk")).as("merged_users"))
+    },
+    None)
+
   // ============================================== multimodal binary plumbing
 
   private val q30 = QueryDef(
@@ -480,6 +506,7 @@ object Catalog {
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30) ++
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32) ++
     ConnectorQueries.all
 }

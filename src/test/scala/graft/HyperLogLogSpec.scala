@@ -44,6 +44,16 @@ class HyperLogLogSpec extends AnyFunSuite {
     }
   }
 
+  test("hll_sketch + hll_merge == direct hyper_log_log (cross-job mergeability)") {
+    import graft.functions.{hll_merge, hll_sketch}
+    val df = (1L to 40000L).toDF("v")
+      .select((col("v") % 12).as("g"), hash64(col("v")).as("h"))
+    val direct = df.agg(hyper_log_log(col("h"), 12)).head().getLong(0)
+    val merged = df.groupBy("g").agg(hll_sketch(col("h"), 12).as("sk"))
+      .agg(hll_merge(col("sk"))).head().getLong(0)
+    assert(merged == direct, s"sketch round-trip changed the estimate: $merged vs $direct")
+  }
+
   test("tracks approx_count_distinct on grouped data") {
     val df = (1L to 30000L).toDF("v")
       .select((col("v") % 7).as("g"), hash64(col("v")).as("h"))
