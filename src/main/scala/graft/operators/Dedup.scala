@@ -23,9 +23,12 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Group stats per identical text (fingerprint-first at scale). */
+  /** Group stats per identical text. Groups on the 64-bit fingerprint of
+    * the raw text, not the text itself — at 100 TB the shuffle keys are
+    * fixed-width longs instead of document bodies (collision odds
+    * ~n²/2^64: harmless at any realistic corpus size). */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.groupBy(xxhash64(col(textCol)).as("__fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
@@ -112,14 +115,22 @@ object Dedup {
     require(threshold > 0.0, "inverted-index jaccard needs a positive threshold")
     val sh = df.select(col(blockCol).as("blk"), col(idCol).cast("long").as("doc_id"),
       shingles(col(textCol), shingleSize).as("sh"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     // join on the 64-bit shingle hash: fixed-width shuffle keys instead of
     // variable-length strings (collision odds ~|shingles|²/2^64, negligible)
-    val sg = sh.select(col("blk"), col("doc_id"),
-      explode(col("sh")).as("g")).select(col("blk"), col("doc_id"), xxhash64(col("g")).as("g"))
+    val sg = sh.select(col("blk"), col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
+      .select(col("blk"), col("doc_id"), col("n"), xxhash64(col("g")).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    // length-ratio pruning: J <= min(na,nb)/max(na,nb), so a pair whose
+    // set sizes differ by more than the threshold ratio can never pass —
+    // drop it at the join (the 1e-9 slack keeps FP boundary pairs, which
+    // the exact jaccard filter below then decides)
+    val ratioOk =
+      col("x.n").cast("double") >= col("y.n") * threshold - 1e-9 &&
+        col("y.n").cast("double") >= col("x.n") * threshold - 1e-9
     val inter = sg.as("x").join(sg.as("y"),
         col("x.blk") === col("y.blk") && col("x.g") === col("y.g") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") && ratioOk)
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
