@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.sinks.GraftSinks
+import graft.sources.GraftSources
+import graft.sources.hub.MemHub
+
+case class Cpu(time: java.sql.Timestamp, host: String, load: Double)
+
+/** Protocol-matrix behaviors from the reference's connector tests
+  * (SURVEY.md §5): malformed-payload rejection, accumulate-buffer variants,
+  * explicit range options, raw document passthrough, POJO mapping. */
+class ConnectorSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  test("http listener: malformed JSON rejected, good payloads mapped (HttpListenerSourceTest bad-JSON→400 analog)") {
+    val uri = "hub:test/http-bad"
+    MemHub.publish(uri, "http", Iterator(
+      ("", Map.empty[String, String], 0L, """{"id":1,"name":"ok"}""".getBytes("UTF-8")),
+      ("", Map.empty[String, String], 0L, """not-json at all""".getBytes("UTF-8")),
+      ("", Map.empty[String, String], 0L, """{"id":2,"name":"also ok"}""".getBytes("UTF-8"))))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val beans = GraftSources.httpListenerBatch(spark, uri)
+      .select(from_json(col("payload"), schema).as("b"))
+    // the bad payload parses to an all-null struct — the 400-reject analog
+    assert(beans.filter(col("b.id").isNull).count() == 1)
+    assert(beans.filter(col("b.id").isNotNull).select("b.id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("ws broadcast accumulate matrix: cap smaller/larger than the stream (HttpListenerSinkTest.java:103-195 analog)") {
+    def run(uri: String, cap: Int): Seq[Long] = {
+      GraftSinks.wsBroadcast(
+        spark.range(1, 51).select(col("id").cast("string").as("payload")).orderBy(col("id")),
+        uri, accumulateLimit = cap)
+      MemHub.poll(uri, "ws", -1).map(m => new String(m.payload, "UTF-8").toLong)
+    }
+    // cap < items → drop-oldest keeps the newest 10
+    assert(run("hub:test/ws-small", 10) == (41L to 50L))
+    // cap >= items → everything retained
+    assert(run("hub:test/ws-big", 1000) == (1L to 50L))
+  }
+
+  test("zset explicit from/to options (reference S7 API shape) compose with pushdown") {
+    val uri = "hub:test/zset-opts"
+    MemHub.zadd(s"$uri/z", (0 until 100).iterator.map(i => s"m$i" -> i.toDouble))
+    // options narrow to [20, 80]; Catalyst filter narrows further to [50, 80]
+    val df = GraftSources.redisSortedSet(spark, uri, "z", from = Some(20.0), to = Some(80.0))
+      .filter(col("score") >= 50.0)
+    assert(df.count() == 31)
+    assert(df.agg(min("score"), max("score")).head() ==
+      org.apache.spark.sql.Row(50.0, 80.0))
+  }
+
+  test("mongo raw passthrough without user schema (dynamic-schema fallback)") {
+    val uri = "hub:test/mongo-raw"
+    MemHub.insertMany(uri, Iterator("""{"a":1}""", """{"a":2,"b":"x"}"""))
+    val df = spark.read.format("graft-mongo").option("uri", uri).load()
+    assert(df.columns.toSeq == Seq("doc"))
+    assert(df.count() == 2)
+  }
+
+  test("influx POJO path: flatten + as[T] (InfluxDbSources POJO mapping analog)") {
+    val uri = "hub:test/influx-pojo"
+    MemHub.writePoints(uri, "cpu", Iterator(
+      (1000L, Map("host" -> "h1"), Map("load" -> 0.5)),
+      (2000L, Map("host" -> "h2"), Map("load" -> 0.9))))
+    val ds = GraftSources.influxFlat(
+      GraftSources.influx(spark, uri, "cpu"), Seq("host"), Seq("load"))
+      .as[Cpu]
+    val rows = ds.collect().sortBy(_.host)
+    assert(rows.map(_.host).toSeq == Seq("h1", "h2"))
+    assert(rows.map(_.load).toSeq == Seq(0.5, 0.9))
+    assert(rows.head.time.getTime == 1000L)
+  }
+
+  test("mqtt publish retry: succeeds within maxAttempts (SinkContext.java:61-104 analog)") {
+    val uri = "hub:test/mqtt-retry"
+    GraftSinks.mqttPublish(
+      spark.range(0, 10).select(lit("t").as("topic"),
+        encode(col("id").cast("string"), "UTF-8").as("payload")),
+      uri, maxAttempts = 3)
+    assert(MemHub.topicLen(uri, "t") == 10)
+  }
+}
