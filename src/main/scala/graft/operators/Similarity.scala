@@ -129,6 +129,65 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-Flat approximate top-k: a coarse quantizer of `nlist` anchor
+    * centroids partitions the corpus into inverted lists; each query probes
+    * its `nprobe` nearest lists and ranks exact cosine within them —
+    * scanning ~nprobe/nlist of the corpus instead of all of it.
+    *
+    * Anchors are stride-sampled corpus vectors (deterministic; at 100 TB
+    * use TABLESAMPLE + a k-means refinement job, persisting the codebook).
+    * Recall < 1 by construction — spec-tested against brute force.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusVec: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+      vec_double(col(corpusVec)).as("cv"))
+      .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
+    // codebook: evenly-strided anchor vectors, L2-normalized on the driver
+    val ids = c.select("neighbor_id").orderBy("neighbor_id").collect().map(_.getLong(0))
+    require(ids.nonEmpty, "empty corpus")
+    val stride = math.max(1, ids.length / nlist)
+    val anchorIds = (0 until math.min(nlist, ids.length))
+      .map(i => ids(math.min(i * stride, ids.length - 1)))
+    val codebook: Seq[Seq[Double]] = c
+      .filter(col("neighbor_id").isInCollection(anchorIds))
+      .select("neighbor_id", "cv", "cn").collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val n = r.getDouble(2)
+        r.getSeq[Double](1).map(x => if (n == 0) 0.0 else x / n)
+      }.toSeq
+
+    /** ranked anchor list for a vector: struct(-dot, j) sorted ascending. */
+    def rankedAnchors(v: org.apache.spark.sql.Column) =
+      sort_array(array(codebook.indices.map { j =>
+        struct((lit(0.0) - dotd(v, typedLit(codebook(j)))).as("d"), lit(j).as("j"))
+      }: _*))
+
+    val cb = c.withColumn("bucket", rankedAnchors(col("cv")).getItem(0).getField("j"))
+    val qb = queries.select(col(queryId).cast("long").as("query_id"),
+      vec_double(col(queryVec)).as("qv"))
+      .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))
+      .withColumn("bucket", explode(slice(
+        transform(rankedAnchors(col("qv")), x => x.getField("j")), 1, nprobe)))
+    val scored = broadcast(qb).join(cb, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within a blocking
     * column (block quadratic work; at scale block = LSH bucket). */
   def cosinePairsBlocked(

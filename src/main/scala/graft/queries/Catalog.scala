@@ -503,10 +503,23 @@ object Catalog {
         CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
       FROM documents ORDER BY id"""))
 
+  /** IVF-Flat ANN — approximate by construction (rows-only check);
+    * recall vs brute force asserted in SimilaritySpec. */
+  private val q33 = QueryDef(
+    "q33_ivf_ann",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32) ++
+    q31, q32, q33) ++
     ConnectorQueries.all
 }

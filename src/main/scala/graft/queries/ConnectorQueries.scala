@@ -299,6 +299,23 @@ object ConnectorQueries {
     },
     Some("SELECT c_custkey, c_name FROM customer ORDER BY c_custkey"))
 
+  private val snkRedisHashDsv2 = QueryDef(
+    "snk_redis_hash_dsv2",
+    (s, dir) => {
+      val uri = s"hub:$dir/snk_redis_hash_dsv2"
+      seedOnce(uri) {
+        // full DSv2 write path: staging writers + driver-side promote commit
+        t(s, dir, "supplier")
+          .select(col("s_suppkey").cast("string").as("key"), col("s_name").as("value"))
+          .write.format("graft-redis-hash").option("uri", uri).option("hash", "sup")
+          .mode("append").save()
+      }
+      GraftSources.redisHash(s, uri, "sup")
+        .select(col("key").cast("long").as("s_suppkey"), col("value").as("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey"))
+
   private val snkRedisZset = QueryDef(
     "snk_redis_zset",
     (s, dir) => {
@@ -410,8 +427,8 @@ object ConnectorQueries {
   val all: Seq[QueryDef] = Seq(
     srcRedisHash, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoCdc,
     srcInflux, srcMqtt, srcPulsar, srcHttp, srcTwitter, srcTwitterSearch, srcConnect,
-    snkRedisHash, snkRedisZset, snkMongoInsert, snkPulsar, snkInflux,
-    snkMqtt, snkWs)
+    snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkMongoInsert, snkPulsar,
+    snkInflux, snkMqtt, snkWs)
 }
 
 /** Deterministic stand-in for a hosted third-party connector task (the

@@ -71,6 +71,14 @@ object MemHub {
   def hashGetAll(uri: String): Map[String, String] =
     Option(hashes.get(uri)).map(_.toMap).getOrElse(Map.empty)
 
+  /** Two-phase write support: merge a staged hash into the target, drop it. */
+  def hashPromote(stageUri: String, targetUri: String): Unit = {
+    val staged = hashGetAll(stageUri)
+    hashPut(targetUri, staged.iterator)
+    hashes.remove(stageUri)
+  }
+  def hashDrop(uri: String): Unit = hashes.remove(uri)
+
   // ---- zset ----------------------------------------------------------------
 
   def zadd(uri: String, svs: Iterator[(String, Double)]): Unit = {

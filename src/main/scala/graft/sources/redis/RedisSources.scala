@@ -43,13 +43,28 @@ class RedisHashProvider extends TableProvider with DataSourceRegister {
     new RedisHashTable(new CaseInsensitiveStringMap(properties))
 }
 
-class RedisHashTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+class RedisHashTable(options: CaseInsensitiveStringMap) extends Table
+  with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val uri = options.get("uri")
   private val hash = options.get("hash")
   override def name(): String = s"redis-hash($uri/$hash)"
   override def schema(): StructType = RedisHash.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val target = s"$uri/$hash"
+    val queryId = info.queryId()
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch = new graft.sinks.RedisHashWrite.HashBatchWrite(target)
+          override def toStreaming = new graft.sinks.RedisHashWrite.HashStreamingWrite(target, queryId)
+        }
+    }
+  }
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     () => new Dsv2.BatchScan {
       override def readSchema(): StructType = RedisHash.schema

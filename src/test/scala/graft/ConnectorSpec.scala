@@ -78,6 +78,37 @@ class ConnectorSpec extends AnyFunSuite {
     assert(rows.head.time.getTime == 1000L)
   }
 
+  test("DSv2 batch write: two-phase staging commit, no stage leakage") {
+    val uri = "hub:test/dsv2-write"
+    spark.range(0, 1000)
+      .select(col("id").cast("string").as("key"), concat(lit("v"), col("id")).as("value"))
+      .repartition(8)
+      .write.format("graft-redis-hash").option("uri", uri).option("hash", "h")
+      .mode("append").save()
+    val got = MemHub.hashGetAll(s"$uri/h")
+    assert(got.size == 1000 && got("42") == "v42")
+  }
+
+  test("DSv2 streaming write: epoch-idempotent commit (exactly-once sink)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val uri = "hub:test/dsv2-stream-write"
+    val input = MemoryStream[Long](spark)
+    val q = input.toDF()
+      .select(col("value").cast("string").as("key"), lit("x").as("value"))
+      .writeStream.format("graft-redis-hash")
+      .option("uri", uri).option("hash", "h")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-w").toString)
+      .outputMode("append").start()
+    input.addData(1L to 500L: _*)
+    q.processAllAvailable()
+    input.addData(501L to 700L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = MemHub.hashGetAll(s"$uri/h")
+    assert(got.size == 700, s"expected 700 keys, got ${got.size}")
+  }
+
   test("mqtt publish retry: succeeds within maxAttempts (SinkContext.java:61-104 analog)") {
     val uri = "hub:test/mqtt-retry"
     GraftSinks.mqttPublish(

@@ -91,16 +91,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", k)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
-    val ann = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+    def meanRecall(ann: Map[Long, Set[Long]]): Double = {
+      val rs = brute.keys.toSeq.map { q =>
+        ann.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / k
+      }
+      rs.sum / rs.size
+    }
+    val lsh = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
       "vec_id", "embedding", k)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = brute.keys.toSeq.map { q =>
-      val hit = ann.getOrElse(q, Set.empty).intersect(brute(q)).size
-      hit.toDouble / k
-    }
-    val mean = recalls.sum / recalls.size
-    assert(mean >= 0.3, f"mean LSH recall $mean%.2f too low for a usable ANN path")
-    info(f"mean LSH@$k recall: $mean%.2f")
+    val lshR = meanRecall(lsh)
+    assert(lshR >= 0.3, f"mean LSH recall $lshR%.2f too low for a usable ANN path")
+    info(f"mean LSH@$k recall: $lshR%.2f")
+
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivfR = meanRecall(ivf)
+    assert(ivfR >= 0.3, f"mean IVF recall $ivfR%.2f too low for a usable ANN path")
+    info(f"mean IVF@$k recall: $ivfR%.2f (nprobe/nlist = 4/16 -> ~25%% corpus scanned)")
   }
 }
