@@ -21,6 +21,8 @@ object GraftSession {
       // driver-generated events.parquet carries TIMESTAMP(NANOS) which Spark
       // has no native type for; read as long and convert in Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / bench: one JVM, `cpus` executor threads. */

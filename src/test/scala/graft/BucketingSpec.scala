@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.Bucketing
+
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed co-located join plans without any shuffle exchange") {
+    // disable auto-broadcast so the join would otherwise need an exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_quantity")),
+        "b_lineitem", buckets = 8, keys = Seq("k"))
+      Bucketing.writeBucketed(
+        Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice")),
+        "b_orders", buckets = 8, keys = Seq("k"))
+
+      val joined = Bucketing.coLocatedJoin(spark, "b_lineitem", "b_orders", Seq("k"))
+      assert(Bucketing.isExchangeFree(joined),
+        s"expected exchange-free plan:\n${joined.queryExecution.executedPlan}")
+
+      // and the unbucketed equivalent DOES shuffle — the comparison point
+      val plain = Tables.load(spark, dir, "lineitem").select(col("l_orderkey").as("k"))
+        .join(Tables.load(spark, dir, "orders").select(col("o_orderkey").as("k")), "k")
+      assert(!Bucketing.isExchangeFree(plain), "control join should shuffle")
+
+      // correctness: same row count either way
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+}
