@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // the 128-column minhash signature aggregate must stay inside
+      // whole-stage codegen (default maxFields=100 would silently fall
+      // back to interpreted row-based aggregation)
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / bench: one JVM, `cpus` executor threads. */
@@ -36,9 +40,14 @@ object GraftSession {
     spark
   }
 
-  /** Ensure graft SQL functions are registered on an externally-built session. */
+  /** Ensure graft SQL functions and runtime confs are applied to an
+    * externally-built session (the driver's Verify/Bench sessions). */
   def prepare(spark: SparkSession): SparkSession = {
     graft.functions.registerAll(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.codegen.maxFields", "256")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark
   }
 }

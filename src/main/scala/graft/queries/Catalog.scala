@@ -503,6 +503,46 @@ object Catalog {
         CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
       FROM documents ORDER BY id"""))
 
+  private val q34 = QueryDef(
+    "q34_top_tokens",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20),
+    Some("""SELECT tok, COUNT(*) AS n FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents) x
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""))
+
+  private val q35 = QueryDef(
+    "q35_top_bigrams_per_lang",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("bigram"))
+      t(s, dir, "documents")
+        .select(col("lang"), explode(shingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("bigram"), col("n"), col("rnk"))
+        .orderBy(col("lang"), col("rnk"))
+    },
+    // distinct bigrams per doc (shingles are de-duplicated within a doc)
+    Some("""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, lang, CASE WHEN len(t) >= 2
+          THEN list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      cnt AS (SELECT lang, unnest(g) AS bigram FROM sh),
+      agg AS (SELECT lang, bigram, COUNT(*) AS n FROM cnt GROUP BY 1, 2),
+      r AS (SELECT lang, bigram, n,
+              CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INTEGER) AS rnk
+            FROM agg)
+      SELECT lang, bigram, n, rnk FROM r WHERE rnk <= 5 ORDER BY lang, rnk"""))
+
   /** IVF-Flat ANN — approximate by construction (rows-only check);
     * recall vs brute force asserted in SimilaritySpec. */
   private val q33 = QueryDef(
@@ -520,6 +560,6 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33) ++
+    q31, q32, q33, q34, q35) ++
     ConnectorQueries.all
 }
