@@ -26,6 +26,8 @@ package object functions {
       "hll_sketch", HllSketchAgg.builder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_merge", { exprs => HllMergeAgg(exprs.head) }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash64", { exprs => RollingHash64(exprs.head) }, "scala_udf")
   }
 
   // ---------------------------------------------------------------- A1/A2
@@ -60,8 +62,13 @@ package object functions {
   def norm_text(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  /** 64-bit document fingerprint of the normal form (rolling-hash analog). */
+  /** 64-bit document fingerprint of the normal form (block hash). */
   def fingerprint64(c: Column): Column = xxhash64(norm_text(c))
+
+  /** Incremental (Rabin–Karp) fingerprint of the normal form — extendable
+    * byte-by-byte for streaming ingestion (see [[RollingHash64.roll]]). */
+  def rolling_fingerprint64(c: Column): Column =
+    call_function("rolling_hash64", norm_text(c))
 
   /** Count of punctuation characters. */
   def punct_count(c: Column): Column =

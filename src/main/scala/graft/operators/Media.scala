@@ -49,6 +49,13 @@ object Media {
     /** "frame-sample" → n offsets evenly spaced over the payload. */
     def frameOffsets(bytes: Array[Byte], n: Int): Array[Int] =
       Array.tabulate(n)(i => if (bytes.isEmpty) 0 else (i * bytes.length) / n)
+
+    /** "resize" → deterministic subsample of the payload to `targetLen`
+      * bytes (stride sampling — stands in for pixel-space rescale). */
+    def resize(bytes: Array[Byte], targetLen: Int): Array[Byte] = {
+      if (bytes.length <= targetLen) return bytes
+      Array.tabulate(targetLen)(i => bytes((i.toLong * bytes.length / targetLen).toInt))
+    }
   }
 
   private val decodedSchema = StructType(Seq(
@@ -58,6 +65,26 @@ object Media {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("features", ArrayType(FloatType), nullable = false)))
+
+  private val resizedSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("resized", BinaryType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false)))
+
+  /** "Resize" every payload to a fixed byte budget — batch shape identical
+    * to [[decodeAndFeaturize]]; swap the stub for a real rescale kernel. */
+  def resizeAll(df: DataFrame, idCol: String, mediaCol: String, targetLen: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizedSchema)
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .mapPartitions { rows =>
+        val codec = StubCodec
+        rows.map { r =>
+          val bytes = r.getStruct(1).getAs[Array[Byte]](0)
+          val out = codec.resize(bytes, targetLen)
+          Row(r.getLong(0), out, out.length)
+        }
+      }(enc)
+  }
 
   /** Decode + feature-extract a media table: (id, media struct) →
     * (id, mime, n_bytes, width, height, features[16]).

@@ -33,6 +33,31 @@ class MediaServiceSpec extends AnyFunSuite {
     assert(offs.toSeq == Seq(0, 250, 500, 750))
   }
 
+  test("resize stub: fixed byte budget, partition-invariant") {
+    val media = Tables.load(spark, dir, "documents")
+      .withColumn("bin", encode(col("text"), "UTF-8"))
+      .withColumn("media", Media.asMedia("bin", "text/plain"))
+    val out = Media.resizeAll(media.repartition(7), "doc_id", "media", targetLen = 64)
+      .orderBy("id").collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getInt(2) <= 64))
+    val again = Media.resizeAll(media.repartition(2), "doc_id", "media", 64)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Array[Byte]](1).toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]](1).toSeq).toSeq)
+  }
+
+  test("rolling_hash64: incremental roll equals full hash; distinct-preserving") {
+    import graft.functions.{rolling_fingerprint64, RollingHash64}
+    val bytes = "the quick brown fox".getBytes("UTF-8")
+    val full = RollingHash64.hash(bytes)
+    val rolled = bytes.foldLeft(0xcbf29ce484222325L)((h, b) => RollingHash64.roll(h, b))
+    assert(full == rolled, "roll() must reproduce the block computation")
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.agg(countDistinct(rolling_fingerprint64(col("text")))).head().getLong(0)
+    assert(n == 500, s"500 distinct docs must yield 500 distinct fingerprints, got $n")
+  }
+
   test("mapUsingService: service created once per partition (HashingSupport analog)") {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     // note: counter mutates on executors — same JVM in local mode
