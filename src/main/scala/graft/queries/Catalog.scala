@@ -543,6 +543,25 @@ object Catalog {
             FROM agg)
       SELECT lang, bigram, n, rnk FROM r WHERE rnk <= 5 ORDER BY lang, rnk"""))
 
+  private val q36 = QueryDef(
+    "q36_length_quantiles",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          percentile(col("n_chars"), lit(0.25)).as("p25"),
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.75)).as("p75"),
+          percentile(col("n_chars"), lit(0.95)).as("p95"))
+        .orderBy(col("lang")),
+    // both engines interpolate at q*(n-1) linearly → identical doubles
+    Some("""SELECT lang,
+        quantile_cont(n_chars, 0.25) AS p25,
+        quantile_cont(n_chars, 0.5)  AS p50,
+        quantile_cont(n_chars, 0.75) AS p75,
+        quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   /** IVF-Flat ANN — approximate by construction (rows-only check);
     * recall vs brute force asserted in SimilaritySpec. */
   private val q33 = QueryDef(
@@ -560,6 +579,6 @@ object Catalog {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35) ++
+    q31, q32, q33, q34, q35, q36) ++
     ConnectorQueries.all
 }

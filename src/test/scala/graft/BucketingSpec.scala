@@ -10,6 +10,22 @@ class BucketingSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local(4)
   private val dir = "/root/testdata/sf0.001"
 
+  test("salted join and salted aggregation match their unsalted equivalents") {
+    import graft.operators.Skew
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, "l_orderkey").count()
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", salt = 8).count()
+    assert(salted == plain, s"salting changed join cardinality: $salted vs $plain")
+
+    val cPlain = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cSalted = Skew.saltedCount(li, "l_returnflag", salt = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cSalted == cPlain)
+  }
+
   test("bucketed co-located join plans without any shuffle exchange") {
     // disable auto-broadcast so the join would otherwise need an exchange
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
