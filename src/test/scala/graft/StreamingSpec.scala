@@ -196,6 +196,34 @@ class StreamingSpec extends AnyFunSuite {
   private def MongoJsonVal(doc: String): Int =
     """"val"\s*:\s*(\d+)""".r.findFirstMatchIn(doc).get.group(1).toInt
 
+  test("stream-stream interval join across two graft sources with watermarks") {
+    val uri = "hub:test/ss-join"
+    val base = 1704067200000L
+    // "impressions" and "clicks" as two pulsar-profile topics; a click joins
+    // an impression with the same key within [0, 30s)
+    MemHub.publish(uri, "imp", (0 until 20).iterator.map(i =>
+      (s"k$i", Map.empty[String, String], base + i * 1000L, Array[Byte](1))))
+    MemHub.publish(uri, "clk", (0 until 20 by 2).iterator.map(i =>
+      (s"k$i", Map.empty[String, String], base + i * 1000L + 5000L, Array[Byte](2))))
+    val imp = GraftSources.pulsarReader(spark, uri, "imp")
+      .select(col("key").as("k"), col("eventTime").as("impTime"))
+      .withWatermark("impTime", "1 minute")
+    val clk = GraftSources.pulsarReader(spark, uri, "clk")
+      .select(col("key").as("ck"), col("eventTime").as("clkTime"))
+      .withWatermark("clkTime", "1 minute")
+    val joined = imp.join(clk,
+      col("k") === col("ck") &&
+        col("clkTime") >= col("impTime") &&
+        col("clkTime") < col("impTime") + expr("INTERVAL 30 SECONDS"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("ssj").select("k").collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == (0 until 20 by 2).map(i => s"k$i").sorted.toSeq,
+      s"every even impression should join exactly one click: $rows")
+  }
+
   test("sessionization with custom keyed state matches batch reference semantics") {
     import graft.streaming.Sessionize
     val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
