@@ -28,6 +28,14 @@ package object functions {
       "hll_merge", { exprs => HllMergeAgg(exprs.head) }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash64", { exprs => RollingHash64(exprs.head) }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          MinHashSignature(c, k)
+        case _ => throw new IllegalArgumentException("minhash_sig(hashArray, k)")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig", { exprs => SimHashSignature(exprs.head) }, "scala_udf")
   }
 
   // ---------------------------------------------------------------- A1/A2
@@ -161,4 +169,15 @@ package object functions {
 
   /** L2 norm. */
   def l2_norm(a: Column): Column = sqrt(dotd(vec_double(a), vec_double(a)))
+
+  /** Row-local k-value minhash signature over an array<long> of shingle
+    * hashes (no explode/aggregate — see [[MinHashSignature]]). */
+  def minhash_sig(hashes: Column, k: Int): Column =
+    call_function("minhash_sig", hashes, lit(k))
+
+  /** Row-local 64-bit simhash over an array<long> of shingle hashes. */
+  def simhash_sig(hashes: Column): Column = call_function("simhash_sig", hashes)
+
+  /** Per-element xxhash64 of a string array (shingles → shingle hashes). */
+  def hash_array(c: Column): Column = transform(c, x => xxhash64(x))
 }

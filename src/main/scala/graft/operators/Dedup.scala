@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{char_shingles, fingerprint64, shingles}
+import graft.functions.{char_shingles, fingerprint64, hash_array, minhash_sig, shingles, simhash_sig}
 
 /** Large-scale deduplication operators (LLM-data-pipeline surface).
   *
@@ -32,17 +32,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** Deterministic per-index rehash of a base 64-bit shingle hash: minhash
-    * function i = xxhash64(h0, i). No long arithmetic → safe under ANSI. */
-  private def minhashCol(i: Int): Column = xxhash64(col("__h0"), lit(i))
-
   /** MinHash + LSH near-duplicate pairs with exact Jaccard verification.
     *
-    * shingle → minhash(numHashes) → band(bands) → bucket self-join →
-    * exact verify. With r = numHashes/bands rows per band, the probability
-    * of missing a pair at Jaccard j is (1 - j^r)^bands — at the defaults
-    * (128/32 ⇒ r=4) and j=0.8 that is ~5e-8, so the verified output is the
-    * exact set of pairs with jaccard >= threshold (w.h.p.).
+    * shingle → row-local minhash signature ([[graft.functions.minhash_sig]]
+    * — one codegen'd pass per document, NO explode/aggregate/shuffle for
+    * the signature stage) → band(bands) → bucket self-join → exact verify.
+    * With r = numHashes/bands rows per band, the probability of missing a
+    * pair at Jaccard j is (1 - j^r)^bands — at the defaults (128/32 ⇒ r=4)
+    * and j=0.8 that is ~5e-8, so the verified output is the exact set of
+    * pairs with jaccard >= threshold (w.h.p.).
     *
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
@@ -60,14 +58,11 @@ object Dedup {
     val sh = df.select(col(idCol).cast("long").as("doc_id"),
       shingles(col(textCol), shingleSize).as("sh"))
 
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      .withColumn("__h0", xxhash64(col("g")))
-
-    val mhAggs = (0 until numHashes).map(i => min(minhashCol(i)).as(s"mh$i"))
-    val sig = exploded.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val sig = sh.select(col("doc_id"),
+      minhash_sig(hash_array(col("sh")), numHashes).as("mh"))
 
     val bandStructs = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"mh$i")) :+ lit(b)
+      val cols = (b * r until (b + 1) * r).map(i => element_at(col("mh"), i + 1)) :+ lit(b)
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
     }
     val bucketed = sig.select(col("doc_id"),
@@ -142,26 +137,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash signature per document over word-shingle hashes. */
+  /** 64-bit SimHash signature per document over word-shingle hashes —
+    * row-local single pass ([[graft.functions.simhash_sig]]), no shuffle. */
   def simhashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 2): DataFrame = {
-    val exploded = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(shingles(col(textCol), shingleSize)).as("g"))
-      .withColumn("__h0", xxhash64(col("g")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("__h0"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$i")
-    }
-    val agg = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64)
-      .map(i => when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    agg.select(col("doc_id"), simhash.as("simhash"))
-  }
+      shingleSize: Int = 2): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      simhash_sig(hash_array(shingles(col(textCol), shingleSize))).as("simhash"))
 
   /** SimHash near-dup pairs at Hamming distance <= maxDist (default 3).
     * Blocking: split the 64-bit signature into (maxDist+1) chunks — any pair
