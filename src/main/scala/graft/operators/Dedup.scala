@@ -115,7 +115,6 @@ object Dedup {
     val sg = sh.select(col("blk"), col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("g"))
       .select(col("blk"), col("doc_id"), col("n"), xxhash64(col("g")).as("g"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     // length-ratio pruning: J <= min(na,nb)/max(na,nb), so a pair whose
     // set sizes differ by more than the threshold ratio can never pass —
     // drop it at the join (the 1e-9 slack keeps FP boundary pairs, which
@@ -123,14 +122,13 @@ object Dedup {
     val ratioOk =
       col("x.n").cast("double") >= col("y.n") * threshold - 1e-9 &&
         col("y.n").cast("double") >= col("x.n") * threshold - 1e-9
-    val inter = sg.as("x").join(sg.as("y"),
+    // set sizes are functionally dependent on the doc ids, so they ride
+    // through the counting aggregate (max = the constant) — no extra joins
+    sg.as("x").join(sg.as("y"),
         col("x.blk") === col("y.blk") && col("x.g") === col("y.g") &&
           col("x.doc_id") < col("y.doc_id") && ratioOk)
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .agg(count(lit(1)).as("inter"), max(col("x.n")).as("na"), max(col("y.n")).as("nb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
