@@ -109,6 +109,52 @@ class ConnectorSpec extends AnyFunSuite {
     assert(got.size == 700, s"expected 700 keys, got ${got.size}")
   }
 
+  test("embedded HTTP listener: real POSTs land in the source; wrong method rejected") {
+    import graft.sources.http.HttpEndpoint
+    val uri = "hub:test/http-live"
+    val (server, port) = HttpEndpoint.startListener(uri)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      (1 to 5).foreach { i =>
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://127.0.0.1:$port/"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(s"""{"id":$i}"""))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.discarding())
+        assert(resp.statusCode() == 200)
+      }
+      val bad = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://127.0.0.1:$port/"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding())
+      assert(bad.statusCode() == 405, "non-POST must be rejected")
+      val ids = GraftSources.httpListenerBatch(spark, uri)
+        .select(get_json_object(col("payload"), "$.id").cast("int").as("id"))
+        .as[Int].collect().sorted.toSeq
+      assert(ids == (1 to 5))
+    } finally server.stop(0)
+  }
+
+  test("embedded SSE broadcast: sink buffer served as text/event-stream") {
+    import graft.sources.http.HttpEndpoint
+    val uri = "hub:test/sse-live"
+    GraftSinks.wsBroadcast(
+      spark.range(1, 6).select(col("id").cast("string").as("payload")).orderBy(col("id")),
+      uri, accumulateLimit = 3)
+    val (server, port) = HttpEndpoint.startBroadcast(uri)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://127.0.0.1:$port/events"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("") == "text/event-stream")
+      // drop-oldest cap 3 → only 3,4,5 remain
+      assert(resp.body() == "data: 3\n\ndata: 4\n\ndata: 5\n\n")
+    } finally server.stop(0)
+  }
+
   test("mqtt publish retry: succeeds within maxAttempts (SinkContext.java:61-104 analog)") {
     val uri = "hub:test/mqtt-retry"
     GraftSinks.mqttPublish(
