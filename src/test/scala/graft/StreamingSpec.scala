@@ -196,6 +196,31 @@ class StreamingSpec extends AnyFunSuite {
   private def MongoJsonVal(doc: String): Int =
     """"val"\s*:\s*(\d+)""".r.findFirstMatchIn(doc).get.group(1).toInt
 
+  test("idle partition does not stall the watermark (flatMapIdle analog, RedisSources.java:595)") {
+    val uri = "hub:test/idle-stream"
+    val base = 1704067200000L
+    // s_active gets events; s_idle stays empty the whole run
+    MemHub.publish(uri, "active", (0 until 30).iterator.map(i =>
+      (s"k$i", Map.empty[String, String], base + i * 1000L, Array[Byte](1))))
+    MemHub.publish(uri, "idle", Iterator.empty)
+    val q = spark.readStream.format("graft-topic").option("profile", "pulsar")
+      .option("uri", uri).option("topics", "active,idle").load()
+      .withWatermark("eventTime", "5 seconds")
+      .groupBy(window(col("eventTime"), "10 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("append").format("memory").queryName("idle_wm")
+      .start()
+    q.processAllAvailable()
+    // advance event time past the last window + watermark so append emits
+    MemHub.publish(uri, "active", Iterator(
+      ("late", Map.empty[String, String], base + 120000L, Array[Byte](1))))
+    q.processAllAvailable()
+    q.stop()
+    // all three complete 10s windows emitted despite the idle partition
+    assert(spark.table("idle_wm").count() == 3,
+      "idle partition must not hold back the watermark")
+  }
+
   test("stream-stream interval join across two graft sources with watermarks") {
     val uri = "hub:test/ss-join"
     val base = 1704067200000L
