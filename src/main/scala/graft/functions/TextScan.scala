@@ -1,0 +1,272 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass byte-level text kernels.
+  *
+  * The declarative shingle pipeline (`split` regex → n `slice`s → n-1
+  * `zip_with`+`concat` → `array_distinct` → `transform(xxhash64)`) evaluates
+  * higher-order functions interpreted, allocating a UTF8String per token AND
+  * per shingle per row. These kernels produce identical values — the same
+  * token boundaries as `split(trim(text), "\\s+")` (space-only trim, Java
+  * split semantics including the leading empty token after a non-space
+  * whitespace prefix) and the same 64-bit hashes as `xxhash64(shingle)`
+  * (XXH64, seed 42, over the joined-with-' ' shingle bytes) — in one pass
+  * over the document's bytes with two primitive-array buffers. At 100 TB the
+  * shingle stage is the map side of every dedup operator; this keeps it
+  * inside whole-stage codegen at memory bandwidth, not regex speed.
+  */
+object TextScan {
+
+  private final val Seed = 42L
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  /** Token boundaries equivalent to `split(trim(s), "\\s+")` — note Spark's
+    * `split` passes limit -1, so BOTH a leading and a trailing whitespace
+    * run yield an empty token (unlike bare `String.split`); space-only
+    * trim; empty input yields [""]. Returns flat (start, end) pairs into
+    * `bytes`. */
+  private def tokenize(bytes: Array[Byte], from: Int, until: Int): Array[Int] = {
+    var lo = from
+    var hi = until
+    while (lo < hi && bytes(lo) == 0x20) lo += 1
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    if (lo >= hi) return Array(lo, lo) // "" → one empty token
+    var cap = 16
+    var out = new Array[Int](cap)
+    var m = 0
+    def push(s: Int, e: Int): Unit = {
+      if (2 * m == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+      out(2 * m) = s; out(2 * m + 1) = e; m += 1
+    }
+    if (isWs(bytes(lo))) push(lo, lo) // limit -1 split: leading run → ""
+    var i = lo
+    while (i < hi) {
+      while (i < hi && isWs(bytes(i))) i += 1
+      if (i < hi) {
+        val s = i
+        while (i < hi && !isWs(bytes(i))) i += 1
+        push(s, i)
+      }
+    }
+    if (isWs(bytes(hi - 1))) push(hi, hi) // limit -1 split: trailing run → ""
+    java.util.Arrays.copyOf(out, 2 * m)
+  }
+
+  /** Sorted distinct XXH64(seed 42) hashes of the word n-gram shingles of
+    * `s` — value-identical to
+    * `sort_array(array_distinct(transform(shingles(s, n), xxhash64)))`
+    * with `shingles` as defined in [[graft.functions]] (whole trimmed text
+    * as the single shingle when there are fewer than n tokens). */
+  def wordShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val tk = tokenize(bytes, 0, bytes.length)
+    val m = tk.length / 2
+    val win = if (m >= n) n else m
+    val count = if (m >= n) m - n + 1 else 1
+    // assemble each shingle's bytes (tokens joined by a single 0x20) into a
+    // reusable buffer, hash in place
+    var buf = new Array[Byte](64)
+    val hs = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var len = 0
+      var j = 0
+      while (j < win) {
+        val ts = tk(2 * (i + j)); val te = tk(2 * (i + j) + 1)
+        val tl = te - ts
+        val need = len + tl + 1
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (j > 0) { buf(len) = 0x20; len += 1 }
+        System.arraycopy(bytes, ts, buf, len, tl)
+        len += tl
+        j += 1
+      }
+      hs(i) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // unique in place
+    var w = 0
+    i = 0
+    while (i < count) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == count) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Distinct word n-gram shingle STRINGS (first-occurrence order) —
+    * value-identical to `shingles(text, n)` in [[graft.functions]], one
+    * byte-level pass, no regex, no HOF evaluation. */
+  def wordShingleStrings(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val tk = tokenize(bytes, 0, bytes.length)
+    val m = tk.length / 2
+    val win = if (m >= n) n else m
+    val count = if (m >= n) m - n + 1 else 1
+    val seen = new java.util.HashSet[Long](count * 2)
+    val out = new java.util.ArrayList[UTF8String](count)
+    var buf = new Array[Byte](64)
+    var i = 0
+    while (i < count) {
+      var len = 0
+      var j = 0
+      while (j < win) {
+        val ts = tk(2 * (i + j)); val te = tk(2 * (i + j) + 1)
+        val tl = te - ts
+        val need = len + tl + 1
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (j > 0) { buf(len) = 0x20; len += 1 }
+        System.arraycopy(bytes, ts, buf, len, tl)
+        len += tl
+        j += 1
+      }
+      val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed)
+      if (seen.add(h)) out.add(UTF8String.fromBytes(java.util.Arrays.copyOf(buf, len)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** |a ∩ b| for two SORTED long arrays — a single merge pass, no hash set,
+    * no output array (vs `size(array_intersect(a, b))`). Inputs must be
+    * sorted ascending and duplicate-free ([[wordShingleHashes]] output is). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  // marker byte-triples/pairs for the language heuristic, priority order
+  private val Markers: Array[Array[Array[Byte]]] = Array(
+    Array("der", "und", "das"),
+    Array("el", "la", "los"),
+    Array("le", "et", "les"),
+    Array("the", "and", "of")
+  ).map(_.map(_.getBytes("UTF-8")))
+  private val Langs = Array("de", "es", "fr", "en").map(UTF8String.fromString)
+  private val Und = UTF8String.fromString("und")
+
+  private def tokenIs(bytes: Array[Byte], s: Int, e: Int, w: Array[Byte]): Boolean = {
+    if (e - s != w.length) return false
+    var i = 0
+    while (i < w.length) {
+      if (bytes(s + i) != w(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Language guess over an ALREADY-LOWERCASED text — the same CASE chain as
+    * [[graft.functions.lang_guess_tokens]] (first marker set with any token
+    * present, priority de > es > fr > en, else "und") without materializing
+    * the token array. */
+  def langGuessLower(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val tk = tokenize(bytes, 0, bytes.length)
+    val m = tk.length / 2
+    // best = highest-priority marker set seen so far; later tokens only need
+    // to beat it, so the doc-wide CASE semantics ("any de marker anywhere
+    // wins over any es marker anywhere") fall out of a single token pass
+    var best = 4
+    var t = 0
+    while (t < m && best > 0) {
+      val ts = tk(2 * t); val te = tk(2 * t + 1)
+      var matched = -1
+      var li = 0
+      while (li < best && matched < 0) {
+        val ws = Markers(li)
+        var wi = 0
+        while (wi < ws.length && matched < 0) {
+          if (tokenIs(bytes, ts, te, ws(wi))) matched = li
+          wi += 1
+        }
+        li += 1
+      }
+      if (matched >= 0) best = matched
+      t += 1
+    }
+    if (best < 4) Langs(best) else Und
+  }
+}
+
+/** `shingle_hashes(text, n)`: sorted distinct xxhash64 values of the word
+  * n-gram shingles — the fused fast path for
+  * `hash_array(shingles(text, n))` (identical values, one byte-level pass).
+  * Sorted output doubles as the canonical global order for prefix-filtered
+  * set-similarity joins ([[graft.operators.Dedup.ngramJaccardBlocked]]). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs a string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextScan.wordShingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.wordShingleHashes($c, $n)")
+  override def prettyName: String = "shingle_hashes"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `shingle_strings(text, n)`: fused fast path for `shingles(text, n)` —
+  * identical distinct shingle strings, one byte-level pass. */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextScan.wordShingleStrings(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.wordShingleStrings($c, $n)")
+  override def prettyName: String = "shingle_strings"
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
+/** `sorted_intersect_count(a, b)`: merge-pass |a ∩ b| over sorted distinct
+  * long arrays — the verification kernel for prefix-filtered set-similarity
+  * joins. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextScan.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextScan.sortedIntersectCount($a, $b)")
+  override def prettyName: String = "sorted_intersect_count"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `lang_guess_scan(loweredText)`: byte-scan language heuristic, identical
+  * to the declarative marker-overlap CASE over `tokens(loweredText)`. */
+case class LangGuessScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextScan.langGuessLower(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.langGuessLower($c)")
+  override def prettyName: String = "lang_guess_scan"
+  override protected def withNewChildInternal(newChild: Expression): LangGuessScan =
+    copy(child = newChild)
+}

@@ -36,6 +36,23 @@ package object functions {
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", { exprs => SimHashSignature(exprs.head) }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          ShingleHashes(c, n)
+        case _ => throw new IllegalArgumentException("shingle_hashes(text, n)")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_guess_scan", { exprs => LangGuessScan(exprs.head) }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_strings", {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          ShingleStrings(c, n)
+        case _ => throw new IllegalArgumentException("shingle_strings(text, n)")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count", { exprs => SortedIntersectCount(exprs(0), exprs(1)) },
+      "scala_udf")
   }
 
   // ---------------------------------------------------------------- A1/A2
@@ -180,4 +197,25 @@ package object functions {
 
   /** Per-element xxhash64 of a string array (shingles → shingle hashes). */
   def hash_array(c: Column): Column = transform(c, x => xxhash64(x))
+
+  /** Fused fast path for `hash_array(shingles(c, n))`: sorted distinct
+    * shingle hashes in one byte-level codegen'd pass (identical values —
+    * see [[TextScan.wordShingleHashes]]). The sorted order is the canonical
+    * global order prefix-filtered similarity joins rely on. */
+  def shingle_hashes(c: Column, n: Int): Column =
+    call_function("shingle_hashes", c, lit(n))
+
+  /** Byte-scan fast path for [[lang_guess]] (identical values). */
+  def lang_guess_fast(c: Column): Column =
+    call_function("lang_guess_scan", lower(c))
+
+  /** Fused fast path for [[shingles]] (identical distinct shingle strings). */
+  def shingle_strings(c: Column, n: Int): Column =
+    call_function("shingle_strings", c, lit(n))
+
+  /** Merge-pass |a ∩ b| over sorted distinct long arrays (the
+    * [[shingle_hashes]] representation) — allocation-free replacement for
+    * `size(array_intersect(a, b))`. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{char_shingles, fingerprint64, hash_array, minhash_sig, shingles, simhash_sig}
+import graft.functions.{char_shingles, fingerprint64, minhash_sig, shingle_hashes, simhash_sig}
 
 /** Large-scale deduplication operators (LLM-data-pipeline surface).
   *
@@ -56,10 +56,10 @@ object Dedup {
     val r = numHashes / bands
 
     val sh = df.select(col(idCol).cast("long").as("doc_id"),
-      shingles(col(textCol), shingleSize).as("sh"))
+      shingle_hashes(col(textCol), shingleSize).as("sh"))
 
     val sig = sh.select(col("doc_id"),
-      minhash_sig(hash_array(col("sh")), numHashes).as("mh"))
+      minhash_sig(col("sh"), numHashes).as("mh"))
 
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => element_at(col("mh"), i + 1)) :+ lit(b)
@@ -78,12 +78,14 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
-  /** Exact Jaccard for candidate (doc_a, doc_b) pairs against shingle sets. */
+  /** Exact Jaccard for candidate (doc_a, doc_b) pairs against SORTED
+    * shingle-hash sets ([[graft.functions.shingle_hashes]] output): a
+    * merge-pass intersection count per pair, no per-row hash set. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", graft.functions.sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
@@ -92,13 +94,19 @@ object Dedup {
 
   /** Word n-gram Jaccard pairs within a blocking key.
     *
-    * Inverted-index formulation, not pairwise: explode shingles, self-join
-    * on (block, shingle), count matches per pair — only pairs that share at
-    * least one shingle are ever materialized (a pair with an empty
-    * intersection has jaccard 0 and can never pass a positive threshold),
-    * and the per-pair work is a counting aggregate instead of an
-    * array_intersect over full shingle arrays. The block bounds the
-    * quadratic term: at 100 TB, block on a coarse partition (source,
+    * Prefix-filtered set-similarity join (AllPairs/PPJoin family): each
+    * document indexes only the FIRST `n - ceil(t·n) + 1` of its shingle
+    * hashes in the canonical (sorted) order — two sets with jaccard >= t
+    * MUST collide on at least one prefix element, so recall is exact while
+    * the inverted index shrinks by ~t/(1+t) and candidate pairs by its
+    * square. Surviving candidates are pruned further by the length-ratio
+    * bound (J <= min(n_a,n_b)/max(n_a,n_b)) and the positional bound
+    * (elements after the matched position cap the possible overlap), then
+    * verified with an exact sorted-array intersection. Compared to the
+    * plain inverted-index + count formulation this replaces the shuffle of
+    * every co-occurrence row (Σ per-shingle C(df,2) — 9.4M rows for 5k docs
+    * at sf0.1) with a shuffle of just the candidate pairs. The block bounds
+    * the quadratic term: at 100 TB, block on a coarse partition (source,
     * near-length bucket, LSH band...) — never globally. */
   def ngramJaccardBlocked(
       df: DataFrame,
@@ -107,32 +115,33 @@ object Dedup {
       blockCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    require(threshold > 0.0, "inverted-index jaccard needs a positive threshold")
+    require(threshold > 0.0, "prefix-filtered jaccard needs a positive threshold")
     val sh = df.select(col(blockCol).as("blk"), col(idCol).cast("long").as("doc_id"),
-      shingles(col(textCol), shingleSize).as("sh"))
-    // join on the 64-bit shingle hash: fixed-width shuffle keys instead of
-    // variable-length strings (collision odds ~|shingles|²/2^64, negligible)
-    val sg = sh.select(col("blk"), col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("g"))
-      .select(col("blk"), col("doc_id"), col("n"), xxhash64(col("g")).as("g"))
-    // length-ratio pruning: J <= min(na,nb)/max(na,nb), so a pair whose
-    // set sizes differ by more than the threshold ratio can never pass —
-    // drop it at the join (the 1e-9 slack keeps FP boundary pairs, which
-    // the exact jaccard filter below then decides)
+      shingle_hashes(col(textCol), shingleSize).as("sh"))
+      .withColumn("n", size(col("sh")))
+    // prefix length p = n - ceil(t·n) + 1; the epsilon only ever LENGTHENS
+    // the prefix (fp noise shortening it would cost recall)
+    val plen = (col("n") -
+      ceil(col("n").cast("double") * lit(threshold) - lit(1e-9)).cast("int") + lit(1))
+    val pre = sh.select(col("blk"), col("doc_id"), col("n"),
+      posexplode(slice(col("sh"), lit(1), plen)).as(Seq("pos", "g")))
+    // J <= min(na,nb)/max(na,nb): unequal-length pairs can never pass
     val ratioOk =
       col("x.n").cast("double") >= col("y.n") * threshold - 1e-9 &&
         col("y.n").cast("double") >= col("x.n") * threshold - 1e-9
-    // set sizes are functionally dependent on the doc ids, so they ride
-    // through the counting aggregate (max = the constant) — no extra joins
-    sg.as("x").join(sg.as("y"),
+    // overlap needed for J >= t is a = t/(1+t)·(na+nb); the elements at or
+    // after the matched (sorted) position bound the overlap still reachable
+    val alpha = (col("x.n") + col("y.n")).cast("double") *
+      lit(threshold / (1.0 + threshold)) - lit(1e-9)
+    val posOk = (lit(1) +
+      least(col("x.n") - col("x.pos") - 1, col("y.n") - col("y.pos") - 1))
+      .cast("double") >= alpha
+    val cand = pre.as("x").join(pre.as("y"),
         col("x.blk") === col("y.blk") && col("x.g") === col("y.g") &&
-          col("x.doc_id") < col("y.doc_id") && ratioOk)
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"), max(col("x.n")).as("na"), max(col("y.n")).as("nb"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          col("x.doc_id") < col("y.doc_id") && ratioOk && posOk)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh.select(col("doc_id"), col("sh")), threshold)
   }
 
   /** 64-bit SimHash signature per document over word-shingle hashes —
@@ -143,7 +152,7 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 2): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"),
-      simhash_sig(hash_array(shingles(col(textCol), shingleSize))).as("simhash"))
+      simhash_sig(shingle_hashes(col(textCol), shingleSize)).as("simhash"))
 
   /** SimHash near-dup pairs at Hamming distance <= maxDist (default 3).
     * Blocking: split the 64-bit signature into (maxDist+1) chunks — any pair

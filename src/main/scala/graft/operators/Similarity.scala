@@ -151,20 +151,22 @@ object Similarity {
     val c = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
       vec_double(col(corpusVec)).as("cv"))
       .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
-    // codebook: evenly-strided anchor vectors, L2-normalized on the driver
-    val ids = c.select("neighbor_id").orderBy("neighbor_id").collect().map(_.getLong(0))
-    require(ids.nonEmpty, "empty corpus")
-    val stride = math.max(1, ids.length / nlist)
-    val anchorIds = (0 until math.min(nlist, ids.length))
-      .map(i => ids(math.min(i * stride, ids.length - 1)))
+    // codebook: the nlist corpus vectors with the smallest xxhash64(id) — a
+    // deterministic pseudo-random sample fetched as a top-K (TakeOrdered:
+    // per-partition heap + driver merge, no full sort, no second job; at
+    // 100 TB swap in TABLESAMPLE + a k-means refinement, persist the
+    // codebook), L2-normalized on the driver
     val codebook: Seq[Seq[Double]] = c
-      .filter(col("neighbor_id").isInCollection(anchorIds))
-      .select("neighbor_id", "cv", "cn").collect()
+      .select(col("neighbor_id"), col("cv"), col("cn"))
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(nlist)
+      .collect()
       .sortBy(_.getLong(0))
       .map { r =>
         val n = r.getDouble(2)
         r.getSeq[Double](1).map(x => if (n == 0) 0.0 else x / n)
       }.toSeq
+    require(codebook.nonEmpty, "empty corpus")
 
     /** ranked anchor list for a vector: struct(-dot, j) sorted ascending. */
     def rankedAnchors(v: org.apache.spark.sql.Column) =
@@ -172,7 +174,12 @@ object Similarity {
         struct((lit(0.0) - dotd(v, typedLit(codebook(j)))).as("d"), lit(j).as("j"))
       }: _*))
 
-    val cb = c.withColumn("bucket", rankedAnchors(col("cv")).getItem(0).getField("j"))
+    // corpus side needs only the argmax anchor: array_min over (−dot, j)
+    // structs is O(nlist), no per-row sort
+    val cb = c.withColumn("bucket",
+      array_min(array(codebook.indices.map { j =>
+        struct((lit(0.0) - dotd(col("cv"), typedLit(codebook(j)))).as("d"), lit(j).as("j"))
+      }: _*)).getField("j"))
     val qb = queries.select(col(queryId).cast("long").as("query_id"),
       vec_double(col(queryVec)).as("qv"))
       .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))

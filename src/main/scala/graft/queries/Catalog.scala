@@ -346,9 +346,8 @@ object Catalog {
     "q19_lang_guess",
     (s, dir) =>
       t(s, dir, "documents")
-        // project the token array once; the CASE runs 4 cheap overlaps on it
-        .withColumn("toks", tokens(lower(col("text"))))
-        .groupBy(lang_guess_tokens(col("toks")).as("lang_pred"))
+        // byte-scan kernel: no token-array materialization at all
+        .groupBy(lang_guess_fast(col("text")).as("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred")),
     Some("""WITH toks AS (
@@ -523,7 +522,7 @@ object Catalog {
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc, col("bigram"))
       t(s, dir, "documents")
-        .select(col("lang"), explode(shingles(col("text"), 2)).as("bigram"))
+        .select(col("lang"), explode(shingle_strings(col("text"), 2)).as("bigram"))
         .groupBy(col("lang"), col("bigram"))
         .agg(count(lit(1)).as("n"))
         .withColumn("rnk", row_number().over(w))

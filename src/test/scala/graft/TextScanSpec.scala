@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+
+/** The byte-level kernels ([[graft.functions.TextScan]]) are fast paths for
+  * declarative pipelines the DuckDB oracle mirrors — these specs pin
+  * value-identity so swapping them in can never move an oracle hash. */
+class TextScanSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  import graft.functions.{hash_array, lang_guess, lang_guess_fast, shingle_hashes, shingles}
+
+  private def hostile = {
+    import spark.implicits._
+    Seq(
+      "", " ", "   ", "\t", "\tleading tab", "a", "a b", "a  b", "a\tb",
+      "one two three four five", "trailing space ", " leading space",
+      "\n\nnewlines\nsplit\ntokens\n", "mixed \t whitespace runs \f here \r ok",
+      "der Und das", "el la los", "the and of", "unicode café straße ÉL",
+      "dup dup dup dup", "x y x y x y"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("shingle_hashes == sorted distinct xxhash64 of declarative shingles") {
+    for (df <- Seq(hostile, Tables.load(spark, dir, "documents")); n <- Seq(2, 3)) {
+      val bad = df
+        .select(
+          shingle_hashes(col("text"), n).as("fast"),
+          sort_array(array_distinct(hash_array(shingles(col("text"), n)))).as("slow"))
+        .filter(not(col("fast") === col("slow")))
+        .count()
+      assert(bad == 0, s"n=$n: $bad rows diverge from the declarative pipeline")
+    }
+  }
+
+  test("shingle_strings == declarative shingles (as sets; both distinct)") {
+    import graft.functions.shingle_strings
+    for (df <- Seq(hostile, Tables.load(spark, dir, "documents")); n <- Seq(2, 3)) {
+      val bad = df
+        .select(
+          sort_array(shingle_strings(col("text"), n)).as("fast"),
+          sort_array(shingles(col("text"), n)).as("slow"))
+        .filter(not(col("fast") === col("slow")))
+        .count()
+      assert(bad == 0, s"n=$n: $bad rows diverge from the declarative pipeline")
+    }
+  }
+
+  test("sorted_intersect_count == size(array_intersect) on shingle hashes") {
+    import graft.functions.sorted_intersect_count
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = docs.select(col("doc_id"), shingle_hashes(col("text"), 2).as("sh"))
+    val bad = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < 40 && col("b.doc_id") < 40)
+      .select(
+        sorted_intersect_count(col("a.sh"), col("b.sh")).as("fast"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(bad == 0, s"$bad pairs diverge from array_intersect")
+  }
+
+  test("lang_guess_fast == declarative lang_guess CASE chain") {
+    for (df <- Seq(hostile, Tables.load(spark, dir, "documents"))) {
+      val bad = df
+        .select(lang_guess_fast(col("text")).as("fast"), lang_guess(col("text")).as("slow"))
+        .filter(col("fast") =!= col("slow"))
+        .count()
+      assert(bad == 0, s"$bad rows diverge from the declarative CASE")
+    }
+  }
+}
