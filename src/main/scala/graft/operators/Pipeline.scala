@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/similarity: benchmark
+  * decontamination, deterministic sampling, and corpus statistics.
+  *
+  * Everything here is a declarative plan over content hashes — no RNG
+  * state, no driver-side loops — so results are reproducible run-to-run
+  * and identical across engines (the DuckDB oracles replay the same md5
+  * arithmetic).
+  */
+object Pipeline {
+
+  /** Remove training rows whose `textCol` content also appears in `test`
+    * (eval-set decontamination). The join key is md5 of the raw bytes: a
+    * fixed-width key instead of shuffling document bodies, and a LEFT ANTI
+    * join so the train side streams through one hash shuffle. At 100 TB
+    * the test side is comparatively tiny — Catalyst/AQE broadcasts it and
+    * the anti join becomes a map-side bloom-style probe. */
+  def decontaminate(train: DataFrame, test: DataFrame, textCol: String): DataFrame =
+    train.join(
+      test.select(md5(col(textCol)).as("__h")).distinct(),
+      md5(train(textCol)) === col("__h"),
+      "left_anti")
+
+  /** Deterministic content-hash sampling: keep rows whose md5 hex prefix
+    * sorts below `hexThreshold` (two hex chars ⇒ rate = parseInt(t,16)/256).
+    * Unlike `df.sample`, membership is a pure function of the content —
+    * stable across runs, partitionings, and cluster sizes, and the same
+    * document is kept or dropped in every derived dataset. */
+  def hashSampled(df: DataFrame, textCol: String, hexThreshold: String): Column =
+    substring(md5(col(textCol)), 1, hexThreshold.length) < hexThreshold
+
+  /** Top-k terms per group by tf·(N/df): tf = occurrences within the
+    * group, df = distinct documents containing the term corpus-wide, N =
+    * total documents. The idf ratio is kept as a plain division (no log)
+    * so the score is bit-reproducible across engines. Two aggregates and
+    * one join, all keyed on the term — shuffle keys are terms, never
+    * documents. */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      nDocs: Long,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"), col(groupCol).as("grp"),
+      explode(graft.functions.tokens(lower(col(textCol)))).as("tok"))
+    val tf = toks.groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("tok"), col("__id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      // pinned evaluation order: (tf * N) / df, all double
+      .withColumn("score",
+        col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("grp"), col("tok"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+}

@@ -574,10 +574,142 @@ object Catalog {
     },
     None)
 
+  // ============================================= temporal joins (as-of / range)
+
+  /** As-of join: last click at-or-before each purchase, per user. Matched
+    * value is the right-side timestamp itself, so equal-ts ties cannot
+    * perturb the hash (see Temporal.asofJoin). */
+  private val q37 = QueryDef(
+    "q37_asof_last_click",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      graft.operators.Temporal.asofJoin(purch, clicks, "user_id", "ts", "ts", "__m")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("purchase_ms"),
+          unix_millis(col("__m")).as("click_ms"))
+        .orderBy(col("user_id"), col("purchase_ms"), col("event_id"))
+    },
+    Some("""SELECT p.user_id, p.event_id,
+        epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms
+      FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY p.user_id, purchase_ms, p.event_id"""))
+
+  /** Binned range join: clicks per user in the 10 minutes before each
+    * error event (left-complete: zero-match errors kept with count 0). */
+  private val q38 = QueryDef(
+    "q38_recent_click_window",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      graft.operators.Temporal.rangeCountBinned(errors, clicks,
+        key = "user_id", leftId = "event_id", leftTs = "ts", rightTs = "ts",
+        windowMs = 10L * 60 * 1000, countCol = "n_recent_clicks")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("error_ms"), col("n_recent_clicks"))
+        .orderBy(col("user_id"), col("error_ms"), col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS error_ms,
+        COUNT(c.user_id) AS n_recent_clicks
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        ON c.user_id = e.user_id
+        AND c.ts >= e.ts - INTERVAL 10 MINUTES AND c.ts < e.ts
+      GROUP BY 1, 2, 3
+      ORDER BY e.user_id, error_ms, e.event_id"""))
+
+  // ================================== pipeline ops (decontaminate / sample / tfidf)
+
+  /** Eval-set decontamination: drop train docs whose text also appears in
+    * the held-out slice (doc_id % 10 == 0), keyed on md5 (identical hex in
+    * both engines). */
+  private val q39 = QueryDef(
+    "q39_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val test = docs.filter(col("doc_id") % 10 === 0)
+      graft.operators.Pipeline.decontaminate(train, test, "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE doc_id % 10 <> 0
+        AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)
+      ORDER BY doc_id"""))
+
+  /** Deterministic content-hash sampling: md5-prefix < '34' keeps ~20.3%
+    * (52/256), stable across runs/partitionings; per-lang keep rates. */
+  private val q40 = QueryDef(
+    "q40_hash_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(graft.operators.Pipeline.hashSampled(docs, "text", "34"), 1L)
+            .otherwise(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+        COUNT(*) FILTER (WHERE substr(md5(text), 1, 2) < '34') AS n_sampled
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** tf·(N/df) top terms per language — idf kept as a plain ratio (no log)
+    * so the score doubles are engine-identical. */
+  private val q41 = QueryDef(
+    "q41_tfidf_top_terms",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      graft.operators.Pipeline.tfidfTopTerms(docs, "doc_id", "lang", "text", n, 5)
+        .orderBy(col("grp"), col("rnk"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      tf AS (SELECT lang, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfq AS (SELECT tok, COUNT(*) AS df
+              FROM (SELECT DISTINCT tok, doc_id FROM toks) x GROUP BY tok),
+      sc AS (SELECT lang, tok, tf, df,
+               CAST(tf AS DOUBLE) * (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                 / CAST(df AS DOUBLE) AS score
+             FROM tf JOIN dfq USING (tok)),
+      r AS (SELECT lang, tok, tf, df, score,
+              CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS INTEGER) AS rnk
+            FROM sc)
+      SELECT lang AS grp, tok, tf, df, score, rnk FROM r WHERE rnk <= 5
+      ORDER BY grp, rnk"""))
+
+  /** PII-style scrubbing: digit runs → '#'; verify via digit counts and
+    * the md5 of the redacted text (regexp_replace is replace-ALL in Spark;
+    * DuckDB needs the 'g' flag). */
+  private val q42 = QueryDef(
+    "q42_redact_digits",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("int").as("n_digits"),
+        md5(regexp_replace(col("text"), "[0-9]+", "#")).as("redacted_md5"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digits,
+        md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36) ++
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+    q41, q42) ++
     ConnectorQueries.all
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.{Pipeline, Temporal}
+
+/** Semantics of the temporal-join and pipeline operators against naive
+  * (quadratic) reference formulations at small scale — the operators
+  * themselves never build the quadratic plan. */
+class TemporalPipelineSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  test("asofJoin == theta-join + max aggregate reference") {
+    val ev = Tables.load(spark, dir, "events")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val clicksR = clicks.select(col("user_id").as("cu"), col("ts").as("cts"))
+    val got = Temporal.asofJoin(purch, clicks, "user_id", "ts", "ts", "m")
+      .select(col("event_id"), unix_micros(col("m")).as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val ref = purch.join(clicksR,
+        col("user_id") === col("cu") && col("cts") <= col("ts"), "left")
+      .groupBy(col("event_id")).agg(max(unix_micros(col("cts"))).as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == ref)
+    assert(got.valuesIterator.exists(_.isDefined) && got.valuesIterator.exists(_.isEmpty),
+      "test data should exercise both matched and unmatched purchases")
+  }
+
+  test("rangeCountBinned == unbinned theta-join reference (incl. zero counts)") {
+    val ev = Tables.load(spark, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val clicksR = clicks.select(col("user_id").as("cu"), col("ts").as("cts"))
+    val w = 10L * 60 * 1000
+    val got = Temporal.rangeCountBinned(errors, clicks,
+      "user_id", "event_id", "ts", "ts", w, "n")
+      .select(col("event_id"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = errors.join(clicksR,
+        col("user_id") === col("cu") &&
+          unix_micros(col("cts")) >= unix_micros(col("ts")) - w * 1000 &&
+          unix_micros(col("cts")) < unix_micros(col("ts")), "left")
+      .groupBy(col("event_id")).agg(count(col("cu")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    assert(got.valuesIterator.exists(_ == 0L) && got.valuesIterator.exists(_ > 0L),
+      "test data should exercise both zero and positive window counts")
+  }
+
+  test("hash sampling is content-determined: duplicate texts sample identically") {
+    val docs = Tables.load(spark, dir, "documents")
+    val flagged = docs.select(md5(col("text")).as("h"),
+      Pipeline.hashSampled(docs, "text", "34").as("keep"))
+    val inconsistent = flagged.groupBy(col("h"))
+      .agg(countDistinct(col("keep")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(inconsistent == 0, "same content must sample the same way")
+  }
+
+  test("decontaminate removes exactly the test-set texts from train") {
+    val docs = Tables.load(spark, dir, "documents")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val test = docs.filter(col("doc_id") % 10 === 0)
+    val kept = Pipeline.decontaminate(train, test, "text")
+    // no kept train text may appear in test
+    assert(kept.join(test.select(col("text")), Seq("text"), "left_semi").count() == 0)
+    // and everything dropped DOES appear in test
+    val dropped = train.join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    assert(dropped.join(test.select(col("text")), Seq("text"), "left_anti").count() == 0)
+  }
+}
