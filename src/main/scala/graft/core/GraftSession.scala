@@ -27,6 +27,9 @@ object GraftSession {
       // whole-stage codegen (default maxFields=100 would silently fall
       // back to interpreted row-based aggregation)
       .config("spark.sql.codegen.maxFields", "256")
+      // honor KeyGroupedPartitioning reported by our DSv2 scans (one
+      // partition per stream/shard → exchange-free groupBy on the key)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / bench: one JVM, `cpus` executor threads. */
@@ -48,6 +51,7 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.codegen.maxFields", "256")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark
   }
 }

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -37,8 +37,15 @@ object Dsv2 {
   }
 
   /** A Batch producing one partition per element of `parts`; `readFn` runs on
-    * the executor. */
-  final case class FnPartition(idx: Int, tag: String, from: Long, to: Long) extends InputPartition
+    * the executor. `tag` doubles as the partition key ([[HasPartitionKey]])
+    * so scans whose partitioning IS the tag (one partition per stream/
+    * shard) can report `KeyGroupedPartitioning` and downstream
+    * groupBy/join on that column runs exchange-free (storage-partitioned).
+    * Scans that don't report a partitioning are unaffected. */
+  final case class FnPartition(idx: Int, tag: String, from: Long, to: Long)
+      extends InputPartition with HasPartitionKey {
+    override def partitionKey(): InternalRow = row(utf8(tag))
+  }
 
   final class FnBatch(parts: Seq[FnPartition],
       readFn: FnPartition => Iterator[InternalRow]) extends Batch with Serializable {

@@ -136,10 +136,12 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+      with SupportsPushDownAggregates {
       private var required: StructType = userSchema
       private var pushed = Array.empty[Filter]
       private var preds = MongoJson.parseFilter(filterJson)
+      private var countPushed = false
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val converted = filters.map(f => f -> MongoJson.catalystToPred(f))
@@ -151,15 +153,40 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
+      // COUNT(*) (with whatever predicates were already pushed) is answered
+      // server-side — the `countDocuments(filter)` analog. Complete
+      // pushdown: no documents cross the wire at all.
+      private def isCountStar(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        agg.groupByExpressions().isEmpty && agg.aggregateExpressions().length == 1 &&
+          agg.aggregateExpressions()(0)
+            .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        isCountStar(agg)
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        if (isCountStar(agg)) { countPushed = true; true } else false
+      }
+
       override def build(): Scan = new Dsv2.BatchScan {
-        override def readSchema(): StructType = required
+        override def readSchema(): StructType =
+          if (countPushed)
+            StructType(Seq(StructField("count", LongType, nullable = false)))
+          else required
         override def description(): String =
-          s"mongo($uri) preds=${preds.map(p => s"${p.field}${p.op}").mkString(",")} cols=${required.fieldNames.mkString(",")}"
+          s"mongo($uri) preds=${preds.map(p => s"${p.field}${p.op}").mkString(",")} " +
+            (if (countPushed) "agg=count(*)"
+             else s"cols=${required.fieldNames.mkString(",")}")
         override def batch: Batch = {
-          val (u, ps, rs) = (uri, preds, required)
+          val (u, ps, rs, cnt) = (uri, preds, required, countPushed)
           val isRaw = rs.length == 1 && rs.head.name == "doc"
           new FnBatch(Seq(FnPartition(0, "find", 0, 0)), _ =>
-            MemHub.find(u).iterator.flatMap { docStr =>
+            if (cnt) {
+              val n = MemHub.find(u).iterator
+                .count(docStr => ps.forall(_.eval(MongoJson.parse(docStr))))
+              Iterator.single(Dsv2.row(n.toLong))
+            } else MemHub.find(u).iterator.flatMap { docStr =>
               val doc = MongoJson.parse(docStr)
               if (ps.forall(_.eval(doc)))
                 Some(if (isRaw) Dsv2.row(Dsv2.utf8(docStr)) else MongoJson.toRow(doc, rs))

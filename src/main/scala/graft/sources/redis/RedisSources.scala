@@ -104,10 +104,35 @@ class RedisZSetTable(options: CaseInsensitiveStringMap) extends Table with Suppo
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters {
+    new ScanBuilder with SupportsPushDownFilters
+      with SupportsPushDownLimit with SupportsPushDownTopN {
       private var from = optFrom
       private var to = optTo
       private var pushed = Array.empty[Filter]
+      private var limit: Option[Int] = None
+      private var descending = false
+
+      // ZRANGEBYSCORE ... LIMIT analog: the store returns score-ordered
+      // members, so ORDER BY score [DESC] LIMIT n is served entirely
+      // server-side. The scan is a single partition (a sorted set lives on
+      // one server), so the pushed ordering is GLOBAL and Spark drops its
+      // Sort+Limit completely (isPartiallyPushed = false).
+      override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+      override def pushTopN(
+          orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+          l: Int): Boolean = {
+        if (orders.length != 1) return false
+        orders(0).expression() match {
+          case fr: org.apache.spark.sql.connector.expressions.NamedReference
+              if fr.fieldNames().length == 1 && fr.fieldNames()(0) == "score" =>
+            descending = orders(0).direction() ==
+              org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+            limit = Some(l)
+            true
+          case _ => false
+        }
+      }
+      override def isPartiallyPushed(): Boolean = false
 
       // ZRANGEBYSCORE is an inclusive server-side range: consume >=/<=/= on
       // score exactly; leave anything else (and strict bounds) to Spark.
@@ -132,13 +157,17 @@ class RedisZSetTable(options: CaseInsensitiveStringMap) extends Table with Suppo
 
       override def build(): Scan = new Dsv2.BatchScan {
         override def readSchema(): StructType = RedisZSet.schema
-        override def description(): String = s"redis-zset($uri/$key) range=[$from,$to]"
+        override def description(): String =
+          s"redis-zset($uri/$key) range=[$from,$to]" +
+            limit.map(l => s" topN=$l ${if (descending) "DESC" else "ASC"}").getOrElse("")
         override def batch: Batch = {
-          val (u, k, f, t) = (uri, key, from, to)
-          new FnBatch(Seq(FnPartition(0, k, 0, 0)), _ =>
-            MemHub.zrangeByScore(s"$u/$k", f, t).iterator.map { case (m, s) =>
-              Dsv2.row(s, Dsv2.utf8(m))
-            })
+          val (u, k, f, t, lim, desc) = (uri, key, from, to, limit, descending)
+          new FnBatch(Seq(FnPartition(0, k, 0, 0)), _ => {
+            val ranged = MemHub.zrangeByScore(s"$u/$k", f, t) // (member, score), score-asc
+            val ordered = if (desc) ranged.reverse else ranged
+            val limited = lim.map(ordered.take).getOrElse(ordered)
+            limited.iterator.map { case (m, s) => Dsv2.row(s, Dsv2.utf8(m)) }
+          })
         }
       }
     }
@@ -185,9 +214,18 @@ class RedisStreamTable(options: CaseInsensitiveStringMap) extends Table with Sup
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    () => new Scan {
+    () => new Scan with SupportsReportPartitioning {
       override def readSchema(): StructType = RedisStream.schema
       override def description(): String = name()
+
+      // one input partition per Redis stream, keyed by the stream name
+      // (FnPartition.partitionKey): downstream groupBy/join on `stream`
+      // needs no exchange — the storage partitioning IS the clustering
+      override def outputPartitioning()
+          : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity("stream")),
+          streamNames.length)
 
       override def toBatch: Batch = {
         val u = uri

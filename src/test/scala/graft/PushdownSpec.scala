@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.sources.GraftSources
+import graft.sources.hub.MemHub
+
+/** DSv2 pushdown surfaces beyond filters/columns: top-N and limit into the
+  * sorted-set scan, complete COUNT(*) into the document scan, and reported
+  * key-grouped partitioning from the stream scan (exchange-free groupBy). */
+class PushdownSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("zset: ORDER BY score LIMIT n is served by the store (no Spark sort)") {
+    val uri = "hub:test/zset-topn"
+    MemHub.zadd(s"$uri/z", (0 until 100).iterator.map(i => s"m$i" -> i.toDouble))
+    val top = GraftSources.redisSortedSet(spark, uri, "z")
+      .orderBy(col("score").desc).limit(3)
+    val plan = physical(top)
+    assert(plan.contains("topN=3 DESC"), s"topN not pushed:\n$plan")
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "),
+      s"Spark still sorting:\n$plan")
+    assert(top.select("score").collect().map(_.getDouble(0)).toSeq == Seq(99.0, 98.0, 97.0))
+
+    val asc = GraftSources.redisSortedSet(spark, uri, "z")
+      .filter(col("score") >= 90.0).orderBy(col("score")).limit(2)
+    assert(physical(asc).contains("topN=2 ASC"))
+    assert(asc.select("score").collect().map(_.getDouble(0)).toSeq == Seq(90.0, 91.0))
+
+    val lim = GraftSources.redisSortedSet(spark, uri, "z").limit(5)
+    assert(physical(lim).contains("topN=5"), "bare limit not pushed")
+    assert(lim.count() == 5)
+  }
+
+  test("mongo: COUNT(*) with predicates answered server-side (complete pushdown)") {
+    val uri = "hub:test/mongo-count"
+    MemHub.insertMany(uri, (1 to 50).iterator.map(i => s"""{"id":$i,"v":${i % 5}}"""))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", LongType)))
+    val df = spark.read.format("graft-mongo").schema(schema).option("uri", uri).load()
+      .filter(col("v") === 0)
+    val agg = df.groupBy().count()
+    assert(physical(agg).contains("agg=count(*)"),
+      s"count not pushed:\n${physical(agg)}")
+    assert(agg.head().getLong(0) == 10L)
+    // and the unfiltered scan still returns documents
+    assert(df.count() == 10L)
+  }
+
+  test("stream scan reports key-grouped partitioning: groupBy(stream) has no exchange") {
+    val uri = "hub:test/stream-kgp"
+    for (s <- Seq("s-a", "s-b", "s-c"))
+      MemHub.xadd(uri, s,
+        (1 to (s.last - 'a' + 1) * 10).iterator.map(i => Map("i" -> i.toString)))
+    val counts = GraftSources.redisStreamBatch(spark, uri, Seq("s-a", "s-b", "s-c"))
+      .groupBy(col("stream")).agg(count(lit(1)).as("n"))
+    val plan = physical(counts)
+    assert(!plan.contains("Exchange"), s"groupBy(stream) still shuffles:\n$plan")
+    assert(counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("s-a" -> 10L, "s-b" -> 20L, "s-c" -> 30L))
+  }
+}
