@@ -38,14 +38,21 @@ object MongoJson {
 
   def parse(doc: String): JsonNode = mapper.readTree(doc)
 
-  /** predicate doc: {"field": {"$gte": v}} / {"$eq"|"$gt"|"$lte"|"$lt"|"$ne"} */
+  private def cmpTo(n: JsonNode, v: JsonNode): Int =
+    if (n.isNumber && v.isNumber) java.lang.Double.compare(n.asDouble(), v.asDouble())
+    else n.asText().compareTo(v.asText())
+
+  /** predicate doc: {"field": {"$gte": v}} — $eq/$gt/$gte/$lt/$lte/$ne/$in */
   final case class Pred(field: String, op: String, value: JsonNode) {
     def eval(doc: JsonNode): Boolean = {
       val n = doc.get(field)
       if (n == null || n.isNull) return false
-      val cmp: Int =
-        if (n.isNumber && value.isNumber) java.lang.Double.compare(n.asDouble(), value.asDouble())
-        else n.asText().compareTo(value.asText())
+      if (op == "$in") {
+        val it = value.elements()
+        while (it.hasNext) if (cmpTo(n, it.next()) == 0) return true
+        return false
+      }
+      val cmp: Int = cmpTo(n, value)
       op match {
         case "$eq" => cmp == 0
         case "$ne" => cmp != 0
@@ -97,6 +104,16 @@ object MongoJson {
     }
   }
 
+  /** Runtime In(...) filter → {"field": {"$in": [...]}} predicate. */
+  def inPred(field: String, values: Array[Any]): Pred = {
+    val arr = mapper.getNodeFactory.arrayNode()
+    values.foreach {
+      case n: java.lang.Number => arr.add(new java.math.BigDecimal(n.toString))
+      case v => arr.add(String.valueOf(v))
+    }
+    Pred(field, "$in", arr)
+  }
+
   /** Flat JSON document → InternalRow under `schema`. */
   def toRow(doc: JsonNode, schema: StructType): InternalRow = {
     val vals = schema.fields.map { f =>
@@ -114,6 +131,12 @@ object MongoJson {
     }
     Dsv2.row(vals.toIndexedSeq: _*)
   }
+}
+
+/** Test observability: documents emitted by find() scans after all
+  * (planning-time AND runtime) predicates. */
+object MongoScanStats {
+  val emitted = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 class MongoProvider extends TableProvider with DataSourceRegister {
@@ -169,7 +192,22 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
         if (isCountStar(agg)) { countPushed = true; true } else false
       }
 
-      override def build(): Scan = new Dsv2.BatchScan {
+      override def build(): Scan = new Dsv2.BatchScan
+        with SupportsRuntimeFiltering {
+        // runtime (join-time) filters — the DSv2 analog of dynamic
+        // partition pruning: when this scan sits under a broadcast join,
+        // Spark hands us the build side's key set as In(...) at execution
+        // start and the find() narrows before any document is emitted
+        private var runtime: Seq[MongoJson.Pred] = Seq.empty
+        private var runtimeDesc = ""
+        override def filterAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        override def filter(filters: Array[Filter]): Unit = {
+          val inPreds = filters.collect { case In(a, vs) if !a.contains(".") => (a, vs) }
+          runtime = inPreds.map { case (a, vs) => MongoJson.inPred(a, vs) }
+          runtimeDesc = inPreds.map { case (a, vs) => s"$a IN(${vs.length})" }.mkString(",")
+        }
         override def readSchema(): StructType =
           if (countPushed)
             StructType(Seq(StructField("count", LongType, nullable = false)))
@@ -179,7 +217,7 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
             (if (countPushed) "agg=count(*)"
              else s"cols=${required.fieldNames.mkString(",")}")
         override def batch: Batch = {
-          val (u, ps, rs, cnt) = (uri, preds, required, countPushed)
+          val (u, ps, rs, cnt) = (uri, preds ++ runtime, required, countPushed)
           val isRaw = rs.length == 1 && rs.head.name == "doc"
           new FnBatch(Seq(FnPartition(0, "find", 0, 0)), _ =>
             if (cnt) {
@@ -188,9 +226,10 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
               Iterator.single(Dsv2.row(n.toLong))
             } else MemHub.find(u).iterator.flatMap { docStr =>
               val doc = MongoJson.parse(docStr)
-              if (ps.forall(_.eval(doc)))
+              if (ps.forall(_.eval(doc))) {
+                MongoScanStats.emitted.incrementAndGet()
                 Some(if (isRaw) Dsv2.row(Dsv2.utf8(docStr)) else MongoJson.toRow(doc, rs))
-              else None
+              } else None
             })
         }
       }

@@ -52,6 +52,22 @@ object ServiceMap {
 /** Rolling (running) aggregate — the reference's `rollingAggregate`
   * (HyperLogLogTest.java:84): a streaming global/keyed aggregate emitting
   * the updated value each micro-batch (output mode `update`). */
+/** Streaming exact deduplication with BOUNDED state: the dedup state for a
+  * key lives only until the event-time watermark passes it, so an infinite
+  * stream never accumulates infinite state (the 100 TB requirement — a
+  * plain `dropDuplicates` on a stream keys state forever). A duplicate
+  * arriving within the delay is dropped; the same key re-appearing after
+  * the watermark moved past its state is treated as new. */
+object StreamDedup {
+  def dedupWithinWatermark(
+      df: DataFrame,
+      eventTimeCol: String,
+      delay: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}
+
 object Rolling {
   def rollingAggregate(df: DataFrame, aggs: Column*): DataFrame = df.agg(aggs.head, aggs.tail: _*)
   def rollingAggregateByKey(df: DataFrame, keys: Seq[String], aggs: Column*): DataFrame =

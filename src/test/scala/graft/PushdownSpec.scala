@@ -52,6 +52,23 @@ class PushdownSpec extends AnyFunSuite {
     assert(df.count() == 10L)
   }
 
+  test("mongo: broadcast-join keys runtime-filter the scan (DPP analog)") {
+    import graft.sources.mongo.MongoScanStats
+    val uri = "hub:test/mongo-rtf"
+    MemHub.insertMany(uri, (1 to 200).iterator.map(i => s"""{"id":$i,"v":"x$i"}"""))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val fact = spark.read.format("graft-mongo").schema(schema).option("uri", uri).load()
+    // the dim side needs a selective predicate for Spark to consider
+    // runtime pruning (PartitionPruning.hasSelectivePredicate)
+    val dim = spark.range(1, 1000).filter(col("id") < 6).select(col("id").as("did"))
+    val joined = fact.join(broadcast(dim), col("id") === col("did"))
+    MongoScanStats.emitted.set(0)
+    assert(joined.count() == 5)
+    val emitted = MongoScanStats.emitted.get()
+    assert(emitted == 5,
+      s"runtime In-filter should have narrowed find() to the 5 build-side keys, emitted=$emitted")
+  }
+
   test("stream scan reports key-grouped partitioning: groupBy(stream) has no exchange") {
     val uri = "hub:test/stream-kgp"
     for (s <- Seq("s-a", "s-b", "s-c"))

@@ -277,6 +277,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((2L, base + 10000, base + 60000, 2L)), s"user2 session missing in $got")
   }
 
+  test("streaming dedup within watermark: duplicates dropped, state expires with the watermark") {
+    import graft.streaming.StreamDedup
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val df = input.toDF().toDF("k", "ts")
+    val q = StreamDedup.dedupWithinWatermark(df, "ts", "10 seconds", Seq("k"))
+      .writeStream.outputMode("append").format("memory").queryName("sdedup").start()
+    def t(min: Int, sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+    // batch 1: keys 1,1,2 close together → 1 deduped
+    input.addData((1L, t(0, 0)), (1L, t(0, 1)), (2L, t(0, 2)))
+    q.processAllAvailable()
+    assert(spark.table("sdedup").select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // batch 2: key 1 re-appears far past the watermark → its state expired,
+    // so it is emitted AGAIN (bounded state, not forever-dedup)
+    input.addData((1L, t(30, 0)))
+    q.processAllAvailable()
+    input.addData((1L, t(30, 1))) // and a fresh duplicate is still dropped
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("sdedup").select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 1L, 2L))
+  }
+
   test("ingestion-timestamp policy analog: current_timestamp column on non-timestamped source") {
     val uri = "hub:test/mqtt-ingest"
     MemHub.publish(uri, "a", (0 until 5).iterator.map(i =>
