@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics (batch): gap-based sessionization, funnels,
+  * cohort retention. All counts are integer-exact so results replay
+  * bit-identically in any engine.
+  *
+  * Each operator is one or two window/aggregate passes partitioned by
+  * user — the shuffle key is the user id, state per key is a handful of
+  * counters, and nothing is quadratic in events-per-user. The streaming
+  * face of sessionization (unbounded input, keyed timeout state) is
+  * [[graft.streaming.Sessionize]]; this is the batch replay with identical
+  * gap semantics.
+  */
+object Events {
+
+  /** Session ids per event: a session breaks after `gapMs` of inactivity.
+    * Classic islands: flag = "gap from previous event > gapMs", session
+    * index = running sum of flags — two window passes over one shuffle
+    * (both windows share the (user, time) sort). Event-time order is fully
+    * keyed by (ts, idCol) so duplicate timestamps cannot make the result
+    * order-dependent. */
+  def withSessionIds(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapMs: Long): DataFrame = {
+    val order = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(idCol))
+    df.withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__new",
+        when(col("__us") - lag(col("__us"), 1).over(order) > gapMs * 1000L
+          || lag(col("__us"), 1).over(order).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__us", "__new")
+  }
+
+  /** Per-user session/event counts under gap-based sessionization. */
+  def sessionCounts(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapMs: Long): DataFrame =
+    withSessionIds(df, userCol, tsCol, idCol, gapMs)
+      .groupBy(col(userCol))
+      .agg(max(col("session_idx")).as("n_sessions"), count(lit(1)).as("n_events"))
+
+  /** Ordered funnel: per user, the earliest time of each step; a user
+    * converts through step k if every prefix step's first occurrence is
+    * strictly increasing in time. One aggregate over (user), one pass —
+    * never a self-join per step. Returns a single row of per-step user
+    * counts. */
+  def funnelCounts(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val aggs = steps.map(s =>
+      min(when(col(typeCol) === s, unix_micros(col(tsCol)))).as(s"__t_$s"))
+    val mins = df.groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
+    def through(k: Int) = {
+      val present = (0 to k).map(i => col(s"__t_${steps(i)}").isNotNull).reduce(_ && _)
+      val ordered = (1 to k)
+        .map(i => col(s"__t_${steps(i - 1)}") < col(s"__t_${steps(i)}"))
+        .foldLeft(lit(true))(_ && _)
+      present && ordered
+    }
+    val counts = steps.indices.map(k =>
+      sum(when(through(k), 1L).otherwise(0L)).as(s"n_${steps(k)}"))
+    mins.agg(counts.head, counts.tail: _*)
+  }
+
+  /** Cohort retention: users bucketed by the month of their first event
+    * (the cohort), then distinct active users per (cohort, activity month).
+    * Months are emitted as epoch-ms of the month start — date parts only,
+    * never raw timestamps (parquet ns vs µs parity). */
+  def cohortRetention(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val monthMs = unix_millis(date_trunc("month", col(tsCol)))
+    val active = df.select(col(userCol).as("u"), monthMs.as("activity_month_ms")).distinct()
+    val cohort = active.groupBy(col("u")).agg(min(col("activity_month_ms")).as("cohort_month_ms"))
+    active.join(cohort, "u")
+      .groupBy(col("cohort_month_ms"), col("activity_month_ms"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

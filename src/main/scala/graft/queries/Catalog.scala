@@ -705,11 +705,86 @@ object Catalog {
         md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5
       FROM documents ORDER BY doc_id"""))
 
+  // ===================================== behavioral analytics (events pipeline)
+
+  /** GROUPING SETS beyond cube/rollup: explicit set list. */
+  private val q43 = QueryDef(
+    "q43_grouping_sets",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  /** Batch sessionization (gap islands): per-user session/event counts at a
+    * 10-minute inactivity gap — the batch replay of streaming Sessionize. */
+  private val q44 = QueryDef(
+    "q44_user_sessions",
+    (s, dir) =>
+      graft.operators.Events.sessionCounts(
+        t(s, dir, "events"), "user_id", "ts", "event_id", gapMs = 10L * 60 * 1000)
+        .orderBy(col("user_id")),
+    Some("""WITH o AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events),
+      f AS (SELECT user_id, us, event_id,
+              CASE WHEN prev IS NULL OR us - prev > 600000000 THEN 1 ELSE 0 END AS newf
+            FROM o),
+      sids AS (SELECT user_id,
+                 SUM(newf) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f)
+      SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      FROM sids GROUP BY user_id ORDER BY user_id"""))
+
+  /** Ordered funnel over first occurrences: view → click → purchase. */
+  private val q45 = QueryDef(
+    "q45_funnel",
+    (s, dir) =>
+      graft.operators.Events.funnelCounts(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")),
+    Some("""WITH m AS (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+          MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+          MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+        FROM events GROUP BY user_id)
+      SELECT
+        CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        CAST(SUM(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tv < tc THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        CAST(SUM(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+                       AND tv < tc AND tc < tp THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+      FROM m"""))
+
+  /** Cohort retention: first-event month × activity month distinct users. */
+  private val q46 = QueryDef(
+    "q46_cohort_retention",
+    (s, dir) =>
+      graft.operators.Events.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("cohort_month_ms"), col("activity_month_ms")),
+    Some("""WITH active AS (
+        SELECT DISTINCT user_id AS u, epoch_ms(date_trunc('month', ts)) AS activity_month_ms
+        FROM events),
+      cohort AS (SELECT u, MIN(activity_month_ms) AS cohort_month_ms FROM active GROUP BY u)
+      SELECT cohort_month_ms, activity_month_ms, COUNT(*) AS n_users
+      FROM active JOIN cohort USING (u)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42) ++
+    q41, q42, q43, q44, q45, q46) ++
     ConnectorQueries.all
 }

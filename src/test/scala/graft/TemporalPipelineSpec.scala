@@ -57,6 +57,38 @@ class TemporalPipelineSpec extends AnyFunSuite {
       "test data should exercise both zero and positive window counts")
   }
 
+  test("batch sessionization (gap islands) == streaming Sessionize state machine") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Events
+    import graft.streaming.Sessionize
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val gapMs = 10L * 60 * 1000
+    val batch = Events.sessionCounts(ev, "user_id", "ts", "event_id", gapMs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val rows = ev.select(col("user_id"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val q = Sessionize.sessions(input.toDF().toDF("user_id", "ts"), gapMs = gapMs).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("sess_eq").start()
+    input.addData(rows.toSeq)
+    q.processAllAvailable()
+    // watermark flush so every open session times out and emits
+    val maxTs = rows.map(_._2.getTime).max
+    input.addData((Long.MaxValue, new java.sql.Timestamp(maxTs + 24L * 3600 * 1000)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_eq")
+      .filter(col("userId") =!= Long.MaxValue)
+      .groupBy(col("userId")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"diff=${(batch.toSet diff streamed.toSet) ++ (streamed.toSet diff batch.toSet)}")
+  }
+
   test("hash sampling is content-determined: duplicate texts sample identically") {
     val docs = Tables.load(spark, dir, "documents")
     val flagged = docs.select(md5(col("text")).as("h"),
