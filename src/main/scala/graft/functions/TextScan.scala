@@ -258,6 +258,38 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `bloom_might_contain(bloomBytes, hash)`: membership probe against a
+  * serialized [[org.apache.spark.util.sketch.BloomFilter]] built once on
+  * the driver (`df.stat.bloomFilter`) and shipped as a binary literal. The
+  * deserialized filter is installed into generated code as a reference
+  * object, so the probe stays inside whole-stage codegen — one xxhash64 +
+  * k bit tests per row, no join, no shuffle. No false negatives: a
+  * `false` result is definitive, which is what makes bloom-prefiltered
+  * anti-joins exact after verification. */
+case class BloomMightContain(bloomBytes: Expression, child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = bloomBytes
+  override def right: Expression = child
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  require(bloomBytes.foldable, "bloom filter bytes must be a literal")
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes.eval(null).asInstanceOf[Array[Byte]]))
+
+  override protected def nullSafeEval(b: Any, v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, (_, v) => s"$ref.mightContainLong($v)")
+  }
+  override def prettyName: String = "bloom_might_contain"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(bloomBytes = newLeft, child = newRight)
+}
+
 /** `lang_guess_scan(loweredText)`: byte-scan language heuristic, identical
   * to the declarative marker-overlap CASE over `tokens(loweredText)`. */
 case class LangGuessScan(child: Expression) extends UnaryExpression {

@@ -53,6 +53,9 @@ package object functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", { exprs => SortedIntersectCount(exprs(0), exprs(1)) },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", { exprs => BloomMightContain(exprs(0), exprs(1)) },
+      "scala_udf")
   }
 
   // ---------------------------------------------------------------- A1/A2
@@ -218,4 +221,9 @@ package object functions {
     * `size(array_intersect(a, b))`. */
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+
+  /** Codegen'd bloom membership probe over a driver-built serialized
+    * [[org.apache.spark.util.sketch.BloomFilter]] (see [[BloomMightContain]]). */
+  def bloom_might_contain(bloomBytes: Array[Byte], hash: Column): Column =
+    call_function("bloom_might_contain", lit(bloomBytes), hash)
 }

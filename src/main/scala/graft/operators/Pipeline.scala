@@ -26,6 +26,35 @@ object Pipeline {
       md5(train(textCol)) === col("__h"),
       "left_anti")
 
+  /** [[decontaminate]] with a bloom prefilter — the 100 TB shape. A bloom
+    * filter over the test-set hashes is built once (distributed partial
+    * merge via `stat.bloomFilter`, ~10 bits/key at 1% fpp) and probed
+    * inside whole-stage codegen: rows the bloom rejects are DEFINITELY
+    * clean and skip the anti-join entirely, so the shuffle carries only
+    * the ~fpp false positives plus the true matches instead of the whole
+    * train side. The anti-join verification restores exactness — output
+    * is row-identical to [[decontaminate]]. At 100 TB, persist the bloom
+    * next to the eval set and reuse it across pipeline runs. */
+  def decontaminateBloom(
+      train: DataFrame,
+      test: DataFrame,
+      textCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    val keys = test.select(xxhash64(col(textCol)).as("h"))
+    val expected = math.max(1L, keys.count())
+    val bloom = keys.stat.bloomFilter("h", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val might =
+      graft.functions.bloom_might_contain(bytes, xxhash64(train(textCol)))
+    val safe = train.filter(!might)
+    val candidates = train.filter(might)
+    safe.unionByName(decontaminate(candidates, test, textCol))
+  }
+
   /** Deterministic content-hash sampling: keep rows whose md5 hex prefix
     * sorts below `hexThreshold` (two hex chars ⇒ rate = parseInt(t,16)/256).
     * Unlike `df.sample`, membership is a pure function of the content —
@@ -33,6 +62,21 @@ object Pipeline {
     * document is kept or dropped in every derived dataset. */
   def hashSampled(df: DataFrame, textCol: String, hexThreshold: String): Column =
     substring(md5(col(textCol)), 1, hexThreshold.length) < hexThreshold
+
+  /** Per-stratum deterministic sampling: each stratum keeps rows whose md5
+    * hex prefix sorts below that stratum's threshold (two hex chars ⇒
+    * rate = parseInt(t,16)/256). The rate map rides into the plan as a
+    * literal map lookup — no join, no RNG, content-stable membership. */
+  def stratifiedHashSampled(
+      df: DataFrame,
+      textCol: String,
+      strataCol: String,
+      rates: Map[String, String],
+      defaultThreshold: String): Column = {
+    val thr = coalesce(
+      element_at(typedLit(rates), col(strataCol)), lit(defaultThreshold))
+    substring(md5(col(textCol)), 1, 2) < thr
+  }
 
   /** Top-k terms per group by tf·(N/df): tf = occurrences within the
     * group, df = distinct documents containing the term corpus-wide, N =

@@ -634,16 +634,16 @@ object Catalog {
   private val q39 = QueryDef(
     "q39_decontaminate",
     (s, dir) => {
+      // eval slice ⊂ corpus: every eval doc (and any duplicate of one)
+      // must fall out of the training corpus — positives at every SF
       val docs = t(s, dir, "documents")
-      val train = docs.filter(col("doc_id") % 10 =!= 0)
       val test = docs.filter(col("doc_id") % 10 === 0)
-      graft.operators.Pipeline.decontaminate(train, test, "text")
+      graft.operators.Pipeline.decontaminate(docs, test, "text")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id, lang FROM documents
-      WHERE doc_id % 10 <> 0
-        AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)
+      WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)
       ORDER BY doc_id"""))
 
   /** Deterministic content-hash sampling: md5-prefix < '34' keeps ~20.3%
@@ -780,11 +780,46 @@ object Catalog {
       FROM active JOIN cohort USING (u)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Bloom-prefiltered decontamination — the 100 TB shape of q39: rows the
+    * bloom definitively rejects skip the anti-join; verification restores
+    * exactness, so the oracle is IDENTICAL to q39's. */
+  private val q47 = QueryDef(
+    "q47_bloom_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val test = docs.filter(col("doc_id") % 10 === 0)
+      graft.operators.Pipeline.decontaminateBloom(docs, test, "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)
+      ORDER BY doc_id"""))
+
+  /** Per-stratum deterministic sampling rates (2-hex-char md5 thresholds). */
+  private val q48 = QueryDef(
+    "q48_stratified_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = graft.operators.Pipeline.stratifiedHashSampled(
+        docs, "text", "lang",
+        Map("en" -> "66", "fr" -> "4d", "de" -> "34", "es" -> "1a"), "80")
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+        COUNT(*) FILTER (WHERE substr(md5(text), 1, 2) <
+          CASE lang WHEN 'en' THEN '66' WHEN 'fr' THEN '4d'
+                    WHEN 'de' THEN '34' WHEN 'es' THEN '1a' ELSE '80' END) AS n_sampled
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46) ++
+    q41, q42, q43, q44, q45, q46, q47, q48) ++
     ConnectorQueries.all
 }

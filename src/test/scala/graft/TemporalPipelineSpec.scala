@@ -99,9 +99,38 @@ class TemporalPipelineSpec extends AnyFunSuite {
     assert(inconsistent == 0, "same content must sample the same way")
   }
 
+  test("bloom-prefiltered decontaminate == plain decontaminate (exactness preserved)") {
+    val docs = Tables.load(spark, dir, "documents")
+    // eval slice ⊂ corpus so positives exist at every SF
+    val test = docs.filter(col("doc_id") % 10 === 0)
+    val plain = Pipeline.decontaminate(docs, test, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = Pipeline.decontaminateBloom(docs, test, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomed == plain)
+    assert(plain.size < docs.count(), "eval-slice contamination must be removed")
+  }
+
+  test("count-min sketch heavy hitters: estimates over-count within eps bound") {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(explode(graft.functions.tokens(lower(col("text")))).as("tok"))
+    val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = toks.count()
+    val eps = 0.001
+    val cms = toks.stat.countMinSketch(col("tok"), eps, 0.99, seed = 42)
+    truth.foreach { case (tok, n) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= n, s"CMS may never under-count: $tok est=$est true=$n")
+      assert(est <= n + (eps * total).toLong + 1,
+        s"CMS over-count beyond eps bound: $tok est=$est true=$n total=$total")
+    }
+  }
+
   test("decontaminate removes exactly the test-set texts from train") {
     val docs = Tables.load(spark, dir, "documents")
-    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val train = docs
     val test = docs.filter(col("doc_id") % 10 === 0)
     val kept = Pipeline.decontaminate(train, test, "text")
     // no kept train text may appear in test
