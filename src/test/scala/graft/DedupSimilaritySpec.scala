@@ -22,6 +22,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty, "test data should contain planted near-dups")
   }
 
+  test("prefix-filtered jaccard join == direct pairwise at multiple thresholds") {
+    import graft.functions.{shingle_hashes, sorted_intersect_count}
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = docs.select(col("lang").as("blk"), col("doc_id"),
+      shingle_hashes(col("text"), 2).as("sh"))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", "lang", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = sh.as("x").join(sh.as("y"),
+          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id"),
+          (sorted_intersect_count(col("x.sh"), col("y.sh")).cast("double") /
+            (size(col("x.sh")) + size(col("y.sh")) -
+              sorted_intersect_count(col("x.sh"), col("y.sh"))).cast("double")).as("j"))
+        .filter(col("j") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute,
+        s"t=$t: missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    }
+  }
+
   test("exact dedup keeps lowest id per duplicate group") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a")).toDF("id", "t")
