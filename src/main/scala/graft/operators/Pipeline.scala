@@ -78,6 +78,38 @@ object Pipeline {
     substring(md5(col(textCol)), 1, 2) < thr
   }
 
+  /** Split each document into overlapping token windows (`chunkSize`
+    * tokens, `overlap` shared with the previous chunk) — the
+    * tokenize-and-chunk step of a training-data pipeline. Chunk count and
+    * boundaries are pure functions of the token count, and the emitted
+    * `chunk_text` is the tokens re-joined with single spaces, so results
+    * replay identically anywhere. Row-local (posexplode over a computed
+    * range): no shuffle at all — at 100 TB this is pure map work. */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = graft.functions.tokens(col(textCol))
+    val n = size(toks)
+    // chunks = 1 + ceil((n - chunkSize) / step) for n > chunkSize else 1
+    val nChunks = when(n <= chunkSize, lit(1L)).otherwise(
+      ceil((n - chunkSize).cast("double") / step).cast("long") + 1L)
+    df.select(col(idCol), toks.as("__tk"), n.as("__n"), nChunks.as("__nc"))
+      .select(col(idCol), col("__tk"), col("__n"),
+        posexplode(sequence(lit(0L), col("__nc") - 1L)).as(Seq("__p", "chunk_idx")))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(chunkSize),
+          col("__n") - col("chunk_idx") * step).cast("int").as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("__tk"), (col("chunk_idx") * step + 1).cast("int"), lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
   /** Top-k terms per group by tf·(N/df): tf = occurrences within the
     * group, df = distinct documents containing the term corpus-wide, N =
     * total documents. The idf ratio is kept as a plain division (no log)

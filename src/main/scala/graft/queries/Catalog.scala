@@ -815,11 +815,32 @@ object Catalog {
                     WHEN 'de' THEN '34' WHEN 'es' THEN '1a' ELSE '80' END) AS n_sampled
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Overlapping token-window chunking (64-token chunks, 16 overlap) —
+    * row-local, no shuffle; chunk text verified via md5. */
+  private val q49 = QueryDef(
+    "q49_chunk_documents",
+    (s, dir) =>
+      graft.operators.Pipeline.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      c AS (SELECT doc_id, tk, len(tk) AS n,
+              CASE WHEN len(tk) <= 64 THEN 1
+                   ELSE CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT) + 1 END AS nc
+            FROM t),
+      e AS (SELECT doc_id, tk, n, unnest(range(nc)) AS i FROM c)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             CAST(least(64, n - i * 48) AS INTEGER) AS n_chunk_tokens,
+             md5(array_to_string(tk[1 + i*48 : i*48 + 64], ' ')) AS chunk_md5
+      FROM e ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48) ++
+    q41, q42, q43, q44, q45, q46, q47, q48, q49) ++
     ConnectorQueries.all
 }
