@@ -69,14 +69,29 @@ object Dedup {
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
 
-    val cand = bucketed.as("x").join(bucketed.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // bucket-local pair generation: ONE shuffle (the groupBy) instead of a
+    // self-join's two + sorts; only buckets that actually collide survive
+    // the size>1 filter, and near-dup buckets are tiny by construction (a
+    // bucket of B docs means B near-identical documents). A pathological
+    // mega-bucket means mass duplication of one document — cap upstream
+    // with exact dedup, or salt the band hash.
+    val cand = bucketed.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
     verifyJaccard(cand, sh, threshold)
   }
+
+  /** All i<j pairs of a SORTED array as struct(a, b) — evaluated per
+    * colliding bucket only (post size>1 filter), so the interpreted HOF
+    * touches a handful of rows. */
+  private def pairCombos(xs: Column): Column =
+    flatten(transform(xs, (x, i) =>
+      transform(slice(xs, i + lit(2), greatest(size(xs) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
 
   /** Exact Jaccard for candidate (doc_a, doc_b) pairs against SORTED
     * shingle-hash sets ([[graft.functions.shingle_hashes]] output): a
@@ -176,11 +191,15 @@ object Dedup {
       explode(array(chunkStructs: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.ci").as("ci"), col("ck.cv").as("cv"))
-    blocked.as("x").join(blocked.as("y"),
-        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+    // same bucket-local pair generation as minhashLsh: one shuffle, pairs
+    // only from chunks that actually collide (struct sort keys on doc_id
+    // first, so a < b ordering is preserved)
+    blocked.groupBy(col("ci"), col("cv"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(pairCombos(col("xs"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
