@@ -836,11 +836,45 @@ object Catalog {
              md5(array_to_string(tk[1 + i*48 : i*48 + 64], ' ')) AS chunk_md5
       FROM e ORDER BY doc_id, chunk_idx"""))
 
+  /** Native Spark session windows (the idiomatic form of q44's islands).
+    * Boundary semantics: an event exactly `gap` after the previous one
+    * starts a NEW session (Spark merges only strictly-overlapping event
+    * ranges) — the oracle's island break is therefore `diff >= gap`.
+    * Window end = last event + gap. */
+  private val q50 = QueryDef(
+    "q50_session_windows",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_ms")),
+    Some("""WITH o AS (
+        SELECT user_id, ts, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+        FROM events),
+      f AS (SELECT user_id, ts, us,
+              CASE WHEN prev IS NULL OR us - prev >= 600000000 THEN 1 ELSE 0 END AS newf
+            FROM o),
+      sids AS (SELECT user_id, ts, us,
+                 SUM(newf) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f)
+      SELECT user_id,
+             epoch_ms(MIN(ts)) AS start_ms,
+             epoch_ms(MAX(ts) + INTERVAL 10 MINUTES) AS end_ms,
+             COUNT(*) AS n_events
+      FROM sids GROUP BY user_id, sid
+      ORDER BY user_id, start_ms"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q49) ++
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50) ++
     ConnectorQueries.all
 }
