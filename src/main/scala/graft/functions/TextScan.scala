@@ -138,6 +138,22 @@ object TextScan {
     new GenericArrayData(out.toArray)
   }
 
+  /** Token strings — value-identical to `split(trim(s), "\\s+")` (same
+    * tokenize as the shingle kernels), no regex engine. */
+  def tokenStrings(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val tk = tokenize(bytes, 0, bytes.length)
+    val m = tk.length / 2
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, tk(2 * i), tk(2 * i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** |a ∩ b| for two SORTED long arrays — a single merge pass, no hash set,
     * no output array (vs `size(array_intersect(a, b))`). Inputs must be
     * sorted ascending and duplicate-free ([[wordShingleHashes]] output is). */
@@ -239,6 +255,19 @@ case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.wordShingleStrings($c, $n)")
   override def prettyName: String = "shingle_strings"
   override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
+/** `tokens_scan(text)`: byte-level fast path for `split(trim(text), "\\s+")`
+  * (identical token arrays, no regex). */
+case class TokensScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextScan.tokenStrings(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.tokenStrings($c)")
+  override def prettyName: String = "tokens_scan"
+  override protected def withNewChildInternal(newChild: Expression): TokensScan =
     copy(child = newChild)
 }
 

@@ -56,6 +56,8 @@ package object functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain", { exprs => BloomMightContain(exprs(0), exprs(1)) },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tokens_scan", { exprs => TokensScan(exprs.head) }, "scala_udf")
   }
 
   // ---------------------------------------------------------------- A1/A2
@@ -80,7 +82,10 @@ package object functions {
   /** Whitespace tokenization. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  def token_count(c: Column): Column = size(tokens(c))
+  /** Byte-level fast path for [[tokens]] (identical values, no regex). */
+  def tokens_fast(c: Column): Column = call_function("tokens_scan", c)
+
+  def token_count(c: Column): Column = size(tokens_fast(c))
 
   /** BPE-ish subword split: word pieces, digits, and punctuation as tokens. */
   def bpeish_tokens(c: Column): Column =
@@ -109,7 +114,7 @@ package object functions {
 
   /** Fraction of tokens that are (English) stopwords. */
   def stopword_ratio(c: Column): Column = {
-    val toks = tokens(lower(c))
+    val toks = tokens_fast(lower(c))
     val stops = filter(toks, t => t.isInCollection(StopWords))
     size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double")
   }

@@ -123,11 +123,15 @@ object Pipeline {
       textCol: String,
       nDocs: Long,
       k: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("__id"), col(groupCol).as("grp"),
-      explode(graft.functions.tokens(lower(col(textCol)))).as("tok"))
-    val tf = toks.groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col("tok"), col("__id")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // tokenize ONCE, pre-aggregate per (token, doc): tf and df both derive
+    // from the (tok, doc, grp, count) intermediate, so the text is scanned
+    // and exploded a single time
+    val perDoc = df.select(col(idCol).as("__id"), col(groupCol).as("grp"),
+      explode(graft.functions.tokens_fast(lower(col(textCol)))).as("tok"))
+      .groupBy(col("tok"), col("__id"), col("grp"))
+      .agg(count(lit(1)).as("c"))
+    val tf = perDoc.groupBy(col("grp"), col("tok")).agg(sum(col("c")).as("tf"))
+    val dfreq = perDoc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("tok"))
     tf.join(dfreq, "tok")
       // pinned evaluation order: (tf * N) / df, all double

@@ -506,7 +506,7 @@ object Catalog {
     "q34_top_tokens",
     (s, dir) =>
       t(s, dir, "documents")
-        .select(explode(tokens(lower(col("text")))).as("tok"))
+        .select(explode(tokens_fast(lower(col("text")))).as("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"))

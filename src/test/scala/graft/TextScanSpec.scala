@@ -64,6 +64,17 @@ class TextScanSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad pairs diverge from array_intersect")
   }
 
+  test("tokens_fast == declarative regex tokens") {
+    import graft.functions.{tokens, tokens_fast}
+    for (df <- Seq(hostile, Tables.load(spark, dir, "documents"))) {
+      val bad = df
+        .select(tokens_fast(col("text")).as("fast"), tokens(col("text")).as("slow"))
+        .filter(not(col("fast") === col("slow")))
+        .count()
+      assert(bad == 0, s"$bad rows diverge from regex split")
+    }
+  }
+
   test("lang_guess_fast == declarative lang_guess CASE chain") {
     for (df <- Seq(hostile, Tables.load(spark, dir, "documents"))) {
       val bad = df
