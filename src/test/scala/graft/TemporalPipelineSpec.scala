@@ -57,6 +57,28 @@ class TemporalPipelineSpec extends AnyFunSuite {
       "test data should exercise both zero and positive window counts")
   }
 
+  test("asofJoin edges: empty right side, exact-equal timestamps, dup right ts") {
+    import spark.implicits._
+    import graft.operators.Temporal
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, ts(100), 10L), (2L, ts(50), 20L))
+      .toDF("k", "ts", "pay")
+    // empty right → all matches null
+    val empty = Seq.empty[(Long, java.sql.Timestamp)].toDF("k", "ts")
+    val gotEmpty = Temporal.asofJoin(left, empty, "k", "ts", "ts", "m")
+    assert(gotEmpty.count() == 2 && gotEmpty.filter(col("m").isNotNull).count() == 0)
+    // right at EXACTLY the left ts matches (<= semantics); duplicates at the
+    // boundary are indistinguishable (matched value is the ts itself)
+    val right = Seq((1L, ts(100)), (1L, ts(100)), (1L, ts(101)), (2L, ts(51)))
+      .toDF("k", "ts")
+    val got = Temporal.asofJoin(left, right, "k", "ts", "ts", "m")
+      .select(col("k"), unix_micros(col("m")).as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L).contains(100000000L), s"boundary ts must match: $got")
+    assert(got(2L).isEmpty, s"future-only right rows must not match: $got")
+  }
+
   test("batch sessionization (gap islands) == streaming Sessionize state machine") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Events
