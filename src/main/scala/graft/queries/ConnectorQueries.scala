@@ -316,6 +316,23 @@ object ConnectorQueries {
     },
     Some("SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey"))
 
+  private val snkRedisZsetDsv2 = QueryDef(
+    "snk_redis_zset_dsv2",
+    (s, dir) => {
+      val uri = s"hub:$dir/snk_redis_zset_dsv2"
+      seedOnce(uri) {
+        // full DSv2 write path: staged ZADDs + driver-side promote commit
+        t(s, dir, "supplier")
+          .select(col("s_acctbal").as("score"), col("s_suppkey").cast("string").as("value"))
+          .write.format("graft-redis-zset").option("uri", uri).option("key", "bal")
+          .mode("append").save()
+      }
+      GraftSources.redisSortedSet(s, uri, "bal")
+        .select(col("value").cast("long").as("s_suppkey"), col("score").as("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("SELECT s_suppkey, s_acctbal FROM supplier ORDER BY s_suppkey"))
+
   private val snkRedisZset = QueryDef(
     "snk_redis_zset",
     (s, dir) => {
@@ -427,7 +444,7 @@ object ConnectorQueries {
   val all: Seq[QueryDef] = Seq(
     srcRedisHash, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoCdc,
     srcInflux, srcMqtt, srcPulsar, srcHttp, srcTwitter, srcTwitterSearch, srcConnect,
-    snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkMongoInsert, snkPulsar,
+    snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkMongoInsert, snkPulsar,
     snkInflux, snkMqtt, snkWs)
 }
 

@@ -85,6 +85,14 @@ object MemHub {
     val z = zsets.computeIfAbsent(uri, _ => TrieMap.empty)
     svs.foreach { case (m, s) => z.put(m, s) }
   }
+  /** Two-phase write support: merge a staged zset into the target, drop it. */
+  def zsetPromote(stageUri: String, targetUri: String): Unit = {
+    val staged = Option(zsets.get(stageUri)).map(_.toMap).getOrElse(Map.empty)
+    zadd(targetUri, staged.iterator)
+    zsets.remove(stageUri)
+  }
+  def zsetDrop(uri: String): Unit = zsets.remove(uri)
+
   /** ZRANGEBYSCORE [from, to] inclusive — the server-side range predicate. */
   def zrangeByScore(uri: String, from: Double, to: Double): Seq[(String, Double)] =
     Option(zsets.get(uri)).map(_.iterator.filter { case (_, s) => s >= from && s <= to }

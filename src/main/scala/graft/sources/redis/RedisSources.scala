@@ -93,7 +93,8 @@ class RedisZSetProvider extends TableProvider with DataSourceRegister {
     new RedisZSetTable(new CaseInsensitiveStringMap(properties))
 }
 
-class RedisZSetTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+class RedisZSetTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val uri = options.get("uri")
   private val key = options.get("key")
   private val optFrom = Option(options.get("from")).map(_.toDouble).getOrElse(Double.NegativeInfinity)
@@ -101,7 +102,22 @@ class RedisZSetTable(options: CaseInsensitiveStringMap) extends Table with Suppo
   override def name(): String = s"redis-zset($uri/$key)"
   override def schema(): StructType = RedisZSet.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val target = s"$uri/$key"
+    val queryId = info.queryId()
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch = new graft.sinks.RedisZSetWrite.ZSetBatchWrite(target)
+          override def toStreaming =
+            new graft.sinks.RedisZSetWrite.ZSetStreamingWrite(target, queryId)
+        }
+    }
+  }
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters

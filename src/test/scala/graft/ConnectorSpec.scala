@@ -109,6 +109,35 @@ class ConnectorSpec extends AnyFunSuite {
     assert(got.size == 700, s"expected 700 keys, got ${got.size}")
   }
 
+  test("DSv2 zset write: staged ZADD promote, batch and streaming epoch-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val uri = "hub:test/dsv2-zset-write"
+    spark.range(0, 200)
+      .select(col("id").cast("double").as("score"), concat(lit("m"), col("id")).as("value"))
+      .repartition(4)
+      .write.format("graft-redis-zset").option("uri", uri).option("key", "z")
+      .mode("append").save()
+    val got = MemHub.zrangeByScore(s"$uri/z", 0, 199)
+    assert(got.size == 200 && got.head == ("m0", 0.0))
+
+    val suri = "hub:test/dsv2-zset-stream"
+    val input = MemoryStream[Long](spark)
+    val q = input.toDF()
+      .select(col("value").cast("double").as("score"),
+        concat(lit("m"), col("value")).as("value"))
+      .writeStream.format("graft-redis-zset")
+      .option("uri", suri).option("key", "z")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-zw").toString)
+      .outputMode("append").start()
+    input.addData(1L to 300L: _*)
+    q.processAllAvailable()
+    input.addData(301L to 400L: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(MemHub.zrangeByScore(s"$suri/z", 0, 1e9).size == 400)
+  }
+
   test("embedded HTTP listener: real POSTs land in the source; wrong method rejected") {
     import graft.sources.http.HttpEndpoint
     val uri = "hub:test/http-live"
