@@ -204,6 +204,48 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over near-duplicate pairs: every document in a
+    * cluster is labeled with the cluster's minimum doc id (its
+    * representative) — the step that turns pairwise dedup output into an
+    * actionable keep/drop decision.
+    *
+    * Min-label propagation: labels start as the vertex id and each round
+    * takes the min of a vertex's label and its neighbors' labels, until a
+    * fixpoint (checked per round, so the loop runs ceil(diameter) times —
+    * near-dup clusters are shallow, typically 2-3 rounds). Each round is
+    * one aggregate over the edge list; nothing is collected to the driver
+    * except the single converged? count. At extreme scale swap in the
+    * alternating small-star/large-star formulation (same per-round shape,
+    * provably fewer rounds on high-diameter graphs).
+    *
+    * Output: (doc_id, rep) for every vertex that appears in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("v"))
+        .groupBy(col("dst").as("v2")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(neighborMin, col("v") === col("v2"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "v")
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("rep"))
+  }
+
   /** Fingerprint-level dedup summary: distinct normalized docs vs total. */
   def fingerprintSummary(df: DataFrame, textCol: String): DataFrame =
     df.agg(

@@ -870,11 +870,41 @@ object Catalog {
       FROM sids GROUP BY user_id, sid
       ORDER BY user_id, start_ms"""))
 
+  /** Near-dup cluster resolution: minhash pairs (q21 semantics) → connected
+    * components → min-id representative per clustered doc. The oracle
+    * replays the closure with a recursive CTE. */
+  private val q51 = QueryDef(
+    "q51_dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT da AS a, db AS b
+                FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      reach(v, w) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a)
+      SELECT v AS doc_id, MIN(w) AS rep FROM reach GROUP BY v ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50) ++
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q51) ++
     ConnectorQueries.all
 }

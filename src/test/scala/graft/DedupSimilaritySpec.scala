@@ -43,6 +43,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chains, stars, and disjoint pairs resolve to min-id reps") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want, s"got $got")
+  }
+
   test("exact dedup keeps lowest id per duplicate group") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a")).toDF("id", "t")
