@@ -50,15 +50,64 @@ class InfluxTable(options: CaseInsensitiveStringMap) extends Table with Supports
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    () => new Dsv2.BatchScan {
-      override def readSchema(): StructType = InfluxSource.schema
-      override def description(): String = s"influx($uri/$measurement) time=[$fromMs,$toMs]"
-      override def batch: Batch = {
-        val (u, m, f, t) = (uri, measurement, fromMs, toMs)
-        new FnBatch(Seq(FnPartition(0, m, f, t)), p =>
-          MemHub.queryRange(u, m, p.from, p.to).iterator.map { case (ms, tags, fields) =>
-            Dsv2.row(Dsv2.msToMicros(ms), Dsv2.stringMap(tags), Dsv2.doubleMap(fields))
-          })
+    new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var from = fromMs
+      private var to = toMs
+      private var pushed = Array.empty[org.apache.spark.sql.sources.Filter]
+      private var required: StructType = InfluxSource.schema
+
+      // the InfluxQL `WHERE time ...` clause analog: time comparisons narrow
+      // the server-side range. Bounds are applied at MILLIsecond floor
+      // (conservative — may admit boundary rows) and every filter is ALSO
+      // returned as residual, so Spark re-applies exact semantics; the
+      // pushdown only shrinks what the server ships.
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        import org.apache.spark.sql.sources._
+        def ms(v: Any): Option[Long] = v match {
+          case t: java.sql.Timestamp => Some(t.getTime)
+          case t: java.time.Instant => Some(t.toEpochMilli)
+          case _ => None
+        }
+        val consumed = filters.filter {
+          case GreaterThanOrEqual("time", v) =>
+            ms(v).exists { m => from = math.max(from, m); true }
+          case GreaterThan("time", v) =>
+            ms(v).exists { m => from = math.max(from, m); true }
+          case LessThanOrEqual("time", v) =>
+            ms(v).exists { m => to = math.min(to, m); true }
+          case LessThan("time", v) =>
+            ms(v).exists { m => to = math.min(to, m); true }
+          case EqualTo("time", v) =>
+            ms(v).exists { m => from = math.max(from, m); to = math.min(to, m); true }
+          case _ => false
+        }
+        pushed = consumed
+        filters // all residual: exact predicate re-checked above the scan
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+      // the measurement-projection analog: untouched tag/field maps are
+      // never shipped
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): Scan = new Dsv2.BatchScan {
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"influx($uri/$measurement) time=[$from,$to] cols=${required.fieldNames.mkString(",")}"
+        override def batch: Batch = {
+          val (u, m, f, t, rs) = (uri, measurement, from, to, required)
+          new FnBatch(Seq(FnPartition(0, m, f, t)), p =>
+            MemHub.queryRange(u, m, p.from, p.to).iterator.map { case (ms, tags, fields) =>
+              Dsv2.row(rs.fieldNames.toIndexedSeq.map {
+                case "time" => Dsv2.msToMicros(ms)
+                case "tags" => Dsv2.stringMap(tags)
+                case "fields" => Dsv2.doubleMap(fields)
+              }: _*)
+            })
+        }
       }
     }
 }

@@ -69,6 +69,21 @@ class PushdownSpec extends AnyFunSuite {
       s"runtime In-filter should have narrowed find() to the 5 build-side keys, emitted=$emitted")
   }
 
+  test("influx: time filters narrow the server range, untouched maps pruned") {
+    val uri = "hub:test/influx-push"
+    MemHub.writePoints(uri, "cpu", (0 until 100).iterator.map(i =>
+      (i * 1000L, Map("host" -> s"h${i % 3}"), Map("load" -> i.toDouble))))
+    val df = GraftSources.influx(spark, uri, "cpu")
+      .filter(col("time") >= new java.sql.Timestamp(20000L) &&
+        col("time") < new java.sql.Timestamp(30000L))
+      .select(col("time"))
+    val plan = physical(df)
+    assert(plan.contains("time=[20000,29999]") || plan.contains("time=[20000,30000]"),
+      s"time range not narrowed:\n$plan")
+    assert(plan.contains("cols=time"), s"maps not pruned:\n$plan")
+    assert(df.count() == 10)
+  }
+
   test("stream scan reports key-grouped partitioning: groupBy(stream) has no exchange") {
     val uri = "hub:test/stream-kgp"
     for (s <- Seq("s-a", "s-b", "s-c"))
