@@ -225,8 +225,11 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
+    // seed with the first round folded in: label(v) = min(v, neighbors(v)).
+    // Plain pair-clusters (the common case) converge immediately — the loop
+    // only runs for chains longer than 2.
+    var labels = edges
+      .groupBy(col("dst").as("v")).agg(least(col("dst"), min(col("src"))).as("lbl"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
@@ -244,6 +247,25 @@ object Dedup {
       iter += 1
     }
     labels.select(col("v").as("doc_id"), col("lbl").as("rep"))
+  }
+
+  /** End-to-end near-duplicate removal: minhash-LSH pairs → connected
+    * components → keep each cluster's minimum-id document, drop the rest.
+    * The anti-join ships only the (small) drop list against the corpus —
+    * the corpus itself is never shuffled. */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+    val drop = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("__drop"))
+    df.join(drop, df(idCol).cast("long") === col("__drop"), "left_anti")
   }
 
   /** Fingerprint-level dedup summary: distinct normalized docs vs total. */

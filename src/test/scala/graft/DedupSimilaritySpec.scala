@@ -55,6 +55,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
+  test("dropNearDuplicates keeps exactly the cluster representatives") {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 128, 32, 0.8)
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expectDropped = cc.collect { case (v, rep) if v != rep => v }.toSet
+    assert(expectDropped.nonEmpty, "test data should contain near-dup clusters")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(expectDropped).isEmpty, "dropped docs must not survive")
+    assert(kept.size == docs.count() - expectDropped.size, "only duplicates are dropped")
+  }
+
   test("exact dedup keeps lowest id per duplicate group") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a")).toDF("id", "t")
