@@ -36,6 +36,9 @@ object Temporal {
       leftTs: String,
       rightTs: String,
       matchedCol: String): DataFrame = {
+    val reserved = Set("__k", "__ts", "__side", "__rts", "__p")
+    require(!left.columns.exists(reserved), s"left columns may not use ${reserved.mkString("/")}")
+    require(!left.columns.contains(matchedCol), s"left already has a '$matchedCol' column")
     val payload = struct(left.columns.map(col): _*)
     val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
       lit(1).as("__side"), lit(null).cast(left.schema(leftTs).dataType).as("__rts"),
@@ -76,6 +79,9 @@ object Temporal {
       windowMs: Long,
       countCol: String): DataFrame = {
     require(windowMs > 0, "window must be positive")
+    val reserved = Set("__lus", "__lbin", "__bin", "__rk", "__rus", "__rbin", "__gid")
+    require(!left.columns.exists(reserved) && countCol != leftId,
+      s"left columns may not use ${reserved.mkString("/")}")
     // compare at MICROsecond precision (full timestamp resolution — a
     // millisecond floor would misorder sub-ms neighbors); integral DIV
     // binning is exact at bucket boundaries (fp division could drift a
