@@ -78,6 +78,35 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `cms_estimate(cmsBytes, item)`: point estimate from a driver-built
+  * serialized [[org.apache.spark.util.sketch.CountMinSketch]], probed inside
+  * whole-stage codegen. CMS never under-counts, so `cms_estimate(x) >= T`
+  * is a sound prefilter for exact heavy-hitter verification: rows it
+  * rejects are definitely below T. */
+case class CmsEstimate(cmsBytes: Expression, child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = cmsBytes
+  override def right: Expression = child
+  override def dataType: DataType = LongType
+  require(cmsBytes.foldable, "count-min sketch bytes must be a literal")
+
+  @transient private lazy val cms: org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(cmsBytes.eval(null).asInstanceOf[Array[Byte]]))
+
+  override protected def nullSafeEval(b: Any, v: Any): Any =
+    cms.estimateCount(v.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmSketch", cms,
+      classOf[org.apache.spark.util.sketch.CountMinSketch].getName)
+    defineCodeGen(ctx, ev, (_, v) => s"$ref.estimateCount($v.toString())")
+  }
+  override def prettyName: String = "cms_estimate"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(cmsBytes = newLeft, child = newRight)
+}
+
 case class SimHashSignature(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =

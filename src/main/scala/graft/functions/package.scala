@@ -58,6 +58,8 @@ package object functions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokens_scan", { exprs => TokensScan(exprs.head) }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_estimate", { exprs => CmsEstimate(exprs(0), exprs(1)) }, "scala_udf")
   }
 
   // ---------------------------------------------------------------- A1/A2
@@ -231,4 +233,10 @@ package object functions {
     * [[org.apache.spark.util.sketch.BloomFilter]] (see [[BloomMightContain]]). */
   def bloom_might_contain(bloomBytes: Array[Byte], hash: Column): Column =
     call_function("bloom_might_contain", lit(bloomBytes), hash)
+
+  /** Codegen'd count-min point estimate over a driver-built serialized
+    * [[org.apache.spark.util.sketch.CountMinSketch]] (see [[CmsEstimate]]);
+    * never under-counts, so `>= T` comparisons are sound prefilters. */
+  def cms_estimate(cmsBytes: Array[Byte], item: Column): Column =
+    call_function("cms_estimate", lit(cmsBytes), item)
 }

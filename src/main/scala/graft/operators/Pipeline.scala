@@ -110,6 +110,157 @@ object Pipeline {
           .as("chunk_text"))
   }
 
+  /** Per-document repetition signals (Gopher-style quality heuristics over
+    * a word stream): the fraction of bigram mass taken by the single most
+    * frequent bigram, and the distinct-token ratio. Entirely row-local —
+    * the top-bigram count is a run-length pass over the SORTED bigram
+    * array, so no (doc, ngram) shuffle ever happens; at 100 TB this is
+    * pure map work. Docs with fewer than 2 tokens are dropped (no bigram
+    * mass to measure). */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.functions.tokens_fast(col(textCol))
+    val n = size(col("__tk"))
+    // full bigram multiset (NOT deduplicated — repetition is the signal)
+    val bigrams = zip_with(
+      slice(col("__tk"), lit(1), n - 1),
+      slice(col("__tk"), lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    // max run length over the sorted multiset == max bigram frequency
+    val best = aggregate(
+      array_sort(col("__bg")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.select(col(idCol), toks.as("__tk"))
+      .filter(n >= 2)
+      .select(col(idCol), col("__tk"), bigrams.as("__bg"))
+      .select(
+        col(idCol),
+        (best.cast("double") / (n - 1).cast("double")).as("top_bigram_frac"),
+        (size(array_distinct(col("__tk"))).cast("double") / n.cast("double"))
+          .as("distinct_token_ratio"))
+  }
+
+  /** Threshold quality filter: keep documents whose token count lies in
+    * [minTokens, maxTokens] and whose distinct-token ratio is at least
+    * `minDistinctRatio`. Pure map-side predicate (no shuffle); emits the
+    * signals alongside the survivors so downstream stages can re-cut
+    * without re-tokenizing. */
+  def qualityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int,
+      maxTokens: Int,
+      minDistinctRatio: Double): DataFrame = {
+    val toks = graft.functions.tokens_fast(col(textCol))
+    val n = size(col("__tk"))
+    val ratio = size(array_distinct(col("__tk"))).cast("double") / n.cast("double")
+    df.select(col("*"), toks.as("__tk"))
+      .select(col("*"), n.as("n_tokens"), ratio.as("distinct_ratio"))
+      .filter(col("n_tokens").between(minTokens, maxTokens) &&
+        col("distinct_ratio") >= minDistinctRatio)
+      .drop("__tk")
+  }
+
+  /** Shingle-level decontamination (the GPT-3-style n-gram test): drop
+    * train rows sharing ANY word n-gram with the eval set — stricter than
+    * [[decontaminate]]'s whole-document match. Shingles travel as 64-bit
+    * hashes ([[graft.functions.shingle_hashes]]), so the semi join
+    * shuffles fixed-width longs, never text. At 100 TB the eval shingle
+    * set is tiny and broadcasts; the train side is one explode + one
+    * map-side semi probe + one anti join on the id. */
+  def decontaminateNgrams(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val evalSh = test
+      .select(explode(graft.functions.shingle_hashes(col(textCol), n)).as("__g"))
+      .distinct()
+    val contaminated = train
+      .select(col(idCol).as("__cid"),
+        explode(graft.functions.shingle_hashes(col(textCol), n)).as("__g"))
+      .join(evalSh, Seq("__g"), "left_semi")
+      .select(col("__cid")).distinct()
+    train.join(contaminated, train(idCol) === col("__cid"), "left_anti")
+  }
+
+  /** Exact heavy hitters with a count-min prefilter: tokens holding at
+    * least 1/`denom` of the total token mass. Pass 1 builds a CMS
+    * (distributed partial merge); pass 2 probes it inside codegen —
+    * tokens the sketch puts below the threshold are DEFINITELY light
+    * (CMS never under-counts) and drop before the shuffle, so the exact
+    * groupBy aggregates only plausible heavy keys. The final HAVING on
+    * true counts makes the output exact regardless of sketch error. */
+  def heavyHitters(
+      df: DataFrame,
+      textCol: String,
+      denom: Int = 100,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val toks = df.select(
+      explode(graft.functions.tokens_fast(lower(col(textCol)))).as("tok"))
+    val total = toks.count()
+    val threshold = (total + denom - 1) / denom // ceil: n*denom >= total
+    val cms = toks.stat.countMinSketch("tok", eps, confidence, seed)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      bos.toByteArray
+    }
+    toks.filter(graft.functions.cms_estimate(bytes, col("tok")) >= threshold)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
+
+  /** Deterministic weighted priority sample: each row's priority is a
+    * content-derived 60-bit uniform integer divided (integer division —
+    * exact in every engine) by its weight; the k smallest priorities win.
+    * Heavier rows draw smaller priorities in proportion to weight —
+    * an A-Res-style weighted sample with fixed-point arithmetic instead
+    * of logs, so membership replays bit-identically anywhere. Executes as
+    * a TakeOrdered (per-partition heap + driver merge), no full sort. */
+  def weightedPrioritySample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weightCol: String,
+      k: Int): DataFrame =
+    df.withColumn("priority",
+        expr(s"CAST(conv(substr(md5($textCol), 1, 15), 16, 10) AS BIGINT) DIV $weightCol"))
+      .orderBy(col("priority").asc, col(idCol).asc)
+      .limit(k)
+
+  /** Contiguous sequence packing (the concat-then-chunk step before LLM
+    * training): within each group, documents in id order are packed into
+    * bins of `budget` tokens — a document goes to the bin where its
+    * EXCLUSIVE cumulative token offset lands. One window pass per group;
+    * the assignment is a pure function of (group, id order, token counts)
+    * so it replays identically at any parallelism. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(idCol),
+        graft.functions.token_count(col(textCol)).as("n_tokens"))
+      .withColumn("__off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", expr(s"__off DIV $budget"))
+      .drop("__off")
+  }
+
   /** Top-k terms per group by tf·(N/df): tf = occurrences within the
     * group, df = distinct documents containing the term corpus-wide, N =
     * total documents. The idf ratio is kept as a plain division (no log)

@@ -195,6 +195,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Assign every vector to its nearest centroid by cosine (the Lloyd
+    * assignment step / IVF list build): centroids broadcast, corpus scans
+    * once — embarrassingly parallel at 100 TB, the only shuffle is the
+    * per-vector argmax window over `nlist` candidate rows. Ties break on
+    * the lower centroid id, so assignment is fully deterministic. */
+  def assignToCentroids(
+      vecs: DataFrame,
+      centroids: DataFrame,
+      vecId: String,
+      vecCol: String,
+      centroidId: String,
+      centroidVec: String): DataFrame = {
+    // cos = dot / sqrt(|v|² · |c|²) — the SINGLE-sqrt form: it yields
+    // exactly 1.0 on self-pairs (sqrt(x·x) == x), matching DuckDB's
+    // list_cosine_similarity; sqrt(x)·sqrt(x) can round up one ulp.
+    // Squared norms are per-vector, precomputed once on each side.
+    val c = broadcast(centroids
+      .select(col(centroidId).cast("long").as("centroid_id"),
+        vec_double(col(centroidVec)).as("cv"))
+      .withColumn("cn2", dotd(col("cv"), col("cv"))))
+    val v = vecs
+      .select(col(vecId).cast("long").as("vec_id"), vec_double(col(vecCol)).as("vv"))
+      .withColumn("vn2", dotd(col("vv"), col("vv")))
+    val scored = v.crossJoin(c)
+      .select(col("vec_id"), col("centroid_id"),
+        (dotd(col("vv"), col("cv")) / sqrt(col("vn2") * col("cn2"))).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within a blocking
     * column (block quadratic work; at scale block = LSH bucket). */
   def cosinePairsBlocked(

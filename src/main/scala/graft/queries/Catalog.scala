@@ -899,12 +899,165 @@ object Catalog {
         SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a)
       SELECT v AS doc_id, MIN(w) AS rep FROM reach GROUP BY v ORDER BY doc_id"""))
 
+  /** Per-doc repetition signals (Gopher-style): top-bigram mass fraction
+    * and distinct-token ratio — row-local run-length pass, no shuffle. */
+  private val q52 = QueryDef(
+    "q52_repetition_signals",
+    (s, dir) =>
+      graft.operators.Pipeline.repetitionSignals(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS b
+             FROM toks WHERE len(t) >= 2),
+      bc AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+      topb AS (SELECT doc_id, MAX(n) AS mx, SUM(n) AS tot FROM bc GROUP BY doc_id),
+      tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      tt AS (SELECT doc_id, COUNT(*) AS nt, COUNT(DISTINCT tok) AS nd FROM tk GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) AS top_bigram_frac,
+             CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE) AS distinct_token_ratio
+      FROM tt t JOIN topb USING (doc_id) ORDER BY doc_id"""))
+
+  /** Threshold quality filter over token count + lexical diversity —
+    * map-side predicate, survivors carry their signals. */
+  private val q53 = QueryDef(
+    "q53_quality_filter",
+    (s, dir) =>
+      graft.operators.Pipeline.qualityFilter(
+        t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 20, maxTokens = 120, minDistinctRatio = 0.45)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("distinct_ratio"))
+        .orderBy(col("doc_id")),
+    Some("""WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+          CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+            / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS distinct_ratio
+        FROM documents)
+      SELECT doc_id, lang, n_tokens, distinct_ratio FROM f
+      WHERE n_tokens BETWEEN 20 AND 120 AND distinct_ratio >= 0.45
+      ORDER BY doc_id"""))
+
+  /** PII-style pseudonymization: stable md5-keyed surrogate ids for the
+    * direct identifier, coarsened quasi-identifier (balance bucketed to
+    * 1000s) — the k-anonymization projection of a shareable dataset. */
+  private val q54 = QueryDef(
+    "q54_pseudonymize",
+    (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat(lit("cust-"), substring(md5(col("c_name")), 1, 12)).as("pseudo_id"),
+        (floor(col("c_acctbal") / 1000.0) * 1000.0).as("bal_bucket"),
+        col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+        'cust-' || substr(md5(c_name), 1, 12) AS pseudo_id,
+        floor(c_acctbal / 1000.0) * 1000.0 AS bal_bucket,
+        c_mktsegment
+      FROM customer ORDER BY c_custkey"""))
+
+  /** Shingle-level decontamination: drop train docs sharing ANY 6-token
+    * n-gram with the eval slice (GPT-3-style), hash-keyed semi join. */
+  private val q55 = QueryDef(
+    "q55_ngram_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val test = docs.filter(col("doc_id") % 10 === 0)
+      graft.operators.Pipeline.decontaminateNgrams(train, test, "doc_id", "text", 6)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    // string shingles in the oracle ≡ xxhash64 shingles engine-side
+    // (collision-free at these cardinalities, same assumption as q20/q21)
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 6
+          THEN list_distinct([array_to_string(t[i:i+5], ' ') for i in range(1, len(t) - 4)])
+          ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
+      ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+      bad AS (SELECT DISTINCT doc_id FROM sh
+              WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM ev))
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id"""))
+
+  /** Exact heavy hitters (≥1% token mass) behind a count-min prefilter —
+    * the sketch prunes light tokens before the shuffle; the final HAVING
+    * on true counts keeps the result exact, so the oracle is the plain
+    * exact formulation. */
+  private val q56 = QueryDef(
+    "q56_heavy_hitters",
+    (s, dir) =>
+      graft.operators.Pipeline.heavyHitters(t(s, dir, "documents"), "text", denom = 100)
+        .orderBy(col("tok")),
+    Some("""WITH tk AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+      tot AS (SELECT COUNT(*) AS n FROM tk)
+      SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok
+      HAVING COUNT(*) * 100 >= (SELECT n FROM tot) ORDER BY tok"""))
+
+  /** Deterministic weighted sample: 60-bit md5 priority DIV n_chars,
+    * 25 smallest win — integer arithmetic end-to-end, so the sample is
+    * bit-stable across engines, runs, and partitionings. */
+  private val q57 = QueryDef(
+    "q57_weighted_sample",
+    (s, dir) =>
+      graft.operators.Pipeline.weightedPrioritySample(
+        t(s, dir, "documents"), "doc_id", "text", "n_chars", k = 25)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("priority")),
+    Some("""SELECT doc_id, lang, n_chars,
+        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) // n_chars AS priority
+      FROM documents ORDER BY priority, doc_id LIMIT 25"""))
+
+  /** Lloyd assignment step: every embedding to its argmax-cosine centroid
+    * (centroids = vec_id < 8), cluster sizes + max similarity. */
+  private val q58 = QueryDef(
+    "q58_kmeans_assign",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.assignToCentroids(
+        emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding")
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vecs"), max(col("cos")).as("max_cos"))
+        .orderBy(col("centroid_id"))
+    },
+    Some("""WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 8),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sc AS (SELECT vec_id, cid, list_cosine_similarity(e, cv) AS cos FROM v, c),
+      r AS (SELECT vec_id, cid, cos,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc)
+      SELECT cid AS centroid_id, COUNT(*) AS n_vecs, MAX(cos) AS max_cos
+      FROM r WHERE rn = 1 GROUP BY cid ORDER BY centroid_id"""))
+
+  /** Contiguous sequence packing: per-source docs in id order packed into
+    * 256-token bins by exclusive cumulative offset; per-bin doc/token
+    * counts. One window pass — the packing replays identically at any
+    * parallelism. */
+  private val q59 = QueryDef(
+    "q59_pack_sequences",
+    (s, dir) =>
+      graft.operators.Pipeline.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", "source", budget = 256)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .orderBy(col("source"), col("bin")),
+    Some("""WITH t AS (SELECT doc_id, source,
+            len(string_split_regex(trim(text), '\s+')) AS nt FROM documents),
+      c AS (SELECT doc_id, source, nt,
+              SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - nt AS off
+            FROM t)
+      SELECT source, CAST(off // 256 AS BIGINT) AS bin,
+             COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51) ++
+    q51, q52, q53, q54, q55, q56, q57, q58, q59) ++
     ConnectorQueries.all
 }

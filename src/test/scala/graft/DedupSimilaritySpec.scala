@@ -159,4 +159,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ivfR >= 0.3, f"mean IVF recall $ivfR%.2f too low for a usable ANN path")
     info(f"mean IVF@$k recall: $ivfR%.2f (nprobe/nlist = 4/16 -> ~25%% corpus scanned)")
   }
+
+  test("assignToCentroids: argmax-cosine reference, centroids self-assign at cos 1.0") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+    val got = Similarity.assignToCentroids(emb, cents,
+      "vec_id", "embedding", "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size == emb.count())
+    // reference argmax via brute-force scoring
+    val ref = Similarity.bruteForceTopK(cents, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = emb.count().toInt)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.maxBy(t => (t._3, -t._2))).toMap
+    // centroid vectors assign to themselves with exactly cos 1.0
+    (0L until 8L).foreach { cid =>
+      assert(got(cid)._1 == cid, s"centroid $cid must self-assign: ${got(cid)}")
+      assert(got(cid)._2 == 1.0, s"self-similarity must be exactly 1.0: ${got(cid)}")
+    }
+    // non-centroid vectors match the brute-force argmax (brute force excludes
+    // self pairs, so compare only ids >= 8; cos formulas differ by <=1 ulp)
+    got.filterKeys(_ >= 8).foreach { case (vid, (cid, cos)) =>
+      val (_, refCid, refCos) = ref(vid)
+      assert(cid == refCid, s"vec $vid: got centroid $cid, want $refCid")
+      assert(math.abs(cos - refCos) < 1e-12)
+    }
+  }
 }

@@ -150,6 +150,120 @@ class TemporalPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionSignals == explode/groupBy reference formulation") {
+    val docs = Tables.load(spark, dir, "documents")
+    val got = Pipeline.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // reference: explode bigrams, count per (doc, bigram), max/sum
+    val toks = docs.select(col("doc_id"), graft.functions.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bg = toks.select(col("doc_id"),
+      explode(zip_with(slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+    val top = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("n")).cast("double") / sum(col("n")).cast("double")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dtr = toks.select(col("doc_id"),
+      (size(array_distinct(col("tk"))).cast("double") / size(col("tk")).cast("double")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == top.keySet)
+    got.foreach { case (id, (f, r)) =>
+      assert(f == top(id), s"top_bigram_frac mismatch doc $id")
+      assert(r == dtr(id), s"distinct_token_ratio mismatch doc $id")
+    }
+  }
+
+  test("qualityFilter keeps exactly the rows satisfying its thresholds") {
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = Pipeline.qualityFilter(docs, "doc_id", "text", 20, 120, 0.45)
+    assert(kept.filter(!col("n_tokens").between(20, 120) ||
+      col("distinct_ratio") < 0.45).count() == 0)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val refIds = docs.select(col("doc_id"),
+        graft.functions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n"),
+        (size(array_distinct(col("tk"))).cast("double") / size(col("tk")).cast("double")).as("r"))
+      .filter(col("n").between(20, 120) && col("r") >= 0.45)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == refIds)
+    assert(keptIds.nonEmpty && keptIds.size < docs.count(),
+      "thresholds should be exercised in both directions")
+  }
+
+  test("decontaminateNgrams == string-shingle overlap reference") {
+    val docs = Tables.load(spark, dir, "documents")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val testSet = docs.filter(col("doc_id") % 10 === 0)
+    val got = Pipeline.decontaminateNgrams(train, testSet, "doc_id", "text", 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // reference over shingle STRINGS (no hashing)
+    val evalG = testSet.select(explode(graft.functions.shingles(col("text"), 6)).as("g")).distinct()
+    val bad = train.select(col("doc_id"),
+        explode(graft.functions.shingles(col("text"), 6)).as("g"))
+      .join(evalG, Seq("g"), "left_semi").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val ref = train.select("doc_id").collect().map(_.getLong(0)).toSet diff bad
+    assert(got == ref)
+    assert(bad.nonEmpty, "near-duplicate contamination must exist in the data")
+  }
+
+  test("heavyHitters == exact groupBy HAVING (CMS prefilter is invisible)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val got = Pipeline.heavyHitters(docs, "text", denom = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = docs.select(explode(graft.functions.tokens(lower(col("text")))).as("tok"))
+    val total = toks.count()
+    val ref = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .filter(col("n") * 100 >= total)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    assert(got.nonEmpty && got.size < total, "threshold should actually select")
+  }
+
+  test("weightedPrioritySample: deterministic, k rows, weight-sensitive") {
+    val docs = Tables.load(spark, dir, "documents")
+    val s1 = Pipeline.weightedPrioritySample(docs, "doc_id", "text", "n_chars", 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val s2 = Pipeline.weightedPrioritySample(docs.repartition(13), "doc_id", "text", "n_chars", 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "sample must be independent of partitioning")
+    assert(s1.size == 25)
+    // priorities of selected rows are the global k smallest
+    val all = docs.withColumn("p",
+      expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT) DIV n_chars"))
+      .select(col("doc_id"), col("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(r => (r._2, r._1)).take(25).map(_._1).toSeq
+    assert(s1 == all)
+  }
+
+  test("packSequences: bins start at exclusive-cumsum DIV budget, counts preserved") {
+    val docs = Tables.load(spark, dir, "documents")
+    val packed = Pipeline.packSequences(docs, "doc_id", "text", "source", 256)
+    // every doc appears exactly once
+    assert(packed.count() == docs.count())
+    // bin ids are non-decreasing in doc order within a group and the token
+    // sum across bins equals the group token sum
+    val perGroup = packed.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("nt"), countDistinct(col("bin")).as("nb"))
+    val ref = docs.groupBy(col("source"))
+      .agg(sum(graft.functions.token_count(col("text"))).as("nt"))
+    val joined = perGroup.join(ref.withColumnRenamed("nt", "ref_nt"), "source")
+    assert(joined.filter(col("nt") =!= col("ref_nt")).count() == 0)
+    // a bin's docs hold >= budget tokens only if it closes (i.e. next doc
+    // spills to a later bin) — structural check on one group
+    val rows = packed.filter(col("source") === "src0")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getInt(2).toLong, r.getLong(3)))
+    var cum = 0L
+    rows.foreach { case (_, nt, bin) =>
+      assert(bin == cum / 256, s"bin must equal exclusive-cumsum DIV budget")
+      cum += nt
+    }
+  }
+
   test("decontaminate removes exactly the test-set texts from train") {
     val docs = Tables.load(spark, dir, "documents")
     val train = docs
