@@ -218,13 +218,24 @@ object Dedup {
     * alternating small-star/large-star formulation (same per-round shape,
     * provably fewer rounds on high-diameter graphs).
     *
+    * Small edge sets (≤ `maxLocalEdges`, the same order as a broadcast
+    * threshold) skip the loop: the pair list — already a reduced,
+    * near-dup-only artifact, tiny relative to the corpus — is collected
+    * once and resolved with driver-side union-find, saving 2-3 Spark jobs
+    * per propagation round. The distributed loop remains the path for
+    * genuinely huge pair sets; both paths produce identical labels.
+    *
     * Output: (doc_id, rep) for every vertex that appears in `pairs`. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      maxLocalEdges: Long = 4L << 20): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    if (edges.count() <= maxLocalEdges) return localComponents(edges)
     // seed with the first round folded in: label(v) = min(v, neighbors(v)).
     // Plain pair-clusters (the common case) converge immediately — the loop
     // only runs for chains longer than 2.
@@ -247,6 +258,32 @@ object Dedup {
       iter += 1
     }
     labels.select(col("v").as("doc_id"), col("lbl").as("rep"))
+  }
+
+  /** Driver-side union-find over a collected (src, dst) edge list; each
+    * vertex labeled with its component's minimum id (identical output to
+    * the distributed min-label loop). */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min so roots stay component minima
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    val spark = edges.sparkSession
+    import spark.implicits._
+    verts.toSeq.sorted.map(v => (v, find(v))).toDF("doc_id", "rep")
   }
 
   /** End-to-end near-duplicate removal: minhash-LSH pairs → connected

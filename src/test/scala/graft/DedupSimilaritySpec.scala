@@ -53,6 +53,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L)
     assert(got == want, s"got $got")
+    // the distributed min-label loop (forced by maxLocalEdges = 0) must
+    // produce identical labels to the driver union-find fast path
+    val looped = Dedup.connectedComponents(pairs, maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(looped == want, s"distributed loop diverged: $looped")
   }
 
   test("dropNearDuplicates keeps exactly the cluster representatives") {
