@@ -307,4 +307,30 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("ingest_ts", current_timestamp())
     assert(df.filter(col("ingest_ts").isNotNull).count() == 5)
   }
+
+  test("stateless pipeline ops (quality filter, repetition signals) run unchanged on streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    // the SAME operator builds both the batch and the streaming plan —
+    // map-side predicates/projections carry over with zero changes
+    val streamed = graft.operators.Pipeline.qualityFilter(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", 20, 120, 0.45)
+    val q = graft.operators.Pipeline.repetitionSignals(streamed, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("stateless_ops")
+      .trigger(Trigger.AvailableNow())
+    input.addData(docs.toSeq)
+    val h = q.start(); h.awaitTermination()
+    val got = spark.table("stateless_ops")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val batchDf = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val want = graft.operators.Pipeline.repetitionSignals(
+      graft.operators.Pipeline.qualityFilter(batchDf, "doc_id", "text", 20, 120, 0.45),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
