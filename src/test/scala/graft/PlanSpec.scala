@@ -44,4 +44,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final pair:\n$p")
   }
+
+  test("repetition signals: pure map work — no exchange except the output sort") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = graft.operators.Pipeline.repetitionSignals(docs, "doc_id", "text")
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), s"repetition signals must not shuffle:\n$p")
+  }
+
+  test("quality filter: predicate evaluated map-side, no exchange") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = graft.operators.Pipeline
+      .qualityFilter(docs, "doc_id", "text", 20, 120, 0.45)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), s"quality filter must not shuffle:\n$p")
+  }
+
+  test("ngram decontamination: eval shingle side broadcasts into the semi join") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+    val testSet = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+    val p = graft.operators.Pipeline
+      .decontaminateNgrams(train, testSet, "doc_id", "text", 6)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"small eval side should broadcast:\n$p")
+  }
+
+  test("kmeans assignment: centroids broadcast, corpus never shuffles before scoring") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val cents = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val p = graft.operators.Similarity
+      .assignToCentroids(emb, cents, "vec_id", "embedding", "vec_id", "embedding")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroid side should broadcast:\n$p")
+    // the only shuffle exchange is the per-vector argmax window partitioning
+    assert("(?<!Broadcast)Exchange \\(".r.findAllIn(p).size == 1,
+      s"exactly one shuffle (the argmax window):\n$p")
+  }
 }
