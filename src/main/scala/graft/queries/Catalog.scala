@@ -1052,12 +1052,28 @@ object Catalog {
              COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
       FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Approximate per-group quantiles (the streaming/mergeable counterpart
+    * of q36's exact percentiles — completes the sketch family alongside
+    * HLL, bloom, and count-min). Estimates are algorithm-specific (not
+    * oracle-replicable — rows-only check); the rank-error band vs the
+    * exact percentile is spec-asserted in TemporalPipelineSpec. */
+  private val q60 = QueryDef(
+    "q60_approx_length_quantiles",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx(col("n_chars"), lit(0.95), lit(1000)).as("p95_approx"))
+        .orderBy(col("lang")),
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59) ++
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60) ++
     ConnectorQueries.all
 }

@@ -264,6 +264,28 @@ class TemporalPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantiles land within the accuracy rank-error band of exact") {
+    val docs = Tables.load(spark, dir, "documents")
+    val acc = 1000
+    val joined = docs.groupBy(col("lang"))
+      .agg(
+        percentile_approx(col("n_chars"), lit(0.5), lit(acc)).as("approx"),
+        expr("percentile(n_chars, 0.5)").as("exact"),
+        count(lit(1)).as("n"),
+        min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      .collect()
+    joined.foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getDouble(2))
+      val (n, lo, hi) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      // rank error <= n/acc elements; with n << acc the estimate must be
+      // an actual element adjacent to the true median
+      assert(approx >= lo && approx <= hi)
+      assert(math.abs(approx - exact) <= (hi - lo).toDouble * (n.toDouble / acc + 0.02) +
+        math.ulp(exact) + 1.0,
+        s"approx $approx too far from exact $exact (lang=${r.getString(0)}, n=$n)")
+    }
+  }
+
   test("decontaminate removes exactly the test-set texts from train") {
     val docs = Tables.load(spark, dir, "documents")
     val train = docs
