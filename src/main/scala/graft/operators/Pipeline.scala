@@ -208,9 +208,11 @@ object Pipeline {
       seed: Int = 42): DataFrame = {
     val toks = df.select(
       explode(graft.functions.tokens_fast(lower(col(textCol)))).as("tok"))
-    val total = toks.count()
-    val threshold = (total + denom - 1) / denom // ceil: n*denom >= total
     val cms = toks.stat.countMinSketch("tok", eps, confidence, seed)
+    // the sketch already carries the exact stream length — no separate
+    // count() pass over the corpus
+    val total = cms.totalCount()
+    val threshold = (total + denom - 1) / denom // ceil: n*denom >= total
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       cms.writeTo(bos)
