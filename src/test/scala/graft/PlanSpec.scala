@@ -45,6 +45,22 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final pair:\n$p")
   }
 
+  test("partitioned layout: lang filter prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    // the 100 TB layout decision: partition the corpus by its coarse
+    // filter column so per-language jobs touch 1/k of the files
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val p = spark.read.parquet(out).filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"partition pruning not visible:\n$p")
+    val en = spark.read.parquet(out).filter(col("lang") === "en").count()
+    val all = spark.read.parquet(out).count()
+    assert(en > 0 && en < all, "filter must be selective for the check to mean anything")
+  }
+
   test("repetition signals: pure map work — no exchange except the output sort") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = graft.operators.Pipeline.repetitionSignals(docs, "doc_id", "text")
