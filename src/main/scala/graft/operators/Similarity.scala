@@ -228,6 +228,33 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("cos"))
   }
 
+  /** Per-cluster mean vectors — the Lloyd UPDATE step completing
+    * [[assignToCentroids]]. Per (cluster, dimension) the member values are
+    * folded in a pinned order (sorted by member id), so the sum — and
+    * therefore the new centroid — is bit-identical across engines,
+    * partitionings, and retries, unlike a plain floating SUM whose
+    * combine order floats. Shuffle key is (cluster, dim): ~k·d groups
+    * regardless of corpus size. */
+  def centroidMeans(
+      vecs: DataFrame,
+      assignments: DataFrame,
+      vecId: String,
+      vecCol: String,
+      clusterCol: String): DataFrame = {
+    val member = vecs
+      .select(col(vecId).cast("long").as("__vid"), vec_double(col(vecCol)).as("__v"))
+      .join(assignments.select(col(vecId).cast("long").as("__vid"),
+        col(clusterCol).as("centroid_id")), "__vid")
+      .select(col("centroid_id"), col("__vid"),
+        posexplode(col("__v")).as(Seq("__pos", "__val")))
+    member.groupBy(col("centroid_id"), (col("__pos") + 1).as("dim"))
+      .agg(sort_array(collect_list(struct(col("__vid").as("i"), col("__val").as("v"))))
+        .as("__xs"), count(lit(1)).as("__n"))
+      .select(col("centroid_id"), col("dim"),
+        (aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x.getField("v"))
+          / col("__n").cast("double")).as("mean_val"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within a blocking
     * column (block quadratic work; at scale block = LSH bucket). */
   def cosinePairsBlocked(

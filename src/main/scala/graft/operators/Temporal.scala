@@ -102,4 +102,39 @@ object Temporal {
       .drop("__gid")
       .na.fill(0, Seq(countCol))
   }
+
+  /** Row-returning variant of [[rangeCountBinned]]: inner-join each left
+    * row to every right row with `rightTs` in [leftTs - window, leftTs),
+    * same key. Identical two-bucket probe plan — each right row's bin
+    * equals the left row's bin or the one before it, exactly one of the
+    * two exploded probes, so no pair ever duplicates. Right-side columns
+    * (beyond the key) are carried through under their own names; rename
+    * before calling on collisions. */
+  def rangeJoinBinned(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      windowMs: Long): DataFrame = {
+    require(windowMs > 0, "window must be positive")
+    val reserved = Set("__lus", "__lbin", "__bin", "__rk", "__rus", "__rbin")
+    require(!(left.columns ++ right.columns).exists(reserved),
+      s"columns may not use ${reserved.mkString("/")}")
+    val overlap = (right.columns.toSet - key).intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"rename right columns colliding with left: $overlap")
+    val winUs = windowMs * 1000L
+    val l = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__lbin", expr(s"__lus DIV $winUs"))
+      .withColumn("__bin", explode(array(col("__lbin"), col("__lbin") - 1)))
+    val rExtra = right.columns.filterNot(_ == key).map(col)
+    val r = right.select(
+      (Seq(col(key).as("__rk"), unix_micros(col(rightTs)).as("__rus")) ++ rExtra): _*)
+      .withColumn("__rbin", expr(s"__rus DIV $winUs"))
+    l.join(r,
+        l(key) === col("__rk") && col("__bin") === col("__rbin") &&
+          col("__rus") >= col("__lus") - winUs && col("__rus") < col("__lus"))
+      .drop("__lus", "__lbin", "__bin", "__rk", "__rus", "__rbin")
+  }
 }

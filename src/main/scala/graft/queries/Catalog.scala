@@ -1068,12 +1068,64 @@ object Catalog {
         .orderBy(col("lang")),
     None)
 
+  /** Lloyd UPDATE step: per-cluster mean vectors over q58's assignment,
+    * each (cluster, dim) folded in member-id order so the means are
+    * bit-identical to the oracle's ordered list_sum. */
+  private val q61 = QueryDef(
+    "q61_kmeans_update",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assign = graft.operators.Similarity.assignToCentroids(
+        emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding")
+      graft.operators.Similarity.centroidMeans(emb, assign,
+        "vec_id", "embedding", "centroid_id")
+        .filter(col("dim") <= 8)
+        .orderBy(col("centroid_id"), col("dim"))
+    },
+    Some("""WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 8),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sc AS (SELECT vec_id, cid, list_cosine_similarity(e, cv) AS cos FROM v, c),
+      a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc),
+      m AS (SELECT v.vec_id, a.cid, generate_subscripts(v.e, 1) AS dim, unnest(v.e) AS val
+            FROM v JOIN a ON v.vec_id = a.vec_id AND a.rn = 1)
+      SELECT cid AS centroid_id, CAST(dim AS INTEGER) AS dim,
+             list_sum(list(val ORDER BY vec_id)) / CAST(COUNT(*) AS DOUBLE) AS mean_val
+      FROM m WHERE dim <= 8 GROUP BY cid, dim ORDER BY centroid_id, dim"""))
+
+  /** Row-returning binned range join: every (error, click) pair with the
+    * click in the 10 minutes before the error — attach-context shape of
+    * q38's count. */
+  private val q62 = QueryDef(
+    "q62_recent_click_pairs",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.operators.Temporal.rangeJoinBinned(errors, clicks,
+        key = "user_id", leftTs = "ts", rightTs = "click_ts",
+        windowMs = 10L * 60 * 1000)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("error_ms"),
+          unix_millis(col("click_ts")).as("click_ms"))
+        .orderBy(col("user_id"), col("error_ms"), col("event_id"), col("click_ms"))
+    },
+    Some("""SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS error_ms, epoch_ms(c.ts) AS click_ms
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        ON c.user_id = e.user_id
+        AND c.ts >= e.ts - INTERVAL 10 MINUTES AND c.ts < e.ts
+      ORDER BY e.user_id, error_ms, e.event_id, click_ms"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60) ++
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    q61, q62) ++
     ConnectorQueries.all
 }

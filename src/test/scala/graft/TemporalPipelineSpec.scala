@@ -57,6 +57,55 @@ class TemporalPipelineSpec extends AnyFunSuite {
       "test data should exercise both zero and positive window counts")
   }
 
+  test("rangeJoinBinned == unbinned theta-join reference (pair-exact)") {
+    val ev = Tables.load(spark, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val w = 10L * 60 * 1000
+    val got = Temporal.rangeJoinBinned(errors, clicks, "user_id", "ts", "cts", w)
+      .select(col("event_id"), unix_micros(col("cts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val clicksR = clicks.select(col("user_id").as("cu"), col("cts"))
+    val ref = errors.join(clicksR,
+        col("user_id") === col("cu") &&
+          unix_micros(col("cts")) >= unix_micros(col("ts")) - w * 1000 &&
+          unix_micros(col("cts")) < unix_micros(col("ts")))
+      .select(col("event_id"), unix_micros(col("cts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == ref)
+    assert(got.nonEmpty, "window pairs must exist in the test data")
+  }
+
+  test("centroidMeans == driver-side fold of member vectors in id order") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+    val assign = Similarity.assignToCentroids(emb, cents,
+      "vec_id", "embedding", "vec_id", "embedding")
+    val got = Similarity.centroidMeans(emb, assign, "vec_id", "embedding", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val members = assign.select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.select(col("vec_id"),
+      graft.functions.vec_double(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val byCluster = members.toSeq.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted).toMap
+    byCluster.foreach { case (cid, ids) =>
+      val dim = vecs(ids.head).size
+      (0 until dim).foreach { d =>
+        var s = 0.0
+        ids.foreach(i => s += vecs(i)(d)) // same fold order: sorted member id
+        val want = s / ids.size
+        assert(got((cid, d + 1)) == want,
+          s"cluster $cid dim ${d + 1}: ${got((cid, d + 1))} != $want")
+      }
+    }
+    assert(got.size == byCluster.size * vecs(0L).size)
+  }
+
   test("asofJoin edges: empty right side, exact-equal timestamps, dup right ts") {
     import spark.implicits._
     import graft.operators.Temporal
