@@ -160,11 +160,19 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-      with SupportsPushDownAggregates {
+      with SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       private var required: StructType = userSchema
       private var pushed = Array.empty[Filter]
       private var preds = MongoJson.parseFilter(filterJson)
       private var countPushed = false
+      private var limit = -1
+
+      // find().limit(n) analog: the cursor stops after n matching docs.
+      // The scan is a single partition, so the store-side limit IS the
+      // global limit — complete pushdown, Spark's own Limit node drops.
+      override def pushLimit(l: Int): Boolean = { limit = l; true }
+      override def isPartiallyPushed(): Boolean = false
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val converted = filters.map(f => f -> MongoJson.catalystToPred(f))
@@ -215,21 +223,25 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
         override def description(): String =
           s"mongo($uri) preds=${preds.map(p => s"${p.field}${p.op}").mkString(",")} " +
             (if (countPushed) "agg=count(*)"
-             else s"cols=${required.fieldNames.mkString(",")}")
+             else s"cols=${required.fieldNames.mkString(",")}") +
+            (if (limit >= 0) s" limit=$limit" else "")
         override def batch: Batch = {
-          val (u, ps, rs, cnt) = (uri, preds ++ runtime, required, countPushed)
+          val (u, ps, rs, cnt, lim) = (uri, preds ++ runtime, required, countPushed, limit)
           val isRaw = rs.length == 1 && rs.head.name == "doc"
           new FnBatch(Seq(FnPartition(0, "find", 0, 0)), _ =>
             if (cnt) {
               val n = MemHub.find(u).iterator
                 .count(docStr => ps.forall(_.eval(MongoJson.parse(docStr))))
               Iterator.single(Dsv2.row(n.toLong))
-            } else MemHub.find(u).iterator.flatMap { docStr =>
-              val doc = MongoJson.parse(docStr)
-              if (ps.forall(_.eval(doc))) {
-                MongoScanStats.emitted.incrementAndGet()
-                Some(if (isRaw) Dsv2.row(Dsv2.utf8(docStr)) else MongoJson.toRow(doc, rs))
-              } else None
+            } else {
+              val matched = MemHub.find(u).iterator.flatMap { docStr =>
+                val doc = MongoJson.parse(docStr)
+                if (ps.forall(_.eval(doc))) {
+                  MongoScanStats.emitted.incrementAndGet()
+                  Some(if (isRaw) Dsv2.row(Dsv2.utf8(docStr)) else MongoJson.toRow(doc, rs))
+                } else None
+              }
+              if (lim >= 0) matched.take(lim) else matched
             })
         }
       }

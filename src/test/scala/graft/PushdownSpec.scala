@@ -52,6 +52,23 @@ class PushdownSpec extends AnyFunSuite {
     assert(df.count() == 10L)
   }
 
+  test("mongo: LIMIT served by the cursor — no extra docs read, Spark Limit dropped") {
+    import graft.sources.mongo.MongoScanStats
+    val uri = "hub:test/mongo-limit"
+    MemHub.insertMany(uri, (1 to 100).iterator.map(i => s"""{"id":$i,"v":${i % 5}}"""))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", LongType)))
+    val df = spark.read.format("graft-mongo").schema(schema).option("uri", uri).load()
+      .filter(col("v") === 0).limit(3)
+    val plan = physical(df)
+    assert(plan.contains("limit=3"), s"limit not pushed:\n$plan")
+    assert(!plan.contains("GlobalLimit"), s"Spark Limit should drop (complete pushdown):\n$plan")
+    MongoScanStats.emitted.set(0)
+    assert(df.count() == 3)
+    // lazy cursor: only the 3 limited matches were ever materialized
+    assert(MongoScanStats.emitted.get() == 3,
+      s"cursor read past the limit: emitted=${MongoScanStats.emitted.get()}")
+  }
+
   test("mongo: broadcast-join keys runtime-filter the scan (DPP analog)") {
     import graft.sources.mongo.MongoScanStats
     val uri = "hub:test/mongo-rtf"
