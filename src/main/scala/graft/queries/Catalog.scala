@@ -1119,6 +1119,55 @@ object Catalog {
         AND c.ts >= e.ts - INTERVAL 10 MINUTES AND c.ts < e.ts
       ORDER BY e.user_id, error_ms, e.event_id, click_ms"""))
 
+  /** Cross-source duplicate leakage matrix: near-dup pairs (q21 semantics)
+    * rolled up by the (source, source) combination — the report that tells
+    * a curation pipeline WHICH feeds duplicate each other. */
+  private val q63 = QueryDef(
+    "q63_source_leakage",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      val src = docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+          greatest(col("src_a"), col("src_b")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_lo"), col("source_hi"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT da, db
+                FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8)
+      SELECT least(x.source, y.source) AS source_lo,
+             greatest(x.source, y.source) AS source_hi, COUNT(*) AS n_pairs
+      FROM pairs JOIN documents x ON da = x.doc_id JOIN documents y ON db = y.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Vocabulary frequency spectrum (count-of-counts): how many distinct
+    * tokens occur exactly f times — the Zipf/Heaps diagnostic a corpus
+    * report leads with. Two tiny aggregates, both keyed on the token. */
+  private val q64 = QueryDef(
+    "q64_token_freq_spectrum",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(tokens_fast(lower(col("text")))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("n_tokens"))
+        .orderBy(col("f")),
+    Some("""WITH tk AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+      tf AS (SELECT tok, COUNT(*) AS f FROM tk GROUP BY tok)
+      SELECT f, COUNT(*) AS n_tokens FROM tf GROUP BY f ORDER BY f"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1126,6 +1175,6 @@ object Catalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62) ++
+    q61, q62, q63, q64) ++
     ConnectorQueries.all
 }
