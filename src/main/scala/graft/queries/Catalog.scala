@@ -1168,6 +1168,29 @@ object Catalog {
       tf AS (SELECT tok, COUNT(*) AS f FROM tk GROUP BY tok)
       SELECT f, COUNT(*) AS n_tokens FROM tf GROUP BY f ORDER BY f"""))
 
+  /** Per-label prototype vectors (mean pooling over a class): the same
+    * order-pinned grouped-mean machinery as q61, driven by the label
+    * column instead of a computed assignment — class centroids for
+    * nearest-prototype classification. */
+  private val q65 = QueryDef(
+    "q65_label_prototypes",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.centroidMeans(
+        emb, emb.select(col("vec_id"), col("label")),
+        "vec_id", "embedding", "label")
+        .filter(col("dim") <= 4)
+        .select(col("centroid_id").cast("long").as("label"),
+          col("dim"), col("mean_val"))
+        .orderBy(col("label"), col("dim"))
+    },
+    Some("""WITH m AS (SELECT vec_id, label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+            unnest(CAST(embedding AS DOUBLE[])) AS val
+            FROM embeddings)
+      SELECT CAST(label AS BIGINT) AS label, CAST(dim AS INTEGER) AS dim,
+             list_sum(list(val ORDER BY vec_id)) / CAST(COUNT(*) AS DOUBLE) AS mean_val
+      FROM m WHERE dim <= 4 GROUP BY label, dim ORDER BY label, dim"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1175,6 +1198,6 @@ object Catalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64) ++
+    q61, q62, q63, q64, q65) ++
     ConnectorQueries.all
 }

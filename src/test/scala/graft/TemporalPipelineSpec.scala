@@ -335,6 +335,35 @@ class TemporalPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("round-3 text ops survive hostile inputs (empty, single-token, whitespace runs)") {
+    import spark.implicits._
+    val hostile = Seq(
+      "", " ", "a", "a b", "a  b", "dup dup dup dup", "trailing space ",
+      "\tleading tab", "x y x y x y", "one two three four five six seven")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "s" + (i % 2)) }
+      .toDF("doc_id", "text", "source")
+    // repetitionSignals: docs with <2 tokens drop; ratios stay in (0, 1]
+    val rep = Pipeline.repetitionSignals(hostile, "doc_id", "text").collect()
+    assert(rep.forall(r => r.getDouble(1) > 0 && r.getDouble(1) <= 1.0))
+    assert(rep.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
+    assert(!rep.map(_.getLong(0)).contains(0L), "empty doc must drop")
+    // all-same-bigram doc: top fraction exactly 1.0
+    val dup = rep.find(_.getLong(0) == 5L).get
+    assert(dup.getDouble(1) == 1.0)
+    // qualityFilter: no crash, thresholds respected
+    val qf = Pipeline.qualityFilter(hostile, "doc_id", "text", 2, 100, 0.0)
+    assert(qf.count() > 0 && qf.filter(col("n_tokens") < 2).count() == 0)
+    // packSequences: every doc lands in exactly one bin, bins start at 0
+    val packed = Pipeline.packSequences(hostile, "doc_id", "text", "source", 4)
+    assert(packed.count() == hostile.count())
+    assert(packed.groupBy(col("source")).agg(min(col("bin")).as("m"))
+      .filter(col("m") =!= 0).count() == 0)
+    // weighted sample with weight floor 1 (empty text has n_chars 0 -> use length+1)
+    val w = hostile.withColumn("wt", length(col("text")) + 1)
+    val samp = Pipeline.weightedPrioritySample(w, "doc_id", "text", "wt", 3)
+    assert(samp.count() == 3)
+  }
+
   test("decontaminate removes exactly the test-set texts from train") {
     val docs = Tables.load(spark, dir, "documents")
     val train = docs
