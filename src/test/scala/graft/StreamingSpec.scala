@@ -333,4 +333,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("stream-static enrichment join: per-batch broadcast against a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val nation = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+    val input = MemoryStream[(Long, Long)](spark)
+    // stream of (event id, nation key) enriched with the static dim — the
+    // production shape for reference lookups on an unbounded source
+    val enriched = input.toDF().toDF("ev_id", "nkey")
+      .join(nation, col("nkey") === col("n_nationkey"))
+      .select(col("ev_id"), col("n_name"))
+    val q = enriched.writeStream.outputMode("append").format("memory")
+      .queryName("enrich").trigger(Trigger.AvailableNow())
+    input.addData((1L, 0L), (2L, 5L), (3L, 24L), (4L, 999L))
+    val h = q.start(); h.awaitTermination()
+    val got = spark.table("enrich").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"unmatched key must drop (inner join): $got")
+    val want = nation.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == want(0L) && got(2L) == want(5L) && got(3L) == want(24L))
+  }
 }
