@@ -354,4 +354,21 @@ class StreamingSpec extends AnyFunSuite {
     val want = nation.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == want(0L) && got(2L) == want(5L) && got(3L) == want(24L))
   }
+
+  test("rolling aggregate: streaming approx quantile in update mode (sketch family)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long](spark)
+    val agg = input.toDF()
+      .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"))
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("rolling_q").start()
+    input.addData((1L to 1000L))
+    q.processAllAvailable()
+    input.addData((1001L to 2000L))
+    q.processAllAvailable()
+    q.stop()
+    // after both batches the stream has seen 1..2000 -> median ~1000
+    val last = spark.table("rolling_q").collect().last.getLong(0)
+    assert(math.abs(last - 1000L) <= 5, s"rolling median drifted: $last")
+  }
 }
