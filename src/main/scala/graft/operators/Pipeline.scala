@@ -236,11 +236,15 @@ object Pipeline {
       idCol: String,
       textCol: String,
       weightCol: String,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    // weight must be >= 1 caller-side: DIV by zero is an error under ANSI
+    // semantics and a NULL priority otherwise — both wrong answers
     df.withColumn("priority",
         expr(s"CAST(conv(substr(md5($textCol), 1, 15), 16, 10) AS BIGINT) DIV $weightCol"))
       .orderBy(col("priority").asc, col(idCol).asc)
       .limit(k)
+  }
 
   /** Contiguous sequence packing (the concat-then-chunk step before LLM
     * training): within each group, documents in id order are packed into
@@ -254,6 +258,7 @@ object Pipeline {
       textCol: String,
       groupCol: String,
       budget: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(groupCol), col(idCol),

@@ -104,6 +104,46 @@ object MongoJson {
     }
   }
 
+  /** DSv2 `Predicate` (the V2Filters surface) → find() predicate. Handles
+    * the comparison family over a single top-level field and a literal —
+    * including the flipped literal-op-field form — plus IS_NOT_NULL. */
+  def v2ToPred(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Pred] = {
+    import org.apache.spark.sql.connector.expressions.{
+      Expression => VExpr, Literal => VLit, NamedReference}
+    def fieldOf(e: VExpr): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+      case _ => None
+    }
+    def litOf(e: VExpr): Option[JsonNode] = e match {
+      case l: VLit[_] => Some(l.value match {
+        case n: java.lang.Number =>
+          mapper.getNodeFactory.numberNode(new java.math.BigDecimal(n.toString))
+        case v => mapper.getNodeFactory.textNode(String.valueOf(v))
+      })
+      case _ => None
+    }
+    val mongoOp = Map("=" -> "$eq", ">" -> "$gt", ">=" -> "$gte",
+      "<" -> "$lt", "<=" -> "$lte")
+    val flipOp = Map("$gt" -> "$lt", "$gte" -> "$lte",
+      "$lt" -> "$gt", "$lte" -> "$gte").withDefault(identity)
+    val ch = p.children()
+    p.name() match {
+      case "IS_NOT_NULL" if ch.length == 1 =>
+        fieldOf(ch(0)).map(f =>
+          Pred(f, "$exists", mapper.getNodeFactory.booleanNode(true)))
+      case op if mongoOp.contains(op) && ch.length == 2 =>
+        ((fieldOf(ch(0)), litOf(ch(1))) match {
+          case (Some(f), Some(v)) => Some(Pred(f, mongoOp(op), v))
+          case _ => None
+        }).orElse((fieldOf(ch(1)), litOf(ch(0))) match {
+          case (Some(f), Some(v)) => Some(Pred(f, flipOp(mongoOp(op)), v))
+          case _ => None
+        })
+      case _ => None
+    }
+  }
+
   /** Runtime In(...) filter → {"field": {"$in": [...]}} predicate. */
   def inPred(field: String, values: Array[Any]): Pred = {
     val arr = mapper.getNodeFactory.arrayNode()
@@ -161,12 +201,29 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
       with SupportsPushDownAggregates
-      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+      with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
       private var required: StructType = userSchema
       private var pushed = Array.empty[Filter]
+      private var pushedV2 =
+        Array.empty[org.apache.spark.sql.connector.expressions.filter.Predicate]
       private var preds = MongoJson.parseFilter(filterJson)
       private var countPushed = false
       private var limit = -1
+
+      // V2 predicate surface — Spark prefers this over the V1 pushFilters
+      // path when both are present; both feed the same find() predicate
+      // list, so the scan narrows identically either way.
+      override def pushPredicates(
+          predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+          : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+        val converted = predicates.map(p => p -> MongoJson.v2ToPred(p))
+        pushedV2 = converted.collect { case (p, Some(_)) => p }
+        preds = preds ++ converted.collect { case (_, Some(pr)) => pr }
+        converted.collect { case (p, None) => p }
+      }
+      override def pushedPredicates()
+          : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = pushedV2
 
       // find().limit(n) analog: the cursor stops after n matching docs.
       // The scan is a single partition, so the store-side limit IS the
