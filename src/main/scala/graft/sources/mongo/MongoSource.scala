@@ -116,7 +116,11 @@ object MongoJson {
       case _ => None
     }
     def litOf(e: VExpr): Option[JsonNode] = e match {
+      // V2 literals carry Catalyst-INTERNAL values: Decimal is not a
+      // java.lang.Number and UTF8String not a String — map both explicitly
       case l: VLit[_] => Some(l.value match {
+        case d: org.apache.spark.sql.types.Decimal =>
+          mapper.getNodeFactory.numberNode(d.toJavaBigDecimal)
         case n: java.lang.Number =>
           mapper.getNodeFactory.numberNode(new java.math.BigDecimal(n.toString))
         case v => mapper.getNodeFactory.textNode(String.valueOf(v))
