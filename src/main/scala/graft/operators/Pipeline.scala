@@ -251,7 +251,9 @@ object Pipeline {
     * bins of `budget` tokens — a document goes to the bin where its
     * EXCLUSIVE cumulative token offset lands. One window pass per group;
     * the assignment is a pure function of (group, id order, token counts)
-    * so it replays identically at any parallelism. */
+    * so it replays identically at any parallelism. The window sorts one
+    * partition per group: at 100 TB pack within bounded groups (source ×
+    * date bucket), never one global group. */
   def packSequences(
       df: DataFrame,
       idCol: String,
