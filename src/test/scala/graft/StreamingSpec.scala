@@ -371,4 +371,30 @@ class StreamingSpec extends AnyFunSuite {
     val last = spark.table("rolling_q").collect().last.getLong(0)
     assert(math.abs(last - 1000L) <= 5, s"rolling median drifted: $last")
   }
+
+  test("windowed heavy hitters: per-window token counts over a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
+    val counts = input.toDF().toDF("ts", "text")
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), explode(graft.functions.tokens_fast(lower(col("text")))).as("tok"))
+      .groupBy(window(col("ts"), "5 minutes"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.outputMode("update").format("memory")
+      .queryName("win_hh").start()
+    input.addData(
+      (ts(0), "spark spark spark flink"), (ts(1), "spark duck"),
+      (ts(6), "flink flink flink"), (ts(6), "flink spark"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win_hh")
+      .select(col("window.start"), col("tok"), col("n")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+    val w0 = 1700000000000L - (1700000000000L % 300000)
+    // window covering minutes 0-1: spark 3+1 = 4; the minute-6 window
+    // accumulates flink 3+1 = 4 across both rows
+    assert(got((w0, "spark")) == 4L, s"got $got")
+    assert(got.filter(_._1._2 == "flink").values.max == 4L)
+  }
 }
