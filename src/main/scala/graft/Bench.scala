@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Driver's tail capture is ~2000 chars (BENCH_r03.json "tail"); the JSON
+    * line plus sbt's trailing "[success] ..." line must fit inside it or the
+    * driver records parsed:null. Shorten "qNN_long_name" to its "qNN" code
+    * (still unique, still traceable to SparkEntry.queries); connector names
+    * (src_/snk_) are short enough to keep whole. BenchLineSpec pins the
+    * rendered length against the current query set.
+    */
+  def shortKey(name: String): String =
+    if (name.matches("^q\\d+_.*")) name.takeWhile(_ != '_') else name
+
+  def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  def renderLine(results: Map[String, Double], sfDir: String): String = {
+    val qs = results.toSeq.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,14 +61,7 @@ object Bench {
       }
       name -> times.min
     }
-    // Round to ms so the single JSON line stays short enough for the
-    // driver's bounded tail capture (72+ queries at full double precision
-    // overflowed it in round 2).
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(renderLine(results.toMap, sfDir))
     spark.stop()
   }
 }

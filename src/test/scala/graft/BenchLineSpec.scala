@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses BENCH_r{N}.json from a bounded (~2000-char) tail of the
+  * sbt run. Rounds 1-3 recorded parsed:null because the single JSON line,
+  * carrying every query's full name, outgrew that window and lost its opening
+  * brace. These guards pin the rendered line against the CURRENT query set so
+  * adding queries can't silently re-break the bench report.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.queries.keys.toSeq
+
+  test("short keys stay unique across the whole query set") {
+    val keys = names.map(Bench.shortKey)
+    assert(keys.distinct.size === keys.size,
+      s"colliding bench keys: ${keys.groupBy(identity).filter(_._2.size > 1).keys}")
+  }
+
+  test("rendered line fits the driver tail window with slack") {
+    // every query at a worst-case 4-digit-second timing
+    val line = Bench.renderLine(names.map(_ -> 9999.999).toMap, "/root/testdata/sf0.1")
+    // 2000-char tail minus sbt's trailing "[success] Total time..." line
+    // (~80 chars) minus slack for future sbt chatter
+    assert(line.length <= 1800, s"bench line ${line.length} chars — will be truncated")
+  }
+
+  test("rendered line is valid JSON with the contract fields") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val line = Bench.renderLine(Map("q01_pricing_summary" -> 1.2345, "src_redis_hash" -> 0.5), "/x")
+    val j = JsonMethods.parse(line)
+    assert((j \ "metric") === JString("total"))
+    assert((j \ "unit") === JString("sec"))
+    assert((j \ "value") === JDouble(1.735))
+    assert((j \ "queries" \ "q01") === JDouble(1.234) || (j \ "queries" \ "q01") === JDouble(1.235))
+    assert((j \ "queries" \ "src_redis_hash") === JDouble(0.5))
+  }
+}
