@@ -43,6 +43,25 @@ object GraftSession {
     spark
   }
 
+  /** Widen a narrow input so per-row kernels use the whole cluster.
+    *
+    * Expensive row-local kernels (shingling, minhash, explode-heavy
+    * similarity joins) inherit the SOURCE's parallelism: a small table that
+    * parquet serves as one or two splits runs those kernels — and the
+    * shuffle write feeding the next stage — on one or two cores while the
+    * rest of the cluster idles. When the source parallelism is below the
+    * cluster's, a round-robin repartition of the (still raw, pre-kernel)
+    * rows is a cheap shuffle that buys full-width compute; when the source
+    * is already wide — any real table at 100 TB has orders of magnitude
+    * more splits than cores — this is a no-op and costs nothing. Same
+    * spirit as AQE's runtime decisions, applied to leaf parallelism, which
+    * AQE (stage-boundary-scoped) cannot fix.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Ensure graft SQL functions and runtime confs are applied to an
     * externally-built session (the driver's Verify/Bench sessions). */
   def prepare(spark: SparkSession): SparkSession = {

@@ -55,8 +55,9 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
 
-    val sh = df.select(col(idCol).cast("long").as("doc_id"),
-      shingle_hashes(col(textCol), shingleSize).as("sh"))
+    val sh = graft.core.GraftSession.widen(df)
+      .select(col(idCol).cast("long").as("doc_id"),
+        shingle_hashes(col(textCol), shingleSize).as("sh"))
 
     val sig = sh.select(col("doc_id"),
       minhash_sig(col("sh"), numHashes).as("mh"))
@@ -95,17 +96,33 @@ object Dedup {
 
   /** Exact Jaccard for candidate (doc_a, doc_b) pairs against SORTED
     * shingle-hash sets ([[graft.functions.shingle_hashes]] output): a
-    * merge-pass intersection count per pair, no per-row hash set. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    * merge-pass intersection count per pair, no per-row hash set.
+    *
+    * The naive formulation joined `cand` against the corpus-wide shingle
+    * projection twice, re-tokenizing and re-hashing EVERY document per
+    * branch (measured: ~2/3 of minhashLsh wall time at sf0.1). Candidates
+    * are a tiny reduced artifact, so instead: pin them once
+    * (localCheckpoint), semi-join the corpus down to just the candidate
+    * ids, and compute shingle sets for those documents only — the
+    * corpus-wide pass happens exactly once, in candidate generation. The
+    * checkpointed frames carry exact sizes, so Catalyst/AQE picks
+    * broadcast joins here on its own when they fit (and correctly doesn't
+    * at 100 TB candidate volumes — no forced hints). */
+  private def verifyJaccard(cand0: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val cand = cand0.localCheckpoint(true)
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shC = sh.join(broadcast(ids), Seq("doc_id"), "left_semi").localCheckpoint(true)
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(shC.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shC.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", graft.functions.sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** Word n-gram Jaccard pairs within a blocking key.
     *
@@ -131,8 +148,9 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0, "prefix-filtered jaccard needs a positive threshold")
-    val sh = df.select(col(blockCol).as("blk"), col(idCol).cast("long").as("doc_id"),
-      shingle_hashes(col(textCol), shingleSize).as("sh"))
+    val sh = graft.core.GraftSession.widen(df)
+      .select(col(blockCol).as("blk"), col(idCol).cast("long").as("doc_id"),
+        shingle_hashes(col(textCol), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
     // Asymmetric (PPJoin) prefixes. For a qualifying pair the required
     // overlap is a = t/(1+t)·(na+nb); with the probe doc the SHORTER of
