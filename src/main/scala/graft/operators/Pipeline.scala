@@ -301,4 +301,77 @@ object Pipeline {
       .filter(col("rnk") <= k)
       .select(col("grp"), col("tok"), col("tf"), col("df"), col("score"), col("rnk"))
   }
+
+  /** Curriculum binning: split the corpus into `nBins` equal-population
+    * difficulty tiers by `orderCol` (length, quality score, loss...) and
+    * report each tier's bounds and mass — the report that drives staged
+    * training-data schedules. ntile needs a total order: the global sort is
+    * ONE pass over (orderCol, id) pairs only — at 100 TB Spark range-
+    * partitions that sort (sampled split points), it is not a single-node
+    * sort; the per-bin aggregate after it is keyed on nBins values.
+    * Ties break by id, so bin membership is fully deterministic. */
+  def curriculumBins(
+      df: DataFrame,
+      idCol: String,
+      orderCol: String,
+      tokenCol: Column,
+      nBins: Int): DataFrame = {
+    df.select(col(orderCol).as("__ord"), col(idCol).as("__id"), tokenCol.as("__tok"))
+      .withColumn("bin", ntile(nBins).over(Window.orderBy(col("__ord"), col("__id"))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("__ord")).as("lo"),
+        max(col("__ord")).as("hi"),
+        sum(col("__tok")).as("sum_tokens"))
+      .orderBy(col("bin"))
+  }
+
+  /** Repeated-span report: spans of `n` consecutive tokens occurring in at
+    * least `minDocs` distinct documents — the exact-substring signal behind
+    * span-level dedup (boilerplate, licenses, templates). Spans are
+    * de-duplicated within a document ([[graft.functions.shingle_strings]]),
+    * so the count IS the document frequency without a distinct. Shuffle
+    * keys are spans; the explode is row-local. At 100 TB hash the span
+    * (fingerprint64) before the shuffle and keep a span→hash sample for
+    * display instead of shuffling raw span text. */
+  def repeatedSpans(
+      df: DataFrame,
+      textCol: String,
+      n: Int,
+      minDocs: Long,
+      k: Int): DataFrame =
+    df.select(explode(graft.functions.shingle_strings(col(textCol), n)).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("span"))
+      .limit(k)
+
+  /** Vocabulary coverage: out-of-vocabulary token rate per group against
+    * the corpus's own top-`vocabSize` tokens — the tokenizer-fit report for
+    * a training mix. One tokenize pass feeds both the vocabulary and the
+    * per-group totals; the vocabulary (bounded by `vocabSize`) broadcasts
+    * into the anti join, so the corpus-side token stream is never shuffled
+    * for membership — only the small per-group partial counts move. */
+  def oovRate(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = df.select(col(groupCol).as("grp"),
+      explode(graft.functions.tokens_fast(lower(col(textCol)))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"))
+    val total = toks.groupBy(col("grp")).agg(count(lit(1)).as("n_tokens"))
+    val oov = toks.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col("grp")).agg(count(lit(1)).as("n_oov"))
+    total.join(oov, Seq("grp"), "left")
+      .select(col("grp"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (coalesce(col("n_oov"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("oov_rate"))
+      .orderBy(col("grp"))
+  }
 }

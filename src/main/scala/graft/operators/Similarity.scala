@@ -272,4 +272,66 @@ object Similarity {
         (dotd(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Symmetric int8 quantization error report — the storage scale path for
+    * ANN (4x smaller vectors than float32, 8x than float64). Per vector:
+    * scale = 127 / max|x|, q_i = clamp(floor(x_i*scale + 0.5), ±127),
+    * reconstruction x̂_i = q_i/scale. Per label: vector count, the worst
+    * per-element absolute error, and the mean per-vector squared error.
+    * Everything is row-local except the final per-label rollup, whose
+    * double sums fold in pinned (vec id) order so the report is
+    * bit-reproducible (same machinery as [[centroidMeans]]). floor(x+0.5)
+    * is used instead of round() — round's half-even vs half-away tie rules
+    * differ across engines; floor(x+0.5) doesn't. */
+  def quantizeInt8Report(
+      vecs: DataFrame,
+      vecId: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val perVec = vecs.select(col(vecId).cast("long").as("vec_id"),
+        col(labelCol).cast("long").as("label"), vec_double(col(vecCol)).as("__xs"))
+      .withColumn("__m", array_max(transform(col("__xs"), x => abs(x))))
+      .withColumn("__scale",
+        when(col("__m") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("__m")))
+      .withColumn("__err", transform(col("__xs"), x => {
+        val q = least(greatest(floor(x * col("__scale") + lit(0.5)), lit(-127.0)), lit(127.0))
+        val xhat = when(col("__scale") === 0.0, lit(0.0)).otherwise(q / col("__scale"))
+        abs(x - xhat)
+      }))
+      .select(col("vec_id"), col("label"),
+        array_max(col("__err")).as("max_err"),
+        aggregate(col("__err"), lit(0.0), (acc, e) => acc + e * e).as("sse"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        max(col("max_err")).as("max_abs_err"),
+        sort_array(collect_list(struct(col("vec_id").as("i"), col("sse").as("v"))))
+          .as("__xs"))
+      .select(col("label"), col("n_vecs"), col("max_abs_err"),
+        (aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x.getField("v"))
+          / col("n_vecs").cast("double")).as("mean_sse"))
+  }
+
+  /** Per-dimension winsorization report: the clip bounds (pLo/pHi linear-
+    * interpolation percentiles) and how many values each would clip — the
+    * outlier-robustness prepass before embedding normalization. The dims
+    * explode is row-local; the percentile aggregate shuffles on the
+    * dimension index (d groups regardless of corpus size), and the bounds
+    * (d rows) broadcast back onto the exploded stream for the clip counts,
+    * so the corpus is never shuffled. */
+  def dimWinsorReport(
+      vecs: DataFrame,
+      vecCol: String,
+      pLo: Double,
+      pHi: Double): DataFrame = {
+    val dims = vecs.select(posexplode(vec_double(col(vecCol))).as(Seq("__pos", "val")))
+      .select((col("__pos") + 1).as("dim"), col("val"))
+    val bounds = dims.groupBy(col("dim"))
+      .agg(percentile(col("val"), lit(pLo)).as("p_lo"),
+        percentile(col("val"), lit(pHi)).as("p_hi"))
+    dims.join(broadcast(bounds), "dim")
+      .groupBy(col("dim"), col("p_lo"), col("p_hi"))
+      .agg(sum(when(col("val") < col("p_lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("val") > col("p_hi"), 1L).otherwise(0L)).as("n_above"))
+      .orderBy(col("dim"))
+  }
 }

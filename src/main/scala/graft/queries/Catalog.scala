@@ -1191,6 +1191,100 @@ object Catalog {
              list_sum(list(val ORDER BY vec_id)) / CAST(COUNT(*) AS DOUBLE) AS mean_val
       FROM m WHERE dim <= 4 GROUP BY label, dim ORDER BY label, dim"""))
 
+  /** Curriculum tiers by document length: equal-population ntile bins with
+    * bounds and token mass — the schedule report for staged training. */
+  private val q66 = QueryDef(
+    "q66_curriculum_bins",
+    (s, dir) =>
+      graft.operators.Pipeline.curriculumBins(
+        t(s, dir, "documents"), "doc_id", "n_chars",
+        token_count(col("text")).cast("long"), nBins = 4),
+    Some("""SELECT bin, COUNT(*) AS n_docs, MIN(n_chars) AS lo, MAX(n_chars) AS hi,
+        CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS sum_tokens
+      FROM (SELECT text, n_chars,
+              CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS bin
+            FROM documents) x
+      GROUP BY bin ORDER BY bin"""))
+
+  /** Int8 quantization error per label — ANN storage scale path. Doubles
+    * are order-pinned folds (q61 machinery) → oracle-exact. */
+  private val q67 = QueryDef(
+    "q67_int8_quantize",
+    (s, dir) =>
+      graft.operators.Similarity.quantizeInt8Report(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy(col("label")),
+    Some("""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS xs FROM embeddings),
+      sc AS (SELECT vec_id, label, xs,
+               list_max(list_transform(xs, x -> abs(x))) AS m FROM v),
+      s2 AS (SELECT vec_id, label, xs,
+               CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END AS scale FROM sc),
+      e AS (SELECT vec_id, label,
+              list_transform(xs, x -> abs(x - (CASE WHEN scale = 0 THEN 0.0
+                ELSE least(greatest(floor(x * scale + 0.5), -127.0), 127.0) / scale END)))
+                AS err FROM s2),
+      pv AS (SELECT vec_id, label, list_max(err) AS max_err,
+               list_sum(list_transform(err, x -> x * x)) AS sse FROM e)
+      SELECT label, COUNT(*) AS n_vecs, MAX(max_err) AS max_abs_err,
+             list_sum(list(sse ORDER BY vec_id)) / CAST(COUNT(*) AS DOUBLE) AS mean_sse
+      FROM pv GROUP BY label ORDER BY label"""))
+
+  /** Exact repeated spans (8 consecutive tokens in >= 2 documents) — the
+    * boilerplate/template signal behind span-level dedup. */
+  private val q68 = QueryDef(
+    "q68_repeated_spans",
+    (s, dir) =>
+      graft.operators.Pipeline.repeatedSpans(
+        t(s, dir, "documents"), "text", n = 8, minDocs = 2L, k = 20),
+    // spans de-duplicated within a doc; short docs fall back to the whole
+    // text (mirrors shingle_strings)
+    Some("""WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT CASE WHEN len(t) >= 8
+          THEN list_distinct([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sp AS (SELECT unnest(g) AS span FROM sh)
+      SELECT span, COUNT(*) AS n_docs FROM sp
+      GROUP BY span HAVING COUNT(*) >= 2
+      ORDER BY n_docs DESC, span LIMIT 20"""))
+
+  /** Out-of-vocabulary rate per source against the corpus's own top-500
+    * vocabulary — the tokenizer-fit report for a training mix. */
+  private val q69 = QueryDef(
+    "q69_oov_rate",
+    (s, dir) =>
+      graft.operators.Pipeline.oovRate(
+        t(s, dir, "documents"), "source", "text", vocabSize = 500)
+        .withColumnRenamed("grp", "source"),
+    Some("""WITH toks AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+               FROM documents),
+      vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+                 ORDER BY n DESC, tok LIMIT 500)),
+      tot AS (SELECT source, COUNT(*) AS n_tokens FROM toks GROUP BY source),
+      oov AS (SELECT source, COUNT(*) AS n_oov FROM toks ANTI JOIN vocab USING (tok)
+              GROUP BY source)
+      SELECT source, n_tokens, COALESCE(n_oov, 0) AS n_oov,
+             CAST(COALESCE(n_oov, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+      FROM tot LEFT JOIN oov USING (source) ORDER BY source"""))
+
+  /** Per-dimension winsorization bounds + clip counts over the embedding
+    * space (first 16 dims reported). */
+  private val q70 = QueryDef(
+    "q70_winsorize_dims",
+    (s, dir) =>
+      graft.operators.Similarity.dimWinsorReport(
+        t(s, dir, "embeddings"), "embedding", pLo = 0.05, pHi = 0.95)
+        .filter(col("dim") <= 16),
+    Some("""WITH m AS (SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings),
+      b AS (SELECT dim, quantile_cont(val, 0.05) AS p_lo, quantile_cont(val, 0.95) AS p_hi
+            FROM m GROUP BY dim)
+      SELECT CAST(b.dim AS INTEGER) AS dim, p_lo, p_hi,
+             CAST(SUM(CASE WHEN val < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+             CAST(SUM(CASE WHEN val > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+      FROM m JOIN b ON m.dim = b.dim WHERE b.dim <= 16
+      GROUP BY b.dim, p_lo, p_hi ORDER BY dim"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1198,6 +1292,6 @@ object Catalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65) ++
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70) ++
     ConnectorQueries.all
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.{Pipeline, Similarity}
+
+/** Round-4 curation-report operators: curriculum bins, int8 quantization
+  * error, repeated spans, OOV rate, per-dimension winsorization. */
+class CurationReportSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+  import scala.jdk.CollectionConverters._
+
+  test("curriculumBins: equal-population tiers with non-overlapping bounds") {
+    val docs = Tables.load(spark, dir, "documents")
+    val total = docs.count()
+    val bins = Pipeline.curriculumBins(docs, "doc_id", "n_chars",
+      graft.functions.token_count(col("text")).cast("long"), nBins = 4)
+      .collect().sortBy(_.getInt(0))
+    assert(bins.length === 4)
+    val counts = bins.map(_.getLong(1))
+    assert(counts.sum === total)
+    assert(counts.max - counts.min <= 1, s"ntile bins must be equal-population ±1: ${counts.toSeq}")
+    // bounds ordered across bins (ties across the boundary are legal)
+    bins.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2), s"bin ${a.getInt(0)} hi > bin ${b.getInt(0)} lo")
+    }
+  }
+
+  test("quantizeInt8Report: error bounded by half a quantization step") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    // per-element |err| <= 0.5/scale = 0.5*max|x|/127 — check per label
+    // against that label's worst max|x|
+    val rep = Similarity.quantizeInt8Report(emb, "vec_id", "embedding", "label")
+    val worstM = emb.select(col("label").cast("long").as("label"),
+        array_max(transform(graft.functions.vec_double(col("embedding")), x => abs(x))).as("m"))
+      .groupBy("label").agg(max(col("m")).as("m"))
+    val joined = rep.join(worstM, "label").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val maxErr = r.getAs[Double]("max_abs_err")
+      val m = r.getAs[Double]("m")
+      assert(maxErr <= 0.5 * m / 127.0 * (1 + 1e-9),
+        s"label ${r.getAs[Long]("label")}: max_abs_err $maxErr exceeds half-step bound")
+      assert(r.getAs[Double]("mean_sse") >= 0.0)
+    }
+  }
+
+  test("repeatedSpans: finds an injected span, and every reported span is real") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today ok"),
+      (2L, "prefix words the quick brown fox jumps over the lazy dog and more"),
+      (3L, "completely different content with no overlap at all whatsoever here now"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val spans = Pipeline.repeatedSpans(docs, "text", n = 8, minDocs = 2L, k = 10).collect()
+    assert(spans.exists(_.getString(0) == "the quick brown fox jumps over the lazy"),
+      s"injected 8-token span not found: ${spans.map(_.getString(0)).toSeq}")
+    val texts = docs.select("text").as[String].collect()
+    spans.foreach { r =>
+      val n = texts.count(_.contains(r.getString(0)))
+      assert(n >= 2, s"span '${r.getString(0)}' reported in ${r.getLong(1)} docs but contained in $n")
+    }
+  }
+
+  test("oovRate: full vocabulary means zero OOV; rates in [0,1]") {
+    val docs = Tables.load(spark, dir, "documents")
+    val rates = Pipeline.oovRate(docs, "source", "text", vocabSize = 500).collect()
+    assert(rates.nonEmpty)
+    rates.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+    }
+    // vocab covering every distinct token → all OOV counts are zero
+    val nDistinct = docs
+      .select(explode(graft.functions.tokens_fast(lower(col("text")))).as("t"))
+      .distinct().count().toInt
+    val full = Pipeline.oovRate(docs, "source", "text", vocabSize = nDistinct).collect()
+    assert(full.forall(_.getAs[Long]("n_oov") == 0L))
+  }
+
+  test("dimWinsorReport: clip fractions match the percentile definition") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val rep = Similarity.dimWinsorReport(emb, "embedding", 0.05, 0.95).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getAs[Double]("p_lo") <= r.getAs[Double]("p_hi"))
+      // linear-interpolation percentile: strictly-below count is at most
+      // ceil(q*n), and clipping must leave at least 90% of mass
+      assert(r.getAs[Long]("n_below") <= math.ceil(0.05 * n).toLong)
+      assert(r.getAs[Long]("n_above") <= math.ceil(0.05 * n).toLong)
+    }
+  }
+
+  test("oovRate plan: vocabulary broadcasts into the anti join") {
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = Pipeline.oovRate(docs, "source", "text", vocabSize = 500)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"anti join should broadcast the bounded vocabulary:\n$plan")
+  }
+}
