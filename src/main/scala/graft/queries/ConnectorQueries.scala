@@ -124,6 +124,24 @@ object ConnectorQueries {
       FROM orders WHERE o_totalprice >= 100000 AND o_orderstatus = 'O'
       ORDER BY k"""))
 
+  /** ORDER BY ... LIMIT served entirely by the store (SupportsPushDownTopN):
+    * find().sort(doc).limit(n) — Spark's Sort and TakeOrderedAndProject both
+    * drop out of the plan (single partition ⇒ store order is global order). */
+  private val srcMongoTopN = QueryDef(
+    "src_mongo_topn",
+    (s, dir) => {
+      val uri = s"hub:$dir/mongo_orders"
+      seedMongoOrders(s, dir, uri)
+      GraftSources.mongoBatch(s, uri, mongoOrderSchema)
+        .filter(col("st") === "O")
+        .select(col("k"), col("c"), col("p"))
+        .orderBy(col("p").desc, col("k"))
+        .limit(25)
+    },
+    Some("""SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p
+      FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY p DESC, k LIMIT 25"""))
+
   private val srcMongoCdc = QueryDef(
     "src_mongo_cdc",
     (s, dir) => {
@@ -442,7 +460,7 @@ object ConnectorQueries {
       ORDER BY o_orderkey"""))
 
   val all: Seq[QueryDef] = Seq(
-    srcRedisHash, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoCdc,
+    srcRedisHash, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN, srcMongoCdc,
     srcInflux, srcMqtt, srcPulsar, srcHttp, srcTwitter, srcTwitterSearch, srcConnect,
     snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkMongoInsert, snkPulsar,
     snkInflux, snkMqtt, snkWs)

@@ -152,10 +152,77 @@ object MongoJson {
   def inPred(field: String, values: Array[Any]): Pred = {
     val arr = mapper.getNodeFactory.arrayNode()
     values.foreach {
+      case d: org.apache.spark.sql.types.Decimal => arr.add(d.toJavaBigDecimal)
       case n: java.lang.Number => arr.add(new java.math.BigDecimal(n.toString))
       case v => arr.add(String.valueOf(v))
     }
     Pred(field, "$in", arr)
+  }
+
+  /** Runtime V2 predicate → $in/$eq predicate. Spark's runtime filtering
+    * (DPP analog) delivers the broadcast build side's keys as IN(col,
+    * lit...) / =(col, lit) on the native V2 surface. */
+  def v2RuntimePred(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Pred] = {
+    import org.apache.spark.sql.connector.expressions.{
+      Expression => VExpr, Literal => VLit, NamedReference}
+    def fieldOf(e: VExpr): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+      case _ => None
+    }
+    def rawOf(e: VExpr): Option[Any] = e match {
+      case l: VLit[_] => Some(l.value)
+      case _ => None
+    }
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.length >= 2 =>
+        for {
+          f <- fieldOf(ch(0))
+          vs <- { val raw = ch.drop(1).map(rawOf)
+                  if (raw.forall(_.isDefined)) Some(raw.map(_.get)) else None }
+        } yield inPred(f, vs.asInstanceOf[Array[Any]])
+      case "=" if ch.length == 2 =>
+        for { f <- fieldOf(ch(0)); v <- rawOf(ch(1)) } yield inPred(f, Array(v))
+      case _ => None
+    }
+  }
+
+  /** Server-side sort comparator for a pushed TopN: same field comparison
+    * semantics as [[Pred.eval]] (numeric as double, else text). Documents
+    * missing the field sort per the pushed null ordering. */
+  def docComparator(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder])
+      : Option[java.util.Comparator[JsonNode]] = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    val keys = orders.map { o =>
+      o.expression() match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          Some((f.fieldNames.head,
+            o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.exists(_.isEmpty)) return None
+    val ks = keys.flatten
+    // Serializable: the comparator rides inside the partition-reader closure
+    Some(new java.util.Comparator[JsonNode] with java.io.Serializable {
+      override def compare(a: JsonNode, b: JsonNode): Int = {
+        ks.foreach { case (field, asc, nullsFirst) =>
+          val (na, nb) = (a.get(field), b.get(field))
+          val aNull = na == null || na.isNull
+          val bNull = nb == null || nb.isNull
+          val c =
+            if (aNull && bNull) 0
+            else if (aNull) { if (nullsFirst) -1 else 1 }
+            else if (bNull) { if (nullsFirst) 1 else -1 }
+            else { val r = cmpTo(na, nb); if (asc) r else -r }
+          if (c != 0) return c
+        }
+        0
+      }
+    })
   }
 
   /** Flat JSON document → InternalRow under `schema`. */
@@ -206,6 +273,7 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
     new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
       with SupportsPushDownAggregates
       with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+      with org.apache.spark.sql.connector.read.SupportsPushDownTopN
       with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
       private var required: StructType = userSchema
       private var pushed = Array.empty[Filter]
@@ -235,6 +303,21 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
       override def pushLimit(l: Int): Boolean = { limit = l; true }
       override def isPartiallyPushed(): Boolean = false
 
+      // find().sort(doc).limit(n) analog — ORDER BY ... LIMIT n served by
+      // the store. Single partition ⇒ the store-side order is the global
+      // order: complete pushdown (isPartiallyPushed=false above covers
+      // both this and the plain limit), so Spark's Sort AND
+      // TakeOrderedAndProject both drop out of the plan.
+      private var topOrders =
+        Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
+      override def pushTopN(
+          orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+          l: Int): Boolean =
+        MongoJson.docComparator(orders) match {
+          case Some(_) => topOrders = orders; limit = l; true
+          case None => false
+        }
+
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val converted = filters.map(f => f -> MongoJson.catalystToPred(f))
         pushed = converted.collect { case (f, Some(_)) => f }
@@ -262,20 +345,25 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
       }
 
       override def build(): Scan = new Dsv2.BatchScan
-        with SupportsRuntimeFiltering {
+        with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
         // runtime (join-time) filters — the DSv2 analog of dynamic
         // partition pruning: when this scan sits under a broadcast join,
-        // Spark hands us the build side's key set as In(...) at execution
-        // start and the find() narrows before any document is emitted
+        // Spark hands us the build side's key set as IN(...) at execution
+        // start and the find() narrows before any document is emitted.
+        // Implemented on the NATIVE V2 predicate surface (the V1
+        // SupportsRuntimeFiltering interface is itself a compatibility
+        // shim that converts these very predicates).
         private var runtime: Seq[MongoJson.Pred] = Seq.empty
         private var runtimeDesc = ""
         override def filterAttributes()
             : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
           required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
-        override def filter(filters: Array[Filter]): Unit = {
-          val inPreds = filters.collect { case In(a, vs) if !a.contains(".") => (a, vs) }
-          runtime = inPreds.map { case (a, vs) => MongoJson.inPred(a, vs) }
-          runtimeDesc = inPreds.map { case (a, vs) => s"$a IN(${vs.length})" }.mkString(",")
+        override def filter(
+            predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+            : Unit = {
+          val converted = predicates.flatMap(MongoJson.v2RuntimePred)
+          runtime = converted.toSeq
+          runtimeDesc = converted.map(p => s"${p.field} ${p.op}").mkString(",")
         }
         override def readSchema(): StructType =
           if (countPushed)
@@ -285,9 +373,12 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
           s"mongo($uri) preds=${preds.map(p => s"${p.field}${p.op}").mkString(",")} " +
             (if (countPushed) "agg=count(*)"
              else s"cols=${required.fieldNames.mkString(",")}") +
-            (if (limit >= 0) s" limit=$limit" else "")
+            (if (topOrders.nonEmpty)
+               s" sort=${topOrders.map(_.toString).mkString(",")} limit=$limit"
+             else if (limit >= 0) s" limit=$limit" else "")
         override def batch: Batch = {
           val (u, ps, rs, cnt, lim) = (uri, preds ++ runtime, required, countPushed, limit)
+          val cmp = if (topOrders.isEmpty) None else MongoJson.docComparator(topOrders)
           val isRaw = rs.length == 1 && rs.head.name == "doc"
           new FnBatch(Seq(FnPartition(0, "find", 0, 0)), _ =>
             if (cnt) {
@@ -295,14 +386,23 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
                 .count(docStr => ps.forall(_.eval(MongoJson.parse(docStr))))
               Iterator.single(Dsv2.row(n.toLong))
             } else {
-              val matched = MemHub.find(u).iterator.flatMap { docStr =>
-                val doc = MongoJson.parse(docStr)
-                if (ps.forall(_.eval(doc))) {
-                  MongoScanStats.emitted.incrementAndGet()
-                  Some(if (isRaw) Dsv2.row(Dsv2.utf8(docStr)) else MongoJson.toRow(doc, rs))
-                } else None
+              val parsed = MemHub.find(u).iterator.map(s => (s, MongoJson.parse(s)))
+                .filter { case (_, doc) => ps.forall(_.eval(doc)) }
+              // pushed TopN: the store sorts matching docs and the cursor
+              // emits only the first `lim` — a real server would keep a
+              // bounded heap; the emitted counter observes exactly `lim`
+              val selected = cmp match {
+                case Some(c) =>
+                  val ord = Ordering.comparatorToOrdering(c).on[(String, JsonNode)](_._2)
+                  val it = parsed.toArray.sorted(ord).iterator
+                  if (lim >= 0) it.take(lim) else it
+                case None =>
+                  if (lim >= 0) parsed.take(lim) else parsed
               }
-              if (lim >= 0) matched.take(lim) else matched
+              selected.map { case (docStr, doc) =>
+                MongoScanStats.emitted.incrementAndGet()
+                if (isRaw) Dsv2.row(Dsv2.utf8(docStr)) else MongoJson.toRow(doc, rs)
+              }
             })
         }
       }

@@ -69,6 +69,33 @@ class PushdownSpec extends AnyFunSuite {
       s"cursor read past the limit: emitted=${MongoScanStats.emitted.get()}")
   }
 
+  test("mongo: ORDER BY ... LIMIT is served by the store (TopN pushdown)") {
+    import graft.sources.mongo.MongoScanStats
+    val uri = "hub:test/mongo-topn"
+    MemHub.insertMany(uri, (1 to 100).iterator.map(i =>
+      s"""{"id":$i,"v":${(i * 37) % 100},"s":"x${i % 7}"}"""))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType), StructField("s", StringType)))
+    def scan = spark.read.format("graft-mongo").schema(schema).option("uri", uri).load()
+    val top = scan.orderBy(col("v").desc, col("id")).limit(4)
+    val plan = physical(top)
+    assert(plan.contains("sort=") && plan.contains("limit=4"), s"topN not pushed:\n$plan")
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "),
+      s"Spark still sorting:\n$plan")
+    val expected = scan.collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy { case (v, id) => (-v, id) }.take(4).map(_._2).toSeq
+    MongoScanStats.emitted.set(0)
+    assert(top.select("id").collect().map(_.getLong(0)).toSeq == expected)
+    // store-side cursor emitted only the top-N rows
+    assert(MongoScanStats.emitted.get() == 4,
+      s"cursor emitted past the topN: ${MongoScanStats.emitted.get()}")
+    // predicates compose with the pushed sort
+    val filtered = scan.filter(col("s") === "x3").orderBy(col("v")).limit(2)
+    val fexp = scan.filter(col("s") === "x3").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).sortBy(identity).take(2).map(_._2).toSeq
+    assert(filtered.select("id").collect().map(_.getLong(0)).toSeq == fexp)
+  }
+
   test("mongo: broadcast-join keys runtime-filter the scan (DPP analog)") {
     import graft.sources.mongo.MongoScanStats
     val uri = "hub:test/mongo-rtf"
