@@ -9,7 +9,10 @@ object Bench {
     * rendered length against the current query set.
     */
   def shortKey(name: String): String =
-    if (name.matches("^q\\d+_.*")) name.takeWhile(_ != '_') else name
+    if (name.matches("^q\\d+_.*")) name.takeWhile(_ != '_')
+    else if (name.startsWith("src_")) "s_" + name.drop(4)
+    else if (name.startsWith("snk_")) "k_" + name.drop(4)
+    else name
 
   def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
@@ -17,7 +20,8 @@ object Bench {
     val qs = results.toSeq.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val sf = sfDir.split('/').last
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
   }
 
   def main(args: Array[String]): Unit = {

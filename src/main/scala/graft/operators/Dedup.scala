@@ -194,6 +194,52 @@ object Dedup {
     verifyJaccard(cand, sh.select(col("doc_id"), col("sh")), threshold)
   }
 
+  /** Incremental near-dup detection: MinHash-LSH pairs BETWEEN an indexed
+    * corpus and a new delta batch (the daily-crawl-vs-existing-corpus
+    * shape) — never within either side, so a delta of size d against a
+    * corpus of size N costs bucket joins on d's collisions, not N²
+    * self-join work. Same banding/verification machinery as [[minhashLsh]]
+    * (and identical pair semantics when the two sides partition one
+    * corpus); at 100 TB persist the index side's band buckets once and
+    * join each day's delta against them.
+    *
+    * Output: (doc_a = index id, doc_b = delta id, jaccard). Ids must be
+    * disjoint across the two inputs. */
+  def minhashLshAgainst(
+      index: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+
+    def shOf(df: DataFrame) = graft.core.GraftSession.widen(df)
+      .select(col(idCol).cast("long").as("doc_id"),
+        shingle_hashes(col(textCol), shingleSize).as("sh"))
+    def bucketsOf(sh: DataFrame) = {
+      val sig = sh.select(col("doc_id"), minhash_sig(col("sh"), numHashes).as("mh"))
+      val bandStructs = (0 until bands).map { b =>
+        val cols = (b * r until (b + 1) * r).map(i => element_at(col("mh"), i + 1)) :+ lit(b)
+        struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+      }
+      sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    }
+    val shI = shOf(index)
+    val shD = shOf(delta)
+    // cross-side-only candidates: an equi-join on the band bucket (no
+    // same-side pairs by construction — the sides are different relations)
+    val cand = bucketsOf(shI).as("i")
+      .join(bucketsOf(shD).as("d"), Seq("band", "sig"))
+      .select(col("i.doc_id").as("doc_a"), col("d.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, shI.unionByName(shD), threshold)
+  }
+
   /** 64-bit SimHash signature per document over word-shingle hashes —
     * row-local single pass ([[graft.functions.simhash_sig]]), no shuffle. */
   def simhashSignatures(

@@ -347,6 +347,33 @@ object Pipeline {
       .orderBy(col("n_docs").desc, col("span"))
       .limit(k)
 
+  /** Epoch mixture plan: given target mixture weights per group and a
+    * token budget for the epoch, report per group what is available, what
+    * the target asks for, and the deterministic sampling rate that
+    * realizes it (capped at 1.0 — a group can't contribute more than it
+    * has). Feed the rates into [[stratifiedHashSampled]] to materialize
+    * the epoch. One count aggregate over the corpus; the weights are a
+    * literal dimension. */
+  def mixturePlan(
+      df: DataFrame,
+      groupCol: String,
+      tokenCol: Column,
+      weights: Seq[(String, Double)],
+      totalTarget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("grp", "wt")
+    val avail = df.select(col(groupCol).as("grp"), tokenCol.as("__tok"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("tok_avail"))
+    avail.join(broadcast(w), Seq("grp"))
+      .select(col("grp"), col("n_docs"), col("tok_avail"),
+        floor(col("wt") * lit(totalTarget.toDouble)).cast("long").as("tok_target"))
+      .withColumn("rate",
+        least(lit(1.0), col("tok_target").cast("double") / col("tok_avail").cast("double")))
+      .orderBy(col("grp"))
+  }
+
   /** Vocabulary coverage: out-of-vocabulary token rate per group against
     * the corpus's own top-`vocabSize` tokens — the tokenizer-fit report for
     * a training mix. One tokenize pass feeds both the vocabulary and the

@@ -1285,6 +1285,53 @@ object Catalog {
       FROM m JOIN b ON m.dim = b.dim WHERE b.dim <= 16
       GROUP BY b.dim, p_lo, p_hi ORDER BY dim"""))
 
+  /** Incremental dedup: near-dup pairs between the even-id "index" half and
+    * the odd-id "delta" half of the corpus — only cross-side pairs, the
+    * daily-batch-vs-corpus shape. */
+  private val q71 = QueryDef(
+    "q71_incremental_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashLshAgainst(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+            GROUP BY 1, 2)
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+      ORDER BY doc_a, doc_b"""))
+
+  /** Epoch mixture plan: availability vs target token mass per language and
+    * the sampling rate that realizes the mix. */
+  private val q72 = QueryDef(
+    "q72_mixture_plan",
+    (s, dir) =>
+      graft.operators.Pipeline.mixturePlan(
+        t(s, dir, "documents"), "lang", token_count(col("text")).cast("long"),
+        Seq("en" -> 0.5, "zh" -> 0.2, "de" -> 0.15, "fr" -> 0.1, "es" -> 0.05),
+        totalTarget = 100000L)
+        .withColumnRenamed("grp", "lang"),
+    Some("""WITH w(lang, wt) AS (VALUES ('en', 0.5), ('zh', 0.2), ('de', 0.15), ('fr', 0.1), ('es', 0.05)),
+      avail AS (SELECT lang, COUNT(*) AS n_docs,
+                  CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS tok_avail
+                FROM documents GROUP BY lang)
+      SELECT a.lang, a.n_docs, a.tok_avail,
+             CAST(floor(w.wt * 100000.0) AS BIGINT) AS tok_target,
+             least(1.0, CAST(CAST(floor(w.wt * 100000.0) AS BIGINT) AS DOUBLE)
+               / CAST(a.tok_avail AS DOUBLE)) AS rate
+      FROM avail a JOIN w USING (lang) ORDER BY lang"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1292,6 +1339,7 @@ object Catalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70) ++
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
+    q71, q72) ++
     ConnectorQueries.all
 }

@@ -97,6 +97,39 @@ class CurationReportSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashLshAgainst == full-corpus minhashLsh restricted to cross-side pairs") {
+    val docs = Tables.load(spark, dir, "documents")
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    val got = graft.operators.Dedup.minhashLshAgainst(idx, delta, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full self-join pairs, keep only (even, odd) in either orientation
+    val full = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if a % 2 == 0 && b % 2 == 1 => (a, b)
+        case (a, b) if a % 2 == 1 && b % 2 == 0 => (b, a)
+      }.toSet
+    assert(got === full, s"cross-side pairs diverge: got ${got.size}, expected ${full.size}")
+    assert(got.forall { case (a, b) => a % 2 == 0 && b % 2 == 1 },
+      "output must contain only (index, delta) pairs")
+  }
+
+  test("mixturePlan: targets from weights, rates capped at 1") {
+    val docs = Tables.load(spark, dir, "documents")
+    // zh gets an absurd weight so its target exceeds availability → rate 1.0
+    val plan = graft.operators.Pipeline.mixturePlan(
+      docs, "lang", graft.functions.token_count(col("text")).cast("long"),
+      Seq("en" -> 0.1, "zh" -> 100.0), totalTarget = 10000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(plan.keySet === Set("en", "zh"))
+    assert(plan("zh").getAs[Double]("rate") === 1.0)
+    assert(plan("en").getAs[Long]("tok_target") === 1000L)
+    val en = plan("en")
+    assert(en.getAs[Double]("rate") ===
+      math.min(1.0, en.getAs[Long]("tok_target").toDouble / en.getAs[Long]("tok_avail").toDouble))
+  }
+
   test("oovRate plan: vocabulary broadcasts into the anti join") {
     val docs = Tables.load(spark, dir, "documents")
     val plan = Pipeline.oovRate(docs, "source", "text", vocabSize = 500)
