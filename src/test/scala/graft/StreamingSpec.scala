@@ -299,6 +299,53 @@ class StreamingSpec extends AnyFunSuite {
       Seq(1L, 1L, 2L))
   }
 
+  test("end-to-end streaming curation: quality filter -> watermark dedup -> windowed counts == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamDedup
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val good = "this is a reasonably long clean document with plenty of distinct words " +
+      "and ordinary punctuation that passes the quality thresholds easily for the test"
+    val junk = "x x x x x"
+    // the SAME operator chain builds the streaming and the batch plan
+    def curate(df: org.apache.spark.sql.DataFrame, streaming: Boolean) = {
+      val filtered = graft.operators.Pipeline.qualityFilter(
+        df, "doc_id", "text", 10, 200, 0.45)
+      val deduped =
+        if (streaming) StreamDedup.dedupWithinWatermark(filtered, "ts", "10 minutes", Seq("text"))
+        else filtered.dropDuplicates("text")
+      deduped.groupBy(window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(unix_millis(col("w.start")).as("w_start"), col("n_docs"))
+    }
+    val rows = Seq(
+      (1L, good, ts(0)), (2L, junk, ts(1)),        // junk filtered
+      (3L, good, ts(2)),                            // dup of 1, well within the delay
+      (4L, good + " extra", ts(3)),
+      (5L, good + " window two", ts(14)))          // unique content, second window
+    // sentinel far in the future: advances the watermark past every compared
+    // window so append mode emits them; its own (never-closed) window is
+    // excluded from the comparison below on both sides
+    val sentinel = (99L, good + " closer", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))
+    val cutoffMs = java.sql.Timestamp.valueOf("2024-01-01 01:00:00").getTime
+    val q = curate(input.toDF().toDF("doc_id", "text", "ts"), streaming = true)
+      .writeStream.outputMode("append").format("memory").queryName("curated")
+      .trigger(Trigger.AvailableNow())
+    input.addData(rows)
+    input.addData(sentinel)
+    val h = q.start(); h.awaitTermination()
+    val got = spark.table("curated")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filter(_._1 < cutoffMs)
+    import spark.implicits._
+    val batch = curate((rows :+ sentinel).toDF("doc_id", "text", "ts"), streaming = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filter(_._1 < cutoffMs)
+    assert(got == batch, s"stream $got != batch $batch")
+    // windows: [00:00,00:10) keeps docs 1,4 (2 junk, 3 dup); [00:10,00:20) keeps 5
+    assert(batch.values.sum == 3L)
+  }
+
   test("ingestion-timestamp policy analog: current_timestamp column on non-timestamped source") {
     val uri = "hub:test/mqtt-ingest"
     MemHub.publish(uri, "a", (0 until 5).iterator.map(i =>
