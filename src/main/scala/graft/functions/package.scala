@@ -60,6 +60,30 @@ package object functions {
       "tokens_scan", { exprs => TokensScan(exprs.head) }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_estimate", { exprs => CmsEstimate(exprs(0), exprs(1)) }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch", {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          KmvSketchAgg(c, k)
+        case _ => throw new IllegalArgumentException("kmv_sketch(hash64, k)")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_jaccard", {
+        case Seq(a, b, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          KmvJaccard(a, b, k)
+        case _ => throw new IllegalArgumentException("kmv_jaccard(sketchA, sketchB, k)")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_merge", {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          KmvMergeAgg(c, k)
+        case _ => throw new IllegalArgumentException("kmv_merge(sketch, k)")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_distinct", {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          KmvDistinct(c, k)
+        case _ => throw new IllegalArgumentException("kmv_distinct(sketch, k)")
+      }, "scala_udf")
   }
 
   // ---------------------------------------------------------------- A1/A2
@@ -74,6 +98,21 @@ package object functions {
 
   /** Merge binary sketches of equal precision → cardinality estimate. */
   def hll_merge(c: Column): Column = call_function("hll_merge", c)
+
+  /** Mergeable KMV sketch over pre-hashed 64-bit values: the k minimum
+    * values, kept sorted — distinct-count AND set-overlap estimates
+    * between groups from fixed-size state (see [[KmvSketchAgg]]). */
+  def kmv_sketch(c: Column, k: Int): Column = call_function("kmv_sketch", c, lit(k))
+
+  /** Estimated Jaccard between two kmv_sketch outputs (equal k). */
+  def kmv_jaccard(a: Column, b: Column, k: Int): Column =
+    call_function("kmv_jaccard", a, b, lit(k))
+
+  /** Estimated distinct count from a kmv_sketch (exact below k). */
+  def kmv_distinct(c: Column, k: Int): Column = call_function("kmv_distinct", c, lit(k))
+
+  /** Cross-job KMV sketch rollup (equal k). */
+  def kmv_merge(c: Column, k: Int): Column = call_function("kmv_merge", c, lit(k))
 
   /** 64-bit deterministic hash — the engine-side analog of the reference's
     * serialization-based `hash64` service (`HashingSupport.java:42-74`). */

@@ -1332,6 +1332,28 @@ object Catalog {
                / CAST(a.tok_avail AS DOUBLE)) AS rate
       FROM avail a JOIN w USING (lang) ORDER BY lang"""))
 
+  /** Source-pair vocabulary similarity from KMV sketches: one aggregate
+    * over the corpus builds a fixed-size sketch per source; the pairwise
+    * matrix is then sketch-vs-sketch (G² tiny comparisons, never a
+    * token-level join per pair). Approximate by construction → rows-only;
+    * KmvSketchSpec pins the estimates against exact Jaccard. */
+  private val q73 = QueryDef(
+    "q73_source_similarity_kmv",
+    (s, dir) => {
+      val k = 256
+      val sk = t(s, dir, "documents")
+        .select(col("source"), explode(tokens_fast(lower(col("text")))).as("tok"))
+        .groupBy(col("source"))
+        .agg(kmv_sketch(xxhash64(col("tok")), k).as("sk"))
+      sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("source_lo"), col("y.source").as("source_hi"),
+          kmv_jaccard(col("x.sk"), col("y.sk"), k).as("est_jaccard"),
+          kmv_distinct(col("x.sk"), k).as("est_vocab_lo"),
+          kmv_distinct(col("y.sk"), k).as("est_vocab_hi"))
+        .orderBy(col("source_lo"), col("source_hi"))
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1340,6 +1362,6 @@ object Catalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72) ++
+    q71, q72, q73) ++
     ConnectorQueries.all
 }
