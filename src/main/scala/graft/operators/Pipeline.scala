@@ -374,6 +374,36 @@ object Pipeline {
       .orderBy(col("grp"))
   }
 
+  /** Balanced export sharding: assign documents (in id order) to `nShards`
+    * contiguous shards of near-equal token mass — the write-side layout
+    * step before handing a corpus to a trainer (each shard becomes one
+    * output file/split). shard = floor(exclusive_cumsum(tokens) · n /
+    * total): pure integer arithmetic, deterministic, and imbalance bounded
+    * by the largest single document. Same exclusive-cumsum machinery as
+    * [[packSequences]], applied globally: ONE range-partitioned window
+    * pass plus an nShards-key aggregate. Returns the shard manifest
+    * (count, mass, id range per shard); tag rows instead by dropping the
+    * final rollup. */
+  def exportShards(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = Window.orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("__id"), tokenCol.as("__tok"))
+      .withColumn("__cum", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("__total", sum(col("__tok")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("shard",
+        least(floor(col("__cum") * nShards / col("__total")).cast("int"), lit(nShards - 1)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("tok_mass"),
+        min(col("__id")).as("id_lo"), max(col("__id")).as("id_hi"))
+      .orderBy(col("shard"))
+  }
+
   /** Vocabulary coverage: out-of-vocabulary token rate per group against
     * the corpus's own top-`vocabSize` tokens — the tokenizer-fit report for
     * a training mix. One tokenize pass feeds both the vocabulary and the

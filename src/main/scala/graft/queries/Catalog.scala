@@ -1354,6 +1354,23 @@ object Catalog {
     },
     None)
 
+  /** Balanced export shard manifest: 8 contiguous shards of near-equal
+    * token mass over the id-ordered corpus. */
+  private val q74 = QueryDef(
+    "q74_export_shards",
+    (s, dir) =>
+      graft.operators.Pipeline.exportShards(
+        t(s, dir, "documents"), "doc_id", token_count(col("text")).cast("long"), 8),
+    Some("""WITH d AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+               FROM documents),
+      c AS (SELECT doc_id, tok,
+              COALESCE(SUM(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+              SUM(tok) OVER () AS total FROM d)
+      SELECT CAST(least(CAST(floor(cum * 8 / total) AS BIGINT), 7) AS INTEGER) AS shard,
+             COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tok_mass,
+             MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi
+      FROM c GROUP BY 1 ORDER BY shard"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1362,6 +1379,6 @@ object Catalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73) ++
+    q71, q72, q73, q74) ++
     ConnectorQueries.all
 }

@@ -130,6 +130,23 @@ class CurationReportSpec extends AnyFunSuite {
       math.min(1.0, en.getAs[Long]("tok_target").toDouble / en.getAs[Long]("tok_avail").toDouble))
   }
 
+  test("exportShards: contiguous id ranges, imbalance bounded by the largest doc") {
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = graft.functions.token_count(col("text")).cast("long")
+    val shards = graft.operators.Pipeline.exportShards(docs, "doc_id", tok, 8)
+      .collect().sortBy(_.getInt(0))
+    assert(shards.map(_.getInt(0)).toSeq == (0 until 8))
+    assert(shards.map(_.getLong(1)).sum === docs.count())
+    // contiguity: id ranges strictly ordered and non-overlapping
+    shards.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("id_hi") < b.getAs[Long]("id_lo"))
+    }
+    val masses = shards.map(_.getAs[Long]("tok_mass"))
+    val maxDoc = docs.select(max(tok)).head().getLong(0)
+    assert(masses.max - masses.min <= 2 * maxDoc,
+      s"shard imbalance ${masses.max - masses.min} exceeds 2x largest doc $maxDoc")
+  }
+
   test("oovRate plan: vocabulary broadcasts into the anti join") {
     val docs = Tables.load(spark, dir, "documents")
     val plan = Pipeline.oovRate(docs, "source", "text", vocabSize = 500)
