@@ -1371,6 +1371,44 @@ object Catalog {
              MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi
       FROM c GROUP BY 1 ORDER BY shard"""))
 
+  /** Dedup impact report: cluster-size histogram over the near-dup
+    * components — how much mass dedup removes and in what shape (many
+    * pairs vs few mega-clusters). */
+  private val q75 = QueryDef(
+    "q75_cluster_size_histogram",
+    (s, dir) => {
+      val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    },
+    Some("""WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT da AS a, db AS b
+                FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      reach(v, w) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a),
+      comp AS (SELECT v, MIN(w) AS rep FROM reach GROUP BY v),
+      cs AS (SELECT rep, COUNT(*) AS cluster_size FROM comp GROUP BY rep)
+      SELECT cluster_size, COUNT(*) AS n_clusters,
+             CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+      FROM cs GROUP BY cluster_size ORDER BY cluster_size"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1379,6 +1417,6 @@ object Catalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74) ++
+    q71, q72, q73, q74, q75) ++
     ConnectorQueries.all
 }
