@@ -110,4 +110,30 @@ object Media {
         }
       }(enc)
   }
+
+  private val frameSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_offset", IntegerType, nullable = false)))
+
+  /** "Frame-sample" every payload: n evenly spaced offsets per media row
+    * (video keyframe extraction shape) — one output row per (id, frame).
+    * Same per-partition codec-handle batch shape as
+    * [[decodeAndFeaturize]]; the real kernel would also slice the bytes
+    * at each offset. */
+  def frameSample(df: DataFrame, idCol: String, mediaCol: String, n: Int): DataFrame = {
+    require(n > 0, "frame count must be positive")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .mapPartitions { rows =>
+        val codec = StubCodec
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getStruct(1).getAs[Array[Byte]](0)
+          codec.frameOffsets(bytes, n).iterator.zipWithIndex.map {
+            case (off, i) => Row(id, i, off)
+          }
+        }
+      }(enc)
+  }
 }

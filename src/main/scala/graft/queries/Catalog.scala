@@ -1409,6 +1409,23 @@ object Catalog {
              CAST(SUM(cluster_size) AS BIGINT) AS n_docs
       FROM cs GROUP BY cluster_size ORDER BY cluster_size"""))
 
+  /** Frame sampling over media payloads: 4 evenly spaced offsets per row
+    * (stub codec — the offsets ARE the contract; a real kernel slices at
+    * them). */
+  private val q76 = QueryDef(
+    "q76_frame_sample",
+    (s, dir) => {
+      val media = t(s, dir, "documents")
+        .withColumn("bin", encode(col("text"), "UTF-8"))
+        .withColumn("media", graft.operators.Media.asMedia("bin", "text/plain"))
+      graft.operators.Media.frameSample(media, "doc_id", "media", n = 4)
+        .orderBy(col("id"), col("frame_idx"))
+    },
+    Some("""SELECT doc_id AS id, CAST(i - 1 AS INTEGER) AS frame_idx,
+        CAST(((i - 1) * octet_length(encode(text))) // 4 AS INTEGER) AS frame_offset
+      FROM documents, range(1, 5) r(i)
+      ORDER BY id, frame_idx"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1417,6 +1434,6 @@ object Catalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75) ++
+    q71, q72, q73, q74, q75, q76) ++
     ConnectorQueries.all
 }

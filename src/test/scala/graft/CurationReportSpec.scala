@@ -147,6 +147,49 @@ class CurationReportSpec extends AnyFunSuite {
       s"shard imbalance ${masses.max - masses.min} exceeds 2x largest doc $maxDoc")
   }
 
+  test("hostile inputs: round-4 operators survive empty/degenerate rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+    assert(Pipeline.curriculumBins(empty, "doc_id", "n_chars",
+      graft.functions.token_count(col("text")).cast("long"), 4).count() === 0)
+    assert(Pipeline.repeatedSpans(empty, "text", 8, 2, 10).count() === 0)
+    assert(Pipeline.oovRate(empty, "text", "text", 10).count() === 0)
+    assert(Pipeline.mixturePlan(empty, "text",
+      graft.functions.token_count(col("text")).cast("long"), Seq("x" -> 1.0), 100).count() === 0)
+    assert(Pipeline.exportShards(empty, "doc_id",
+      graft.functions.token_count(col("text")).cast("long"), 8).count() === 0)
+    // degenerate docs: empty text, single token, whitespace
+    val weird = Seq((1L, "", 0L), (2L, "tok", 3L), (3L, "   ", 3L)).toDF("doc_id", "text", "n_chars")
+    assert(Pipeline.curriculumBins(weird, "doc_id", "n_chars",
+      graft.functions.token_count(col("text")).cast("long"), 4).count() > 0)
+    assert(Pipeline.exportShards(weird, "doc_id",
+      graft.functions.token_count(col("text")).cast("long"), 2)
+      .agg(sum(col("n_docs"))).head().getLong(0) === 3L)
+    // zero vector: quantization must not divide by zero
+    val z = Seq((1L, Array(0f, 0f, 0f), 0), (2L, Array(1f, -2f, 3f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rep = Similarity.quantizeInt8Report(z, "vec_id", "embedding", "label").collect()
+    assert(rep.length === 1)
+    assert(!rep.head.getAs[Double]("max_abs_err").isNaN)
+    assert(!rep.head.getAs[Double]("mean_sse").isNaN)
+  }
+
+  test("frameSample: offsets monotonic and within the payload") {
+    import spark.implicits._
+    val docs = Seq((1L, "0123456789abcdef"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+      .withColumn("bin", encode(col("text"), "UTF-8"))
+      .withColumn("media", graft.operators.Media.asMedia("bin", "text/plain"))
+    val frames = graft.operators.Media.frameSample(docs, "doc_id", "media", 4)
+      .collect().groupBy(_.getLong(0))
+    assert(frames.keySet === Set(1L, 2L, 3L))
+    frames.foreach { case (id, rows) =>
+      val offs = rows.sortBy(_.getInt(1)).map(_.getInt(2))
+      assert(offs.length === 4)
+      assert(offs.sliding(2).forall { case Array(a, b) => a <= b })
+      assert(offs.head === 0)
+    }
+  }
+
   test("oovRate plan: vocabulary broadcasts into the anti join") {
     val docs = Tables.load(spark, dir, "documents")
     val plan = Pipeline.oovRate(docs, "source", "text", vocabSize = 500)
