@@ -16,12 +16,27 @@ object Bench {
 
   def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Hard ceiling for the rendered line: the driver tail keeps ~2000 chars
+    * and sbt appends a ~75-char success line after ours. */
+  val MaxLineLength = 1900
+
   def renderLine(results: Map[String, Double], sfDir: String): String = {
-    val qs = results.toSeq.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val sf = sfDir.split('/').last
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    def render(f: Double => String): String = {
+      val qs = results.toSeq.map { case (k, v) => "\"" + shortKey(k) + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val sf = sfDir.split('/').last
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    }
+    // ms precision normally; if the query set ever grows the line past the
+    // tail window, degrade per-query precision before losing parseability
+    val line3 = render(fmt)
+    if (line3.length <= MaxLineLength) line3
+    else {
+      val line2 = render(v => "%.2f".formatLocal(java.util.Locale.ROOT, v))
+      if (line2.length <= MaxLineLength) line2
+      else render(v => "%.1f".formatLocal(java.util.Locale.ROOT, v))
+    }
   }
 
   def main(args: Array[String]): Unit = {
