@@ -302,22 +302,80 @@ object Pipeline {
       .select(col("grp"), col("tok"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
+  /** Range-partitioned global scan: sort by `sortCols` (must be a unique
+    * composite), then attach `__rank` (0-based global row number) and
+    * `__cum` (exclusive global running sum of `valueCol`).
+    *
+    * This is the scalable replacement for a partitionless Window, which
+    * Spark executes on a SINGLE partition — a non-starter at 100 TB. Here
+    * the sort is a range repartition (sampled split points, every core
+    * sorts a slice); a per-partition (count, sum) pass gives the driver
+    * one tiny row per partition, whose prefix sums become each
+    * partition's starting rank/cumsum for the final streaming pass — the
+    * classic zipWithIndex/prefix-scan shape, two lightweight jobs total.
+    */
+  private case class RankedScan(df: DataFrame, totalRows: Long, totalValue: Long)
+  private def rankedScan(
+      df: DataFrame, sortCols: Seq[String], valueCol: String): RankedScan = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .localCheckpoint(true)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val stats = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L; var s = 0L
+      it.foreach { r => n += 1L; s += r.getLong(vIdx) }
+      Iterator((i, n, s))
+    }.collect().sortBy(_._1)
+    val rankOff = stats.scanLeft(0L) { case (acc, (_, n, _)) => acc + n }
+    val cumOff = stats.scanLeft(0L) { case (acc, (_, _, s)) => acc + s }
+    val schema = sorted.schema.add("__rank", LongType).add("__cum", LongType)
+    val out = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = rankOff(i); var c = cumOff(i)
+      it.map { row =>
+        val nr = Row.fromSeq(row.toSeq :+ r :+ c)
+        r += 1L; c += row.getLong(vIdx)
+        nr
+      }
+    }
+    RankedScan(spark.createDataFrame(out, schema),
+      totalRows = rankOff.last, totalValue = cumOff.last)
+  }
+
   /** Curriculum binning: split the corpus into `nBins` equal-population
     * difficulty tiers by `orderCol` (length, quality score, loss...) and
     * report each tier's bounds and mass — the report that drives staged
-    * training-data schedules. ntile needs a total order: the global sort is
-    * ONE pass over (orderCol, id) pairs only — at 100 TB Spark range-
-    * partitions that sort (sampled split points), it is not a single-node
-    * sort; the per-bin aggregate after it is keyed on nBins values.
-    * Ties break by id, so bin membership is fully deterministic. */
+    * training-data schedules. Bin membership follows SQL ntile exactly
+    * (first N mod n bins get the extra row) over the [[rankedScan]]
+    * global order — never a single-partition window. Ties break by id,
+    * so bin membership is fully deterministic. */
   def curriculumBins(
       df: DataFrame,
       idCol: String,
       orderCol: String,
       tokenCol: Column,
       nBins: Int): DataFrame = {
-    df.select(col(orderCol).as("__ord"), col(idCol).as("__id"), tokenCol.as("__tok"))
-      .withColumn("bin", ntile(nBins).over(Window.orderBy(col("__ord"), col("__id"))))
+    require(nBins > 0, "nBins must be positive")
+    val rs = rankedScan(
+      df.select(col(orderCol).as("__ord"), col(idCol).as("__id"),
+        coalesce(tokenCol, lit(0L)).as("__tok")),
+      Seq("__ord", "__id"), "__tok")
+    val n = rs.totalRows
+    val base = n / nBins
+    val rem = n % nBins
+    // ntile: ranks below (base+1)*rem fall in the first rem (larger) bins.
+    // Integer DIV throughout — Column./ is double division.
+    val bin =
+      if (base == 0L) expr("CAST(__rank + 1 AS INT)")
+      else expr(
+        s"""CAST(CASE WHEN __rank < ${(base + 1) * rem}
+           |  THEN __rank DIV ${base + 1} + 1
+           |  ELSE $rem + (__rank - ${(base + 1) * rem}) DIV $base + 1
+           |END AS INT)""".stripMargin)
+    rs.df.withColumn("bin", bin)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("__ord")).as("lo"),
@@ -390,14 +448,14 @@ object Pipeline {
       tokenCol: Column,
       nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val w = Window.orderBy(col("__id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol).as("__id"), tokenCol.as("__tok"))
-      .withColumn("__cum", coalesce(sum(col("__tok")).over(w), lit(0L)))
-      .withColumn("__total", sum(col("__tok")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val rs = rankedScan(
+      df.select(col(idCol).as("__id"), coalesce(tokenCol, lit(0L)).as("__tok")),
+      Seq("__id"), "__tok")
+    val total = math.max(rs.totalValue, 1L)
+    rs.df
       .withColumn("shard",
-        least(floor(col("__cum") * nShards / col("__total")).cast("int"), lit(nShards - 1)))
+        least(floor(col("__cum") * nShards / lit(total.toDouble)).cast("int"),
+          lit(nShards - 1)))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("tok_mass"),
         min(col("__id")).as("id_lo"), max(col("__id")).as("id_hi"))

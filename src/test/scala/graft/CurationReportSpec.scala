@@ -190,6 +190,19 @@ class CurationReportSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumBins/exportShards plans: no single-partition global Window") {
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = graft.functions.token_count(col("text")).cast("long")
+    val p1 = Pipeline.curriculumBins(docs, "doc_id", "n_chars", tok, 4)
+      .queryExecution.executedPlan.toString
+    val p2 = Pipeline.exportShards(docs, "doc_id", tok, 8)
+      .queryExecution.executedPlan.toString
+    // the global order comes from the range-partitioned rankedScan, never
+    // from a partitionless Window (which Spark runs on ONE partition)
+    assert(!p1.contains("Window"), s"global window leaked into curriculumBins:\n$p1")
+    assert(!p2.contains("Window"), s"global window leaked into exportShards:\n$p2")
+  }
+
   test("oovRate plan: vocabulary broadcasts into the anti join") {
     val docs = Tables.load(spark, dir, "documents")
     val plan = Pipeline.oovRate(docs, "source", "text", vocabSize = 500)
