@@ -203,6 +203,25 @@ class CurationReportSpec extends AnyFunSuite {
     assert(!p2.contains("Window"), s"global window leaked into exportShards:\n$p2")
   }
 
+  test("round-4 plan shapes: single-exchange reports, broadcast dimension joins") {
+    import org.apache.spark.sql.execution.FormattedMode
+    // count data shuffles (hash repartition); the tiny final ORDER BY's
+    // rangepartitioning exchange is presentation, not data movement
+    def shuffles(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).size
+    val emb = Tables.load(spark, dir, "embeddings")
+    // q67: per-vector math is row-local; only the label rollup shuffles
+    val p67 = Similarity.quantizeInt8Report(emb, "vec_id", "embedding", "label")
+      .queryExecution.explainString(FormattedMode)
+    assert(shuffles(p67) <= 1, s"quantize report should shuffle once (label rollup):\n$p67")
+    // q72: one corpus aggregate; the weights dimension broadcasts
+    val docs = Tables.load(spark, dir, "documents")
+    val p72 = Pipeline.mixturePlan(docs, "lang",
+      graft.functions.token_count(col("text")).cast("long"), Seq("en" -> 1.0), 100L)
+      .queryExecution.explainString(FormattedMode)
+    assert(p72.contains("BroadcastHashJoin"), s"weights dim should broadcast:\n$p72")
+    assert(shuffles(p72) <= 1, s"mixture plan should shuffle once (group counts):\n$p72")
+  }
+
   test("oovRate plan: vocabulary broadcasts into the anti join") {
     val docs = Tables.load(spark, dir, "documents")
     val plan = Pipeline.oovRate(docs, "source", "text", vocabSize = 500)
