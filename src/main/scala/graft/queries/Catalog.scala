@@ -1426,6 +1426,63 @@ object Catalog {
       FROM documents, range(1, 5) r(i)
       ORDER BY id, frame_idx"""))
 
+  /** TPC-H Q14 analog: promotional revenue share for one ship-month —
+    * lineitem⋈part with the part dimension broadcast; decimal-exact sums,
+    * one final double division. */
+  private val q77 = QueryDef(
+    "q77_promo_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01") && col("l_shipdate") < lit("1995-10-01"))
+      li.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type").startsWith("PROMO"), discPrice)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") * lit(100.0) /
+            sum(discPrice).cast("double")).as("promo_revenue_pct"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+          / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+          AS promo_revenue_pct,
+        COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'"""))
+
+  /** TPC-H Q15 analog: top suppliers by a quarter's revenue — fact
+    * aggregate first (shuffle on suppkey), then the supplier dimension
+    * broadcasts onto 10 rows. */
+  private val q78 = QueryDef(
+    "q78_top_suppliers",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1995-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(discPrice).cast("double").as("total_revenue"))
+      rev.join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("total_revenue").desc, col("s_suppkey"))
+        .limit(10)
+    },
+    Some("""SELECT s_suppkey, s_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
+      GROUP BY s_suppkey, s_name
+      ORDER BY total_revenue DESC, s_suppkey LIMIT 10"""))
+
+  /** Salted two-phase aggregation over the skewed event-type key —
+    * identical values to the plain GROUP BY (the oracle), with the
+    * shuffle never seeing a single giant group. */
+  private val q79 = QueryDef(
+    "q79_salted_event_counts",
+    (s, dir) =>
+      graft.operators.Skew.saltedCount(t(s, dir, "events"), "event_type", salt = 16)
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n FROM events
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1434,6 +1491,6 @@ object Catalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76) ++
+    q71, q72, q73, q74, q75, q76, q77, q78, q79) ++
     ConnectorQueries.all
 }
