@@ -13,14 +13,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist a DataFrame as a bucketed+sorted table. */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+  /** Persist a DataFrame as a bucketed+sorted table.
+    *
+    * Idempotent against a stale managed location: a fresh in-memory catalog
+    * (new JVM, same warehouse dir) does not know the table, but its previous
+    * location still exists and `saveAsTable` refuses to reuse it — so drop
+    * the table AND clear the location first. Matters for re-runs after
+    * failures on a shared warehouse, not just tests. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket keys (exchange-free when both
     * sides share bucket count and keys). */

@@ -1483,6 +1483,59 @@ object Catalog {
     Some("""SELECT event_type, COUNT(*) AS n FROM events
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** Bucketed co-located join in the oracle gate: orders and customer
+    * persisted bucketed+sorted by custkey, joined exchange-free (the
+    * repeated-fact-join lever at 100 TB), rolled up per market segment —
+    * values hash-match the plain-join oracle, proving bucketing never
+    * changes results. Tables are written once per (session, sf). */
+  private val q80 = QueryDef(
+    "q80_bucketed_join",
+    (s, dir) => {
+      val sfx = dir.replaceAll("\\W", "_")
+      val (ot, ct) = (s"graft_bkt_orders$sfx", s"graft_bkt_customer$sfx")
+      if (!s.catalog.tableExists(ot))
+        graft.operators.Bucketing.writeBucketed(
+          t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+          ot, buckets = 8, keys = Seq("o_custkey"))
+      if (!s.catalog.tableExists(ct))
+        graft.operators.Bucketing.writeBucketed(
+          t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          ct, buckets = 8, keys = Seq("o_custkey"))
+      graft.operators.Bucketing.coLocatedJoin(s, ot, ct, Seq("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Character 5-gram near-dup pairs blocked on (source, lang) —
+    * tokenization-robust dedup; the block bounds the quadratic term. */
+  private val q81 = QueryDef(
+    "q81_char_ngram_pairs",
+    (s, dir) =>
+      Dedup.charNgramPairs(
+        t(s, dir, "documents")
+          .withColumn("blk", concat_ws("|", col("source"), col("lang"))),
+        "doc_id", "text", "blk", n = 5, threshold = 0.7)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some("""WITH nt AS (SELECT doc_id, source || '|' || lang AS blk,
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s FROM documents),
+      g AS (SELECT doc_id, blk, CASE WHEN len(s) >= 5
+              THEN list_distinct([s[i:i+4] for i in range(1, len(s) - 3)])
+              ELSE [s] END AS sh FROM nt),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              len(list_intersect(a.sh, b.sh)) AS inter,
+              len(a.sh) AS na, len(b.sh) AS nb
+            FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+      FROM p WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.7
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1491,6 +1544,6 @@ object Catalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79) ++
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81) ++
     ConnectorQueries.all
 }

@@ -56,4 +56,43 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }
   }
+
+  test("q80: bucketed rollup matches the plain join; join subtree shuffle-free") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q80 = graft.queries.Catalog.all.find(_.name == "q80_bucketed_join").get
+      val df = q80.fn(spark, dir)
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val plain = Tables.load(spark, dir, "orders")
+        .join(Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == plain, s"bucketed rollup diverged: ${got -- plain} vs ${plain -- got}")
+
+      // the join itself must read both bucketed tables without an exchange —
+      // only the (tiny) rollup/sort above it is allowed to shuffle
+      // AQE nests the join inside query stages `collect` treats as leaves
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+        case q: QueryStageExec => q +: flatten(q.plan)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      val smj = flatten(df.queryExecution.executedPlan)
+        .collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n${df.queryExecution.executedPlan}")
+      val shuffled = flatten(smj.get).filter(_.isInstanceOf[ShuffleExchangeLike])
+      assert(shuffled.isEmpty,
+        s"bucketed join subtree contains a shuffle:\n${df.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
 }

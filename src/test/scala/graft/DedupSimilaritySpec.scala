@@ -80,6 +80,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("charNgramPairs: hashed+ratio-pruned path == naive string jaccard") {
+    import graft.functions.char_shingles
+    val docs = Tables.load(spark, dir, "documents")
+    for (t <- Seq(0.5, 0.7)) {
+      val got = Dedup.charNgramPairs(docs, "doc_id", "text", "lang", 5, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // naive specification: string-array intersection, no pruning
+      val sh = docs.select(col("lang").as("blk"), col("doc_id").cast("long").as("doc_id"),
+        char_shingles(col("text"), 5).as("sh"))
+      val brute = sh.as("x").join(sh.as("y"),
+          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+        .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
+        .withColumn("j", col("inter").cast("double") /
+          (size(col("x.sh")) + size(col("y.sh")) - col("inter")).cast("double"))
+        .filter(col("j") >= t)
+        .select(col("x.doc_id"), col("y.doc_id"), col("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute,
+        s"t=$t: missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+      if (t == 0.5) assert(brute.nonEmpty, "test data should contain char-gram near-dups")
+    }
+  }
+
   test("simhash: identical docs collide, near-dups within hamming 3") {
     val docs = Tables.load(spark, dir, "documents")
     val sig = Dedup.simhashSignatures(docs, "doc_id", "text", 2)
