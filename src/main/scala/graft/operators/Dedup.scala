@@ -148,9 +148,14 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0, "prefix-filtered jaccard needs a positive threshold")
-    val sh = graft.core.GraftSession.widen(df)
+    // Null surgery as in charNgramPairs: explicit cheap pre-filter keeps
+    // semantics; coalesce makes the kernel chain non-nullable so the join's
+    // conditions on n can't infer an isnotnull(<kernel>) filter that would
+    // re-run the kernel below the widen exchange on the raw scan.
+    val sh = graft.core.GraftSession.widen(
+        df.filter(col(textCol).isNotNull && col(idCol).isNotNull))
       .select(col(blockCol).as("blk"), col(idCol).cast("long").as("doc_id"),
-        shingle_hashes(col(textCol), shingleSize).as("sh"))
+        shingle_hashes(coalesce(col(textCol), lit("")), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
     prefixFilteredPairs(sh, threshold)
   }
