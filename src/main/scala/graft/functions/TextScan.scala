@@ -154,6 +154,35 @@ object TextScan {
     new GenericArrayData(out)
   }
 
+  /** Token count — value-identical to `size(tokenStrings(s))`, but no
+    * array/string materialization: just the boundary pass. Cheap enough to
+    * sit in a pushed-down Filter predicate. */
+  def tokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    tokenize(bytes, 0, bytes.length).length / 2
+  }
+
+  /** Distinct token count — value-identical to
+    * `size(array_distinct(tokenStrings(s)))`: distinctness via XXH64 of the
+    * token byte slice (the same dedup device [[wordShingleStrings]] uses;
+    * collision odds ~m²/2^64 per document — negligible), no token strings
+    * ever built. */
+  def distinctTokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val tk = tokenize(bytes, 0, bytes.length)
+    val m = tk.length / 2
+    val seen = new java.util.HashSet[Long](m * 2)
+    var c = 0
+    var i = 0
+    while (i < m) {
+      val ts = tk(2 * i); val te = tk(2 * i + 1)
+      if (seen.add(XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + ts, te - ts, Seed))) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** |a ∩ b| for two SORTED long arrays — a single merge pass, no hash set,
     * no output array (vs `size(array_intersect(a, b))`). Inputs must be
     * sorted ascending and duplicate-free ([[wordShingleHashes]] output is). */
@@ -268,6 +297,34 @@ case class TokensScan(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.tokenStrings($c)")
   override def prettyName: String = "tokens_scan"
   override protected def withNewChildInternal(newChild: Expression): TokensScan =
+    copy(child = newChild)
+}
+
+/** `token_count_scan(text)`: fused `size(split(trim(text), "\\s+"))` —
+  * boundary pass only, no token array. Safe (cheap) inside pushed-down
+  * Filter predicates, unlike the array kernels. */
+case class TokenCountScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextScan.tokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.tokenCount($c)")
+  override def prettyName: String = "token_count_scan"
+  override protected def withNewChildInternal(newChild: Expression): TokenCountScan =
+    copy(child = newChild)
+}
+
+/** `distinct_token_count_scan(text)`: fused
+  * `size(array_distinct(split(trim(text), "\\s+")))` — one boundary pass +
+  * slice hashing, no token strings. */
+case class DistinctTokenCountScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextScan.distinctTokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.distinctTokenCount($c)")
+  override def prettyName: String = "distinct_token_count_scan"
+  override protected def withNewChildInternal(newChild: Expression): DistinctTokenCountScan =
     copy(child = newChild)
 }
 

@@ -59,6 +59,11 @@ package object functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokens_scan", { exprs => TokensScan(exprs.head) }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_count_scan", { exprs => TokenCountScan(exprs.head) }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "distinct_token_count_scan", { exprs => DistinctTokenCountScan(exprs.head) },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_estimate", { exprs => CmsEstimate(exprs(0), exprs(1)) }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch", {
@@ -126,7 +131,14 @@ package object functions {
   /** Byte-level fast path for [[tokens]] (identical values, no regex). */
   def tokens_fast(c: Column): Column = call_function("tokens_scan", c)
 
-  def token_count(c: Column): Column = size(tokens_fast(c))
+  /** Fused token count — `size(tokens(c))` values with no array build;
+    * cheap enough to live in pushed-down Filter predicates. */
+  def token_count(c: Column): Column = call_function("token_count_scan", c)
+
+  /** Fused distinct token count — `size(array_distinct(tokens(c)))` values
+    * with no token strings built. */
+  def distinct_token_count(c: Column): Column =
+    call_function("distinct_token_count_scan", c)
 
   /** BPE-ish subword split: word pieces, digits, and punctuation as tokens. */
   def bpeish_tokens(c: Column): Column =

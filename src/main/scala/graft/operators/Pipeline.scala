@@ -136,8 +136,11 @@ object Pipeline {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    df.select(col(idCol), toks.as("__tk"))
-      .filter(n >= 2)
+    // the >= 2 gate runs on the fused scalar count BEFORE tokenizing, so it
+    // pushes to the scan as a cheap predicate instead of dragging the token
+    // -array kernel into an inferred Filter (PlanAudit flags that pattern)
+    df.filter(graft.functions.token_count(col(textCol)) >= 2)
+      .select(col(idCol), toks.as("__tk"))
       .select(col(idCol), col("__tk"), bigrams.as("__bg"))
       .select(
         col(idCol),
@@ -158,14 +161,16 @@ object Pipeline {
       minTokens: Int,
       maxTokens: Int,
       minDistinctRatio: Double): DataFrame = {
-    val toks = graft.functions.tokens_fast(col(textCol))
-    val n = size(col("__tk"))
-    val ratio = size(array_distinct(col("__tk"))).cast("double") / n.cast("double")
-    df.select(col("*"), toks.as("__tk"))
-      .select(col("*"), n.as("n_tokens"), ratio.as("distinct_ratio"))
+    // fused scalar counts: the token array is never materialized, and the
+    // thresholds push through the projection to the scan as two cheap
+    // byte-pass predicates (the array formulation re-ran the tokenizer in
+    // the inferred Filter AND the projection)
+    val n = graft.functions.token_count(col(textCol))
+    val ratio = graft.functions.distinct_token_count(col(textCol)).cast("double") /
+      n.cast("double")
+    df.select(col("*"), n.as("n_tokens"), ratio.as("distinct_ratio"))
       .filter(col("n_tokens").between(minTokens, maxTokens) &&
         col("distinct_ratio") >= minDistinctRatio)
-      .drop("__tk")
   }
 
   /** Shingle-level decontamination (the GPT-3-style n-gram test): drop

@@ -75,6 +75,21 @@ class TextScanSpec extends AnyFunSuite {
     }
   }
 
+  test("token_count_scan / distinct_token_count_scan == declarative sizes") {
+    import graft.functions.{distinct_token_count, token_count, tokens}
+    for (df <- Seq(hostile, Tables.load(spark, dir, "documents"))) {
+      val bad = df
+        .select(
+          token_count(col("text")).as("nf"),
+          size(tokens(col("text"))).as("ns"),
+          distinct_token_count(col("text")).as("df"),
+          size(array_distinct(tokens(col("text")))).as("ds"))
+        .filter(col("nf") =!= col("ns") || col("df") =!= col("ds"))
+        .count()
+      assert(bad == 0, s"$bad rows diverge from declarative token counts")
+    }
+  }
+
   test("lang_guess_fast == declarative lang_guess CASE chain") {
     for (df <- Seq(hostile, Tables.load(spark, dir, "documents"))) {
       val bad = df
