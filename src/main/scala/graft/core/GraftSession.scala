@@ -40,7 +40,18 @@ object GraftSession {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
+    installOptimizerRules(spark)
     spark
+  }
+
+  /** graft's extra Catalyst rules, installed through experimentalMethods so
+    * they apply to externally-built sessions (the driver's) too —
+    * idempotent. */
+  def installOptimizerRules(spark: SparkSession): Unit = {
+    val em = spark.experimental
+    if (!em.extraOptimizations.contains(graft.plans.SimplifyKernelNullChecks))
+      em.extraOptimizations =
+        em.extraOptimizations :+ graft.plans.SimplifyKernelNullChecks
   }
 
   /** Widen a narrow input so per-row kernels use the whole cluster.
@@ -66,6 +77,7 @@ object GraftSession {
     * externally-built session (the driver's Verify/Bench sessions). */
   def prepare(spark: SparkSession): SparkSession = {
     graft.functions.registerAll(spark)
+    installOptimizerRules(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.codegen.maxFields", "256")

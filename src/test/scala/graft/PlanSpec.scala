@@ -61,6 +61,34 @@ class PlanSpec extends AnyFunSuite {
     assert(en > 0 && en < all, "filter must be selective for the check to mean anything")
   }
 
+  test("SimplifyKernelNullChecks: inferred IsNotNull over a kernel chain collapses to the input column") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.shingle_hashes
+    // the pre-surgery q28 shape: nullable kernel column n feeds a join
+    // condition, so constraint propagation infers isnotnull(size(shingle
+    // _hashes(text))) — the rule must collapse that to isnotnull(text)
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val sh = docs.select(col("lang").as("blk"), col("doc_id").cast("long").as("doc_id"),
+        shingle_hashes(col("text"), 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val joined = sh.as("x").join(sh.as("y"),
+      col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.n").cast("double") >= col("y.n") * 0.5)
+    val filters = joined.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Filter") || l.contains("Condition")).toSeq
+    assert(!filters.exists(_.contains("shingle_hashes")),
+      s"kernel survived in a Filter:\n${filters.mkString("\n")}")
+    // and the collapse is exact, not a relaxation: same rows as with the
+    // rule withheld (a fresh condition evaluated without inferred filters)
+    val n = joined.count()
+    val brute = docs.select(col("lang").as("blk"), col("doc_id").cast("long").as("doc_id"),
+        size(shingle_hashes(col("text"), 3)).as("n"))
+    val nRef = brute.as("x").join(brute.as("y"),
+      col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.n").cast("double") >= col("y.n") * 0.5).count()
+    assert(n == nRef, s"rule changed join cardinality: $n vs $nRef")
+  }
+
   test("repetition signals: pure map work — no exchange except the output sort") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val p = graft.operators.Pipeline.repetitionSignals(docs, "doc_id", "text")
