@@ -176,8 +176,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     val lshR = meanRecall(lsh)
-    assert(lshR >= 0.3, f"mean LSH recall $lshR%.2f too low for a usable ANN path")
-    info(f"mean LSH@$k recall: $lshR%.2f")
+    assert(lshR >= 0.45, f"mean LSH recall $lshR%.2f too low for a usable ANN path")
+    info(f"mean LSH@$k recall: $lshR%.2f (16 tables x 10 planes, 1-bit probes -> ~18%% corpus scanned)")
 
     val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
       "vec_id", "embedding", k)
