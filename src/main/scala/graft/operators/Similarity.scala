@@ -371,6 +371,34 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Semantic near-dup pairs at scale: exact cosine pairs within
+    * centroid-assigned clusters. [[cosinePairsBlocked]] needs a natural
+    * blocking key (label, source, …); when none exists, the embedding
+    * space itself provides one — assign every vector to its argmax-cosine
+    * centroid ([[assignToCentroids]]: broadcast centroids, one scan) and
+    * run the exact pair join inside each cluster. At 100 TB the centroids
+    * come from a sample (the IVF-codebook shape: sample + Lloyd + persist)
+    * and the quadratic term is bounded by the largest cluster — the same
+    * blocking discipline as every dedup operator here. Near-dup pairs
+    * that straddle a cluster boundary are missed by construction (the
+    * recall analog of LSH banding); tighten with more centroids + a
+    * second pass on cluster medoids, or use [[lshTopK]] when
+    * boundary-complete recall matters more than exactness. */
+  def semanticDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidId: String,
+      centroidVec: String,
+      threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(df, centroids, idCol, vecCol, centroidId, centroidVec)
+      .select(col("vec_id").as("__vid"), col("centroid_id"))
+    cosinePairsBlocked(
+      df.join(assigned, col(idCol).cast("long") === col("__vid")).drop("__vid"),
+      idCol, vecCol, "centroid_id", threshold)
+  }
+
   /** Symmetric int8 quantization error report — the storage scale path for
     * ANN (4x smaller vectors than float32, 8x than float64). Per vector:
     * scale = 127 / max|x|, q_i = clamp(floor(x_i*scale + 0.5), ±127),

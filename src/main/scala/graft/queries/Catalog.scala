@@ -1536,6 +1536,30 @@ object Catalog {
       FROM p WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.7
       ORDER BY doc_a, doc_b"""))
 
+  /** Semantic dedup: exact cosine pairs within centroid-assigned clusters
+    * (no natural blocking key — the embedding space provides one; q58's
+    * assignment composed with q24's pair semantics, both oracle-pinned). */
+  private val q82 = QueryDef(
+    "q82_semantic_dedup_pairs",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDedupPairs(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 8),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sc AS (SELECT vec_id, cid, list_cosine_similarity(e, cv) AS cos FROM v, c),
+      r AS (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc),
+      a AS (SELECT v.vec_id, v.e, r.cid FROM v JOIN r ON v.vec_id = r.vec_id AND r.rn = 1)
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b, list_cosine_similarity(x.e, y.e) AS cos
+      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.e, y.e) >= 0.35
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1544,6 +1568,7 @@ object Catalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81) ++
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
+    q81, q82) ++
     ConnectorQueries.all
 }

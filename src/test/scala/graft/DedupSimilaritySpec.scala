@@ -103,6 +103,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedupPairs == global cosine pairs restricted to shared clusters") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+    val got = Similarity.semanticDedupPairs(
+      emb, "vec_id", "embedding", cents, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cluster = Similarity.assignToCentroids(emb, cents,
+      "vec_id", "embedding", "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Similarity.cosinePairsBlocked(
+      emb.withColumn("one", lit(1)), "vec_id", "embedding", "one", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cluster(a) == cluster(b) }.toSet
+    assert(got == expect,
+      s"missed=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    assert(got.nonEmpty, "test data should contain within-cluster near-dups")
+  }
+
   test("simhash: identical docs collide, near-dups within hamming 3") {
     val docs = Tables.load(spark, dir, "documents")
     val sig = Dedup.simhashSignatures(docs, "doc_id", "text", 2)
