@@ -172,6 +172,20 @@ class CurationReportSpec extends AnyFunSuite {
     assert(rep.length === 1)
     assert(!rep.head.getAs[Double]("max_abs_err").isNaN)
     assert(!rep.head.getAs[Double]("mean_sse").isNaN)
+    // late-round family: null text / empty docs / empty frames
+    val nullDocs = Seq((1L, null: String, "b"), (2L, "same text here ok", "b"),
+      (3L, "same text here ok", "b")).toDF("doc_id", "text", "blk")
+    val pairs = graft.operators.Dedup.charNgramPairs(
+      nullDocs, "doc_id", "text", "blk", 5, 0.7).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((2L, 3L)),
+      "null text must not pair; identical docs must")
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "blk")
+    assert(graft.operators.Dedup.charNgramPairs(
+      emptyDocs, "doc_id", "text", "blk", 5, 0.7).count() === 0)
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val oneCent = Seq((0L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedupPairs(emptyVecs, "vec_id", "embedding",
+      oneCent, "vec_id", "embedding", 0.5).count() === 0)
   }
 
   test("frameSample: offsets monotonic and within the payload") {
