@@ -46,11 +46,18 @@ object SimplifyKernelNullChecks extends Rule[LogicalPlan] {
   }
 
   /** Children whose combined null-ness is EQUIVALENT to e's (both
-    * directions), or None when e offers no such guarantee. */
+    * directions), or None when e offers no such guarantee. The guards on
+    * Size and Cast matter: size(null) = -1 under the legacy flag (the
+    * check would then be constant-true, not equivalent), and only UP-casts
+    * never produce null from non-null input — cast('abc' as int) and
+    * overflowing decimal casts null out, so a general Cast would turn an
+    * exact rewrite into a row-semantics change. */
   private def nullEquivChildren(e: Expression): Option[Seq[Expression]] = e match {
     case k if isKernel(k) => Some(k.children)
     case t: ArrayTransform => Some(Seq(t.argument)) // lambda never decides null
-    case _: Size | _: SortArray | _: ArrayDistinct | _: Cast | _: Lower |
+    case s: Size if !s.legacySizeOfNull => Some(Seq(s.child))
+    case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) => Some(Seq(c.child))
+    case _: SortArray | _: ArrayDistinct | _: Lower |
         _: Upper | _: Length | _: StringTrim | _: RegExpReplace |
         _: Alias => Some(e.children)
     case _ => None
