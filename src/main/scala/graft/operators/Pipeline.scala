@@ -494,4 +494,67 @@ object Pipeline {
           col("n_tokens").cast("double")).as("oov_rate"))
       .orderBy(col("grp"))
   }
+
+  /** End-to-end batch curation — the whole pre-training cleanup in one
+    * declarative plan: language allowlist → threshold quality filter
+    * ([[qualityFilter]]: fused scalar token kernels, map-side) → exact
+    * dedup keeping the smallest id per text (one shuffle on the
+    * fixed-width md5 key) → whole-document decontamination against the
+    * eval split ([[decontaminate]]: eval hashes broadcast into a LEFT
+    * ANTI). Survivors carry `n_tokens`/`distinct_ratio` so downstream
+    * stages never re-tokenize.
+    *
+    * Shuffle budget at 100 TB: exactly one wide exchange (the dedup
+    * window on md5(text)); every filter before it is map-side and reaches
+    * the scan, every join after it broadcasts the small side. Mirrors the
+    * reference's pipeline composition surface (`Pipeline.drawFrom...` →
+    * staged transforms, e.g. `/root/reference/probabilistic/src/test/java/
+    * com/hazelcast/jet/contrib/probabilistic/HyperLogLogTest.java:81-85`)
+    * as one DataFrame chain.
+    */
+  def curate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      langs: Seq[String],
+      minTokens: Int,
+      maxTokens: Int,
+      minDistinctRatio: Double): DataFrame = {
+    require(langs.nonEmpty, "language allowlist must not be empty")
+    val allowed = docs.filter(col(langCol).isin(langs: _*))
+    val quality = qualityFilter(
+      allowed, idCol, textCol, minTokens, maxTokens, minDistinctRatio)
+    // exact dedup, keep-first: rank within md5(text) by id and keep rank 1.
+    // The window shuffles on the 16-byte hash, never on document bodies.
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    val deduped = quality
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    decontaminate(deduped, evalDocs, textCol)
+  }
+
+  /** Deterministic per-group exemplars: the `k` documents of each group
+    * with the smallest md5(text) — a content-keyed "few-shot sample per
+    * source" that replays identically at any parallelism (no RNG state,
+    * ties broken by id). One exchange on the group key; the window sorts
+    * each group once. When groups are huge relative to k, pre-cut the
+    * input with [[hashSampled]] at a threshold sized from group counts so
+    * the sort input stays bounded (the md5 order is preserved by any
+    * md5-prefix cut, so the composition is still exact for groups the cut
+    * leaves >= k rows in). */
+  def groupExemplars(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "exemplar count must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
 }

@@ -204,9 +204,24 @@ object Similarity {
       nprobe: Int = 4,
       refine: Int = 3,
       replicate: Int = 1): DataFrame = {
-    val c = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+    val c = normalizedCorpus(corpus, corpusId, corpusVec)
+    val codebook = trainIvfCodebook(c, nlist, refine)
+    val cb = corpusLists(c, codebook, replicate)
+    ivfProbe(queries, cb, codebook, queryId, queryVec, k, nprobe, replicate)
+  }
+
+  /** Corpus projected to the internal (neighbor_id, cv, cn) shape. */
+  private def normalizedCorpus(
+      corpus: DataFrame, corpusId: String, corpusVec: String): DataFrame =
+    corpus.select(col(corpusId).cast("long").as("neighbor_id"),
       vec_double(col(corpusVec)).as("cv"))
       .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
+
+  /** Deterministic IVF codebook: `nlist` seeds (smallest xxhash64(id)) +
+    * `refine` driver-side spherical-Lloyd iterations over a 64·nlist
+    * sample in the same deterministic order. See [[ivfTopK]]. */
+  private[graft] def trainIvfCodebook(
+      c: DataFrame, nlist: Int, refine: Int): Seq[Seq[Double]] = {
     // one TakeOrdered job fetches seeds + refinement sample together,
     // L2-normalized on the driver
     val sample: Array[Array[Double]] = c
@@ -251,32 +266,48 @@ object Similarity {
       }
       cbk.map(_.toSeq).toSeq
     }
+    codebook
+  }
 
-    /** ranked anchor list for a vector: struct(-dot, j) sorted ascending. */
-    def rankedAnchors(v: org.apache.spark.sql.Column) =
-      sort_array(array(codebook.indices.map { j =>
-        struct((lit(0.0) - dotd(v, typedLit(codebook(j)))).as("d"), lit(j).as("j"))
-      }: _*))
+  /** ranked anchor list for a vector: struct(-dot, j) sorted ascending. */
+  private def rankedAnchors(
+      codebook: Seq[Seq[Double]], v: org.apache.spark.sql.Column) =
+    sort_array(array(codebook.indices.map { j =>
+      struct((lit(0.0) - dotd(v, typedLit(codebook(j)))).as("d"), lit(j).as("j"))
+    }: _*))
 
-    // corpus side: top-`replicate` anchors per vector (replicate=1 — the
-    // default — is the classic single-list IVF, fetched as an array_min
-    // argmax, O(nlist), no per-row sort; replicate>1 spills each vector
-    // into its nearest lists, softening list boundaries at the cost of
-    // replicate× list storage)
-    val cb =
-      if (replicate <= 1)
-        c.withColumn("bucket",
-          array_min(array(codebook.indices.map { j =>
-            struct((lit(0.0) - dotd(col("cv"), typedLit(codebook(j)))).as("d"), lit(j).as("j"))
-          }: _*)).getField("j"))
-      else
-        c.withColumn("bucket", explode(slice(
-          transform(rankedAnchors(col("cv")), x => x.getField("j")), 1, replicate)))
+  /** Corpus side of an IVF index: each vector tagged with its inverted
+    * list id(s). replicate=1 — the default — is the classic single-list
+    * IVF, fetched as an array_min argmax, O(nlist), no per-row sort;
+    * replicate>1 spills each vector into its nearest lists, softening
+    * list boundaries at the cost of replicate× list storage. */
+  private def corpusLists(
+      c: DataFrame, codebook: Seq[Seq[Double]], replicate: Int): DataFrame =
+    if (replicate <= 1)
+      c.withColumn("bucket",
+        array_min(array(codebook.indices.map { j =>
+          struct((lit(0.0) - dotd(col("cv"), typedLit(codebook(j)))).as("d"), lit(j).as("j"))
+        }: _*)).getField("j"))
+    else
+      c.withColumn("bucket", explode(slice(
+        transform(rankedAnchors(codebook, col("cv")), x => x.getField("j")), 1, replicate)))
+
+  /** Probe side shared by the inline and persisted-index paths: queries
+    * fan out to their `nprobe` nearest lists, rank exact cosine within. */
+  private def ivfProbe(
+      queries: DataFrame,
+      cb: DataFrame,
+      codebook: Seq[Seq[Double]],
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nprobe: Int,
+      replicate: Int): DataFrame = {
     val qb = queries.select(col(queryId).cast("long").as("query_id"),
       vec_double(col(queryVec)).as("qv"))
       .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))
       .withColumn("bucket", explode(slice(
-        transform(rankedAnchors(col("qv")), x => x.getField("j")), 1, nprobe)))
+        transform(rankedAnchors(codebook, col("qv")), x => x.getField("j")), 1, nprobe)))
     val scored = broadcast(qb).join(cb, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -291,6 +322,68 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     uniq.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Persist an IVF index: inverted lists as parquet PARTITIONED BY list
+    * id (so probes prune at the directory level) plus the codebook. This
+    * is the 100 TB shape of [[ivfTopK]]: train the codebook once, pay the
+    * corpus assignment pass once, and serve every later query batch from
+    * the index — a probe reads only its `nprobe` list partitions, never
+    * the corpus.
+    *
+    * Layout: `path/lists/bucket=N/` parquet holding (neighbor_id, cv,
+    * cn — norms precomputed at build time) and `path/codebook/` parquet
+    * holding (j, v). Deterministic end-to-end: same corpus + params ⇒
+    * byte-identical lists, so rebuilds are idempotent. */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      path: String,
+      corpusId: String,
+      corpusVec: String,
+      nlist: Int = 16,
+      refine: Int = 3,
+      replicate: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = normalizedCorpus(corpus, corpusId, corpusVec)
+    val codebook = trainIvfCodebook(c, nlist, refine)
+    corpusLists(c, codebook, replicate)
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/lists")
+    codebook.zipWithIndex.map { case (v, j) => (j, v) }
+      .toDF("j", "v")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Serve approximate top-k from a persisted [[buildIvfIndex]] index.
+    * The probed list ids are computed driver-side from the (small) query
+    * batch and pushed as a partition filter, so the scan lists and reads
+    * ONLY those `bucket=N` directories — the IVF pruning is Spark
+    * partition pruning, visible in the plan's PartitionFilters. Results
+    * are bit-identical to the inline [[ivfTopK]] at the same parameters
+    * (spec-pinned). */
+  def ivfTopKFromIndex(
+      path: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nprobe: Int = 4,
+      replicate: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    val codebook: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
+      .orderBy(col("j")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    // driver-side probe set: nprobe lists per query vector, deduplicated —
+    // queries are a batch (broadcast-sized by contract, same as ivfTopK)
+    val probed: Array[Int] = queries
+      .select(explode(slice(
+        transform(rankedAnchors(codebook, vec_double(col(queryVec))),
+          x => x.getField("j")), 1, nprobe)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("bucket").isin(probed.map(Integer.valueOf): _*))
+    ivfProbe(queries, lists, codebook, queryId, queryVec, k, nprobe, replicate)
   }
 
   /** Assign every vector to its nearest centroid by cosine (the Lloyd
@@ -351,6 +444,43 @@ object Similarity {
       .select(col("centroid_id"), col("dim"),
         (aggregate(col("__xs"), lit(0.0), (acc, x) => acc + x.getField("v"))
           / col("__n").cast("double")).as("mean_val"))
+  }
+
+  /** Pairwise cosine between per-label prototype vectors (the label
+    * confusability / embedding drift matrix): [[centroidMeans]] builds the
+    * prototypes with order-pinned folds, then every unordered label pair
+    * gets dot and norms folded in DIMENSION order — bit-identical across
+    * engines and retries, like the means themselves. Work after the means
+    * is O(labels² · dim) on ~labels·dim rows — negligible at any corpus
+    * size; the corpus is touched exactly once (inside centroidMeans). */
+  def prototypeSimilarityMatrix(
+      vecs: DataFrame,
+      assignments: DataFrame,
+      vecId: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val m = centroidMeans(vecs, assignments, vecId, vecCol, labelCol)
+      .select(col("centroid_id").cast("long").as("label"),
+        col("dim"), col("mean_val"))
+    def foldInDimOrder(v: org.apache.spark.sql.Column) =
+      aggregate(
+        sort_array(collect_list(struct(col("dim"), v.as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v"))
+    val norms = m.groupBy(col("label"))
+      .agg(sqrt(foldInDimOrder(col("mean_val") * col("mean_val"))).as("nrm"))
+    val a = m.select(col("label").as("label_a"), col("dim"), col("mean_val").as("va"))
+    val b = m.select(col("label").as("label_b"), col("dim"), col("mean_val").as("vb"))
+    val dots = a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(foldInDimOrder(col("va") * col("vb")).as("dot"))
+    dots
+      .join(broadcast(norms).withColumnRenamed("label", "label_a")
+        .withColumnRenamed("nrm", "na"), "label_a")
+      .join(broadcast(norms).withColumnRenamed("label", "label_b")
+        .withColumnRenamed("nrm", "nb"), "label_b")
+      .select(col("label_a"), col("label_b"),
+        (col("dot") / (col("na") * col("nb"))).as("cos"))
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold within a blocking

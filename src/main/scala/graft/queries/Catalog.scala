@@ -1560,6 +1560,107 @@ object Catalog {
       WHERE list_cosine_similarity(x.e, y.e) >= 0.35
       ORDER BY id_a, id_b"""))
 
+  /** End-to-end batch curation in ONE declarative plan: eval split carved
+    * by md5 prefix, then language allowlist → quality thresholds → exact
+    * keep-first dedup → eval decontamination → per-source yield report.
+    * The flagship composite: a user of the reference runs this whole
+    * chain as staged pipeline transforms; here it is one Catalyst plan
+    * with exactly one wide shuffle (the dedup hash window). */
+  private val q83 = QueryDef(
+    "q83_curation_e2e",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSplit = docs.filter(substring(md5(col("text")), 1, 2) < "08")
+      val train = docs.filter(substring(md5(col("text")), 1, 2) >= "08")
+      graft.operators.Pipeline.curate(
+        train, evalSplit, "doc_id", "text", "lang",
+        langs = Seq("en", "de", "fr"),
+        minTokens = 15, maxTokens = 150, minDistinctRatio = 0.20)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ev AS (SELECT md5(text) AS h FROM documents WHERE substr(md5(text), 1, 2) < '08'),
+      tr AS (SELECT * FROM documents
+             WHERE substr(md5(text), 1, 2) >= '08' AND lang IN ('en', 'de', 'fr')),
+      f AS (SELECT doc_id, source, text,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+          CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+            / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS r
+        FROM tr),
+      q AS (SELECT * FROM f WHERE n_tokens BETWEEN 15 AND 150 AND r >= 0.20),
+      d AS (SELECT * FROM (SELECT q.*,
+              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q)
+            WHERE rn = 1),
+      c AS (SELECT * FROM d WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.h = md5(d.text)))
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM c GROUP BY source ORDER BY source"""))
+
+  /** Persisted IVF index: build once (lists partitioned by bucket id +
+    * codebook), serve the probe batch from it — the probed list ids are
+    * pushed as a partition filter so the scan reads only those bucket=N
+    * directories. Results bit-identical to the inline q33 path
+    * (spec-pinned); approximate vs brute force by construction, so
+    * rows-only at the driver gate like q33. */
+  private val q84 = QueryDef(
+    "q84_ivf_index",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-${dir.split('/').last}"
+      graft.operators.Similarity.buildIvfIndex(emb, path, "vec_id", "embedding")
+      graft.operators.Similarity.ivfTopKFromIndex(
+        path, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    None)
+
+  /** Deterministic per-source exemplars: the k=3 docs with the smallest
+    * md5(text) per source — content-keyed few-shot sampling that replays
+    * identically at any parallelism. */
+  private val q85 = QueryDef(
+    "q85_group_exemplars",
+    (s, dir) =>
+      graft.operators.Pipeline.groupExemplars(
+        t(s, dir, "documents"), "doc_id", "text", "source", k = 3)
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy(col("source"), col("rn")),
+    Some("""SELECT source, CAST(rn AS INTEGER) AS rn, doc_id FROM (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 3 ORDER BY source, rn"""))
+
+  /** Label-prototype cosine matrix (the label confusability / embedding
+    * drift report): q65's order-pinned prototype means, then dot and
+    * norms folded in dimension order — every double bit-identical to the
+    * oracle's ordered list_sum. */
+  private val q86 = QueryDef(
+    "q86_label_similarity",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.prototypeSimilarityMatrix(
+        emb, emb.select(col("vec_id"), col("label")),
+        "vec_id", "embedding", "label")
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some("""WITH m AS (
+        SELECT label, dim, list_sum(list(val ORDER BY vec_id)) / CAST(COUNT(*) AS DOUBLE) AS mean_val
+        FROM (SELECT vec_id, label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+              unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)
+        GROUP BY label, dim),
+      n AS (SELECT label, sqrt(list_sum(list(mean_val * mean_val ORDER BY dim))) AS nrm
+            FROM m GROUP BY label),
+      d AS (SELECT a.label AS label_a, b.label AS label_b,
+              list_sum(list(a.mean_val * b.mean_val ORDER BY a.dim)) AS dot
+            FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY a.label, b.label)
+      SELECT CAST(d.label_a AS BIGINT) AS label_a, CAST(d.label_b AS BIGINT) AS label_b,
+             d.dot / (na.nrm * nb.nrm) AS cos
+      FROM d JOIN n na ON na.label = d.label_a JOIN n nb ON nb.label = d.label_b
+      ORDER BY label_a, label_b"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1569,6 +1670,6 @@ object Catalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82) ++
+    q81, q82, q83, q84, q85, q86) ++
     ConnectorQueries.all
 }

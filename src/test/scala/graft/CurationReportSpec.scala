@@ -243,4 +243,60 @@ class CurationReportSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"anti join should broadcast the bounded vocabulary:\n$plan")
   }
+
+  test("curate: identical to the hand-composed stage chain") {
+    val docs = Tables.load(spark, dir, "documents")
+    val evalSplit = docs.filter(substring(md5(col("text")), 1, 2) < "10")
+    val train = docs.filter(substring(md5(col("text")), 1, 2) >= "10")
+    val got = Pipeline.curate(train, evalSplit, "doc_id", "text", "lang",
+      langs = Seq("en", "de"), minTokens = 10, maxTokens = 200,
+      minDistinctRatio = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent formulation: each stage applied separately
+    val quality = Pipeline.qualityFilter(
+      train.filter(col("lang").isin("en", "de")),
+      "doc_id", "text", 10, 200, 0.2)
+    val keepIds = quality.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val evalHashes = evalSplit.select(md5(col("text")).as("h"))
+      .collect().map(_.getString(0)).toSet
+    val want = quality
+      .filter(col("doc_id").isInCollection(keepIds))
+      .withColumn("h", md5(col("text")))
+      .collect().filterNot(r => evalHashes.contains(r.getAs[String]("h")))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "curation chain should leave survivors at these thresholds")
+  }
+
+  test("curate: empty eval split decontaminates nothing; empty allowlist rejected") {
+    val docs = Tables.load(spark, dir, "documents")
+    val none = docs.filter(lit(false))
+    val full = Pipeline.curate(docs, none, "doc_id", "text", "lang",
+      Seq("en", "de", "es", "fr", "zh"), 1, Int.MaxValue, 0.0)
+    val dedupOnly = docs.groupBy(col("text")).agg(min(col("doc_id")))
+    assert(full.count() === dedupOnly.count(),
+      "with no eval set and open thresholds, curation = exact dedup")
+    assertThrows[IllegalArgumentException] {
+      Pipeline.curate(docs, none, "doc_id", "text", "lang", Seq.empty, 1, 10, 0.0)
+    }
+  }
+
+  test("groupExemplars: k per group, content-deterministic under repartition") {
+    val docs = Tables.load(spark, dir, "documents")
+    val a = Pipeline.groupExemplars(docs, "doc_id", "text", "source", k = 3)
+      .select("source", "rn", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+    assert(a.groupBy(_._1).values.forall(_.length <= 3))
+    assert(a.nonEmpty)
+    val b = Pipeline.groupExemplars(docs.repartition(13, col("doc_id")),
+      "doc_id", "text", "source", k = 3)
+      .select("source", "rn", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+    assert(a.toSeq === b.toSeq, "exemplar choice must not depend on partitioning")
+    assertThrows[IllegalArgumentException] {
+      Pipeline.groupExemplars(docs, "doc_id", "text", "source", k = 0)
+    }
+  }
 }

@@ -240,4 +240,76 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(math.abs(cos - refCos) < 1e-12)
     }
   }
+
+  test("persisted IVF index: bit-identical to the inline path, probe prunes partitions") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-spec"
+    Similarity.buildIvfIndex(emb, path, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 50)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))).toSet
+    val inline = rows(Similarity.ivfTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5))
+    val served = Similarity.ivfTopKFromIndex(path, queries,
+      "vec_id", "embedding", k = 5)
+    assert(rows(served) === inline,
+      "index-served results must be bit-identical to the inline path")
+
+    // one query probing nprobe=4 of nlist=16 lists: the parquet scan must
+    // select at most 4 bucket partitions (IVF pruning = partition pruning)
+    val one = Similarity.ivfTopKFromIndex(path,
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 5)
+    one.count() // materialize so AQE resolves the final plan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    val listScan = scans(one.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft-ivf-spec")))
+    assert(listScan.nonEmpty, "expected a parquet scan over the index lists")
+    val selected = listScan.map(_.selectedPartitions.partitionCount).max
+    assert(selected <= 4,
+      s"single-query probe must read <= nprobe=4 list partitions, read $selected")
+  }
+
+  test("prototypeSimilarityMatrix: bit-identical to a driver-side ordered fold") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val got = Similarity.prototypeSimilarityMatrix(
+      emb, emb.select(col("vec_id"), col("label")), "vec_id", "embedding", "label")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // driver reference: means fold member values in vec_id order per dim;
+    // dot/norms fold in dim order — the exact arithmetic the op promises
+    val raw = emb.select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val dim = raw.head._2.length
+    val means: Map[Long, Array[Double]] = raw.groupBy(_._3.toLong).map { case (lbl, rs) =>
+      val sorted = rs.sortBy(_._1)
+      lbl -> Array.tabulate(dim) { d =>
+        var s = 0.0; sorted.foreach(s += _._2(d)); s / sorted.length
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val labels = means.keys.toSeq.sorted
+    val want = (for {
+      i <- labels; j <- labels if i < j
+    } yield (i, j) -> dot(means(i), means(j)) /
+      (math.sqrt(dot(means(i), means(i))) * math.sqrt(dot(means(j), means(j))))).toMap
+    assert(got.keySet === want.keySet)
+    assert(got.size === labels.size * (labels.size - 1) / 2)
+    got.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(want(k)),
+        s"pair $k: $v != ${want(k)} (must match to the bit)")
+    }
+  }
 }
