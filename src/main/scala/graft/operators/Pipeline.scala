@@ -536,6 +536,51 @@ object Pipeline {
     decontaminate(deduped, evalDocs, textCol)
   }
 
+  /** Corpus snapshot diff — the daily-crawl versioning report: which
+    * documents were added, removed, or changed in content between two
+    * corpus versions. Content identity is md5 of the raw bytes, so the
+    * full-outer join shuffles (id, 16-byte hash) rows, never document
+    * bodies — at 100 TB this is two hash-projected scans and one
+    * id-keyed exchange (bucket both snapshots by id to make even that
+    * colocated). `unchanged` rows are filtered before the join output
+    * leaves the exchange, so downstream sees only the (small) delta. */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("__oh"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("__nh"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
+  /** The data card: per (source, language) document and token counts plus
+    * each cell's share of the total token mass — the mixture table every
+    * training-data release publishes. The total is a one-row aggregate
+    * broadcast back via cross join (NEVER an all-rows window, which would
+    * funnel the table through one partition); shares are a single
+    * division of exact longs, so they hash-match any engine. */
+  def dataCard(
+      df: DataFrame,
+      sourceCol: String,
+      langCol: String,
+      textCol: String): DataFrame = {
+    val cells = df.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.token_count(col(textCol)).cast("long")).as("n_tokens"))
+    val total = cells.agg(sum(col("n_tokens")).as("__total"))
+    cells.crossJoin(broadcast(total))
+      .select(col(sourceCol), col(langCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__total").cast("double"))
+          .as("token_share"))
+  }
+
   /** Deterministic per-group exemplars: the `k` documents of each group
     * with the smallest md5(text) — a content-keyed "few-shot sample per
     * source" that replays identically at any parallelism (no RNG state,

@@ -1661,6 +1661,58 @@ object Catalog {
       FROM d JOIN n na ON na.label = d.label_a JOIN n nb ON nb.label = d.label_b
       ORDER BY label_a, label_b"""))
 
+  /** Corpus snapshot diff: v2 is derived deterministically from the same
+    * table (9% of ids dropped, every 7th text rewritten, every 13th
+    * re-added under a shifted id) so the added/removed/changed report is
+    * oracle-checkable — the daily-crawl versioning shape. */
+  private val q87 = QueryDef(
+    "q87_corpus_diff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, upper(col("text"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.operators.Pipeline.corpusDiff(docs, v2, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+      v2raw AS (
+        SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+      v2 AS (SELECT doc_id, md5(text) AS h FROM v2raw),
+      d AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS id,
+              CASE WHEN v1.h IS NULL THEN 'added'
+                   WHEN v2.h IS NULL THEN 'removed'
+                   WHEN v1.h <> v2.h THEN 'changed'
+                   ELSE 'unchanged' END AS status
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      SELECT status, COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
+      FROM d WHERE status <> 'unchanged' GROUP BY status ORDER BY status"""))
+
+  /** The data card: per (source, language) docs/tokens and token share of
+    * the release — the mixture table every training corpus publishes. */
+  private val q88 = QueryDef(
+    "q88_data_card",
+    (s, dir) =>
+      graft.operators.Pipeline.dataCard(
+        t(s, dir, "documents"), "source", "lang", "text")
+        .orderBy(col("source"), col("lang")),
+    Some("""WITH cells AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source, lang)
+      SELECT source, lang, n_docs, n_tokens,
+        CAST(n_tokens AS DOUBLE) / CAST((SELECT SUM(n_tokens) FROM cells) AS DOUBLE)
+          AS token_share
+      FROM cells ORDER BY source, lang"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1670,6 +1722,6 @@ object Catalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86) ++
+    q81, q82, q83, q84, q85, q86, q87, q88) ++
     ConnectorQueries.all
 }

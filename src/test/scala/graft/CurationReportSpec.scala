@@ -283,6 +283,35 @@ class CurationReportSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusDiff: identical snapshots diff empty; planted edits classified") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    assert(Pipeline.corpusDiff(docs, docs, "doc_id", "text").count() === 0,
+      "a corpus diffed against itself must report nothing")
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Pipeline.corpusDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("dataCard: shares sum to exactly 1, total broadcast not windowed") {
+    val docs = Tables.load(spark, dir, "documents")
+    val card = Pipeline.dataCard(docs, "source", "lang", "text")
+    val rows = card.collect()
+    assert(rows.length > 1)
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares must cover the corpus: $shareSum")
+    val docSum = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(docSum === docs.count(), "every document lands in exactly one cell")
+    val plan = card.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Window"),
+      s"the total must come from a broadcast aggregate, not an all-rows window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"one-row total should broadcast:\n$plan")
+  }
+
   test("groupExemplars: k per group, content-deterministic under repartition") {
     val docs = Tables.load(spark, dir, "documents")
     val a = Pipeline.groupExemplars(docs, "doc_id", "text", "source", k = 3)
