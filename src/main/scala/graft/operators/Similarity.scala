@@ -459,28 +459,36 @@ object Similarity {
       vecId: String,
       vecCol: String,
       labelCol: String): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // ONE corpus pass: the means table is labels × dim — codebook-sized —
+    // so the pairwise math runs driver-side on the collected means (the
+    // IVF-codebook device), never by re-executing the corpus aggregate
+    // once per join branch (a distributed self-join would plan the
+    // posexplode + shuffle subtree 3× with no exchange reuse).
     val m = centroidMeans(vecs, assignments, vecId, vecCol, labelCol)
-      .select(col("centroid_id").cast("long").as("label"),
-        col("dim"), col("mean_val"))
-    def foldInDimOrder(v: org.apache.spark.sql.Column) =
-      aggregate(
-        sort_array(collect_list(struct(col("dim"), v.as("v")))),
-        lit(0.0), (acc, x) => acc + x.getField("v"))
-    val norms = m.groupBy(col("label"))
-      .agg(sqrt(foldInDimOrder(col("mean_val") * col("mean_val"))).as("nrm"))
-    val a = m.select(col("label").as("label_a"), col("dim"), col("mean_val").as("va"))
-    val b = m.select(col("label").as("label_b"), col("dim"), col("mean_val").as("vb"))
-    val dots = a.join(b, Seq("dim"))
-      .filter(col("label_a") < col("label_b"))
-      .groupBy(col("label_a"), col("label_b"))
-      .agg(foldInDimOrder(col("va") * col("vb")).as("dot"))
-    dots
-      .join(broadcast(norms).withColumnRenamed("label", "label_a")
-        .withColumnRenamed("nrm", "na"), "label_a")
-      .join(broadcast(norms).withColumnRenamed("label", "label_b")
-        .withColumnRenamed("nrm", "nb"), "label_b")
-      .select(col("label_a"), col("label_b"),
-        (col("dot") / (col("na") * col("nb"))).as("cos"))
+      .select(col("centroid_id").cast("long"), col("dim"), col("mean_val"))
+      .collect()
+    val byLabel: Map[Long, Array[Double]] = m.groupBy(_.getLong(0)).map {
+      case (l, rs) =>
+        val arr = new Array[Double](rs.map(_.getInt(1)).max)
+        rs.foreach(r => arr(r.getInt(1) - 1) = r.getDouble(2))
+        l -> arr
+    }
+    // folds run in ascending dim order — identical arithmetic to the
+    // oracle's list_sum(... ORDER BY dim) and to the previous declarative
+    // formulation (spec-pinned bit identity)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val labels = byLabel.keys.toSeq.sorted
+    val norms = labels.map(l => l -> math.sqrt(dot(byLabel(l), byLabel(l)))).toMap
+    val rows = for {
+      i <- labels; j <- labels if i < j
+    } yield (i, j, dot(byLabel(i), byLabel(j)) / (norms(i) * norms(j)))
+    rows.toDF("label_a", "label_b", "cos")
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold within a blocking

@@ -12,9 +12,15 @@ object Explain {
     val names = if (args.length > 1) args(1).split(",").toSet
       else Set("q01_pricing_summary", "q02_filter_project", "q03_revenue_by_nation",
         "src_redis_zset_pushdown", "src_mongo_find_pushdown")
+    // "exec" as arg 3: run the query first and print the FINAL adaptive
+    // plan — shows AQE join conversions and reused exchanges/stages that
+    // the pre-execution plan can't.
+    val exec = args.length > 2 && args(2) == "exec"
     Catalog.all.filter(q => names.contains(q.name)).foreach { q =>
       println(s"\n===== ${q.name} =====")
-      println(q.fn(spark, dir).queryExecution.explainString(
+      val df = q.fn(spark, dir)
+      if (exec) df.count()
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
