@@ -549,13 +549,18 @@ object Pipeline {
       newDf: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("__oh"))
-    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("__nh"))
+    // presence flags, not hash nullability, decide added/removed — a NULL
+    // text row hashes to NULL and must still count as present; null-safe
+    // equality then lets NULL-vs-NULL compare as unchanged
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("__oh"),
+      lit(true).as("__op"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("__nh"),
+      lit(true).as("__np"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("__oh").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__oh") =!= col("__nh"), "changed")
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
+          .when(!(col("__oh") <=> col("__nh")), "changed")
           .otherwise("unchanged").as("status"))
       .filter(col("status") =!= "unchanged")
   }

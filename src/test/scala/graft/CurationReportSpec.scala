@@ -293,6 +293,13 @@ class CurationReportSpec extends AnyFunSuite {
     val got = Pipeline.corpusDiff(v1, v2, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // null text is a present row, not an absence: null->null is unchanged,
+    // null->value and value->null are changes
+    val n1 = Seq[(Long, String)]((1L, null), (2L, null), (3L, "x")).toDF("doc_id", "text")
+    val n2 = Seq[(Long, String)]((1L, null), (2L, "y"), (3L, null)).toDF("doc_id", "text")
+    val gotN = Pipeline.corpusDiff(n1, n2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotN === Map(2L -> "changed", 3L -> "changed"))
   }
 
   test("dataCard: shares sum to exactly 1, total broadcast not windowed") {
