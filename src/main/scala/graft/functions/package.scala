@@ -16,80 +16,63 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  /** Register graft SQL functions on a session (idempotent). */
-  def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyper_log_log", HyperLogLogPP.builder, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "seq_dot", { exprs => SeqDot(exprs(0), exprs(1)) }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hll_sketch", HllSketchAgg.builder, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hll_merge", { exprs => HllMergeAgg(exprs.head) }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash64", { exprs => RollingHash64(exprs.head) }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", {
-        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
-          MinHashSignature(c, k)
+  /** Every graft SQL function as (name, FunctionRegistry builder) — one
+    * table consumed by BOTH installation paths: [[registerAll]] (temp
+    * functions on an existing session — the driver's Verify/Bench
+    * sessions) and [[graft.GraftExtensions]] (the idiomatic
+    * `spark.sql.extensions` injection for sessions we don't construct). */
+  val sqlFunctions: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    Seq(
+      "hyper_log_log" -> HyperLogLogPP.builder _,
+      "seq_dot" -> { exprs => SeqDot(exprs(0), exprs(1)) },
+      "hll_sketch" -> HllSketchAgg.builder _,
+      "hll_merge" -> { exprs => HllMergeAgg(exprs.head) },
+      "rolling_hash64" -> { exprs => RollingHash64(exprs.head) },
+      "minhash_sig" -> {
+        case Seq(c, Literal(k: Int, _)) => MinHashSignature(c, k)
         case _ => throw new IllegalArgumentException("minhash_sig(hashArray, k)")
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_sig", { exprs => SimHashSignature(exprs.head) }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", {
-        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
-          ShingleHashes(c, n)
+      },
+      "simhash_sig" -> { exprs => SimHashSignature(exprs.head) },
+      "shingle_hashes" -> {
+        case Seq(c, Literal(n: Int, _)) => ShingleHashes(c, n)
         case _ => throw new IllegalArgumentException("shingle_hashes(text, n)")
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lang_guess_scan", { exprs => LangGuessScan(exprs.head) }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_strings", {
-        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
-          ShingleStrings(c, n)
+      },
+      "lang_guess_scan" -> { exprs => LangGuessScan(exprs.head) },
+      "shingle_strings" -> {
+        case Seq(c, Literal(n: Int, _)) => ShingleStrings(c, n)
         case _ => throw new IllegalArgumentException("shingle_strings(text, n)")
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count", { exprs => SortedIntersectCount(exprs(0), exprs(1)) },
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_might_contain", { exprs => BloomMightContain(exprs(0), exprs(1)) },
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tokens_scan", { exprs => TokensScan(exprs.head) }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_count_scan", { exprs => TokenCountScan(exprs.head) }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "distinct_token_count_scan", { exprs => DistinctTokenCountScan(exprs.head) },
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_estimate", { exprs => CmsEstimate(exprs(0), exprs(1)) }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_sketch", {
-        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
-          KmvSketchAgg(c, k)
+      },
+      "sorted_intersect_count" -> { exprs => SortedIntersectCount(exprs(0), exprs(1)) },
+      "bloom_might_contain" -> { exprs => BloomMightContain(exprs(0), exprs(1)) },
+      "tokens_scan" -> { exprs => TokensScan(exprs.head) },
+      "token_count_scan" -> { exprs => TokenCountScan(exprs.head) },
+      "distinct_token_count_scan" -> { exprs => DistinctTokenCountScan(exprs.head) },
+      "cms_estimate" -> { exprs => CmsEstimate(exprs(0), exprs(1)) },
+      "kmv_sketch" -> {
+        case Seq(c, Literal(k: Int, _)) => KmvSketchAgg(c, k)
         case _ => throw new IllegalArgumentException("kmv_sketch(hash64, k)")
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_jaccard", {
-        case Seq(a, b, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
-          KmvJaccard(a, b, k)
+      },
+      "kmv_jaccard" -> {
+        case Seq(a, b, Literal(k: Int, _)) => KmvJaccard(a, b, k)
         case _ => throw new IllegalArgumentException("kmv_jaccard(sketchA, sketchB, k)")
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_merge", {
-        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
-          KmvMergeAgg(c, k)
+      },
+      "kmv_merge" -> {
+        case Seq(c, Literal(k: Int, _)) => KmvMergeAgg(c, k)
         case _ => throw new IllegalArgumentException("kmv_merge(sketch, k)")
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_distinct", {
-        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
-          KmvDistinct(c, k)
+      },
+      "kmv_distinct" -> {
+        case Seq(c, Literal(k: Int, _)) => KmvDistinct(c, k)
         case _ => throw new IllegalArgumentException("kmv_distinct(sketch, k)")
-      }, "scala_udf")
+      })
   }
+
+  /** Register graft SQL functions on a session (idempotent). */
+  def registerAll(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 
   // ---------------------------------------------------------------- A1/A2
 
