@@ -79,6 +79,11 @@ object MemHub {
   }
   def hashDrop(uri: String): Unit = hashes.remove(uri)
 
+  /** KEYS <prefix>* analog — lets specs prove staged hashes are dropped
+    * on both the commit and abort paths. */
+  def hashKeys(prefix: String): Seq[String] =
+    hashes.keySet.asScala.filter(_.startsWith(prefix)).toSeq
+
   // ---- zset ----------------------------------------------------------------
 
   def zadd(uri: String, svs: Iterator[(String, Double)]): Unit = {

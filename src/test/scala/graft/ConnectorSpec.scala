@@ -89,6 +89,30 @@ class ConnectorSpec extends AnyFunSuite {
     assert(got.size == 1000 && got("42") == "v42")
   }
 
+  test("DSv2 batch write abort: failed job leaves the target untouched, stages dropped") {
+    // the XA prepared-transaction-survival check of the reference
+    // (xa-test module), restated for the two-phase staged commit: a task
+    // failure mid-write must neither corrupt committed data nor leak
+    // staged state
+    import spark.implicits._
+    val uri = "hub:test/dsv2-abort"
+    Seq(("k0", "v0")).toDF("key", "value")
+      .write.format("graft-redis-hash").option("uri", uri).option("hash", "h")
+      .mode("append").save()
+    val failing = spark.range(0, 100, 1, 4)
+      .select(col("id").cast("string").as("key"),
+        when(col("id") === 57, raise_error(lit("induced task failure")))
+          .otherwise(concat(lit("v"), col("id"))).as("value"))
+    intercept[Exception] {
+      failing.write.format("graft-redis-hash").option("uri", uri).option("hash", "h")
+        .mode("append").save()
+    }
+    assert(MemHub.hashGetAll(s"$uri/h") === Map("k0" -> "v0"),
+      "committed content must survive a failed write job unchanged")
+    assert(MemHub.hashKeys(s"$uri/h.stage").isEmpty,
+      "staged hashes must be dropped on abort")
+  }
+
   test("DSv2 streaming write: epoch-idempotent commit (exactly-once sink)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val uri = "hub:test/dsv2-stream-write"
