@@ -1713,6 +1713,37 @@ object Catalog {
           AS token_share
       FROM cells ORDER BY source, lang"""))
 
+  /** Retrieval with payloads (the RAG lookup shape): ANN top-k neighbor
+    * ids re-joined to the documents table for source + text preview —
+    * ids travel through the similarity machinery, bodies are fetched
+    * once for the (tiny) result set. vec_id aligns 1:1 with doc_id in
+    * the synthetic tables. */
+  private val q89 = QueryDef(
+    "q89_rag_lookup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .join(docs.select(col("doc_id").as("neighbor_id"), col("source"),
+          substring(col("text"), 1, 40).as("preview")), "neighbor_id")
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("source"), col("preview"), col("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      sc AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos FROM q, c WHERE qid <> nid),
+      r AS (SELECT qid AS query_id, nid AS neighbor_id, cos,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rnk
+            FROM sc)
+      SELECT r.query_id, r.rnk, r.neighbor_id, d.source,
+             substr(d.text, 1, 40) AS preview, r.cos
+      FROM r JOIN documents d ON d.doc_id = r.neighbor_id
+      WHERE r.rnk <= 3 ORDER BY r.query_id, r.rnk"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1722,6 +1753,6 @@ object Catalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88) ++
+    q81, q82, q83, q84, q85, q86, q87, q88, q89) ++
     ConnectorQueries.all
 }

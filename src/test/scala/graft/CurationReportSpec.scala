@@ -283,6 +283,24 @@ class CurationReportSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile inputs: curation/report operators survive empty frames") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Pipeline.corpusDiff(empty, empty, "doc_id", "text").count() === 0)
+    assert(Pipeline.dataCard(empty, "source", "lang", "text").count() === 0)
+    assert(Pipeline.groupExemplars(empty, "doc_id", "text", "source", 3).count() === 0)
+    assert(Pipeline.curate(empty, empty, "doc_id", "text", "lang",
+      Seq("en"), 1, 10, 0.0).count() === 0)
+    // one-sided diff: everything added / everything removed
+    val one = Seq((1L, "x")).toDF("doc_id", "text")
+    val none = one.filter(lit(false))
+    assert(Pipeline.corpusDiff(none, one, "doc_id", "text")
+      .collect().map(_.getString(1)).toSeq === Seq("added"))
+    assert(Pipeline.corpusDiff(one, none, "doc_id", "text")
+      .collect().map(_.getString(1)).toSeq === Seq("removed"))
+  }
+
   test("corpusDiff: identical snapshots diff empty; planted edits classified") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
