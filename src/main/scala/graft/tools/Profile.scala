@@ -22,12 +22,20 @@ object Profile {
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       try fn(spark, sfDir) catch { case _: Throwable => () } // fixture seed
+      // split plan construction+analysis+optimization from execution: a
+      // huge expression tree can make the DRIVER the bottleneck
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val df = fn(spark, sfDir)
+        df.queryExecution.executedPlan // force analysis + optimization
+        val t1 = System.nanoTime()
+        df.count()
+        ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
       }
-      println(f"PROFILE $n%-32s min=${ts.min}%.3f runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+      val best = ts.minBy(t => t._1 + t._2)
+      println(f"PROFILE $n%-32s min=${ts.map(t => t._1 + t._2).min}%.3f " +
+        f"plan=${best._1}%.3f exec=${best._2}%.3f " +
+        s"runs=${ts.map(t => f"${t._1 + t._2}%.2f").mkString(",")}")
     }
     spark.stop()
   }
