@@ -88,31 +88,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches >= 10, s"expected >=10 rate-limited batches, got $batches")
   }
 
-  test("kill mid-stream + rejoin: 4 streams x 1000, no loss/dup (RedisSourceTest.java:182-223 analog)") {
+  test("kill mid-stream + rejoin: 4 streams x 10000, no loss/dup (RedisSourceTest.java:182-223 scale)") {
     val uri = "hub:test/rs-ft"
     val out = "hub:test/rs-ft-out"
     val cp = ckpt()
     val streams = (0 until 4).map(i => s"s$i")
     (0 until 4).foreach { s =>
-      MemHub.xadd(uri, s"s$s", (0 until 500).iterator.map(i => Map("v" -> s"$s-$i")))
+      MemHub.xadd(uri, s"s$s", (0 until 5000).iterator.map(i => Map("v" -> s"$s-$i")))
     }
     def run(): Unit = {
-      val q = GraftSources.redisStream(spark, uri, streams, maxPerTrigger = Some(300))
+      val q = GraftSources.redisStream(spark, uri, streams, maxPerTrigger = Some(3000))
         .select(lit("all").as("stream"), col("body"))
         .writeStream.option("checkpointLocation", cp)
         .foreach(GraftSinks.redisXAddWriter(out))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    run() // consumes the first 2000 in rate-limited batches
+    run() // consumes the first 20000 in rate-limited batches
     // second producer wave, then "rejoin" from the checkpoint
     (0 until 4).foreach { s =>
-      MemHub.xadd(uri, s"s$s", (500 until 1000).iterator.map(i => Map("v" -> s"$s-$i")))
+      MemHub.xadd(uri, s"s$s", (5000 until 10000).iterator.map(i => Map("v" -> s"$s-$i")))
     }
     run()
     val got = MemHub.xread(out, "all", -1).map(_._2("v"))
-    assert(got.size == 4000, s"loss or dup: ${got.size}")
-    assert(got.distinct.size == 4000, "duplicate delivery")
+    assert(got.size == 40000, s"loss or dup: ${got.size}")
+    assert(got.distinct.size == 40000, "duplicate delivery")
   }
 
   test("rolling aggregate: streaming HLL in update mode (HyperLogLogTest.java:79-86 analog)") {
@@ -171,10 +171,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(MemHub.acked("sub1/t") >= 24L, "commit(offset) must ack the consumed range")
   }
 
-  test("mongo CDC stream: exactly-once observable across restart (MongoDBSourceTest.java:54-94 analog)") {
+  test("mongo CDC stream: 40k docs exactly-once across restart (MongoDBSourceTest.java:58,72-90 scale)") {
     val uri = "hub:test/cdc-stream"
     val out = "hub:test/cdc-stream-out"
-    MemHub.insertMany(uri, (0 until 40).iterator.map(i => s"""{"val":$i}"""))
+    MemHub.insertMany(uri, (0 until 40000).iterator.map(i => s"""{"val":$i}"""))
     val cp = ckpt()
     def run(): Unit = {
       val q = GraftSources.mongoCdc(spark, uri)
@@ -185,12 +185,12 @@ class StreamingSpec extends AnyFunSuite {
       q.awaitTermination()
     }
     run()
-    assert(MemHub.find(out).size == 40)
-    MemHub.insertMany(uri, (40 until 60).iterator.map(i => s"""{"val":$i}"""))
+    assert(MemHub.find(out).size == 40000)
+    MemHub.insertMany(uri, (40000 until 60000).iterator.map(i => s"""{"val":$i}"""))
     run() // restart from the same checkpoint → resume token skips the first 40
     val vals = MemHub.find(out).map(d => MongoJsonVal(d))
-    assert(vals.size == 60, s"loss or dup: ${vals.size}")
-    assert(vals.toSet == (0 until 60).toSet, "exactly-once observable violated")
+    assert(vals.size == 60000, s"loss or dup: ${vals.size}")
+    assert(vals.toSet == (0 until 60000).toSet, "exactly-once observable violated")
   }
 
   private def MongoJsonVal(doc: String): Int =
