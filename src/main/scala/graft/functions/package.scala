@@ -64,6 +64,10 @@ package object functions {
       "kmv_distinct" -> {
         case Seq(c, Literal(k: Int, _)) => KmvDistinct(c, k)
         case _ => throw new IllegalArgumentException("kmv_distinct(sketch, k)")
+      },
+      "top_k" -> {
+        case Seq(c, Literal(k: Int, _)) => TopKAgg(c, k)
+        case _ => throw new IllegalArgumentException("top_k(value, k)")
       })
   }
 
@@ -101,6 +105,12 @@ package object functions {
 
   /** Cross-job KMV sketch rollup (equal k). */
   def kmv_merge(c: Column, k: Int): Column = call_function("kmv_merge", c, lit(k))
+
+  /** Bounded top-k aggregate: the k LARGEST values of `c` (natural /
+    * lexicographic-struct order), emitted descending. Map-side combine
+    * ships at most k rows per group per partition — the scale
+    * replacement for `row_number` window top-k (see [[TopKAgg]]). */
+  def top_k(c: Column, k: Int): Column = call_function("top_k", c, lit(k))
 
   /** 64-bit deterministic hash — the engine-side analog of the reference's
     * serialization-based `hash64` service (`HashingSupport.java:42-74`). */

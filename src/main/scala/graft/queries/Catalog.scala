@@ -1744,6 +1744,44 @@ object Catalog {
       FROM r JOIN documents d ON d.doc_id = r.neighbor_id
       WHERE r.rnk <= 3 ORDER BY r.query_id, r.rnk"""))
 
+  /** Per-key top-k as an AGGREGATE (bounded heap, map-side combine) —
+    * the scale replacement for the window-rank formulation: the exchange
+    * carries at most k rows per (query, partition) instead of every
+    * scored pair. Direction is encoded in the struct (id negated for
+    * "cos desc, id asc"); values are pinned to the SAME oracle as the
+    * window path (q23's shape at k=5, 100 queries). */
+  private val q90 = QueryDef(
+    "q90_topk_aggregate",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = broadcast(emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), vec_double(col("embedding")).as("qv"))
+        .withColumn("qn", sqrt(dotd(col("qv"), col("qv")))))
+      val c = emb
+        .select(col("vec_id").as("neighbor_id"), vec_double(col("embedding")).as("cv"))
+        .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
+      val scored = q.crossJoin(c)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      scored
+        .groupBy(col("query_id"))
+        .agg(graft.functions.top_k(
+          struct(col("cos"), (-col("neighbor_id")).as("nid")), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+        .select(col("query_id"), (col("i") + 1).cast("int").as("rnk"),
+          (-col("s.nid")).as("neighbor_id"), col("s.cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 100),
+      c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      sc AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos FROM q, c WHERE qid <> nid),
+      r AS (SELECT qid AS query_id, nid AS neighbor_id, cos,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rnk
+            FROM sc)
+      SELECT query_id, rnk, neighbor_id, cos FROM r WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1753,6 +1791,6 @@ object Catalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89) ++
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90) ++
     ConnectorQueries.all
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.functions.top_k
+
+/** Bounded top-k aggregate: window-rank equivalence, merge/partitioning
+  * invariance, and the map-side-combine plan property that motivates it. */
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("top_k == window row_number <= k, bit-identical, any partitioning") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("value"), col("event_id"))
+    // window reference: value desc, event_id asc (total order)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val want = ev.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select("user_id", "rnk", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"))
+      .agg(top_k(struct(col("value"), (-col("event_id")).as("nid")), 3).as("top"))
+      .select(col("user_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("user_id"), (col("i") + 1).cast("int").as("rnk"),
+        (-col("s.nid")).as("event_id"), col("s.value"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(agg(ev) === want)
+    // partial/final merge across an adversarial partitioning: same result
+    assert(agg(ev.repartition(17, col("event_id"))) === want)
+  }
+
+  test("top_k: SQL surface, null inputs skipped, k >= group size = whole group") {
+    graft.functions.registerAll(spark)
+    spark.range(0, 10).selectExpr("id", "CAST(id % 3 AS LONG) AS g")
+      .createOrReplaceTempView("tk_in")
+    val rows = spark.sql(
+      "SELECT g, top_k(id, 100) AS t FROM tk_in GROUP BY g ORDER BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    rows.foreach { case (g, vs) =>
+      val expect = (0L until 10L).filter(_ % 3 == g).sortBy(-_)
+      assert(vs === expect, s"group $g")
+    }
+    val withNulls = Seq((1L, Some(5.0)), (1L, None), (1L, Some(7.0)))
+      .toDF("g", "v")
+    val got = withNulls.groupBy("g").agg(top_k(col("v"), 5).as("t"))
+      .head().getSeq[Double](1)
+    assert(got === Seq(7.0, 5.0), "nulls must not occupy heap slots")
+  }
+
+  test("top_k plan: partial aggregation before the exchange (map-side combine)") {
+    val ev = Tables.load(spark, dir, "events")
+    val plan = ev.groupBy(col("user_id"))
+      .agg(top_k(struct(col("value"), col("event_id")), 3).as("top"))
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate pairs: partial before the exchange, final after
+    val aggs = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final aggregate pair:\n$plan")
+    assert(plan.indexOf("partial_top_k") > 0 || plan.contains("partial"),
+      s"map-side partial aggregation missing:\n$plan")
+  }
+
+  test("top_k: hostile inputs") {
+    assertThrows[IllegalArgumentException] {
+      graft.functions.TopKAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), 0)
+    }
+    val empty = Seq.empty[(Long, Double)].toDF("g", "v")
+    assert(empty.groupBy("g").agg(top_k(col("v"), 3)).count() === 0)
+    // global aggregate over an empty frame yields an empty array
+    val g = Seq.empty[(Long, Double)].toDF("g", "v")
+      .agg(top_k(col("v"), 3).as("t")).head().getSeq[Double](0)
+    assert(g.isEmpty)
+  }
+}
