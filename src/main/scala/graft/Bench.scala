@@ -8,11 +8,16 @@ object Bench {
     * (src_/snk_) are short enough to keep whole. BenchLineSpec pins the
     * rendered length against the current query set.
     */
-  def shortKey(name: String): String =
+  def shortKey(name: String): String = {
+    // connector names compress to two letters per segment
+    // (src_mongo_find_pushdown -> s_mofipu) — BenchLineSpec pins that the
+    // scheme stays collision-free over the whole catalog
+    def seg(s: String) = s.split('_').map(_.take(2)).mkString
     if (name.matches("^q\\d+_.*")) name.takeWhile(_ != '_')
-    else if (name.startsWith("src_")) "s_" + name.drop(4)
-    else if (name.startsWith("snk_")) "k_" + name.drop(4)
+    else if (name.startsWith("src_")) "s_" + seg(name.drop(4))
+    else if (name.startsWith("snk_")) "k_" + seg(name.drop(4))
     else name
+  }
 
   def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 

@@ -16,6 +16,20 @@ import graft.functions.{dotd, vec_double}
   */
 object Similarity {
 
+  /** Rank the k best neighbors per query — (cos desc, neighbor_id asc) —
+    * via the bounded [[graft.functions.TopKAgg]] aggregate: the map side
+    * pre-combines, so the exchange carries at most k rows per (query ×
+    * partition) instead of every scored pair. Bit-identical to the
+    * row_number window formulation (TopKSpec pins the equivalence).
+    * Expects (query_id, neighbor_id: numeric, cos) columns. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.top_k(
+        struct(col("cos"), (-col("neighbor_id")).as("nid")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("query_id"), (-col("__s.nid")).as("neighbor_id"),
+        col("__s.cos").as("cos"), (col("__i") + 1).cast("int").as("rank"))
+
   /** Brute-force cosine top-k.
     *
     * @param queries (id, vector) rows — must be small enough to broadcast.
@@ -45,10 +59,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
@@ -165,10 +176,7 @@ object Similarity {
       .join(c, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** IVF-Flat approximate top-k: a coarse quantizer of `nlist` anchor
@@ -318,10 +326,7 @@ object Similarity {
       if (replicate <= 1) scored
       else scored.groupBy(col("query_id"), col("neighbor_id"))
         .agg(first(col("cos")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    uniq.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(uniq, k)
   }
 
   /** Persist an IVF index: inverted lists as parquet PARTITIONED BY list
@@ -412,11 +417,15 @@ object Similarity {
     val scored = v.crossJoin(c)
       .select(col("vec_id"), col("centroid_id"),
         (dotd(col("vv"), col("cv")) / sqrt(col("vn2") * col("cn2"))).as("cos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("centroid_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("cos"))
+    // argmax as a MAX(struct) aggregate — (cos desc, centroid_id asc) is
+    // the lexicographic max of struct(cos, -id), identical values to the
+    // row_number window but with full map-side combine: each vector's
+    // nlist candidate rows are partition-local after the broadcast cross
+    // join, so the exchange carries ONE row per vector, not nlist
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("centroid_id")).as("nid"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.nid")).as("centroid_id"),
+        col("__m.cos").as("cos"))
   }
 
   /** Per-cluster mean vectors — the Lloyd UPDATE step completing

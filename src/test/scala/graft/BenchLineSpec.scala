@@ -38,6 +38,6 @@ class BenchLineSpec extends AnyFunSuite {
     assert((j \ "unit") === JString("sec"))
     assert((j \ "value") === JDouble(1.735))
     assert((j \ "queries" \ "q01") === JDouble(1.234) || (j \ "queries" \ "q01") === JDouble(1.235))
-    assert((j \ "queries" \ "s_redis_hash") === JDouble(0.5))
+    assert((j \ "queries" \ "s_reha") === JDouble(0.5))
   }
 }
