@@ -33,6 +33,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
 case class TopKAgg(
     child: Expression,
     k: Int,
+    reverse: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.PriorityQueue[Any]]
@@ -40,8 +41,14 @@ case class TopKAgg(
 
   require(k >= 1 && k <= (1 << 20), s"top_k k must be in [1, 2^20], got $k")
 
-  @transient private lazy val ord: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
+  /** reverse=true keeps the k SMALLEST (the `bottom_k` SQL surface) —
+    * a direction flip of the comparator, so non-numeric orderings
+    * (strings, structs over strings) get both ends without negation
+    * tricks. */
+  @transient private lazy val ord: Ordering[Any] = {
+    val natural = TypeUtils.getInterpretedOrdering(child.dataType)
+    if (reverse) natural.reverse else natural
+  }
 
   /** UnsafeRow round-trip makes serialization uniform over any input
     * type (struct, string, numeric) — one field, one projection. */
@@ -110,7 +117,7 @@ case class TopKAgg(
 
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "top_k"
+  override def prettyName: String = if (reverse) "bottom_k" else "top_k"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
     copy(mutableAggBufferOffset = newOffset)

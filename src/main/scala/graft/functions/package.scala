@@ -68,6 +68,10 @@ package object functions {
       "top_k" -> {
         case Seq(c, Literal(k: Int, _)) => TopKAgg(c, k)
         case _ => throw new IllegalArgumentException("top_k(value, k)")
+      },
+      "bottom_k" -> {
+        case Seq(c, Literal(k: Int, _)) => TopKAgg(c, k, reverse = true)
+        case _ => throw new IllegalArgumentException("bottom_k(value, k)")
       })
   }
 
@@ -111,6 +115,11 @@ package object functions {
     * ships at most k rows per group per partition — the scale
     * replacement for `row_number` window top-k (see [[TopKAgg]]). */
   def top_k(c: Column, k: Int): Column = call_function("top_k", c, lit(k))
+
+  /** Bounded bottom-k aggregate: the k SMALLEST values, ascending — same
+    * heap/merge machinery as [[top_k]] with the comparator flipped, so
+    * string/struct orders need no negation tricks. */
+  def bottom_k(c: Column, k: Int): Column = call_function("bottom_k", c, lit(k))
 
   /** 64-bit deterministic hash — the engine-side analog of the reference's
     * serialization-based `hash64` service (`HashingSupport.java:42-74`). */

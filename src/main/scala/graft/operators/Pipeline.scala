@@ -602,9 +602,20 @@ object Pipeline {
       groupCol: String,
       k: Int): DataFrame = {
     require(k > 0, "exemplar count must be positive")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(textCol)), col(idCol))
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // bounded bottom-k aggregate instead of a window rank: the exchange
+    // carries (md5, id) pairs — at most k per (group × partition) — and
+    // document bodies are fetched once for the k·groups winners (same
+    // candidate-then-fetch shape as the similarity joins). Values are
+    // identical to row_number over (md5, id): the struct's lexicographic
+    // order IS that sort order.
+    val picked = df.groupBy(col(groupCol))
+      .agg(graft.functions.bottom_k(
+        struct(md5(col(textCol)).as("h"), col(idCol).as("id")), k).as("__b"))
+      .select(col(groupCol).as("__g"), posexplode(col("__b")).as(Seq("__i", "__s")))
+      .select(col("__g"), (col("__i") + 1).cast("int").as("rn"),
+        col("__s.id").as("__pid"))
+    df.join(broadcast(picked),
+        df(groupCol) === col("__g") && df(idCol) === col("__pid"))
+      .drop("__g", "__pid")
   }
 }

@@ -67,6 +67,17 @@ class TopKSpec extends AnyFunSuite {
       s"map-side partial aggregation missing:\n$plan")
   }
 
+  test("bottom_k: k smallest ascending, string order without negation tricks") {
+    graft.functions.registerAll(spark)
+    val got = Seq("pear", "apple", "fig", "date", "kiwi").toDF("s")
+      .agg(graft.functions.bottom_k(col("s"), 3).as("b"))
+      .head().getSeq[String](0)
+    assert(got === Seq("apple", "date", "fig"))
+    val sql = spark.sql("SELECT bottom_k(x, 2) FROM VALUES (3),(1),(2) AS t(x)")
+      .head().getSeq[Int](0)
+    assert(sql === Seq(1, 2))
+  }
+
   test("top_k: hostile inputs") {
     assertThrows[IllegalArgumentException] {
       graft.functions.TopKAgg(
