@@ -586,6 +586,37 @@ object Pipeline {
           .as("token_share"))
   }
 
+  /** Deterministic train/val/test split: each document's 60-bit
+    * content-hash integer lands in one of the cumulative-weight ranges,
+    * so assignment is a pure function of the text — content-stable across
+    * runs, engines, repartitions, and corpus growth (a doc never changes
+    * split because other docs arrived; the same device as
+    * [[hashSampled]]). Cut points are exact integers, so the oracle
+    * replays them literally; pure map-side, no shuffle. */
+  def assignSplits(
+      df: DataFrame,
+      textCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "at least one split label required")
+    require(weights.forall(_._2 > 0), "split weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size, "duplicate split label")
+    val cuts = splitCuts(weights)
+    val v = expr(s"CAST(conv(substr(md5($textCol), 1, 15), 16, 10) AS BIGINT)")
+    val assigned = weights.init.map(_._1).zip(cuts.init)
+      .foldRight(lit(weights.last._1)) { case ((label, cut), els) =>
+        when(v < lit(cut), lit(label)).otherwise(els)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Exact integer cut points over the 60-bit hash space for a weight
+    * vector (exposed so oracles/tests can embed the same literals). */
+  def splitCuts(weights: Seq[(String, Double)]): Seq[Long] = {
+    val total = weights.map(_._2).sum
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    cum.map(c => math.min(((c / total) * (1L << 60).toDouble).toLong, Long.MaxValue))
+  }
+
   /** Deterministic per-group exemplars: the `k` documents of each group
     * with the smallest md5(text) — a content-keyed "few-shot sample per
     * source" that replays identically at any parallelism (no RNG state,

@@ -1782,6 +1782,29 @@ object Catalog {
       SELECT query_id, rnk, neighbor_id, cos FROM r WHERE rnk <= 5
       ORDER BY query_id, rnk"""))
 
+  /** Deterministic 80/10/10 train/val/test split by content hash: the
+    * per-(split, source) yield report. Cut points are exact integers
+    * over the 60-bit hash space, embedded literally in both engines. */
+  private val q91 = {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val cuts = graft.operators.Pipeline.splitCuts(weights)
+    QueryDef(
+      "q91_dataset_split",
+      (s, dir) =>
+        graft.operators.Pipeline.assignSplits(
+          t(s, dir, "documents"), "text", weights)
+          .groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("split"), col("source")),
+      Some(s"""WITH v AS (SELECT source,
+          CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+        FROM documents),
+        a AS (SELECT source, CASE WHEN h < ${cuts(0)} THEN 'train'
+                WHEN h < ${cuts(1)} THEN 'val' ELSE 'test' END AS split FROM v)
+        SELECT split, source, COUNT(*) AS n_docs
+        FROM a GROUP BY split, source ORDER BY split, source"""))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1791,6 +1814,7 @@ object Catalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90) ++
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
+    q91) ++
     ConnectorQueries.all
 }

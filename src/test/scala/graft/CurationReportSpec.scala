@@ -301,6 +301,31 @@ class CurationReportSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSeq === Seq("removed"))
   }
 
+  test("assignSplits: content-stable, exhaustive, proportional; bad weights rejected") {
+    val docs = Tables.load(spark, dir, "documents")
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Pipeline.assignSplits(docs, "text", weights)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.size === docs.count(), "every document must get a split")
+    // content-stable: the assignment of surviving docs is unchanged when
+    // the corpus shrinks (a doc's fate depends only on its own text)
+    val b = Pipeline.assignSplits(docs.filter(col("doc_id") % 3 === 0), "text", weights)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    b.foreach { case (id, s) => assert(a(id) === s, s"doc $id changed split") }
+    // proportions within a loose binomial band at n=500
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac far from 0.8")
+    assertThrows[IllegalArgumentException] {
+      Pipeline.assignSplits(docs, "text", Seq("a" -> 1.0, "a" -> 1.0))
+    }
+    assertThrows[IllegalArgumentException] {
+      Pipeline.assignSplits(docs, "text", Seq("a" -> 0.0))
+    }
+  }
+
   test("corpusDiff: identical snapshots diff empty; planted edits classified") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")

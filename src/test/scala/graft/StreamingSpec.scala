@@ -419,6 +419,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(last - 1000L) <= 5, s"rolling median drifted: $last")
   }
 
+  test("rolling top-k leaderboard: top_k aggregate in update mode") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.registerAll(spark)
+    val input = MemoryStream[(String, Long)](spark)
+    val agg = input.toDF().toDF("player", "score")
+      .groupBy(col("player"))
+      .agg(graft.functions.top_k(col("score"), 2).as("best"))
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("leader").start()
+    input.addData(("a", 10L), ("a", 30L), ("b", 5L))
+    q.processAllAvailable()
+    input.addData(("a", 20L), ("b", 50L))
+    q.processAllAvailable()
+    q.stop()
+    // update mode: last emission per player carries the rolling top-2
+    val last = spark.table("leader").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).groupBy(_._1)
+      .view.mapValues(_.last._2).toMap
+    assert(last("a") === Seq(30L, 20L), s"player a leaderboard: ${last("a")}")
+    assert(last("b") === Seq(50L, 5L), s"player b leaderboard: ${last("b")}")
+  }
+
+  test("stream-static retrieval: per-batch ANN scoring against a static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{dotd, vec_double}
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      vec_double(col("embedding")).as("cv"))
+      .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
+    // stream of query ids; vectors arrive by stream-static join, scoring
+    // and per-query top-k run inside each micro-batch
+    val queries = emb.select(col("vec_id").as("query_id"),
+      vec_double(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))
+    val input = MemoryStream[Long](spark)
+    val scored = input.toDF().toDF("query_id")
+      .join(queries, "query_id") // stream-static
+      .crossJoin(broadcast(corpus))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"),
+        col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.top_k(
+        struct(col("cos"), (-col("neighbor_id")).as("nid")), 3).as("top"))
+    val q = scored.writeStream.outputMode("update").format("memory")
+      .queryName("retrieval").start()
+    input.addData(0L, 1L)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("retrieval").collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(s =>
+        (-s.getLong(1), java.lang.Double.doubleToLongBits(s.getDouble(0))))).toMap
+    // batch reference over the same corpus
+    val want = graft.operators.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 2), emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(r =>
+        (r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq).toMap
+    assert(got.keySet === Set(0L, 1L))
+    got.foreach { case (k, v) => assert(v === want(k), s"query $k") }
+  }
+
   test("windowed heavy hitters: per-window token counts over a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)](spark)
