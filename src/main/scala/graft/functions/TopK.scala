@@ -57,21 +57,20 @@ case class TopKAgg(
   override def createAggregationBuffer(): java.util.PriorityQueue[Any] =
     new java.util.PriorityQueue[Any](math.min(k, 1024), ord.asInstanceOf[java.util.Comparator[Any]])
 
-  private def copyVal(v: Any): Any = v match {
-    case r: InternalRow => r.copy()
-    case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
-    case x => x
-  }
-
-  private def offer(buf: java.util.PriorityQueue[Any], v: Any): Unit =
-    if (buf.size < k) buf.add(copyVal(v))
-    else if (ord.compare(v, buf.peek()) > 0) { buf.poll(); buf.add(copyVal(v)) }
+  /** owned=false values may sit in reused evaluation buffers and are
+    * deep-copied on admission (InternalRow.copyValue covers rows, arrays,
+    * maps, strings); owned=true values (merge of a discarded sibling
+    * buffer, freshly deserialized bytes) are taken as-is. */
+  private def offer(buf: java.util.PriorityQueue[Any], v: Any, owned: Boolean): Unit =
+    if (buf.size < k) buf.add(if (owned) v else InternalRow.copyValue(v))
+    else if (ord.compare(v, buf.peek()) > 0) {
+      buf.poll(); buf.add(if (owned) v else InternalRow.copyValue(v))
+    }
 
   override def update(
       buf: java.util.PriorityQueue[Any], input: InternalRow): java.util.PriorityQueue[Any] = {
     val v = child.eval(input)
-    if (v != null) offer(buf, v)
+    if (v != null) offer(buf, v, owned = false)
     buf
   }
 
@@ -79,7 +78,7 @@ case class TopKAgg(
       buf: java.util.PriorityQueue[Any],
       other: java.util.PriorityQueue[Any]): java.util.PriorityQueue[Any] = {
     val it = other.iterator()
-    while (it.hasNext) offer(buf, it.next())
+    while (it.hasNext) offer(buf, it.next(), owned = true)
     buf
   }
 
@@ -109,7 +108,7 @@ case class TopKAgg(
       bb.get(arr)
       val row = new UnsafeRow(1)
       row.pointTo(arr, len)
-      offer(buf, row.get(0, child.dataType))
+      offer(buf, row.get(0, child.dataType), owned = true)
       i += 1
     }
     buf

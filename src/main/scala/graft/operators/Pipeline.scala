@@ -601,7 +601,7 @@ object Pipeline {
     require(weights.forall(_._2 > 0), "split weights must be positive")
     require(weights.map(_._1).distinct.size == weights.size, "duplicate split label")
     val cuts = splitCuts(weights)
-    val v = expr(s"CAST(conv(substr(md5($textCol), 1, 15), 16, 10) AS BIGINT)")
+    val v = conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
     val assigned = weights.init.map(_._1).zip(cuts.init)
       .foldRight(lit(weights.last._1)) { case ((label, cut), els) =>
         when(v < lit(cut), lit(label)).otherwise(els)
@@ -645,8 +645,10 @@ object Pipeline {
       .select(col(groupCol).as("__g"), posexplode(col("__b")).as(Seq("__i", "__s")))
       .select(col("__g"), (col("__i") + 1).cast("int").as("rn"),
         col("__s.id").as("__pid"))
+    // null-safe on the group key: a NULL group is a real partition in the
+    // row_number formulation and must survive the join back
     df.join(broadcast(picked),
-        df(groupCol) === col("__g") && df(idCol) === col("__pid"))
+        df(groupCol) <=> col("__g") && df(idCol) === col("__pid"))
       .drop("__g", "__pid")
   }
 }

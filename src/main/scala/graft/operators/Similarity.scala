@@ -358,6 +358,10 @@ object Similarity {
     codebook.zipWithIndex.map { case (v, j) => (j, v) }
       .toDF("j", "v")
       .write.mode("overwrite").parquet(s"$path/codebook")
+    // build parameters ride with the index: replicate decides the serve
+    // side's pair dedup, so a mismatch would silently corrupt top-k
+    Seq((nlist, refine, replicate)).toDF("nlist", "refine", "replicate")
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Serve approximate top-k from a persisted [[buildIvfIndex]] index.
@@ -373,9 +377,13 @@ object Similarity {
       queryId: String,
       queryVec: String,
       k: Int,
-      nprobe: Int = 4,
-      replicate: Int = 1): DataFrame = {
+      nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    // replicate comes from the index itself, never the caller: serving a
+    // replicate>1 index without the pair dedup would return the same
+    // neighbor at several ranks
+    val replicate = spark.read.parquet(s"$path/meta")
+      .select(col("replicate")).head().getInt(0)
     val codebook: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
       .orderBy(col("j")).collect()
       .map(r => r.getSeq[Double](1).toSeq).toSeq
@@ -469,16 +477,19 @@ object Similarity {
       vecCol: String,
       labelCol: String): DataFrame = {
     val spark = vecs.sparkSession
-    import spark.implicits._
     // ONE corpus pass: the means table is labels × dim — codebook-sized —
     // so the pairwise math runs driver-side on the collected means (the
     // IVF-codebook device), never by re-executing the corpus aggregate
     // once per join branch (a distributed self-join would plan the
-    // posexplode + shuffle subtree 3× with no exchange reuse).
-    val m = centroidMeans(vecs, assignments, vecId, vecCol, labelCol)
-      .select(col("centroid_id").cast("long"), col("dim"), col("mean_val"))
-      .collect()
-    val byLabel: Map[Long, Array[Double]] = m.groupBy(_.getLong(0)).map {
+    // posexplode + shuffle subtree 3× with no exchange reuse). The label
+    // keeps its INPUT type (string labels — languages, sources — are as
+    // natural here as ints).
+    val meansDf = centroidMeans(vecs, assignments, vecId, vecCol, labelCol)
+      .select(col("centroid_id"), col("dim"), col("mean_val"))
+    val labelType = meansDf.schema("centroid_id").dataType
+    val m = meansDf.collect()
+    require(m.forall(_.get(0) != null), "labels must be non-null")
+    val byLabel: Map[Any, Array[Double]] = m.groupBy(_.get(0)).map {
       case (l, rs) =>
         val arr = new Array[Double](rs.map(_.getInt(1)).max)
         rs.foreach(r => arr(r.getInt(1) - 1) = r.getDouble(2))
@@ -492,13 +503,25 @@ object Similarity {
       while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
       s
     }
-    val labels = byLabel.keys.toSeq.sorted
+    // external atomic label values (Long, Int, String, ...) are Comparable
+    val labels = byLabel.keys.toSeq.sortWith(
+      (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
     val norms = labels.map(l => l -> math.sqrt(dot(byLabel(l), byLabel(l)))).toMap
-    val rows = for {
-      i <- labels; j <- labels if i < j
-    } yield (i, j, dot(byLabel(i), byLabel(j)) / (norms(i) * norms(j)))
-    rows.toDF("label_a", "label_b", "cos")
+    val rows: Seq[org.apache.spark.sql.Row] = for {
+      i <- labels; j <- labels if ord2(i, j)
+    } yield org.apache.spark.sql.Row(
+      i, j, dot(byLabel(i), byLabel(j)) / (norms(i) * norms(j)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("label_a", labelType, nullable = false),
+      org.apache.spark.sql.types.StructField("label_b", labelType, nullable = false),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  private def ord2(a: Any, b: Any): Boolean =
+    a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
 
   /** Embedding near-duplicate pairs: cosine >= threshold within a blocking
     * column (block quadratic work; at scale block = LSH bucket). */

@@ -1607,7 +1607,10 @@ object Catalog {
     "q84_ivf_index",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-${dir.split('/').last}"
+      // pid-keyed: concurrent processes (bench + audit) must not clobber
+      // each other's lists mid-read
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
+        s"${dir.split('/').last}-${java.lang.ProcessHandle.current().pid()}"
       graft.operators.Similarity.buildIvfIndex(emb, path, "vec_id", "embedding")
       graft.operators.Similarity.ivfTopKFromIndex(
         path, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
@@ -1643,6 +1646,8 @@ object Catalog {
       graft.operators.Similarity.prototypeSimilarityMatrix(
         emb, emb.select(col("vec_id"), col("label")),
         "vec_id", "embedding", "label")
+        .select(col("label_a").cast("long").as("label_a"),
+          col("label_b").cast("long").as("label_b"), col("cos"))
         .orderBy(col("label_a"), col("label_b"))
     },
     Some("""WITH m AS (

@@ -23,13 +23,16 @@ object Profile {
       val fn = graft.SparkEntry.queries(n)
       try fn(spark, sfDir) catch { case _: Throwable => () } // fixture seed
       // split plan construction+analysis+optimization from execution: a
-      // huge expression tree can make the DRIVER the bottleneck
+      // huge expression tree can make the DRIVER the bottleneck. Execute
+      // the SAME QueryExecution that was planned (toRdd) — df.count()
+      // would build a second QueryExecution and re-plan the whole tree,
+      // double-counting driver time and washing out the split.
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val df = fn(spark, sfDir)
-        df.queryExecution.executedPlan // force analysis + optimization
+        val qe = fn(spark, sfDir).queryExecution
+        qe.executedPlan // force analysis + optimization + physical planning
         val t1 = System.nanoTime()
-        df.count()
+        qe.toRdd.count()
         ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
       }
       val best = ts.minBy(t => t._1 + t._2)

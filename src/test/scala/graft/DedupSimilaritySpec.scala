@@ -256,6 +256,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows(served) === inline,
       "index-served results must be bit-identical to the inline path")
 
+    // a replicate=2 index must dedup multi-list pairs WITHOUT the caller
+    // knowing how it was built (replicate rides in the index meta)
+    val path2 = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-spec-r2"
+    Similarity.buildIvfIndex(emb, path2, "vec_id", "embedding", replicate = 2)
+    val inline2 = rows(Similarity.ivfTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, replicate = 2))
+    val served2 = Similarity.ivfTopKFromIndex(path2, queries,
+      "vec_id", "embedding", k = 5)
+    assert(rows(served2) === inline2,
+      "replicate=2 index must serve deduped, bit-identical results")
+    val perQuery = served2.collect().groupBy(_.getLong(0))
+    perQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).distinct.length === rs.length,
+        s"query $q: duplicate neighbor across ranks")
+    }
+
     // one query probing nprobe=4 of nlist=16 lists: the parquet scan must
     // select at most 4 bucket partitions (IVF pruning = partition pruning)
     val one = Similarity.ivfTopKFromIndex(path,
@@ -278,11 +294,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"single-query probe must read <= nprobe=4 list partitions, read $selected")
   }
 
+  test("prototypeSimilarityMatrix: string labels keep their type and order") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f))).toDF("vec_id", "v")
+    val lbl = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de")).toDF("vec_id", "lang")
+    val out = Similarity.prototypeSimilarityMatrix(vecs, lbl, "vec_id", "v", "lang")
+      .collect()
+    assert(out.length === 1)
+    assert((out.head.getString(0), out.head.getString(1)) === ("de", "en"))
+    val cos = out.head.getDouble(2)
+    assert(cos > 0 && cos < 0.5, s"orthogonal-ish prototypes, got $cos")
+  }
+
   test("prototypeSimilarityMatrix: bit-identical to a driver-side ordered fold") {
     val emb = Tables.load(spark, dir, "embeddings")
     val got = Similarity.prototypeSimilarityMatrix(
       emb, emb.select(col("vec_id"), col("label")), "vec_id", "embedding", "label")
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      .collect().map(r => ((r.getInt(0).toLong, r.getInt(1).toLong), r.getDouble(2))).toMap
     // driver reference: means fold member values in vec_id order per dim;
     // dot/norms fold in dim order — the exact arithmetic the op promises
     val raw = emb.select(col("vec_id"), col("embedding"), col("label")).collect()
