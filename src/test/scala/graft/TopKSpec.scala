@@ -78,6 +78,38 @@ class TopKSpec extends AnyFunSuite {
     assert(sql === Seq(1, 2))
   }
 
+  test("property: top_k/bottom_k == sorted take(k) over random data and partitionings") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      n <- Gen.choose(0, 200)
+      vals <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+      groups <- Gen.listOfN(n, Gen.choose(0, 5))
+      k <- Gen.choose(1, 12)
+      parts <- Gen.choose(1, 9)
+    } yield (vals.zip(groups), k, parts)
+    val prop = Prop.forAll(gen) { case (rows, k, parts) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (v, g) => org.apache.spark.sql.Row(v, g) }, parts),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("g",
+            org.apache.spark.sql.types.IntegerType))))
+      val top = df.groupBy("g").agg(top_k(col("v"), k).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      val bottom = df.groupBy("g").agg(graft.functions.bottom_k(col("v"), k).as("b"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      val ref = rows.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+      ref.forall { case (g, sorted) =>
+        top(g) == sorted.reverse.take(k) && bottom(g) == sorted.take(k)
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
   test("top_k: hostile inputs") {
     assertThrows[IllegalArgumentException] {
       graft.functions.TopKAgg(
