@@ -398,6 +398,35 @@ object Dedup {
     df.join(drop, df(idCol).cast("long") === col("__drop"), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] with CURATION semantics: per near-dup cluster
+    * keep the best document by `quality` (ties to the smaller id), not
+    * the smallest id — dedup should discard the redundant copies, not
+    * arbitrarily the later ones. The winner is a per-cluster
+    * MAX(struct(quality, -id)) — map-side combinable, one row per
+    * cluster reaches the exchange; everything else matches
+    * [[dropNearDuplicates]]'s cluster machinery. */
+  def dropNearDuplicatesKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      quality: Column,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+    val cc = connectedComponents(pairs)
+    val members = df
+      .select(col(idCol).cast("long").as("__id"), quality.cast("double").as("__q"))
+      .join(cc, col("__id") === col("doc_id"))
+    val winners = members.groupBy(col("rep"))
+      .agg(max(struct(col("__q"), (-col("__id")).as("nid"))).as("__w"))
+      .select((-col("__w.nid")).as("__keep"))
+    val losers = cc.join(winners, cc("doc_id") === col("__keep"), "left_anti")
+      .select(col("doc_id").as("__drop"))
+    df.join(losers, df(idCol).cast("long") === col("__drop"), "left_anti")
+  }
+
   /** Fingerprint-level dedup summary: distinct normalized docs vs total. */
   def fingerprintSummary(df: DataFrame, textCol: String): DataFrame =
     df.agg(

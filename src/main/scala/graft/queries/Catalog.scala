@@ -1810,6 +1810,51 @@ object Catalog {
         FROM a GROUP BY split, source ORDER BY split, source"""))
   }
 
+  /** Keep-best near-dup dedup: per cluster the LONGEST document survives
+    * (ties to the smaller id) — curation keeps the most complete copy,
+    * not the earliest id. Survivors with their token counts, verified
+    * against the recursive-closure oracle + per-cluster argmax. */
+  private val q92 = QueryDef(
+    "q92_dedup_keep_best",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dropNearDuplicatesKeepBest(
+        docs, "doc_id", "text", graft.functions.token_count(col("text")))
+        .select(col("doc_id"), col("source"),
+          graft.functions.token_count(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT da AS a, db AS b
+                FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      reach(v, w) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a),
+      cl AS (SELECT v AS doc_id, MIN(w) AS rep FROM reach GROUP BY v),
+      q AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+            FROM documents),
+      w AS (SELECT doc_id FROM (
+              SELECT cl.doc_id, row_number() OVER (
+                PARTITION BY cl.rep ORDER BY q.n_tokens DESC, cl.doc_id) AS rn
+              FROM cl JOIN q USING (doc_id)) WHERE rn = 1),
+      keep AS (SELECT d.doc_id FROM documents d
+               WHERE d.doc_id NOT IN (SELECT doc_id FROM cl)
+               UNION ALL SELECT doc_id FROM w)
+      SELECT d.doc_id, d.source, q.n_tokens
+      FROM documents d JOIN q USING (doc_id) JOIN keep USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1820,6 +1865,6 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91) ++
+    q91, q92) ++
     ConnectorQueries.all
 }
