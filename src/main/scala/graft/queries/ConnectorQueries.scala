@@ -4,6 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
@@ -221,6 +222,44 @@ object ConnectorQueries {
         source AS src
       FROM documents ORDER BY doc_id"""))
 
+  /** S11 — Pulsar shared-subscription consumer (PulsarConsumerBuilder.java:125-221):
+    * two consumers on ONE subscription each own a share of the topic's
+    * partitions; the union of their epoch-committed reads must equal the
+    * published contents (acks land after commit — proven by StreamingSpec's
+    * ack-lag test; proven here value-level by the DuckDB oracle). */
+  private val srcPulsarConsumer = QueryDef(
+    "src_pulsar_consumer",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_pulsar_consumer"
+      seedOnce(uri) {
+        val rows = t(s, dir, "documents").select("doc_id", "text").collect()
+        rows.groupBy(_.getLong(0) % 2).toSeq.sortBy(_._1).foreach { case (p, rs) =>
+          MemHub.publish(uri, s"docs-p$p", rs.sortBy(_.getLong(0)).iterator.map { r =>
+            (r.getLong(0).toString, Map.empty[String, String], r.getLong(0),
+              r.getString(1).getBytes("UTF-8"))
+          })
+        }
+        // one consumer per owned partition share, same shared subscription;
+        // each drains via the real micro-batch path (epoch commit → ack)
+        Seq(0L, 1L).foreach { p =>
+          val q = GraftSources.pulsarConsumer(s, uri, Seq(s"docs-p$p"), "shared")
+            .select(col("key"), decode(col("value"), "UTF-8").as("value"))
+            .writeStream
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory("graft-pc").toString)
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              GraftSinks.redisHash(b, uri, "consumed")
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+      GraftSources.redisHash(s, uri, "consumed")
+        .select(col("key").cast("long").as("doc_id"), col("value").as("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id, text FROM documents ORDER BY doc_id"))
+
   private val srcHttp = QueryDef(
     "src_http_listener",
     (s, dir) => {
@@ -367,6 +406,30 @@ object ConnectorQueries {
     },
     Some("SELECT s_suppkey, s_acctbal FROM supplier ORDER BY s_suppkey"))
 
+  /** K5 — Redis stream XADD sink (RedisSinks.java:269-349): write every event
+    * as a stream entry keyed by event type, then prove the round-trip via the
+    * S8 stream scan — value-level against the parquet oracle. */
+  private val snkRedisXadd = QueryDef(
+    "snk_redis_xadd",
+    (s, dir) => {
+      val uri = s"hub:$dir/snk_redis_xadd"
+      seedOnce(uri) {
+        GraftSinks.redisXAdd(
+          t(s, dir, "events")
+            .select(col("event_type").as("stream"),
+              map(lit("event_id"), col("event_id").cast("string"),
+                lit("user_id"), col("user_id").cast("string")).as("body")),
+          uri)
+      }
+      GraftSources.redisStreamBatch(s, uri, Seq("click", "error", "purchase", "signup", "view"))
+        .select(col("stream"),
+          col("body").getItem("event_id").cast("long").as("event_id"),
+          col("body").getItem("user_id").cast("long").as("user_id"))
+        .orderBy(col("stream"), col("event_id"))
+    },
+    Some("""SELECT event_type AS stream, event_id, user_id
+      FROM events ORDER BY stream, event_id"""))
+
   private val snkMongoInsert = QueryDef(
     "snk_mongo_insert",
     (s, dir) => {
@@ -461,9 +524,10 @@ object ConnectorQueries {
 
   val all: Seq[QueryDef] = Seq(
     srcRedisHash, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN, srcMongoCdc,
-    srcInflux, srcMqtt, srcPulsar, srcHttp, srcTwitter, srcTwitterSearch, srcConnect,
-    snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkMongoInsert, snkPulsar,
-    snkInflux, snkMqtt, snkWs)
+    srcInflux, srcMqtt, srcPulsar, srcPulsarConsumer, srcHttp, srcTwitter, srcTwitterSearch,
+    srcConnect,
+    snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkRedisXadd,
+    snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs)
 }
 
 /** Deterministic stand-in for a hosted third-party connector task (the
