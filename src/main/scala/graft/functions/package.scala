@@ -26,6 +26,13 @@ package object functions {
     Seq(
       "hyper_log_log" -> HyperLogLogPP.builder _,
       "seq_dot" -> { exprs => SeqDot(exprs(0), exprs(1)) },
+      "lsh_buckets" -> {
+        case Seq(v, Literal(t: Int, _), Literal(p: Int, _), Literal(d: Int, _),
+            Literal(th: org.apache.spark.sql.catalyst.util.ArrayData, _)) =>
+          LshBuckets(v, t, p, d, th.toDoubleArray.toSeq)
+        case _ => throw new IllegalArgumentException(
+          "lsh_buckets(vec, tables, planes, dim, thresholds)")
+      },
       "hll_sketch" -> HllSketchAgg.builder _,
       "hll_merge" -> { exprs => HllMergeAgg(exprs.head) },
       "rolling_hash64" -> { exprs => RollingHash64(exprs.head) },
@@ -234,6 +241,13 @@ package object functions {
     * same way; codegen'd via [[SeqDot]] (requires [[registerAll]], which
     * every GraftSession/SparkEntry path applies). */
   def dotd(a: Column, b: Column): Column = call_function("seq_dot", a, b)
+
+  /** All `tables` sign-LSH bucket ids for a vector in one codegen'd pass
+    * (see [[LshBuckets]]); `thresholds` has tables*planes entries. */
+  def lsh_buckets(vec: Column, tables: Int, planes: Int, dim: Int,
+      thresholds: Seq[Double]): Column =
+    call_function("lsh_buckets", vec, lit(tables), lit(planes), lit(dim),
+      typedLit(thresholds))
 
   /** Interpreted HOF formulation of [[dotd]] — kept as the executable
     * specification SeqDot is tested against. */

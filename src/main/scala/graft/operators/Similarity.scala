@@ -16,6 +16,19 @@ import graft.functions.{dotd, vec_double}
   */
 object Similarity {
 
+  /** Every ANN operator's query side is a broadcast-sized BATCH, not a
+    * second corpus — the plans broadcast it (and [[ivfTopKFromIndex]]
+    * collects it for the probe set). Enforced so a misuse at 100 TB fails
+    * loudly with the contract named instead of OOMing the driver. */
+  private[graft] val MaxQueryBatch = 100000
+  private def boundedQueryBatch(queries: DataFrame, op: String): Unit = {
+    val n = queries.limit(MaxQueryBatch + 1).count()
+    require(n <= MaxQueryBatch,
+      s"$op: query batch has > $MaxQueryBatch rows — the contract is a " +
+        "broadcast-sized query batch; chunk the queries or use a " +
+        "corpus-level pair operator (cosinePairsBlocked/semanticDedupPairs)")
+  }
+
   /** Rank the k best neighbors per query — (cos desc, neighbor_id asc) —
     * via the bounded [[graft.functions.TopKAgg]] aggregate: the map side
     * pre-combines, so the exchange carries at most k rows per (query ×
@@ -63,23 +76,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (dim index d, plane p).
-    * Derived from a splitmix64-style avalanche of (d, p) — reproducible with
-    * no RNG state, computable inside codegen'd expressions. */
-  private[graft] def planeComponent(p: Int, dim: Int): Array[Double] = {
-    val out = new Array[Double](dim)
-    var d = 0
-    while (d < dim) {
-      var z = (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L) + 0x94D049BB133111EBL
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      // map to [-1, 1)
-      out(d) = (z >> 11).toDouble / (1L << 52).toDouble
-      d += 1
-    }
-    out
-  }
+  /** Deterministic pseudo-random hyperplane component for (dim index d, plane p)
+    * — the [[graft.functions.LshBuckets]] splitmix64 family (one generator,
+    * shared by the corpus expression and the driver-side query probes). */
+  private[graft] def planeComponent(p: Int, dim: Int): Array[Double] =
+    graft.functions.LshBuckets.planeComponent(p, dim)
 
   /** Sign-LSH bucket id: `planes` random-hyperplane sign bits packed into a
     * long. Vectors in the same bucket are likely-similar (SimHash for
@@ -97,22 +98,29 @@ object Similarity {
   /** LSH-bucketed approximate top-k: `tables` independent sign-LSH hash
     * tables (disjoint hyperplane sets — the plane generator is keyed by a
     * global plane index, so table t uses planes t·planes…); a candidate
-    * shares a bucket, or differs in ≤ 1 probe bit, with the query in ANY
-    * table. Exact cosine + rank within candidates.
+    * shares one of the query's probe buckets in ANY table. Exact cosine +
+    * rank within candidates.
     *
-    * Many selective tables dominate one deeply-probed table: deep
-    * multi-probe (all 2-bit flips) drags in buckets 2 planes away —
-    * geometrically DISSIMILAR regions — while an extra table re-rolls
-    * the projection and gives a near-neighbor an independent chance to
-    * collide exactly. Measured recall@10 on the synthetic embeddings:
-    * 0.31 with one 8-plane table and 2-bit probes (~20% of the corpus
-    * scanned) → 0.55 with 16 tables × 10 planes and 1-bit probes (~18%
-    * scanned); the (tables, planes) grid trades smoothly (8×8 → 0.60 at
-    * 26%, 8×10 → 0.33 at 10%). The corpus side carries `tables` bucket
-    * rows per vector — the standard storage-for-recall LSH trade; at
-    * 100 TB the per-table bucket ids are one write, and the probe join
-    * shuffles only (table, bucket) longs. Recall < 1 by construction — spec-tested
-    * against brute force. */
+    * Probing is QUERY-DIRECTED multi-probe (Lv et al., VLDB'07): a sign
+    * bit is wrong with probability that falls with the projection's
+    * margin |q·h|, so per table the probes are every subset of the
+    * `probeBits` LOWEST-margin planes (2^probeBits buckets) — the buckets
+    * the true neighbors most plausibly fell into. Flipping high-margin
+    * bits (as blanket 1-bit probing does) buys geometrically dissimilar
+    * regions instead. Measured recall@10 on the synthetic embeddings:
+    * the old blanket-1-bit 16×10 tables reached 0.52 @ 18% scanned; the
+    * margin-directed grid is strictly better per scanned fraction and the
+    * defaults below (192 tables × 14 planes, probeBits=4) reach 0.83 @
+    * ~22%. Many selective tables beat deep probes on few coarse tables
+    * ((64,12,4) = 0.80 @ 26% vs (192,14,4) = 0.83 @ 22%): an extra table
+    * re-rolls the projection and gives a near-neighbor an independent
+    * chance to collide, while a deep probe drags in buckets far from the
+    * query. The corpus side computes tables·planes projections in ONE
+    * codegen'd [[graft.functions.LshBuckets]] pass and carries `tables`
+    * bucket rows per vector — the standard storage-for-recall LSH trade;
+    * at 100 TB the per-table bucket ids are one write, and the probe join
+    * shuffles only (table, bucket) longs. Recall < 1 by construction —
+    * spec-tested against brute force. */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -121,49 +129,151 @@ object Similarity {
       corpusId: String,
       corpusVec: String,
       k: Int,
-      planes: Int = 10,
+      planes: Int = 14,
       dim: Int = 64,
-      tables: Int = 16): DataFrame = {
-    // per-table buckets: table t's planes are global plane indices
-    // [t*planes, (t+1)*planes) — signBucket packs plane (t*planes + p)
-    // into bit p of that table's bucket
-    def withBuckets(df: DataFrame, vecCol: String): DataFrame = {
-      val tb = (0 until tables).map { t =>
-        val bucketed = (0 until planes).map { p =>
-          val comps = planeComponent(t * planes + p, dim)
-          // codegen'd SeqDot — the HOF (aggregate∘zip_with) form is
-          // interpreted per element and was 6x the whole query's cost at
-          // tables*planes = 160 projections per vector
-          val dot = dotd(col(vecCol), typedLit(comps.toSeq))
-          when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-        }.reduce(_ bitwiseOR _)
-        struct(lit(t).as("t"), bucketed.as("b"))
+      tables: Int = 192,
+      probeBits: Int = 4): DataFrame = {
+    val (q, c, cand) = lshCandidates(queries, corpus, queryId, queryVec,
+      corpusId, corpusVec, planes, dim, tables, probeBits)
+    val scored = cand
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Candidate-pair count at given LSH parameters — the scan-fraction
+    * denominator for recall/scan tuning (specs and the grid tool). */
+  private[graft] def lshCandidateCount(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusVec: String,
+      planes: Int = 14,
+      dim: Int = 64,
+      tables: Int = 192,
+      probeBits: Int = 4): Long =
+    lshCandidates(queries, corpus, queryId, queryVec, corpusId, corpusVec,
+      planes, dim, tables, probeBits)._3.count()
+
+  /** Shared candidate generation for [[lshTopK]]: returns (query side with
+    * norms, corpus side with norms, distinct (query_id, neighbor_id)
+    * candidate pairs). */
+  private def lshCandidates(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusVec: String,
+      planes: Int,
+      dim: Int,
+      tables: Int,
+      probeBits: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(probeBits >= 0 && probeBits <= planes,
+      s"probeBits ($probeBits) must be in [0, planes=$planes]")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // center the hyperplanes on the corpus mean: raw sign-LSH on offset
+    // data puts most vectors on the same side of most planes (unbalanced
+    // buckets, weak recall/scan). Shifting each plane to pass through the
+    // mean needs NO data rewrite — bit p becomes sign(v·h_p − μ·h_p), a
+    // per-plane scalar threshold. μ comes from a deterministic 1024-vector
+    // sample (the IVF-codebook sampling device: smallest xxhash64(id)) so
+    // the hash is reproducible and the extra corpus work is one
+    // TakeOrdered, not a full pass. Measured recall@10 at 16×10×4:
+    // 0.68 → (see spec) at the same ~25% scan.
+    val meanV: Array[Double] = {
+      val sample = corpus
+        .select(col(corpusId).cast("long").as("__id"), vec_double(col(corpusVec)).as("__v"))
+        .orderBy(xxhash64(col("__id")), col("__id")).limit(1024)
+        .collect().map(_.getSeq[Double](1))
+      val m = new Array[Double](dim)
+      if (sample.nonEmpty) {
+        sample.foreach { v =>
+          var i = 0; val n = math.min(dim, v.length)
+          while (i < n) { m(i) += v(i); i += 1 }
+        }
+        var i = 0
+        while (i < dim) { m(i) /= sample.length; i += 1 }
       }
-      df.withColumn("tb", explode(array(tb: _*)))
-        .withColumn("t", col("tb.t")).withColumn("bucket", col("tb.b"))
-        .drop("tb")
+      m
     }
-    val q = queries.select(col(queryId).cast("long").as("query_id"),
-      vec_double(col(queryVec)).as("qv"))
+    def planeThreshold(globalPlane: Int): Double = {
+      val h = planeComponent(globalPlane, dim)
+      var s = 0.0; var i = 0
+      while (i < dim) { s += meanV(i) * h(i); i += 1 }
+      s
+    }
+    // the query batch is broadcast-sized by contract — collect it ONCE and
+    // compute the probe buckets in plain Scala. The margin-directed probe
+    // set (ranked |dot| per plane, XOR of every low-margin subset) as a
+    // Catalyst expression duplicates the whole sort_array(dots) subtree
+    // into each of the 2^probeBits masks — tables × 2^probeBits × planes ×
+    // dim literal nodes blew past 1M and OOM'd codegen. Driver math is
+    // bit-identical (sequential index-order folds == SeqDot).
+    val qRows: Array[(Long, Seq[Double])] = queries
+      .select(col(queryId).cast("long"), vec_double(col(queryVec)))
+      .limit(MaxQueryBatch + 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(qRows.length <= MaxQueryBatch,
+      s"lshTopK: query batch has > $MaxQueryBatch rows — the contract is " +
+        "a broadcast-sized query batch; chunk the queries or use a " +
+        "corpus-level pair operator (cosinePairsBlocked/semanticDedupPairs)")
+    def dotPlane(v: Seq[Double], globalPlane: Int): Double = {
+      val h = planeComponent(globalPlane, dim)
+      var s = 0.0; var i = 0; val n = math.min(v.length, h.length)
+      while (i < n) { s += v(i) * h(i); i += 1 }
+      s
+    }
+    // per (query, table): own bucket XOR every subset of the probeBits
+    // lowest-|margin| plane bits — the buckets a true neighbor most
+    // plausibly fell into (query-directed multi-probe)
+    val probeRows: Seq[(Long, Int, Long)] = qRows.toSeq.flatMap { case (id, v) =>
+      (0 until tables).flatMap { t =>
+        val dots = Array.tabulate(planes)(p =>
+          dotPlane(v, t * planes + p) - planeThreshold(t * planes + p))
+        var bucket = 0L
+        var p = 0
+        while (p < planes) { if (dots(p) >= 0) bucket |= (1L << p); p += 1 }
+        val lowPlanes = dots.zipWithIndex
+          .map { case (d, pp) => (math.abs(d), pp) }.sorted
+          .take(probeBits).map(_._2)
+        (0 until (1 << probeBits)).map { s =>
+          var mask = 0L
+          var j = 0
+          while (j < probeBits) {
+            if (((s >> j) & 1) == 1) mask ^= (1L << lowPlanes(j))
+            j += 1
+          }
+          (id, t, bucket ^ mask)
+        }
+      }
+    }
+    val q = qRows.toSeq.toDF(queryId, queryVec)
+      .select(col(queryId).cast("long").as("query_id"),
+        vec_double(col(queryVec)).as("qv"))
       .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))
-    val qb = withBuckets(q, "qv")
-    // shallow multi-probe per table: own bucket + every 1-bit flip. Probe
-    // rows are SKINNY — (query_id, t, bucket) longs, no vectors — so the
-    // broadcast stays tiny at any query-set size and the probe join
-    // output is candidate id pairs, nothing more.
-    val probes = (0 until planes)
-      .map(p => col("bucket").bitwiseXOR(shiftleft(lit(1L), p))) :+ col("bucket")
-    val qProbe = qb.select(col("query_id"), col("t"),
-      explode(array(probes: _*)).as("bucket"))
-    // tables*planes codegen'd projections per corpus vector are real
-    // compute — widen first so they use every core, not the scan's few
-    // input splits (no-op on genuinely wide sources)
+    // probe rows are SKINNY — (query_id, t, bucket) longs, no vectors — so
+    // the broadcast stays tiny at any query-batch size and the probe join
+    // output is candidate id pairs, nothing more
+    val qProbe = probeRows.toDF("query_id", "t", "bucket")
+    // tables*planes projections per corpus vector are real compute — widen
+    // first so they use every core, not the scan's few input splits (no-op
+    // on genuinely wide sources). All buckets come from ONE codegen'd
+    // LshBuckets pass (per-dot expressions OOM'd codegen past ~500 planes).
+    val thresholds: Seq[Double] =
+      (0 until tables * planes).map(planeThreshold)
     val c = graft.core.GraftSession.widen(corpus)
       .select(col(corpusId).cast("long").as("neighbor_id"),
         vec_double(col(corpusVec)).as("cv"))
       .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
-    val cb = withBuckets(c.select(col("neighbor_id"), col("cv")), "cv")
-      .select(col("neighbor_id"), col("t"), col("bucket"))
+    val cb = c.select(col("neighbor_id"),
+        posexplode(graft.functions.lsh_buckets(col("cv"), tables, planes, dim, thresholds))
+          .as(Seq("t", "bucket")))
     // candidate-then-fetch (the same shape the jaccard verifier uses):
     // dedup the multi-table collisions down to id pairs first, then
     // re-attach vectors once per surviving pair — query vectors by
@@ -171,12 +281,7 @@ object Similarity {
     val cand = broadcast(qProbe).join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val scored = cand
-      .join(broadcast(q), "query_id")
-      .join(c, "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-    rankTopK(scored, k)
+    (q, c, cand)
   }
 
   /** IVF-Flat approximate top-k: a coarse quantizer of `nlist` anchor
@@ -212,6 +317,7 @@ object Similarity {
       nprobe: Int = 4,
       refine: Int = 3,
       replicate: Int = 1): DataFrame = {
+    boundedQueryBatch(queries, "ivfTopK")
     val c = normalizedCorpus(corpus, corpusId, corpusVec)
     val codebook = trainIvfCodebook(c, nlist, refine)
     val cb = corpusLists(c, codebook, replicate)
@@ -387,16 +493,34 @@ object Similarity {
     val codebook: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
       .orderBy(col("j")).collect()
       .map(r => r.getSeq[Double](1).toSeq).toSeq
-    // driver-side probe set: nprobe lists per query vector, deduplicated —
-    // queries are a batch (broadcast-sized by contract, same as ivfTopK)
-    val probed: Array[Int] = queries
-      .select(explode(slice(
-        transform(rankedAnchors(codebook, vec_double(col(queryVec))),
-          x => x.getField("j")), 1, nprobe)).as("bucket"))
-      .distinct().collect().map(_.getInt(0)).sorted
+    // the query batch is evaluated ONCE (a non-deterministic upstream —
+    // sample/limit/rand — would otherwise probe one realization and score
+    // another, silently losing neighbors) and bounded by the broadcast
+    // contract: collect here, derive BOTH the probe set and the probe-side
+    // frame from the same rows
+    val qRows: Array[(Long, Seq[Double])] = queries
+      .select(col(queryId).cast("long"), vec_double(col(queryVec)))
+      .limit(MaxQueryBatch + 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(qRows.length <= MaxQueryBatch,
+      s"ivfTopKFromIndex: query batch has > $MaxQueryBatch rows — the " +
+        "contract is a broadcast-sized query batch; chunk the queries")
+    // driver-side probe set: nprobe lists per query vector, deduplicated.
+    // Anchor ranking replays rankedAnchors exactly: sequential index-order
+    // dot (bit-identical to SeqDot), order by (-dot, j) ascending.
+    val probed: Array[Int] = qRows.flatMap { case (_, v) =>
+      codebook.indices.map { j =>
+        var d = 0.0; var i = 0; val cj = codebook(j)
+        val n = math.min(v.length, cj.length)
+        while (i < n) { d += v(i) * cj(i); i += 1 }
+        (-d, j)
+      }.sorted.take(nprobe).map(_._2)
+    }.distinct.sorted
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("bucket").isin(probed.map(Integer.valueOf): _*))
-    ivfProbe(queries, lists, codebook, queryId, queryVec, k, nprobe, replicate)
+    import spark.implicits._
+    val qDf = qRows.toSeq.toDF(queryId, queryVec)
+    ivfProbe(qDf, lists, codebook, queryId, queryVec, k, nprobe, replicate)
   }
 
   /** Assign every vector to its nearest centroid by cosine (the Lloyd

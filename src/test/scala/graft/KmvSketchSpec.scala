@@ -80,12 +80,15 @@ class KmvSketchSpec extends AnyFunSuite {
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("j"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    val est = SparkEntry.queries("q73_source_similarity_kmv")(spark, dir)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    assert(est.nonEmpty)
-    est.foreach { case (pair, e) =>
+    val rows = SparkEntry.queries("q73_source_similarity_kmv")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pair = (r.getString(0), r.getString(1))
       val ex = exactJ.getOrElse(pair, 0.0)
-      assert(math.abs(e - ex) < 0.12, s"pair $pair: est $e vs exact $ex")
+      assert(r.getAs[Double]("jaccard") == ex,
+        s"pair $pair: query's exact jaccard ${r.getAs[Double]("jaccard")} != $ex")
+      assert(r.getAs[Boolean]("jaccard_in_band"), s"pair $pair: KMV jaccard out of band")
+      assert(r.getAs[Boolean]("vocab_in_band"), s"pair $pair: KMV vocab out of band")
     }
   }
 }
