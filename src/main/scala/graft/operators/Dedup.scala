@@ -163,7 +163,14 @@ object Dedup {
   /** PPJoin core shared by the word- and char-shingle similarity joins:
     * input is (blk, doc_id, sh = SORTED distinct shingle hashes, n = |sh|),
     * output (doc_a, doc_b, jaccard) with jaccard >= threshold, exact. */
-  private def prefixFilteredPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  private def prefixFilteredPairs(sh: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(prefixCandidates(sh, threshold),
+      sh.select(col("doc_id"), col("sh")), threshold)
+
+  /** Candidate pairs of the PPJoin core before exact verification —
+    * exposed for specs that pin the pruning (candidate count ≪ all-pairs
+    * on an adversarial block). */
+  private[graft] def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
     // Asymmetric (PPJoin) prefixes. For a qualifying pair the required
     // overlap is a = t/(1+t)·(na+nb); with the probe doc the SHORTER of
     // the pair (nx <= ny) that gives a >= 2t/(1+t)·nx on the probe side
@@ -197,13 +204,12 @@ object Dedup {
     // probe role = (shorter, then smaller id); ids normalized on output
     val roleOk = col("x.n") < col("y.n") ||
       (col("x.n") === col("y.n") && col("x.doc_id") < col("y.doc_id"))
-    val cand = prb.as("x").join(idx.as("y"),
+    prb.as("x").join(idx.as("y"),
         col("x.blk") === col("y.blk") && col("x.g") === col("y.g") &&
           roleOk && ratioOk && posOk)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh.select(col("doc_id"), col("sh")), threshold)
   }
 
   /** Incremental near-dup detection: MinHash-LSH pairs BETWEEN an indexed
@@ -460,8 +466,10 @@ object Dedup {
       textCol: String,
       blockCol: String,
       n: Int = 5,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBlockRows: Int = 4096): DataFrame = {
     require(threshold > 0.0, "ratio-pruned jaccard needs a positive threshold")
+    require(maxBlockRows > 0, "maxBlockRows must be positive")
     // The null handling is deliberate plan surgery, not defensiveness: an
     // explicit cheap IsNotNull pre-filter keeps the semantics (null text
     // never pairs), and coalesce makes the shingle chain NON-NULLABLE so
@@ -475,17 +483,30 @@ object Dedup {
         sort_array(transform(char_shingles(coalesce(col(textCol), lit("")), n),
           g => xxhash64(g))).as("sh"))
       .withColumn("n", size(col("sh")))
+    // SKEW GUARD: the all-pairs join is quadratic in the block size — a
+    // hot block (block-key collision: same source×lang×length bucket,
+    // unrelated content) would materialize O(b²) wide-row pairs. Blocks
+    // above maxBlockRows are diverted to the PPJoin prefix-filtered path:
+    // exact same output (verifyJaccard computes the identical
+    // sorted-hash intersect), but candidates come from an inverted index
+    // with length/prefix/positional pruning instead of b² materialization
+    // — dissimilar hot blocks prune to ~nothing. Block sizes ride the
+    // same hash(blk) shuffle the self-join needs.
+    val sized = sh.join(sh.groupBy(col("blk")).agg(count(lit(1)).as("__bn")), "blk")
+    val small = sized.filter(col("__bn") <= maxBlockRows).drop("__bn")
+    val big = sized.filter(col("__bn") > maxBlockRows).drop("__bn")
     val ratioOk = col("x.n").cast("double") >= col("y.n") * threshold - 1e-9 &&
       col("y.n").cast("double") >= col("x.n") * threshold - 1e-9
     // merge hint: with both sides hash(blk)-partitioned by identical
     // subplans, the second exchange is a ReusedExchange — the shingle
     // kernel runs ONCE for the self-join instead of once per side.
-    sh.as("x").hint("merge").join(sh.as("y"),
+    val smallPairs = small.as("x").hint("merge").join(small.as("y"),
         col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id") && ratioOk)
       .withColumn("inter", sorted_intersect_count(col("x.sh"), col("y.sh")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("x.n") + col("y.n") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("jaccard"))
+    smallPairs.unionByName(prefixFilteredPairs(big, threshold))
   }
 }

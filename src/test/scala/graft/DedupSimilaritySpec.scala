@@ -80,6 +80,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("ANN query-batch contract: oversized query side fails loudly, naming the contract") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val big = spark.range(Similarity.MaxQueryBatch + 1)
+      .select(col("id").as("vec_id"), array_repeat(lit(0.5), 4).as("embedding"))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(big, emb, "vec_id", "embedding", "vec_id", "embedding", 3)
+    }
+    assert(e1.getMessage.contains("broadcast-sized query batch"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(big, emb, "vec_id", "embedding", "vec_id", "embedding", 3)
+    }
+    assert(e2.getMessage.contains("broadcast-sized query batch"))
+  }
+
+  test("charNgramPairs skew guard: hot block diverts to the prefix path — same pairs, pruned candidates") {
+    import spark.implicits._
+    // adversarial hot block: 300 mutually-dissimilar docs under ONE block
+    // key (the block-key-collision hazard: same source×lang×length bucket,
+    // unrelated content), plus one planted identical pair and a healthy
+    // small block
+    def txt(i: Int): String = {
+      val sb = new StringBuilder
+      var z = i.toLong * 0x9E3779B97F4A7C15L + 12345
+      (0 until 60).foreach { _ =>
+        z = z * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + ((z >>> 33) % 26)).toChar)
+      }
+      sb.toString
+    }
+    val B = 300
+    val hot = (0 until B).map(i => (i.toLong, txt(i), "hot")) ++
+      Seq((1000L, txt(7), "hot")) // identical to doc 7 -> the one true pair
+    val cool = Seq((2000L, "the quick brown fox jumps", "cool"),
+      (2001L, "the quick brown fox jumped", "cool"))
+    val df = (hot ++ cool).toDF("doc_id", "text", "blk")
+    def pairs(maxBlockRows: Int): Set[(Long, Long, Double)] =
+      Dedup.charNgramPairs(df, "doc_id", "text", "blk", 5, 0.5, maxBlockRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val guarded = pairs(100) // hot block (301 rows) > cap -> prefix path
+    val allPairs = pairs(Int.MaxValue) // everything through the b² path
+    assert(guarded == allPairs,
+      s"guarded path diverged: missing ${allPairs -- guarded}, extra ${guarded -- allPairs}")
+    assert(guarded.exists { case (a, b, j) => a == 7L && b == 1000L && j == 1.0 },
+      "planted identical pair must survive the diverted path")
+    // the point of the guard: candidate generation on the hot block is
+    // inverted-index-pruned, nowhere near the b(b-1)/2 all-pairs blowup
+    import graft.functions.char_shingles
+    val sh = df.filter(col("blk") === "hot")
+      .select(col("blk"), col("doc_id").cast("long").as("doc_id"),
+        sort_array(transform(char_shingles(col("text"), 5), g => xxhash64(g))).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val nCand = Dedup.prefixCandidates(sh, 0.5).count()
+    val allPairsCount = (B + 1).toLong * B / 2
+    assert(nCand < allPairsCount / 10,
+      s"prefix path generated $nCand candidates — not meaningfully below all-pairs $allPairsCount")
+  }
+
   test("charNgramPairs: hashed+ratio-pruned path == naive string jaccard") {
     import graft.functions.char_shingles
     val docs = Tables.load(spark, dir, "documents")
