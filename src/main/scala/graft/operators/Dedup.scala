@@ -485,28 +485,38 @@ object Dedup {
       .withColumn("n", size(col("sh")))
     // SKEW GUARD: the all-pairs join is quadratic in the block size — a
     // hot block (block-key collision: same source×lang×length bucket,
-    // unrelated content) would materialize O(b²) wide-row pairs. Blocks
-    // above maxBlockRows are diverted to the PPJoin prefix-filtered path:
-    // exact same output (verifyJaccard computes the identical
-    // sorted-hash intersect), but candidates come from an inverted index
-    // with length/prefix/positional pruning instead of b² materialization
-    // — dissimilar hot blocks prune to ~nothing. Block sizes ride the
-    // same hash(blk) shuffle the self-join needs.
-    val sized = sh.join(sh.groupBy(col("blk")).agg(count(lit(1)).as("__bn")), "blk")
-    val small = sized.filter(col("__bn") <= maxBlockRows).drop("__bn")
-    val big = sized.filter(col("__bn") > maxBlockRows).drop("__bn")
+    // unrelated content) would materialize O(b²) wide-row pairs. A
+    // column-pruned pre-count (block key only, no shingle work) decides
+    // the plan: with no oversized block — the overwhelmingly common case
+    // — the pure all-pairs plan runs untouched; otherwise oversized
+    // blocks divert to the PPJoin prefix-filtered path: exact same output
+    // (verifyJaccard computes the identical sorted-hash intersect), but
+    // candidates come from an inverted index with length/prefix/
+    // positional pruning instead of b² materialization — dissimilar hot
+    // blocks prune to ~nothing.
+    val sizes = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBlockRows)
+    val anyHot = sizes.limit(1).count() > 0
     val ratioOk = col("x.n").cast("double") >= col("y.n") * threshold - 1e-9 &&
       col("y.n").cast("double") >= col("x.n") * threshold - 1e-9
     // merge hint: with both sides hash(blk)-partitioned by identical
     // subplans, the second exchange is a ReusedExchange — the shingle
     // kernel runs ONCE for the self-join instead of once per side.
-    val smallPairs = small.as("x").hint("merge").join(small.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id") && ratioOk)
-      .withColumn("inter", sorted_intersect_count(col("x.sh"), col("y.sh")))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("x.n") + col("y.n") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("jaccard"))
-    smallPairs.unionByName(prefixFilteredPairs(big, threshold))
+    def allPairs(side: DataFrame): DataFrame =
+      side.as("x").hint("merge").join(side.as("y"),
+          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id") && ratioOk)
+        .withColumn("inter", sorted_intersect_count(col("x.sh"), col("y.sh")))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("x.n") + col("y.n") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("jaccard"))
+    if (!anyHot) allPairs(sh)
+    else {
+      val hot = sizes.select(col("blk"))
+      val small = sh.join(broadcast(hot), Seq("blk"), "left_anti")
+      val big = sh.join(broadcast(hot), Seq("blk"), "left_semi")
+      allPairs(small).unionByName(prefixFilteredPairs(big, threshold))
+    }
   }
 }

@@ -1730,6 +1730,12 @@ object Catalog {
     * parameters (both except-directions empty) and recall@5 vs brute
     * force clears the single-list IVF floor. */
   private val builtIvfIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val ivfBuildSecs = scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  /** One-time IVF index build cost per sf key — Bench reports it as its
+    * own line item (`ivf_build`) so q84 measures PROBE cost: in real use
+    * the index is built once and amortized over every query batch. */
+  def ivfIndexBuildSeconds: Map[String, Double] = ivfBuildSecs.toMap
 
   /** Session-scoped persisted IVF index for an sf dir: built ONCE per JVM
     * (bench reps and reruns probe the same index — build cost is
@@ -1743,7 +1749,9 @@ object Catalog {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
         s"$key-${java.lang.ProcessHandle.current().pid()}"
       val stage = base + ".stage"
+      val t0 = System.nanoTime()
       graft.operators.Similarity.buildIvfIndex(emb, stage, "vec_id", "embedding")
+      ivfBuildSecs.put(key, (System.nanoTime() - t0) / 1e9)
       val renamed = new java.io.File(stage).renameTo(new java.io.File(base))
       require(renamed || new java.io.File(base).isDirectory,
         s"IVF index rename failed: $stage -> $base")
