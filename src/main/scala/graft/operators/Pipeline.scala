@@ -645,10 +645,12 @@ object Pipeline {
       .select(col(groupCol).as("__g"), posexplode(col("__b")).as(Seq("__i", "__s")))
       .select(col("__g"), (col("__i") + 1).cast("int").as("rn"),
         col("__s.id").as("__pid"))
-    // null-safe on the group key: a NULL group is a real partition in the
-    // row_number formulation and must survive the join back
+    // null-safe on BOTH keys: a NULL group is a real partition in the
+    // row_number formulation, and a null-id row that wins a bottom_k slot
+    // must survive the join back too (=== would silently drop it and
+    // yield fewer than k exemplars)
     df.join(broadcast(picked),
-        df(groupCol) <=> col("__g") && df(idCol) === col("__pid"))
+        df(groupCol) <=> col("__g") && df(idCol) <=> col("__pid"))
       .drop("__g", "__pid")
   }
 }

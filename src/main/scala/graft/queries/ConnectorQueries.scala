@@ -41,20 +41,40 @@ object ConnectorQueries {
 
   // ------------------------------------------------------------------ sources
 
+  private def seedCustomerHash(s: SparkSession, dir: String): String = {
+    val uri = s"hub:$dir/src_redis_hash"
+    seedOnce(uri) {
+      val rows = t(s, dir, "customer").select("c_custkey", "c_name").collect()
+      MemHub.hashPut(s"$uri/cust",
+        rows.sortBy(_.getLong(0)).iterator.map(r => r.getLong(0).toString -> r.getString(1)))
+    }
+    uri
+  }
+
   private val srcRedisHash = QueryDef(
     "src_redis_hash",
     (s, dir) => {
-      val uri = s"hub:$dir/src_redis_hash"
-      seedOnce(uri) {
-        val rows = t(s, dir, "customer").select("c_custkey", "c_name").collect()
-        MemHub.hashPut(s"$uri/cust",
-          rows.sortBy(_.getLong(0)).iterator.map(r => r.getLong(0).toString -> r.getString(1)))
-      }
+      val uri = seedCustomerHash(s, dir)
       GraftSources.redisHash(s, uri, "cust")
         .select(col("key").cast("long").as("c_custkey"), col("value").as("c_name"))
         .orderBy(col("c_custkey"))
     },
     Some("SELECT c_custkey, c_name FROM customer ORDER BY c_custkey"))
+
+  /** S6 with the binary RedisCodec (RedisSources.java:162-168): the same
+    * hash scan surfaces BinaryType key/value; the query decodes the key
+    * and reports the value's byte length — both DuckDB-replicable. */
+  private val srcRedisBinary = QueryDef(
+    "src_redis_codec_binary",
+    (s, dir) => {
+      val uri = seedCustomerHash(s, dir)
+      GraftSources.redisHash(s, uri, "cust", codec = "binary")
+        .select(decode(col("key"), "UTF-8").cast("long").as("c_custkey"),
+          length(col("value")).as("name_bytes"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, CAST(octet_length(encode(c_name)) AS INTEGER) AS name_bytes
+      FROM customer ORDER BY c_custkey"""))
 
   private val srcRedisZset = QueryDef(
     "src_redis_zset_pushdown",
@@ -156,20 +176,45 @@ object ConnectorQueries {
     Some("""SELECT COUNT(*) AS n_changes, CAST(SUM(o_orderkey) AS BIGINT) AS k_sum,
       COUNT(*) AS n_inserts FROM orders"""))
 
+  private def seedInfluxEvents(s: SparkSession, dir: String): String = {
+    val uri = s"hub:$dir/src_influx"
+    seedOnce(uri) {
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), unix_millis(col("ts")).as("ms"), col("event_type"), col("value"))
+        .collect()
+      MemHub.writePoints(uri, "events", rows.sortBy(_.getLong(0)).iterator.map { r =>
+        (r.getLong(1), Map("type" -> r.getString(2)), Map("value" -> r.getDouble(3)))
+      })
+    }
+    uri
+  }
+
   private val srcInflux = QueryDef(
     "src_influx_range",
     (s, dir) => {
-      val uri = s"hub:$dir/src_influx"
-      seedOnce(uri) {
-        val rows = t(s, dir, "events")
-          .select(col("event_id"), unix_millis(col("ts")).as("ms"), col("event_type"), col("value"))
-          .collect()
-        MemHub.writePoints(uri, "events", rows.sortBy(_.getLong(0)).iterator.map { r =>
-          (r.getLong(1), Map("type" -> r.getString(2)), Map("value" -> r.getDouble(3)))
-        })
-      }
+      val uri = seedInfluxEvents(s, dir)
       // 2024-01-05T00:00Z .. 2024-01-15T00:00Z, inclusive server-side range
       GraftSources.influx(s, uri, "events", 1704412800000L, 1705276800000L)
+        .groupBy(col("tags").getItem("type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("fields").getItem("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM events
+      WHERE epoch_ms(ts) >= 1704412800000 AND epoch_ms(ts) <= 1705276800000
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** S1 via the InfluxQL verbatim passthrough: the WHERE time range lives
+    * in the query STRING (served by the emulated server untouched), not in
+    * scan options — same rows as src_influx_range, through the other API. */
+  private val srcInfluxQL = QueryDef(
+    "src_influx_query",
+    (s, dir) => {
+      val uri = seedInfluxEvents(s, dir)
+      GraftSources.influxQL(s, uri,
+        "SELECT * FROM events WHERE time >= 1704412800000ms AND time <= 1705276800000ms")
         .groupBy(col("tags").getItem("type").as("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("fields").getItem("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
@@ -523,9 +568,9 @@ object ConnectorQueries {
       ORDER BY o_orderkey"""))
 
   val all: Seq[QueryDef] = Seq(
-    srcRedisHash, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN, srcMongoCdc,
-    srcInflux, srcMqtt, srcPulsar, srcPulsarConsumer, srcHttp, srcTwitter, srcTwitterSearch,
-    srcConnect,
+    srcRedisHash, srcRedisBinary, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN,
+    srcMongoCdc, srcInflux, srcInfluxQL, srcMqtt, srcPulsar, srcPulsarConsumer, srcHttp,
+    srcTwitter, srcTwitterSearch, srcConnect,
     snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkRedisXadd,
     snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs)
 }

@@ -59,24 +59,75 @@ object GraftSinks {
       })
     }
 
-  /** K6 — MQTT publish sink with retry strategy (MqttSinkBuilder.java:128-141,
-    * SinkContext.java:61-104). Cols: topic, payload(binary). */
-  def mqttPublish(df: DataFrame, uri: String, maxAttempts: Int = 3): Unit =
+  /** K6 — MQTT publish sink with retry strategy and per-call QoS
+    * (MqttSinkBuilder.java:128-141, SinkContext.java:61-104,
+    * Subscription.java:85-127 delivery levels):
+    *  - QoS 0, at-most-once: one attempt, a failed publish is dropped;
+    *  - QoS 1, at-least-once: retried up to maxAttempts — a lost ack
+    *    makes the retry a DUPLICATE (the documented QoS1 hazard);
+    *  - QoS 2, exactly-once: retried, but the broker dedups on a packet
+    *    id stable across retries AND task re-executions (partition id —
+    *    the epoch-idempotent pairing), so lost acks can't duplicate.
+    * Cols: topic, payload(binary). */
+  def mqttPublish(df: DataFrame, uri: String, maxAttempts: Int = 3,
+      qos: Int = 1): Unit = {
+    require(qos >= 0 && qos <= 2, s"qos must be 0, 1 or 2 (got $qos)")
+    // packet-id scope: unique per sink CALL (driver-minted), stable across
+    // in-task retries and task re-executions of that call — so QoS2 dedup
+    // never swallows a later, legitimate publish of the same rows
+    val callId = java.util.UUID.randomUUID().toString.take(8)
     df.select("topic", "payload").foreachPartition { (rows: Iterator[Row]) =>
+      val partId = Option(org.apache.spark.TaskContext.get())
+        .map(_.partitionId()).getOrElse(0)
       rows.toSeq.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach { case (t, rs) =>
-        var attempt = 0
-        var done = false
-        while (!done && attempt < maxAttempts) {
-          attempt += 1
-          try {
-            MemHub.publish(uri, t, rs.iterator.map { r =>
-              ("", Map.empty[String, String], 0L, r.getAs[Array[Byte]](1))
-            })
-            done = true
-          } catch { case _: RuntimeException if attempt < maxAttempts => }
+        def send(): Unit = {
+          val msgs = rs.iterator.map { r =>
+            ("", Map.empty[String, String], 0L, r.getAs[Array[Byte]](1))
+          }
+          if (qos == 2) MemHub.publishOnce(uri, t, s"$callId-p$partId", msgs)
+          else MemHub.publish(uri, t, msgs)
+        }
+        if (qos == 0) {
+          try send() catch { case _: RuntimeException => () } // dropped
+        } else {
+          var attempt = 0
+          var done = false
+          while (!done && attempt < maxAttempts) {
+            attempt += 1
+            try { send(); done = true }
+            catch { case _: RuntimeException if attempt < maxAttempts => }
+          }
         }
       }
     }
+  }
+
+  /** Streaming K6 shape: epoch-aware QoS2 — the packet id is (client,
+    * partition, epoch), so a replayed epoch after failure recovery
+    * re-publishes idempotently (MQTT's session-scoped packet ids:
+    * `clientId` distinguishes concurrent writers on one broker). */
+  def mqttPublishWriter(uri: String, qos: Int = 2,
+      clientId: String = "graft"): ForeachWriter[Row] = {
+    require(qos >= 0 && qos <= 2, s"qos must be 0, 1 or 2 (got $qos)")
+    new ForeachWriter[Row] {
+      @transient private var buf: scala.collection.mutable.ArrayBuffer[Row] = _
+      private var packet: String = _
+      override def open(partitionId: Long, epochId: Long): Boolean = {
+        buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        packet = s"$clientId-p$partitionId-e$epochId"
+        true
+      }
+      override def process(value: Row): Unit = buf += value
+      override def close(errorOrNull: Throwable): Unit =
+        if (errorOrNull == null && buf != null)
+          buf.toSeq.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach { case (t, rs) =>
+            val msgs = rs.iterator.map(r =>
+              ("", Map.empty[String, String], 0L, r.getAs[Array[Byte]](1)))
+            if (qos == 2) MemHub.publishOnce(uri, t, s"$packet-$t", msgs)
+            else MemHub.publish(uri, t, msgs)
+          }
+    }
+  }
 
   /** K7 — Pulsar producer sink (PulsarSinkBuilder.java:144-225): key /
     * properties / eventTime extractors are column selections.

@@ -21,9 +21,13 @@ import graft.sources.hub.MemHub
   */
 object GraftSources {
 
-  /** S6 — Redis hash batch scan. */
-  def redisHash(spark: SparkSession, uri: String, hash: String): DataFrame =
-    spark.read.format("graft-redis-hash").option("uri", uri).option("hash", hash).load()
+  /** S6 — Redis hash batch scan. `codec` is the RedisCodec escape hatch
+    * (RedisSources.java:162-168): "string" (default) or "binary"
+    * (key/value surface as BinaryType). */
+  def redisHash(spark: SparkSession, uri: String, hash: String,
+      codec: String = "string"): DataFrame =
+    spark.read.format("graft-redis-hash").option("uri", uri).option("hash", hash)
+      .option("codec", codec).load()
 
   /** S7 — Redis sorted-set range scan; from/to are the server-side
     * ZRANGEBYSCORE bounds (score filters also push down via Catalyst). */
@@ -72,6 +76,12 @@ object GraftSources {
       fromMs: Long = Long.MinValue, toMs: Long = Long.MaxValue): DataFrame =
     spark.read.format("graft-influx").option("uri", uri).option("measurement", measurement)
       .option("fromMs", fromMs.toString).option("toMs", toMs.toString).load()
+
+  /** S1 — InfluxQL verbatim passthrough (InfluxDbSources.java:79-136): the
+    * query string ships to the server untouched; the scan only prunes
+    * columns client-side. */
+  def influxQL(spark: SparkSession, uri: String, query: String): DataFrame =
+    spark.read.format("graft-influx").option("uri", uri).option("query", query).load()
 
   /** S2 — POJO path: flatten tags/fields to top-level columns, then `.as[T]`. */
   def influxFlat(df: DataFrame, tags: Seq[String], fields: Seq[String]): DataFrame = {

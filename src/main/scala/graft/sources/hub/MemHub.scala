@@ -168,9 +168,60 @@ object MemHub {
     b.synchronized { b.iterator.filter(p => p._1 >= fromMs && p._1 <= toMs).toVector }
   }
 
+  /** The SERVER side of the InfluxQL verbatim-query passthrough
+    * (InfluxDbSources.java:79-136 ships the string untouched; the server
+    * parses it). This emulated server evaluates the projection/range/limit
+    * shape the reference exercises:
+    * `SELECT * FROM <m> [WHERE time >= Xms [AND time <= Yms]] [LIMIT n]`.
+    * Anything else is rejected the way a real server rejects bad InfluxQL. */
+  def influxQuery(uri: String, q: String):
+      Seq[(Long, Map[String, String], Map[String, Double])] = {
+    val re = """(?is)\s*SELECT\s+\*\s+FROM\s+"?([\w.]+)"?(?:\s+WHERE\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*""".r
+    q match {
+      case re(m, where, limit) =>
+        var from = Long.MinValue
+        var to = Long.MaxValue
+        Option(where).foreach { w =>
+          val cond = """(?i)time\s*(>=|<=|>|<)\s*(\d+)ms""".r
+          val ms = cond.findAllMatchIn(w).toSeq
+          require(ms.nonEmpty, s"unsupported InfluxQL WHERE clause: $w")
+          ms.foreach { c =>
+            val v = c.group(2).toLong
+            c.group(1) match {
+              case ">=" => from = math.max(from, v)
+              case ">" => from = math.max(from, v + 1)
+              case "<=" => to = math.min(to, v)
+              case "<" => to = math.min(to, v - 1)
+            }
+          }
+        }
+        val rows = queryRange(uri, m, from, to)
+        Option(limit).map(l => rows.take(l.toInt)).getOrElse(rows)
+      case _ => throw new IllegalArgumentException(s"unsupported InfluxQL: $q")
+    }
+  }
+
   // ---- topics ----------------------------------------------------------------
 
-  def publish(uri: String, topic: String,
+  /** Injected broker flakiness for sink retry/QoS specs: `refuse` throws
+    * BEFORE appending (connection refused); `loseAck` appends the batch
+    * then throws (the ack was lost — the at-least-once duplicate case). */
+  private val refusals = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  private val lostAcks = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  def failNextPublishes(uri: String, refuse: Int = 0, loseAck: Int = 0): Unit = {
+    if (refuse > 0) refusals.put(uri, new java.util.concurrent.atomic.AtomicInteger(refuse))
+    if (loseAck > 0) lostAcks.put(uri, new java.util.concurrent.atomic.AtomicInteger(loseAck))
+  }
+  private def takeInjection(m: ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger],
+      uri: String): Boolean = {
+    val c = m.get(uri)
+    c != null && c.getAndDecrement() > 0
+  }
+
+  /** QoS2 packet registry: a (uri/topic/packetId) batch appends at most once. */
+  private val packets = new ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def append(uri: String, topic: String,
       msgs: Iterator[(String, Map[String, String], Long, Array[Byte])]): Unit = {
     val b = buf(topics, s"$uri/$topic")
     val seq = topicSeq.computeIfAbsent(s"$uri/$topic",
@@ -180,6 +231,28 @@ object MemHub {
         b += Msg(seq.getAndIncrement(), k, props, et, payload)
       }
     }
+  }
+
+  def publish(uri: String, topic: String,
+      msgs: Iterator[(String, Map[String, String], Long, Array[Byte])]): Unit = {
+    if (takeInjection(refusals, uri)) throw new RuntimeException("injected: connection refused")
+    append(uri, topic, msgs)
+    if (takeInjection(lostAcks, uri)) throw new RuntimeException("injected: publish ack lost")
+  }
+
+  /** Exactly-once publish (MQTT QoS2 PUBREC analog): the broker records
+    * the packet id in the same critical section as the append, so a
+    * retried duplicate — e.g. after a lost ack — is ignored. */
+  def publishOnce(uri: String, topic: String, packetId: String,
+      msgs: Iterator[(String, Map[String, String], Long, Array[Byte])]): Unit = {
+    if (takeInjection(refusals, uri)) throw new RuntimeException("injected: connection refused")
+    val key = s"$uri/$topic/$packetId"
+    val b = buf(topics, s"$uri/$topic")
+    b.synchronized {
+      if (packets.putIfAbsent(key, java.lang.Boolean.TRUE) == null)
+        append(uri, topic, msgs)
+    }
+    if (takeInjection(lostAcks, uri)) throw new RuntimeException("injected: publish ack lost")
   }
   def poll(uri: String, topic: String, afterSeq: Long, max: Int = Int.MaxValue): Seq[Msg] = {
     val b = buf(topics, s"$uri/$topic")
@@ -211,5 +284,6 @@ object MemHub {
       m.keySet().asScala.filter(_.startsWith(prefix)).foreach(m.remove)
     sweep(hashes); sweep(zsets); sweep(streams); sweep(collections)
     sweep(oplogs); sweep(series); sweep(topics); sweep(acks)
+    sweep(refusals); sweep(lostAcks); sweep(packets)
   }
 }

@@ -41,10 +41,18 @@ class InfluxProvider extends TableProvider with DataSourceRegister {
 
 class InfluxTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   private val uri = options.get("uri")
-  private val measurement = options.get("measurement")
+  /** InfluxQL verbatim passthrough (InfluxDbSources.java:79-136): when
+    * `query` is set the string goes to the SERVER untouched — the scan
+    * neither parses nor narrows it (no time pushdown: the query already
+    * says everything), it only prunes columns client-side. */
+  private val query = Option(options.get("query"))
+  private val measurement = Option(options.get("measurement")).getOrElse("")
   private val fromMs = Option(options.get("fromMs")).map(_.toLong).getOrElse(Long.MinValue)
   private val toMs = Option(options.get("toMs")).map(_.toLong).getOrElse(Long.MaxValue)
-  override def name(): String = s"influx($uri/$measurement)"
+  require(query.isDefined || measurement.nonEmpty,
+    "influx scan needs either a measurement or a verbatim query")
+  override def name(): String =
+    query.map(q => s"influx($uri, ql)").getOrElse(s"influx($uri/$measurement)")
   override def schema(): StructType = InfluxSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -65,6 +73,7 @@ class InfluxTable(options: CaseInsensitiveStringMap) extends Table with Supports
       override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
           : Array[org.apache.spark.sql.sources.Filter] = {
         import org.apache.spark.sql.sources._
+        if (query.isDefined) return filters // verbatim mode: the query IS the predicate
         def ms(v: Any): Option[Long] = v match {
           case t: java.sql.Timestamp => Some(t.getTime)
           case t: java.time.Instant => Some(t.toEpochMilli)
@@ -98,15 +107,20 @@ class InfluxTable(options: CaseInsensitiveStringMap) extends Table with Supports
         override def description(): String =
           s"influx($uri/$measurement) time=[$from,$to] cols=${required.fieldNames.mkString(",")}"
         override def batch: Batch = {
-          val (u, m, f, t, rs) = (uri, measurement, from, to, required)
-          new FnBatch(Seq(FnPartition(0, m, f, t)), p =>
-            MemHub.queryRange(u, m, p.from, p.to).iterator.map { case (ms, tags, fields) =>
+          val (u, m, f, t, rs, ql) = (uri, measurement, from, to, required, query)
+          new FnBatch(Seq(FnPartition(0, m, f, t)), p => {
+            val rows = ql match {
+              case Some(q) => MemHub.influxQuery(u, q) // served verbatim
+              case None => MemHub.queryRange(u, m, p.from, p.to)
+            }
+            rows.iterator.map { case (ms, tags, fields) =>
               Dsv2.row(rs.fieldNames.toIndexedSeq.map {
                 case "time" => Dsv2.msToMicros(ms)
                 case "tags" => Dsv2.stringMap(tags)
                 case "fields" => Dsv2.doubleMap(fields)
               }: _*)
-            })
+            }
+          })
         }
       }
     }

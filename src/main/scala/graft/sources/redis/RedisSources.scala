@@ -33,11 +33,28 @@ object RedisHash {
   val schema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("value", StringType, nullable = true)))
+
+  /** The `RedisCodec<K,V>` escape hatch (RedisSources.java:162-168): the
+    * reference lets callers swap the string codec for a byte-level one;
+    * here `option("codec", "binary")` maps key/value to BinaryType
+    * (UTF-8 bytes at the client boundary). Default codec is string. */
+  val binarySchema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = false),
+    StructField("value", BinaryType, nullable = true)))
+
+  def schemaFor(options: CaseInsensitiveStringMap): StructType =
+    Option(options.get("codec")).getOrElse("string") match {
+      case "string" => schema
+      case "binary" => binarySchema
+      case other => throw new IllegalArgumentException(
+        s"unknown redis codec '$other' (string | binary)")
+    }
 }
 
 class RedisHashProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-redis-hash"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RedisHash.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RedisHash.schemaFor(options)
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new RedisHashTable(new CaseInsensitiveStringMap(properties))
@@ -47,8 +64,9 @@ class RedisHashTable(options: CaseInsensitiveStringMap) extends Table
   with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val uri = options.get("uri")
   private val hash = options.get("hash")
+  private val binary = Option(options.get("codec")).contains("binary")
   override def name(): String = s"redis-hash($uri/$hash)"
-  override def schema(): StructType = RedisHash.schema
+  override def schema(): StructType = RedisHash.schemaFor(options)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
@@ -67,13 +85,15 @@ class RedisHashTable(options: CaseInsensitiveStringMap) extends Table
   }
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     () => new Dsv2.BatchScan {
-      override def readSchema(): StructType = RedisHash.schema
+      override def readSchema(): StructType = RedisHash.schemaFor(options)
       override def description(): String = name()
       override def batch: Batch = {
-        val (u, h) = (uri, hash)
+        val (u, h, bin) = (uri, hash, binary)
         new FnBatch(Seq(FnPartition(0, h, 0, 0)), _ =>
           MemHub.hashGetAll(s"$u/$h").toSeq.sortBy(_._1).iterator.map { case (k, v) =>
-            Dsv2.row(Dsv2.utf8(k), Dsv2.utf8(v))
+            if (bin) Dsv2.row(k.getBytes("UTF-8"),
+              if (v == null) null else v.getBytes("UTF-8"))
+            else Dsv2.row(Dsv2.utf8(k), Dsv2.utf8(v))
           })
       }
     }

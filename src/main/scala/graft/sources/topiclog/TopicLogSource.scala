@@ -96,7 +96,21 @@ class TopicLogProvider extends TableProvider with DataSourceRegister {
 class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   private val uri = options.get("uri")
   private val profile = options.get("profile")
-  private val topicNames = options.get("topics").split(",").toSeq.sorted
+  /** Per-topic subscription QoS (Subscription.java:85-127): a topic entry
+    * is `name` or `name:qos` with qos ∈ {0,1,2}. QoS 0 is a NON-DURABLE
+    * subscription — at-most-once: a stream starts at the live tail (no
+    * backfill of messages published before the subscription), mirroring
+    * an MQTT broker dropping QoS0 for a disconnected client. QoS 1/2
+    * subscriptions are durable: streams replay from the committed offset
+    * (the log transport makes redelivery exactly-once downstream). */
+  private val topicQos: Map[String, Int] = options.get("topics").split(",").toSeq.map {
+    case s if s.contains(":") =>
+      val Array(n, q) = s.split(":", 2)
+      require(Set("0", "1", "2").contains(q), s"bad qos in topic entry '$s'")
+      n -> q.toInt
+    case s => s -> 1
+  }.toMap
+  private val topicNames = topicQos.keys.toSeq.sorted
   /** Pulsar-consumer semantics: ack up to the committed offset after each
     * epoch (PulsarConsumerBuilder.java:142-221 async ack). */
   private val ackAs = Option(options.get("ackAs"))
@@ -122,10 +136,16 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
       }
 
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-        val (u, pr, ack) = (uri, profile, ackAs)
+        val (u, pr, ack, qos) = (uri, profile, ackAs, topicQos)
         new Dsv2.SeqLogMicroBatchStream(topicNames, maxPerTrigger) {
           override def currentMax(name: String): Long = MemHub.topicMaxSeq(u, name)
           override def factory: PartitionReaderFactory = TopicProfiles.Factory(pr, u)
+          // QoS0 topics subscribe at the live tail (non-durable); no
+          // backfill of pre-subscription messages
+          override def initialOffset(): Offset =
+            Dsv2.MapOffset(topicNames.map { n =>
+              n -> (if (qos(n) == 0) MemHub.topicMaxSeq(u, n) else -1L)
+            }.toMap)
           override def onCommit(end: Dsv2.MapOffset): Unit =
             ack.foreach { consumer =>
               end.m.foreach { case (t, seq) => MemHub.ack(s"$consumer/$t", seq) }

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.sinks.GraftSinks
+import graft.sources.GraftSources
+import graft.sources.hub.MemHub
+
+/** The MQTT QoS delivery matrix (Subscription.java:85-127,
+  * MqttSinkBuilder.java:128-141): per-level semantics on the publish side
+  * against an injected flaky broker, and per-topic subscription QoS on
+  * the source side (QoS0 = non-durable, live-tail subscription). */
+class MqttQosSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+
+  private def payloadDf(n: Int) = spark.range(0, n).coalesce(1)
+    .select(lit("t").as("topic"), encode(col("id").cast("string"), "UTF-8").as("payload"))
+
+  test("QoS 0 at-most-once: a refused publish is dropped, never retried") {
+    val uri = "hub:test/qos0"
+    MemHub.failNextPublishes(uri, refuse = 1)
+    GraftSinks.mqttPublish(payloadDf(5), uri, maxAttempts = 3, qos = 0)
+    assert(MemHub.topicLen(uri, "t") == 0, "QoS0 drops on failure")
+    GraftSinks.mqttPublish(payloadDf(5), uri, maxAttempts = 3, qos = 0)
+    assert(MemHub.topicLen(uri, "t") == 5, "healthy broker delivers")
+  }
+
+  test("QoS 1 at-least-once: refusals retry to success; a lost ack duplicates") {
+    val uri = "hub:test/qos1-refuse"
+    MemHub.failNextPublishes(uri, refuse = 2)
+    GraftSinks.mqttPublish(payloadDf(5), uri, maxAttempts = 3, qos = 1)
+    assert(MemHub.topicLen(uri, "t") == 5, "retries get the batch through")
+    val uri2 = "hub:test/qos1-lostack"
+    MemHub.failNextPublishes(uri2, loseAck = 1)
+    GraftSinks.mqttPublish(payloadDf(5), uri2, maxAttempts = 3, qos = 1)
+    assert(MemHub.topicLen(uri2, "t") == 10,
+      "QoS1's documented hazard: the retry after a lost ack is a duplicate")
+  }
+
+  test("QoS 2 exactly-once: lost-ack retries dedup on the packet id; distinct calls don't") {
+    val uri = "hub:test/qos2"
+    MemHub.failNextPublishes(uri, loseAck = 1)
+    GraftSinks.mqttPublish(payloadDf(5), uri, maxAttempts = 3, qos = 2)
+    assert(MemHub.topicLen(uri, "t") == 5,
+      "the broker-side packet registry absorbs the post-lost-ack retry")
+    // a NEW sink call is a new packet id — dedup must not swallow it
+    GraftSinks.mqttPublish(payloadDf(5), uri, maxAttempts = 3, qos = 2)
+    assert(MemHub.topicLen(uri, "t") == 10)
+  }
+
+  test("streaming QoS 2: a replayed (partition, epoch) publishes idempotently") {
+    val w = GraftSinks.mqttPublishWriter("hub:test/qos2-stream", qos = 2)
+    def epoch(id: Long): Unit = {
+      w.open(0, id)
+      w.process(org.apache.spark.sql.Row("t", "x".getBytes("UTF-8")))
+      w.close(null)
+    }
+    epoch(7); epoch(7) // failure-recovery replay of the same epoch
+    assert(MemHub.topicLen("hub:test/qos2-stream", "t") == 1)
+    epoch(8)
+    assert(MemHub.topicLen("hub:test/qos2-stream", "t") == 2)
+  }
+
+  test("subscription QoS: a qos0 topic subscribes at the live tail, qos1 replays the backlog") {
+    val uri = "hub:test/qos-sub"
+    def pub(t: String, n: Int): Unit =
+      MemHub.publish(uri, t, (0 until n).iterator.map(i =>
+        ("", Map.empty[String, String], i.toLong, Array[Byte](1))))
+    pub("a", 5); pub("b", 5) // backlog BEFORE the subscription exists
+    val cp = Files.createTempDirectory("graft-qos-ckpt").toString
+    def drain(): Map[String, Long] = {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      val q = GraftSources.mqtt(spark, uri, Seq("a:0", "b:1"))
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.groupBy(col("topic")).count().collect().foreach { r =>
+            counts(r.getString(0)) = counts.getOrElse(r.getString(0), 0L) + r.getLong(1)
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      counts.toMap
+    }
+    val first = drain()
+    assert(first.getOrElse("a", 0L) == 0, "QoS0: no backfill of pre-subscription messages")
+    assert(first.getOrElse("b", 0L) == 5, "QoS1: durable subscription replays the backlog")
+    pub("a", 3); pub("b", 3)
+    val second = drain()
+    assert(second.getOrElse("a", 0L) == 3, "QoS0 delivers what arrives while subscribed")
+    assert(second.getOrElse("b", 0L) == 3, "QoS1 resumes from the committed offset")
+  }
+}
