@@ -232,6 +232,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(diffs == 0, s"$diffs pairs diverge from the HOF specification")
   }
 
+  test("LshBuckets expression == driver-side plane math, bit for bit") {
+    // the corpus buckets (codegen'd LshBuckets) and the query probes
+    // (driver folds in lshTopK) MUST agree on every sign — a divergence
+    // would silently exclude the query's own bucket from its probe set
+    import graft.functions.{lsh_buckets, vec_double, LshBuckets}
+    val (tables, planes, dim) = (7, 11, 64)
+    val thresholds = (0 until tables * planes).map(_ * 0.001 - 0.03)
+    val emb = Tables.load(spark, dir, "embeddings").limit(200)
+    val got = emb.select(col("vec_id"),
+        lsh_buckets(vec_double(col("embedding")), tables, planes, dim, thresholds).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val local = emb.select(col("vec_id"), vec_double(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.size == local.size && got.nonEmpty)
+    local.foreach { case (id, v) =>
+      val expect = (0 until tables).map { t =>
+        var bucket = 0L
+        (0 until planes).foreach { p =>
+          val g = t * planes + p
+          val h = LshBuckets.planeComponent(g, dim)
+          var s = 0.0
+          var i = 0
+          val n = math.min(v.length, h.length)
+          while (i < n) { s += v(i) * h(i); i += 1 }
+          if (s >= thresholds(g)) bucket |= (1L << p)
+        }
+        bucket
+      }
+      assert(got(id) == expect, s"vec $id: expression buckets diverge from driver math")
+    }
+  }
+
   test("LSH ANN recall vs brute force is usable (scale path)") {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 50)
