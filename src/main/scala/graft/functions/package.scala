@@ -33,6 +33,13 @@ package object functions {
         case _ => throw new IllegalArgumentException(
           "lsh_buckets(vec, tables, planes, dim, thresholds)")
       },
+      "ivf_nearest" -> {
+        case Seq(v, Literal(cb: org.apache.spark.sql.catalyst.util.ArrayData, _),
+            Literal(nlist: Int, _), Literal(d: Int, _), Literal(take: Int, _)) =>
+          IvfNearestLists(v, cb.toDoubleArray.toSeq, nlist, d, take)
+        case _ => throw new IllegalArgumentException(
+          "ivf_nearest(vec, codebook, nlist, dim, take)")
+      },
       "hll_sketch" -> HllSketchAgg.builder _,
       "hll_merge" -> { exprs => HllMergeAgg(exprs.head) },
       "rolling_hash64" -> { exprs => RollingHash64(exprs.head) },
@@ -248,6 +255,13 @@ package object functions {
       thresholds: Seq[Double]): Column =
     call_function("lsh_buckets", vec, lit(tables), lit(planes), lit(dim),
       typedLit(thresholds))
+
+  /** The `take` nearest IVF anchors for a vector in one codegen'd pass
+    * (see [[IvfNearestLists]]); `codebook` is the flattened anchor matrix. */
+  def ivf_nearest(vec: Column, codebook: Seq[Double], nlist: Int, dim: Int,
+      take: Int): Column =
+    call_function("ivf_nearest", vec, typedLit(codebook), lit(nlist), lit(dim),
+      lit(take))
 
   /** Interpreted HOF formulation of [[dotd]] — kept as the executable
     * specification SeqDot is tested against. */

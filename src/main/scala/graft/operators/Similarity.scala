@@ -296,14 +296,17 @@ object Similarity {
     * -sized, not corpus-sized, which is exactly how an IVF codebook is
     * trained at 100 TB too (sample + Lloyd, persist the codebook; the
     * corpus-wide work stays one assignment pass). Refinement balances the
-    * inverted lists, which is what recall at fixed nprobe/nlist buys:
-    * measured mean recall@10 ~0.46 → ~0.55 at the default 4/16 (~25% of
-    * the corpus scanned; the plateau after ~3 iterations is boundary
-    * loss, not codebook quality). `replicate` spills each corpus vector
-    * into its top-N nearest lists for the recall/scan trade beyond that —
-    * measured 0.76 at replicate=2 nprobe=4 (~50% scanned), replication
-    * being list storage, not extra query fan-out. Recall < 1 by
-    * construction — spec-tested against brute force.
+    * inverted lists; FINENESS is the bigger recall lever at fixed scan
+    * fraction — quadrupling both sides keeps nprobe/nlist constant while
+    * each probed list hugs the query tighter. Measured mean recall@10 at
+    * ~25% scanned: 0.55 at 4/16 → 0.77 at 16/64 → 0.85 at the default
+    * 32/128 (0.85/0.85/0.80 across sf0.001/0.01/0.1); anchor assignment
+    * for both sides is ONE codegen'd [[graft.functions.IvfNearestLists]]
+    * pass, so the finer codebook costs flops, not plan size. `replicate`
+    * spills each corpus vector into its top-N nearest lists for recall
+    * beyond that (measured 0.88 at replicate=2 nprobe=16/64, ~50%
+    * scanned) — replication is list storage, not extra query fan-out.
+    * Recall < 1 by construction — spec-tested against brute force.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -313,8 +316,8 @@ object Similarity {
       corpusId: String,
       corpusVec: String,
       k: Int,
-      nlist: Int = 16,
-      nprobe: Int = 4,
+      nlist: Int = 128,
+      nprobe: Int = 32,
       refine: Int = 3,
       replicate: Int = 1): DataFrame = {
     boundedQueryBatch(queries, "ivfTopK")
@@ -383,28 +386,28 @@ object Similarity {
     codebook
   }
 
-  /** ranked anchor list for a vector: struct(-dot, j) sorted ascending. */
-  private def rankedAnchors(
-      codebook: Seq[Seq[Double]], v: org.apache.spark.sql.Column) =
-    sort_array(array(codebook.indices.map { j =>
-      struct((lit(0.0) - dotd(v, typedLit(codebook(j)))).as("d"), lit(j).as("j"))
-    }: _*))
+  /** The `take` nearest anchors as a codegen'd single pass — the
+    * [[graft.functions.IvfNearestLists]] expression; ranking is (dot
+    * desc, j asc) with sequential index-order dot folds, bit-identical to
+    * the driver-side probe math in [[ivfTopKFromIndex]]. One expression
+    * replaces nlist discrete dot projections + a struct-array sort per
+    * row (8× the assignment cost at nlist=128). */
+  private def nearestAnchors(
+      codebook: Seq[Seq[Double]], v: org.apache.spark.sql.Column, take: Int) =
+    graft.functions.ivf_nearest(v, codebook.flatten, codebook.length,
+      codebook.head.length, take)
 
   /** Corpus side of an IVF index: each vector tagged with its inverted
     * list id(s). replicate=1 — the default — is the classic single-list
-    * IVF, fetched as an array_min argmax, O(nlist), no per-row sort;
-    * replicate>1 spills each vector into its nearest lists, softening
-    * list boundaries at the cost of replicate× list storage. */
+    * IVF (argmax anchor); replicate>1 spills each vector into its nearest
+    * lists, softening list boundaries at the cost of replicate× list
+    * storage. */
   private def corpusLists(
       c: DataFrame, codebook: Seq[Seq[Double]], replicate: Int): DataFrame =
     if (replicate <= 1)
-      c.withColumn("bucket",
-        array_min(array(codebook.indices.map { j =>
-          struct((lit(0.0) - dotd(col("cv"), typedLit(codebook(j)))).as("d"), lit(j).as("j"))
-        }: _*)).getField("j"))
+      c.withColumn("bucket", element_at(nearestAnchors(codebook, col("cv"), 1), 1))
     else
-      c.withColumn("bucket", explode(slice(
-        transform(rankedAnchors(codebook, col("cv")), x => x.getField("j")), 1, replicate)))
+      c.withColumn("bucket", explode(nearestAnchors(codebook, col("cv"), replicate)))
 
   /** Probe side shared by the inline and persisted-index paths: queries
     * fan out to their `nprobe` nearest lists, rank exact cosine within. */
@@ -420,8 +423,7 @@ object Similarity {
     val qb = queries.select(col(queryId).cast("long").as("query_id"),
       vec_double(col(queryVec)).as("qv"))
       .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))
-      .withColumn("bucket", explode(slice(
-        transform(rankedAnchors(codebook, col("qv")), x => x.getField("j")), 1, nprobe)))
+      .withColumn("bucket", explode(nearestAnchors(codebook, col("qv"), nprobe)))
     val scored = broadcast(qb).join(cb, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -451,7 +453,7 @@ object Similarity {
       path: String,
       corpusId: String,
       corpusVec: String,
-      nlist: Int = 16,
+      nlist: Int = 128,
       refine: Int = 3,
       replicate: Int = 1): Unit = {
     val spark = corpus.sparkSession
@@ -483,7 +485,7 @@ object Similarity {
       queryId: String,
       queryVec: String,
       k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 32): DataFrame = {
     val spark = queries.sparkSession
     // replicate comes from the index itself, never the caller: serving a
     // replicate>1 index without the pair dedup would return the same

@@ -617,17 +617,18 @@ object Catalog {
         quantile_cont(n_chars, 0.95) AS p95
       FROM documents GROUP BY lang ORDER BY lang"""))
 
-  /** IVF-Flat ANN at replicate=2 (boundary-softened lists). Approximate
-    * by construction, so the query RETURNS the oracle-checkable row:
-    * query/truth counts (DuckDB-derived) and recall@5 vs brute force
-    * pinned >= 0.7 — the driver hash check fails if recall drops. */
+  /** IVF-Flat ANN at the fine-codebook defaults (nprobe/nlist = 32/128,
+    * ~25% scanned, no replication storage). Approximate by construction,
+    * so the query RETURNS the oracle-checkable row: query/truth counts
+    * (DuckDB-derived) and recall@5 vs brute force pinned >= 0.7 — the
+    * driver hash check fails if recall drops. */
   private val q33 = QueryDef(
     "q33_ivf_ann",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 50)
       val ann = graft.operators.Similarity.ivfTopK(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", k = 5, replicate = 2)
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
       val truth = Similarity.bruteForceTopK(queries, emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
       val hits = ann.join(truth.select(col("query_id"), col("neighbor_id")),

@@ -299,7 +299,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .view.mapValues(_.map(_._2).toSet).toMap
     val ivfR = meanRecall(ivf)
     assert(ivfR >= 0.45, f"mean IVF recall $ivfR%.2f too low for a usable ANN path")
-    info(f"mean IVF@$k recall: $ivfR%.2f (nprobe/nlist = 4/16 -> ~25%% corpus scanned)")
+    info(f"mean IVF@$k recall: $ivfR%.2f (nprobe/nlist = 32/128 -> ~25%% corpus scanned)")
 
     // the replicate knob buys recall with list storage, not query fan-out
     val ivf2 = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
@@ -368,10 +368,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"query $q: duplicate neighbor across ranks")
     }
 
-    // one query probing nprobe=4 of nlist=16 lists: the parquet scan must
-    // select at most 4 bucket partitions (IVF pruning = partition pruning)
+    // one query probing nprobe=4 of the default-nlist lists: the parquet
+    // scan must select at most 4 bucket partitions (IVF pruning =
+    // partition pruning)
     val one = Similarity.ivfTopKFromIndex(path,
-      emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 5)
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 5, nprobe = 4)
     one.count() // materialize so AQE resolves the final plan
     import org.apache.spark.sql.execution.FileSourceScanExec
     def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
