@@ -354,22 +354,48 @@ object Similarity {
     val codebook: Seq[Seq[Double]] = {
       var cbk = sample.take(nlist).map(_.clone())
       val dim = cbk(0).length
+      // Lloyd over the sample is sample·nlist·dim flops per iteration —
+      // ~400M at the 128-list default — so the assignment runs on a FIXED
+      // 16-way chunking (fixed, not core-count, so the per-chunk partial
+      // sums combine in the same order on every machine: deterministic).
+      val nChunks = 16
+      val chunkSize = math.max(1, (sample.length + nChunks - 1) / nChunks)
+      val chunks: Array[Array[Array[Double]]] = sample.grouped(chunkSize).toArray
       var it = 0
       while (it < refine) {
+        val cb = cbk
+        val partials = chunks.map { chunk =>
+          java.util.concurrent.CompletableFuture.supplyAsync { () =>
+            val sums = Array.fill(cb.length)(new Array[Double](dim))
+            val cnts = new Array[Int](cb.length)
+            for (v <- chunk) {
+              // argmax dot, smallest index on ties — deterministic
+              var bj = 0; var bd = Double.NegativeInfinity; var j = 0
+              while (j < cb.length) {
+                var d = 0.0; var i = 0
+                while (i < dim) { d += v(i) * cb(j)(i); i += 1 }
+                if (d > bd) { bd = d; bj = j }
+                j += 1
+              }
+              val s = sums(bj); var i = 0
+              while (i < dim) { s(i) += v(i); i += 1 }
+              cnts(bj) += 1
+            }
+            (sums, cnts)
+          }
+        }
         val sums = Array.fill(cbk.length)(new Array[Double](dim))
         val cnts = new Array[Int](cbk.length)
-        for (v <- sample) {
-          // argmax dot, smallest index on ties — deterministic
-          var bj = 0; var bd = Double.NegativeInfinity; var j = 0
-          while (j < cbk.length) {
-            var d = 0.0; var i = 0
-            while (i < dim) { d += v(i) * cbk(j)(i); i += 1 }
-            if (d > bd) { bd = d; bj = j }
+        // combine in chunk order — same double-fold order every run
+        partials.foreach { f =>
+          val (ps, pc) = f.get()
+          var j = 0
+          while (j < sums.length) {
+            val s = sums(j); val p = ps(j); var i = 0
+            while (i < dim) { s(i) += p(i); i += 1 }
+            cnts(j) += pc(j)
             j += 1
           }
-          val s = sums(bj); var i = 0
-          while (i < dim) { s(i) += v(i); i += 1 }
-          cnts(bj) += 1
         }
         cbk = cbk.indices.map { j =>
           if (cnts(j) == 0) cbk(j) // empty list keeps its seed
