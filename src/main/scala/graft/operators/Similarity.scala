@@ -498,6 +498,30 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Append a delta batch to a persisted [[buildIvfIndex]] index — the
+    * 100 TB daily-ingest shape (the [[graft.operators.Dedup.minhashLshAgainst]]
+    * analog for ANN): delta vectors are assigned with the index's OWN
+    * persisted codebook — no retrain, one assignment pass over the delta
+    * only — and appended to their `bucket=N` list partitions. Probes see
+    * old and new vectors uniformly; the codebook drifts from the corpus
+    * distribution only as far as the corpus itself drifts (rebuild on a
+    * cadence, serve appends in between — standard IVF operations). */
+  def appendToIvfIndex(
+      delta: DataFrame,
+      path: String,
+      corpusId: String,
+      corpusVec: String): Unit = {
+    val spark = delta.sparkSession
+    val replicate = spark.read.parquet(s"$path/meta")
+      .select(col("replicate")).head().getInt(0)
+    val codebook: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
+      .orderBy(col("j")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    corpusLists(normalizedCorpus(delta, corpusId, corpusVec), codebook, replicate)
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/lists")
+  }
+
   /** Serve approximate top-k from a persisted [[buildIvfIndex]] index.
     * The probed list ids are computed driver-side from the (small) query
     * batch and pushed as a partition filter, so the scan lists and reads

@@ -1767,6 +1767,66 @@ object Catalog {
     })
   }
 
+  /** Session-scoped INCREMENTAL index: built on the even-id half, the odd
+    * half appended with the persisted codebook (no retrain) — the
+    * daily-ingest shape. Same staging/cleanup discipline as [[ivfIndexPath]]. */
+  private def ivfAppendIndexPath(s: SparkSession, dir: String, emb: DataFrame): String = {
+    val key = dir.split('/').filter(_.nonEmpty).last + "-append"
+    builtIvfIndexes.getOrElseUpdate(key, {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
+        s"$key-${java.lang.ProcessHandle.current().pid()}"
+      val stage = base + ".stage"
+      graft.operators.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), stage, "vec_id", "embedding")
+      graft.operators.Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") % 2 =!= 0), stage, "vec_id", "embedding")
+      val renamed = new java.io.File(stage).renameTo(new java.io.File(base))
+      require(renamed || new java.io.File(base).isDirectory,
+        s"IVF append-index rename failed: $stage -> $base")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+      base
+    })
+  }
+
+  /** Incremental ANN ingest (the daily-batch shape): index built on the
+    * even-id half, the odd half APPENDED with the persisted codebook — no
+    * retrain, delta-only assignment. The oracle-checkable row: exact
+    * query/truth/indexed counts (n_indexed proves every appended vector
+    * landed in a list) and recall@5 vs brute force over the FULL corpus —
+    * appended vectors must serve uniformly with built ones. */
+  private val q93 = QueryDef(
+    "q93_ivf_append",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = ivfAppendIndexPath(s, dir, emb)
+      val queries = emb.filter(col("vec_id") < 50)
+      val ann = graft.operators.Similarity.ivfTopKFromIndex(
+        path, queries, "vec_id", "embedding", k = 5)
+      val truth = Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      val hits = ann.join(truth.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val indexed = s.read.parquet(s"$path/lists").agg(count(lit(1)).as("n_indexed"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
+        .crossJoin(indexed)
+        .crossJoin(hits)
+        .select(col("n_queries"), col("n_truth"), col("n_indexed"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double")
+            >= 0.4).as("recall_ok"))
+    },
+    Some("""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50) AS n_queries,
+      (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50) * 5 AS n_truth,
+      (SELECT COUNT(*) FROM embeddings) AS n_indexed,
+      TRUE AS recall_ok"""))
+
   private val q84 = QueryDef(
     "q84_ivf_index",
     (s, dir) => {
@@ -2043,6 +2103,6 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92) ++
+    q91, q92, q93) ++
     ConnectorQueries.all
 }

@@ -391,6 +391,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"single-query probe must read <= nprobe=4 list partitions, read $selected")
   }
 
+  test("appendToIvfIndex: delta assigned with the persisted codebook, served uniformly") {
+    def rm(p: String): Unit = {
+      def go(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(go)); f.delete(): Unit
+      }
+      go(new java.io.File(p))
+    }
+    val emb = Tables.load(spark, dir, "embeddings")
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-append-spec"
+    rm(path)
+    Similarity.buildIvfIndex(even, path, "vec_id", "embedding")
+    Similarity.appendToIvfIndex(odd, path, "vec_id", "embedding")
+    // every appended vector landed in exactly replicate(=1) lists
+    assert(spark.read.parquet(s"$path/lists").count() == emb.count())
+    val queries = emb.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))).toSet
+    val served = rows(Similarity.ivfTopKFromIndex(path, queries, "vec_id", "embedding", k = 10))
+    // appended (odd) vectors must be reachable: the served results contain
+    // odd neighbors, and overall recall vs FULL-corpus brute force holds
+    assert(served.exists(_._2 % 2 == 1), "no appended vector ever served")
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ann = served.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val recall = brute.keys.toSeq.map { q =>
+      ann.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / 10
+    }.sum / brute.size
+    assert(recall >= 0.4, f"appended-index recall $recall%.2f below floor")
+    // deterministic: a fresh build+append serves byte-identical results
+    val path2 = path + "-2"
+    rm(path2)
+    Similarity.buildIvfIndex(even, path2, "vec_id", "embedding")
+    Similarity.appendToIvfIndex(odd, path2, "vec_id", "embedding")
+    val served2 = rows(Similarity.ivfTopKFromIndex(path2, queries, "vec_id", "embedding", k = 10))
+    assert(served == served2, "append path must be deterministic")
+    rm(path); rm(path2)
+  }
+
   test("prototypeSimilarityMatrix: string labels keep their type and order") {
     import spark.implicits._
     val vecs = Seq(
