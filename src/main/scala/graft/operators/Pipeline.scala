@@ -653,4 +653,31 @@ object Pipeline {
         df(groupCol) <=> col("__g") && df(idCol) <=> col("__pid"))
       .drop("__g", "__pid")
   }
+
+  /** Quality-ranked selection under a per-group token budget — the data-
+    * selection curation step ("take the best docs from each source/lang
+    * until the budget is spent"). Per group, docs are taken in (quality
+    * desc, id asc) order while the EXCLUSIVE running token total stays
+    * below `budgetPerGroup`; the crossing doc is included, so every
+    * group with data uses its full budget (overshoot bounded by one
+    * doc). One window pass: the shuffle is on the group key only, the
+    * running sum is a ROWS frame over the group's sorted run — no
+    * second pass, no driver state. Deterministic for a deterministic
+    * quality expression: ties break on the id. */
+  def selectToBudget(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      quality: Column,
+      tokens: Column,
+      budgetPerGroup: Long): DataFrame = {
+    require(budgetPerGroup > 0, "budgetPerGroup must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(quality.desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum",
+        coalesce(sum(coalesce(tokens, lit(0L))).over(w), lit(0L)))
+      .filter(col("__cum") < budgetPerGroup)
+      .drop("__cum")
+  }
 }

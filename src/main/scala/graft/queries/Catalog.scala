@@ -1827,6 +1827,42 @@ object Catalog {
       (SELECT COUNT(*) FROM embeddings) AS n_indexed,
       TRUE AS recall_ok"""))
 
+  /** Data selection under budget: per language, keep the highest-quality
+    * docs (quality desc, id tiebreak) until a 5000-token budget is spent
+    * (exclusive cumsum < budget — the crossing doc is included). The
+    * kept-set identity is pinned by id_sum; quality doubles are the
+    * q18-pinned engine-identical formula, so the ordering — and therefore
+    * the selection — hash-matches DuckDB exactly. */
+  private val q94 = QueryDef(
+    "q94_budget_select",
+    (s, dir) => {
+      val kept = graft.operators.Pipeline.selectToBudget(
+        t(s, dir, "documents"), "lang", "doc_id",
+        quality_score(col("text")),
+        token_count(col("text")).cast("long"),
+        budgetPerGroup = 5000L)
+      kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(token_count(col("text")).cast("long")).as("tok_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
+          0.3 * least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
+          + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+              / CAST(greatest(length(text), 1) AS DOUBLE))
+          + 0.4 * least(1.0, (CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> list_contains(['the','a','and','of','to','in','is','for','on','with'], x))) AS DOUBLE)
+              / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE)) * 4.0) AS quality
+        FROM documents),
+      r AS (SELECT *, COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM f)
+      SELECT lang, COUNT(*) AS n_kept, CAST(SUM(tok) AS BIGINT) AS tok_kept,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM r WHERE cum < 5000 GROUP BY lang ORDER BY lang"""))
+
   private val q84 = QueryDef(
     "q84_ivf_index",
     (s, dir) => {
@@ -2103,6 +2139,6 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93) ++
+    q91, q92, q93, q94) ++
     ConnectorQueries.all
 }

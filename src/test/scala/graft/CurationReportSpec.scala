@@ -13,6 +13,24 @@ class CurationReportSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   import scala.jdk.CollectionConverters._
 
+  test("selectToBudget: greedy quality prefix per group, overshoot bounded by one doc") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 0.9, 100L), ("a", 2L, 0.8, 100L), ("a", 3L, 0.7, 100L), ("a", 4L, 0.6, 100L),
+      ("b", 5L, 0.5, 300L), ("b", 6L, 0.4, 300L),
+      ("c", 7L, 0.9, 50L)).toDF("g", "id", "q", "tok")
+    val kept = Pipeline.selectToBudget(df, "g", "id", col("q"), col("tok"), 250L)
+      .select(col("id")).as[Long].collect().toSet
+    // a: exclusive cums 0/100/200/300 -> ids 1,2,3 (3 crosses the budget and
+    // is included; 4 starts past it); b: 0/300 -> only 5; c: 7
+    assert(kept == Set(1L, 2L, 3L, 5L, 7L))
+    // equal quality ties break on the id
+    val tie = Seq(("x", 2L, 1.0, 200L), ("x", 1L, 1.0, 200L)).toDF("g", "id", "q", "tok")
+    val k2 = Pipeline.selectToBudget(tie, "g", "id", col("q"), col("tok"), 200L)
+      .select(col("id")).as[Long].collect().toSet
+    assert(k2 == Set(1L))
+  }
+
   test("curriculumBins: equal-population tiers with non-overlapping bounds") {
     val docs = Tables.load(spark, dir, "documents")
     val total = docs.count()
