@@ -654,6 +654,45 @@ object Pipeline {
       .drop("__g", "__pid")
   }
 
+  /** Segment-level dedup (the C4 "three-sentence" / paragraph dedup): split
+    * every document on `splitRegex`, keep only the GLOBAL first occurrence
+    * of each distinct segment — first by (doc id, position in doc) — and
+    * reassemble each document from its surviving segments in original
+    * order. Boilerplate (cookie banners, license headers, nav text)
+    * disappears from every doc but its first. Work is one explode + one
+    * window on the segment hash (shuffle keyed by md5 — uniform, no skew)
+    * + one per-doc reassembly aggregate; nothing is quadratic and no doc
+    * body crosses the wire twice. Output: (idCol, text_dedup, n_kept) —
+    * docs whose every segment was seen earlier come back EMPTY (n_kept
+    * 0), which is exactly the exact-dup case.
+    */
+  def dedupSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitRegex: String = "\\.\\s+",
+      joinSep: String = ". "): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), splitRegex)).as(Seq("__pos", "__seg")))
+      .filter(length(trim(col("__seg"))) > 0)
+    val w = Window.partitionBy(md5(col("__seg"))).orderBy(col("__id"), col("__pos"))
+    val kept = segs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val reassembled = kept.groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__seg")))).as("__xs"))
+      .select(col("__id"),
+        array_join(transform(col("__xs"), x => x.getField("__seg")), joinSep)
+          .as("text_dedup"),
+        size(col("__xs")).as("n_kept"))
+    df.select(col(idCol))
+      .join(reassembled, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"))
+  }
+
   /** Quality-ranked selection under a per-group token budget — the data-
     * selection curation step ("take the best docs from each source/lang
     * until the budget is spent"). Per group, docs are taken in (quality

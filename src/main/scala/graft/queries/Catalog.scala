@@ -1863,6 +1863,30 @@ object Catalog {
              CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM r WHERE cum < 5000 GROUP BY lang ORDER BY lang"""))
 
+  /** C4-style segment dedup: only the global first occurrence of each
+    * sentence-ish segment survives; docs reassemble from surviving
+    * segments in order. Deterministic end-to-end — kept counts and the
+    * md5 of every reassembled body hash-match DuckDB. */
+  private val q95 = QueryDef(
+    "q95_segment_dedup",
+    (s, dir) =>
+      graft.operators.Pipeline.dedupSegments(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_kept"), md5(col("text_dedup")).as("text_md5"))
+        .orderBy(col("doc_id")),
+    Some("""WITH seg AS (
+        SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS seg
+        FROM (SELECT doc_id, string_split_regex(text, '\.\s+') AS a FROM documents)),
+      nz AS (SELECT * FROM seg WHERE length(trim(seg)) > 0),
+      k AS (SELECT doc_id, pos, seg,
+              row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn FROM nz),
+      r AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_kept,
+              md5(string_agg(seg, '. ' ORDER BY pos)) AS text_md5
+            FROM k WHERE rn = 1 GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(r.n_kept, 0) AS n_kept,
+             COALESCE(r.text_md5, md5('')) AS text_md5
+      FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+      ORDER BY d.doc_id"""))
+
   private val q84 = QueryDef(
     "q84_ivf_index",
     (s, dir) => {
@@ -2139,6 +2163,6 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94) ++
+    q91, q92, q93, q94, q95) ++
     ConnectorQueries.all
 }

@@ -31,6 +31,21 @@ class CurationReportSpec extends AnyFunSuite {
     assert(k2 == Set(1L))
   }
 
+  test("dedupSegments: boilerplate survives only in its first doc; all-dup docs come back empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta. cookie banner. gamma"),
+      (2L, "cookie banner. delta epsilon"),
+      (3L, "cookie banner"),
+      (4L, "alpha beta. gamma")).toDF("doc_id", "text")
+    val out = Pipeline.dedupSegments(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == ("alpha beta. cookie banner. gamma", 3), "first doc keeps everything")
+    assert(out(2L) == ("delta epsilon", 1), "boilerplate removed from later docs")
+    assert(out(3L) == ("", 0), "doc made entirely of seen segments empties out")
+    assert(out(4L) == ("", 0), "exact re-use of earlier segments empties out")
+  }
+
   test("curriculumBins: equal-population tiers with non-overlapping bounds") {
     val docs = Tables.load(spark, dir, "documents")
     val total = docs.count()
