@@ -132,9 +132,38 @@ object MemHub {
       }
     }
   }
+  /** Replace the i-th live document (update/replace op): the collection
+    * mutates in place and the change lands in the oplog as a "replace"
+    * entry carrying the NEW full document — the reference change stream's
+    * fullDocument-lookup shape (MongoDBSourceBuilder FullDocument.UPDATE_LOOKUP). */
+  def replaceAt(uri: String, i: Int, doc: String): Unit = {
+    val c = buf(collections, uri)
+    val o = buf(oplogs, uri)
+    c.synchronized {
+      require(i >= 0 && i < c.length && c(i) != null, s"no live document at $i")
+      c(i) = doc
+      o.synchronized { o += ((o.length.toLong, "replace", doc, o.length.toLong)) }
+    }
+  }
+
+  /** Delete the i-th live document: a tombstone in the collection (indices
+    * stay stable, like _id-keyed storage) and a "delete" oplog entry
+    * carrying the last-seen document. */
+  def deleteAt(uri: String, i: Int): Unit = {
+    val c = buf(collections, uri)
+    val o = buf(oplogs, uri)
+    c.synchronized {
+      require(i >= 0 && i < c.length && c(i) != null, s"no live document at $i")
+      val old = c(i)
+      c(i) = null
+      o.synchronized { o += ((o.length.toLong, "delete", old, o.length.toLong)) }
+    }
+  }
+
+  /** Live (non-tombstoned) documents. */
   def find(uri: String): Seq[String] = {
     val c = buf(collections, uri)
-    c.synchronized { c.toVector }
+    c.synchronized { c.iterator.filter(_ != null).toVector }
   }
   def oplog(uri: String, afterSeq: Long): Seq[(Long, String, String, Long)] = {
     val o = buf(oplogs, uri)

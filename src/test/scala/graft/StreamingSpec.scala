@@ -196,6 +196,39 @@ class StreamingSpec extends AnyFunSuite {
   private def MongoJsonVal(doc: String): Int =
     """"val"\s*:\s*(\d+)""".r.findFirstMatchIn(doc).get.group(1).toInt
 
+  test("mongo CDC: replace and delete ops stream typed and exactly-once across restart") {
+    val uri = "hub:test/cdc-ops"
+    MemHub.insertMany(uri, (0 until 1000).iterator.map(i => s"""{"v":$i}"""))
+    MemHub.replaceAt(uri, 0, """{"v":-1}""")
+    (0 until 50).foreach(i => MemHub.deleteAt(uri, 100 + i))
+    val cp = ckpt()
+    val seen = scala.collection.mutable.Map.empty[String, Long]
+    def drain(): Unit = {
+      val q = GraftSources.mongoCdc(spark, uri)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.groupBy(col("operationType")).count().collect().foreach { r =>
+            seen(r.getString(0)) = seen.getOrElse(r.getString(0), 0L) + r.getLong(1)
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(seen == Map("insert" -> 1000L, "replace" -> 1L, "delete" -> 50L),
+      s"op mix mismatch: $seen")
+    // collection state reflects the ops: tombstones gone, replacement live
+    val live = MemHub.find(uri)
+    assert(live.size == 950)
+    assert(live.contains("""{"v":-1}""") && !live.contains("""{"v":0}"""))
+    assert(!live.contains("""{"v":100}"""), "deleted doc must not be served")
+    // restart: only the NEW op arrives (resume token skips everything seen)
+    MemHub.replaceAt(uri, 1, """{"v":-2}""")
+    drain()
+    assert(seen("replace") == 2L && seen("insert") == 1000L && seen("delete") == 50L,
+      s"redelivery after restart: $seen")
+  }
+
   test("idle partition does not stall the watermark (flatMapIdle analog, RedisSources.java:595)") {
     val uri = "hub:test/idle-stream"
     val base = 1704067200000L
