@@ -1863,6 +1863,48 @@ object Catalog {
              CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM r WHERE cum < 5000 GROUP BY lang ORDER BY lang"""))
 
+  /** Split-leakage audit: near-duplicate pairs STRADDLING the train side
+    * of q91's content-hash split — the eval contamination that exact
+    * decontamination (q39) misses because the texts differ. Composes
+    * [[graft.operators.Pipeline.assignSplits]] with the cross-side-only
+    * minhash join (q71's machinery: index = train, delta = val+test), so
+    * the work scales like the daily-delta case, never train². Pairs are
+    * exact-verified jaccard >= 0.8 and hash-match the full pairwise SQL
+    * closure. */
+  private val q96 = {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val cuts = graft.operators.Pipeline.splitCuts(weights)
+    QueryDef(
+      "q96_split_leakage",
+      (s, dir) => {
+        val d = graft.operators.Pipeline.assignSplits(
+          t(s, dir, "documents"), "text", weights)
+        Dedup.minhashLshAgainst(
+          d.filter(col("split") === "train"), d.filter(col("split") =!= "train"),
+          "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32,
+          threshold = 0.8)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH v AS (SELECT doc_id, text,
+          CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h FROM documents),
+        sp AS (SELECT doc_id, text, CASE WHEN h < ${cuts(0)} THEN 'train'
+                 WHEN h < ${cuts(1)} THEN 'val' ELSE 'test' END AS split FROM v),
+        toks AS (SELECT doc_id, split, string_split_regex(trim(text), '\\s+') AS t FROM sp),
+        sh AS (SELECT doc_id, split, CASE WHEN len(t) >= 3
+            THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+            ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+        sg AS (SELECT doc_id, split, unnest(g) AS g FROM sh),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+        i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM sg a JOIN sg b ON a.g = b.g AND a.split = 'train' AND b.split <> 'train'
+              GROUP BY 1, 2)
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+        ORDER BY doc_a, doc_b"""))
+  }
+
   /** C4-style segment dedup: only the global first occurrence of each
     * sentence-ish segment survives; docs reassemble from surviving
     * segments in order. Deterministic end-to-end — kept counts and the
@@ -2163,6 +2205,6 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95) ++
+    q91, q92, q93, q94, q95, q96) ++
     ConnectorQueries.all
 }
