@@ -46,6 +46,73 @@ class CurationReportSpec extends AnyFunSuite {
     assert(out(4L) == ("", 0), "exact re-use of earlier segments empties out")
   }
 
+  test("property: selectToBudget == reference greedy prefix over random inputs") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 3)
+        q <- Gen.choose(0, 9).map(_ / 10.0) // coarse qualities force ties
+        tok <- Gen.choose(0L, 50L)
+      } yield (g, q, tok))
+      budget <- Gen.choose(1L, 300L)
+      parts <- Gen.choose(1, 7)
+    } yield (rows.zipWithIndex.map { case ((g, q, tok), i) => (g, i.toLong, q, tok) },
+      budget, parts)
+    val prop = Prop.forAll(gen) { case (rows, budget, parts) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (g, id, q, tok) =>
+          org.apache.spark.sql.Row(g, id, q, tok)
+        }, parts),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("q", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.LongType))))
+      val got = Pipeline.selectToBudget(df, "g", "id", col("q"), col("tok"), budget)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val ref = rows.groupBy(_._1).values.flatMap { grp =>
+        val ordered = grp.sortBy { case (_, id, q, _) => (-q, id) }
+        val cums = ordered.scanLeft(0L) { case (c, (_, _, _, tok)) => c + tok }
+        ordered.zip(cums).collect { case ((_, id, _, _), cum) if cum < budget => id }
+      }.toSet
+      got == ref
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
+  test("property: dedupSegments == reference first-occurrence scan over random corpora") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // small segment alphabet forces heavy cross-doc duplication
+    val seg = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val gen = for {
+      n <- Gen.choose(0, 25)
+      docs <- Gen.listOfN(n, Gen.choose(1, 6).flatMap(m => Gen.listOfN(m, seg)))
+    } yield docs.zipWithIndex.map { case (segs, i) => (i.toLong, segs.mkString(". ")) }
+    val prop = Prop.forAll(gen) { docs =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (id, t) =>
+          org.apache.spark.sql.Row(id, t)
+        }, 3),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      val got = Pipeline.dedupSegments(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val seen = scala.collection.mutable.Set.empty[String]
+      val ref = docs.sortBy(_._1).map { case (id, t) =>
+        val kept = t.split("\\.\\s+").filter(_.nonEmpty).filter(seen.add)
+        id -> kept.mkString(". ")
+      }.toMap
+      got == ref
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
   test("curriculumBins: equal-population tiers with non-overlapping bounds") {
     val docs = Tables.load(spark, dir, "documents")
     val total = docs.count()
