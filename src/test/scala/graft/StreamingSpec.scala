@@ -171,6 +171,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(MemHub.acked("sub1/t") >= 24L, "commit(offset) must ack the consumed range")
   }
 
+  test("pulsar consumer: a failed epoch is redelivered, nothing acked early (negativeAcknowledge analog)") {
+    val uri = "hub:test/pulsar-nack"
+    MemHub.publish(uri, "t", (0 until 10).iterator.map(i =>
+      (s"k$i", Map.empty[String, String], 0L, s"m$i".getBytes("UTF-8"))))
+    val cp = ckpt()
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[String]
+    def run(failFirst: Boolean): Option[Throwable] = {
+      var failed = failFirst
+      val q = GraftSources.pulsarConsumer(spark, uri, Seq("t"), "nsub")
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val keys = b.select(col("key")).collect().map(_.getString(0))
+          if (failed && keys.nonEmpty) {
+            failed = false
+            throw new RuntimeException("injected processing failure")
+          }
+          delivered ++= keys
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(); None }
+      catch { case e: Throwable => q.stop(); Some(e) }
+    }
+    assert(run(failFirst = true).isDefined, "first attempt must surface the failure")
+    assert(delivered.isEmpty, "nothing may count as delivered from the failed epoch")
+    assert(MemHub.acked("nsub/t") == -1L, "a failed epoch must not ack (negative ack)")
+    assert(run(failFirst = false).isEmpty)
+    assert(delivered.sorted.toSeq == (0 until 10).map(i => s"k$i").sorted,
+      "the failed range redelivers exactly once after recovery")
+  }
+
   test("mongo CDC stream: 40k docs exactly-once across restart (MongoDBSourceTest.java:58,72-90 scale)") {
     val uri = "hub:test/cdc-stream"
     val out = "hub:test/cdc-stream-out"
