@@ -92,25 +92,33 @@ object GraftSources {
   }
 
   private def topic(spark: SparkSession, profile: String, uri: String,
-      topics: Seq[String], streaming: Boolean, ackAs: Option[String] = None): DataFrame = {
+      topics: Seq[String], streaming: Boolean, ackAs: Option[String] = None,
+      auth: Option[(String, String)] = None): DataFrame = {
     if (streaming) {
       var r = spark.readStream.format("graft-topic").option("profile", profile)
         .option("uri", uri).option("topics", topics.mkString(","))
       ackAs.foreach(a => r = r.option("ackAs", a))
+      auth.foreach { case (u, p) => r = r.option("user", u).option("password", p) }
       r.load()
     } else {
       var r = spark.read.format("graft-topic").option("profile", profile)
         .option("uri", uri).option("topics", topics.mkString(","))
       ackAs.foreach(a => r = r.option("ackAs", a))
+      auth.foreach { case (u, p) => r = r.option("user", u).option("password", p) }
       r.load()
     }
   }
 
-  /** S10 — MQTT subscribe (multi-topic; payload binary). */
-  def mqttBatch(spark: SparkSession, uri: String, topics: Seq[String]): DataFrame =
-    topic(spark, "mqtt", uri, topics, streaming = false)
-  def mqtt(spark: SparkSession, uri: String, topics: Seq[String]): DataFrame =
-    topic(spark, "mqtt", uri, topics, streaming = true)
+  /** S10 — MQTT subscribe (multi-topic; payload binary; per-topic QoS via
+    * "name:qos" entries). `auth` is the secured-broker credential pair
+    * (SecuredMqttSourceTest: missing/wrong credentials fail at job start
+    * with "Not authorized to connect"). */
+  def mqttBatch(spark: SparkSession, uri: String, topics: Seq[String],
+      auth: Option[(String, String)] = None): DataFrame =
+    topic(spark, "mqtt", uri, topics, streaming = false, auth = auth)
+  def mqtt(spark: SparkSession, uri: String, topics: Seq[String],
+      auth: Option[(String, String)] = None): DataFrame =
+    topic(spark, "mqtt", uri, topics, streaming = true, auth = auth)
 
   /** S11 — Pulsar shared-subscription consumer; acks land after epoch commit. */
   def pulsarConsumer(spark: SparkSession, uri: String, topics: Seq[String],

@@ -250,6 +250,21 @@ object MemHub {
   /** QoS2 packet registry: a (uri/topic/packetId) batch appends at most once. */
   private val packets = new ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Broker credentials per uri namespace (the secured-Mosquitto analog:
+    * SecuredMqttSourceTest's username/password broker). An unsecured
+    * namespace accepts any client. */
+  private val topicAuth = new ConcurrentHashMap[String, (String, String)]()
+  def secureTopics(uri: String, user: String, password: String): Unit =
+    topicAuth.put(uri, (user, password))
+  /** Throws the reference's connect-time failure on missing/wrong
+    * credentials ("Not authorized to connect",
+    * SecuredMqttSourceTest.java:56-92). */
+  def checkTopicAuth(uri: String, auth: Option[(String, String)]): Unit =
+    Option(topicAuth.get(uri)).foreach { expected =>
+      if (!auth.contains(expected))
+        throw new SecurityException(s"Not authorized to connect: $uri")
+    }
+
   private def append(uri: String, topic: String,
       msgs: Iterator[(String, Map[String, String], Long, Array[Byte])]): Unit = {
     val b = buf(topics, s"$uri/$topic")

@@ -117,12 +117,23 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
   /** batchReceive/fill-cap analog (PulsarConsumerBuilder.java:89-96 etc.). */
   private val maxPerTrigger = Option(options.get("maxPerTrigger")).map(_.toLong)
 
+  /** Broker credentials (secured-broker analog): user/password options,
+    * validated against the namespace at scan construction — missing or
+    * wrong credentials fail at job start with the reference's
+    * "Not authorized to connect" (SecuredMqttSourceTest.java:56-92). */
+  private val auth: Option[(String, String)] =
+    (Option(options.get("user")), Option(options.get("password"))) match {
+      case (Some(u), Some(p)) => Some((u, p))
+      case _ => None
+    }
+
   override def name(): String = s"topic-log($profile:$uri)"
   override def schema(): StructType = TopicProfiles.schemas(profile)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    MemHub.checkTopicAuth(uri, auth)
     () => new Scan {
       override def readSchema(): StructType = TopicProfiles.schemas(profile)
       override def description(): String = name()
@@ -153,4 +164,5 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
         }
       }
     }
+  }
 }

@@ -66,6 +66,34 @@ class MqttQosSpec extends AnyFunSuite {
     assert(MemHub.topicLen("hub:test/qos2-stream", "t") == 2)
   }
 
+  test("secured broker: missing or wrong credentials fail at connect, correct ones serve (SecuredMqttSourceTest analog)") {
+    val uri = "hub:test/mqtt-secured"
+    MemHub.secureTopics(uri, "user", "s3cret")
+    MemHub.publish(uri, "t", Iterator(("", Map.empty[String, String], 0L,
+      "hello".getBytes("UTF-8"))))
+    // no credentials -> connect-time failure, before any data moves
+    val e1 = intercept[SecurityException] {
+      GraftSources.mqttBatch(spark, uri, Seq("t")).count()
+    }
+    assert(e1.getMessage.contains("Not authorized to connect"))
+    // wrong password -> same failure
+    val e2 = intercept[SecurityException] {
+      GraftSources.mqttBatch(spark, uri, Seq("t"),
+        auth = Some(("user", "wrongPassword"))).count()
+    }
+    assert(e2.getMessage.contains("Not authorized to connect"))
+    // correct credentials -> normal service
+    assert(GraftSources.mqttBatch(spark, uri, Seq("t"),
+      auth = Some(("user", "s3cret"))).count() == 1)
+    // publish side honors the same broker auth
+    intercept[SecurityException] {
+      GraftSinks.mqttPublish(payloadDf(1).withColumn("topic", lit("t")), uri)
+    }
+    GraftSinks.mqttPublish(payloadDf(1).withColumn("topic", lit("t")), uri,
+      auth = Some(("user", "s3cret")))
+    assert(MemHub.topicLen(uri, "t") == 2)
+  }
+
   test("subscription QoS: a qos0 topic subscribes at the live tail, qos1 replays the backlog") {
     val uri = "hub:test/qos-sub"
     def pub(t: String, n: Int): Unit =
