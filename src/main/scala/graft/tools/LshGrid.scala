@@ -26,7 +26,8 @@ object LshGrid {
       .view.mapValues(_.map(_._2).toSet).toMap
     val nq = brute.size
     val grid: Seq[(Int, Int, Int)] =
-      if (args.length > 1) Seq((args(1).toInt, args(2).toInt, args(3).toInt))
+      if (args.length > 1) // single config, 3 reps (min = steady-state time)
+        Seq.fill(3)((args(1).toInt, args(2).toInt, args(3).toInt))
       else Seq((160, 16, 6), (192, 16, 6), (256, 16, 6), (160, 15, 5),
         (192, 15, 5), (192, 14, 4), (160, 14, 4), (224, 16, 5))
     for ((tables, planes, probeBits) <- grid) {
