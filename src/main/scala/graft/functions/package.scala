@@ -33,6 +33,15 @@ package object functions {
         case _ => throw new IllegalArgumentException(
           "lsh_buckets(vec, tables, planes, dim, thresholds)")
       },
+      "bpe_encode" -> {
+        case Seq(c, Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData, _)) =>
+          val pairs = (0 until arr.numElements()).map { i =>
+            val r = arr.getStruct(i, 2)
+            (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+          }
+          BpeEncode(c, pairs)
+        case _ => throw new IllegalArgumentException("bpe_encode(text, merges)")
+      },
       "ivf_nearest" -> {
         case Seq(v, Literal(cb: org.apache.spark.sql.catalyst.util.ArrayData, _),
             Literal(nlist: Int, _), Literal(d: Int, _), Literal(take: Int, _)) =>
@@ -255,6 +264,11 @@ package object functions {
       thresholds: Seq[Double]): Column =
     call_function("lsh_buckets", vec, lit(tables), lit(planes), lit(dim),
       typedLit(thresholds))
+
+  /** BPE tokenization with a learned merge table (see [[BpeEncode]]):
+    * whitespace words → char symbols + `</w>` → merges in rank order. */
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_encode", text, typedLit(merges))
 
   /** The `take` nearest IVF anchors for a vector in one codegen'd pass
     * (see [[IvfNearestLists]]); `codebook` is the flattened anchor matrix. */

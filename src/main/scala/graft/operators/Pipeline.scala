@@ -654,6 +654,29 @@ object Pipeline {
       .drop("__g", "__pid")
   }
 
+  /** Train a BPE merge table over the corpus — the 100 TB shape: ONE
+    * corpus pass aggregates word frequencies (the shuffle is on words;
+    * the result is vocabulary-sized, not corpus-sized), the top
+    * `maxVocabWords` by (freq desc, word) collect to the driver, and the
+    * classic greedy merge loop runs there ([[graft.functions.BpeTrainer]]
+    * — exactly how production tokenizer trainers split the work).
+    * Deterministic end-to-end. Encode with
+    * [[graft.functions.bpe_encode]] (codegen'd, row-local, lossless). */
+  def trainBpeMerges(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      maxVocabWords: Int = 50000): Seq[(String, String)] = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    val words = df
+      .select(explode(graft.functions.tokens_fast(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.BpeTrainer.mergesFromVocab(words, nMerges)
+  }
+
   /** Segment-level dedup (the C4 "three-sentence" / paragraph dedup): split
     * every document on `splitRegex`, keep only the GLOBAL first occurrence
     * of each distinct segment — first by (doc id, position in doc) — and

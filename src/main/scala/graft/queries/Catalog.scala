@@ -1905,6 +1905,48 @@ object Catalog {
         ORDER BY doc_a, doc_b"""))
   }
 
+  /** BPE tokenizer train + encode over the corpus. The merge table itself
+    * isn't SQL-replicable, so the query returns the oracle-checkable
+    * encoding invariants per language: word_count (every word yields
+    * exactly one marker-terminated token) and char_sum (concatenating a
+    * word's tokens and dropping the marker reproduces the word —
+    * LOSSLESSNESS, pinned by DuckDB's direct word/char stats), plus the
+    * compression boolean (60 merges must beat char-level tokenization). */
+  private val bpeMergeTables =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
+  private val q97 = QueryDef(
+    "q97_bpe_tokenize",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      // the merge table is a trained artifact (the tokenizer analog of the
+      // IVF codebook): train once per session, serve every later encode
+      val merges = bpeMergeTables.getOrElseUpdate(dir,
+        graft.operators.Pipeline.trainBpeMerges(docs, "text", nMerges = 60))
+      docs
+        .select(col("lang"),
+          explode(graft.functions.bpe_encode(lower(col("text")), merges)).as("tok"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_bpe_tokens"),
+          sum(when(col("tok").endsWith("</w>"), 1L).otherwise(0L)).as("word_count"),
+          sum(length(col("tok")).cast("long")).as("len_sum"))
+        .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")), "lang")
+        .select(col("lang"), col("n_docs"), col("word_count"),
+          (col("len_sum") - lit(4L) * col("word_count")).as("char_sum"),
+          (col("n_bpe_tokens") < col("char_sum") + col("word_count"))
+            .as("compressed"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH d AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      w AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents),
+      st AS (SELECT lang, COUNT(*) AS word_count,
+               CAST(SUM(length(tok)) AS BIGINT) AS char_sum
+             FROM w WHERE length(tok) > 0 GROUP BY lang)
+      SELECT d.lang, d.n_docs, st.word_count, st.char_sum, TRUE AS compressed
+      FROM d JOIN st USING (lang) ORDER BY lang"""))
+
   /** C4-style segment dedup: only the global first occurrence of each
     * sentence-ish segment survives; docs reassemble from surviving
     * segments in order. Deterministic end-to-end — kept counts and the
@@ -2205,6 +2247,6 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96) ++
+    q91, q92, q93, q94, q95, q96, q97) ++
     ConnectorQueries.all
 }

@@ -9,6 +9,55 @@ import graft.core.{GraftSession, Tables}
   * declarative pipelines the DuckDB oracle mirrors — these specs pin
   * value-identity so swapping them in can never move an oracle hash. */
 class TextScanSpec extends AnyFunSuite {
+
+  test("BPE trainer: hand-computed merge sequence, deterministic ties") {
+    import graft.functions.BpeTrainer
+    // vocab {aa:3, ab:2}: pair freqs (a,a)=3,(a,</w>)=3,(a,b)=2,(b,</w>)=2
+    // → tie at 3 breaks lexicographically to (a,</w>), then (a,a</w>),
+    // then the (a,b)/(b,</w>) tie breaks to (a,b)
+    val merges = BpeTrainer.mergesFromVocab(Seq("aa" -> 3L, "ab" -> 2L), 3)
+    assert(merges == Seq(("a", "</w>"), ("a", "a</w>"), ("a", "b")))
+    // a merge budget past exhaustion stops early instead of looping
+    val all = BpeTrainer.mergesFromVocab(Seq("ab" -> 1L), 10)
+    assert(all.size <= 3)
+  }
+
+  test("property: BPE encoding is lossless at any merge depth (tokens reassemble the word)") {
+    import graft.functions.{BpeEncode, BpeTrainer}
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val word = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val gen = for {
+      ws <- Gen.nonEmptyListOf(word)
+      n <- Gen.choose(0, 40)
+    } yield (ws, n)
+    val prop = Prop.forAll(gen) { case (ws, n) =>
+      val freqs = ws.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+      val merges = BpeTrainer.mergesFromVocab(freqs, n).toArray
+      ws.forall { w =>
+        BpeEncode.encodeWord(w, merges).mkString == w + BpeEncode.Marker
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
+  test("bpe_encode expression == driver encodeWord over real documents") {
+    import graft.functions.{bpe_encode, BpeEncode}
+    val docs = Tables.load(spark, dir, "documents").limit(50)
+    val merges = graft.operators.Pipeline.trainBpeMerges(docs, "text", nMerges = 30)
+    val got = docs.select(col("doc_id"), bpe_encode(lower(col("text")), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val local = docs.select(col("doc_id"), lower(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = merges.toArray
+    local.foreach { case (id, text) =>
+      val expect = text.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => BpeEncode.encodeWord(w, m)).toSeq
+      assert(got(id) == expect, s"doc $id tokenization diverges")
+    }
+  }
   lazy val spark = GraftSession.local(4)
   private val dir = "/root/testdata/sf0.001"
 
