@@ -722,10 +722,20 @@ object Pipeline {
     * desc, id asc) order while the EXCLUSIVE running token total stays
     * below `budgetPerGroup`; the crossing doc is included, so every
     * group with data uses its full budget (overshoot bounded by one
-    * doc). One window pass: the shuffle is on the group key only, the
-    * running sum is a ROWS frame over the group's sorted run — no
-    * second pass, no driver state. Deterministic for a deterministic
-    * quality expression: ties break on the id. */
+    * doc). Deterministic for a deterministic numeric quality: ties break
+    * on the id, and membership depends only on the total order — never
+    * on partition boundaries.
+    *
+    * NOT a per-group window: `Window.partitionBy(group)` sorts each
+    * group on ONE partition, which breaks when a single group is
+    * corpus-scale (5 languages over 100 TB = 20 TB per group). Instead
+    * the [[curriculumBins]] two-job prefix-scan generalized per group:
+    * range-partition by (group, -quality, id), collect per-(partition,
+    * group) token sums — tuples, bounded by partitions + group
+    * boundary crossings, never rows — compute each group's partition
+    * offsets on the driver, and stream the exclusive cumsum per
+    * partition. A hot group spreads over many range partitions and
+    * still gets one global greedy prefix. */
   def selectToBudget(
       df: DataFrame,
       groupCol: String,
@@ -734,12 +744,43 @@ object Pipeline {
       tokens: Column,
       budgetPerGroup: Long): DataFrame = {
     require(budgetPerGroup > 0, "budgetPerGroup must be positive")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(quality.desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__cum",
-        coalesce(sum(coalesce(tokens, lit(0L))).over(w), lit(0L)))
-      .filter(col("__cum") < budgetPerGroup)
-      .drop("__cum")
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("__negq", -quality.cast("double"))
+      .withColumn("__tok", coalesce(tokens.cast("long"), lit(0L)))
+      .repartitionByRange(col(groupCol), col("__negq"), col(idCol))
+      .sortWithinPartitions(col(groupCol), col("__negq"), col(idCol))
+      .localCheckpoint(true)
+    val gIdx = sorted.schema.fieldIndex(groupCol)
+    val tIdx = sorted.schema.fieldIndex("__tok")
+    // per-(partition, group) token mass, in partition order
+    val partSums: Array[(Int, Seq[(Any, Long)])] = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r => val g = r.get(gIdx); acc(g) = acc.getOrElse(g, 0L) + r.getLong(tIdx) }
+        Iterator((i, acc.toSeq))
+      }.collect().sortBy(_._1)
+    // exclusive offset of each (partition, group): that group's mass in
+    // all earlier partitions
+    val running = scala.collection.mutable.HashMap.empty[Any, Long]
+    val offsets: Map[(Int, Any), Long] = partSums.flatMap { case (i, gs) =>
+      gs.map { case (g, s) =>
+        val off = running.getOrElse(g, 0L)
+        running(g) = off + s
+        ((i, g), off)
+      }
+    }.toMap
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val budget = budgetPerGroup
+    val kept = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val cums = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.filter { r =>
+        val g = r.get(gIdx)
+        val cum = cums.getOrElse(g, bOffsets.value.getOrElse((i, g), 0L))
+        cums(g) = cum + r.getLong(tIdx)
+        cum < budget
+      }
+    }
+    spark.createDataFrame(kept, sorted.schema).drop("__negq", "__tok")
   }
 }
