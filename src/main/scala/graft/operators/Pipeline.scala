@@ -254,11 +254,11 @@ object Pipeline {
   /** Contiguous sequence packing (the concat-then-chunk step before LLM
     * training): within each group, documents in id order are packed into
     * bins of `budget` tokens — a document goes to the bin where its
-    * EXCLUSIVE cumulative token offset lands. One window pass per group;
-    * the assignment is a pure function of (group, id order, token counts)
-    * so it replays identically at any parallelism. The window sorts one
-    * partition per group: at 100 TB pack within bounded groups (source ×
-    * date bucket), never one global group. */
+    * EXCLUSIVE cumulative token offset lands. The assignment is a pure
+    * function of (group, id order, token counts) so it replays
+    * identically at any parallelism; the cumsum is the per-group
+    * distributed prefix scan ([[groupedPrefixScan]]), so a corpus-scale
+    * group never lands on one partition. */
   def packSequences(
       df: DataFrame,
       idCol: String,
@@ -266,12 +266,12 @@ object Pipeline {
       groupCol: String,
       budget: Int): DataFrame = {
     require(budget > 0, "token budget must be positive")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(groupCol), col(idCol),
-        graft.functions.token_count(col(textCol)).as("n_tokens"))
-      .withColumn("__off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    groupedPrefixScan(
+      df.select(col(groupCol), col(idCol),
+        graft.functions.token_count(col(textCol)).cast("long").as("n_tokens")),
+      groupCol, Seq(col(idCol)), "n_tokens", "__off")
       .withColumn("bin", expr(s"__off DIV $budget"))
+      .withColumn("n_tokens", col("n_tokens").cast("int"))
       .drop("__off")
   }
 
@@ -297,14 +297,23 @@ object Pipeline {
       .agg(count(lit(1)).as("c"))
     val tf = perDoc.groupBy(col("grp"), col("tok")).agg(sum(col("c")).as("tf"))
     val dfreq = perDoc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("tok"))
+    // top-k via the bounded bottom_k aggregate — smallest (-score, tok)
+    // IS (score desc, tok asc), identical to the row_number window but
+    // with map-side combine: the exchange carries k rows per (group ×
+    // partition), and a group's whole term vocabulary never sorts on one
+    // partition
     tf.join(dfreq, "tok")
       // pinned evaluation order: (tf * N) / df, all double
       .withColumn("score",
         col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("grp"), col("tok"), col("tf"), col("df"), col("score"), col("rnk"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.bottom_k(
+        struct((-col("score")).as("ns"), col("tok").as("tok"),
+          col("tf").as("tf"), col("df").as("df")), k).as("__b"))
+      .select(col("grp"), posexplode(col("__b")).as(Seq("__i", "__s")))
+      .select(col("grp"), col("__s.tok").as("tok"), col("__s.tf").as("tf"),
+        col("__s.df").as("df"), (-col("__s.ns")).as("score"),
+        (col("__i") + 1).cast("int").as("rnk"))
   }
 
   /** Range-partitioned global scan: sort by `sortCols` (must be a unique
@@ -744,24 +753,44 @@ object Pipeline {
       tokens: Column,
       budgetPerGroup: Long): DataFrame = {
     require(budgetPerGroup > 0, "budgetPerGroup must be positive")
+    groupedPrefixScan(
+      df.withColumn("__negq", -quality.cast("double"))
+        .withColumn("__tok", coalesce(tokens.cast("long"), lit(0L))),
+      groupCol, Seq(col("__negq"), col(idCol)), "__tok", "__cum")
+      .filter(col("__cum") < budgetPerGroup)
+      .drop("__negq", "__tok", "__cum")
+  }
+
+  /** Per-group EXCLUSIVE running sum of `tokCol` over the (group,
+    * sortCols) total order — the [[rankedScan]] two-job prefix scan
+    * generalized per group. Range-partition on (group, sortCols), collect
+    * per-(partition, group) sums — TUPLES, bounded by partitions + group
+    * boundary crossings, never rows — compute each group's partition
+    * offsets on the driver, then stream the cumsum in a final pass. A
+    * corpus-scale group spreads over many range partitions and still
+    * gets one exact global prefix; output membership and values depend
+    * only on the total order, never on where the boundaries fell. */
+  private def groupedPrefixScan(
+      df: DataFrame,
+      groupCol: String,
+      sortCols: Seq[Column],
+      tokCol: String,
+      cumCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
     val sorted = df
-      .withColumn("__negq", -quality.cast("double"))
-      .withColumn("__tok", coalesce(tokens.cast("long"), lit(0L)))
-      .repartitionByRange(col(groupCol), col("__negq"), col(idCol))
-      .sortWithinPartitions(col(groupCol), col("__negq"), col(idCol))
+      .repartitionByRange((col(groupCol) +: sortCols): _*)
+      .sortWithinPartitions((col(groupCol) +: sortCols): _*)
       .localCheckpoint(true)
     val gIdx = sorted.schema.fieldIndex(groupCol)
-    val tIdx = sorted.schema.fieldIndex("__tok")
-    // per-(partition, group) token mass, in partition order
+    val tIdx = sorted.schema.fieldIndex(tokCol)
     val partSums: Array[(Int, Seq[(Any, Long)])] = sorted.rdd
       .mapPartitionsWithIndex { (i, it) =>
         val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
         it.foreach { r => val g = r.get(gIdx); acc(g) = acc.getOrElse(g, 0L) + r.getLong(tIdx) }
         Iterator((i, acc.toSeq))
       }.collect().sortBy(_._1)
-    // exclusive offset of each (partition, group): that group's mass in
-    // all earlier partitions
     val running = scala.collection.mutable.HashMap.empty[Any, Long]
     val offsets: Map[(Int, Any), Long] = partSums.flatMap { case (i, gs) =>
       gs.map { case (g, s) =>
@@ -771,16 +800,16 @@ object Pipeline {
       }
     }.toMap
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    val budget = budgetPerGroup
-    val kept = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val schema = sorted.schema.add(cumCol, LongType)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
       val cums = scala.collection.mutable.HashMap.empty[Any, Long]
-      it.filter { r =>
+      it.map { r =>
         val g = r.get(gIdx)
         val cum = cums.getOrElse(g, bOffsets.value.getOrElse((i, g), 0L))
         cums(g) = cum + r.getLong(tIdx)
-        cum < budget
+        Row.fromSeq(r.toSeq :+ cum)
       }
     }
-    spark.createDataFrame(kept, sorted.schema).drop("__negq", "__tok")
+    spark.createDataFrame(rdd, schema)
   }
 }

@@ -574,18 +574,21 @@ object Catalog {
 
   private val q35 = QueryDef(
     "q35_top_bigrams_per_lang",
-    (s, dir) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("n").desc, col("bigram"))
+    (s, dir) =>
+      // top-5 via the bounded bottom_k aggregate — smallest (-n, bigram)
+      // IS (n desc, bigram asc), value-identical to the row_number window
+      // but map-side combined: a language's whole bigram vocabulary never
+      // sorts on one partition
       t(s, dir, "documents")
         .select(col("lang"), explode(shingle_strings(col("text"), 2)).as("bigram"))
         .groupBy(col("lang"), col("bigram"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("lang"), col("bigram"), col("n"), col("rnk"))
-        .orderBy(col("lang"), col("rnk"))
-    },
+        .groupBy(col("lang"))
+        .agg(bottom_k(struct((-col("n")).as("nn"), col("bigram").as("bigram")), 5).as("__b"))
+        .select(col("lang"), posexplode(col("__b")).as(Seq("__i", "__s")))
+        .select(col("lang"), col("__s.bigram").as("bigram"), (-col("__s.nn")).as("n"),
+          (col("__i") + 1).cast("int").as("rnk"))
+        .orderBy(col("lang"), col("rnk")),
     // distinct bigrams per doc (shingles are de-duplicated within a doc)
     Some("""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
       sh AS (SELECT doc_id, lang, CASE WHEN len(t) >= 2
