@@ -43,6 +43,28 @@ class TextScanSpec extends AnyFunSuite {
     assert(res.passed, s"property falsified: ${res.status}")
   }
 
+  test("BPE hostile inputs: empty/whitespace/unicode text, empty merge table") {
+    import graft.functions.{bpe_encode, BpeEncode}
+    import spark.implicits._
+    val merges = Seq(("a", "b"), ("ab", "</w>"))
+    val df = Seq((1L, ""), (2L, "   "), (3L, "ab"), (4L, "日本 語"), (5L, "a b"))
+      .toDF("id", "t")
+      .select(col("id"), bpe_encode(col("t"), merges).as("toks"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq.empty, "empty text -> no tokens")
+    assert(got(2L) == Seq.empty, "whitespace-only -> no tokens")
+    assert(got(3L) == Seq("ab</w>"), "both merges fire in rank order")
+    assert(got(4L) == Seq("日", "本", BpeEncode.Marker, "語", BpeEncode.Marker),
+      "unicode chars are symbols; no merges apply")
+    assert(got(5L) == Seq("a", BpeEncode.Marker, "b", BpeEncode.Marker),
+      "merge (a,b) never crosses a word boundary")
+    // zero merges = char-level tokenization, still lossless
+    val chars = Seq((1L, "xy")).toDF("id", "t")
+      .select(bpe_encode(col("t"), Seq.empty).as("toks"))
+      .head().getSeq[String](0)
+    assert(chars == Seq("x", "y", BpeEncode.Marker))
+  }
+
   test("bpe_encode expression == driver encodeWord over real documents") {
     import graft.functions.{bpe_encode, BpeEncode}
     val docs = Tables.load(spark, dir, "documents").limit(50)
