@@ -21,6 +21,12 @@ object Similarity {
     * collects it for the probe set). Enforced so a misuse at 100 TB fails
     * loudly with the contract named instead of OOMing the driver. */
   private[graft] val MaxQueryBatch = 100000
+
+  /** The multi-probe EXPANSION (tables × 2^probeBits rows per query) is
+    * broadcast to the corpus side only while it stays this small; a larger
+    * probe set falls back to a shuffle join on (table, bucket) — still
+    * skinny longs, just exchanged instead of replicated to every task. */
+  private[graft] val MaxBroadcastProbeRows = 4L * 1000 * 1000
   private def boundedQueryBatch(queries: DataFrame, op: String): Unit = {
     val n = queries.limit(MaxQueryBatch + 1).count()
     require(n <= MaxQueryBatch,
@@ -223,50 +229,57 @@ object Similarity {
       s"lshTopK: query batch has > $MaxQueryBatch rows — the contract is " +
         "a broadcast-sized query batch; chunk the queries or use a " +
         "corpus-level pair operator (cosinePairsBlocked/semanticDedupPairs)")
-    def dotPlane(v: Seq[Double], globalPlane: Int): Double = {
-      val h = planeComponent(globalPlane, dim)
-      var s = 0.0; var i = 0; val n = math.min(v.length, h.length)
-      while (i < n) { s += v(i) * h(i); i += 1 }
-      s
-    }
+    val thresholds: Seq[Double] =
+      (0 until tables * planes).map(planeThreshold)
     // per (query, table): own bucket XOR every subset of the probeBits
     // lowest-|margin| plane bits — the buckets a true neighbor most
-    // plausibly fell into (query-directed multi-probe)
-    val probeRows: Seq[(Long, Int, Long)] = qRows.toSeq.flatMap { case (id, v) =>
-      (0 until tables).flatMap { t =>
-        val dots = Array.tabulate(planes)(p =>
-          dotPlane(v, t * planes + p) - planeThreshold(t * planes + p))
-        var bucket = 0L
-        var p = 0
-        while (p < planes) { if (dots(p) >= 0) bucket |= (1L << p); p += 1 }
-        val lowPlanes = dots.zipWithIndex
-          .map { case (d, pp) => (math.abs(d), pp) }.sorted
-          .take(probeBits).map(_._2)
-        (0 until (1 << probeBits)).map { s =>
-          var mask = 0L
-          var j = 0
-          while (j < probeBits) {
-            if (((s >> j) & 1) == 1) mask ^= (1L << lowPlanes(j))
-            j += 1
+    // plausibly fell into (query-directed multi-probe). The EXPANSION is
+    // tables·2^probeBits rows per query — ~10^8 at the full batch bound —
+    // so it runs on EXECUTORS (parallelize the raw batch, flatMap the
+    // probe math); the driver never holds the expanded set. The dot folds
+    // are sequential index-order (the SeqDot contract), bit-identical to
+    // the previous driver-side formulation.
+    val probeMult = tables.toLong << probeBits
+    val probeRowCount = qRows.length * probeMult
+    val thrArr = thresholds.toArray
+    val (pl, tb, pb, dm) = (planes, tables, probeBits, dim)
+    val probeSlices = math.max(1, math.min(512, (probeRowCount / 500000L).toInt + 1))
+    val qProbe = spark.sparkContext
+      .parallelize(qRows.toSeq, probeSlices)
+      .flatMap { case (id, v) =>
+        (0 until tb).iterator.flatMap { t =>
+          val dots = Array.tabulate(pl) { p =>
+            val g = t * pl + p
+            val h = graft.functions.LshBuckets.planeComponent(g, dm)
+            var s = 0.0; var i = 0; val n = math.min(v.length, h.length)
+            while (i < n) { s += v(i) * h(i); i += 1 }
+            s - thrArr(g)
           }
-          (id, t, bucket ^ mask)
+          var bucket = 0L
+          var p = 0
+          while (p < pl) { if (dots(p) >= 0) bucket |= (1L << p); p += 1 }
+          val lowPlanes = dots.zipWithIndex
+            .map { case (d, pp) => (math.abs(d), pp) }.sorted
+            .take(pb).map(_._2)
+          (0 until (1 << pb)).iterator.map { s =>
+            var mask = 0L
+            var j = 0
+            while (j < pb) {
+              if (((s >> j) & 1) == 1) mask ^= (1L << lowPlanes(j))
+              j += 1
+            }
+            (id, t, bucket ^ mask)
+          }
         }
-      }
-    }
+      }.toDF("query_id", "t", "bucket")
     val q = qRows.toSeq.toDF(queryId, queryVec)
       .select(col(queryId).cast("long").as("query_id"),
         vec_double(col(queryVec)).as("qv"))
       .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))
-    // probe rows are SKINNY — (query_id, t, bucket) longs, no vectors — so
-    // the broadcast stays tiny at any query-batch size and the probe join
-    // output is candidate id pairs, nothing more
-    val qProbe = probeRows.toDF("query_id", "t", "bucket")
     // tables*planes projections per corpus vector are real compute — widen
     // first so they use every core, not the scan's few input splits (no-op
     // on genuinely wide sources). All buckets come from ONE codegen'd
     // LshBuckets pass (per-dot expressions OOM'd codegen past ~500 planes).
-    val thresholds: Seq[Double] =
-      (0 until tables * planes).map(planeThreshold)
     val c = graft.core.GraftSession.widen(corpus)
       .select(col(corpusId).cast("long").as("neighbor_id"),
         vec_double(col(corpusVec)).as("cv"))
@@ -277,8 +290,14 @@ object Similarity {
     // candidate-then-fetch (the same shape the jaccard verifier uses):
     // dedup the multi-table collisions down to id pairs first, then
     // re-attach vectors once per surviving pair — query vectors by
-    // broadcast, corpus vectors in the single scoring join
-    val cand = broadcast(qProbe).join(cb, Seq("t", "bucket"))
+    // broadcast, corpus vectors in the single scoring join. The probe set
+    // is skinny (three longs/row) but its COUNT scales as
+    // queries·tables·2^probeBits; broadcast only while it fits
+    // [[MaxBroadcastProbeRows]], else a shuffle join on (t, bucket) —
+    // same candidates, exchanged instead of replicated to every task.
+    val probeSide =
+      if (probeRowCount <= MaxBroadcastProbeRows) broadcast(qProbe) else qProbe
+    val cand = probeSide.join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
     (q, c, cand)
