@@ -76,6 +76,12 @@ object IvfNearestLists {
         if (!used(k) && dots(k) > bd) { bd = dots(k); bj = k }
         k += 1
       }
+      // all-NaN dots (NaN input vector) never satisfy `>`: degrade to the
+      // first unused list instead of crashing the task on used(-1)
+      if (bj < 0) {
+        var k2 = 0
+        while (k2 < nlist && bj < 0) { if (!used(k2)) bj = k2; k2 += 1 }
+      }
       used(bj) = true
       out(t) = bj
       t += 1

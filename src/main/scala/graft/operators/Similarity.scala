@@ -524,21 +524,60 @@ object Similarity {
     * only — and appended to their `bucket=N` list partitions. Probes see
     * old and new vectors uniformly; the codebook drifts from the corpus
     * distribution only as far as the corpus itself drifts (rebuild on a
-    * cadence, serve appends in between — standard IVF operations). */
+    * cadence, serve appends in between — standard IVF operations).
+    *
+    * The delta is written to a hidden staging dir and its files MOVED into
+    * the `bucket=N` list partitions (rename, not rewrite), each prefixed
+    * by `batchId`: a concurrent reader never lists a half-written parquet
+    * file, and a failed/re-run append first deletes its own batch's files
+    * so retries never duplicate delta vectors. Pass a stable `batchId`
+    * (e.g. the ingest date) to get that retry idempotence; the default
+    * random id is safe for single-shot use. */
   def appendToIvfIndex(
       delta: DataFrame,
       path: String,
       corpusId: String,
-      corpusVec: String): Unit = {
+      corpusVec: String,
+      batchId: String = java.util.UUID.randomUUID().toString): Unit = {
     val spark = delta.sparkSession
+    require(batchId.matches("[A-Za-z0-9._-]+"),
+      s"appendToIvfIndex: batchId must be a plain file-name token, got '$batchId'")
     val replicate = spark.read.parquet(s"$path/meta")
       .select(col("replicate")).head().getInt(0)
     val codebook: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
       .orderBy(col("j")).collect()
       .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val stage = s"$path/.delta-$batchId.stage"
     corpusLists(normalizedCorpus(delta, corpusId, corpusVec), codebook, replicate)
       .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/lists")
+      .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    import org.apache.hadoop.fs.Path
+    val lists = new Path(s"$path/lists")
+    val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"delta-$batchId-"
+    // retry idempotence: a re-run removes exactly its own prior files
+    fs.listStatus(lists).filter(_.isDirectory).foreach { b =>
+      fs.listStatus(b.getPath)
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    fs.listStatus(new Path(stage))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .foreach { b =>
+        val dest = new Path(lists, b.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(b.getPath)
+          .filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .foreach { f =>
+            val moved =
+              fs.rename(f.getPath, new Path(dest, prefix + f.getPath.getName))
+            require(moved, s"appendToIvfIndex: rename failed for ${f.getPath}")
+          }
+      }
+    fs.delete(new Path(stage), true): Unit
   }
 
   /** Serve approximate top-k from a persisted [[buildIvfIndex]] index.

@@ -214,6 +214,14 @@ object MemHub {
           val cond = """(?i)time\s*(>=|<=|>|<)\s*(\d+)ms""".r
           val ms = cond.findAllMatchIn(w).toSeq
           require(ms.nonEmpty, s"unsupported InfluxQL WHERE clause: $w")
+          // reject like a real server, not just "find the time bounds":
+          // after removing the time conditions only AND connectors may
+          // remain, else a non-time predicate would be silently dropped
+          // (returning EXTRA rows for e.g. `type='a' AND time >= 5ms`)
+          val residual = cond.replaceAllIn(w, " ")
+            .replaceAll("(?i)\\bAND\\b", " ").trim
+          require(residual.isEmpty,
+            s"unsupported InfluxQL WHERE clause (non-time predicate): $w")
           ms.foreach { c =>
             val v = c.group(2).toLong
             c.group(1) match {

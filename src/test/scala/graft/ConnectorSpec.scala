@@ -78,6 +78,26 @@ class ConnectorSpec extends AnyFunSuite {
     assert(rows.head.time.getTime == 1000L)
   }
 
+  test("influxQuery passthrough rejects non-time predicates (real-server contract)") {
+    val uri = "hub:test/influx-reject"
+    MemHub.writePoints(uri, "cpu", Iterator(
+      (1000L, Map("type" -> "a"), Map("load" -> 0.5)),
+      (2000L, Map("type" -> "b"), Map("load" -> 0.9))))
+    // pure time-range WHERE still works
+    assert(MemHub.influxQuery(uri,
+      "SELECT * FROM cpu WHERE time >= 1500ms AND time <= 3000ms").size == 1)
+    // a non-time predicate must be rejected, never silently dropped
+    // (dropping it would return EXTRA rows vs what a real server computes)
+    val e = intercept[IllegalArgumentException] {
+      MemHub.influxQuery(uri,
+        "SELECT * FROM cpu WHERE type = 'a' AND time >= 500ms")
+    }
+    assert(e.getMessage.contains("non-time predicate"))
+    intercept[IllegalArgumentException] {
+      MemHub.influxQuery(uri, "SELECT * FROM cpu WHERE time >= 500ms OR time <= 100ms")
+    }: Unit
+  }
+
   test("DSv2 batch write: two-phase staging commit, no stage leakage") {
     val uri = "hub:test/dsv2-write"
     spark.range(0, 1000)

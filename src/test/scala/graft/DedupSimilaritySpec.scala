@@ -434,6 +434,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     rm(path); rm(path2)
   }
 
+  test("appendToIvfIndex: retries are idempotent, staging never leaks to readers") {
+    def rm(p: String): Unit = {
+      def go(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(go)); f.delete(): Unit
+      }
+      go(new java.io.File(p))
+    }
+    val emb = Tables.load(spark, dir, "embeddings")
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-retry-spec"
+    rm(path)
+    Similarity.buildIvfIndex(even, path, "vec_id", "embedding")
+    // a re-run with the SAME batchId replaces its own files — no duplicates
+    Similarity.appendToIvfIndex(odd, path, "vec_id", "embedding", batchId = "b1")
+    Similarity.appendToIvfIndex(odd, path, "vec_id", "embedding", batchId = "b1")
+    assert(spark.read.parquet(s"$path/lists").count() == emb.count(),
+      "same-batchId retry must not duplicate delta vectors")
+    // no staging residue: readers of $path/lists never see stage dirs
+    val residue = Option(new java.io.File(path).listFiles()).get
+      .map(_.getName).filter(_.contains(".stage"))
+    assert(residue.isEmpty, s"staging residue left behind: ${residue.toSeq}")
+    // a DIFFERENT batchId is a new delta (appends again)
+    Similarity.appendToIvfIndex(odd, path, "vec_id", "embedding", batchId = "b2")
+    assert(spark.read.parquet(s"$path/lists").count() ==
+      even.count() + 2 * odd.count())
+    rm(path)
+  }
+
+  test("IvfNearestLists: NaN vector degrades to a valid list set, no crash") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val nlist = 4; val dim = 3
+    val mat = Array.tabulate(nlist * dim)(i => (i % 7).toDouble / 7.0)
+    val nanVec = ArrayData.toArrayData(Array(Double.NaN, 1.0, 2.0))
+    val out = graft.functions.IvfNearestLists
+      .compute(nanVec, mat, nlist, dim, take = 2)
+    val lists = out.toIntArray().toSeq
+    assert(lists.length == 2 && lists.distinct.length == 2 &&
+      lists.forall(j => j >= 0 && j < nlist),
+      s"NaN vector must yield `take` distinct valid lists, got $lists")
+  }
+
   test("prototypeSimilarityMatrix: string labels keep their type and order") {
     import spark.implicits._
     val vecs = Seq(
