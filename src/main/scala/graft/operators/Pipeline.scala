@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** [[groupedPrefixScan]] collects one (partition, group, sum) tuple per
+    * group-in-partition to the driver: bounded for corpus-scale groups
+    * (languages, splits, shards — the selectToBudget/packSequences
+    * contract), unbounded for per-entity keys. Enforced loudly up front
+    * so group=user_id at 100 TB fails with the contract named instead of
+    * OOMing the driver on the collect. */
+  private[graft] val MaxPrefixScanGroups = 1000000L
+
   /** Remove training rows whose `textCol` content also appears in `test`
     * (eval-set decontamination). The join key is md5 of the raw bytes: a
     * fixed-width key instead of shuffling document bodies, and a LEFT ANTI
@@ -258,7 +266,11 @@ object Pipeline {
     * function of (group, id order, token counts) so it replays
     * identically at any parallelism; the cumsum is the per-group
     * distributed prefix scan ([[groupedPrefixScan]]), so a corpus-scale
-    * group never lands on one partition. */
+    * group never lands on one partition.
+    *
+    * CONTRACT: `groupCol` must be corpus-scale (at most
+    * [[MaxPrefixScanGroups]] distinct values, enforced loudly) and
+    * `idCol` unique within a group — see [[selectToBudget]]. */
   def packSequences(
       df: DataFrame,
       idCol: String,
@@ -334,12 +346,15 @@ object Pipeline {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
+    // persist, not localCheckpoint: keeps lineage so a lost executor
+    // recomputes from the range-shuffle output (see groupedPrefixScan)
     val sorted = df
       .repartitionByRange(sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-      .localCheckpoint(true)
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vIdx = sorted.schema.fieldIndex(valueCol)
-    val stats = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val stats = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var n = 0L; var s = 0L
       it.foreach { r => n += 1L; s += r.getLong(vIdx) }
       Iterator((i, n, s))
@@ -347,7 +362,7 @@ object Pipeline {
     val rankOff = stats.scanLeft(0L) { case (acc, (_, n, _)) => acc + n }
     val cumOff = stats.scanLeft(0L) { case (acc, (_, _, s)) => acc + s }
     val schema = sorted.schema.add("__rank", LongType).add("__cum", LongType)
-    val out = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val out = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var r = rankOff(i); var c = cumOff(i)
       it.map { row =>
         val nr = Row.fromSeq(row.toSeq :+ r :+ c)
@@ -744,7 +759,12 @@ object Pipeline {
     * boundary crossings, never rows — compute each group's partition
     * offsets on the driver, and stream the exclusive cumsum per
     * partition. A hot group spreads over many range partitions and
-    * still gets one global greedy prefix. */
+    * still gets one global greedy prefix.
+    *
+    * CONTRACT: `groupCol` must be corpus-scale (languages, domains,
+    * splits — at most [[MaxPrefixScanGroups]] distinct values, enforced
+    * loudly); `idCol` must be unique within a group (makes the order
+    * total, so recompute after executor loss is bit-identical). */
   def selectToBudget(
       df: DataFrame,
       groupCol: String,
@@ -779,13 +799,34 @@ object Pipeline {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
+    // LOUD cardinality contract (the Similarity.MaxQueryBatch pattern):
+    // the per-(partition, group) offsets map is driver-collected and
+    // broadcast — bounded for corpus-scale groups (languages, splits,
+    // shard labels), NOT for group=user_id at 100 TB. One column-pruned
+    // map-side-combined HLL pass, cheap next to the sort that follows,
+    // fails with the contract named instead of OOMing the driver.
+    val approxGroups =
+      df.agg(approx_count_distinct(col(groupCol), 0.2)).head().getLong(0)
+    require(approxGroups <= MaxPrefixScanGroups,
+      s"groupedPrefixScan: ~$approxGroups distinct '$groupCol' groups exceed " +
+        s"$MaxPrefixScanGroups — the contract is corpus-scale groups " +
+        "(languages, splits, shards), whose per-partition offset tuples fit " +
+        "the driver; for per-entity keys use a window over the bounded key " +
+        "group instead")
+    // Materialized ONCE so both passes see identical partitions, via
+    // persist — NOT localCheckpoint: lineage survives, so a lost executor
+    // recomputes its partitions from the range-shuffle output (callers
+    // pass a unique id in sortCols, making the order total and the
+    // recompute bit-identical). GC-managed RDD cache, no CacheManager
+    // entry to leak across a long session.
     val sorted = df
       .repartitionByRange((col(groupCol) +: sortCols): _*)
       .sortWithinPartitions((col(groupCol) +: sortCols): _*)
-      .localCheckpoint(true)
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gIdx = sorted.schema.fieldIndex(groupCol)
     val tIdx = sorted.schema.fieldIndex(tokCol)
-    val partSums: Array[(Int, Seq[(Any, Long)])] = sorted.rdd
+    val partSums: Array[(Int, Seq[(Any, Long)])] = sortedRdd
       .mapPartitionsWithIndex { (i, it) =>
         val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
         it.foreach { r => val g = r.get(gIdx); acc(g) = acc.getOrElse(g, 0L) + r.getLong(tIdx) }
@@ -801,7 +842,7 @@ object Pipeline {
     }.toMap
     val bOffsets = spark.sparkContext.broadcast(offsets)
     val schema = sorted.schema.add(cumCol, LongType)
-    val rdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val rdd = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       val cums = scala.collection.mutable.HashMap.empty[Any, Long]
       it.map { r =>
         val g = r.get(gIdx)

@@ -46,6 +46,21 @@ class CurationReportSpec extends AnyFunSuite {
     assert(out(4L) == ("", 0), "exact re-use of earlier segments empties out")
   }
 
+  test("selectToBudget: high-cardinality group column trips the loud contract") {
+    import spark.implicits._
+    // ~1.3M distinct groups (group == id): the per-entity-key misuse the
+    // contract exists for — must fail with the contract named, BEFORE the
+    // sort/collect that would OOM the driver at scale
+    val perEntity = spark.range(0, 1300000)
+      .select(col("id").cast("string").as("g"), col("id"),
+        lit(1.0).as("q"), lit(10L).as("tok"))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.selectToBudget(perEntity, "g", "id", col("q"), col("tok"), 100L)
+    }
+    assert(e.getMessage.contains("MaxPrefixScanGroups") ||
+      e.getMessage.contains("distinct 'g' groups"))
+  }
+
   test("property: selectToBudget == reference greedy prefix over random inputs") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters}
