@@ -1,0 +1,46 @@
+/* Minimal binary-compatible Kafka Connect API declaration — see ConnectorContext.java. */
+package org.apache.kafka.connect.data;
+
+import java.util.Objects;
+
+public class Field {
+    private final String name;
+    private final int index;
+    private final Schema schema;
+
+    public Field(String name, int index, Schema schema) {
+        this.name = name;
+        this.index = index;
+        this.schema = schema;
+    }
+
+    public String name() {
+        return name;
+    }
+
+    public int index() {
+        return index;
+    }
+
+    public Schema schema() {
+        return schema;
+    }
+
+    @Override
+    public boolean equals(Object o) {
+        if (this == o) return true;
+        if (!(o instanceof Field)) return false;
+        Field f = (Field) o;
+        return index == f.index && Objects.equals(name, f.name) && Objects.equals(schema, f.schema);
+    }
+
+    @Override
+    public int hashCode() {
+        return Objects.hash(name, index, schema);
+    }
+
+    @Override
+    public String toString() {
+        return "Field{name=" + name + ", index=" + index + ", schema=" + schema + "}";
+    }
+}

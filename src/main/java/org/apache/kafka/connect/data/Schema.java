@@ -1,0 +1,65 @@
+/* Minimal binary-compatible Kafka Connect API declaration — see ConnectorContext.java. */
+package org.apache.kafka.connect.data;
+
+import java.util.List;
+import java.util.Locale;
+
+public interface Schema {
+
+    enum Type {
+        INT8, INT16, INT32, INT64, FLOAT32, FLOAT64, BOOLEAN, STRING, BYTES, ARRAY, MAP, STRUCT;
+
+        public String getName() {
+            return name().toLowerCase(Locale.ROOT);
+        }
+
+        public boolean isPrimitive() {
+            return this != ARRAY && this != MAP && this != STRUCT;
+        }
+    }
+
+    Schema INT8_SCHEMA = SchemaBuilder.int8().build();
+    Schema INT16_SCHEMA = SchemaBuilder.int16().build();
+    Schema INT32_SCHEMA = SchemaBuilder.int32().build();
+    Schema INT64_SCHEMA = SchemaBuilder.int64().build();
+    Schema FLOAT32_SCHEMA = SchemaBuilder.float32().build();
+    Schema FLOAT64_SCHEMA = SchemaBuilder.float64().build();
+    Schema BOOLEAN_SCHEMA = SchemaBuilder.bool().build();
+    Schema STRING_SCHEMA = SchemaBuilder.string().build();
+    Schema BYTES_SCHEMA = SchemaBuilder.bytes().build();
+
+    Schema OPTIONAL_INT8_SCHEMA = SchemaBuilder.int8().optional().build();
+    Schema OPTIONAL_INT16_SCHEMA = SchemaBuilder.int16().optional().build();
+    Schema OPTIONAL_INT32_SCHEMA = SchemaBuilder.int32().optional().build();
+    Schema OPTIONAL_INT64_SCHEMA = SchemaBuilder.int64().optional().build();
+    Schema OPTIONAL_FLOAT32_SCHEMA = SchemaBuilder.float32().optional().build();
+    Schema OPTIONAL_FLOAT64_SCHEMA = SchemaBuilder.float64().optional().build();
+    Schema OPTIONAL_BOOLEAN_SCHEMA = SchemaBuilder.bool().optional().build();
+    Schema OPTIONAL_STRING_SCHEMA = SchemaBuilder.string().optional().build();
+    Schema OPTIONAL_BYTES_SCHEMA = SchemaBuilder.bytes().optional().build();
+
+    Type type();
+
+    boolean isOptional();
+
+    Object defaultValue();
+
+    String name();
+
+    Integer version();
+
+    String doc();
+
+    /** Element schema for ARRAY, value schema for MAP; null otherwise. */
+    Schema valueSchema();
+
+    /** Key schema for MAP; null otherwise. */
+    Schema keySchema();
+
+    /** Fields for STRUCT; throws for other types. */
+    List<Field> fields();
+
+    Field field(String fieldName);
+
+    Schema schema();
+}

@@ -383,6 +383,29 @@ object ConnectorQueries {
     },
     Some("SELECT COUNT(*) AS n, CAST(SUM(i) AS BIGINT) AS i_sum FROM range(0, 1000) t(i)"))
 
+  /** S9 with the REAL Connect API: a genuine `SourceConnector` hosted by
+    * class name (reflection, the reference's loading path), values carried
+    * with their Connect `Schema` and decoded to typed Spark columns via the
+    * Schema→StructType converter. The DISTINCT guards exactly-once across
+    * the crash/restore replay the spec exercises on the same hub. */
+  private val srcConnectApi = QueryDef(
+    "src_kafka_connect_api",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_connect_api"
+      seedOnce(uri) {
+        graft.sources.connect.KafkaConnectHost.run(uri,
+          Map("connector.class" -> classOf[graft.sources.connect.SeqSourceConnector].getName,
+            "name" -> "seq", "n" -> "1000"))
+      }
+      graft.sources.connect.KafkaConnectHost.readTyped(s, uri, Seq("p[src=seq]"),
+          graft.sources.connect.ConnectSchemas.toStructType(
+            graft.sources.connect.SeqSourceTask.ValueSchema))
+        .distinct()
+        .orderBy(col("i"))
+    },
+    Some("""SELECT i, i * i AS sq, 'v' || CAST(i % 7 AS VARCHAR) AS lab
+      FROM range(0, 1000) t(i) ORDER BY i"""))
+
   // -------------------------------------------------------------------- sinks
 
   private val snkRedisHash = QueryDef(
@@ -570,7 +593,7 @@ object ConnectorQueries {
   val all: Seq[QueryDef] = Seq(
     srcRedisHash, srcRedisBinary, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN,
     srcMongoCdc, srcInflux, srcInfluxQL, srcMqtt, srcPulsar, srcPulsarConsumer, srcHttp,
-    srcTwitter, srcTwitterSearch, srcConnect,
+    srcTwitter, srcTwitterSearch, srcConnect, srcConnectApi,
     snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkRedisXadd,
     snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs)
 }

@@ -158,7 +158,11 @@ object GraftSources {
 
 /** S9 hosting trick (KafkaConnectSources.java:59-83): instantiate a
   * third-party source task by class name inside the engine and pump its
-  * records into partitioned logs keyed by sourcePartition. */
+  * records into partitioned logs keyed by sourcePartition. This trait is
+  * the NO-DEPENDENCY path; the real Connect API surface — genuine
+  * `SourceConnector`/`SourceTask` classes, `OffsetStorageReader` restore,
+  * Connect `Schema` → `StructType` typed decoding — is hosted by
+  * [[graft.sources.connect.KafkaConnectHost]]. */
 trait SourceTaskLike {
   def start(props: Map[String, String]): Unit
   /** (sourcePartition, timestampMs, valueJson); one poll = one batch. */

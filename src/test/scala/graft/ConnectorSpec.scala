@@ -78,6 +78,84 @@ class ConnectorSpec extends AnyFunSuite {
     assert(rows.head.time.getTime == 1000L)
   }
 
+  test("real Connect API: crash mid-stream, offset restore resumes exactly-once") {
+    import graft.sources.connect.{ConnectSchemas, KafkaConnectHost, SeqSourceConnector, SeqSourceTask}
+    val uri = "hub:test/connect-api-restore"
+    val props = Map(
+      "connector.class" -> classOf[SeqSourceConnector].getName,
+      "name" -> "seq", "n" -> "1000")
+    // crash after 400 records — the host returns its snapshot (the
+    // reference's createSnapshotFn: sourcePartition -> sourceOffset)
+    val (_, _, snap) = KafkaConnectHost.run(uri, props, maxRecords = 400)
+    assert(snap.offsets.nonEmpty)
+    assert(snap.offsets(Map("src" -> "seq"))("pos") == 399L)
+    // restart with the snapshot restored: the task consults the
+    // OffsetStorageReader and resumes AFTER pos=399 — no replay, no gap
+    val (parts, vt, snap2) = KafkaConnectHost.run(uri, props, restored = snap.offsets)
+    assert(snap2.offsets(Map("src" -> "seq"))("pos") == 999L)
+    val df = KafkaConnectHost.readTyped(spark, uri, parts,
+      ConnectSchemas.toStructType(SeqSourceTask.ValueSchema))
+    // typed columns straight from the connector's Connect Schema
+    // (from_json forces nullable, so compare names and types)
+    assert(df.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("i", LongType), ("sq", LongType), ("lab", StringType)))
+    // exactly-once: 1000 distinct rows, sums match the closed form
+    val agg = df.agg(count(lit(1)), countDistinct(col("i")), sum(col("i"))).head()
+    assert(agg.getLong(0) == 1000L && agg.getLong(1) == 1000L)
+    assert(agg.getLong(2) == 999L * 1000L / 2)
+  }
+
+  test("Connect Schema -> StructType: full type matrix round-trips typed") {
+    import org.apache.kafka.connect.data.{Schema => KSchema, SchemaBuilder, Struct}
+    import graft.sources.connect.ConnectSchemas
+    val inner = SchemaBuilder.struct().field("s", KSchema.STRING_SCHEMA).build()
+    val schema = SchemaBuilder.struct()
+      .field("i8", KSchema.INT8_SCHEMA)
+      .field("i16", KSchema.INT16_SCHEMA)
+      .field("i32", KSchema.INT32_SCHEMA)
+      .field("i64", KSchema.INT64_SCHEMA)
+      .field("f32", KSchema.FLOAT32_SCHEMA)
+      .field("f64", KSchema.FLOAT64_SCHEMA)
+      .field("b", KSchema.BOOLEAN_SCHEMA)
+      .field("str", KSchema.OPTIONAL_STRING_SCHEMA)
+      .field("bin", KSchema.BYTES_SCHEMA)
+      .field("arr", SchemaBuilder.array(KSchema.INT32_SCHEMA).build())
+      .field("m", SchemaBuilder.map(KSchema.STRING_SCHEMA, KSchema.INT64_SCHEMA).build())
+      .field("nest", inner)
+      .build()
+    val st = ConnectSchemas.toStructType(schema)
+    assert(st("i8").dataType == ByteType && st("i16").dataType == ShortType)
+    assert(st("i32").dataType == IntegerType && st("i64").dataType == LongType)
+    assert(st("f32").dataType == FloatType && st("f64").dataType == DoubleType)
+    assert(st("b").dataType == BooleanType && st("bin").dataType == BinaryType)
+    assert(st("str").nullable && !st("i8").nullable)
+    assert(st("arr").dataType == ArrayType(IntegerType, containsNull = false))
+    assert(st("m").dataType == MapType(StringType, LongType, valueContainsNull = false))
+    assert(st("nest").dataType.isInstanceOf[StructType])
+    val v = new Struct(schema)
+      .put("i8", java.lang.Byte.valueOf(7.toByte))
+      .put("i16", java.lang.Short.valueOf(300.toShort))
+      .put("i32", java.lang.Integer.valueOf(70000))
+      .put("i64", java.lang.Long.valueOf(1L << 40))
+      .put("f32", java.lang.Float.valueOf(1.5f))
+      .put("f64", java.lang.Double.valueOf(2.25))
+      .put("b", java.lang.Boolean.TRUE)
+      .put("str", "he said \"hi\"\n")
+      .put("bin", Array[Byte](1, 2, 3))
+      .put("arr", java.util.Arrays.asList(1, 2, 3))
+      .put("m", java.util.Collections.singletonMap("k", java.lang.Long.valueOf(9L)))
+      .put("nest", new Struct(inner).put("s", "x"))
+    val json = ConnectSchemas.toJson(schema, v)
+    val row = spark.read.schema(st).json(Seq(json).toDS()).head()
+    assert(row.getByte(0) == 7 && row.getShort(1) == 300 && row.getInt(2) == 70000)
+    assert(row.getLong(3) == (1L << 40) && row.getFloat(4) == 1.5f && row.getDouble(5) == 2.25)
+    assert(row.getBoolean(6) && row.getString(7) == "he said \"hi\"\n")
+    assert(row.getAs[Array[Byte]](8).toSeq == Seq[Byte](1, 2, 3))
+    assert(row.getSeq[Int](9) == Seq(1, 2, 3))
+    assert(row.getMap[String, Long](10) == Map("k" -> 9L))
+    assert(row.getStruct(11).getString(0) == "x")
+  }
+
   test("influxQuery passthrough rejects non-time predicates (real-server contract)") {
     val uri = "hub:test/influx-reject"
     MemHub.writePoints(uri, "cpu", Iterator(
