@@ -70,11 +70,13 @@ object GraftSinks {
     *    the epoch-idempotent pairing), so lost acks can't duplicate.
     * Cols: topic, payload(binary). */
   def mqttPublish(df: DataFrame, uri: String, maxAttempts: Int = 3,
-      qos: Int = 1, auth: Option[(String, String)] = None): Unit = {
+      qos: Int = 1, auth: Option[(String, String)] = None,
+      tls: Option[graft.sources.hub.TlsGate.ClientTls] = None): Unit = {
     require(qos >= 0 && qos <= 2, s"qos must be 0, 1 or 2 (got $qos)")
     // secured-broker connect check, driver-side fail-fast (the reference
     // fails the job at connect, not per message)
     MemHub.checkTopicAuth(uri, auth)
+    MemHub.checkTopicTls(uri, tls)
     // packet-id scope: unique per sink CALL (driver-minted), stable across
     // in-task retries and task re-executions of that call — so QoS2 dedup
     // never swallows a later, legitimate publish of the same rows

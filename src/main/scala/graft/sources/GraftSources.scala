@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.sources.hub.MemHub
+import graft.sources.hub.{MemHub, TlsGate}
 
 /** User-facing source surface, one method per reference operator
   * (SURVEY.md §2.1). Batch methods return a `DataFrame`; `*Stream` methods
@@ -93,18 +93,26 @@ object GraftSources {
 
   private def topic(spark: SparkSession, profile: String, uri: String,
       topics: Seq[String], streaming: Boolean, ackAs: Option[String] = None,
-      auth: Option[(String, String)] = None): DataFrame = {
+      auth: Option[(String, String)] = None,
+      tls: Option[TlsGate.ClientTls] = None): DataFrame = {
+    def withCommon(set: (String, String) => Unit): Unit = {
+      ackAs.foreach(a => set("ackAs", a))
+      auth.foreach { case (u, p) => set("user", u); set("password", p) }
+      tls.foreach { t =>
+        t.keystore.foreach(set("sslKeystore", _))
+        t.truststore.foreach(set("sslTruststore", _))
+        set("sslPassword", t.password)
+      }
+    }
     if (streaming) {
       var r = spark.readStream.format("graft-topic").option("profile", profile)
         .option("uri", uri).option("topics", topics.mkString(","))
-      ackAs.foreach(a => r = r.option("ackAs", a))
-      auth.foreach { case (u, p) => r = r.option("user", u).option("password", p) }
+      withCommon((k, v) => r = r.option(k, v))
       r.load()
     } else {
       var r = spark.read.format("graft-topic").option("profile", profile)
         .option("uri", uri).option("topics", topics.mkString(","))
-      ackAs.foreach(a => r = r.option("ackAs", a))
-      auth.foreach { case (u, p) => r = r.option("user", u).option("password", p) }
+      withCommon((k, v) => r = r.option(k, v))
       r.load()
     }
   }
@@ -114,11 +122,13 @@ object GraftSources {
     * (SecuredMqttSourceTest: missing/wrong credentials fail at job start
     * with "Not authorized to connect"). */
   def mqttBatch(spark: SparkSession, uri: String, topics: Seq[String],
-      auth: Option[(String, String)] = None): DataFrame =
-    topic(spark, "mqtt", uri, topics, streaming = false, auth = auth)
+      auth: Option[(String, String)] = None,
+      tls: Option[TlsGate.ClientTls] = None): DataFrame =
+    topic(spark, "mqtt", uri, topics, streaming = false, auth = auth, tls = tls)
   def mqtt(spark: SparkSession, uri: String, topics: Seq[String],
-      auth: Option[(String, String)] = None): DataFrame =
-    topic(spark, "mqtt", uri, topics, streaming = true, auth = auth)
+      auth: Option[(String, String)] = None,
+      tls: Option[TlsGate.ClientTls] = None): DataFrame =
+    topic(spark, "mqtt", uri, topics, streaming = true, auth = auth, tls = tls)
 
   /** S11 — Pulsar shared-subscription consumer; acks land after epoch commit. */
   def pulsarConsumer(spark: SparkSession, uri: String, topics: Seq[String],

@@ -273,6 +273,25 @@ object MemHub {
         throw new SecurityException(s"Not authorized to connect: $uri")
     }
 
+  /** TLS-secured namespaces (the `ssl://` broker URL — the reference's
+    * TLS Mosquitto container). A registered namespace demands a real JSSE
+    * handshake from every connect; see [[TlsGate]]. */
+  private val topicTls =
+    new ConcurrentHashMap[String, graft.sources.http.HttpEndpoint.TlsConfig]()
+  def secureTlsTopics(uri: String,
+      server: graft.sources.http.HttpEndpoint.TlsConfig): Unit =
+    topicTls.put(uri, server): Unit
+  /** Connect-time TLS gate: no client TLS against an ssl:// namespace is
+    * the tcp://-against-ssl-port failure; otherwise the full handshake
+    * runs and throws its genuine `SSLHandshakeException` on an untrusted
+    * broker cert or a missing client cert under mutual auth. */
+  def checkTopicTls(uri: String, client: Option[TlsGate.ClientTls]): Unit =
+    Option(topicTls.get(uri)).foreach { server =>
+      val c = client.getOrElse(throw new javax.net.ssl.SSLException(
+        s"broker at $uri requires TLS (ssl://) but the client connected without it"))
+      TlsGate.handshake(server, c)
+    }
+
   private def append(uri: String, topic: String,
       msgs: Iterator[(String, Map[String, String], Long, Array[Byte])]): Unit = {
     val b = buf(topics, s"$uri/$topic")

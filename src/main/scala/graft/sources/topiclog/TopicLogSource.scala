@@ -127,6 +127,17 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
       case _ => None
     }
 
+  /** Client TLS stores (the ssl:// broker options): any of
+    * sslKeystore/sslTruststore present makes this a TLS connect;
+    * validated with a real handshake at scan construction. */
+  private val clientTls: Option[graft.sources.hub.TlsGate.ClientTls] = {
+    val ks = Option(options.get("sslKeystore"))
+    val ts = Option(options.get("sslTruststore"))
+    if (ks.isEmpty && ts.isEmpty) None
+    else Some(graft.sources.hub.TlsGate.ClientTls(
+      ks, Option(options.get("sslPassword")).getOrElse(""), ts))
+  }
+
   override def name(): String = s"topic-log($profile:$uri)"
   override def schema(): StructType = TopicProfiles.schemas(profile)
   override def capabilities(): util.Set[TableCapability] =
@@ -134,6 +145,7 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     MemHub.checkTopicAuth(uri, auth)
+    MemHub.checkTopicTls(uri, clientTls)
     () => new Scan {
       override def readSchema(): StructType = TopicProfiles.schemas(profile)
       override def description(): String = name()
