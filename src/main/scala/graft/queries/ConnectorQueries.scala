@@ -267,6 +267,40 @@ object ConnectorQueries {
         source AS src
       FROM documents ORDER BY doc_id"""))
 
+  /** S11/S12 typed messages — the Pulsar `Schema<M>` analog
+    * (PulsarSources.java:84-92): one topic carries INT64 payloads in
+    * Pulsar's big-endian primitive encoding, decoded AT THE SCAN to a
+    * long `value`; a second carries Schema.JSON structs typed by DDL.
+    * Joining them proves both decoders end-to-end against the orders
+    * table. */
+  private val srcPulsarTyped = QueryDef(
+    "src_pulsar_typed",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_pulsar_typed"
+      seedOnce(uri) {
+        val rows = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+          .orderBy(col("o_orderkey")).limit(500).collect()
+        MemHub.publish(uri, "keys-int64", rows.iterator.map { r =>
+          val bb = java.nio.ByteBuffer.allocate(8).putLong(r.getLong(0))
+          ("", Map.empty[String, String], r.getLong(0), bb.array())
+        })
+        MemHub.publish(uri, "orders-json", rows.iterator.map { r =>
+          ("", Map.empty[String, String], r.getLong(0),
+            s"""{"ok":${r.getLong(0)},"total":${r.getDouble(1)}}""".getBytes("UTF-8"))
+        })
+      }
+      val keys = GraftSources.pulsarReaderBatch(s, uri, "keys-int64",
+        schema = Some("int64")).select(col("value").as("o_orderkey"))
+      val docs = GraftSources.pulsarReaderBatch(s, uri, "orders-json",
+          schema = Some("json:ok BIGINT, total DOUBLE"))
+        .select(col("value.ok").as("o_orderkey"), col("value.total").as("o_totalprice"))
+      keys.join(docs, Seq("o_orderkey")).orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 500) x
+      ORDER BY o_orderkey"""))
+
   /** S11 — Pulsar shared-subscription consumer (PulsarConsumerBuilder.java:125-221):
     * two consumers on ONE subscription each own a share of the topic's
     * partitions; the union of their epoch-committed reads must equal the
@@ -592,7 +626,8 @@ object ConnectorQueries {
 
   val all: Seq[QueryDef] = Seq(
     srcRedisHash, srcRedisBinary, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN,
-    srcMongoCdc, srcInflux, srcInfluxQL, srcMqtt, srcPulsar, srcPulsarConsumer, srcHttp,
+    srcMongoCdc, srcInflux, srcInfluxQL, srcMqtt, srcPulsar, srcPulsarTyped,
+    srcPulsarConsumer, srcHttp,
     srcTwitter, srcTwitterSearch, srcConnect, srcConnectApi,
     snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkRedisXadd,
     snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs)

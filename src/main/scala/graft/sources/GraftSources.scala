@@ -94,7 +94,8 @@ object GraftSources {
   private def topic(spark: SparkSession, profile: String, uri: String,
       topics: Seq[String], streaming: Boolean, ackAs: Option[String] = None,
       auth: Option[(String, String)] = None,
-      tls: Option[TlsGate.ClientTls] = None): DataFrame = {
+      tls: Option[TlsGate.ClientTls] = None,
+      extraOpts: Map[String, String] = Map.empty): DataFrame = {
     def withCommon(set: (String, String) => Unit): Unit = {
       ackAs.foreach(a => set("ackAs", a))
       auth.foreach { case (u, p) => set("user", u); set("password", p) }
@@ -103,6 +104,7 @@ object GraftSources {
         t.truststore.foreach(set("sslTruststore", _))
         set("sslPassword", t.password)
       }
+      extraOpts.foreach { case (k, v) => set(k, v) }
     }
     if (streaming) {
       var r = spark.readStream.format("graft-topic").option("profile", profile)
@@ -130,16 +132,39 @@ object GraftSources {
       tls: Option[TlsGate.ClientTls] = None): DataFrame =
     topic(spark, "mqtt", uri, topics, streaming = true, auth = auth, tls = tls)
 
-  /** S11 — Pulsar shared-subscription consumer; acks land after epoch commit. */
+  /** The Pulsar `Schema<M>` analog (PulsarSources.java:84-92): `schema`
+    * is one of bytes/string/int32/int64/float/double/bool — decoded at
+    * the DSv2 scan with Pulsar's primitive encodings (big-endian fixed
+    * width) — or `json:<DDL>` for Schema.JSON: the payload parses into a
+    * typed `value` struct per the caller's DDL. */
+  private def pulsarTyped(df: DataFrame, schema: Option[String]): DataFrame =
+    schema match {
+      case Some(s) if s.startsWith("json:") =>
+        df.withColumn("value",
+          from_json(col("value"), StructType.fromDDL(s.drop(5))))
+      case _ => df
+    }
+  private def pulsarSchemaOpt(schema: Option[String]): Map[String, String] =
+    schema.map(s => Map("schema" -> (if (s.startsWith("json:")) "json" else s)))
+      .getOrElse(Map.empty)
+
+  /** S11 — Pulsar shared-subscription consumer; acks land after epoch
+    * commit. `schema` is the typed-message analog of the reference's
+    * schema supplier. */
   def pulsarConsumer(spark: SparkSession, uri: String, topics: Seq[String],
-      subscription: String): DataFrame =
-    topic(spark, "pulsar", uri, topics, streaming = true, ackAs = Some(subscription))
+      subscription: String, schema: Option[String] = None): DataFrame =
+    pulsarTyped(topic(spark, "pulsar", uri, topics, streaming = true,
+      ackAs = Some(subscription), extraOpts = pulsarSchemaOpt(schema)), schema)
 
   /** S12 — Pulsar reader: MessageId-offset replayable read. */
-  def pulsarReaderBatch(spark: SparkSession, uri: String, t: String): DataFrame =
-    topic(spark, "pulsar", uri, Seq(t), streaming = false)
-  def pulsarReader(spark: SparkSession, uri: String, t: String): DataFrame =
-    topic(spark, "pulsar", uri, Seq(t), streaming = true)
+  def pulsarReaderBatch(spark: SparkSession, uri: String, t: String,
+      schema: Option[String] = None): DataFrame =
+    pulsarTyped(topic(spark, "pulsar", uri, Seq(t), streaming = false,
+      extraOpts = pulsarSchemaOpt(schema)), schema)
+  def pulsarReader(spark: SparkSession, uri: String, t: String,
+      schema: Option[String] = None): DataFrame =
+    pulsarTyped(topic(spark, "pulsar", uri, Seq(t), streaming = true,
+      extraOpts = pulsarSchemaOpt(schema)), schema)
 
   /** S13 — HTTP(S) listener (payload string; JSON-bean via from_json). */
   def httpListenerBatch(spark: SparkSession, uri: String): DataFrame =

@@ -61,10 +61,41 @@ object TopicProfiles {
       StructField("timestamp", TimestampType, nullable = false),
       StructField("valueJson", StringType, nullable = false))))
 
-  def toRow(profile: String, topic: String, m: MemHub.Msg): InternalRow = profile match {
+  /** The Pulsar `Schema<M>` analog (PulsarSources.java:84-92 takes a
+    * schema supplier and hands the pipeline TYPED messages): a `schema`
+    * scan option decodes the payload with Pulsar's primitive encodings —
+    * big-endian fixed-width numerics, UTF-8 strings, 1-byte booleans —
+    * and retypes the `value` column accordingly. `json` decodes to the
+    * JSON text; GraftSources applies the caller's DDL via from_json. */
+  val pulsarCodecs: Map[String, org.apache.spark.sql.types.DataType] = Map(
+    "bytes" -> BinaryType, "string" -> StringType, "json" -> StringType,
+    "int32" -> IntegerType, "int64" -> LongType,
+    "float" -> FloatType, "double" -> DoubleType, "bool" -> BooleanType)
+
+  def schemaFor(profile: String, codec: String): StructType = profile match {
+    case "pulsar" if codec != "bytes" =>
+      val vt = pulsarCodecs.getOrElse(codec, throw new IllegalArgumentException(
+        s"unknown pulsar schema '$codec' (supported: ${pulsarCodecs.keys.toSeq.sorted.mkString(", ")})"))
+      StructType(schemas("pulsar").map(f =>
+        if (f.name == "value") f.copy(dataType = vt) else f))
+    case p => schemas(p)
+  }
+
+  private def decodeValue(codec: String, payload: Array[Byte]): Any = codec match {
+    case "bytes" => payload
+    case "string" | "json" => Dsv2.utf8(new String(payload, "UTF-8"))
+    case "int32" => java.nio.ByteBuffer.wrap(payload).getInt
+    case "int64" => java.nio.ByteBuffer.wrap(payload).getLong
+    case "float" => java.nio.ByteBuffer.wrap(payload).getFloat
+    case "double" => java.nio.ByteBuffer.wrap(payload).getDouble
+    case "bool" => payload.nonEmpty && payload(0) != 0
+  }
+
+  def toRow(profile: String, topic: String, m: MemHub.Msg,
+      codec: String = "bytes"): InternalRow = profile match {
     case "mqtt" => Dsv2.row(Dsv2.utf8(topic), m.payload)
-    case "pulsar" => Dsv2.row(Dsv2.utf8(m.key), m.payload, Dsv2.stringMap(m.props),
-      Dsv2.msToMicros(m.eventTimeMs), m.seq)
+    case "pulsar" => Dsv2.row(Dsv2.utf8(m.key), decodeValue(codec, m.payload),
+      Dsv2.stringMap(m.props), Dsv2.msToMicros(m.eventTimeMs), m.seq)
     case "http" => Dsv2.row(Dsv2.utf8(new String(m.payload, "UTF-8")))
     case "twitter" => Dsv2.row(Dsv2.utf8(new String(m.payload, "UTF-8")), m.eventTimeMs)
     case "connect" => Dsv2.row(Dsv2.utf8(topic), m.seq, Dsv2.msToMicros(m.eventTimeMs),
@@ -72,14 +103,17 @@ object TopicProfiles {
     case other => throw new IllegalArgumentException(s"unknown profile $other")
   }
 
-  def rows(profile: String, uri: String, topic: String, after: Long, until: Long): Iterator[InternalRow] =
-    MemHub.poll(uri, topic, after).iterator.filter(_.seq <= until).map(toRow(profile, topic, _))
+  def rows(profile: String, uri: String, topic: String, after: Long, until: Long,
+      codec: String = "bytes"): Iterator[InternalRow] =
+    MemHub.poll(uri, topic, after).iterator.filter(_.seq <= until)
+      .map(toRow(profile, topic, _, codec))
 
   /** Standalone serializable factory (must not capture the stream/table). */
-  final case class Factory(profile: String, uri: String) extends PartitionReaderFactory {
+  final case class Factory(profile: String, uri: String, codec: String = "bytes")
+      extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val fp = p.asInstanceOf[FnPartition]
-      new Dsv2.IterReader(rows(profile, uri, fp.tag, fp.from, fp.to))
+      new Dsv2.IterReader(rows(profile, uri, fp.tag, fp.from, fp.to, codec))
     }
   }
 }
@@ -87,7 +121,8 @@ object TopicProfiles {
 class TopicLogProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-topic"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TopicProfiles.schemas(options.get("profile"))
+    TopicProfiles.schemaFor(options.get("profile"),
+      Option(options.get("schema")).getOrElse("bytes"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new TopicLogTable(new CaseInsensitiveStringMap(properties))
@@ -138,8 +173,12 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
       ks, Option(options.get("sslPassword")).getOrElse(""), ts))
   }
 
+  /** Pulsar Schema<M> analog: typed payload decode (see
+    * [[TopicProfiles.pulsarCodecs]]). */
+  private val codec = Option(options.get("schema")).getOrElse("bytes")
+
   override def name(): String = s"topic-log($profile:$uri)"
-  override def schema(): StructType = TopicProfiles.schemas(profile)
+  override def schema(): StructType = TopicProfiles.schemaFor(profile, codec)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
@@ -147,22 +186,22 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
     MemHub.checkTopicAuth(uri, auth)
     MemHub.checkTopicTls(uri, clientTls)
     () => new Scan {
-      override def readSchema(): StructType = TopicProfiles.schemas(profile)
+      override def readSchema(): StructType = TopicProfiles.schemaFor(profile, codec)
       override def description(): String = name()
 
       override def toBatch: Batch = {
-        val (u, pr) = (uri, profile)
+        val (u, pr, cd) = (uri, profile, codec)
         val parts = topicNames.zipWithIndex.map { case (t, i) =>
           FnPartition(i, t, -1, MemHub.topicMaxSeq(u, t))
         }
-        new FnBatch(parts, p => TopicProfiles.rows(pr, u, p.tag, p.from, p.to))
+        new FnBatch(parts, p => TopicProfiles.rows(pr, u, p.tag, p.from, p.to, cd))
       }
 
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-        val (u, pr, ack, qos) = (uri, profile, ackAs, topicQos)
+        val (u, pr, ack, qos, cd) = (uri, profile, ackAs, topicQos, codec)
         new Dsv2.SeqLogMicroBatchStream(topicNames, maxPerTrigger) {
           override def currentMax(name: String): Long = MemHub.topicMaxSeq(u, name)
-          override def factory: PartitionReaderFactory = TopicProfiles.Factory(pr, u)
+          override def factory: PartitionReaderFactory = TopicProfiles.Factory(pr, u, cd)
           // QoS0 topics subscribe at the live tail (non-durable); no
           // backfill of pre-subscription messages
           override def initialOffset(): Offset =

@@ -156,6 +156,29 @@ class ConnectorSpec extends AnyFunSuite {
     assert(row.getStruct(11).getString(0) == "x")
   }
 
+  test("pulsar Schema<M> analog: primitive codecs decode at the scan, typed") {
+    import java.nio.ByteBuffer
+    val uri = "hub:test/pulsar-typed-matrix"
+    def pub(topic: String, payloads: Seq[Array[Byte]]): Unit =
+      MemHub.publish(uri, topic, payloads.iterator.map(b =>
+        ("", Map.empty[String, String], 0L, b)))
+    pub("t-i32", Seq(ByteBuffer.allocate(4).putInt(-7).array()))
+    pub("t-f", Seq(ByteBuffer.allocate(4).putFloat(1.5f).array()))
+    pub("t-d", Seq(ByteBuffer.allocate(8).putDouble(2.25).array()))
+    pub("t-b", Seq(Array[Byte](1), Array[Byte](0)))
+    pub("t-s", Seq("héllo".getBytes("UTF-8")))
+    def read(t: String, s: String) =
+      GraftSources.pulsarReaderBatch(spark, uri, t, schema = Some(s)).select("value")
+    assert(read("t-i32", "int32").schema.head.dataType == IntegerType)
+    assert(read("t-i32", "int32").as[Int].head() == -7)
+    assert(read("t-f", "float").as[Float].head() == 1.5f)
+    assert(read("t-d", "double").as[Double].head() == 2.25)
+    assert(read("t-b", "bool").as[Boolean].collect().toSeq == Seq(true, false))
+    assert(read("t-s", "string").as[String].head() == "héllo")
+    val e = intercept[Exception] { read("t-s", "utf16").collect() }
+    assert(e.getMessage.contains("unknown pulsar schema"))
+  }
+
   test("influxQuery passthrough rejects non-time predicates (real-server contract)") {
     val uri = "hub:test/influx-reject"
     MemHub.writePoints(uri, "cpu", Iterator(
