@@ -335,16 +335,32 @@ object Similarity {
       corpusId: String,
       corpusVec: String,
       k: Int,
-      nlist: Int = 128,
+      nlist: Int = 0,
       nprobe: Int = 32,
       refine: Int = 3,
       replicate: Int = 1): DataFrame = {
     boundedQueryBatch(queries, "ivfTopK")
     val c = normalizedCorpus(corpus, corpusId, corpusVec)
-    val codebook = trainIvfCodebook(c, nlist, refine)
+    val nl = resolveNlist(nlist, c)
+    val codebook = trainIvfCodebook(c, nl, refine)
     val cb = corpusLists(c, codebook, replicate)
-    ivfProbe(queries, cb, codebook, queryId, queryVec, k, nprobe, replicate)
+    ivfProbe(queries, cb, codebook, queryId, queryVec, k,
+      math.min(nprobe, nl), replicate)
   }
+
+  /** nlist ≈ 4·√N (bounded to [16, 65536]): keeps list size ~√N/4 so the
+    * codebook grows with the corpus — at a fixed scan FRACTION, finer
+    * lists hug each query tighter (fineness is the recall lever, see
+    * [[ivfTopK]]); at 100 TB a fixed nlist would degenerate to
+    * corpus-sized lists and the partition pruning would prune nothing.
+    * The ~5 % scan point (nprobe ≈ nlist/20) measures recall 1.0 on the
+    * clustered 10×-sf0.1 stress corpus (IvfGrid stress; ScaleStressSpec
+    * pins ≥ 0.8). Explicit nlist > 0 overrides. */
+  private[graft] def autoNlist(count: Long): Int =
+    math.max(16, math.min(1 << 16, math.ceil(4 * math.sqrt(count.toDouble)).toInt))
+
+  private def resolveNlist(nlist: Int, c: DataFrame): Int =
+    if (nlist > 0) nlist else autoNlist(c.count())
 
   /** Corpus projected to the internal (neighbor_id, cv, cn) shape. */
   private def normalizedCorpus(
@@ -498,13 +514,14 @@ object Similarity {
       path: String,
       corpusId: String,
       corpusVec: String,
-      nlist: Int = 128,
+      nlist: Int = 0,
       refine: Int = 3,
       replicate: Int = 1): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = normalizedCorpus(corpus, corpusId, corpusVec)
-    val codebook = trainIvfCodebook(c, nlist, refine)
+    val nl = resolveNlist(nlist, c)
+    val codebook = trainIvfCodebook(c, nl, refine)
     corpusLists(c, codebook, replicate)
       .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/lists")
@@ -513,7 +530,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/codebook")
     // build parameters ride with the index: replicate decides the serve
     // side's pair dedup, so a mismatch would silently corrupt top-k
-    Seq((nlist, refine, replicate)).toDF("nlist", "refine", "replicate")
+    Seq((nl, refine, replicate)).toDF("nlist", "refine", "replicate")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -624,13 +641,14 @@ object Similarity {
         val n = math.min(v.length, cj.length)
         while (i < n) { d += v(i) * cj(i); i += 1 }
         (-d, j)
-      }.sorted.take(nprobe).map(_._2)
+      }.sorted.take(math.min(nprobe, codebook.size)).map(_._2)
     }.distinct.sorted
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("bucket").isin(probed.map(Integer.valueOf): _*))
     import spark.implicits._
     val qDf = qRows.toSeq.toDF(queryId, queryVec)
-    ivfProbe(qDf, lists, codebook, queryId, queryVec, k, nprobe, replicate)
+    ivfProbe(qDf, lists, codebook, queryId, queryVec, k,
+      math.min(nprobe, codebook.size), replicate)
   }
 
   /** Assign every vector to its nearest centroid by cosine (the Lloyd

@@ -2251,5 +2251,6 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97) ++
+    StreamGateQueries.all ++
     ConnectorQueries.all
 }

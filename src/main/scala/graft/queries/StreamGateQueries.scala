@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.Tables
+import graft.sources.hub.MemHub
+import graft.streaming.{Rolling, StreamDedup, Timestamps}
+
+/** Value gates for the streaming-only surfaces (rollingAggregate,
+  * timestamp policies, streaming dedup, mapUsingService): each runs the
+  * real Structured Streaming query over a pre-seeded log on a FIXED epoch
+  * schedule (maxPerTrigger rate limit + AvailableNow drain — same batches
+  * every run), accumulates the update stream via foreachBatch, and
+  * returns the FINAL table; DuckDB pins it against the batch formulation
+  * over the same events. A `multi_epoch` column (pinned TRUE) proves the
+  * value came through several incremental epochs, not one batch in
+  * disguise. Stream execution is once per (query, sf dir) — the
+  * ivf_build amortization precedent — so Verify/Bench reruns read the
+  * settled result. */
+object StreamGateQueries {
+
+  private val ran = new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Seed a pulsar-profile topic: key = event_type, value = int64
+    * event_id (big-endian — the typed codec), eventTime = ts. `copies`
+    * plants exact duplicates for the dedup gate. */
+  private def seedEvents(s: SparkSession, dir: String, uri: String, copies: Int): Unit = {
+    val rows = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), unix_millis(col("ts")))
+      .orderBy(col("event_id")).collect()
+    (1 to copies).foreach { _ =>
+      MemHub.publish(uri, "ev", rows.iterator.map { r =>
+        val bb = java.nio.ByteBuffer.allocate(8).putLong(r.getLong(0))
+        (r.getString(1), Map.empty[String, String], r.getLong(2), bb.array())
+      })
+    }
+  }
+
+  private def eventStream(s: SparkSession, uri: String, maxPerTrigger: Long): DataFrame =
+    s.readStream.format("graft-topic")
+      .option("profile", "pulsar").option("uri", uri).option("topics", "ev")
+      .option("schema", "int64").option("maxPerTrigger", maxPerTrigger.toString)
+      .load()
+
+  /** Drain `stream` through foreachBatch on the fixed schedule; `merge`
+    * folds each update batch into the accumulator. Returns epochs seen. */
+  private def drain(stream: DataFrame, mode: String, cpKey: String)(
+      merge: (Long, Array[Row]) => Unit): Long = {
+    var epochs = 0L
+    val cp = s"${System.getProperty("java.io.tmpdir")}/graft-sgate-cp-" +
+      s"${java.lang.ProcessHandle.current().pid()}-$cpKey"
+    val q = stream.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val rows = batch.collect()
+        synchronized { epochs = math.max(epochs, id + 1); merge(id, rows) }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    epochs
+  }
+
+  /** T — rollingAggregate (update-mode keyed streaming aggregate): the
+    * final per-key rolling value after draining the log == the batch
+    * aggregate DuckDB computes. */
+  val qStreamRolling = QueryDef(
+    "q98_stream_rolling",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/rolling", {
+      import s.implicits._
+      val uri = s"hub:$dir/sgate_rolling"
+      seedEvents(s, dir, uri, copies = 1)
+      val n = t(s, dir, "events").count()
+      val latest = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      val rolling = Rolling.rollingAggregateByKey(
+        eventStream(s, uri, math.max(1, n / 7))
+          .select(col("key").as("event_type"), col("value").as("event_id")),
+        Seq("event_type"),
+        count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      val epochs = drain(rolling, "update", "rolling") { (_, rows) =>
+        rows.foreach(r => latest(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+      }
+      latest.toSeq.map { case (k, (c, sm)) => (k, c, sm, epochs > 1) }
+        .toDF("event_type", "n", "id_sum", "multi_epoch")
+        .orderBy(col("event_type"))
+    }),
+    Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum, TRUE AS multi_epoch
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** T — streaming dedup with bounded state: the log carries every event
+    * TWICE; dropDuplicatesWithinWatermark emits each exactly once. */
+  val qStreamDedup = QueryDef(
+    "q99_stream_dedup",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/dedup", {
+      import s.implicits._
+      val uri = s"hub:$dir/sgate_dedup"
+      seedEvents(s, dir, uri, copies = 2)
+      val n = t(s, dir, "events").count()
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // dedupWithinWatermark owns the watermark (the withNativeTimestamps
+      // policy composed on top would redefine it — disallowed)
+      val deduped = StreamDedup.dedupWithinWatermark(
+        eventStream(s, uri, math.max(1, 2 * n / 7)),
+        "eventTime", "30 days", Seq("value"))
+      val epochs = drain(deduped.select(col("value")), "append", "dedup") { (_, rows) =>
+        seen ++= rows.map(_.getLong(0))
+      }
+      Seq((seen.size.toLong, seen.distinct.size.toLong, seen.sum, epochs > 1))
+        .toDF("n", "n_distinct", "id_sum", "multi_epoch")
+    }),
+    Some("""SELECT COUNT(*) AS n, COUNT(*) AS n_distinct,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum, TRUE AS multi_epoch
+      FROM events"""))
+
+  /** T — timestamp policies: addTimestamps derives event time + watermark
+    * (the reference's addTimestamps(fn, lag)); 6-hour tumbling windows
+    * aggregated in update mode settle to the batch answer. */
+  val qStreamWindow = QueryDef(
+    "q100_stream_window",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/window", {
+      import s.implicits._
+      val uri = s"hub:$dir/sgate_window"
+      seedEvents(s, dir, uri, copies = 1)
+      val n = t(s, dir, "events").count()
+      val latest = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+      val windowed = Timestamps.addTimestamps(
+          eventStream(s, uri, math.max(1, n / 7)), col("eventTime"), 86400000L * 30)
+        .groupBy(window(col("event_time"), "6 hours"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("id_sum"))
+        .select(unix_millis(col("window.start")).as("w"), col("n"), col("id_sum"))
+      val epochs = drain(windowed, "update", "window") { (_, rows) =>
+        rows.foreach(r => latest(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+      }
+      latest.toSeq.map { case (w, (c, sm)) => (w / 1000, c, sm, epochs > 1) }
+        .toDF("w_start_s", "n", "id_sum", "multi_epoch")
+        .orderBy(col("w_start_s"))
+    }),
+    Some("""SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS w_start_s,
+        COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum, TRUE AS multi_epoch
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** T — mapUsingService: the per-partition service pattern (one
+    * MessageDigest per partition, iterator-streamed) value-gated against
+    * DuckDB's md5 over the same documents. */
+  val qMapService = QueryDef(
+    "q101_map_service",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+      graft.streaming.ServiceMap.mapUsingService(
+          docs, () => java.security.MessageDigest.getInstance("MD5")) {
+        (md, r) =>
+          (r._1, md.digest(r._2.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }.toDF("doc_id", "md5_hex").orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id, md5(text) AS md5_hex FROM documents ORDER BY doc_id"))
+
+  val all: Seq[QueryDef] = Seq(qStreamRolling, qStreamDedup, qStreamWindow, qMapService)
+}

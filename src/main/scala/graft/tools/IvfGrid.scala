@@ -10,12 +10,16 @@ import graft.operators.Similarity
   * force; scan fraction ~ nprobe*replicate/nlist (balanced lists). */
 object IvfGrid {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", 16)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.GraftSession.prepare(spark)
+    // "stress" = the adversarial 10x-sf0.1 corpus, generated on demand
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01") match {
+      case "stress" => StressData.ensure(spark)
+      case d => d
+    }
     val emb = Tables.load(spark, dir, "embeddings").cache()
     val queries = emb.filter(col("vec_id") < 50)
     val k = 10

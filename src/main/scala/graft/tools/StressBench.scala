@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Pipeline, Similarity}
+import graft.streaming.Sessionize
+
+/** One-line scale/skew stress benchmark over [[StressData]]'s hostile
+  * 10×-sf0.1 corpus: each scale-sensitive operator once, wall seconds.
+  * The VALUES are pinned by ScaleStressSpec; this line tracks the COST
+  * of surviving skew round over round. */
+object StressBench {
+
+  def line(spark: SparkSession): String = {
+    val dir = StressData.ensure(spark)
+    val docs = Tables.load(spark, dir, "documents")
+    // near-dup PAIR ENUMERATION output is quadratic in the duplicate-set
+    // size — the 12k slice (full hot block + diverse tail, the
+    // ScaleStressSpec shape) keeps the per-round bench minutes-free
+    val ngramDocs = docs.filter(col("doc_id") < 12000)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val events = Tables.load(spark, dir, "events")
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ivfPath = s"${System.getProperty("java.io.tmpdir")}/graft-stressbench-ivf-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    val ops = Seq(
+      "budget" -> time(Pipeline.selectToBudget(docs, "lang", "doc_id",
+        col("n_chars").cast("double"), col("n_chars"), 400000L).count()),
+      "pack" -> time(Pipeline.packSequences(docs, "doc_id", "text", "lang", 4096).count()),
+      "minhash" -> time(Dedup.minhashLsh(ngramDocs, "doc_id", "text", threshold = 0.7).count()),
+      "charngram" -> time(Dedup.charNgramPairs(ngramDocs, "doc_id", "text", "lang",
+        threshold = 0.8).count()),
+      "sessions" -> time(Sessionize.sessionsBatchScalable(events, 600000L).count()),
+      "ivf_build" -> time {
+        Similarity.buildIvfIndex(emb, ivfPath, "vec_id", "embedding"); 0L
+      },
+      "ivf_probe" -> time(Similarity.ivfTopKFromIndex(ivfPath,
+        emb.filter(col("vec_id") < 100), "vec_id", "embedding", k = 10, nprobe = 28).count()))
+    val total = ops.map(_._2).sum
+    val qs = ops.map { case (k, v) => s""""$k":${graft.Bench.fmt(v)}""" }.mkString(",")
+    s"""{"metric":"stress","value":${graft.Bench.fmt(total)},"unit":"sec","ops":{$qs},"rows":${StressData.Docs}}"""
+  }
+}

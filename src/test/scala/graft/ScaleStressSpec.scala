@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.{Dedup, Pipeline, Similarity}
+import graft.streaming.Sessionize
+import graft.tools.StressData
+
+/** The adversarial 10×-sf0.1 scale/skew gate: every scale-sensitive
+  * operator runs on [[StressData]]'s hostile corpus (hot language, hot
+  * dedup block, bot user, planted near-dups) asserting BOTH unchanged
+  * values against an independent formulation AND bounded per-partition
+  * work — no task's shuffle-read exceeds a small multiple of the median,
+  * measured with a real task-metrics listener. This converts "no
+  * scale-killer by inspection" into "no scale-killer by test". */
+class ScaleStressSpec extends AnyFunSuite {
+  lazy val spark = {
+    val sp = GraftSession.local(8)
+    // at 50k-row test scale AQE coalesces every exchange to ONE partition
+    // (bytes << 64 MB advisory) and the balance audit would see a single
+    // task by construction; a small advisory size preserves the
+    // multi-partition layout the same plan has at 100 TB
+    sp.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    sp
+  }
+  private lazy val dir = StressData.ensure(spark)
+
+  /** Collects per-task shuffle-read record counts while `action` runs,
+    * grouped by stage; asserts that in every stage moving real data
+    * (≥ minTasks tasks, ≥ minRecords records) the hottest task reads at
+    * most `factor` × the stage median. A hot key concentrating a group
+    * onto one task shows up as max ≈ total (32× median at 32 partitions)
+    * — far outside any factor here. */
+  private def assertBalanced[T](label: String, factor: Double = 6.0,
+      minTasks: Int = 4, minRecords: Long = 50000L)(action: => T): T = {
+    val perStage = new scala.collection.concurrent.TrieMap[Int, List[Long]]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        // a task's data intake is whichever side feeds it: exchange reads
+        // for shuffle stages, source records for scan stages (an ANN probe
+        // moves data through a pruned scan + broadcast, never a shuffle)
+        val recs = Option(t.taskMetrics).map(m =>
+          math.max(m.shuffleReadMetrics.recordsRead,
+            m.inputMetrics.recordsRead)).getOrElse(0L)
+        perStage.updateWith(t.stageId) {
+          case Some(l) => Some(recs :: l)
+          case None => Some(recs :: Nil)
+        }: Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try action
+      finally {
+        // listener bus is async and its flush API is private: poll until
+        // the captured event count is stable
+        var last = -1L
+        var stable = 0
+        var waited = 0
+        while (stable < 2 && waited < 3000) {
+          val now = perStage.values.map(_.length.toLong).sum
+          if (now == last) stable += 1 else stable = 0
+          last = now
+          Thread.sleep(100); waited += 100
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    val audited = perStage.toSeq.filter { case (_, recs) =>
+      recs.length >= minTasks && recs.sum >= minRecords
+    }
+    assert(audited.nonEmpty,
+      s"$label: no stage moved >= $minRecords records — the stress " +
+        "input did not exercise the operator's shuffle")
+    audited.foreach { case (stage, recs) =>
+      val sorted = recs.sorted
+      val median = math.max(1L, sorted(sorted.length / 2))
+      val max = sorted.last
+      assert(max <= factor * median,
+        s"$label stage $stage: hottest task read $max records vs " +
+          s"median $median (> ${factor}x) over ${recs.length} tasks — " +
+          "per-partition work is NOT bounded under skew")
+    }
+    out
+  }
+
+  test("selectToBudget: hot 80% language group — balanced AND equal to sequential greedy") {
+    val docs = Tables.load(spark, dir, "documents")
+    val budget = 400000L
+    val kept = assertBalanced("selectToBudget") {
+      Pipeline.selectToBudget(docs, "lang", "doc_id",
+          col("n_chars").cast("double"), col("n_chars"), budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    // sequential reference: greedy per group by (-quality, id) on the driver
+    val ref = docs.select("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy { case (_, id, n) => (-n.toDouble, id) }.flatMap { case (_, id, n) =>
+          val keep = if (cum < budget) Some(id) else None
+          cum += n
+          keep
+        }
+      }.toSet
+    assert(kept == ref,
+      s"budget selection diverged: ${(kept -- ref).size} extra, ${(ref -- kept).size} missing")
+  }
+
+  test("packSequences: hot group packs correctly at any parallelism, balanced") {
+    val docs = Tables.load(spark, dir, "documents")
+    val packed = assertBalanced("packSequences") {
+      Pipeline.packSequences(docs, "doc_id", "text", "lang", budget = 4096)
+        .select("doc_id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(packed.size == StressData.Docs)
+    // replay at parallelism 1: identical bin assignment (pure function of
+    // the total order, never of partition boundaries)
+    val replay = Pipeline.packSequences(docs.repartition(1), "doc_id", "text",
+        "lang", budget = 4096)
+      .select("doc_id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed == replay, "bin assignment changed with input parallelism")
+  }
+
+  test("minhashLsh: hot dedup block stays bucketed — balanced, planted dups found") {
+    // the 12k-doc slice keeps the FULL hot block plus a diverse tail: the
+    // skew shape is intact, and near-dup pair enumeration (output itself
+    // is quadratic in the duplicate-set size) stays test-sized
+    val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") < 12000)
+    val pairs = assertBalanced("minhashLsh", factor = 8.0) {
+      Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    // the hot block is 4000 near-identical docs: its duplicate pairs must
+    // surface (sampled check: consecutive block members share 39/40 tokens
+    // only when their perturbed slot matches — require a healthy count)
+    val inBlock = pairs.count { case (a, b) =>
+      a < StressData.HotBlock && b < StressData.HotBlock
+    }
+    assert(inBlock > 1000, s"hot-block duplicate pairs: $inBlock (expected > 1000)")
+  }
+
+  test("charNgramPairs: hot block diverts to the guarded path — balanced") {
+    val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") < 12000)
+    val pairs = assertBalanced("charNgramPairs", factor = 8.0) {
+      Dedup.charNgramPairs(docs, "doc_id", "text", "lang", threshold = 0.8)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val inBlock = pairs.count { case (a, b) =>
+      a < StressData.HotBlock && b < StressData.HotBlock
+    }
+    assert(inBlock > 1000, s"hot-block near-dup pairs: $inBlock (expected > 1000)")
+  }
+
+  test("sessionsBatchScalable: bot's 120k-event session — balanced, equal to window formulation") {
+    val events = Tables.load(spark, dir, "events")
+    val scalable = assertBalanced("sessionsBatchScalable", factor = 6.0) {
+      Sessionize.sessionsBatchScalable(events, gapMs = 600000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    val windowed = Sessionize.sessionsBatch(events, gapMs = 600000L)
+      .select("userId", "startMs", "endMs", "nEvents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(scalable == windowed,
+      s"sessionization diverged: ${(scalable -- windowed).size} extra, " +
+        s"${(windowed -- scalable).size} missing of ${windowed.size}")
+    // the bot's single unbroken session survives intact across partitions
+    val bot = scalable.filter(_._1 == 0L)
+    assert(bot.size == 1 && bot.head._4 == StressData.BotEvents,
+      s"bot session wrong: $bot")
+  }
+
+  test("lshTopK + ivfTopKFromIndex: planted near-dups found at bounded scan, balanced") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 100 && col("vec_id") % 2 === 0)
+    // IVF auto-scale: nlist = 4*sqrt(20000) = 566 lists; nprobe 28 ~ 5% scan
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-ivf-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    Similarity.buildIvfIndex(emb, path, "vec_id", "embedding")
+    val nlist = spark.read.parquet(s"$path/meta").select("nlist").head().getInt(0)
+    assert(nlist == Similarity.autoNlist(StressData.Vecs), s"auto nlist: $nlist")
+    // factor 10: probe-scan task size is the probed LIST size, and list
+    // sizes legitimately spread with the data's cluster-mass distribution
+    // (566 centroids over 200 planted topics). The audit pins the spread
+    // single-digit — a key-concentration bug would read a corpus-scale
+    // list (50x+ median), not a fat cluster
+    val ann = assertBalanced("ivfTopKFromIndex", factor = 10.0, minRecords = 500L) {
+      Similarity.ivfTopKFromIndex(path, queries, "vec_id", "embedding",
+          k = 10, nprobe = math.max(8, nlist / 20))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    }
+    // every even planted vector's top-10 must contain its planted twin
+    val planted = ann.filter(_._1 < 2L * StressData.PlantedPairs)
+    val hit = planted.count { case (q, ns) => ns.contains(q + 1) }
+    val recall = hit.toDouble / planted.size
+    assert(recall >= 0.8,
+      f"IVF@~5%% scan planted-twin recall $recall%.2f below 0.8 (nlist=$nlist)")
+    val lsh = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 10)
+    val lshMap = lsh.collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val lshPlanted = lshMap.filter(_._1 < 2L * StressData.PlantedPairs)
+    val lshHit = lshPlanted.count { case (q, ns) => ns.contains(q + 1) }
+    assert(lshHit.toDouble / math.max(1, lshPlanted.size) >= 0.8,
+      s"LSH planted-twin recall ${lshHit.toDouble / lshPlanted.size}")
+  }
+}
