@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.Tables
 import graft.sources.hub.MemHub
-import graft.streaming.{Rolling, StreamDedup, Timestamps}
+import graft.streaming.{Rolling, Sessionize, StreamDedup, Timestamps}
 
 /** Value gates for the streaming-only surfaces (rollingAggregate,
   * timestamp policies, streaming dedup, mapUsingService): each runs the
@@ -163,5 +163,62 @@ object StreamGateQueries {
     },
     Some("SELECT doc_id, md5(text) AS md5_hex FROM documents ORDER BY doc_id"))
 
-  val all: Seq[QueryDef] = Seq(qStreamRolling, qStreamDedup, qStreamWindow, qMapService)
+  /** T — flagship keyed-state surface: flatMapGroupsWithState
+    * sessionization over the event stream == the batch gap-island
+    * formulation DuckDB computes. The feed is published in (ts, event_id)
+    * order (so the event-time watermark never drops a row), and one
+    * SENTINEL event per user lands 3 gaps after the corpus end: every
+    * real session is force-closed through the DATA path (gap-break on the
+    * sentinel's arrival), never through the end-of-stream timeout whose
+    * firing under AvailableNow is a scheduler detail. Sentinel sessions
+    * themselves start after the corpus and are filtered out. */
+  val qStreamSessions = QueryDef(
+    "q102_stream_sessions",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/sessions", {
+      import s.implicits._
+      val gapMs = 10L * 60 * 1000
+      val uri = s"hub:$dir/sgate_sessions"
+      val evs = t(s, dir, "events")
+        .select(col("user_id").cast("long"), unix_millis(col("ts")).as("ms"),
+          col("event_id"))
+        .orderBy(col("ms"), col("event_id")).collect()
+      val maxMs = evs.iterator.map(_.getLong(1)).max
+      val sentinels = evs.iterator.map(_.getLong(0)).toSet.toSeq.sorted
+        .map(u => (u, maxMs + 3 * gapMs))
+      MemHub.publish(uri, "ev",
+        (evs.iterator.map(r => (r.getLong(0), r.getLong(1))) ++ sentinels.iterator)
+          .map { case (u, ms) =>
+            val bb = java.nio.ByteBuffer.allocate(8).putLong(u)
+            (u.toString, Map.empty[String, String], ms, bb.array())
+          })
+      val sessions = Sessionize.sessions(
+        eventStream(s, uri, math.max(1, (evs.length + sentinels.size) / 7))
+          .select(col("value").as("user_id"), col("eventTime").as("ts")),
+        gapMs).toDF()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      val epochs = drain(sessions, "append", "sessions") { (_, rows) =>
+        out ++= rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      out.toSeq.filter(_._2 <= maxMs) // drop the sentinel-only sessions
+        .map { case (u, st, en, n) => (u, st, en, n, epochs > 1) }
+        .toDF("user_id", "start_ms", "end_ms", "n_events", "multi_epoch")
+        .orderBy(col("user_id"), col("start_ms"))
+    }),
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events),
+      o AS (SELECT user_id, ms, event_id,
+              lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+            FROM e),
+      f AS (SELECT user_id, ms, event_id,
+              CASE WHEN prev IS NULL OR ms - prev > 600000 THEN 1 ELSE 0 END AS newf
+            FROM o),
+      s AS (SELECT user_id, ms,
+              SUM(newf) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f)
+      SELECT user_id, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+             COUNT(*) AS n_events, TRUE AS multi_epoch
+      FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms"""))
+
+  val all: Seq[QueryDef] = Seq(qStreamRolling, qStreamDedup, qStreamWindow,
+    qMapService, qStreamSessions)
 }
