@@ -35,10 +35,12 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     BpeEncode.encode(v.asInstanceOf[UTF8String].toString, table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw-type cast: Janino rejects generic ARRAY casts ("')' expected
+    // instead of '['"), silently dropping the expression to interpreter
     val m = ctx.addReferenceObj("bpeMerges", table, "scala.Tuple2[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.BpeEncode.encode($v.toString(), " +
-        s"(scala.Tuple2<String, String>[]) $m);")
+        s"(scala.Tuple2[]) $m);")
   }
 
   override def prettyName: String = "bpe_encode"

@@ -42,6 +42,16 @@ package object functions {
           BpeEncode(c, pairs)
         case _ => throw new IllegalArgumentException("bpe_encode(text, merges)")
       },
+      "lm_surprisal" -> {
+        case Seq(c, Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData, _),
+            Literal(nv: Long, _)) =>
+          val vocab = (0 until arr.numElements()).map { i =>
+            val r = arr.getStruct(i, 2)
+            (r.getUTF8String(0).toString, r.getLong(1))
+          }
+          LmSurprisal(c, vocab, nv)
+        case _ => throw new IllegalArgumentException("lm_surprisal(text, vocab, nv)")
+      },
       "ivf_nearest" -> {
         case Seq(v, Literal(cb: org.apache.spark.sql.catalyst.util.ArrayData, _),
             Literal(nlist: Int, _), Literal(d: Int, _), Literal(take: Int, _)) =>
@@ -269,6 +279,12 @@ package object functions {
     * whitespace words → char symbols + `</w>` → merges in rank order. */
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     call_function("bpe_encode", text, typedLit(merges))
+
+  /** Unigram-surprisal scoring struct (n_tokens, n_oov, surprisal_sum) —
+    * see [[LmSurprisal]]; train the vocab with
+    * [[graft.operators.Pipeline.lmSurprisalScores]]. */
+  def lm_surprisal(text: Column, vocab: Seq[(String, Long)], nv: Long): Column =
+    call_function("lm_surprisal", text, typedLit(vocab), lit(nv))
 
   /** The `take` nearest IVF anchors for a vector in one codegen'd pass
     * (see [[IvfNearestLists]]); `codebook` is the flattened anchor matrix. */

@@ -701,6 +701,48 @@ object Pipeline {
     graft.functions.BpeTrainer.mergesFromVocab(words, nMerges)
   }
 
+  /** Corpus-trained unigram-surprisal quality scores — the statistical-LM
+    * filter of CCNet/Gopher-style curation, in the engine-exact integer
+    * formulation of [[graft.functions.LmSurprisal]] (floor-log2 of the
+    * add-one-smoothed frequency ratio; no `ln`, so scores replay
+    * bit-identically in any engine).
+    *
+    * The 100 TB shape mirrors [[trainBpeMerges]]: training is ONE
+    * map-side-combined word-frequency aggregate (shuffle keyed by word,
+    * result vocabulary-sized) + a bounded top-`vocabSize` collect — plus
+    * one fused boundary scan for the total token count (no arrays, no
+    * shuffle). Scoring is a row-local codegen'd expression over the
+    * broadcast vocab: no join, no shuffle, one corpus pass.
+    *
+    * Output per row: (idCol, n_tokens, n_oov, surprisal_sum, lm_score)
+    * with `lm_score = surprisal_sum / n_tokens` — mean bits of surprise
+    * per token; high = rare/unknown-token-heavy text (gibberish, boiler
+    * fragments), low = fluent in-distribution text. */
+  def lmSurprisalScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 65536): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val total = df
+      .agg(sum(graft.functions.token_count(col(textCol)).cast("long")))
+      .head().getLong(0)
+    val vocab = df
+      .select(explode(graft.functions.tokens_fast(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val nv = total + vocab.size
+    df.select(col(idCol),
+        graft.functions.lm_surprisal(col(textCol), vocab, nv).as("__s"))
+      .select(col(idCol),
+        col("__s.n_tokens").as("n_tokens"),
+        col("__s.n_oov").as("n_oov"),
+        col("__s.surprisal_sum").as("surprisal_sum"),
+        (col("__s.surprisal_sum").cast("double") /
+          greatest(col("__s.n_tokens"), lit(1L)).cast("double")).as("lm_score"))
+  }
+
   /** Segment-level dedup (the C4 "three-sentence" / paragraph dedup): split
     * every document on `splitRegex`, keep only the GLOBAL first occurrence
     * of each distinct segment — first by (doc id, position in doc) — and

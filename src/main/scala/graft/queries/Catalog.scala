@@ -1950,6 +1950,32 @@ object Catalog {
       SELECT d.lang, d.n_docs, st.word_count, st.char_sum, TRUE AS compressed
       FROM d JOIN st USING (lang) ORDER BY lang"""))
 
+  /** CCNet/Gopher-style statistical-LM quality filter: per-doc mean
+    * unigram surprisal under a corpus-trained bounded vocabulary
+    * (vocabSize 16 of the corpus's 31 distinct tokens, so the OOV path is
+    * exercised on real rows). Every column is engine-exact: counts are
+    * integers, surprisal is floor-log2 of an integer ratio, and the mean
+    * is one correctly-rounded division of two pinned integers — DuckDB
+    * replays training AND scoring bit-for-bit. */
+  private val q103 = QueryDef(
+    "q103_lm_surprisal",
+    (s, dir) =>
+      graft.operators.Pipeline.lmSurprisalScores(
+        t(s, dir, "documents"), "doc_id", "text", vocabSize = 16)
+        .orderBy(col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents),
+      vc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w ORDER BY c DESC, w LIMIT 16),
+      nv AS (SELECT (SELECT COUNT(*) FROM tok) + (SELECT COUNT(*) FROM vc) AS v),
+      sc AS (SELECT t.doc_id,
+               CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov,
+               length(bin((SELECT v FROM nv) // (COALESCE(v.c, 0) + 1))) - 1 AS s
+             FROM tok t LEFT JOIN vc v ON t.w = v.w)
+      SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+             CAST(SUM(s) AS BIGINT) AS surprisal_sum,
+             CAST(SUM(s) AS DOUBLE) / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS lm_score
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   /** C4-style segment dedup: only the global first occurrence of each
     * sentence-ish segment survives; docs reassemble from surviving
     * segments in order. Deterministic end-to-end — kept counts and the
@@ -2250,7 +2276,7 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97) ++
+    q91, q92, q93, q94, q95, q96, q97, q103) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

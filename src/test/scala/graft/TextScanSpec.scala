@@ -161,6 +161,44 @@ class TextScanSpec extends AnyFunSuite {
     }
   }
 
+  test("lm_surprisal == independent driver fold (hostile + real docs, OOV exercised)") {
+    import graft.functions.{lm_surprisal, token_count, tokens_fast}
+    for (df <- Seq(hostile, Tables.load(spark, dir, "documents"))) {
+      // deliberately tiny vocab so the OOV path fires on real rows
+      val vocab = df.select(explode(tokens_fast(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(8)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val total = df.select(sum(token_count(col("text")).cast("long")))
+        .head().getLong(0)
+      val nv = total + vocab.size
+      val got = df
+        .select(col("doc_id"), lm_surprisal(col("text"), vocab, nv).as("s"))
+        .collect()
+        .map(r => r.getLong(0) -> {
+          val s = r.getStruct(1); (s.getLong(0), s.getLong(1), s.getLong(2))
+        }).toMap
+      // independent reference: regex tokens + shift-count floor-log2
+      val vmap = vocab.toMap
+      def flog2(x: Long): Long = {
+        var k = x; var s = -1L
+        while (k > 0) { k >>= 1; s += 1 }
+        s
+      }
+      val ref = df.select(col("doc_id"), col("text")).collect().map { r =>
+        // SQL semantics, not Java's: trim() strips SPACES only, and SQL
+        // split keeps leading/trailing empty tokens (limit -1)
+        val toks = r.getString(1)
+          .replaceAll("^ +", "").replaceAll(" +$", "").split("\\s+", -1)
+        val oov = toks.count(w => !vmap.contains(w)).toLong
+        val sum = toks.map(w => flog2(nv / (vmap.getOrElse(w, 0L) + 1))).sum
+        r.getLong(0) -> ((toks.length.toLong, oov, sum))
+      }.toMap
+      assert(got == ref, s"${got.toSet -- ref.toSet} diverge")
+      assert(ref.values.exists(_._2 > 0), "fixture produced no OOV tokens")
+    }
+  }
+
   test("lang_guess_fast == declarative lang_guess CASE chain") {
     for (df <- Seq(hostile, Tables.load(spark, dir, "documents"))) {
       val bad = df
