@@ -348,16 +348,21 @@ object Similarity {
       math.min(nprobe, nl), replicate)
   }
 
-  /** nlist ≈ 4·√N (bounded to [16, 65536]): keeps list size ~√N/4 so the
-    * codebook grows with the corpus — at a fixed scan FRACTION, finer
-    * lists hug each query tighter (fineness is the recall lever, see
-    * [[ivfTopK]]); at 100 TB a fixed nlist would degenerate to
-    * corpus-sized lists and the partition pruning would prune nothing.
-    * The ~5 % scan point (nprobe ≈ nlist/20) measures recall 1.0 on the
-    * clustered 10×-sf0.1 stress corpus (IvfGrid stress; ScaleStressSpec
-    * pins ≥ 0.8). Explicit nlist > 0 overrides. */
+  /** nlist ≈ 4·√N (bounded to [16, 65536], and to N/16 so no list drops
+    * below ~16 vectors): keeps list size ~√N/4 so the codebook grows
+    * with the corpus — at a fixed scan FRACTION, finer lists hug each
+    * query tighter (fineness is the recall lever, see [[ivfTopK]]); at
+    * 100 TB a fixed nlist would degenerate to corpus-sized lists and the
+    * partition pruning would prune nothing, while at demo corpora the
+    * N/16 cap stops the codebook from shattering into near-empty lists
+    * (k-means wants tens of points per centroid to be trainable; at
+    * 100 TB the √N term is always the binding one). The ~5 % scan point
+    * (nprobe ≈ nlist/20) measures recall 1.0 on the clustered 10×-sf0.1
+    * stress corpus (IvfGrid stress; ScaleStressSpec pins ≥ 0.8).
+    * Explicit nlist > 0 overrides. */
   private[graft] def autoNlist(count: Long): Int =
-    math.max(16, math.min(1 << 16, math.ceil(4 * math.sqrt(count.toDouble)).toInt))
+    math.max(16, math.min(count / 16, math.min(1L << 16,
+      math.ceil(4 * math.sqrt(count.toDouble)).toLong)).toInt)
 
   private def resolveNlist(nlist: Int, c: DataFrame): Int =
     if (nlist > 0) nlist else autoNlist(c.count())
