@@ -48,12 +48,17 @@ object StreamGateQueries {
       .load()
 
   /** Drain `stream` through foreachBatch on the fixed schedule; `merge`
-    * folds each update batch into the accumulator. Returns epochs seen. */
+    * folds each update batch into the accumulator. Returns epochs seen.
+    * `cpKey` must be unique per (query, sf dir) — the callers pass their
+    * `ran` cache key — because a reused checkpoint would RESUME from the
+    * previous dir's committed offsets against a different topic (a warm
+    * run at sf0.001 would silently eat the head of the sf0.1 stream). */
   private def drain(stream: DataFrame, mode: String, cpKey: String)(
       merge: (Long, Array[Row]) => Unit): Long = {
     var epochs = 0L
     val cp = s"${System.getProperty("java.io.tmpdir")}/graft-sgate-cp-" +
-      s"${java.lang.ProcessHandle.current().pid()}-$cpKey"
+      s"${java.lang.ProcessHandle.current().pid()}-" +
+      java.lang.Integer.toHexString(cpKey.hashCode)
     val q = stream.writeStream
       .outputMode(mode)
       .option("checkpointLocation", cp)
@@ -83,7 +88,7 @@ object StreamGateQueries {
           .select(col("key").as("event_type"), col("value").as("event_id")),
         Seq("event_type"),
         count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
-      val epochs = drain(rolling, "update", "rolling") { (_, rows) =>
+      val epochs = drain(rolling, "update", s"$dir/rolling") { (_, rows) =>
         rows.foreach(r => latest(r.getString(0)) = (r.getLong(1), r.getLong(2)))
       }
       latest.toSeq.map { case (k, (c, sm)) => (k, c, sm, epochs > 1) }
@@ -109,7 +114,7 @@ object StreamGateQueries {
       val deduped = StreamDedup.dedupWithinWatermark(
         eventStream(s, uri, math.max(1, 2 * n / 7)),
         "eventTime", "30 days", Seq("value"))
-      val epochs = drain(deduped.select(col("value")), "append", "dedup") { (_, rows) =>
+      val epochs = drain(deduped.select(col("value")), "append", s"$dir/dedup") { (_, rows) =>
         seen ++= rows.map(_.getLong(0))
       }
       Seq((seen.size.toLong, seen.distinct.size.toLong, seen.sum, epochs > 1))
@@ -135,7 +140,7 @@ object StreamGateQueries {
         .groupBy(window(col("event_time"), "6 hours"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("id_sum"))
         .select(unix_millis(col("window.start")).as("w"), col("n"), col("id_sum"))
-      val epochs = drain(windowed, "update", "window") { (_, rows) =>
+      val epochs = drain(windowed, "update", s"$dir/window") { (_, rows) =>
         rows.foreach(r => latest(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
       }
       latest.toSeq.map { case (w, (c, sm)) => (w / 1000, c, sm, epochs > 1) }
@@ -196,7 +201,7 @@ object StreamGateQueries {
           .select(col("value").as("user_id"), col("eventTime").as("ts")),
         gapMs).toDF()
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-      val epochs = drain(sessions, "append", "sessions") { (_, rows) =>
+      val epochs = drain(sessions, "append", s"$dir/sessions") { (_, rows) =>
         out ++= rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       }
       out.toSeq.filter(_._2 <= maxMs) // drop the sentinel-only sessions
