@@ -491,6 +491,35 @@ object Pipeline {
       .orderBy(col("shard"))
   }
 
+  /** Deterministic global training-order shuffle + sharding — the last
+    * hand-off step before a trainer consumes the corpus: data loaders
+    * want a reproducible random visit order (seeded, identical on every
+    * rebuild), decorrelated from ingestion order, plus a shard id for
+    * file-level parallel reads. Order key is `md5(seed ':' id)` — a
+    * keyed PRF both this engine and any replay engine compute
+    * bit-identically — and the global position comes from the same
+    * range-partitioned prefix-scan machinery as [[exportShards]]
+    * (NO single-partition row_number window; two lightweight jobs).
+    * Shards are `⌊ord·n/total⌋`: contiguous in the SHUFFLED order, so
+    * each shard is itself an unbiased sample — doc counts balanced to
+    * ±1 by pure integer arithmetic. */
+  def trainingOrder(
+      df: DataFrame,
+      idCol: String,
+      seed: String = "graft",
+      nShards: Int = 8): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val keyed = df.select(col(idCol).as("__id"),
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))).as("__k"))
+      .withColumn("__one", lit(1L))
+    val rs = rankedScan(keyed, Seq("__k", "__id"), "__one")
+    val total = math.max(rs.totalRows, 1L)
+    rs.df.select(col("__id").as(idCol), col("__rank").as("ord"),
+      // integer `div`, not `/`: double division + floor is only exact
+      // below 2^53 — pure BIGINT arithmetic holds at any corpus size
+      expr(s"(__rank * $nShards) div ${total}L").as("shard"))
+  }
+
   /** Vocabulary coverage: out-of-vocabulary token rate per group against
     * the corpus's own top-`vocabSize` tokens — the tokenizer-fit report for
     * a training mix. One tokenize pass feeds both the vocabulary and the

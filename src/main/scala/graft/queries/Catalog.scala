@@ -1976,6 +1976,27 @@ object Catalog {
              CAST(SUM(s) AS DOUBLE) / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS lm_score
       FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Deterministic training-order shuffle + sharding: seeded md5 visit
+    * order, global position from the range-partitioned prefix scan (no
+    * single-partition row_number), shards contiguous in shuffled order.
+    * Every column integer- or hash-exact — DuckDB replays the order and
+    * the shard arithmetic bit-for-bit. */
+  private val q104 = QueryDef(
+    "q104_training_order",
+    (s, dir) =>
+      graft.operators.Pipeline.trainingOrder(
+        t(s, dir, "documents"), "doc_id", seed = "graft", nShards = 8)
+        .orderBy(col("doc_id")),
+    Some("""WITH o AS (SELECT doc_id,
+               md5('graft:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+      r AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS ord,
+              COUNT(*) OVER () AS cnt
+            FROM o)
+      SELECT doc_id, CAST(ord AS BIGINT) AS ord,
+             CAST((ord * 8) // cnt AS BIGINT) AS shard
+      FROM r ORDER BY doc_id"""))
+
   /** C4-style segment dedup: only the global first occurrence of each
     * sentence-ish segment survives; docs reassemble from surviving
     * segments in order. Deterministic end-to-end — kept counts and the
@@ -2276,7 +2297,7 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q103) ++
+    q91, q92, q93, q94, q95, q96, q97, q103, q104) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
