@@ -609,6 +609,14 @@ object Similarity {
     * partition pruning, visible in the plan's PartitionFilters. Results
     * are bit-identical to the inline [[ivfTopK]] at the same parameters
     * (spec-pinned). */
+  /** Pinned (replicate, codebook) per index: both are immutable after
+    * [[buildIvfIndex]] ([[appendToIvfIndex]] only adds list files), so a
+    * serving process reads them once and pins them instead of paying two
+    * Spark jobs per query batch. Keyed by the codebook dir's modification
+    * time so an in-place rebuild at the same path invalidates the pin. */
+  private val ivfMetaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (Int, Seq[Seq[Double]])]
+
   def ivfTopKFromIndex(
       path: String,
       queries: DataFrame,
@@ -617,14 +625,20 @@ object Similarity {
       k: Int,
       nprobe: Int = 32): DataFrame = {
     val spark = queries.sparkSession
+    val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebook")
+    val cbFs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cbVersion = cbFs.getFileStatus(cbPath).getModificationTime
     // replicate comes from the index itself, never the caller: serving a
     // replicate>1 index without the pair dedup would return the same
     // neighbor at several ranks
-    val replicate = spark.read.parquet(s"$path/meta")
-      .select(col("replicate")).head().getInt(0)
-    val codebook: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
-      .orderBy(col("j")).collect()
-      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val (replicate, codebook) = ivfMetaCache.getOrElseUpdate((path, cbVersion), {
+      val rep = spark.read.parquet(s"$path/meta")
+        .select(col("replicate")).head().getInt(0)
+      val cb: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
+        .orderBy(col("j")).collect()
+        .map(r => r.getSeq[Double](1).toSeq).toSeq
+      (rep, cb)
+    })
     // the query batch is evaluated ONCE (a non-deterministic upstream —
     // sample/limit/rand — would otherwise probe one realization and score
     // another, silently losing neighbors) and bounded by the broadcast
