@@ -163,6 +163,156 @@ object Dedup {
   /** PPJoin core shared by the word- and char-shingle similarity joins:
     * input is (blk, doc_id, sh = SORTED distinct shingle hashes, n = |sh|),
     * output (doc_a, doc_b, jaccard) with jaccard >= threshold, exact. */
+  private[graft] def prefixFilteredPairsForProfile(
+      sh: DataFrame, threshold: Double): DataFrame =
+    prefixFilteredPairs(sh, threshold)
+
+  /** Oversized blocks denser than this (measured fraction of sampled pairs
+    * that are true near-dups) run exact triangle all-pairs instead of the
+    * prefix-filtered join: in a dense near-dup set prefix pruning is
+    * impossible in principle — the output itself is ~density·b² — and the
+    * PPJoin candidate-instance blowup (pairs × shared-prefix grams) costs
+    * an order of magnitude more than evaluating the pairs directly
+    * (measured on the 10×-sf0.1 stress hot block: ~48 s PPJoin vs ~5 s
+    * triangle for the same 460 k exact pairs). Sparse collision blocks
+    * (unrelated content behind one block key) stay on PPJoin, where
+    * pruning kills ~everything. */
+  private[graft] val DenseDispatchDensity = 1e-3
+
+  /** At most this many oversized blocks get a density probe (one ~256-row
+    * sample collect each); blocks beyond it default to the PPJoin path.
+    * Oversized blocks are anomalies by contract — this bounds driver work
+    * if a degenerate block key shatters the corpus. */
+  private[graft] val MaxProbedHotBlocks = 64
+
+  /** Measured near-dup density of one oversized block: a deterministic
+    * ~256-doc hash sample (no sort, no window), pairs evaluated on the
+    * driver with the exact ratio/threshold predicate of the pair join.
+    * ~33 k tiny merge-intersects — microseconds; the collect is bounded
+    * (E[256]·|grams| longs). */
+  private[graft] def blockDensity(
+      block: DataFrame, b: Long, threshold: Double): Double = {
+    val k = math.max(1L, b / 256L)
+    val sample = block
+      .filter(pmod(xxhash64(col("doc_id")), lit(k)) === 0)
+      .select(col("doc_id"), col("sh"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getInt(2)))
+    if (sample.length < 2) return 0.0
+    var hits = 0L; var total = 0L
+    var i = 0
+    while (i < sample.length) {
+      var j = i + 1
+      while (j < sample.length) {
+        val (_, ga, na) = sample(i); val (_, gb, nb) = sample(j)
+        total += 1
+        if (na.toDouble >= nb * threshold - 1e-9 &&
+            nb.toDouble >= na * threshold - 1e-9) {
+          val alpha = threshold / (1.0 + threshold) * (na + nb) - 1e-9
+          val inter = mergeIntersectAtLeast(ga, gb, alpha)
+          if (inter >= 0) {
+            val jac = inter.toDouble / (na + nb - inter).toDouble
+            if (jac >= threshold) hits += 1
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    hits.toDouble / total.toDouble
+  }
+
+  /** Two-pointer multiplicity-respecting sorted intersect, identical to
+    * [[graft.functions.TextScan.sortedIntersectCount]], plus a provable
+    * early exit: once `inter + min(remaining)` cannot reach `alpha` (the
+    * intersect size jaccard ≥ t requires, minus 1e-9 slack so double
+    * rounding never drops a borderline pair) the pair is provably below
+    * threshold and -1 is returned. A non-negative return is the EXACT
+    * intersect count — bit-identical downstream jaccard. */
+  private[graft] def mergeIntersectAtLeast(
+      a: Array[Long], b: Array[Long], alpha: Double): Int = {
+    var ia = 0; var ib = 0; var inter = 0
+    while (ia < a.length && ib < b.length) {
+      if (inter + math.min(a.length - ia, b.length - ib) < alpha) return -1
+      val x = a(ia); val y = b(ib)
+      if (x == y) { inter += 1; ia += 1; ib += 1 }
+      else if (x < y) ia += 1
+      else ib += 1
+    }
+    inter
+  }
+
+  /** Exact all-pairs jaccard over ONE dense oversized block via triangle
+    * (chunk-pair) partitioning: each doc gets a deterministic chunk id
+    * (seeded id mix, `s` chunks) and is shipped to the `s` tasks pairing
+    * its chunk with every chunk — one task per unordered chunk pair, so
+    * the block's inherent b²/2 pair evaluations spread evenly over
+    * s(s+1)/2 tasks instead of serializing in one sort-merge task (a
+    * 10 k-doc dense block is ~50 M evals). `s` is sized so a task stays
+    * ~1 M evaluations and a chunk ≤ 8192 docs (task memory is two chunks
+    * of gram arrays); data replication is s× — inherent to distributing a
+    * quadratic, and the dense case is exactly where output ~ density·b²
+    * already dwarfs it. Every pair is evaluated with the SAME predicate
+    * chain as the declarative join (ratio epsilons, exact merge intersect
+    * via [[mergeIntersectAtLeast]], same jaccard division) so the output
+    * is bit-identical to the all-pairs/PPJoin formulations; each unordered
+    * pair lands in exactly one task (its chunk pair), ids normalized
+    * doc_a < doc_b. */
+  private[graft] def triangleBlockPairs(
+      block: DataFrame, threshold: Double, b: Long): DataFrame = {
+    val spark = block.sparkSession
+    import spark.implicits._
+    val s = math.max(math.ceil(b / 8192.0),
+      math.ceil(math.sqrt(b.toDouble * b / 1e6))).toInt.max(1)
+    val thr = threshold
+    val rows = block.select(col("doc_id"), col("sh"), col("n"))
+      .as[(Long, Array[Long], Int)]
+    rows.flatMap { case (id, g, n) =>
+      val c = (java.lang.Long.remainderUnsigned(
+        scala.util.hashing.byteswap64(id), s.toLong)).toInt
+      (0 until s).iterator.map { k =>
+        (math.min(c, k) * s + math.max(c, k), c, id, g, n)
+      }
+    }.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val ti = key / s; val tj = key % s
+      val buf = it.toArray
+      val xs = buf.filter(_._2 == ti).map(r => (r._3, r._4, r._5))
+        .sortBy(r => (r._3, r._1))
+      val ys = if (ti == tj) xs
+        else buf.filter(_._2 == tj).map(r => (r._3, r._4, r._5))
+          .sortBy(r => (r._3, r._1))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      var jLo = 0
+      while (i < xs.length) {
+        val (ida, ga, na) = xs(i)
+        // sorted-by-n window: advance the lower bound once per i (ys is
+        // n-ascending), stop the inner scan at the ratio upper bound —
+        // the exact predicate is still re-checked per pair
+        while (jLo < ys.length && ys(jLo)._3 < na * thr - 1e-9) jLo += 1
+        var j = if (ti == tj) math.max(jLo, i + 1) else jLo
+        var go = true
+        while (go && j < ys.length) {
+          val (idb, gb, nb) = ys(j)
+          if (na.toDouble < nb * thr - 1e-9) go = false
+          else if (ida != idb &&
+              na.toDouble >= nb * thr - 1e-9 &&
+              nb.toDouble >= na * thr - 1e-9) {
+            val alpha = thr / (1.0 + thr) * (na + nb) - 1e-9
+            val inter = mergeIntersectAtLeast(ga, gb, alpha)
+            if (inter >= 0) {
+              val jac = inter.toDouble / (na + nb - inter).toDouble
+              if (jac >= thr)
+                out += ((math.min(ida, idb), math.max(ida, idb), jac))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }.toDF("doc_a", "doc_b", "jaccard")
+  }
+
   private def prefixFilteredPairs(sh: DataFrame, threshold: Double): DataFrame =
     verifyJaccard(prefixCandidates(sh, threshold),
       sh.select(col("doc_id"), col("sh")), threshold)
@@ -515,8 +665,37 @@ object Dedup {
     else {
       val hot = sizes.select(col("blk"))
       val small = sh.join(broadcast(hot), Seq("blk"), "left_anti")
-      val big = sh.join(broadcast(hot), Seq("blk"), "left_semi")
-      allPairs(small).unionByName(prefixFilteredPairs(big, threshold))
+      // Density-probed dispatch for the oversized blocks (see
+      // [[DenseDispatchDensity]]): dense near-dup sets run exact triangle
+      // all-pairs, sparse collision blocks — and any block past the probe
+      // cap — stay on the prefix-filtered path. Identical output either
+      // way; the probe only picks the cheaper exact plan.
+      val probed = sizes.limit(MaxProbedHotBlocks + 1).collect()
+      val capped = probed.length > MaxProbedHotBlocks
+      // a null block key never pairs in ANY path (x.blk === y.blk is never
+      // true for nulls — and left_anti keeps null rows out of `big` too),
+      // so it must not reach the triangle path, which would otherwise
+      // invent pairs the declarative formulation cannot emit
+      val hotRows = probed.filter(_.get(0) != null).take(MaxProbedHotBlocks)
+      val dense = hotRows.filter { r =>
+        blockDensity(sh.filter(col("blk") <=> lit(r.get(0))),
+          r.getLong(1), threshold) >= DenseDispatchDensity
+      }
+      val triangles = dense.map { r =>
+        triangleBlockPairs(sh.filter(col("blk") <=> lit(r.get(0))),
+          threshold, r.getLong(1))
+      }.toSeq
+      val sparseSide =
+        if (!capped && dense.length == probed.length) None
+        else {
+          val big = sh.join(broadcast(hot), Seq("blk"), "left_semi")
+          val sparseBig =
+            if (dense.isEmpty) big
+            else big.filter(!dense.map(r => col("blk") <=> lit(r.get(0)))
+              .reduce(_ || _))
+          Some(prefixFilteredPairs(sparseBig, threshold))
+        }
+      (Seq(allPairs(small)) ++ sparseSide ++ triangles).reduce(_.unionByName(_))
     }
   }
 }

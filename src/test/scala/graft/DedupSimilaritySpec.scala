@@ -526,4 +526,73 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"pair $k: $v != ${want(k)} (must match to the bit)")
     }
   }
+
+  test("charNgramPairs DENSE hot block: density dispatch routes to triangle — same pairs") {
+    import spark.implicits._
+    // dense near-dup set: every doc is the base text with one word swapped —
+    // every pair is a true near-dup, so prefix filtering can prune nothing
+    // and the triangle path must win (and must return IDENTICAL pairs)
+    def perturbed(i: Int): String =
+      (0 until 30).map(j => if (j == i % 30) s"odd$i" else s"tok$j").mkString(" ")
+    val B = 300
+    val dense = (0 until B).map(i => (i.toLong, perturbed(i), "dense"))
+    val cool = Seq((9000L, "the quick brown fox jumps", "cool"),
+      (9001L, "the quick brown fox jumped", "cool"))
+    val df = (dense ++ cool).toDF("doc_id", "text", "blk")
+    def pairs(maxBlockRows: Int): Set[(Long, Long, Double)] =
+      Dedup.charNgramPairs(df, "doc_id", "text", "blk", 5, 0.5, maxBlockRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val guarded = pairs(100) // dense block (300 rows) > cap -> probe -> triangle
+    val allPairs = pairs(Int.MaxValue) // everything through the b² join path
+    assert(guarded == allPairs,
+      s"triangle path diverged: missing ${(allPairs -- guarded).take(5)}, " +
+        s"extra ${(guarded -- allPairs).take(5)}")
+    assert(allPairs.count { case (a, b, _) => a < 9000 && b < 9000 } > B,
+      "dense block should produce > B near-dup pairs")
+    // the dispatch itself: this block measures dense, the sparse spec's
+    // collision block measures sparse
+    import graft.functions.char_shingles
+    val sh = df.filter(col("blk") === "dense")
+      .select(col("blk"), col("doc_id").cast("long").as("doc_id"),
+        sort_array(transform(char_shingles(col("text"), 5), g => xxhash64(g))).as("sh"))
+      .withColumn("n", size(col("sh")))
+    assert(Dedup.blockDensity(sh, B.toLong, 0.5) >= Dedup.DenseDispatchDensity,
+      "dense block must measure above the dispatch density")
+    // triangle output is exact at any chunking (s follows b; force the
+    // multi-chunk regime by lying about b upward)
+    val expected = allPairs.filter { case (a, b, _) => a < 9000 && b < 9000 }
+    for (bClaim <- Seq(B.toLong, 100000L)) {
+      val tri = Dedup.triangleBlockPairs(sh, 0.5, bClaim)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(tri == expected, s"triangle(b=$bClaim) diverged")
+    }
+  }
+
+  test("charNgramPairs: null block key semantics survive the dense dispatch") {
+    import spark.implicits._
+    // one DENSE named hot block + one DENSE null-keyed hot block. A null
+    // block key never pairs in the declarative formulation (x.blk ===
+    // y.blk is never true for nulls), so the dispatch must NOT route the
+    // null block to the triangle path — that would invent pairs the
+    // unguarded path cannot emit. Guarded and unguarded must agree:
+    // named-block pairs present, null-block pairs absent in BOTH.
+    def perturbed(i: Int): String =
+      (0 until 30).map(j => if (j == i % 30) s"odd$i" else s"tok$j").mkString(" ")
+    val dense = (0 until 150).map(i => (i.toLong, perturbed(i), "dense"))
+    val nullBlk = (0 until 150).map(i => (1000L + i, perturbed(i), null: String))
+    val df = (dense ++ nullBlk).toDF("doc_id", "text", "blk")
+    def pairs(maxBlockRows: Int): Set[(Long, Long)] =
+      Dedup.charNgramPairs(df, "doc_id", "text", "blk", 5, 0.5, maxBlockRows)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = pairs(100)
+    val unguarded = pairs(Int.MaxValue)
+    assert(guarded == unguarded,
+      s"paths diverged: missing ${(unguarded -- guarded).take(5)}, " +
+        s"extra ${(guarded -- unguarded).take(5)}")
+    assert(guarded.exists { case (a, b) => a < 1000 && b < 1000 },
+      "the named dense block's pairs must survive the dispatch")
+    assert(!guarded.exists { case (a, b) => a >= 1000 || b >= 1000 },
+      "null-keyed rows must not pair (join-equality semantics)")
+  }
 }
