@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -136,6 +137,58 @@ object TextScan {
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Per-document word n-gram repetition stats (the Gopher/MassiveText
+    * repetition quality signals — Rae et al. 2021 §A1.1: "fraction of
+    * characters in the most common n-gram", "fraction of characters in
+    * duplicated n-grams", here in occurrence form): ONE byte-level pass,
+    * n-grams hashed with multiplicity (same assembly as
+    * [[wordShingleHashes]] minus the dedup), sorted, run-lengths scanned.
+    * Returns (n_ngrams, max_count, dup_count) where dup_count sums the
+    * occurrences of every n-gram appearing more than once. Fewer than n
+    * tokens → the whole token sequence as the single n-gram (the shingle
+    * kernels' convention). Collision odds within one doc ~L²/2^64 —
+    * negligible (the repo-wide hashing stance). */
+  def ngramRepetitionStats(s: UTF8String, n: Int): InternalRow = {
+    val bytes = s.getBytes
+    val tk = tokenize(bytes, 0, bytes.length)
+    val m = tk.length / 2
+    val win = if (m >= n) n else m
+    val count = if (m >= n) m - n + 1 else 1
+    var buf = new Array[Byte](64)
+    val hs = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var len = 0
+      var j = 0
+      while (j < win) {
+        val ts = tk(2 * (i + j)); val te = tk(2 * (i + j) + 1)
+        val tl = te - ts
+        val need = len + tl + 1
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (j > 0) { buf(len) = 0x20; len += 1 }
+        System.arraycopy(bytes, ts, buf, len, tl)
+        len += tl
+        j += 1
+      }
+      hs(i) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var maxRun = 0L
+    var dup = 0L
+    i = 0
+    while (i < count) {
+      var k = i + 1
+      while (k < count && hs(k) == hs(i)) k += 1
+      val run = (k - i).toLong
+      if (run > maxRun) maxRun = run
+      if (run > 1) dup += run
+      i = k
+    }
+    new GenericInternalRow(Array[Any](count.toLong, maxRun, dup))
   }
 
   /** Token strings — value-identical to `split(trim(s), "\\s+")` (same
@@ -297,6 +350,25 @@ case class TokensScan(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.tokenStrings($c)")
   override def prettyName: String = "tokens_scan"
   override protected def withNewChildInternal(newChild: Expression): TokensScan =
+    copy(child = newChild)
+}
+
+/** `ngram_repetition_scan(text, n)`: per-doc word n-gram repetition stats
+  * (Gopher/MassiveText repetition filters) — struct(n_ngrams, max_count,
+  * dup_count), one byte-level pass, row-local (scan-pushable, NO shuffle:
+  * the 100 TB formulation of a per-document quality signal). */
+case class NgramRepetitionScan(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ngrams", LongType, nullable = false),
+    StructField("max_count", LongType, nullable = false),
+    StructField("dup_count", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextScan.ngramRepetitionStats(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.ngramRepetitionStats($c, $n)")
+  override def prettyName: String = "ngram_repetition_scan"
+  override protected def withNewChildInternal(newChild: Expression): NgramRepetitionScan =
     copy(child = newChild)
 }
 

@@ -79,6 +79,10 @@ package object functions {
       "sorted_intersect_count" -> { exprs => SortedIntersectCount(exprs(0), exprs(1)) },
       "bloom_might_contain" -> { exprs => BloomMightContain(exprs(0), exprs(1)) },
       "tokens_scan" -> { exprs => TokensScan(exprs.head) },
+      "ngram_repetition_scan" -> {
+        case Seq(c, Literal(n: Int, _)) => NgramRepetitionScan(c, n)
+        case _ => throw new IllegalArgumentException("ngram_repetition_scan(text, n)")
+      },
       "token_count_scan" -> { exprs => TokenCountScan(exprs.head) },
       "distinct_token_count_scan" -> { exprs => DistinctTokenCountScan(exprs.head) },
       "cms_estimate" -> { exprs => CmsEstimate(exprs(0), exprs(1)) },
@@ -165,6 +169,12 @@ package object functions {
 
   /** Byte-level fast path for [[tokens]] (identical values, no regex). */
   def tokens_fast(c: Column): Column = call_function("tokens_scan", c)
+
+  /** Per-doc word n-gram repetition stats (Gopher/MassiveText repetition
+    * quality filters): struct(n_ngrams, max_count, dup_count), one
+    * row-local byte pass — no shuffle at any corpus size. */
+  def ngram_repetition(c: Column, n: Int): Column =
+    call_function("ngram_repetition_scan", c, lit(n))
 
   /** Fused token count — `size(tokens(c))` values with no array build;
     * cheap enough to live in pushed-down Filter predicates. */

@@ -772,6 +772,54 @@ object Pipeline {
           greatest(col("__s.n_tokens"), lit(1L)).cast("double")).as("lm_score"))
   }
 
+  /** Gopher/MassiveText-style per-document n-gram repetition signals (Rae
+    * et al. 2021 §A1.1): for each doc, the total n-gram occurrences, the
+    * most-common n-gram's count, the occurrences in any repeated n-gram,
+    * and the two ratio forms used as filter thresholds (top-fraction,
+    * dup-fraction — e.g. Gopher drops docs with top-2-gram fraction > 0.2).
+    * Entirely row-local ([[graft.functions.ngram_repetition]] — one
+    * codegen'd byte pass, no shuffle at any corpus size); the division is
+    * the only floating step, one op over two pinned integers. */
+  def repetitionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame =
+    df.select(col(idCol),
+        graft.functions.ngram_repetition(col(textCol), n).as("__r"))
+      .select(col(idCol),
+        col("__r.n_ngrams").as("n_ngrams"),
+        col("__r.max_count").as("max_count"),
+        col("__r.dup_count").as("dup_count"),
+        (col("__r.max_count").cast("double") /
+          greatest(col("__r.n_ngrams"), lit(1L)).cast("double")).as("top_frac"),
+        (col("__r.dup_count").cast("double") /
+          greatest(col("__r.n_ngrams"), lit(1L)).cast("double")).as("dup_frac"))
+
+  /** Email regex shared by Spark (Java regex) and the DuckDB oracle (RE2):
+    * character classes + bounded quantifiers only — the dialect-portable
+    * subset, no backrefs/lookaround. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone regex (international `+CC-NNN-NNNN` shape), same portable subset. */
+  val PhoneRegex = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}"
+
+  /** PII scrubbing for training corpora: redact email addresses and
+    * phone-number-shaped spans, keep the match counts as per-doc metadata
+    * (the audit trail a compliance pass needs). Row-local codegen'd
+    * regexes — scan-speed at 100 TB, no shuffle; emails are redacted
+    * before phones so a phone-looking local part never double-counts.
+    * Counts are over the original text, replacements sequential. */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRegex), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRegex), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRegex, "<EMAIL>"),
+        PhoneRegex, "<PHONE>").as("text_scrubbed"))
+
   /** Segment-level dedup (the C4 "three-sentence" / paragraph dedup): split
     * every document on `splitRegex`, keep only the GLOBAL first occurrence
     * of each distinct segment — first by (doc id, position in doc) — and

@@ -1997,6 +1997,68 @@ object Catalog {
              CAST((ord * 8) // cnt AS BIGINT) AS shard
       FROM r ORDER BY doc_id"""))
 
+  /** Gopher-style n-gram repetition quality signals: per-doc bigram
+    * occurrence stats + the two filter ratios. The kernel hashes n-grams
+    * with multiplicity row-locally; DuckDB replays the construction with
+    * string grouping — integer counts and a single division, engine-exact. */
+  private val q105 = QueryDef(
+    "q105_repetition",
+    (s, dir) =>
+      graft.operators.Pipeline.repetitionStats(
+        t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+              FROM documents),
+      g AS (SELECT doc_id, unnest(CASE WHEN len(l) >= 2
+              THEN list_transform(generate_series(1, len(l) - 1),
+                     i -> l[i] || ' ' || l[i + 1])
+              ELSE [array_to_string(l, ' ')] END) AS ng FROM tok),
+      c AS (SELECT doc_id, ng, COUNT(*) AS c FROM g GROUP BY doc_id, ng),
+      a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+              CAST(MAX(c) AS BIGINT) AS max_count,
+              CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_count
+            FROM c GROUP BY doc_id)
+      SELECT doc_id, n_ngrams, max_count, dup_count,
+        CAST(max_count AS DOUBLE) / CAST(GREATEST(n_ngrams, 1) AS DOUBLE) AS top_frac,
+        CAST(dup_count AS DOUBLE) / CAST(GREATEST(n_ngrams, 1) AS DOUBLE) AS dup_frac
+      FROM a ORDER BY doc_id"""))
+
+  /** PII scrub audit: deterministic synthetic PII (emails + phone spans
+    * derived from doc_id, so both engines construct identical inputs) is
+    * redacted by the portable-regex scrubber; counts and the md5 of the
+    * scrubbed text pin the redaction byte-for-byte. */
+  private val q106 = QueryDef(
+    "q106_pii_scrub",
+    (s, dir) => {
+      val pii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".org"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@corp.net")))
+            .otherwise(lit("")),
+          lit(" or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+      graft.operators.Pipeline.scrubPii(pii, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("text_scrubbed")).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+              || CASE WHEN doc_id % 3 = 0
+                   THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.net'
+                   ELSE '' END
+              || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+            FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(s, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(s,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g')) AS scrub_md5
+      FROM p ORDER BY doc_id"""))
+
   /** C4-style segment dedup: only the global first occurrence of each
     * sentence-ish segment survives; docs reassemble from surviving
     * segments in order. Deterministic end-to-end — kept counts and the
@@ -2297,7 +2359,7 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q103, q104) ++
+    q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

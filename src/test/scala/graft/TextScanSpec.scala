@@ -161,6 +161,65 @@ class TextScanSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram_repetition == independent declarative formulation (hostile + real docs)") {
+    import graft.functions.{ngram_repetition, tokens}
+    for ((df, isHostile) <- Seq((hostile, true),
+        (Tables.load(spark, dir, "documents"), false)); n <- Seq(2, 3)) {
+      // independent spec: n-grams from the declarative token split, counted
+      // as STRINGS via explode + groupBy (no hashing anywhere)
+      val toks = df.select(col("doc_id"), tokens(col("text")).as("l"))
+      val grams = toks.select(col("doc_id"),
+        explode(when(size(col("l")) >= n,
+            transform(sequence(lit(0), size(col("l")) - n),
+              i => concat_ws(" ", slice(col("l"), i + 1, lit(n)))))
+          .otherwise(array(concat_ws(" ", col("l"))))).as("ng"))
+      val want = grams.groupBy(col("doc_id"), col("ng"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_ngrams"), max(col("c")).as("max_count"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup_count"))
+      val got = df.select(col("doc_id"),
+        ngram_repetition(col("text"), n).as("r"))
+        .select(col("doc_id"), col("r.n_ngrams").as("n_ngrams"),
+          col("r.max_count").as("max_count"), col("r.dup_count").as("dup_count"))
+      val bad = got.as("g").join(want.as("w"), Seq("doc_id"))
+        .filter(col("g.n_ngrams") =!= col("w.n_ngrams") ||
+          col("g.max_count") =!= col("w.max_count") ||
+          col("g.dup_count") =!= col("w.dup_count"))
+        .count()
+      assert(bad == 0, s"n=$n: $bad docs diverge from the declarative spec")
+      // the signal itself: the planted repetition rows measure as repeated
+      if (n == 2 && isHostile) {
+        val dup = got.filter(col("doc_id") === 18).head() // "dup dup dup dup"
+        assert(dup.getAs[Long]("n_ngrams") == 3 && dup.getAs[Long]("max_count") == 3
+          && dup.getAs[Long]("dup_count") == 3, s"planted run: $dup")
+      }
+    }
+  }
+
+  test("scrubPii: portable regexes redact emails/phones, counts audit the originals") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "reach me at a.b+c@mail-host.org today"),
+      (1L, "call +1-555-0001 or +44-207-9460 now"),
+      (2L, "both x@y.io and +1-555-0002 here"),
+      (3L, "phone-looking local part +1-555-0003@ex.org only"),
+      (4L, "nothing to scrub"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = graft.operators.Pipeline.scrubPii(df, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((0L, 1L, 0L, "reach me at <EMAIL> today")))
+    assert(got(1) == ((1L, 0L, 2L, "call <PHONE> or <PHONE> now")))
+    assert(got(2) == ((2L, 1L, 1L, "both <EMAIL> and <PHONE> here")))
+    // email wins where a phone-shaped span is an email local part: the
+    // count audits the original (1 email, 1 phone-shaped span) but the
+    // redaction consumes the whole address first
+    assert(got(3) == ((3L, 1L, 1L, "phone-looking local part <EMAIL> only")))
+    assert(got(4) == ((4L, 0L, 0L, "nothing to scrub")))
+    assert(got(5) == ((5L, 0L, 0L, "")))
+  }
+
   test("lm_surprisal == independent driver fold (hostile + real docs, OOV exercised)") {
     import graft.functions.{lm_surprisal, token_count, tokens_fast}
     for (df <- Seq(hostile, Tables.load(spark, dir, "documents"))) {
