@@ -820,6 +820,57 @@ object Pipeline {
         regexp_replace(col(textCol), EmailRegex, "<EMAIL>"),
         PhoneRegex, "<PHONE>").as("text_scrubbed"))
 
+  /** Exact substring dedup (the Lee et al. 2021 "Deduplicating Training
+    * Data Makes Language Models Better" shape, on token windows): every
+    * `l`-token window is fingerprinted (md5 of the joined tokens — a
+    * string both engines hash identically); only the GLOBAL first
+    * occurrence of each fingerprint — first by (doc id, start) — keeps
+    * its span, and every token covered by a later duplicate window is
+    * removed, then docs reassemble from surviving tokens in order.
+    * Catches the cross-document boilerplate (license headers, quoted
+    * reposts, template prose) that document-level near-dup misses.
+    *
+    * Scale shape: windows are one explode (bounded by corpus token
+    * count); the first-occurrence rule is `groupBy(fingerprint).agg(min)`
+    * — map-side combinable, so a boilerplate span repeated millions of
+    * times never concentrates rows on one task (deliberately NOT a
+    * row_number window over the fingerprint, which would); duplicate
+    * spans rejoin their docs and coverage resolves row-locally (per-doc
+    * span lists are bounded by doc length). Docs shorter than `l` have no
+    * windows and pass through whole. */
+  def dedupSubstrings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int = 10): DataFrame = {
+    require(l >= 2, "substring window must be >= 2 tokens")
+    val toks = graft.functions.tokens_fast(col(textCol))
+    val base = df.select(col(idCol).as("__id"), toks.as("__t"))
+    val wins = base
+      .select(col("__id"),
+        posexplode(when(size(col("__t")) >= l,
+            transform(sequence(lit(1), size(col("__t")) - (l - 1)),
+              i => md5(concat_ws(" ", slice(col("__t"), i, lit(l))))))
+          .otherwise(array().cast("array<string>"))).as(Seq("__i0", "__h")))
+      .select(col("__id"), (col("__i0") + 1).as("__s"), col("__h"))
+    val first = wins.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__s"))).as("__f"))
+    val dupSpans = wins.join(first, Seq("__h"))
+      .filter(col("__id") =!= col("__f.__id") || col("__s") =!= col("__f.__s"))
+      .groupBy(col("__id")).agg(collect_list(col("__s")).as("__spans"))
+    base.join(dupSpans, Seq("__id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"), array().cast("array<int>")))
+      .select(col("__id").as(idCol),
+        concat_ws(" ", filter(col("__t"), (tk, i0) =>
+          not(exists(col("__spans"), s =>
+            s <= i0 + 1 && i0 + 1 <= s + (l - 1))))).as("text_dedup"),
+        size(col("__t")).as("n_tokens"),
+        size(filter(col("__t"), (tk, i0) =>
+          not(exists(col("__spans"), s =>
+            s <= i0 + 1 && i0 + 1 <= s + (l - 1))))).as("n_kept"))
+      .withColumn("n_removed", col("n_tokens") - col("n_kept"))
+  }
+
   /** Segment-level dedup (the C4 "three-sentence" / paragraph dedup): split
     * every document on `splitRegex`, keep only the GLOBAL first occurrence
     * of each distinct segment — first by (doc id, position in doc) — and

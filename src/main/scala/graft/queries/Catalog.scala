@@ -2059,6 +2059,45 @@ object Catalog {
           '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g')) AS scrub_md5
       FROM p ORDER BY doc_id"""))
 
+  /** Exact substring dedup (Lee et al. 2021 shape): 10-token windows
+    * fingerprinted globally, only the first occurrence keeps its span,
+    * covered tokens removed, docs reassembled. The oracle replays the
+    * whole construction — md5 window fingerprints, (doc, start) first
+    * occurrence, coverage, reassembly — string-exact. */
+  private val q107 = QueryDef(
+    "q107_substring_dedup",
+    (s, dir) =>
+      graft.operators.Pipeline.dedupSubstrings(
+        t(s, dir, "documents"), "doc_id", "text", l = 10)
+        .select(col("doc_id"), col("text_dedup"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("n_removed").cast("long").as("n_removed"))
+        .orderBy(col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+      win AS (SELECT doc_id, s, md5(array_to_string(t[s:s+9], ' ')) AS h
+              FROM (SELECT doc_id, t,
+                      unnest(generate_series(1, len(t) - 9)) AS s FROM tok)),
+      rnk AS (SELECT doc_id, s, h,
+                row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+              FROM win),
+      dup AS (SELECT doc_id, s FROM rnk WHERE rn > 1),
+      tokp AS (SELECT doc_id, j, t[j] AS tk, n
+               FROM (SELECT doc_id, t, len(t) AS n,
+                       unnest(generate_series(1, len(t))) AS j FROM tok)),
+      flg AS (SELECT p.doc_id, p.j, p.tk, p.n,
+                NOT EXISTS (SELECT 1 FROM dup d WHERE d.doc_id = p.doc_id
+                  AND p.j BETWEEN d.s AND d.s + 9) AS keep
+              FROM tokp p)
+      SELECT doc_id,
+        COALESCE(array_to_string(list(tk ORDER BY j) FILTER (WHERE keep), ' '), '')
+          AS text_dedup,
+        CAST(MAX(n) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        CAST(MAX(n) - COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_removed
+      FROM flg GROUP BY doc_id ORDER BY doc_id"""))
+
   /** C4-style segment dedup: only the global first occurrence of each
     * sentence-ish segment survives; docs reassemble from surviving
     * segments in order. Deterministic end-to-end — kept counts and the
@@ -2359,7 +2398,7 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106) ++
+    q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -128,6 +128,69 @@ class CurationReportSpec extends AnyFunSuite {
     assert(res.passed, s"property falsified: ${res.status}")
   }
 
+  test("dedupSubstrings: cross-doc boilerplate span removed from every doc but its first") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // exactly one window at l=10
+    val df = Seq(
+      (0L, s"alpha beta $boiler gamma"),
+      (1L, s"$boiler tail words here"),
+      (2L, "too short to window"),
+      (3L, ""),
+      (4L, s"prefix $boiler")).toDF("doc_id", "text")
+    val got = Pipeline.dedupSubstrings(df, "doc_id", "text", l = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    // doc 0 holds the first occurrence (windows also cover alpha/beta spans:
+    // its own windows are all FIRST occurrences, nothing removed)
+    assert(got(0L)._1 == s"alpha beta $boiler gamma" && got(0L)._4 == 0)
+    // docs 1 and 4: their boilerplate windows duplicate doc 0's -> covered
+    // tokens removed, surrounding text survives
+    assert(got(1L)._1 == "tail words here" && got(1L)._4 == 10, s"got ${got(1L)}")
+    assert(got(4L)._1 == "prefix" && got(4L)._4 == 10, s"got ${got(4L)}")
+    // shorter than l: passes through whole
+    assert(got(2L) == (("too short to window", 4, 4, 0)))
+    assert(got(3L)._4 == 0)
+  }
+
+  test("property: dedupSubstrings == reference first-occurrence coverage scan") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val l = 3
+    // tiny token alphabet forces heavy window collisions, within and across docs
+    val tok = Gen.oneOf("x", "y", "z")
+    val gen = for {
+      n <- Gen.choose(0, 12)
+      docs <- Gen.listOfN(n, Gen.choose(0, 9).flatMap(m => Gen.listOfN(m, tok)))
+    } yield docs.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val prop = Prop.forAll(gen) { docs =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (id, t) =>
+          org.apache.spark.sql.Row(id, t)
+        }, 3),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      val got = Pipeline.dedupSubstrings(df, "doc_id", "text", l = l)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(4)))).toMap
+      // reference: sequential scan in (doc, start) order; split-with-limit
+      // -1 semantics to mirror tokens() exactly (incl. the [""] empty doc)
+      val first = scala.collection.mutable.Set.empty[String]
+      val ref = docs.sortBy(_._1).map { case (id, t) =>
+        val ts = t.replaceAll("^ +| +$", "").split("\\s+", -1)
+        val removed = Array.fill(ts.length)(false)
+        (0 to ts.length - l).foreach { s0 =>
+          val w = ts.slice(s0, s0 + l).mkString(" ")
+          if (!first.add(w)) (s0 until s0 + l).foreach(removed(_) = true)
+        }
+        val kept = ts.indices.filterNot(removed).map(ts)
+        id -> ((kept.mkString(" "), removed.count(identity)))
+      }.toMap
+      got == ref
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
   test("curriculumBins: equal-population tiers with non-overlapping bounds") {
     val docs = Tables.load(spark, dir, "documents")
     val total = docs.count()
