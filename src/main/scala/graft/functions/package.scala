@@ -59,6 +59,21 @@ package object functions {
         case _ => throw new IllegalArgumentException(
           "ivf_nearest(vec, codebook, nlist, dim, take)")
       },
+      "pq_encode" -> {
+        case Seq(v, b, Literal(cb: org.apache.spark.sql.catalyst.util.ArrayData, _),
+            Literal(pq: org.apache.spark.sql.catalyst.util.ArrayData, _),
+            Literal(nlist: Int, _), Literal(d: Int, _), Literal(m: Int, _),
+            Literal(ksub: Int, _)) =>
+          PqEncode(v, b, cb.toDoubleArray.toSeq, pq.toDoubleArray.toSeq,
+            nlist, d, m, ksub)
+        case _ => throw new IllegalArgumentException(
+          "pq_encode(vec, bucket, coarse, pq, nlist, dim, m, ksub)")
+      },
+      "pq_adc" -> {
+        case Seq(t, c, Literal(m: Int, _), Literal(ksub: Int, _)) =>
+          PqAdc(t, c, m, ksub)
+        case _ => throw new IllegalArgumentException("pq_adc(tab, codes, m, ksub)")
+      },
       "hll_sketch" -> HllSketchAgg.builder _,
       "hll_merge" -> { exprs => HllMergeAgg(exprs.head) },
       "rolling_hash64" -> { exprs => RollingHash64(exprs.head) },
@@ -302,6 +317,17 @@ package object functions {
       take: Int): Column =
     call_function("ivf_nearest", vec, typedLit(codebook), lit(nlist), lit(dim),
       lit(take))
+
+  /** PQ encode: normalized vector + its IVF bucket → `m` byte codes (see
+    * [[PqEncode]]); `coarse`/`pq` are the flattened codebook matrices. */
+  def pq_encode(vec: Column, bucket: Column, coarse: Seq[Double],
+      pq: Seq[Double], nlist: Int, dim: Int, m: Int, ksub: Int): Column =
+    call_function("pq_encode", vec, bucket, typedLit(coarse), typedLit(pq),
+      lit(nlist), lit(dim), lit(m), lit(ksub))
+
+  /** ADC score: per-query lookup table × PQ codes (see [[PqAdc]]). */
+  def pq_adc(tab: Column, codes: Column, m: Int, ksub: Int): Column =
+    call_function("pq_adc", tab, codes, lit(m), lit(ksub))
 
   /** Interpreted HOF formulation of [[dotd]] — kept as the executable
     * specification SeqDot is tested against. */

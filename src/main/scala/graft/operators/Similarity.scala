@@ -670,6 +670,264 @@ object Similarity {
       math.min(nprobe, codebook.size), replicate)
   }
 
+  /** Per-subspace PQ codebooks trained over a deterministic residual
+    * sample (smallest xxhash64(id) — the [[trainIvfCodebook]] sampling
+    * device): residual = normalized vector − its coarse anchor, split into
+    * `m` subvectors of `dim/m` dims, each clustered with `refinePq`
+    * sequential L2-Lloyd iterations (sample is codebook-sized, driver-side,
+    * index-order folds — deterministic, so rebuilds are byte-identical).
+    * Returns the flattened [((s·ksub)+j)·dsub + d] codeword matrix. */
+  private[graft] def trainPqCodebooks(
+      c: DataFrame,
+      coarse: Seq[Seq[Double]],
+      m: Int,
+      ksub: Int,
+      refinePq: Int): Seq[Double] = {
+    val dim = coarse.head.length
+    val dsub = dim / m
+    val anchors: Array[Array[Double]] = coarse.map(_.toArray).toArray
+    val resid: Array[Array[Double]] = c
+      .select(col("neighbor_id"), col("cv"), col("cn"))
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(ksub * 64)
+      .collect()
+      .map { row =>
+        val cv = row.getSeq[Double](1).toArray
+        val cn = row.getDouble(2)
+        val vhat = if (cn == 0) cv else cv.map(_ / cn)
+        // bucket = argmax raw-cv dot (the corpusLists assignment — the
+        // positive cn scale can't change the argmax), ties to lower j
+        var bj = 0; var bd = Double.NegativeInfinity; var j = 0
+        while (j < anchors.length) {
+          var d = 0.0; var i = 0
+          val n = math.min(cv.length, dim)
+          while (i < n) { d += cv(i) * anchors(j)(i); i += 1 }
+          if (d > bd) { bd = d; bj = j }
+          j += 1
+        }
+        val a = anchors(bj)
+        Array.tabulate(dim)(i => (if (i < vhat.length) vhat(i) else 0.0) - a(i))
+      }
+    require(resid.nonEmpty, "empty corpus")
+    val out = new Array[Double](m * ksub * dsub)
+    var s = 0
+    while (s < m) {
+      val sub: Array[Array[Double]] =
+        resid.map(r => java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub))
+      // seeds cycle the sample if it's smaller than ksub (duplicate
+      // codewords are harmless: encode ties break to the lower id)
+      var cb: Array[Array[Double]] =
+        Array.tabulate(ksub)(j => sub(j % sub.length).clone())
+      var it = 0
+      while (it < refinePq) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val cnts = new Array[Int](ksub)
+        for (v <- sub) {
+          var bj = 0; var bd = Double.MaxValue; var j = 0
+          while (j < ksub) {
+            var d2 = 0.0; var d = 0
+            while (d < dsub) { val t = v(d) - cb(j)(d); d2 += t * t; d += 1 }
+            if (d2 < bd) { bd = d2; bj = j }
+            j += 1
+          }
+          val acc = sums(bj); var d = 0
+          while (d < dsub) { acc(d) += v(d); d += 1 }
+          cnts(bj) += 1
+        }
+        cb = Array.tabulate(ksub) { j =>
+          if (cnts(j) == 0) cb(j) else sums(j).map(_ / cnts(j))
+        }
+        it += 1
+      }
+      var j = 0
+      while (j < ksub) {
+        System.arraycopy(cb(j), 0, out, (s * ksub + j) * dsub, dsub)
+        j += 1
+      }
+      s += 1
+    }
+    out.toSeq
+  }
+
+  /** Persist an IVF-PQ index (Jégou et al., TPAMI 2011): the
+    * [[buildIvfIndex]] layout with each inverted-list vector COMPRESSED to
+    * `m` one-byte PQ codes instead of its float coordinates — `m` bytes
+    * per vector vs 8·dim for the flat index (64 dim → 64× smaller lists).
+    * This is the 100 TB serving shape: a corpus whose flat lists would be
+    * tens of TB fits executor page cache as PQ codes, probes scan bytes
+    * with `m`-add ADC lookups, and exact rerank touches only the top-R
+    * candidates' original vectors.
+    *
+    * Layout: `path/lists/bucket=N/` (neighbor_id, codes: binary),
+    * `path/codebook/` the coarse anchors, `path/pq/` the flattened
+    * codeword matrix, `path/meta/` (nlist, m, ksub). Training and encode
+    * are deterministic end-to-end — same corpus + params ⇒ byte-identical
+    * index. */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      path: String,
+      corpusId: String,
+      corpusVec: String,
+      nlist: Int = 0,
+      refine: Int = 3,
+      m: Int = 16,
+      ksub: Int = 256,
+      refinePq: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = normalizedCorpus(corpus, corpusId, corpusVec)
+    val nl = resolveNlist(nlist, c)
+    val coarse = trainIvfCodebook(c, nl, refine)
+    val dim = coarse.head.length
+    require(dim % m == 0, s"buildIvfPqIndex: dim ($dim) must be divisible by m ($m)")
+    val pq = trainPqCodebooks(c, coarse, m, ksub, refinePq)
+    // one corpus pass: normalize, coarse-assign, PQ-encode — all row-local
+    // codegen'd expressions, embarrassingly parallel at any scale
+    val vhat = when(col("cn") === 0, col("cv"))
+      .otherwise(transform(col("cv"), x => x / col("cn")))
+    c.withColumn("bucket", element_at(nearestAnchors(coarse, col("cv"), 1), 1))
+      .withColumn("codes", graft.functions.pq_encode(
+        vhat, col("bucket"), coarse.flatten, pq, nl, dim, m, ksub))
+      .select(col("neighbor_id"), col("codes"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/lists")
+    coarse.zipWithIndex.map { case (v, j) => (j, v) }
+      .toDF("j", "v")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    Seq(Tuple1(pq)).toDF("pq")
+      .write.mode("overwrite").parquet(s"$path/pq")
+    Seq((nl, m, ksub)).toDF("nlist", "m", "ksub")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Pinned immutable metadata per PQ index path (the [[ivfMetaCache]]
+    * discipline, keyed by the codebook dir's mtime). */
+  private val pqMetaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), (Int, Int, Seq[Seq[Double]], Array[Double])]
+
+  /** Serve approximate top-k from a persisted [[buildIvfPqIndex]] index:
+    * probe list ids are computed driver-side from the bounded query batch
+    * and pushed as partition filters (only `nprobe` `bucket=N` dirs are
+    * read — spec-pinned); each probed list is scanned with the `m`-add
+    * [[graft.functions.PqAdc]] lookup, never decoded. With `rerank > 0`
+    * the ADC top-`rerank` candidates (a broadcast-sized set) are joined
+    * back to `exact` (the original vectors, e.g. the corpus table) and
+    * the final top-k is EXACT cosine over those candidates — bit-identical
+    * to [[bruteForceTopK]]'s formula, the standard IVF-PQ + refine serve
+    * path. Without rerank, scores are the raw ADC approximation.
+    *
+    * Driver memory contract: the probe frame is `batch × nprobe` rows and
+    * the per-query ADC tables are `batch × m·ksub` doubles — both bounded
+    * below alongside [[MaxQueryBatch]] so misuse fails loudly. */
+  def ivfPqTopK(
+      path: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nprobe: Int = 32,
+      rerank: Int = 0,
+      exact: DataFrame = null,
+      exactId: String = null,
+      exactVec: String = null): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebook")
+    val cbFs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cbVersion = cbFs.getFileStatus(cbPath).getModificationTime
+    val (m, ksub, coarse, pq) = pqMetaCache.getOrElseUpdate((path, cbVersion), {
+      val meta = spark.read.parquet(s"$path/meta").select(col("m"), col("ksub")).head()
+      val cb: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
+        .orderBy(col("j")).collect()
+        .map(r => r.getSeq[Double](1).toSeq).toSeq
+      val pqm = spark.read.parquet(s"$path/pq").head().getSeq[Double](0).toArray
+      (meta.getInt(0), meta.getInt(1), cb, pqm)
+    })
+    val dim = coarse.head.length
+    val dsub = dim / m
+    val qRows: Array[(Long, Seq[Double])] = queries
+      .select(col(queryId).cast("long"), vec_double(col(queryVec)))
+      .limit(MaxQueryBatch + 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(qRows.length <= MaxQueryBatch,
+      s"ivfPqTopK: query batch has > $MaxQueryBatch rows — the contract is " +
+        "a broadcast-sized query batch; chunk the queries")
+    require(qRows.length.toLong * (m.toLong * ksub + nprobe) <= 32L * 1000 * 1000,
+      s"ivfPqTopK: batch of ${qRows.length} queries needs " +
+        s"${qRows.length.toLong * m * ksub} ADC table doubles — chunk the " +
+        "queries (contract: batch × (m·ksub + nprobe) ≤ 32M)")
+    val np = math.min(nprobe, coarse.size)
+    // per query: normalized vector, top-np anchors (the ivfTopKFromIndex
+    // probe math — index-order dots, (-dot, j) ranking), per-(query,
+    // bucket) anchor dot (the ADC base term) and the m·ksub lookup table
+    val probeRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Double)]
+    val tabRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Double])]
+    qRows.foreach { case (qid, v) =>
+      var norm = 0.0
+      v.foreach(x => norm += x * x)
+      norm = math.sqrt(norm)
+      val qh = if (norm == 0) v.toArray else v.map(_ / norm).toArray
+      val dots = coarse.indices.map { j =>
+        var d = 0.0; var i = 0; val cj = coarse(j)
+        val n = math.min(qh.length, cj.length)
+        while (i < n) { d += qh(i) * cj(i); i += 1 }
+        (-d, j)
+      }
+      dots.sorted.take(np).foreach { case (nd, j) =>
+        probeRows += ((qid, j, -nd))
+      }
+      val tab = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < ksub) {
+          val pBase = (s * ksub + j) * dsub
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val qi = s * dsub + i
+            if (qi < qh.length) d += qh(qi) * pq(pBase + i)
+            i += 1
+          }
+          tab(s * ksub + j) = d
+          j += 1
+        }
+        s += 1
+      }
+      tabRows += ((qid, tab.toSeq))
+    }
+    val probed = probeRows.map(_._2).distinct.sorted
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("bucket").isin(probed.map(Integer.valueOf).toSeq: _*))
+    val probeDf = probeRows.toSeq.toDF("query_id", "bucket", "base")
+    val tabDf = tabRows.toSeq.toDF("query_id", "tab")
+    val scored = lists
+      .join(broadcast(probeDf), "bucket")
+      .join(broadcast(tabDf), "query_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("base") + graft.functions.pq_adc(col("tab"), col("codes"), m, ksub))
+          .as("cos"))
+    if (rerank <= 0) rankTopK(scored, k)
+    else {
+      require(exact != null && exactId != null && exactVec != null,
+        "ivfPqTopK: rerank > 0 needs the original vectors (exact/exactId/exactVec)")
+      // candidates are batch × rerank rows — broadcast them against the
+      // original vectors (one corpus scan, no shuffle), then EXACT cosine
+      val cand = rankTopK(scored, rerank).select(col("query_id"), col("neighbor_id"))
+      val qDf = broadcast(qRows.toSeq.toDF("query_id", "qv")
+        .withColumn("qn", sqrt(dotd(col("qv"), col("qv")))))
+      val ex = exact.select(col(exactId).cast("long").as("neighbor_id"),
+        vec_double(col(exactVec)).as("cv"))
+        .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
+      val rescored = ex.join(broadcast(cand), "neighbor_id")
+        .join(qDf, "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      rankTopK(rescored, k)
+    }
+  }
+
   /** Assign every vector to its nearest centroid by cosine (the Lloyd
     * assignment step / IVF list build): centroids broadcast, corpus scans
     * once — embarrassingly parallel at 100 TB, the only shuffle is the

@@ -1830,6 +1830,68 @@ object Catalog {
       (SELECT COUNT(*) FROM embeddings) AS n_indexed,
       TRUE AS recall_ok"""))
 
+  /** Session-scoped persisted IVF-PQ index — the [[ivfIndexPath]]
+    * staging/rename/cleanup discipline for the compressed-codes variant. */
+  private def ivfPqIndexPath(s: SparkSession, dir: String, emb: DataFrame): String = {
+    val key = dir.split('/').filter(_.nonEmpty).last + "-pq"
+    builtIvfIndexes.getOrElseUpdate(key, {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
+        s"$key-${java.lang.ProcessHandle.current().pid()}"
+      val stage = base + ".stage"
+      graft.operators.Similarity.buildIvfPqIndex(emb, stage, "vec_id", "embedding")
+      val renamed = new java.io.File(stage).renameTo(new java.io.File(base))
+      require(renamed || new java.io.File(base).isDirectory,
+        s"IVF-PQ index rename failed: $stage -> $base")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+      base
+    })
+  }
+
+  /** Compressed ANN serve (IVF-PQ + exact rerank): the index stores m=8
+    * one-byte codes per vector instead of 8·64 float bytes (64× smaller
+    * lists — the 100 TB fits-in-page-cache shape), probes scan codes with
+    * the m-add ADC lookup, and the final top-k is exact cosine over the
+    * ADC top-40 candidates. Oracle-checkable row: exact counts, the
+    * per-vector code width (compression is structural, not asserted), and
+    * recall@5 vs brute force pinned — an encode or ADC regression fails
+    * the driver gate. */
+  private val q108 = QueryDef(
+    "q108_ivf_pq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = ivfPqIndexPath(s, dir, emb)
+      val queries = emb.filter(col("vec_id") < 50)
+      val ann = Similarity.ivfPqTopK(path, queries, "vec_id", "embedding",
+        k = 5, nprobe = 32, rerank = 40,
+        exact = emb, exactId = "vec_id", exactVec = "embedding")
+      val truth = Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      val hits = ann.join(truth.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val listsAgg = s.read.parquet(s"$path/lists")
+        .agg(count(lit(1)).as("n_indexed"),
+          max(octet_length(col("codes"))).as("code_bytes"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
+        .crossJoin(listsAgg)
+        .crossJoin(hits)
+        .select(col("n_queries"), col("n_truth"), col("n_indexed"),
+          col("code_bytes"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double")
+            >= 0.7).as("recall_ok"))
+    },
+    Some("""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50) AS n_queries,
+      (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50) * 5 AS n_truth,
+      (SELECT COUNT(*) FROM embeddings) AS n_indexed,
+      16 AS code_bytes, TRUE AS recall_ok"""))
+
   /** Data selection under budget: per language, keep the highest-quality
     * docs (quality desc, id tiebreak) until a 5000-token budget is spent
     * (exclusive cumsum < budget — the crossing doc is included). The
@@ -2398,7 +2460,8 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107) ++
+    q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
+    q108) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -595,4 +595,90 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!guarded.exists { case (a, b) => a >= 1000 || b >= 1000 },
       "null-keyed rows must not pair (join-equality semantics)")
   }
+
+  test("IVF-PQ index: m-byte codes, deterministic rebuild, exact rerank, pruned probe") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = s"$tmp/graft-pq-spec"
+    Similarity.buildIvfPqIndex(emb, path, "vec_id", "embedding")
+    // compression is structural: every vector is EXACTLY m=16 code bytes
+    val lists = spark.read.parquet(s"$path/lists")
+    val widths = lists.agg(min(octet_length(col("codes"))),
+      max(octet_length(col("codes")))).head()
+    assert(widths.getInt(0) == 16 && widths.getInt(1) == 16,
+      s"codes must be exactly 16 bytes, got $widths")
+    assert(lists.count() == emb.count(), "every corpus vector must be indexed")
+    // deterministic end-to-end: a rebuild produces byte-identical codes
+    val path2 = s"$tmp/graft-pq-spec-rebuild"
+    Similarity.buildIvfPqIndex(emb, path2, "vec_id", "embedding")
+    def codes(p: String): Map[Long, Seq[Byte]] =
+      spark.read.parquet(s"$p/lists").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("codes").toSeq).toMap
+    assert(codes(path) == codes(path2), "rebuild must be byte-identical")
+
+    val queries = emb.filter(col("vec_id") < 50)
+    val brute = Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(2))).toMap
+    // ADC + exact-rerank serve: recall floor, and every returned pair's
+    // cosine must be BIT-IDENTICAL to the brute-force formula (the rerank
+    // is exact — only the candidate set is approximate)
+    val ann = Similarity.ivfPqTopK(path, queries, "vec_id", "embedding",
+      k = 5, nprobe = 32, rerank = 40,
+      exact = emb, exactId = "vec_id", exactVec = "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(2))).toMap
+    val hits = ann.keySet.count(brute.contains)
+    assert(hits.toDouble / brute.size >= 0.9,
+      s"recall@5 ${hits.toDouble / brute.size} below floor (all lists probed here)")
+    ann.foreach { case (pair, cosBits) =>
+      brute.get(pair).foreach(bb =>
+        assert(bb == cosBits, s"rerank cos for $pair must bit-match brute force"))
+    }
+    // ADC-only path still ranks: no rerank, scores are approximations but
+    // the serve path must not need the original vectors
+    val adcOnly = Similarity.ivfPqTopK(path, queries, "vec_id", "embedding",
+      k = 5, nprobe = 32)
+    assert(adcOnly.count() == queries.count() * 5)
+
+    // IVF pruning = partition pruning: a single-query nprobe=4 probe must
+    // read at most 4 bucket=N partitions of the lists parquet
+    val one = Similarity.ivfPqTopK(path,
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 5, nprobe = 4)
+    one.count()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    val listScan = scans(one.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft-pq-spec")))
+    assert(listScan.nonEmpty, "expected a parquet scan over the PQ lists")
+    val selected = listScan.map(_.selectedPartitions.partitionCount).max
+    assert(selected <= 4,
+      s"single-query probe must read <= nprobe=4 list partitions, read $selected")
+  }
+
+  test("PQ ADC score equals the independently computed table sum") {
+    import spark.implicits._
+    // tiny handmade case: dim=4, m=2, ksub=2 — table entries chosen so the
+    // expected ADC sum is exact in doubles
+    val tab = Seq(1.5, 2.5, 10.0, 20.0) // [s=0: j0=1.5 j1=2.5][s=1: j0=10 j1=20]
+    val rows = Seq(
+      (Array[Byte](0, 0), 1.5 + 10.0),
+      (Array[Byte](1, 0), 2.5 + 10.0),
+      (Array[Byte](0, 1), 1.5 + 20.0),
+      (Array[Byte](1, 1), 2.5 + 20.0))
+    val df = rows.toDF("codes", "want")
+      .withColumn("got", graft.functions.pq_adc(typedLit(tab), col("codes"), 2, 2))
+    df.collect().foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(1),
+        s"ADC sum mismatch: ${r.getDouble(2)} != ${r.getDouble(1)}")
+    }
+  }
 }
