@@ -1023,4 +1023,58 @@ object Pipeline {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much its hashed n-gram features look like a
+    * TARGET distribution relative to the raw corpus, then select the
+    * top-`n`.
+    *
+    * Features are word unigrams + bigrams hashed to 4096 buckets (the
+    * first 3 hex chars of md5 — a keyed bucket both engines compute
+    * identically). The per-bucket weight is the QUANTIZED log-likelihood
+    * ratio `floor(log2((t_b+1)·2^16 / (r_b+1))) − 16` over add-one-
+    * smoothed integer counts — the q103 floor-log2 device (`length(bin(x))
+    * −1` in both engines), so scores are integer-exact with no `ln` ulp
+    * drift. A document's `logw` is the sum of its features' bucket
+    * weights; `selected` marks the global top-`n` by (logw desc, id asc).
+    *
+    * Shape at 100 TB: one tokenize pass, a 4096-key map-side-combined
+    * aggregate for the weight table (broadcast back — it is KB-sized), a
+    * per-doc sum (one shuffle on doc id), and a TakeOrdered top-`n` (k
+    * rows per partition to the driver, never a global sort). */
+  def dsirSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      n: Int = 100): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      isTarget.as("__t"), toks.as("__toks"))
+    val uni = base.select(col("doc_id"), col("__t"),
+      explode(col("__toks")).as("f"))
+    val bi = base.filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), col("__t"),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat(element_at(col("__toks"), i), lit(" "),
+            element_at(col("__toks"), i + 1)))).as("f"))
+    val feats = uni.unionAll(bi)
+      .withColumn("bk", conv(substring(md5(col("f")), 1, 3), 16, 10).cast("int"))
+    val w = feats.groupBy(col("bk"))
+      .agg(count(lit(1)).as("r"), count(when(col("__t"), 1)).as("t"))
+    val s = w.select(col("bk"),
+      (length(bin(expr("((t + 1) * 65536) DIV (r + 1)"))) - 1 - 16)
+        .cast("long").as("s"))
+    val d = feats.join(broadcast(s), "bk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("s")).as("logw"))
+    // global top-n = TakeOrdered (bounded per-partition top-n merged on
+    // the driver), then a broadcast flag join — never a full sort
+    val top = d.orderBy(col("logw").desc, col("doc_id")).limit(n)
+      .select(col("doc_id")).withColumn("__sel", lit(true))
+    d.join(broadcast(top), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_feats"), col("logw"),
+        coalesce(col("__sel"), lit(false)).as("selected"))
+  }
 }

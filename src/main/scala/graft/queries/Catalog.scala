@@ -1892,6 +1892,44 @@ object Catalog {
       (SELECT COUNT(*) FROM embeddings) AS n_indexed,
       16 AS code_bytes, TRUE AS recall_ok"""))
 
+  /** DSIR-style importance-resampling selection (Xie et al. 2023): hashed
+    * unigram+bigram features (md5 3-hex bucket — a 4096-way keyed bucket
+    * both engines compute identically), add-one-smoothed quantized
+    * log-likelihood-ratio bucket weights (the q103 floor-log2 device), and
+    * a top-100 selection. Every column integer-exact — DuckDB replays the
+    * hashing, the weight table, and the selection bit-for-bit. */
+  private val q109 = QueryDef(
+    "q109_dsir_select",
+    (s, dir) =>
+      graft.operators.Pipeline.dsirSelect(
+        t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", n = 100)
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, lang,
+               string_split_regex(trim(text), '\s+') AS t FROM documents),
+      u AS (SELECT doc_id, lang, unnest(t) AS f FROM toks
+            UNION ALL
+            SELECT doc_id, lang, z[1] || ' ' || z[2] AS f
+            FROM (SELECT doc_id, lang,
+                    unnest(list_zip(t, t[2:])) AS z FROM toks) zz
+            WHERE z[2] IS NOT NULL),
+      b AS (SELECT doc_id, lang,
+              (strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(f), 3, 1)) - 1) AS bk
+            FROM u),
+      w AS (SELECT bk, COUNT(*) AS r,
+              COUNT(*) FILTER (WHERE lang = 'en') AS t FROM b GROUP BY bk),
+      s AS (SELECT bk,
+              CAST(length(bin(((t + 1) * 65536) // (r + 1))) - 1 - 16 AS BIGINT) AS s
+            FROM w),
+      d AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(s.s) AS logw
+            FROM b JOIN s USING (bk) GROUP BY doc_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rk FROM d)
+      SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+             CAST(logw AS BIGINT) AS logw, rk <= 100 AS selected
+      FROM r ORDER BY doc_id"""))
+
   /** Data selection under budget: per language, keep the highest-quality
     * docs (quality desc, id tiebreak) until a 5000-token budget is spent
     * (exclusive cumsum < budget — the crossing doc is included). The
@@ -2461,7 +2499,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
-    q108) ++
+    q108, q109) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -556,4 +556,50 @@ class CurationReportSpec extends AnyFunSuite {
       Pipeline.groupExemplars(docs, "doc_id", "text", "source", k = 0)
     }
   }
+
+  test("dsirSelect: weights match a sequential reference, target vocab outranks") {
+    import spark.implicits._
+    // two disjoint vocabularies: target docs speak A, off-target speak B,
+    // and two probe docs (one per vocabulary) are scored by resemblance
+    val tgt = (0 until 6).map(i => (i.toLong, s"alpha beta gamma delta tok$i", true))
+    val raw = (0 until 6).map(i => (10L + i, s"zik zork blarg quux tok$i", false))
+    val probes = Seq((100L, "alpha beta gamma delta", false),
+      (101L, "zik zork blarg quux", false))
+    val df = (tgt ++ raw ++ probes).toDF("doc_id", "text", "is_t")
+    val got = Pipeline.dsirSelect(df, "doc_id", "text", col("is_t"), n = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+
+    // sequential reference: same md5 3-hex bucketing, same quantized
+    // log-ratio (length(bin(x))-1 == 63-nlz for x>0, 0 for x==0)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(f: String): Int = Integer.parseInt(md5hex(f).take(3), 16)
+    def flog2(x: Long): Long = if (x == 0) 0 else 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val all = (tgt ++ raw ++ probes).map { case (id, text, t) =>
+      val w = text.trim.split("\\s+").toSeq
+      val feats = w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      (id, feats.map(bucket), t)
+    }
+    val rCnt = all.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tCnt = all.filter(_._3).flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def s(bk: Int): Long =
+      flog2(((tCnt.getOrElse(bk, 0L) + 1) * 65536L) / (rCnt(bk) + 1)) - 16
+    val want = all.map { case (id, bks, _) =>
+      id -> (bks.size.toLong, bks.map(s).sum)
+    }.toMap
+    want.foreach { case (id, (nf, lw)) =>
+      assert(got(id)._1 == nf && got(id)._2 == lw,
+        s"doc $id: got ${got(id)}, want ($nf, $lw)")
+    }
+    // the target-vocabulary probe must outscore the off-target probe, and
+    // the top-7 selection is exactly the 7 A-speakers (6 targets + probe)
+    assert(got(100L)._2 > got(101L)._2,
+      s"target-like probe must outrank: ${got(100L)._2} <= ${got(101L)._2}")
+    val selected = got.filter(_._2._3).keySet
+    assert(selected == (tgt.map(_._1).toSet + 100L),
+      s"selection must be the A-speakers, got $selected")
+  }
 }
