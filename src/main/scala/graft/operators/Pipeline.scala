@@ -1049,18 +1049,8 @@ object Pipeline {
       textCol: String,
       isTarget: Column,
       n: Int = 100): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
-    val base = df.select(col(idCol).cast("long").as("doc_id"),
-      isTarget.as("__t"), toks.as("__toks"))
-    val uni = base.select(col("doc_id"), col("__t"),
-      explode(col("__toks")).as("f"))
-    val bi = base.filter(size(col("__toks")) >= 2)
-      .select(col("doc_id"), col("__t"),
-        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
-          i => concat(element_at(col("__toks"), i), lit(" "),
-            element_at(col("__toks"), i + 1)))).as("f"))
-    val feats = uni.unionAll(bi)
-      .withColumn("bk", conv(substring(md5(col("f")), 1, 3), 16, 10).cast("int"))
+    val feats = hashedNgramFeatures(df, idCol, textCol,
+      Seq(isTarget.as("__t")))
     val w = feats.groupBy(col("bk"))
       .agg(count(lit(1)).as("r"), count(when(col("__t"), 1)).as("t"))
     val s = w.select(col("bk"),
@@ -1076,5 +1066,79 @@ object Pipeline {
     d.join(broadcast(top), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_feats"), col("logw"),
         coalesce(col("__sel"), lit(false)).as("selected"))
+  }
+
+  /** Hashed n-gram feature stream shared by [[dsirSelect]] and
+    * [[nbQualityScores]]: one row per (doc, unigram or bigram), bucketed
+    * 4096 ways by the first 3 hex chars of md5 — arithmetic both engines
+    * compute identically. `carry` columns ride along per doc. */
+  private def hashedNgramFeatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      carry: Seq[Column]): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(
+      (col(idCol).cast("long").as("doc_id") +: carry :+ toks.as("__toks")): _*)
+    val keep = base.columns.filter(_ != "__toks").map(col).toSeq
+    val uni = base.select((keep :+ explode(col("__toks")).as("f")): _*)
+    val bi = base.filter(size(col("__toks")) >= 2)
+      .select((keep :+ explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => concat(element_at(col("__toks"), i), lit(" "),
+          element_at(col("__toks"), i + 1)))).as("f")): _*)
+    uni.unionAll(bi)
+      .withColumn("bk", conv(substring(md5(col("f")), 1, 3), 16, 10).cast("int"))
+  }
+
+  /** Fasttext-style quality classifier (the GPT-3/LLaMA "looks like the
+    * reference corpus" filter) as quantized multinomial Naive Bayes over
+    * hashed unigram+bigram features: TRAIN on the labeled seed rows
+    * (`posSeed` / `negSeed` — e.g. a trusted source vs a noisy one), SCORE
+    * every document. Per-bucket class log-likelihoods and the class prior
+    * use the add-one-smoothed floor-log2 integer device (`length(bin((c+1)
+    * ·2^16 DIV (N+4096)))−1`), so training and inference are integer-exact
+    * in any engine — no `ln` ulp drift, and a regression in either the
+    * count tables or the scoring fails a bit-exact oracle.
+    *
+    * Shape at 100 TB: the count tables are 4096-key map-side-combined
+    * aggregates over the SEED rows only; the weight table (4096 rows)
+    * broadcasts; scoring is one feature pass + a per-doc sum. Returns
+    * (doc_id, n_feats, score, label) with `label = score >= 0`. */
+  def nbQualityScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      posSeed: Column,
+      negSeed: Column): DataFrame = {
+    val feats = hashedNgramFeatures(df, idCol, textCol,
+      Seq(posSeed.as("__p"), negSeed.as("__n")))
+    // per-bucket class counts over seed features only (4096 keys)
+    val counts = feats.groupBy(col("bk"))
+      .agg(count(when(col("__p"), 1)).as("cp"),
+        count(when(col("__n"), 1)).as("cn"))
+    val totals = counts.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"))
+    // w_b = quantized log P(b|pos) − log P(b|neg); buckets never seen in
+    // the seeds still get the smoothed floor — the weight table covers all
+    // observed buckets (a bucket outside it appears in no doc)
+    val w = counts.crossJoin(totals).select(col("bk"),
+      ((length(bin(expr("((cp + 1) * 65536) DIV (tp + 4096)"))) - 1) -
+        (length(bin(expr("((cn + 1) * 65536) DIV (tn + 4096)"))) - 1))
+        .cast("long").as("w"))
+    // quantized class prior from seed DOC counts
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      posSeed.as("__p"), negSeed.as("__n"))
+    val prior = docs.agg(
+      count(when(col("__p"), 1)).as("dp"),
+      count(when(col("__n"), 1)).as("dn"))
+      .select(((length(bin(expr("((dp + 1) * 65536) DIV (dp + dn + 2)"))) - 1) -
+        (length(bin(expr("((dn + 1) * 65536) DIV (dp + dn + 2)"))) - 1))
+        .cast("long").as("prior"))
+    feats.join(broadcast(w), "bk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("wsum"))
+      .crossJoin(prior)
+      .select(col("doc_id"), col("n_feats"),
+        (col("wsum") + col("prior")).as("score"),
+        (col("wsum") + col("prior") >= 0).as("label"))
   }
 }

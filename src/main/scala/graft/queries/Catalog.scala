@@ -1930,6 +1930,49 @@ object Catalog {
              CAST(logw AS BIGINT) AS logw, rk <= 100 AS selected
       FROM r ORDER BY doc_id"""))
 
+  /** Quantized-NB quality classifier (the GPT-3/LLaMA "looks like the
+    * reference corpus" filter): trained on two labeled seed sources,
+    * scored over every document. All counts, smoothed class likelihoods
+    * (floor-log2 integer device), prior, and the sign decision replay
+    * bit-for-bit in DuckDB. */
+  private val q110 = QueryDef(
+    "q110_nb_quality",
+    (s, dir) =>
+      graft.operators.Pipeline.nbQualityScores(
+        t(s, dir, "documents"), "doc_id", "text",
+        posSeed = col("source") === "src1", negSeed = col("source") === "src2")
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, source,
+               string_split_regex(trim(text), '\s+') AS t FROM documents),
+      u AS (SELECT doc_id, source, unnest(t) AS f FROM toks
+            UNION ALL
+            SELECT doc_id, source, z[1] || ' ' || z[2] AS f
+            FROM (SELECT doc_id, source,
+                    unnest(list_zip(t, t[2:])) AS z FROM toks) zz
+            WHERE z[2] IS NOT NULL),
+      b AS (SELECT doc_id, source,
+              (strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(f), 3, 1)) - 1) AS bk
+            FROM u),
+      c AS (SELECT bk, COUNT(*) FILTER (WHERE source = 'src1') AS cp,
+              COUNT(*) FILTER (WHERE source = 'src2') AS cn FROM b GROUP BY bk),
+      t2 AS (SELECT SUM(cp) AS tp, SUM(cn) AS tn FROM c),
+      w AS (SELECT bk,
+              CAST((length(bin(((cp + 1) * 65536) // (tp + 4096))) - 1)
+                 - (length(bin(((cn + 1) * 65536) // (tn + 4096))) - 1) AS BIGINT) AS w
+            FROM c, t2),
+      pr AS (SELECT CAST((length(bin(((dp + 1) * 65536) // (dp + dn + 2))) - 1)
+                  - (length(bin(((dn + 1) * 65536) // (dp + dn + 2))) - 1) AS BIGINT) AS prior
+             FROM (SELECT COUNT(*) FILTER (WHERE source = 'src1') AS dp,
+                     COUNT(*) FILTER (WHERE source = 'src2') AS dn FROM documents)),
+      d AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(w.w) AS wsum
+            FROM b JOIN w USING (bk) GROUP BY doc_id)
+      SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+             CAST(wsum + prior AS BIGINT) AS score,
+             (wsum + prior) >= 0 AS label
+      FROM d, pr ORDER BY doc_id"""))
+
   /** Data selection under budget: per language, keep the highest-quality
     * docs (quality desc, id tiebreak) until a 5000-token budget is spent
     * (exclusive cumsum < budget — the crossing doc is included). The
@@ -2499,7 +2542,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
-    q108, q109) ++
+    q108, q109, q110) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -602,4 +602,50 @@ class CurationReportSpec extends AnyFunSuite {
     assert(selected == (tgt.map(_._1).toSet + 100L),
       s"selection must be the A-speakers, got $selected")
   }
+
+  test("nbQualityScores: seeds train, unlabeled probes classify by vocabulary") {
+    import spark.implicits._
+    // labeled seeds speak disjoint vocabularies; probes are UNLABELED
+    // (neither seed flag) and must classify by which vocabulary they use
+    val pos = (0 until 6).map(i => (i.toLong, s"clean prose flows nicely tok$i", "p"))
+    val neg = (0 until 6).map(i => (10L + i, s"spam junk noise garbage tok$i", "n"))
+    val probes = Seq((100L, "clean prose flows nicely", "u"),
+      (101L, "spam junk noise garbage", "u"))
+    val df = (pos ++ neg ++ probes).toDF("doc_id", "text", "cls")
+    val got = Pipeline.nbQualityScores(df, "doc_id", "text",
+      posSeed = col("cls") === "p", negSeed = col("cls") === "n")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+    // sequential reference replaying the same integer arithmetic
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(f: String): Int = Integer.parseInt(md5hex(f).take(3), 16)
+    def flog2(x: Long): Long = if (x == 0) 0 else 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val all = (pos ++ neg ++ probes).map { case (id, text, cls) =>
+      val w = text.trim.split("\\s+").toSeq
+      val feats = w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      (id, feats.map(bucket), cls)
+    }
+    val pCnt = all.filter(_._3 == "p").flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val nCnt = all.filter(_._3 == "n").flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val (tp, tn) = (pCnt.values.sum, nCnt.values.sum)
+    def w(bk: Int): Long =
+      flog2(((pCnt.getOrElse(bk, 0L) + 1) * 65536L) / (tp + 4096)) -
+        flog2(((nCnt.getOrElse(bk, 0L) + 1) * 65536L) / (tn + 4096))
+    val (dp, dn) = (pos.size.toLong, neg.size.toLong)
+    val prior = flog2((dp + 1) * 65536L / (dp + dn + 2)) -
+      flog2((dn + 1) * 65536L / (dp + dn + 2))
+    all.foreach { case (id, bks, _) =>
+      val want = (bks.size.toLong, bks.map(w).sum + prior)
+      assert(got(id)._1 == want._1 && got(id)._2 == want._2,
+        s"doc $id: got ${got(id)}, want $want")
+    }
+    assert(got(100L)._3, "pos-vocabulary probe must classify positive")
+    assert(!got(101L)._3, "neg-vocabulary probe must classify negative")
+    assert(got(100L)._2 > got(101L)._2)
+  }
 }
