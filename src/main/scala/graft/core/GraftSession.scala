@@ -21,6 +21,11 @@ object GraftSession {
       // driver-generated events.parquet carries TIMESTAMP(NANOS) which Spark
       // has no native type for; read as long and convert in Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver-generated parquet stores isAdjustedToUTC=false micros; read as
+      // TIMESTAMP (UTC session) not TIMESTAMP_NTZ so epoch math (unix_micros,
+      // window buckets) type-checks — DuckDB extracts the same epoch numbers
+      // from the naive values
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       // the 128-column minhash signature aggregate must stay inside
@@ -80,6 +85,7 @@ object GraftSession {
     installOptimizerRules(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.codegen.maxFields", "256")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -95,13 +101,19 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // TIMESTAMP(NANOS) columns surface as LongType under nanosAsLong; floor
     // to micros (integral DIV — ns epoch values exceed 2^53, so no doubles).
+    // TIMESTAMP_NTZ (a reader configured before the conf above applied) is
+    // reinterpreted as a UTC instant — identical micros, ordinary TIMESTAMP.
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case (d, f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+          .cast(org.apache.spark.sql.types.TimestampType))
       case (d, _) => d
     }
   }
