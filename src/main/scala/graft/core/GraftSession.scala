@@ -78,6 +78,42 @@ object GraftSession {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Pin a small reduced artifact fault-tolerantly: persist to
+    * MEMORY_AND_DISK and materialize eagerly, KEEPING lineage.
+    *
+    * This replaces the earlier `localCheckpoint(true)` idiom. Local
+    * checkpoints store blocks on executors and DISCARD lineage — one lost
+    * executor mid-job fails the whole run, the #1 operational failure mode
+    * for a multi-hour 100 TB dedup. With persist the blocks are the fast
+    * path and a lost block is recomputed from its (shallow) lineage; AQE
+    * still sees exact sizes at the next stage boundary, so the
+    * broadcast-vs-shuffle decisions the checkpoint used to enable still
+    * happen at runtime. Use only where lineage is one or two stages deep —
+    * for iterative loops whose lineage grows per round, use
+    * [[reliableCheckpoint]] instead. */
+  def pin(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
+  /** Reliable (replicated-storage) checkpoint for iterative loops.
+    *
+    * Writes the frame to the session checkpoint directory and truncates
+    * lineage against DURABLE storage — unlike `localCheckpoint`, executor
+    * loss cannot strand the data, and unlike bare `persist` the lineage
+    * chain does not grow across loop rounds. On a cluster, point
+    * `spark.checkpoint.dir` (or `SparkContext.setCheckpointDir`) at shared
+    * storage (HDFS/S3); when unset we default to a per-app tmp directory so
+    * local runs work out of the box. */
+  def reliableCheckpoint(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-checkpoint-${sc.applicationId}")
+    df.checkpoint(eager = true)
+  }
+
   /** Ensure graft SQL functions and runtime confs are applied to an
     * externally-built session (the driver's Verify/Bench sessions). */
   def prepare(spark: SparkSession): SparkSession = {

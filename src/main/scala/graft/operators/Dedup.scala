@@ -13,6 +13,12 @@ import graft.functions.{char_shingles, fingerprint64, minhash_sig, shingle_hashe
   */
 object Dedup {
 
+  /** Reliable-checkpoint cadence for the connected-components min-label
+    * loop: lineage/plan depth between durable truncation points stays
+    * bounded (near-dup graphs converge in 2-3 rounds, so the common case
+    * never pays the write at all). */
+  private[graft] val CcCheckpointEvery = 3
+
   /** Exact dedup: keep the lowest-id row per identical `keyCols` tuple.
     * One hash-shuffle on the group key; at 100 TB pre-hash the key
     * (fingerprint64) so the shuffle key is a fixed-width long. */
@@ -102,17 +108,20 @@ object Dedup {
     * projection twice, re-tokenizing and re-hashing EVERY document per
     * branch (measured: ~2/3 of minhashLsh wall time at sf0.1). Candidates
     * are a tiny reduced artifact, so instead: pin them once
-    * (localCheckpoint), semi-join the corpus down to just the candidate
-    * ids, and compute shingle sets for those documents only — the
-    * corpus-wide pass happens exactly once, in candidate generation. The
-    * checkpointed frames carry exact sizes, so Catalyst/AQE picks
-    * broadcast joins here on its own when they fit (and correctly doesn't
-    * at 100 TB candidate volumes — no forced hints). */
+    * ([[graft.core.GraftSession.pin]] — persist + eager count, lineage
+    * KEPT so a lost executor recomputes instead of failing the job),
+    * semi-join the corpus down to just the candidate ids, and compute
+    * shingle sets for those documents only — the corpus-wide pass happens
+    * exactly once, in candidate generation. The materialized frames give
+    * AQE exact sizes at the next stage boundary, so it picks broadcast
+    * joins here on its own when they fit (and correctly doesn't at 100 TB
+    * candidate volumes — no forced hints). */
   private def verifyJaccard(cand0: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val cand = cand0.localCheckpoint(true)
+    val cand = graft.core.GraftSession.pin(cand0)
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shC = sh.join(broadcast(ids), Seq("doc_id"), "left_semi").localCheckpoint(true)
+    val shC = graft.core.GraftSession.pin(
+      sh.join(broadcast(ids), Seq("doc_id"), "left_semi"))
     cand
       .join(shC.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shC.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -480,28 +489,38 @@ object Dedup {
       maxIter: Int = 20,
       maxLocalEdges: Long = 4L << 20): DataFrame = {
     // undirected edge list, both directions
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    // pin (persist + count, lineage kept): edge lineage is one distinct over
+    // the pair list, so a lost executor recomputes its blocks instead of
+    // failing a multi-hour job the way localCheckpoint would.
+    val edges = graft.core.GraftSession.pin(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
     if (edges.count() <= maxLocalEdges) return localComponents(edges)
     // seed with the first round folded in: label(v) = min(v, neighbors(v)).
     // Plain pair-clusters (the common case) converge immediately — the loop
     // only runs for chains longer than 2.
-    var labels = edges
-      .groupBy(col("dst").as("v")).agg(least(col("dst"), min(col("src"))).as("lbl"))
-      .localCheckpoint(true)
+    var labels = graft.core.GraftSession.pin(edges
+      .groupBy(col("dst").as("v")).agg(least(col("dst"), min(col("src"))).as("lbl")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels, edges("src") === labels("v"))
         .groupBy(col("dst").as("v2")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(neighborMin, col("v") === col("v2"), "left")
+      val next0 = labels.join(neighborMin, col("v") === col("v2"), "left")
         .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+      // iterative lineage grows by two joins per round: persist keeps the
+      // round fast, and every CheckpointEvery rounds a RELIABLE checkpoint
+      // (durable storage, lineage truncated against data executor loss
+      // cannot strand) bounds both recompute depth and plan size. This is
+      // the FT story groupedPrefixScan already has, applied to the loop.
+      val next =
+        if ((iter + 1) % CcCheckpointEvery == 0) graft.core.GraftSession.reliableCheckpoint(next0)
+        else graft.core.GraftSession.pin(next0)
       val changed = next.as("n").join(labels.as("o"), "v")
         .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist(false)
       labels = next
       converged = changed == 0
       iter += 1
