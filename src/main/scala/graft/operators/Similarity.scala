@@ -368,19 +368,100 @@ object Similarity {
     if (nlist > 0) nlist else autoNlist(c.count())
 
   /** Corpus projected to the internal (neighbor_id, cv, cn) shape. */
-  private def normalizedCorpus(
+  private[graft] def normalizedCorpus(
       corpus: DataFrame, corpusId: String, corpusVec: String): DataFrame =
     corpus.select(col(corpusId).cast("long").as("neighbor_id"),
       vec_double(col(corpusVec)).as("cv"))
       .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
 
+  /** Above this sample size (vectors), Lloyd refinement runs on executors
+    * instead of driver threads: at the 65,536-list `autoNlist` cap the
+    * 64·nlist sample is ~4.2M×64d ≈ 2 GB of doubles — driver-side Lloyd
+    * there is tens of minutes of single-node compute in a 100 TB build,
+    * while the distributed path keeps only nlist×dim partial sums on the
+    * driver. 2^16 vectors ≈ nlist 1024 — well below the scale where the
+    * per-iteration Spark-job overhead matters. */
+  private[graft] val DistributedLloydSampleThreshold: Int = 1 << 16
+
+  /** The fixed chunking both Lloyd paths share: FIXED 16-way (not
+    * core-count), so the per-chunk partial sums combine in the same order
+    * on every machine and either execution path — deterministic,
+    * bit-identical codebooks. */
+  private val LloydChunks = 16
+
+  /** Lloyd ASSIGN+ACCUMULATE over one contiguous chunk of the sorted
+    * sample: per-centroid coordinate sums + counts, rows folded in chunk
+    * order (argmax dot, smallest index on ties — deterministic). Shared
+    * verbatim by the driver-threaded and executor paths, so the arithmetic
+    * order — hence the bits — cannot diverge. */
+  private[graft] def lloydAccumulate(
+      cb: Array[Array[Double]],
+      chunk: Array[Array[Double]],
+      dim: Int): (Array[Array[Double]], Array[Int]) = {
+    val sums = Array.fill(cb.length)(new Array[Double](dim))
+    val cnts = new Array[Int](cb.length)
+    for (v <- chunk) {
+      var bj = 0; var bd = Double.NegativeInfinity; var j = 0
+      while (j < cb.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { d += v(i) * cb(j)(i); i += 1 }
+        if (d > bd) { bd = d; bj = j }
+        j += 1
+      }
+      val s = sums(bj); var i = 0
+      while (i < dim) { s(i) += v(i); i += 1 }
+      cnts(bj) += 1
+    }
+    (sums, cnts)
+  }
+
+  /** Fold per-chunk partials IN CHUNK ORDER into `sums`/`cnts` — the same
+    * double-fold order every run on either path. */
+  private def lloydFoldInto(
+      sums: Array[Array[Double]], cnts: Array[Int],
+      ps: Array[Array[Double]], pc: Array[Int], dim: Int): Unit = {
+    var j = 0
+    while (j < sums.length) {
+      val s = sums(j); val p = ps(j); var i = 0
+      while (i < dim) { s(i) += p(i); i += 1 }
+      cnts(j) += pc(j)
+      j += 1
+    }
+  }
+
+  /** Spherical-Lloyd UPDATE: re-normalized mean per centroid; an empty
+    * list keeps its seed. Shared by both paths. */
+  private def lloydUpdate(
+      cbk: Array[Array[Double]],
+      sums: Array[Array[Double]], cnts: Array[Int]): Array[Array[Double]] =
+    cbk.indices.map { j =>
+      if (cnts(j) == 0) cbk(j) // empty list keeps its seed
+      else {
+        val s = sums(j)
+        val n = math.sqrt(s.map(x => x * x).sum)
+        if (n == 0) cbk(j) else s.map(_ / n)
+      }
+    }.toArray
+
   /** Deterministic IVF codebook: `nlist` seeds (smallest xxhash64(id)) +
-    * `refine` driver-side spherical-Lloyd iterations over a 64·nlist
-    * sample in the same deterministic order. See [[ivfTopK]]. */
+    * `refine` spherical-Lloyd iterations over a 64·nlist sample in the
+    * same deterministic order. Small samples refine on driver threads
+    * (no job-scheduling overhead); past
+    * [[DistributedLloydSampleThreshold]] the SAME chunked fold runs on
+    * executors ([[trainIvfCodebookDistributed]]) — bit-identical output
+    * either way (spec-pinned). See [[ivfTopK]]. */
   private[graft] def trainIvfCodebook(
+      c: DataFrame, nlist: Int, refine: Int): Seq[Seq[Double]] =
+    if (nlist * 64 > DistributedLloydSampleThreshold)
+      trainIvfCodebookDistributed(c, nlist, refine)
+    else trainIvfCodebookLocal(c, nlist, refine)
+
+  /** Driver-threaded Lloyd over a collected sample (the small-nlist fast
+    * path): one TakeOrdered job fetches seeds + refinement sample
+    * together, L2-normalized on the driver; assignment runs on the fixed
+    * [[LloydChunks]]-way chunking via [[lloydAccumulate]]. */
+  private[graft] def trainIvfCodebookLocal(
       c: DataFrame, nlist: Int, refine: Int): Seq[Seq[Double]] = {
-    // one TakeOrdered job fetches seeds + refinement sample together,
-    // L2-normalized on the driver
     val sample: Array[Array[Double]] = c
       .select(col("neighbor_id"), col("cv"), col("cn"))
       .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
@@ -391,65 +472,91 @@ object Similarity {
         r.getSeq[Double](1).map(x => if (n == 0) 0.0 else x / n).toArray
       }
     require(sample.nonEmpty, "empty corpus")
-    val codebook: Seq[Seq[Double]] = {
-      var cbk = sample.take(nlist).map(_.clone())
-      val dim = cbk(0).length
-      // Lloyd over the sample is sample·nlist·dim flops per iteration —
-      // ~400M at the 128-list default — so the assignment runs on a FIXED
-      // 16-way chunking (fixed, not core-count, so the per-chunk partial
-      // sums combine in the same order on every machine: deterministic).
-      val nChunks = 16
-      val chunkSize = math.max(1, (sample.length + nChunks - 1) / nChunks)
-      val chunks: Array[Array[Array[Double]]] = sample.grouped(chunkSize).toArray
-      var it = 0
-      while (it < refine) {
-        val cb = cbk
-        val partials = chunks.map { chunk =>
-          java.util.concurrent.CompletableFuture.supplyAsync { () =>
-            val sums = Array.fill(cb.length)(new Array[Double](dim))
-            val cnts = new Array[Int](cb.length)
-            for (v <- chunk) {
-              // argmax dot, smallest index on ties — deterministic
-              var bj = 0; var bd = Double.NegativeInfinity; var j = 0
-              while (j < cb.length) {
-                var d = 0.0; var i = 0
-                while (i < dim) { d += v(i) * cb(j)(i); i += 1 }
-                if (d > bd) { bd = d; bj = j }
-                j += 1
-              }
-              val s = sums(bj); var i = 0
-              while (i < dim) { s(i) += v(i); i += 1 }
-              cnts(bj) += 1
-            }
-            (sums, cnts)
-          }
+    var cbk = sample.take(nlist).map(_.clone())
+    val dim = cbk(0).length
+    val chunkSize = math.max(1, (sample.length + LloydChunks - 1) / LloydChunks)
+    val chunks: Array[Array[Array[Double]]] = sample.grouped(chunkSize).toArray
+    var it = 0
+    while (it < refine) {
+      val cb = cbk
+      val partials = chunks.map { chunk =>
+        java.util.concurrent.CompletableFuture.supplyAsync { () =>
+          lloydAccumulate(cb, chunk, dim)
         }
-        val sums = Array.fill(cbk.length)(new Array[Double](dim))
-        val cnts = new Array[Int](cbk.length)
-        // combine in chunk order — same double-fold order every run
-        partials.foreach { f =>
-          val (ps, pc) = f.get()
-          var j = 0
-          while (j < sums.length) {
-            val s = sums(j); val p = ps(j); var i = 0
-            while (i < dim) { s(i) += p(i); i += 1 }
-            cnts(j) += pc(j)
-            j += 1
-          }
-        }
-        cbk = cbk.indices.map { j =>
-          if (cnts(j) == 0) cbk(j) // empty list keeps its seed
-          else {
-            val s = sums(j)
-            val n = math.sqrt(s.map(x => x * x).sum)
-            if (n == 0) cbk(j) else s.map(_ / n)
-          }
-        }.toArray
-        it += 1
       }
-      cbk.map(_.toSeq).toSeq
+      val sums = Array.fill(cbk.length)(new Array[Double](dim))
+      val cnts = new Array[Int](cbk.length)
+      partials.foreach { f =>
+        val (ps, pc) = f.get()
+        lloydFoldInto(sums, cnts, ps, pc, dim)
+      }
+      cbk = lloydUpdate(cbk, sums, cnts)
+      it += 1
     }
-    codebook
+    cbk.map(_.toSeq).toSeq
+  }
+
+  /** Executor-side Lloyd for big codebooks: the deterministic sorted
+    * sample is ranked (TakeOrdered keeps it in one sorted partition, so
+    * zipWithIndex ranks ARE the sort order), split into the same
+    * [[LloydChunks]] contiguous rank ranges the local path uses, and
+    * cached across iterations — the sample never lands on the driver.
+    * Each iteration broadcasts the current codebook, runs
+    * [[lloydAccumulate]] once per chunk-partition (rows re-sorted by rank
+    * inside the chunk — identical fold order), and collects only the 16
+    * nlist×dim partial-sum blocks, folded on the driver in chunk order.
+    * Same seeds, same chunking, same arithmetic order as the local path ⇒
+    * bit-identical codebook (spec-pinned); what changes is WHERE the
+    * sample·nlist·dim flops run. The cache is persist (lineage kept), so
+    * executor loss recomputes rather than failing the build. */
+  private[graft] def trainIvfCodebookDistributed(
+      c: DataFrame, nlist: Int, refine: Int): Seq[Seq[Double]] = {
+    val spark = c.sparkSession
+    val ranked = c
+      .select(col("neighbor_id"), col("cv"), col("cn"))
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(nlist * 64)
+      .rdd
+      .map { r =>
+        val n = r.getDouble(2)
+        r.getSeq[Double](1).map(x => if (n == 0) 0.0 else x / n).toArray
+      }
+      .zipWithIndex()
+    val len = ranked.count()
+    require(len > 0, "empty corpus")
+    val chunkSize = math.max(1L, (len + LloydChunks - 1) / LloydChunks)
+    val chunked = ranked
+      .map { case (v, i) => ((i / chunkSize).toInt, (i, v)) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = LloydChunks
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cbk: Array[Array[Double]] = chunked
+      .filter(_._1 < nlist).collect().sortBy(_._1).map(_._2.clone())
+    val dim = cbk(0).length
+    var it = 0
+    while (it < refine) {
+      val bc = spark.sparkContext.broadcast(cbk)
+      val partials = chunked
+        .mapPartitionsWithIndex { (pid, iter) =>
+          val rows = iter.toArray.sortBy(_._1).map(_._2)
+          if (rows.isEmpty) Iterator.empty
+          else Iterator((pid, lloydAccumulate(bc.value, rows, bc.value(0).length)))
+        }
+        .collect()
+      val sums = Array.fill(cbk.length)(new Array[Double](dim))
+      val cnts = new Array[Int](cbk.length)
+      partials.sortBy(_._1).foreach { case (_, (ps, pc)) =>
+        lloydFoldInto(sums, cnts, ps, pc, dim)
+      }
+      cbk = lloydUpdate(cbk, sums, cnts)
+      bc.unpersist(false)
+      it += 1
+    }
+    chunked.unpersist(false)
+    cbk.map(_.toSeq).toSeq
   }
 
   /** The `take` nearest anchors as a codegen'd single pass — the

@@ -681,4 +681,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"ADC sum mismatch: ${r.getDouble(2)} != ${r.getDouble(1)}")
     }
   }
+
+  test("IVF codebook: distributed Lloyd is bit-identical to the driver-threaded path") {
+    // embeddings at sf0.001 through the SAME normalized-corpus projection
+    // both build paths consume; nlist small enough that both paths are
+    // cheap, refine 3 = the production default
+    val emb = Tables.load(spark, dir, "embeddings")
+    val c = Similarity.normalizedCorpus(emb, "vec_id", "embedding")
+    for (nlist <- Seq(8, 32)) {
+      val local = Similarity.trainIvfCodebookLocal(c, nlist, 3)
+      val dist = Similarity.trainIvfCodebookDistributed(c, nlist, 3)
+      assert(local.length == dist.length)
+      local.zip(dist).zipWithIndex.foreach { case ((l, d), j) =>
+        assert(l == d, s"centroid $j differs between local and distributed Lloyd")
+      }
+      // bit-exact, not just approximately equal: compare raw long bits
+      val lb = local.flatten.map(java.lang.Double.doubleToRawLongBits)
+      val db = dist.flatten.map(java.lang.Double.doubleToRawLongBits)
+      assert(lb == db, "codebooks must be BIT-identical across execution paths")
+    }
+  }
 }
