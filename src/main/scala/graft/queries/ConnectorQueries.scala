@@ -624,13 +624,62 @@ object ConnectorQueries {
         SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 100) x
       ORDER BY o_orderkey"""))
 
+  /** JDBC exactly-once sink — the xa-test analog (reference
+    * `xa-test/.../JdbcXaTest.java:53-99` proves prepared-transaction
+    * survival; here the staged-epoch + ledger construction provides the
+    * same guarantee, see [[graft.sinks.JdbcSink]]). Supplier rows land
+    * through two staged+promoted epochs against embedded Derby (a REAL
+    * transactional JDBC engine — nothing mocked), with epoch 1 first
+    * crash-staged then recovered, epoch 0 replayed (ledger-skipped), and a
+    * doomed epoch staged then aborted. Any duplicate, loss, or abort leak
+    * breaks the count/sum/name aggregates the DuckDB oracle pins. Read
+    * back through Spark's own JDBC source. */
+  private val snkJdbc = QueryDef(
+    "snk_jdbc",
+    (s, dir) => {
+      import graft.sinks.JdbcSink
+      val dbPath = s"${System.getProperty("java.io.tmpdir")}/graft-derby/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + "/snk_jdbc"
+      val url = s"jdbc:derby:$dbPath;create=true"
+      seedOnce(url) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(dbPath))
+        val sup = t(s, dir, "supplier").select(
+          col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        val e0 = sup.filter(col("s_suppkey") % 2 === 0)
+        val e1 = sup.filter(col("s_suppkey") % 2 === 1)
+        JdbcSink.writeEpochExactlyOnce(e0, url, "sup", "snk_jdbc", 0L)
+        // crash before promote on epoch 1, then the restarted attempt
+        // re-stages (idempotent) and promotes
+        JdbcSink.stageEpoch(e1, url, "sup", 1L)
+        JdbcSink.writeEpochExactlyOnce(e1, url, "sup", "snk_jdbc", 1L)
+        // recovery replay of epoch 0 — ledger-skipped, no duplicates
+        JdbcSink.writeEpochExactlyOnce(e0, url, "sup", "snk_jdbc", 0L)
+        // doomed epoch: staged, then rolled back — must not leak
+        JdbcSink.stageEpoch(
+          e0.withColumn("s_acctbal", col("s_acctbal") + 1e6), url, "sup", 2L)
+        JdbcSink.abortEpoch(url, "sup", 2L)
+      }
+      JdbcSink.readTable(s, url, "sup").agg(
+        count(lit(1)).as("n"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("bal_sum"),
+        min(col("s_name")).as("name_min"),
+        max(col("s_name")).as("name_max"))
+    },
+    Some("""SELECT COUNT(*) AS n,
+      CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+      MIN(s_name) AS name_min, MAX(s_name) AS name_max FROM supplier"""))
+
   val all: Seq[QueryDef] = Seq(
     srcRedisHash, srcRedisBinary, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN,
     srcMongoCdc, srcInflux, srcInfluxQL, srcMqtt, srcPulsar, srcPulsarTyped,
     srcPulsarConsumer, srcHttp,
     srcTwitter, srcTwitterSearch, srcConnect, srcConnectApi,
     snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkRedisXadd,
-    snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs)
+    snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs, snkJdbc)
 }
 
 /** Deterministic stand-in for a hosted third-party connector task (the

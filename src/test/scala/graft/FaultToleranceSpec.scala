@@ -118,6 +118,40 @@ class FaultToleranceSpec extends AnyFunSuite {
       "a killed-and-retried task must not change the result")
   }
 
+  test("jdbc sink: killed-and-retried staging task still lands rows exactly once") {
+    import graft.sinks.JdbcSink
+    val dbPath = s"${System.getProperty("java.io.tmpdir")}/graft-derby-spec/ft"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(dbPath))
+    val url = s"jdbc:derby:$dbPath;create=true"
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    val n = sup.count()
+    val failOnce = udf { (id: Long) =>
+      if (FtInjection.fired.compareAndSet(false, true))
+        throw new RuntimeException("graft-ft: injected staging failure")
+      true
+    }
+    FtInjection.fired.set(false)
+    // the kill lands inside stageEpoch's DELETE+INSERT transaction; the
+    // retried attempt rolls back and re-stages its partition idempotently
+    JdbcSink.writeEpochExactlyOnce(
+      sup.filter(failOnce(col("s_suppkey"))), url, "sup", "ftq", 0L)
+    assert(FtInjection.fired.get(), "injection must actually have fired")
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM sup")
+      rs.next()
+      assert(rs.getLong(1) == n, "retried staging task must not duplicate or drop rows")
+      val rs2 = c.createStatement().executeQuery("SELECT COUNT(*) FROM sup_stage")
+      rs2.next()
+      assert(rs2.getLong(1) == 0L)
+    } finally c.close()
+  }
+
   test("teardown: release the retrying context for subsequent suites") {
     spark.stop()
     SparkSession.clearActiveSession()
