@@ -301,6 +301,47 @@ object ConnectorQueries {
       FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 500) x
       ORDER BY o_orderkey"""))
 
+  /** S11/S12 rich schema — the Pulsar `Schema.AVRO` analog (the
+    * reference's `Schema<M>` supplier is fully pluggable,
+    * PulsarSources.java:84-92): a topic carries binary named-record
+    * payloads produced under a WRITER schema, and the consumer reads them
+    * with a DIFFERENT reader schema — reordered fields, a writer-only
+    * field skipped, a reader-only field resolved to null — through
+    * [[graft.sources.topiclog.RecordCodec]]'s Avro-style name-matched
+    * resolution, decoded at the scan into a typed struct. A row subset
+    * also carries a null field through the wire format. */
+  private val srcPulsarRecord = QueryDef(
+    "src_pulsar_record",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_pulsar_record"
+      val writer = StructType.fromDDL(
+        "ok BIGINT, total DOUBLE, comment STRING, legacy INT")
+      seedOnce(uri) {
+        val rows = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+          .orderBy(col("o_orderkey")).limit(500).collect()
+        MemHub.publish(uri, "orders-rec", rows.iterator.map { r =>
+          val ok = r.getLong(0)
+          val total: Any = if (ok % 7 == 0) null else r.getDouble(1)
+          ("", Map.empty[String, String], ok,
+            graft.sources.topiclog.RecordCodec.encode(
+              Seq(ok, total, s"order $ok", 1), writer))
+        })
+      }
+      GraftSources.pulsarReaderBatch(s, uri, "orders-rec",
+          schema = Some("record:total DOUBLE, ok BIGINT, priority STRING" +
+            "@writer:ok BIGINT, total DOUBLE, comment STRING, legacy INT"))
+        .select(col("value.ok").as("ok"), col("value.total").as("total"),
+          col("value.priority").as("priority"))
+        .orderBy(col("ok"))
+    },
+    Some("""SELECT o_orderkey AS ok,
+        CASE WHEN o_orderkey % 7 = 0 THEN NULL
+             ELSE CAST(o_totalprice AS DOUBLE) END AS total,
+        CAST(NULL AS VARCHAR) AS priority
+      FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 500) x
+      ORDER BY ok"""))
+
   /** S11 — Pulsar shared-subscription consumer (PulsarConsumerBuilder.java:125-221):
     * two consumers on ONE subscription each own a share of the topic's
     * partitions; the union of their epoch-committed reads must equal the
@@ -676,7 +717,7 @@ object ConnectorQueries {
   val all: Seq[QueryDef] = Seq(
     srcRedisHash, srcRedisBinary, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN,
     srcMongoCdc, srcInflux, srcInfluxQL, srcMqtt, srcPulsar, srcPulsarTyped,
-    srcPulsarConsumer, srcHttp,
+    srcPulsarRecord, srcPulsarConsumer, srcHttp,
     srcTwitter, srcTwitterSearch, srcConnect, srcConnectApi,
     snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkRedisXadd,
     snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs, snkJdbc)

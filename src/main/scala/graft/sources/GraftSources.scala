@@ -135,8 +135,11 @@ object GraftSources {
   /** The Pulsar `Schema<M>` analog (PulsarSources.java:84-92): `schema`
     * is one of bytes/string/int32/int64/float/double/bool — decoded at
     * the DSv2 scan with Pulsar's primitive encodings (big-endian fixed
-    * width) — or `json:<DDL>` for Schema.JSON: the payload parses into a
-    * typed `value` struct per the caller's DDL. */
+    * width) — or `json:<DDL>` for Schema.JSON (the payload parses into a
+    * typed `value` struct per the caller's DDL), or
+    * `record:<readerDDL>[@writer:<writerDDL>]` for Schema.AVRO-style
+    * binary named records with writer/reader schema resolution
+    * ([[graft.sources.topiclog.RecordCodec]]), decoded at the scan. */
   private def pulsarTyped(df: DataFrame, schema: Option[String]): DataFrame =
     schema match {
       case Some(s) if s.startsWith("json:") =>

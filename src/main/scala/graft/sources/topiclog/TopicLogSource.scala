@@ -73,15 +73,22 @@ object TopicProfiles {
     "float" -> FloatType, "double" -> DoubleType, "bool" -> BooleanType)
 
   def schemaFor(profile: String, codec: String): StructType = profile match {
+    case "pulsar" if RecordCodec.isRecord(codec) =>
+      // binary named-record schema (Schema.AVRO analog): value is a typed
+      // struct per the READER DDL, resolved against the writer schema
+      StructType(schemas("pulsar").map(f =>
+        if (f.name == "value") f.copy(dataType = RecordCodec.parse(codec).reader) else f))
     case "pulsar" if codec != "bytes" =>
       val vt = pulsarCodecs.getOrElse(codec, throw new IllegalArgumentException(
-        s"unknown pulsar schema '$codec' (supported: ${pulsarCodecs.keys.toSeq.sorted.mkString(", ")})"))
+        s"unknown pulsar schema '$codec' (supported: ${pulsarCodecs.keys.toSeq.sorted.mkString(", ")}, record:<ddl>[@writer:<ddl>])"))
       StructType(schemas("pulsar").map(f =>
         if (f.name == "value") f.copy(dataType = vt) else f))
     case p => schemas(p)
   }
 
   private def decodeValue(codec: String, payload: Array[Byte]): Any = codec match {
+    case c if RecordCodec.isRecord(c) =>
+      RecordCodec.decodeToCatalyst(payload, RecordCodec.parse(c))
     case "bytes" => payload
     case "string" | "json" => Dsv2.utf8(new String(payload, "UTF-8"))
     case "int32" => java.nio.ByteBuffer.wrap(payload).getInt

@@ -337,4 +337,57 @@ class ConnectorSpec extends AnyFunSuite {
       uri, maxAttempts = 3)
     assert(MemHub.topicLen(uri, "t") == 10)
   }
+
+  test("RecordCodec: all types + nulls round-trip bit-exactly") {
+    import graft.sources.topiclog.RecordCodec
+    val schema = StructType.fromDDL(
+      "i INT, l BIGINT, f FLOAT, d DOUBLE, b BOOLEAN, s STRING, raw BINARY")
+    val vals = Seq(Int.MinValue, Long.MaxValue, 1.5f, math.Pi, true,
+      "héllo \u0000world", Array[Byte](0, -1, 127))
+    val spec = RecordCodec.parse("record:" + schema.toDDL)
+    val row = RecordCodec.decodeToCatalyst(RecordCodec.encode(vals, schema), spec)
+    assert(row.getInt(0) == Int.MinValue)
+    assert(row.getLong(1) == Long.MaxValue)
+    assert(row.getFloat(2) == 1.5f)
+    assert(java.lang.Double.doubleToRawLongBits(row.getDouble(3)) ==
+      java.lang.Double.doubleToRawLongBits(math.Pi))
+    assert(row.getBoolean(4))
+    assert(row.getUTF8String(5).toString == "héllo \u0000world")
+    assert(row.getBinary(6).toSeq == Seq[Byte](0, -1, 127))
+    // nulls in every slot survive the marker bytes
+    val nulls = RecordCodec.decodeToCatalyst(
+      RecordCodec.encode(Seq(null, null, null, null, null, null, null), schema), spec)
+    (0 until 7).foreach(i => assert(nulls.isNullAt(i)))
+  }
+
+  test("RecordCodec: writer/reader resolution — reorder, skip writer-only, null reader-only") {
+    import graft.sources.topiclog.RecordCodec
+    val writer = StructType.fromDDL("a BIGINT, junk STRING, x DOUBLE")
+    val spec = RecordCodec.parse("record:x DOUBLE, missing INT, a BIGINT@writer:" + writer.toDDL)
+    val row = RecordCodec.decodeToCatalyst(
+      RecordCodec.encode(Seq(42L, "dropme", 2.5), writer), spec)
+    assert(row.getDouble(0) == 2.5)
+    assert(row.isNullAt(1), "reader-only field resolves to null")
+    assert(row.getLong(2) == 42L)
+    // name-matched with a different TYPE must be rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      RecordCodec.parse("record:a DOUBLE@writer:a BIGINT")
+    }
+    assert(e.getMessage.contains("a"))
+  }
+
+  test("pulsar record schema decodes at the scan into a typed struct") {
+    import graft.sources.topiclog.RecordCodec
+    val uri = s"hub:/tmp/connspec-record-${System.nanoTime}"
+    val writer = StructType.fromDDL("id BIGINT, name STRING, score DOUBLE")
+    MemHub.publish(uri, "recs", (1L to 5L).iterator.map { i =>
+      ("", Map.empty[String, String], i,
+        RecordCodec.encode(Seq(i, s"n$i", i * 0.5), writer))
+    })
+    val got = GraftSources.pulsarReaderBatch(spark, uri, "recs",
+        schema = Some("record:score DOUBLE, id BIGINT@writer:" + writer.toDDL))
+      .select(col("value.id"), col("value.score")).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == (1L to 5L).map(i => (i, i * 0.5)))
+  }
 }
