@@ -380,17 +380,22 @@ object ConnectorQueries {
     },
     Some("SELECT doc_id, text FROM documents ORDER BY doc_id"))
 
+  private def seedHttpParts(s: SparkSession, dir: String): String = {
+    val uri = s"hub:$dir/src_http"
+    seedOnce(uri) {
+      val rows = t(s, dir, "part").select("p_partkey", "p_name").collect()
+      MemHub.publish(uri, "http", rows.sortBy(_.getLong(0)).iterator.map { r =>
+        ("", Map.empty[String, String], 0L,
+          s"""{"id":${r.getLong(0)},"name":"${esc(r.getString(1))}"}""".getBytes("UTF-8"))
+      })
+    }
+    uri
+  }
+
   private val srcHttp = QueryDef(
     "src_http_listener",
     (s, dir) => {
-      val uri = s"hub:$dir/src_http"
-      seedOnce(uri) {
-        val rows = t(s, dir, "part").select("p_partkey", "p_name").collect()
-        MemHub.publish(uri, "http", rows.sortBy(_.getLong(0)).iterator.map { r =>
-          ("", Map.empty[String, String], 0L,
-            s"""{"id":${r.getLong(0)},"name":"${esc(r.getString(1))}"}""".getBytes("UTF-8"))
-        })
-      }
+      val uri = seedHttpParts(s, dir)
       val beanSchema = StructType(Seq(
         StructField("id", LongType), StructField("name", StringType)))
       GraftSources.httpListenerBatch(s, uri)
@@ -399,6 +404,23 @@ object ConnectorQueries {
         .orderBy(col("id"))
     },
     Some("SELECT p_partkey AS id, upper(p_name) AS name_u FROM part ORDER BY id"))
+
+  /** S13 typed-bean path (missing #3 in VERDICT r6): the same listener
+    * payloads decoded through [[GraftSources.httpListenerBatchAs]] — the
+    * product-encoder analog of the reference's
+    * `HttpListenerSourceBuilder.type(Class<T>)` POJO mapping — into
+    * `Dataset[HttpPartBean]`, then aggregated declaratively. */
+  private val srcHttpTyped = QueryDef(
+    "src_http_typed",
+    (s, dir) => {
+      val uri = seedHttpParts(s, dir)
+      GraftSources.httpListenerBatchAs[HttpPartBean](s, uri)(
+          org.apache.spark.sql.Encoders.product[HttpPartBean])
+        .select(col("id"), length(col("name")).as("name_len"))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT p_partkey AS id, CAST(length(p_name) AS INTEGER) AS name_len
+      FROM part ORDER BY id"""))
 
   private val srcTwitter = QueryDef(
     "src_twitter_stream",
@@ -717,11 +739,15 @@ object ConnectorQueries {
   val all: Seq[QueryDef] = Seq(
     srcRedisHash, srcRedisBinary, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN,
     srcMongoCdc, srcInflux, srcInfluxQL, srcMqtt, srcPulsar, srcPulsarTyped,
-    srcPulsarRecord, srcPulsarConsumer, srcHttp,
+    srcPulsarRecord, srcPulsarConsumer, srcHttp, srcHttpTyped,
     srcTwitter, srcTwitterSearch, srcConnect, srcConnectApi,
     snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkRedisXadd,
     snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs, snkJdbc)
 }
+
+/** The typed HTTP bean (the reference's POJO class analog,
+  * HttpListenerSourceBuilder.java:241-246). */
+final case class HttpPartBean(id: Long, name: String)
 
 /** Deterministic stand-in for a hosted third-party connector task (the
   * reference tests use a random-int connector,

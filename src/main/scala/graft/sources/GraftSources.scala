@@ -175,6 +175,26 @@ object GraftSources {
   def httpListener(spark: SparkSession, uri: String): DataFrame =
     topic(spark, "http", uri, Seq("http"), streaming = true)
 
+  /** S13 typed-bean path — the reference maps HTTP payloads straight to a
+    * POJO class (`http/.../HttpListenerSourceBuilder.java:241-246`
+    * `JsonUtil.beanFrom(payload, type)`); the Spark analog is a product
+    * encoder: the payload JSON parses against T's encoder schema and the
+    * result is a typed `Dataset[T]`, so downstream transforms are
+    * field-checked at compile time. `FAILFAST` mirrors the reference's
+    * bean mapper throwing on malformed payloads instead of nulling them. */
+  def httpListenerAs[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, uri: String): org.apache.spark.sql.Dataset[T] =
+    typedBeans[T](httpListener(spark, uri))
+  def httpListenerBatchAs[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, uri: String): org.apache.spark.sql.Dataset[T] =
+    typedBeans[T](httpListenerBatch(spark, uri))
+  private def typedBeans[T](df: DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] =
+    df.select(from_json(col("payload"), enc.schema,
+        Map("mode" -> "FAILFAST")).as("b"))
+      .select(col("b.*"))
+      .as[T]
+
   /** S14 — Twitter stream (json + native timestamp_ms). */
   def twitterStreamBatch(spark: SparkSession, uri: String): DataFrame =
     topic(spark, "twitter", uri, Seq("tweets"), streaming = false)

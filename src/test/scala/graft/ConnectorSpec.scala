@@ -390,4 +390,24 @@ class ConnectorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.toSeq == (1L to 5L).map(i => (i, i * 0.5)))
   }
+
+  test("httpListenerAs[T]: product-encoder bean decoding, FAILFAST on malformed payloads") {
+    import graft.queries.HttpPartBean
+    val uri = s"hub:/tmp/connspec-httpbean-${System.nanoTime}"
+    MemHub.publish(uri, "http", (1L to 3L).iterator.map { i =>
+      ("", Map.empty[String, String], 0L, s"""{"id":$i,"name":"part$i"}""".getBytes("UTF-8"))
+    })
+    val ds = GraftSources.httpListenerBatchAs[HttpPartBean](spark, uri)
+    // a genuinely typed Dataset: compile-time field access works
+    val got = ds.collect().sortBy(_.id)
+    assert(got.toSeq == (1L to 3L).map(i => HttpPartBean(i, s"part$i")))
+    // the reference's bean mapper throws on malformed payloads; so do we
+    MemHub.publish(uri, "http", Iterator(
+      ("", Map.empty[String, String], 0L, "not json".getBytes("UTF-8"))))
+    val e = intercept[org.apache.spark.SparkException] {
+      GraftSources.httpListenerBatchAs[HttpPartBean](spark, uri).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
 }
