@@ -270,56 +270,102 @@ object Dedup {
       block: DataFrame, threshold: Double, b: Long): DataFrame = {
     val spark = block.sparkSession
     import spark.implicits._
-    val s = math.max(math.ceil(b / 8192.0),
-      math.ceil(math.sqrt(b.toDouble * b / 1e6))).toInt.max(1)
+    val s = triangleChunks(b)
     val thr = threshold
-    val rows = block.select(col("doc_id"), col("sh"), col("n"))
-      .as[(Long, Array[Long], Int)]
-    rows.flatMap { case (id, g, n) =>
-      val c = (java.lang.Long.remainderUnsigned(
-        scala.util.hashing.byteswap64(id), s.toLong)).toInt
-      (0 until s).iterator.map { k =>
-        (math.min(c, k) * s + math.max(c, k), c, id, g, n)
-      }
-    }.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val ti = key / s; val tj = key % s
-      val buf = it.toArray
-      val xs = buf.filter(_._2 == ti).map(r => (r._3, r._4, r._5))
-        .sortBy(r => (r._3, r._1))
-      val ys = if (ti == tj) xs
-        else buf.filter(_._2 == tj).map(r => (r._3, r._4, r._5))
-          .sortBy(r => (r._3, r._1))
+    triangleChunkGroups(block, s).flatMapGroups { (key, it) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      var i = 0
-      var jLo = 0
-      while (i < xs.length) {
-        val (ida, ga, na) = xs(i)
-        // sorted-by-n window: advance the lower bound once per i (ys is
-        // n-ascending), stop the inner scan at the ratio upper bound —
-        // the exact predicate is still re-checked per pair
-        while (jLo < ys.length && ys(jLo)._3 < na * thr - 1e-9) jLo += 1
-        var j = if (ti == tj) math.max(jLo, i + 1) else jLo
-        var go = true
-        while (go && j < ys.length) {
-          val (idb, gb, nb) = ys(j)
-          if (na.toDouble < nb * thr - 1e-9) go = false
-          else if (ida != idb &&
-              na.toDouble >= nb * thr - 1e-9 &&
-              nb.toDouble >= na * thr - 1e-9) {
-            val alpha = thr / (1.0 + thr) * (na + nb) - 1e-9
-            val inter = mergeIntersectAtLeast(ga, gb, alpha)
-            if (inter >= 0) {
-              val jac = inter.toDouble / (na + nb - inter).toDouble
-              if (jac >= thr)
-                out += ((math.min(ida, idb), math.max(ida, idb), jac))
-            }
-          }
-          j += 1
-        }
-        i += 1
-      }
+      trianglePairLoop(key, s, it, thr, (a, bId, jac) => out += ((a, bId, jac)))
       out.iterator
     }.toDF("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Counts-only triangle: the SAME chunk-pair evaluation, but each task
+    * emits one count instead of buffering density·b² wide pair tuples —
+    * the pair-EMISSION cost (buffer, serialize, union, downstream
+    * consumption) drops out entirely; only the inherent pair evaluations
+    * remain. Output: one row, `n_pairs`. */
+  private[graft] def triangleBlockCounts(
+      block: DataFrame, threshold: Double, b: Long): DataFrame = {
+    val spark = block.sparkSession
+    import spark.implicits._
+    val s = triangleChunks(b)
+    val thr = threshold
+    triangleChunkGroups(block, s).mapGroups { (key, it) =>
+      var cnt = 0L
+      trianglePairLoop(key, s, it, thr, (_, _, _) => cnt += 1)
+      cnt
+    }.toDF("cnt").agg(coalesce(sum(col("cnt")), lit(0L)).as("n_pairs"))
+  }
+
+  /** Chunks per side: a task stays ~1M pair evaluations, a chunk ≤ 8192
+    * docs (task memory is two chunks of gram arrays). */
+  private def triangleChunks(b: Long): Int =
+    math.max(math.ceil(b / 8192.0),
+      math.ceil(math.sqrt(b.toDouble * b / 1e6))).toInt.max(1)
+
+  /** Chunk-pair grouping shared by the pair and counts triangle modes:
+    * each doc is replicated to the `s` tasks pairing its chunk with every
+    * chunk, keyed by the unordered chunk-pair id. */
+  private def triangleChunkGroups(block: DataFrame, s: Int):
+      org.apache.spark.sql.KeyValueGroupedDataset[Int, (Int, Int, Long, Array[Long], Int)] = {
+    val spark = block.sparkSession
+    import spark.implicits._
+    block.select(col("doc_id"), col("sh"), col("n"))
+      .as[(Long, Array[Long], Int)]
+      .flatMap { case (id, g, n) =>
+        val c = (java.lang.Long.remainderUnsigned(
+          scala.util.hashing.byteswap64(id), s.toLong)).toInt
+        (0 until s).iterator.map { k =>
+          (math.min(c, k) * s + math.max(c, k), c, id, g, n)
+        }
+      }.groupByKey(_._1)
+  }
+
+  /** One chunk-pair task's pair evaluations (see [[triangleBlockPairs]]
+    * for the partitioning/predicate contract): `emit` receives each
+    * passing (doc_a, doc_b, jaccard) with doc_a < doc_b, in deterministic
+    * order — identical arithmetic in both modes. */
+  private def trianglePairLoop(
+      key: Int,
+      s: Int,
+      it: Iterator[(Int, Int, Long, Array[Long], Int)],
+      thr: Double,
+      emit: (Long, Long, Double) => Unit): Unit = {
+    val ti = key / s; val tj = key % s
+    val buf = it.toArray
+    val xs = buf.filter(_._2 == ti).map(r => (r._3, r._4, r._5))
+      .sortBy(r => (r._3, r._1))
+    val ys = if (ti == tj) xs
+      else buf.filter(_._2 == tj).map(r => (r._3, r._4, r._5))
+        .sortBy(r => (r._3, r._1))
+    var i = 0
+    var jLo = 0
+    while (i < xs.length) {
+      val (ida, ga, na) = xs(i)
+      // sorted-by-n window: advance the lower bound once per i (ys is
+      // n-ascending), stop the inner scan at the ratio upper bound —
+      // the exact predicate is still re-checked per pair
+      while (jLo < ys.length && ys(jLo)._3 < na * thr - 1e-9) jLo += 1
+      var j = if (ti == tj) math.max(jLo, i + 1) else jLo
+      var go = true
+      while (go && j < ys.length) {
+        val (idb, gb, nb) = ys(j)
+        if (na.toDouble < nb * thr - 1e-9) go = false
+        else if (ida != idb &&
+            na.toDouble >= nb * thr - 1e-9 &&
+            nb.toDouble >= na * thr - 1e-9) {
+          val alpha = thr / (1.0 + thr) * (na + nb) - 1e-9
+          val inter = mergeIntersectAtLeast(ga, gb, alpha)
+          if (inter >= 0) {
+            val jac = inter.toDouble / (na + nb - inter).toDouble
+            if (jac >= thr)
+              emit(math.min(ida, idb), math.max(ida, idb), jac)
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
   }
 
   private def prefixFilteredPairs(sh: DataFrame, threshold: Double): DataFrame =
@@ -636,7 +682,40 @@ object Dedup {
       blockCol: String,
       n: Int = 5,
       threshold: Double = 0.7,
-      maxBlockRows: Int = 4096): DataFrame = {
+      maxBlockRows: Int = 4096): DataFrame =
+    charNgramImpl(df, idCol, textCol, blockCol, n, threshold, maxBlockRows,
+      countsOnly = false)
+
+  /** Counts-only [[charNgramPairs]] for the report use case ("how many
+    * near-dup pairs?"): identical dispatch, candidate generation, and
+    * exact verification, but every branch reduces to a count INSIDE its
+    * producing stage — the quadratic pair-EMISSION volume (density·b²
+    * wide rows buffered, unioned, and shuffled to the consumer) never
+    * materializes. In a dense hot block the output volume is the dominant
+    * cost (StressBench splits the two), so dup-rate reporting at 100 TB
+    * should take this path and only enumerate pairs when it actually
+    * needs the edge list. Output: one row, `n_pairs` = COUNT(*) of the
+    * pair mode (spec-pinned equal). */
+  def charNgramPairCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int = 5,
+      threshold: Double = 0.7,
+      maxBlockRows: Int = 4096): DataFrame =
+    charNgramImpl(df, idCol, textCol, blockCol, n, threshold, maxBlockRows,
+      countsOnly = true)
+
+  private def charNgramImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int,
+      threshold: Double,
+      maxBlockRows: Int,
+      countsOnly: Boolean): DataFrame = {
     require(threshold > 0.0, "ratio-pruned jaccard needs a positive threshold")
     require(maxBlockRows > 0, "maxBlockRows must be positive")
     // The null handling is deliberate plan surgery, not defensiveness: an
@@ -680,7 +759,12 @@ object Dedup {
           (col("x.n") + col("y.n") - col("inter")).cast("double"))
         .filter(col("jaccard") >= threshold)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("jaccard"))
-    if (!anyHot) allPairs(sh)
+    // counts mode: each branch reduces to one n_pairs row inside its own
+    // producing stage (partial-agg pipelines into the join — no pair rows
+    // cross a stage boundary); branches then sum driver-free
+    def reduced(pairs: DataFrame): DataFrame =
+      pairs.agg(count(lit(1)).cast("long").as("n_pairs"))
+    if (!anyHot) { if (countsOnly) reduced(allPairs(sh)) else allPairs(sh) }
     else {
       val hot = sizes.select(col("blk"))
       val small = sh.join(broadcast(hot), Seq("blk"), "left_anti")
@@ -701,8 +785,9 @@ object Dedup {
           r.getLong(1), threshold) >= DenseDispatchDensity
       }
       val triangles = dense.map { r =>
-        triangleBlockPairs(sh.filter(col("blk") <=> lit(r.get(0))),
-          threshold, r.getLong(1))
+        val blkDf = sh.filter(col("blk") <=> lit(r.get(0)))
+        if (countsOnly) triangleBlockCounts(blkDf, threshold, r.getLong(1))
+        else triangleBlockPairs(blkDf, threshold, r.getLong(1))
       }.toSeq
       val sparseSide =
         if (!capped && dense.length == probed.length) None
@@ -714,7 +799,12 @@ object Dedup {
               .reduce(_ || _))
           Some(prefixFilteredPairs(sparseBig, threshold))
         }
-      (Seq(allPairs(small)) ++ sparseSide ++ triangles).reduce(_.unionByName(_))
+      if (countsOnly)
+        (Seq(reduced(allPairs(small))) ++ sparseSide.map(reduced) ++ triangles)
+          .reduce(_.unionByName(_))
+          .agg(coalesce(sum(col("n_pairs")), lit(0L)).as("n_pairs"))
+      else
+        (Seq(allPairs(small)) ++ sparseSide ++ triangles).reduce(_.unionByName(_))
     }
   }
 }

@@ -34,6 +34,12 @@ object StressBench {
         col("n_chars").cast("double"), col("n_chars"), 400000L).count()),
       "pack" -> time(Pipeline.packSequences(docs, "doc_id", "text", "lang", 4096).count()),
       "minhash" -> time(Dedup.minhashLsh(ngramDocs, "doc_id", "text", threshold = 0.7).count()),
+      // the charngram split attributes the cost: _counts runs the identical
+      // dispatch + candidate generation + exact verification but never
+      // materializes pair rows, so (charngram − charngram_counts) is the
+      // pure pair-EMISSION price of the quadratic output volume
+      "charngram_counts" -> time(Dedup.charNgramPairCounts(ngramDocs, "doc_id",
+        "text", "lang", threshold = 0.8).collect()(0).getLong(0)),
       "charngram" -> time(Dedup.charNgramPairs(ngramDocs, "doc_id", "text", "lang",
         threshold = 0.8).count()),
       "sessions" -> time(Sessionize.sessionsBatchScalable(events, 600000L).count()),

@@ -701,4 +701,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(lb == db, "codebooks must be BIT-identical across execution paths")
     }
   }
+
+  test("charNgramPairCounts == COUNT(*) of charNgramPairs on every dispatch path") {
+    val docs = Tables.load(spark, dir, "documents")
+    // default guard: the common no-oversized-block plan
+    for ((maxBlock, thr) <- Seq((4096, 0.8), (4096, 0.5), (8, 0.8), (8, 0.5), (2, 0.7))) {
+      // tiny maxBlockRows forces the hot dispatch: density probe routes
+      // blocks to triangle or PPJoin — counts must match in every branch mix
+      val pairs = Dedup.charNgramPairs(docs, "doc_id", "text", "lang",
+        threshold = thr, maxBlockRows = maxBlock).count()
+      val counts = Dedup.charNgramPairCounts(docs, "doc_id", "text", "lang",
+        threshold = thr, maxBlockRows = maxBlock).collect()(0).getLong(0)
+      assert(counts == pairs, s"maxBlockRows=$maxBlock thr=$thr: counts=$counts pairs=$pairs")
+    }
+  }
 }
