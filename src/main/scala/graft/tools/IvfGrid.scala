@@ -15,9 +15,11 @@ object IvfGrid {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.GraftSession.prepare(spark)
-    // "stress" = the adversarial 10x-sf0.1 corpus, generated on demand
+    // "stress" = the adversarial 10x-sf0.1 corpus; "stressbig" = the
+    // 200k x 64d ANN corpus (both generated on demand)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01") match {
       case "stress" => StressData.ensure(spark)
+      case "stressbig" => StressData.ensureBig(spark)
       case d => d
     }
     val emb = Tables.load(spark, dir, "embeddings").cache()

@@ -14,7 +14,11 @@ object PqGrid {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.GraftSession.prepare(spark)
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01") match {
+      case "stress" => StressData.ensure(spark)
+      case "stressbig" => StressData.ensureBig(spark)
+      case d => d
+    }
     val emb = Tables.load(spark, dir, "embeddings").cache()
     val queries = emb.filter(col("vec_id") < 50)
     val k = 5

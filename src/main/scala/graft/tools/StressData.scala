@@ -90,10 +90,35 @@ object StressData {
 
   val Clusters = 200 // latent topics: real document embeddings cluster
 
-  def embeddings(spark: SparkSession): DataFrame = {
+  /** 10×-the-stress-scale ANN corpus (VERDICT r6 item 6): 200k×64d through
+    * auto-nlist ≈ 1789 — past the distributed-Lloyd threshold, so the big
+    * gate exercises the executor-side codebook build — with 2,000 planted
+    * twin pairs. Same clustered generator, embeddings table only,
+    * generated on demand (the main gate stays at 20k). */
+  val BigVecs = 200000L
+  val BigPlantedPairs = 2000
+
+  def ensureBig(spark: SparkSession): String = built.getOrElseUpdate("bigdir", {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-stress-big-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    embeddingsN(spark, BigVecs, BigPlantedPairs)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }))
+    dir
+  })
+
+  def embeddings(spark: SparkSession): DataFrame =
+    embeddingsN(spark, Vecs, PlantedPairs)
+
+  private def embeddingsN(spark: SparkSession, vecs: Long, planted0: Int): DataFrame = {
     import spark.implicits._
-    val (dim, planted, clusters) = (Dim, PlantedPairs, Clusters)
-    spark.range(0, Vecs, 1, 32).mapPartitions { it =>
+    val (dim, planted, clusters) = (Dim, planted0, Clusters)
+    spark.range(0, vecs, 1, 32).mapPartitions { it =>
       it.map { id =>
         val isPlantedDup = id < 2L * planted && (id & 1L) == 1L
         val base: Long = if (id < 2L * planted) id & ~1L else id

@@ -210,4 +210,73 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(lshHit.toDouble / math.max(1, lshPlanted.size) >= 0.8,
       s"LSH planted-twin recall ${lshHit.toDouble / lshPlanted.size}")
   }
+
+  test("ANN at 10x: 200k x 64d through distributed-Lloyd auto-nlist IVF and PQ — " +
+      "sqrt-N scan trend, balanced serve, planted recall") {
+    val bigDir = StressData.ensureBig(spark)
+    val emb = Tables.load(spark, bigDir, "embeddings")
+    assert(emb.count() == StressData.BigVecs)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-ivf-big-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    Similarity.buildIvfIndex(emb, path, "vec_id", "embedding")
+    val nlist = spark.read.parquet(s"$path/meta").select("nlist").head().getInt(0)
+    // sqrt-N trend: 4*sqrt(200k) = 1789 (vs 566 at 20k) — and 1789*64 >
+    // the distributed-Lloyd threshold, so this build trained on executors
+    assert(nlist == Similarity.autoNlist(StressData.BigVecs), s"auto nlist: $nlist")
+    assert(nlist * 64 > Similarity.DistributedLloydSampleThreshold,
+      "the big build must exercise the distributed-Lloyd path")
+
+    // planted-twin recall at the ~5% scan point, serve balance audited
+    val queries = emb.filter(col("vec_id") < 200 && col("vec_id") % 2 === 0)
+    val nprobe = math.max(8, nlist / 20)
+    val ann = assertBalanced("ivfTopKFromIndex@200k", factor = 10.0, minRecords = 500L) {
+      Similarity.ivfTopKFromIndex(path, queries, "vec_id", "embedding",
+          k = 10, nprobe = nprobe)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    }
+    val hit = ann.count { case (q, ns) => ns.contains(q + 1) }
+    val recall = hit.toDouble / ann.size
+    assert(recall >= 0.8,
+      f"IVF@~5%% scan planted-twin recall $recall%.2f below 0.8 at 200k (nlist=$nlist)")
+
+    // sqrt-N SCAN pin, measured not estimated: a single-query probe reads
+    // <= 7% of the corpus from the pruned lists scan (nprobe/nlist = 5%
+    // nominal; fat clusters allow slack)
+    val one = Similarity.ivfTopKFromIndex(path,
+      emb.filter(col("vec_id") === 4000), "vec_id", "embedding",
+      k = 10, nprobe = nprobe)
+    one.count()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case sc: FileSourceScanExec => Seq(sc)
+        case other => other.children.flatMap(scans)
+      }
+    val listScan = scans(one.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft-stress-ivf-big")))
+    assert(listScan.nonEmpty, "expected a pruned parquet scan over the big index lists")
+    val scanned = listScan.map(_.metrics("numOutputRows").value).sum
+    assert(scanned <= (0.07 * StressData.BigVecs).toLong,
+      s"single-query probe scanned $scanned of ${StressData.BigVecs} rows (> 7%)")
+
+    // IVF-PQ at 200k: byte-code lists + ADC serve, balance green, exact
+    // rerank recovers the planted twins
+    val pqPath = s"$path-pq"
+    Similarity.buildIvfPqIndex(emb, pqPath, "vec_id", "embedding")
+    val pq = assertBalanced("ivfPqTopK@200k", factor = 10.0, minRecords = 500L) {
+      Similarity.ivfPqTopK(pqPath, queries, "vec_id", "embedding",
+          k = 10, nprobe = nprobe, rerank = 40,
+          exact = emb, exactId = "vec_id", exactVec = "embedding")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    }
+    val pqHit = pq.count { case (q, ns) => ns.contains(q + 1) }
+    val pqRecall = pqHit.toDouble / pq.size
+    assert(pqRecall >= 0.8,
+      f"IVF-PQ planted-twin recall $pqRecall%.2f below 0.8 at 200k")
+  }
 }
