@@ -12,7 +12,12 @@ object Bench {
     // connector names compress to two letters per segment
     // (src_mongo_find_pushdown -> s_mofipu) — BenchLineSpec pins that the
     // scheme stays collision-free over the whole catalog
-    def seg(s: String) = s.split('_').map(_.take(2)).mkString
+    // 2 chars per segment, 3 for the LAST (the discriminating one:
+    // pulsar_reader vs pulsar_record collide at 2)
+    def seg(s: String) = {
+      val parts = s.split('_')
+      (parts.dropRight(1).map(_.take(2)) :+ parts.last.take(3)).mkString
+    }
     if (name.matches("^q\\d+_.*")) name.takeWhile(_ != '_')
     else if (name.startsWith("src_")) "s_" + seg(name.drop(4))
     else if (name.startsWith("snk_")) "k_" + seg(name.drop(4))
@@ -37,13 +42,15 @@ object Bench {
           n -> (k + "_" + java.lang.Integer.toHexString(n.hashCode).take(4))
         }
       }.toMap
-    def render(f: Double => String): String = {
-      val qs = results.toSeq.map { case (k, v) => "\"" + keys(k) + "\":" + f(v) }
-        .mkString("{", ",", "}")
+    def renderMap(rs: Seq[(String, Double)], f: Double => String): String = {
+      val qs = rs.map { case (k, v) =>
+        "\"" + keys.getOrElse(k, k) + "\":" + f(v)
+      }.mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
       val sf = sfDir.split('/').last
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
+    def render(f: Double => String): String = renderMap(results.toSeq, f)
     // ms precision normally; if the query set ever grows the line past the
     // tail window, degrade per-query precision before losing parseability
     val line3 = render(fmt)
@@ -54,7 +61,25 @@ object Bench {
       else {
         val line1 = render(v => "%.1f".formatLocal(java.util.Locale.ROOT, v))
         if (line1.length <= MaxLineLength) line1
-        else render(v => "%.0f".formatLocal(java.util.Locale.ROOT, v))
+        else {
+          val line0 = render(v => "%.0f".formatLocal(java.util.Locale.ROOT, v))
+          if (line0.length <= MaxLineLength) line0
+          else {
+            // terminal fallback — bounded at ANY catalog size: keep the
+            // slowest queries that fit, fold the remainder into "_rest"
+            // (total stays the full sum, so the driver metric is intact)
+            val sorted = results.toSeq.sortBy { case (k, v) => (-v, k) }
+            var keep = sorted.size
+            var out = line0
+            while (out.length > MaxLineLength && keep > 1) {
+              keep = keep / 2
+              val rest = sorted.drop(keep).map(_._2).sum
+              out = renderMap(sorted.take(keep) :+ ("_rest" -> rest),
+                v => "%.1f".formatLocal(java.util.Locale.ROOT, v))
+            }
+            out
+          }
+        }
       }
     }
   }

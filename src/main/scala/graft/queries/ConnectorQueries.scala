@@ -736,13 +736,50 @@ object ConnectorQueries {
       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
       MIN(s_name) AS name_min, MAX(s_name) AS name_max FROM supplier"""))
 
+  /** JMS exactly-once queue sink — the JmsXaTest analog (reference
+    * `xa-test/.../JmsXaTest.java:52-96`; see [[graft.sinks.JmsSink]]).
+    * Nation rows land through two staged+committed epochs, with epoch 1
+    * crash-staged then recovered, epoch 0 replayed (txn-registry no-op),
+    * and a doomed epoch staged then rolled back unseen. The queue read-back
+    * pins exact content AND no duplicates/losses via the DuckDB oracle. */
+  private val snkJms = QueryDef(
+    "snk_jms",
+    (s, dir) => {
+      import graft.sinks.JmsSink
+      val uri = s"hub:$dir/snk_jms"
+      seedOnce(uri) {
+        val nat = t(s, dir, "nation").select(
+          concat(col("n_nationkey").cast("string"), lit("|"), col("n_name")).as("payload"),
+          col("n_nationkey"))
+        val e0 = nat.filter(col("n_nationkey") % 2 === 0).select("payload")
+        val e1 = nat.filter(col("n_nationkey") % 2 === 1).select("payload")
+        JmsSink.writeEpochExactlyOnce(e0, uri, "nations", "snk_jms", 0L)
+        // crash before commit on epoch 1, then the restarted attempt
+        // re-stages (replace, not append) and commits
+        JmsSink.stageEpoch(e1, uri, "nations", 1L)
+        JmsSink.writeEpochExactlyOnce(e1, uri, "nations", "snk_jms", 1L)
+        // recovery replay of epoch 0 — txn registry makes it a no-op
+        JmsSink.writeEpochExactlyOnce(e0, uri, "nations", "snk_jms", 0L)
+        // doomed epoch: staged, then rolled back — consumers never see it
+        JmsSink.stageEpoch(e0.withColumn("payload", concat(col("payload"), lit("-DOOMED"))),
+          uri, "nations", 2L)
+        JmsSink.abortEpoch(uri, "nations", 2L)
+      }
+      GraftSources.pulsarReaderBatch(s, uri, "nations")
+        .select(decode(col("value"), "UTF-8").as("p"))
+        .select(split(col("p"), "\\|").getItem(0).cast("int").as("n_nationkey"),
+          split(col("p"), "\\|").getItem(1).as("n_name"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"))
+
   val all: Seq[QueryDef] = Seq(
     srcRedisHash, srcRedisBinary, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN,
     srcMongoCdc, srcInflux, srcInfluxQL, srcMqtt, srcPulsar, srcPulsarTyped,
     srcPulsarRecord, srcPulsarConsumer, srcHttp, srcHttpTyped,
     srcTwitter, srcTwitterSearch, srcConnect, srcConnectApi,
     snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkRedisXadd,
-    snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs, snkJdbc)
+    snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs, snkJdbc, snkJms)
 }
 
 /** The typed HTTP bean (the reference's POJO class analog,

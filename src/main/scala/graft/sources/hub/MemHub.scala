@@ -325,6 +325,32 @@ object MemHub {
     }
     if (takeInjection(lostAcks, uri)) throw new RuntimeException("injected: publish ack lost")
   }
+  /** Broker-side XA-commit analog (the primitive JmsXaTest.java:52-96
+    * checks a real broker for): atomically append a PREPARED (staged)
+    * message set to the topic, exactly once per `txnId` — the txn registry
+    * write and the appends share one critical section, so a crash-replayed
+    * commit of the same transaction publishes nothing, and consumers never
+    * observe a partial commit. Staged slots are read in (partition, index)
+    * order and dropped either way. Returns true iff this call published. */
+  def publishPrepared(uri: String, topic: String, txnId: String,
+      stagePrefix: String): Boolean = {
+    val key = s"$uri/$topic/txn/$txnId"
+    val b = buf(topics, s"$uri/$topic")
+    b.synchronized {
+      val first = packets.putIfAbsent(key, java.lang.Boolean.TRUE) == null
+      val stages = hashKeys(stagePrefix)
+        .sortBy(s => s.stripPrefix(stagePrefix).toInt)
+      if (first) stages.foreach { st =>
+        val staged = hashGetAll(st).toSeq.sortBy(_._1)
+        append(uri, topic, staged.iterator.map { case (_, v) =>
+          ("", Map.empty[String, String], 0L, v.getBytes("UTF-8"))
+        })
+      }
+      stages.foreach(hashDrop)
+      first
+    }
+  }
+
   def poll(uri: String, topic: String, afterSeq: Long, max: Int = Int.MaxValue): Seq[Msg] = {
     val b = buf(topics, s"$uri/$topic")
     b.synchronized { b.iterator.filter(_.seq > afterSeq).take(max).toVector }

@@ -24,9 +24,15 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderLine(names.map(_ -> 9999.999).toMap, "/root/testdata/sf0.1")
     assert(line.length <= Bench.MaxLineLength,
       s"bench line ${line.length} chars — will be truncated")
-    // at realistic timings (sub-1000s totals) full ms precision must survive
+    // at realistic timings (sub-1000s totals) at least centisecond
+    // precision must survive (the 142-query round-7 catalog outgrew
+    // ms-precision-for-all within the ~2000-char driver tail window;
+    // bench_detail.json still carries full precision per query)
     val typical = Bench.renderLine(names.map(_ -> 9.999).toMap, "/root/testdata/sf0.1")
-    assert(typical.contains(":9.999"), "ms precision lost at realistic line sizes")
+    assert(typical.contains(":9.99") || typical.contains(":10.0"),
+      "centisecond precision lost at realistic line sizes")
+    assert(!typical.contains("\"_rest\""),
+      "realistic timings must not need the drop-fastest fallback")
   }
 
   test("rendered line is valid JSON with the contract fields") {
@@ -38,6 +44,6 @@ class BenchLineSpec extends AnyFunSuite {
     assert((j \ "unit") === JString("sec"))
     assert((j \ "value") === JDouble(1.735))
     assert((j \ "queries" \ "q01") === JDouble(1.234) || (j \ "queries" \ "q01") === JDouble(1.235))
-    assert((j \ "queries" \ "s_reha") === JDouble(0.5))
+    assert((j \ "queries" \ "s_rehas") === JDouble(0.5))
   }
 }
