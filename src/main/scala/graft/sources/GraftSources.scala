@@ -195,11 +195,23 @@ object GraftSources {
       .select(col("b.*"))
       .as[T]
 
-  /** S14 — Twitter stream (json + native timestamp_ms). */
-  def twitterStreamBatch(spark: SparkSession, uri: String): DataFrame =
-    topic(spark, "twitter", uri, Seq("tweets"), streaming = false)
-  def twitterStream(spark: SparkSession, uri: String): DataFrame =
-    topic(spark, "twitter", uri, Seq("tweets"), streaming = true)
+  /** S14 — Twitter stream (json + native timestamp_ms). `endpoint` is the
+    * reference's pluggable `StreamingEndpoint` supplier analog
+    * (TwitterSources.java:85-110): "firehose" (default — everything),
+    * "sample" (the deterministic 1 % slice), or "filter" with `track`
+    * keyword terms (hbc StatusesFilterEndpoint semantics) — applied at
+    * the broker boundary, before rows reach Spark. */
+  def twitterStreamBatch(spark: SparkSession, uri: String,
+      endpoint: String = "firehose", track: Seq[String] = Nil): DataFrame =
+    topic(spark, "twitter", uri, Seq("tweets"), streaming = false,
+      extraOpts = endpointOpts(endpoint, track))
+  def twitterStream(spark: SparkSession, uri: String,
+      endpoint: String = "firehose", track: Seq[String] = Nil): DataFrame =
+    topic(spark, "twitter", uri, Seq("tweets"), streaming = true,
+      extraOpts = endpointOpts(endpoint, track))
+  private def endpointOpts(endpoint: String, track: Seq[String]): Map[String, String] =
+    Map("endpoint" -> endpoint) ++
+      (if (track.nonEmpty) Map("track" -> track.mkString(",")) else Map.empty)
 
   /** S15 — Twitter search (paginated batch). */
   def twitterSearch(spark: SparkSession, uri: String, query: String): DataFrame =

@@ -110,17 +110,47 @@ object TopicProfiles {
     case other => throw new IllegalArgumentException(s"unknown profile $other")
   }
 
+  /** Twitter endpoint-supplier analog (the reference's source takes any
+    * `StreamingEndpoint`, `twitter/.../TwitterSources.java:85-110` —
+    * filter/sample/firehose from com.twitter.hbc): the endpoint decides
+    * SERVER-side what the stream delivers, so it's applied here at the
+    * broker boundary, before rows reach Spark.
+    *  - `firehose` (default): everything;
+    *  - `sample`: the deterministic 1 % slice (eventTime ‰100 == 0 — the
+    *    decorated-timestamp analog of Twitter's server-random sample);
+    *  - `filter` + `track` terms: case-insensitive keyword match on the
+    *    payload, hbc `StatusesFilterEndpoint.trackTerms` semantics. */
+  def endpointPredicate(endpoint: String, track: Seq[String]): MemHub.Msg => Boolean =
+    endpoint match {
+      case "firehose" | "" => _ => true
+      case "sample" => m => m.eventTimeMs % 100 == 0
+      case "filter" =>
+        val terms = track.map(_.toLowerCase)
+        require(terms.nonEmpty, "filter endpoint needs track terms")
+        m => {
+          val p = new String(m.payload, "UTF-8").toLowerCase
+          terms.exists(p.contains)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown endpoint '$other' (supported: firehose, sample, filter)")
+    }
+
   def rows(profile: String, uri: String, topic: String, after: Long, until: Long,
-      codec: String = "bytes"): Iterator[InternalRow] =
+      codec: String = "bytes", endpoint: String = "firehose",
+      track: Seq[String] = Nil): Iterator[InternalRow] = {
+    val pred = endpointPredicate(endpoint, track)
     MemHub.poll(uri, topic, after).iterator.filter(_.seq <= until)
+      .filter(pred)
       .map(toRow(profile, topic, _, codec))
+  }
 
   /** Standalone serializable factory (must not capture the stream/table). */
-  final case class Factory(profile: String, uri: String, codec: String = "bytes")
+  final case class Factory(profile: String, uri: String, codec: String = "bytes",
+      endpoint: String = "firehose", track: Seq[String] = Nil)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val fp = p.asInstanceOf[FnPartition]
-      new Dsv2.IterReader(rows(profile, uri, fp.tag, fp.from, fp.to, codec))
+      new Dsv2.IterReader(rows(profile, uri, fp.tag, fp.from, fp.to, codec, endpoint, track))
     }
   }
 }
@@ -184,6 +214,13 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
     * [[TopicProfiles.pulsarCodecs]]). */
   private val codec = Option(options.get("schema")).getOrElse("bytes")
 
+  /** Twitter endpoint-supplier analog (see
+    * [[TopicProfiles.endpointPredicate]]): which slice the broker
+    * delivers. */
+  private val endpoint = Option(options.get("endpoint")).getOrElse("firehose")
+  private val track: Seq[String] =
+    Option(options.get("track")).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
   override def name(): String = s"topic-log($profile:$uri)"
   override def schema(): StructType = TopicProfiles.schemaFor(profile, codec)
   override def capabilities(): util.Set[TableCapability] =
@@ -197,18 +234,20 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
       override def description(): String = name()
 
       override def toBatch: Batch = {
-        val (u, pr, cd) = (uri, profile, codec)
+        val (u, pr, cd, ep, tr) = (uri, profile, codec, endpoint, track)
         val parts = topicNames.zipWithIndex.map { case (t, i) =>
           FnPartition(i, t, -1, MemHub.topicMaxSeq(u, t))
         }
-        new FnBatch(parts, p => TopicProfiles.rows(pr, u, p.tag, p.from, p.to, cd))
+        new FnBatch(parts, p => TopicProfiles.rows(pr, u, p.tag, p.from, p.to, cd, ep, tr))
       }
 
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
         val (u, pr, ack, qos, cd) = (uri, profile, ackAs, topicQos, codec)
+        val (ep, tr) = (endpoint, track)
         new Dsv2.SeqLogMicroBatchStream(topicNames, maxPerTrigger) {
           override def currentMax(name: String): Long = MemHub.topicMaxSeq(u, name)
-          override def factory: PartitionReaderFactory = TopicProfiles.Factory(pr, u, cd)
+          override def factory: PartitionReaderFactory =
+            TopicProfiles.Factory(pr, u, cd, ep, tr)
           // QoS0 topics subscribe at the live tail (non-durable); no
           // backfill of pre-subscription messages
           override def initialOffset(): Offset =
