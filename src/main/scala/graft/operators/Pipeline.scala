@@ -751,7 +751,8 @@ object Pipeline {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      vocabSize: Int = 65536): DataFrame = {
+      vocabSize: Int = 65536,
+      keep: Seq[String] = Nil): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
     val total = df
       .agg(sum(graft.functions.token_count(col(textCol)).cast("long")))
@@ -762,14 +763,94 @@ object Pipeline {
       .orderBy(col("__c").desc, col("__w")).limit(vocabSize)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val nv = total + vocab.size
-    df.select(col(idCol),
-        graft.functions.lm_surprisal(col(textCol), vocab, nv).as("__s"))
-      .select(col(idCol),
-        col("__s.n_tokens").as("n_tokens"),
-        col("__s.n_oov").as("n_oov"),
-        col("__s.surprisal_sum").as("surprisal_sum"),
+    df.select(col(idCol) +: keep.map(col) :+
+        graft.functions.lm_surprisal(col(textCol), vocab, nv).as("__s"): _*)
+      .select(col(idCol) +: keep.map(col) :+
+        col("__s.n_tokens").as("n_tokens") :+
+        col("__s.n_oov").as("n_oov") :+
+        col("__s.surprisal_sum").as("surprisal_sum") :+
         (col("__s.surprisal_sum").cast("double") /
-          greatest(col("__s.n_tokens"), lit(1L)).cast("double")).as("lm_score"))
+          greatest(col("__s.n_tokens"), lit(1L)).cast("double")).as("lm_score"): _*)
+  }
+
+  /** CCNet-style head/middle/tail quality buckets (Wenzek et al., LREC
+    * 2020: per-LANGUAGE perplexity terciles decide which slice of a crawl
+    * is kept or re-filtered). The per-doc statistic is the QUANTIZED
+    * per-token surprisal `q = surprisal_sum·100 DIV n_tokens` (centi-bits
+    * per token — integer-exact, and bounded by 100·log2(corpus) distinct
+    * values), so the tercile boundaries come from an exact integer
+    * histogram: one `groupBy(lang, q).count` whose driver-side size is
+    * langs × ~6400 REGARDLESS of corpus size — never a per-language sort
+    * or window over corpus-scale groups (the hot-language trap). Boundary
+    * rule: t1 = min q with cum ≥ ceil(n/3), t2 = min q with cum ≥
+    * ceil(2n/3); bucket by value comparison (head = lowest surprisal, the
+    * CCNet convention), so equal scores share a bucket. Boundaries are
+    * broadcast back — the corpus-wide work is one scoring pass + one
+    * bounded histogram. */
+  def ccnetBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      vocabSize: Int = 65536): DataFrame = {
+    val scored = lmSurprisalScores(df, idCol, textCol, vocabSize, keep = Seq(langCol))
+      .withColumn("q", expr("surprisal_sum * 100L DIV greatest(n_tokens, 1L)"))
+    val hist = scored.groupBy(col(langCol), col("q")).count()
+      .collect().map(r => (Option(r.get(0)).map(_.toString), r.getLong(1), r.getLong(2)))
+    val bounds: Map[Option[String], (Long, Long)] = hist.groupBy(_._1).map {
+      case (lang, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val n = sorted.map(_._3).sum
+        def boundary(thr: Long): Long = {
+          var cum = 0L
+          sorted.find { case (_, _, c) => cum += c; cum >= thr }
+            .map(_._2).getOrElse(sorted.last._2)
+        }
+        lang -> (boundary((n + 2) / 3), boundary((2 * n + 2) / 3))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = broadcast(bounds.toSeq.map { case (l, (t1, t2)) => (l.orNull, t1, t2) }
+      .toDF(langCol + "_b", "__t1", "__t2"))
+    scored.join(bdf, col(langCol) <=> col(langCol + "_b"))
+      .withColumn("bucket",
+        when(col("q") <= col("__t1"), lit("head"))
+          .when(col("q") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop(langCol + "_b", "__t1", "__t2", "n_oov", "lm_score")
+  }
+
+  /** Curation funnel report: the [[curate]] chain with per-stage survivor
+    * counts — the audit a 100 TB curation run reports next to its output
+    * (how much each stage discarded decides where to tune). One row:
+    * (n_input, n_lang, n_quality, n_dedup, n_final). Each count is an
+    * aggregate over the same declarative stages curate runs — counts
+    * pipeline into the stage plans, no extra corpus passes beyond the
+    * stages themselves. */
+  def curationFunnel(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      langs: Seq[String],
+      minTokens: Int,
+      maxTokens: Int,
+      minDistinctRatio: Double): DataFrame = {
+    require(langs.nonEmpty, "language allowlist must not be empty")
+    val allowed = docs.filter(col(langCol).isin(langs: _*))
+    val quality = qualityFilter(
+      allowed, idCol, textCol, minTokens, maxTokens, minDistinctRatio)
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    val deduped = quality
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val fin = decontaminate(deduped, evalDocs, textCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((docs.count(), allowed.count(), quality.count(), deduped.count(), fin.count()))
+      .toDF("n_input", "n_lang", "n_quality", "n_dedup", "n_final")
   }
 
   /** Gopher/MassiveText-style per-document n-gram repetition signals (Rae

@@ -1973,6 +1973,75 @@ object Catalog {
              (wsum + prior) >= 0 AS label
       FROM d, pr ORDER BY doc_id"""))
 
+  /** CCNet-style head/middle/tail buckets (Wenzek et al., LREC 2020):
+    * per-language terciles of the QUANTIZED per-token surprisal
+    * (centi-bits, `surprisal_sum*100 DIV n_tokens` — integer-exact).
+    * Boundaries come from an exact bounded integer histogram — never a
+    * per-language window over a corpus-scale group — and DuckDB replays
+    * the identical cum-count boundary rule, so the bucket assignment is
+    * value-exact. */
+  private val q111 = QueryDef(
+    "q111_ccnet_buckets",
+    (s, dir) =>
+      graft.operators.Pipeline.ccnetBuckets(
+        t(s, dir, "documents"), "doc_id", "text", "lang", vocabSize = 16)
+        .orderBy(col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents),
+      vc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w ORDER BY c DESC, w LIMIT 16),
+      nv AS (SELECT (SELECT COUNT(*) FROM tok) + (SELECT COUNT(*) FROM vc) AS v),
+      sc AS (SELECT t.doc_id, t.lang,
+               length(bin((SELECT v FROM nv) // (COALESCE(v.c, 0) + 1))) - 1 AS s
+             FROM tok t LEFT JOIN vc v ON t.w = v.w),
+      d AS (SELECT doc_id, lang, COUNT(*) AS n, CAST(SUM(s) AS BIGINT) AS ss
+            FROM sc GROUP BY doc_id, lang),
+      dq AS (SELECT doc_id, lang, n, ss, (ss * 100) // GREATEST(n, 1) AS q FROM d),
+      h AS (SELECT lang, q, COUNT(*) AS c FROM dq GROUP BY lang, q),
+      hh AS (SELECT lang, q,
+               SUM(c) OVER (PARTITION BY lang ORDER BY q) AS cum,
+               SUM(c) OVER (PARTITION BY lang) AS n FROM h),
+      b AS (SELECT lang,
+              MIN(CASE WHEN cum >= (n + 2) // 3 THEN q END) AS t1,
+              MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN q END) AS t2
+            FROM hh GROUP BY lang)
+      SELECT dq.doc_id, dq.lang, CAST(dq.n AS BIGINT) AS n_tokens, dq.ss AS surprisal_sum,
+        CAST(dq.q AS BIGINT) AS q,
+        CASE WHEN dq.q <= b.t1 THEN 'head'
+             WHEN dq.q <= b.t2 THEN 'middle' ELSE 'tail' END AS bucket
+      FROM dq JOIN b USING (lang) ORDER BY dq.doc_id"""))
+
+  /** Curation funnel audit: the q83 chain with per-stage survivor counts
+    * — the report a 100 TB curation run publishes next to its output. */
+  private val q112 = QueryDef(
+    "q112_curation_funnel",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSplit = docs.filter(substring(md5(col("text")), 1, 2) < "08")
+      val train = docs.filter(substring(md5(col("text")), 1, 2) >= "08")
+      graft.operators.Pipeline.curationFunnel(
+        train, evalSplit, "doc_id", "text", "lang",
+        langs = Seq("en", "de", "fr"),
+        minTokens = 15, maxTokens = 150, minDistinctRatio = 0.20)
+    },
+    Some("""WITH ev AS (SELECT md5(text) AS h FROM documents WHERE substr(md5(text), 1, 2) < '08'),
+      tr AS (SELECT * FROM documents WHERE substr(md5(text), 1, 2) >= '08'),
+      al AS (SELECT * FROM tr WHERE lang IN ('en', 'de', 'fr')),
+      f AS (SELECT doc_id, text,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+          CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+            / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS r
+        FROM al),
+      q AS (SELECT * FROM f WHERE n_tokens BETWEEN 15 AND 150 AND r >= 0.20),
+      d AS (SELECT * FROM (SELECT q.*,
+              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q)
+            WHERE rn = 1),
+      c AS (SELECT * FROM d WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.h = md5(d.text)))
+      SELECT (SELECT COUNT(*) FROM tr) AS n_input,
+             (SELECT COUNT(*) FROM al) AS n_lang,
+             (SELECT COUNT(*) FROM q) AS n_quality,
+             (SELECT COUNT(*) FROM d) AS n_dedup,
+             (SELECT COUNT(*) FROM c) AS n_final"""))
+
   /** Data selection under budget: per language, keep the highest-quality
     * docs (quality desc, id tiebreak) until a 5000-token budget is spent
     * (exclusive cumsum < budget — the crossing doc is included). The
@@ -2542,7 +2611,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
-    q108, q109, q110) ++
+    q108, q109, q110, q111, q112) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -648,4 +648,46 @@ class CurationReportSpec extends AnyFunSuite {
     assert(!got(101L)._3, "neg-vocabulary probe must classify negative")
     assert(got(100L)._2 > got(101L)._2)
   }
+
+  test("ccnetBuckets: tercile boundary rule holds per language, buckets ordered by score") {
+    import graft.operators.Pipeline
+    val docs = Tables.load(spark, dir, "documents")
+    val got = Pipeline.ccnetBuckets(docs, "doc_id", "text", "lang", vocabSize = 16)
+      .select("doc_id", "lang", "q", "bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got.length == docs.count(), "every doc lands in exactly one bucket")
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length.toLong
+      val byB = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      val head = byB.getOrElse("head", Array.empty[Long])
+      val mid = byB.getOrElse("middle", Array.empty[Long])
+      val tail = byB.getOrElse("tail", Array.empty[Long])
+      // cum-count boundary rule: head covers at least ceil(n/3), head+middle
+      // at least ceil(2n/3) (ties share a bucket, so sizes can exceed)
+      assert(head.length >= (n + 2) / 3, s"$lang: head ${head.length} of $n")
+      assert(head.length + mid.length >= (2 * n + 2) / 3, s"$lang: head+middle of $n")
+      // buckets are ordered by the quantized score: head <= middle <= tail
+      if (head.nonEmpty && mid.nonEmpty) assert(head.max <= mid.min)
+      if (mid.nonEmpty && tail.nonEmpty) assert(mid.max < tail.min,
+        s"$lang: a middle score ties into tail — boundary rule broken")
+    }
+  }
+
+  test("curationFunnel: stage counts are monotone and the final stage equals curate()") {
+    import graft.operators.Pipeline
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val ev = docs.filter(substring(md5(col("text")), 1, 2) < "08")
+    val tr = docs.filter(substring(md5(col("text")), 1, 2) >= "08")
+    val f = Pipeline.curationFunnel(tr, ev, "doc_id", "text", "lang",
+      Seq("en", "de", "fr"), 15, 150, 0.20).head()
+    val (nIn, nLang, nQ, nD, nF) =
+      (f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3), f.getLong(4))
+    assert(nIn >= nLang && nLang >= nQ && nQ >= nD && nD >= nF,
+      s"funnel must be monotone: $nIn >= $nLang >= $nQ >= $nD >= $nF")
+    assert(nIn == tr.count())
+    assert(nF == Pipeline.curate(tr, ev, "doc_id", "text", "lang",
+      Seq("en", "de", "fr"), 15, 150, 0.20).count())
+    assert(nF > 0, "fixture should survive the funnel")
+  }
 }
