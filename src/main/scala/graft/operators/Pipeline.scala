@@ -820,6 +820,114 @@ object Pipeline {
       .drop(langCol + "_b", "__t1", "__t2", "n_oov", "lm_score")
   }
 
+  /** Fixed-point scale for the BM25 idf quantization. */
+  private val Bm25Scale = 4096L
+
+  /** Quantized log2 at 1/16-bit resolution as a SQL fragment over a
+    * positive BIGINT expression: `16·e + (x·16 >> e) − 16` with
+    * e = bitlength(x) − 1 — floor-log2 plus a 4-bit LINEARIZED mantissa
+    * (max linearization error 0.086 bit, identical in any engine because
+    * the formula is pure integer arithmetic). The coarse 1-bit floor-log2
+    * device (q103/q109/q110) is too lossy for ranking; this refinement
+    * keeps idf differences well under a bit while staying hash-exact. */
+  private def qlog2Sql(x: String): String =
+    s"(CAST(length(bin($x)) AS BIGINT) - 1) * 16 + " +
+      s"shiftright(($x) * 16, CAST(length(bin($x)) AS INT) - 1) - 16"
+
+  /** Quantized Okapi BM25 top-k keyword retrieval (Robertson & Zaragoza,
+    * FnTIR 2009) — the sparse complement to the dense ANN stack for RAG
+    * and retrieval-based decontamination.
+    *
+    * k1 = 1.2 and b = 0.75 enter as the exact rationals 6/5 and 3/4, so
+    * the tf-saturation term clears to one integer division:
+    * `sat·16 = (44·tf·T·16) DIV (20·tf·T + 6·T + 18·dl·N)` (T = corpus
+    * tokens, N = docs, dl = doc length). idf is the Lucene-shape
+    * `log2(1 + (N−df+½)/(df+½))` under the 1/16-bit quantized log
+    * ([[qlog2Sql]]). Per-term scores are therefore int64 and the per-doc
+    * sum is ORDER-FREE exact — no transcendental whose last ulp could
+    * differ between engines, the device every quantized operator here
+    * uses (q103/q109/q110), refined for ranking.
+    *
+    * Scale shape: one corpus tokenize pass → postings with map-side
+    * combined tf; the (small, contract-style) query-term table joins the
+    * df table and is BROADCAST into the postings — the corpus never
+    * shuffles on anything but the (query, doc) partial-sum key, and top-k
+    * rides the bounded-heap `top_k` aggregate (k rows per partition cross
+    * the exchange, never every scored pair). */
+  def bm25TopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      corpusIdCol: String,
+      corpusTextCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val c = corpus.filter(col(corpusTextCol).isNotNull)
+      .select(col(corpusIdCol).cast("long").as("doc_id"),
+        graft.functions.tokens_fast(col(corpusTextCol)).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+    val stats = c.agg(sum(col("dl")), count(lit(1))).head()
+    val totalT = stats.getLong(0)
+    val n = stats.getLong(1)
+    require(n > 0, "empty corpus")
+    val postings = c
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTable = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        explode(graft.functions.tokens_fast(col(queryTextCol))).as("term"))
+      .distinct()
+    val qlogScale = 16L * (63 - java.lang.Long.numberOfLeadingZeros(Bm25Scale))
+    val qti = dfTable.join(broadcast(qterms), "term")
+      .withColumn("__r", expr(
+        s"${Bm25Scale}L + (2 * ${n}L - 2 * df + 1) * ${Bm25Scale}L DIV (2 * df + 1)"))
+      .withColumn("idf_q", expr(qlog2Sql("__r")) - lit(qlogScale))
+      .select(col("query_id"), col("term"), col("idf_q"))
+    postings.join(broadcast(qti), "term")
+      .withColumn("__sc", col("idf_q") * expr(
+        s"(44 * tf * ${totalT}L * 16) DIV (20 * tf * ${totalT}L + 6 * ${totalT}L + 18 * dl * ${n}L)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__sc")).cast("long").as("score"))
+      .filter(col("score") > 0)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.top_k(
+        struct(col("score"), (-col("doc_id")).as("nid")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("query_id"), (col("__i") + 1).cast("int").as("rnk"),
+        (-col("__s.nid")).as("doc_id"), col("__s.score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * ranked retrieval lists — the standard hybrid-retrieval combiner for
+    * a dense (ANN cosine) and a sparse (BM25) list. Contribution per
+    * appearance is the exact integer `scale DIV (k0 + rank)`, so the
+    * fused score is an order-free int64 sum — hash-exact in any engine —
+    * and ranks fuse without score calibration (RRF's point). Input lists
+    * carry (query_id, doc_id, rnk); ties break to the smaller doc id. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Int = 60,
+      scale: Long = 1000000L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one list")
+    require(k > 0 && k0 >= 0, "bad k/k0")
+    val normed = lists.map(_.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rnk").cast("long").as("rnk")))
+    normed.reduce(_.unionByName(_))
+      .withColumn("__c", expr(s"${scale}L DIV (${k0}L + rnk)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).cast("long").as("rrf"),
+        count(lit(1)).cast("long").as("n_lists"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.top_k(
+        struct(col("rrf"), (-col("doc_id")).as("nid"), col("n_lists")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("query_id"), (col("__i") + 1).cast("int").as("rnk"),
+        (-col("__s.nid")).as("doc_id"), col("__s.rrf"), col("__s.n_lists"))
+  }
+
   /** Curation funnel report: the [[curate]] chain with per-stage survivor
     * counts — the audit a 100 TB curation run reports next to its output
     * (how much each stage discarded decides where to tune). One row:

@@ -2042,6 +2042,115 @@ object Catalog {
              (SELECT COUNT(*) FROM d) AS n_dedup,
              (SELECT COUNT(*) FROM c) AS n_final"""))
 
+  /** Quantized Okapi BM25 keyword retrieval: k1/b as exact rationals
+    * clear the tf saturation to one integer division, idf rides the
+    * 1/16-bit quantized log — per-term scores are int64, the per-doc sum
+    * is order-free, and DuckDB replays every integer bit-for-bit. */
+  private val q113 = QueryDef(
+    "q113_bm25",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Pipeline.bm25TopK(
+        docs.filter(col("doc_id") < 3), docs, "doc_id", "text", "doc_id", "text", k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM ct),
+      st AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+      p AS (SELECT doc_id, unnest(l) AS term FROM ct),
+      pf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY doc_id, term),
+      dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pf GROUP BY term),
+      q0 AS (SELECT doc_id AS query_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents WHERE doc_id < 3),
+      qt AS (SELECT DISTINCT query_id, term FROM q0),
+      idf AS (SELECT term,
+               4096 + (2 * (SELECT n FROM st) - 2 * df + 1) * 4096 // (2 * df + 1) AS r
+              FROM dfr),
+      idfq AS (SELECT term,
+               (length(bin(r)) - 1) * 16 + ((r * 16) >> (length(bin(r)) - 1)) - 16 - 192 AS idf_q
+              FROM idf),
+      sc AS (SELECT qt.query_id, pf.doc_id,
+               CAST(SUM(idfq.idf_q *
+                 ((44 * pf.tf * st.t * 16) //
+                  (20 * pf.tf * st.t + 6 * st.t + 18 * dl.dl * st.n))) AS BIGINT) AS score
+             FROM qt
+             JOIN pf ON qt.term = pf.term
+             JOIN idfq ON qt.term = idfq.term
+             JOIN dl ON dl.doc_id = pf.doc_id
+             CROSS JOIN st
+             GROUP BY qt.query_id, pf.doc_id),
+      r AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+            FROM sc WHERE score > 0)
+      SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
+  /** Hybrid retrieval via reciprocal-rank fusion: the dense cosine top-10
+    * and the quantized-BM25 top-10 fuse with integer 1/(60+rank)
+    * contributions — order-free int64 sums, rank-calibration-free, exact
+    * in both engines. */
+  private val q114 = QueryDef(
+    "q114_hybrid_rrf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val dense = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("rnk"))
+      val sparse = graft.operators.Pipeline.bm25TopK(
+        docs.filter(col("doc_id") < 3), docs, "doc_id", "text", "doc_id", "text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      graft.operators.Pipeline.rrfFuse(Seq(dense, sparse), k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM ct),
+      st AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+      p AS (SELECT doc_id, unnest(l) AS term FROM ct),
+      pf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY doc_id, term),
+      dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pf GROUP BY term),
+      q0 AS (SELECT doc_id AS query_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents WHERE doc_id < 3),
+      qt AS (SELECT DISTINCT query_id, term FROM q0),
+      idf AS (SELECT term,
+               4096 + (2 * (SELECT n FROM st) - 2 * df + 1) * 4096 // (2 * df + 1) AS r
+              FROM dfr),
+      idfq AS (SELECT term,
+               (length(bin(r)) - 1) * 16 + ((r * 16) >> (length(bin(r)) - 1)) - 16 - 192 AS idf_q
+              FROM idf),
+      sc AS (SELECT qt.query_id, pf.doc_id,
+               CAST(SUM(idfq.idf_q *
+                 ((44 * pf.tf * st.t * 16) //
+                  (20 * pf.tf * st.t + 6 * st.t + 18 * dl.dl * st.n))) AS BIGINT) AS score
+             FROM qt
+             JOIN pf ON qt.term = pf.term
+             JOIN idfq ON qt.term = idfq.term
+             JOIN dl ON dl.doc_id = pf.doc_id
+             CROSS JOIN st
+             GROUP BY qt.query_id, pf.doc_id),
+      bm AS (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+             FROM sc WHERE score > 0),
+      qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+      cv AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      dsc AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos FROM qv, cv WHERE qid <> nid),
+      dr AS (SELECT qid AS query_id, nid AS doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+             FROM dsc),
+      u AS (SELECT query_id, doc_id, rnk FROM bm WHERE rnk <= 10
+            UNION ALL
+            SELECT query_id, doc_id, rnk FROM dr WHERE rnk <= 10),
+      f AS (SELECT query_id, doc_id,
+              CAST(SUM(1000000 // (60 + rnk)) AS BIGINT) AS rrf,
+              CAST(COUNT(*) AS BIGINT) AS n_lists
+            FROM u GROUP BY query_id, doc_id),
+      fr AS (SELECT query_id, doc_id, rrf, n_lists,
+               row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+             FROM f)
+      SELECT query_id, CAST(rk AS INTEGER) AS rnk, doc_id, rrf, n_lists
+      FROM fr WHERE rk <= 5 ORDER BY query_id, rnk"""))
+
   /** Data selection under budget: per language, keep the highest-quality
     * docs (quality desc, id tiebreak) until a 5000-token budget is spent
     * (exclusive cumsum < budget — the crossing doc is included). The
@@ -2611,7 +2720,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112) ++
+    q108, q109, q110, q111, q112, q113, q114) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -690,4 +690,52 @@ class CurationReportSpec extends AnyFunSuite {
       Seq("en", "de", "fr"), 15, 150, 0.20).count())
     assert(nF > 0, "fixture should survive the funnel")
   }
+
+  test("bm25TopK: rare-term docs outrank common-term docs; scores monotone; no term-free hits") {
+    import graft.operators.Pipeline
+    import spark.implicits._
+    // controlled vocabulary: doc 1 is the ONLY doc with the query's rare
+    // term; docs 2-9 share only the common filler term; doc 50 has no
+    // query term at all and must not appear
+    val corpus = (Seq(
+      (1L, "filler zebra filler filler"),
+      (50L, "nothing shared here at all")) ++
+      (2L to 9L).map(i => (i, "filler filler filler filler"))).toDF("doc_id", "text")
+    val queries = Seq((0L, "zebra filler")).toDF("doc_id", "text")
+    val got = Pipeline.bm25TopK(queries, corpus, "doc_id", "text", "doc_id", "text", k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.head._2 == 1L, s"the unique rare-term doc must rank first: ${got.toSeq}")
+    assert(!got.exists(_._2 == 50L), "a doc sharing no query term must not score")
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 >= b._3, "score rose down the ranking")
+    case _ => }
+    // on the real corpus: ranking exists for every query, scores monotone
+    val docs = Tables.load(spark, dir, "documents")
+    val real = Pipeline.bm25TopK(docs.filter(col("doc_id") < 10), docs,
+        "doc_id", "text", "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byQ = real.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rows) =>
+      rows.sortBy(_._2).sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 >= b._4, s"query $q: score rose down the ranking")
+      case _ => }
+    }
+  }
+
+  test("rrfFuse: a doc in both lists outranks equal-rank single-list docs; exact contributions") {
+    import graft.operators.Pipeline
+    import spark.implicits._
+    // query 1: doc 100 is rank 1 in BOTH lists; docs 200/300 are rank 1 in one
+    val a = Seq((1L, 100L, 1L), (1L, 200L, 2L)).toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 100L, 1L), (1L, 300L, 2L)).toDF("query_id", "doc_id", "rnk")
+    val f = Pipeline.rrfFuse(Seq(a, b), k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(f.map(_._2).toSeq == Seq(100L, 200L, 300L), s"fusion order wrong: ${f.toSeq}")
+    assert(f(0)._3 == 2 * (1000000L / 61) && f(0)._4 == 2L)
+    assert(f(1)._3 == 1000000L / 62 && f(1)._4 == 1L)
+    // 200 before 300 only via the doc-id tiebreak (equal rrf)
+    assert(f(1)._3 == f(2)._3)
+  }
 }
