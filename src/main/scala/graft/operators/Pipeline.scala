@@ -863,22 +863,34 @@ object Pipeline {
       corpusTextCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // null surgery (the charNgramPairs device): the explicit cheap
+    // IsNotNull pre-filter keeps semantics, and coalesce makes the
+    // tokenize chain NON-NULLABLE so constraint propagation cannot infer
+    // an isnotnull(tokens_scan(…)) filter that would re-run the kernel
+    // below the next exchange
     val c = corpus.filter(col(corpusTextCol).isNotNull)
       .select(col(corpusIdCol).cast("long").as("doc_id"),
-        graft.functions.tokens_fast(col(corpusTextCol)).as("__toks"))
+        graft.functions.tokens_fast(coalesce(col(corpusTextCol), lit(""))).as("__toks"))
       .withColumn("dl", size(col("__toks")).cast("long"))
     val stats = c.agg(sum(col("dl")), count(lit(1))).head()
     val totalT = stats.getLong(0)
     val n = stats.getLong(1)
     require(n > 0, "empty corpus")
+    // explode_outer + a cheap term filter, NOT plain explode: Generate's
+    // implied non-empty-array constraint would be inferred as a
+    // size(tokens_scan(…)) > 0 filter and pushed into the scan — running
+    // the tokenize kernel TWICE per row (PlanAudit kernel-in-filter flag)
     val postings = c
-      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .select(col("doc_id"), col("dl"), explode_outer(col("__toks")).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfTable = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qterms = queries
+    val qterms = queries.filter(col(queryTextCol).isNotNull)
       .select(col(queryIdCol).cast("long").as("query_id"),
-        explode(graft.functions.tokens_fast(col(queryTextCol))).as("term"))
+        explode_outer(graft.functions.tokens_fast(
+          coalesce(col(queryTextCol), lit("")))).as("term"))
+      .filter(col("term").isNotNull)
       .distinct()
     val qlogScale = 16L * (63 - java.lang.Long.numberOfLeadingZeros(Bm25Scale))
     val qti = dfTable.join(broadcast(qterms), "term")
