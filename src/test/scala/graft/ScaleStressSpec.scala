@@ -279,4 +279,70 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(pqRecall >= 0.8,
       f"IVF-PQ planted-twin recall $pqRecall%.2f below 0.8 at 200k")
   }
+
+  test("bm25TopK on the hostile corpus: balanced, and exactly equal to a driver-side replay") {
+    val docs = Tables.load(spark, dir, "documents")
+    val queries = docs.filter(col("doc_id").isin(0L, 600L, 30000L)) // hot block x2 + tail
+    val got = assertBalanced("bm25TopK", factor = 8.0, minRecords = 50000L) {
+      Pipeline.bm25TopK(queries, docs, "doc_id", "text", "doc_id", "text", k = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    }
+    assert(got.nonEmpty && got.map(_._1).distinct.length == 3)
+
+    // independent sequential replay of the exact integer arithmetic
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    def toks(t: String): Seq[String] =
+      t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val dl = rows.map { case (id, t) => id -> toks(t).length.toLong }.toMap
+    val bigT = dl.values.sum
+    val n = rows.length.toLong
+    val tf = scala.collection.mutable.HashMap.empty[(Long, String), Long]
+    rows.foreach { case (id, t) => toks(t).foreach(w => tf((id, w)) = tf.getOrElse((id, w), 0L) + 1) }
+    val df_ = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def qlog2(x: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      e * 16 + ((x * 16) >> e) - 16
+    }
+    def idfQ(d: Long): Long = qlog2(4096L + (2 * n - 2 * d + 1) * 4096L / (2 * d + 1)) - 192L
+    val qdocs = Map(0L -> rows.find(_._1 == 0L).get._2,
+      600L -> rows.find(_._1 == 600L).get._2, 30000L -> rows.find(_._1 == 30000L).get._2)
+    val expect = qdocs.toSeq.flatMap { case (qid, qt) =>
+      val terms = toks(qt).distinct
+      val scores = rows.map(_._1).map { d =>
+        d -> terms.map { t =>
+          val f = tf.getOrElse((d, t), 0L)
+          if (f == 0) 0L
+          else idfQ(df_(t)) * ((44 * f * bigT * 16) / (20 * f * bigT + 6 * bigT + 18 * dl(d) * n))
+        }.sum
+      }.filter(_._2 > 0)
+      scores.sortBy { case (d, sc) => (-sc, d) }.take(10).zipWithIndex.map {
+        case ((d, sc), i) => (qid, i + 1, d, sc)
+      }
+    }.toSet
+    assert(got.toSet == expect,
+      s"bm25 diverged from the sequential replay: ${(got.toSet -- expect).take(3)} vs ${(expect -- got.toSet).take(3)}")
+  }
+
+  test("ccnetBuckets on the 80%-hot language: balanced — no per-language sort — and boundary-exact") {
+    val docs = Tables.load(spark, dir, "documents")
+    val got = assertBalanced("ccnetBuckets", factor = 8.0) {
+      Pipeline.ccnetBuckets(docs, "doc_id", "text", "lang", vocabSize = 64)
+        .select("doc_id", "lang", "q", "bucket")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    }
+    assert(got.length == StressData.Docs)
+    // independent boundary replay per language (driver-side sort)
+    got.groupBy(_._2).foreach { case (lang, rowsL) =>
+      val qs = rowsL.map(_._3).sorted
+      val nL = qs.length.toLong
+      def boundary(thr: Long): Long = qs((thr - 1).toInt)
+      val t1 = boundary((nL + 2) / 3)
+      val t2 = boundary((2 * nL + 2) / 3)
+      rowsL.foreach { case (id, _, q, b) =>
+        val exp = if (q <= t1) "head" else if (q <= t2) "middle" else "tail"
+        assert(b == exp, s"doc $id lang $lang q=$q: bucket $b != $exp (t1=$t1 t2=$t2)")
+      }
+    }
+  }
 }
