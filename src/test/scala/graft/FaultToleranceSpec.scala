@@ -152,6 +152,21 @@ class FaultToleranceSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("groupedPrefixScan consumers: block loss mid-pipeline recomputes, identical output") {
+    import graft.operators.Pipeline
+    val docs = Tables.load(spark, dir, "documents")
+    val packed = Pipeline.packSequences(docs, "doc_id", "text", "lang", 4096)
+    val expP = packed.collect().map(_.toSeq).toSet
+    val kept = Pipeline.selectToBudget(docs, "lang", "doc_id",
+      col("n_chars").cast("double"), col("n_chars"), 40000L)
+    val expK = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    dropAllCachedBlocks()
+    assert(packed.collect().map(_.toSeq).toSet == expP,
+      "packSequences must survive cache-block loss via lineage")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == expK.toSeq,
+      "selectToBudget must survive cache-block loss via lineage")
+  }
+
   test("teardown: release the retrying context for subsequent suites") {
     spark.stop()
     SparkSession.clearActiveSession()
