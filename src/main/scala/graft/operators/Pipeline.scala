@@ -940,6 +940,59 @@ object Pipeline {
         (-col("__s.nid")).as("doc_id"), col("__s.rrf"), col("__s.n_lists"))
   }
 
+  /** Vocabulary drift between two corpus snapshots — the data-quality
+    * diagnostic run between curation iterations ("what changed in the
+    * language when I swapped the filter?"): per-term add-one-smoothed
+    * rate ratio under the 1/16-bit quantized log ([[qlog2Sql]] — pure
+    * integer arithmetic, hash-exact), reported as the `topK` RISING and
+    * `topK` FALLING terms.
+    *
+    * drift_q ≈ 16·log2( ((c_after+1)/(T_after+V)) / ((c_before+1)/(T_before+V)) )
+    * computed as the sum of two quantized logs (each argument stays
+    * < 2^63 at any corpus size — no overflowing cross-product). One
+    * tokenize pass per side, map-side combined counts, a full-outer join
+    * on the term key, and TakeOrdered (bounded heap, never a global
+    * sort) for each direction. */
+  def vocabDrift(
+      before: DataFrame,
+      after: DataFrame,
+      textCol: String,
+      topK: Int = 100,
+      minCount: Long = 10L): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(textCol).isNotNull)
+        .select(explode_outer(graft.functions.tokens_fast(
+          coalesce(col(textCol), lit("")))).as("term"))
+        .filter(col("term").isNotNull)
+        .groupBy(col("term")).agg(count(lit(1)).as(out))
+    val ca = counts(before, "c_before")
+    val cb = counts(after, "c_after")
+    val (ta, va) = {
+      val r = ca.agg(sum(col("c_before")), count(lit(1))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    }
+    val (tb, vb) = {
+      val r = cb.agg(sum(col("c_after")), count(lit(1))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    }
+    val qlogScale = 16L * (63 - java.lang.Long.numberOfLeadingZeros(Bm25Scale))
+    val joined = ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_before"), lit(0L)).as("c_before"),
+        coalesce(col("c_after"), lit(0L)).as("c_after"))
+      .filter(col("c_before") + col("c_after") >= minCount)
+      .withColumn("drift_q",
+        expr(qlog2Sql(s"(c_after + 1) * ${Bm25Scale}L DIV (c_before + 1)")) +
+          expr(qlog2Sql(s"${ta + va}L * ${Bm25Scale}L DIV ${tb + vb}L")) -
+          lit(2 * qlogScale))
+    val rising = joined.orderBy(col("drift_q").desc, col("term")).limit(topK)
+      .withColumn("direction", lit("rising"))
+    val falling = joined.orderBy(col("drift_q").asc, col("term")).limit(topK)
+      .withColumn("direction", lit("falling"))
+    rising.unionByName(falling)
+  }
+
   /** Curation funnel report: the [[curate]] chain with per-stage survivor
     * counts — the audit a 100 TB curation run reports next to its output
     * (how much each stage discarded decides where to tune). One row:

@@ -2151,6 +2151,48 @@ object Catalog {
       SELECT query_id, CAST(rk AS INTEGER) AS rnk, doc_id, rrf, n_lists
       FROM fr WHERE rk <= 5 ORDER BY query_id, rnk"""))
 
+  /** Vocabulary drift between two snapshot halves: add-one-smoothed rate
+    * ratios under the 1/16-bit quantized log — integer-exact, DuckDB
+    * replays the same shifts and divisions bit-for-bit. */
+  private val q115 = QueryDef(
+    "q115_vocab_drift",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Pipeline.vocabDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", topK = 20, minCount = 10L)
+        .orderBy(col("direction"), col("drift_q"), col("term"))
+    },
+    Some("""WITH a AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents WHERE doc_id % 2 = 0),
+      b AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents WHERE doc_id % 2 = 1),
+      ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_before FROM a GROUP BY term),
+      cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_after FROM b GROUP BY term),
+      sa AS (SELECT CAST(SUM(c_before) + COUNT(*) AS BIGINT) AS tv FROM ca),
+      sb AS (SELECT CAST(SUM(c_after) + COUNT(*) AS BIGINT) AS tv FROM cb),
+      j AS (SELECT COALESCE(ca.term, cb.term) AS term,
+              COALESCE(c_before, 0) AS c_before, COALESCE(c_after, 0) AS c_after
+            FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+      jf AS (SELECT * FROM j WHERE c_before + c_after >= 10),
+      x AS (SELECT term, c_before, c_after,
+              (c_after + 1) * 4096 // (c_before + 1) AS r1,
+              (SELECT tv FROM sa) * 4096 // (SELECT tv FROM sb) AS r2
+            FROM jf),
+      d AS (SELECT term, c_before, c_after,
+              CAST((length(bin(r1)) - 1) * 16 + ((r1 * 16) >> (length(bin(r1)) - 1)) - 16
+                 + (length(bin(r2)) - 1) * 16 + ((r2 * 16) >> (length(bin(r2)) - 1)) - 16
+                 - 384 AS BIGINT) AS drift_q
+            FROM x),
+      rise AS (SELECT term, c_before, c_after, drift_q, 'rising' AS direction
+               FROM d ORDER BY drift_q DESC, term LIMIT 20),
+      fall AS (SELECT term, c_before, c_after, drift_q, 'falling' AS direction
+               FROM d ORDER BY drift_q ASC, term LIMIT 20)
+      SELECT term, c_before, c_after, drift_q, direction
+      FROM (SELECT * FROM rise UNION ALL SELECT * FROM fall) u
+      ORDER BY direction, drift_q, term"""))
+
   /** Data selection under budget: per language, keep the highest-quality
     * docs (quality desc, id tiebreak) until a 5000-token budget is spent
     * (exclusive cumsum < budget — the crossing doc is included). The
@@ -2720,7 +2762,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114) ++
+    q108, q109, q110, q111, q112, q113, q114, q115) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

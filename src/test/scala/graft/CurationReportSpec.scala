@@ -738,4 +738,24 @@ class CurationReportSpec extends AnyFunSuite {
     // 200 before 300 only via the doc-id tiebreak (equal rrf)
     assert(f(1)._3 == f(2)._3)
   }
+
+  test("vocabDrift: a planted new term tops rising, a vanished term tops falling") {
+    import graft.operators.Pipeline
+    import spark.implicits._
+    val before = (Seq.fill(30)("common words here") ++ Seq.fill(15)("vanishing term corpus"))
+      .zipWithIndex.map(_.swap).toDF("id", "text")
+    val after = (Seq.fill(30)("common words here") ++ Seq.fill(15)("emerging term corpus"))
+      .zipWithIndex.map(_.swap).toDF("id", "text")
+    val got = Pipeline.vocabDrift(before, after, "text", topK = 3, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val rising = got.filter(_._5 == "rising").sortBy(-_._4)
+    val falling = got.filter(_._5 == "falling").sortBy(_._4)
+    assert(rising.head._1 == "emerging", s"rising top: ${rising.toSeq}")
+    assert(rising.head._2 == 0L && rising.head._3 == 15L)
+    assert(falling.head._1 == "vanishing", s"falling top: ${falling.toSeq}")
+    assert(falling.head._2 == 15L && falling.head._3 == 0L)
+    // stable terms sit near zero drift relative to the movers
+    val common = got.find(_._1 == "common")
+    common.foreach(c => assert(math.abs(c._4) < rising.head._4 && math.abs(c._4) < -falling.head._4))
+  }
 }
