@@ -863,6 +863,26 @@ object Pipeline {
       corpusTextCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    bm25Scores(queries, corpus, queryIdCol, queryTextCol, corpusIdCol, corpusTextCol)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.top_k(
+        struct(col("score"), (-col("doc_id")).as("nid")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("query_id"), (col("__i") + 1).cast("int").as("rnk"),
+        (-col("__s.nid")).as("doc_id"), col("__s.score"))
+  }
+
+  /** The scored (query_id, doc_id, score > 0) set behind [[bm25TopK]],
+    * BEFORE the top-k cut — what threshold consumers (retrieval-based
+    * decontamination) need: every doc above a score floor, not just the
+    * k best. */
+  def bm25Scores(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      corpusIdCol: String,
+      corpusTextCol: String): DataFrame = {
     // null surgery (the charNgramPairs device): the explicit cheap
     // IsNotNull pre-filter keeps semantics, and coalesce makes the
     // tokenize chain NON-NULLABLE so constraint propagation cannot infer
@@ -904,12 +924,29 @@ object Pipeline {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__sc")).cast("long").as("score"))
       .filter(col("score") > 0)
-      .groupBy(col("query_id"))
-      .agg(graft.functions.top_k(
-        struct(col("score"), (-col("doc_id")).as("nid")), k).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__s")))
-      .select(col("query_id"), (col("__i") + 1).cast("int").as("rnk"),
-        (-col("__s.nid")).as("doc_id"), col("__s.score"))
+  }
+
+  /** Retrieval-based decontamination: drop every training doc a held-out
+    * eval item RETRIEVES above a BM25 score floor — the recall-oriented
+    * complement to exact/n-gram decontamination (an eval answer
+    * paraphrased into a training doc shares vocabulary long after it
+    * stops sharing 6-grams; BM25 is exactly the "would a retriever find
+    * this" test). Uses [[bm25Scores]], so EVERY doc above the floor is
+    * flagged, not just each query's top-k; the flagged-id set is a small
+    * reduced artifact anti-joined back — the corpus itself never
+    * shuffles. */
+  def decontaminateRetrieval(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalIdCol: String,
+      evalTextCol: String,
+      minScore: Long): DataFrame = {
+    val flagged = bm25Scores(evalDocs, train, evalIdCol, evalTextCol, idCol, textCol)
+      .filter(col("score") >= minScore)
+      .select(col("doc_id").as("__flag")).distinct()
+    train.join(flagged, train(idCol).cast("long") === col("__flag"), "left_anti")
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
@@ -991,6 +1028,28 @@ object Pipeline {
     val falling = joined.orderBy(col("drift_q").asc, col("term")).limit(topK)
       .withColumn("direction", lit("falling"))
     rising.unionByName(falling)
+  }
+
+  /** Temperature-sampled domain mixture weights — the multilingual /
+    * multi-domain training standard (Conneau & Lample, NeurIPS 2019; mT5):
+    * sampling weight ∝ (tokens_d / T)^α with α = 1/2, flattening the
+    * domain distribution so small domains aren't starved. √ shares are
+    * computed from exact integer token counts through IEEE double sqrt
+    * and division — both CORRECTLY-ROUNDED operations, so the fixed-point
+    * weights (2^20 scale) are bit-identical in any engine; the sampling
+    * rates renormalize with integer arithmetic. Per-domain aggregation is
+    * one map-side-combined pass; the weight table is domain-sized. */
+  def temperatureMixture(
+      df: DataFrame, domainCol: String, tokens: Column): DataFrame = {
+    val agg = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("tokens"))
+    val t = agg.agg(sum(col("tokens"))).head().getLong(0)
+    require(t > 0, "empty corpus")
+    val w = agg.withColumn("weight_q",
+      floor(sqrt(col("tokens").cast("double")) /
+        lit(math.sqrt(t.toDouble)) * lit(1L << 20)).cast("long"))
+    val sw = w.agg(sum(col("weight_q"))).head().getLong(0)
+    w.withColumn("rate_q", expr(s"weight_q * 1048576L DIV ${sw}L"))
   }
 
   /** Curation funnel report: the [[curate]] chain with per-stage survivor

@@ -2193,6 +2193,76 @@ object Catalog {
       FROM (SELECT * FROM rise UNION ALL SELECT * FROM fall) u
       ORDER BY direction, drift_q, term"""))
 
+  /** Retrieval-based decontamination: every train doc a held-out eval doc
+    * retrieves at BM25 score ≥ 2500 is dropped — the recall-oriented
+    * complement to exact/n-gram decontamination, integer-exact end to
+    * end (the q113 arithmetic plus an anti join). */
+  private val q116 = QueryDef(
+    "q116_retrieval_decon",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 25 === 0)
+      val train = docs.filter(col("doc_id") % 25 =!= 0)
+      graft.operators.Pipeline.decontaminateRetrieval(
+        train, evalDocs, "doc_id", "text", "doc_id", "text", minScore = 2500L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tr AS (SELECT * FROM documents WHERE doc_id % 25 <> 0),
+      ev AS (SELECT * FROM documents WHERE doc_id % 25 = 0),
+      ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM tr),
+      dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM ct),
+      st AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+      p AS (SELECT doc_id, unnest(l) AS term FROM ct),
+      pf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY doc_id, term),
+      dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pf GROUP BY term),
+      q0 AS (SELECT doc_id AS query_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM ev),
+      qt AS (SELECT DISTINCT query_id, term FROM q0),
+      idf AS (SELECT term,
+               4096 + (2 * (SELECT n FROM st) - 2 * df + 1) * 4096 // (2 * df + 1) AS r
+              FROM dfr),
+      idfq AS (SELECT term,
+               (length(bin(r)) - 1) * 16 + ((r * 16) >> (length(bin(r)) - 1)) - 16 - 192 AS idf_q
+              FROM idf),
+      sc AS (SELECT qt.query_id, pf.doc_id,
+               CAST(SUM(idfq.idf_q *
+                 ((44 * pf.tf * st.t * 16) //
+                  (20 * pf.tf * st.t + 6 * st.t + 18 * dl.dl * st.n))) AS BIGINT) AS score
+             FROM qt
+             JOIN pf ON qt.term = pf.term
+             JOIN idfq ON qt.term = idfq.term
+             JOIN dl ON dl.doc_id = pf.doc_id
+             CROSS JOIN st
+             GROUP BY qt.query_id, pf.doc_id),
+      fl AS (SELECT DISTINCT doc_id FROM sc WHERE score > 0 AND score >= 2500)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM fl)
+      GROUP BY source ORDER BY source"""))
+
+  /** Temperature-sampled domain mixture (α = 1/2): fixed-point √-share
+    * weights from exact integer token counts through correctly-rounded
+    * IEEE sqrt/division — bit-identical in both engines — and
+    * integer-renormalized sampling rates. */
+  private val q117 = QueryDef(
+    "q117_temperature_mixture",
+    (s, dir) =>
+      graft.operators.Pipeline.temperatureMixture(
+        t(s, dir, "documents"), "source", token_count(col("text")).cast("long"))
+        .orderBy(col("source")),
+    Some("""WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+            FROM documents GROUP BY source),
+      t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM a),
+      w AS (SELECT source, n_docs, tokens,
+              CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE)) /
+                SQRT(CAST((SELECT t FROM t) AS DOUBLE)) * 1048576) AS BIGINT) AS weight_q
+            FROM a),
+      s AS (SELECT CAST(SUM(weight_q) AS BIGINT) AS sw FROM w)
+      SELECT source, n_docs, tokens, weight_q,
+             weight_q * 1048576 // (SELECT sw FROM s) AS rate_q
+      FROM w ORDER BY source"""))
+
   /** Data selection under budget: per language, keep the highest-quality
     * docs (quality desc, id tiebreak) until a 5000-token budget is spent
     * (exclusive cumsum < budget — the crossing doc is included). The
@@ -2762,7 +2832,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115) ++
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

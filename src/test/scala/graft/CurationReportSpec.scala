@@ -758,4 +758,41 @@ class CurationReportSpec extends AnyFunSuite {
     val common = got.find(_._1 == "common")
     common.foreach(c => assert(math.abs(c._4) < rising.head._4 && math.abs(c._4) < -falling.head._4))
   }
+
+  test("decontaminateRetrieval: vocabulary-sharing paraphrase dropped, unrelated doc survives") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "quantum entanglement superposition qubits decoherence measurement collapse"),
+      (2L, "totally unrelated cooking recipe with butter flour sugar eggs"),
+      (3L, "filler filler filler filler filler filler")).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (100L, "explain quantum entanglement and superposition of qubits measurement"))
+      .toDF("doc_id", "text")
+    val kept = Pipeline.decontaminateRetrieval(
+        train, evalDocs, "doc_id", "text", "doc_id", "text", minScore = 500L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L), "the vocabulary-sharing doc must be flagged and dropped")
+    assert(kept.contains(2L) && kept.contains(3L), s"unrelated docs must survive: $kept")
+  }
+
+  test("temperatureMixture: sqrt flattening raises small-domain rates above token share") {
+    import spark.implicits._
+    val df = (Seq.fill(90)(("big", 100L)) ++ Seq.fill(10)(("small", 100L)))
+      .zipWithIndex.map { case ((d, t), i) => (i.toLong, d, t) }
+      .toDF("id", "domain", "tok")
+    val got = Pipeline.temperatureMixture(df, "domain", col("tok"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (bigTok, _, bigRate) = got("big")
+    val (smallTok, _, smallRate) = got("small")
+    val scale = 1L << 20
+    // token share of small = 10%; sqrt temperature lifts its sampling rate
+    assert(smallRate.toDouble / scale > smallTok.toDouble / (bigTok + smallTok),
+      s"small domain rate ${smallRate.toDouble / scale} not lifted above share")
+    // rates renormalize to ~1 (integer floor slack < number of domains)
+    assert(bigRate + smallRate <= scale && bigRate + smallRate >= scale - 2)
+    // alpha=1/2 exact check: rates proportional to sqrt of token mass
+    val expect = math.sqrt(9.0) // sqrt(9000/1000)
+    val ratio = bigRate.toDouble / smallRate
+    assert(math.abs(ratio - expect) < 0.01, s"ratio $ratio != sqrt(9)")
+  }
 }
