@@ -900,11 +900,14 @@ object Pipeline {
     // implied non-empty-array constraint would be inferred as a
     // size(tokens_scan(…)) > 0 filter and pushed into the scan — running
     // the tokenize kernel TWICE per row (PlanAudit kernel-in-filter flag)
-    val postings = c
+    // pin (persist + count, lineage kept): the postings feed BOTH the df
+    // table and the scoring join — without the pin the tokenize/explode
+    // subtree runs once per consumer. One corpus pass, FT-safe.
+    val postings = graft.core.GraftSession.pin(c
       .select(col("doc_id"), col("dl"), explode_outer(col("__toks")).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfTable = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qterms = queries.filter(col(queryTextCol).isNotNull)
       .select(col(queryIdCol).cast("long").as("query_id"),
@@ -917,6 +920,10 @@ object Pipeline {
       .withColumn("__r", expr(
         s"${Bm25Scale}L + (2 * ${n}L - 2 * df + 1) * ${Bm25Scale}L DIV (2 * df + 1)"))
       .withColumn("idf_q", expr(qlog2Sql("__r")) - lit(qlogScale))
+      // zero-weight terms (df so high the quantized idf floors to 0 —
+      // stop words) contribute 0 to every score but would still fan out
+      // the postings join; dropping them is exactly score-preserving
+      .filter(col("idf_q") > 0)
       .select(col("query_id"), col("term"), col("idf_q"))
     postings.join(broadcast(qti), "term")
       .withColumn("__sc", col("idf_q") * expr(

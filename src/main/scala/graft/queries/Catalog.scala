@@ -2201,16 +2201,16 @@ object Catalog {
     "q116_retrieval_decon",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val evalDocs = docs.filter(col("doc_id") % 25 === 0)
-      val train = docs.filter(col("doc_id") % 25 =!= 0)
+      val evalDocs = docs.filter(col("doc_id") % 100 === 0)
+      val train = docs.filter(col("doc_id") % 100 =!= 0)
       graft.operators.Pipeline.decontaminateRetrieval(
         train, evalDocs, "doc_id", "text", "doc_id", "text", minScore = 2500L)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("source"))
     },
-    Some("""WITH tr AS (SELECT * FROM documents WHERE doc_id % 25 <> 0),
-      ev AS (SELECT * FROM documents WHERE doc_id % 25 = 0),
+    Some("""WITH tr AS (SELECT * FROM documents WHERE doc_id % 100 <> 0),
+      ev AS (SELECT * FROM documents WHERE doc_id % 100 = 0),
       ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM tr),
       dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM ct),
       st AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM dl),
