@@ -410,4 +410,59 @@ class ConnectorSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("malformed") ||
       Option(e.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
   }
+
+  test("property: RecordCodec round-trips random schemas/values with random reader projections") {
+    import graft.sources.topiclog.RecordCodec
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val fieldGen = for {
+      n <- Gen.choose(0, 8)
+      name <- Gen.const(s"f$n") // names drawn from a small pool => overlaps
+      tpe <- Gen.oneOf("INT", "BIGINT", "FLOAT", "DOUBLE", "BOOLEAN", "STRING", "BINARY")
+    } yield (name, tpe)
+    def valueFor(tpe: String, rnd: scala.util.Random): Any = tpe match {
+      case _ if rnd.nextInt(5) == 0 => null
+      case "INT" => rnd.nextInt()
+      case "BIGINT" => rnd.nextLong()
+      case "FLOAT" => rnd.nextFloat()
+      case "DOUBLE" => rnd.nextDouble()
+      case "BOOLEAN" => rnd.nextBoolean()
+      case "STRING" => rnd.alphanumeric.take(rnd.nextInt(12)).mkString + "\u00e9\u0000"
+      case "BINARY" => Array.fill(rnd.nextInt(8))(rnd.nextInt().toByte)
+    }
+    val caseGen = for {
+      wfs <- Gen.listOfN(6, fieldGen).map(_.distinctBy(_._1)).suchThat(_.nonEmpty)
+      rsub <- Gen.someOf(wfs)
+      extra <- Gen.oneOf(Seq.empty[(String, String)], Seq(("fx", "BIGINT")))
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (wfs, scala.util.Random.shuffle(rsub.toList ++ extra), seed)
+    val prop = Prop.forAll(caseGen) { case (wfs, rfs, seed) =>
+      val writer = org.apache.spark.sql.types.StructType.fromDDL(
+        wfs.map { case (n, t) => s"$n $t" }.mkString(", "))
+      val readerDdl = if (rfs.isEmpty) "fempty INT" else rfs.map { case (n, t) => s"$n $t" }.mkString(", ")
+      val rnd = new scala.util.Random(seed)
+      val vals = wfs.map { case (_, t) => valueFor(t, rnd) }
+      val spec = RecordCodec.parse(s"record:$readerDdl@writer:${writer.toDDL}")
+      val row = RecordCodec.decodeToCatalyst(RecordCodec.encode(vals, writer), spec)
+      val byName = wfs.map(_._1).zip(vals).toMap
+      spec.reader.fields.zipWithIndex.forall { case (f, i) =>
+        byName.get(f.name) match {
+          case None | Some(null) => row.isNullAt(i)
+          case Some(v) => f.dataType.typeName match {
+            case "binary" => row.getBinary(i).toSeq == v.asInstanceOf[Array[Byte]].toSeq
+            case "string" => row.getUTF8String(i).toString == v.toString
+            case "float" => java.lang.Float.floatToRawIntBits(row.getFloat(i)) ==
+              java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float])
+            case "double" => java.lang.Double.doubleToRawLongBits(row.getDouble(i)) ==
+              java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double])
+            case "integer" => row.getInt(i) == v.asInstanceOf[Int]
+            case "long" => row.getLong(i) == v.asInstanceOf[Long]
+            case "boolean" => row.getBoolean(i) == v.asInstanceOf[Boolean]
+          }
+        }
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
 }
