@@ -803,13 +803,45 @@ object ConnectorQueries {
     },
     Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"))
 
+  /** JDBC source with predicate pushdown: the warehouse table written by
+    * the exactly-once sink reads back through Spark's JDBC source with
+    * the filter pushed to the database (the plan's scan carries the
+    * predicate — asserted in JdbcSinkSpec), closing the JDBC loop:
+    * curated data lands transactionally and serves queries. */
+  private val srcJdbc = QueryDef(
+    "src_jdbc_pushdown",
+    (s, dir) => {
+      import graft.sinks.JdbcSink
+      val dbPath = s"${System.getProperty("java.io.tmpdir")}/graft-derby/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + "/src_jdbc"
+      val url = s"jdbc:derby:$dbPath;create=true"
+      seedOnce(url) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(dbPath))
+        JdbcSink.writeEpochExactlyOnce(
+          t(s, dir, "customer").select(
+            col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment")),
+          url, "cust", "src_jdbc", 0L)
+      }
+      JdbcSink.readTable(s, url, "cust")
+        .filter(col("c_acctbal") > 1000.0 && col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_acctbal > 1000.0 AND c_mktsegment = 'BUILDING'
+      ORDER BY c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(
     srcRedisHash, srcRedisBinary, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN,
     srcMongoCdc, srcInflux, srcInfluxQL, srcMqtt, srcPulsar, srcPulsarTyped,
     srcPulsarRecord, srcPulsarConsumer, srcHttp, srcHttpTyped,
     srcTwitter, srcTwitterEndpoints, srcTwitterSearch, srcConnect, srcConnectApi,
     snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkRedisXadd,
-    snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs, snkJdbc, snkJms)
+    snkMongoInsert, snkPulsar, snkInflux, snkMqtt, snkWs, snkJdbc, snkJms, srcJdbc)
 }
 
 /** The typed HTTP bean (the reference's POJO class analog,

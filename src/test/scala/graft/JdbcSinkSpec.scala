@@ -130,4 +130,21 @@ class JdbcSinkSpec extends AnyFunSuite {
     val b = sup.select(sum(col("s_acctbal").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
     assert(a == b)
   }
+
+  test("JDBC source pushdown: the filter reaches the database scan") {
+    val url = freshUrl("pushdown")
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    JdbcSink.writeEpochExactlyOnce(cust, url, "cust", "q", 0L)
+    val q = JdbcSink.readTable(spark, url, "cust")
+      .filter(col("c_acctbal") > 1000.0 && col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThan(C_ACCTBAL") || plan.contains("GreaterThan(c_acctbal")),
+      s"filter must be pushed to the JDBC scan:\n${plan.take(800)}")
+    val n = q.count()
+    val expect = cust.filter(col("c_acctbal") > 1000.0 && col("c_mktsegment") === "BUILDING").count()
+    assert(n == expect)
+  }
 }
