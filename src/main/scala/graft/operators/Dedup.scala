@@ -169,6 +169,60 @@ object Dedup {
     prefixFilteredPairs(sh, threshold)
   }
 
+  /** Directed containment join (quote / subset detection): pairs
+    * (doc_a, doc_b) where at least `threshold` of doc_a's shingles also
+    * occur in doc_b — C(a→b) = |A∩B| / |A| ≥ t. Containment is the dedup
+    * signal jaccard misses: a paragraph quoted inside a much longer page
+    * has tiny jaccard (|A∩B| / |A∪B| shrinks with the container) but
+    * containment ≈ 1, so the jaccard PPJoin's length-ratio prune is
+    * UNSOUND here and is not used. The prune that IS sound is the
+    * asymmetric prefix filter: if C ≥ t, fewer than ⌈t·n_a⌉ of A's
+    * shingles can be missing from B, so among A's first
+    * n_a − ⌈t·n_a⌉ + 1 shingles (canonical sorted order) at least one is
+    * in B. A therefore explodes only that prefix (~(1−t)·n_a elements);
+    * B explodes all shingles (it's the container side — every shingle is
+    * a potential match point); candidates are the (prefix × index)
+    * collisions and an exact merge-pass intersect verifies. Work scales
+    * with collisions inside a block, never corpus²  — at 100 TB block on
+    * source / LSH band / length bucket exactly as the jaccard joins do. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "containment threshold must be in (0, 1]")
+    val sh = graft.core.GraftSession.widen(
+        df.filter(col(textCol).isNotNull && col(idCol).isNotNull))
+      .select(col(blockCol).as("blk"), col(idCol).cast("long").as("doc_id"),
+        shingle_hashes(coalesce(col(textCol), lit("")), shingleSize).as("sh"))
+      .withColumn("n", size(col("sh")))
+    // epsilon only ever LENGTHENS the prefix (recall-safe, as in PPJoin)
+    val pLen = col("n") -
+      ceil(col("n").cast("double") * lit(threshold) - lit(1e-9)).cast("int") +
+      lit(1)
+    val prb = sh.select(col("blk"), col("doc_id").as("a_id"),
+      explode(slice(col("sh"), lit(1), pLen)).as("g"))
+    val idx = sh.select(col("blk"), col("doc_id").as("b_id"),
+      explode(col("sh")).as("g"))
+    val cand = prb.join(idx, Seq("blk", "g"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val arr = sh.select(col("doc_id"), col("sh"), col("n"))
+    cand
+      .join(arr.select(col("doc_id").as("a_id"), col("sh").as("sh_a"),
+        col("n").as("n_a")), "a_id")
+      .join(arr.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .filter(col("inter").cast("double") >=
+        col("n_a").cast("double") * lit(threshold) - lit(1e-9))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        (col("inter").cast("double") / col("n_a").cast("double"))
+          .as("containment"))
+  }
+
   /** PPJoin core shared by the word- and char-shingle similarity joins:
     * input is (blk, doc_id, sh = SORTED distinct shingle hashes, n = |sh|),
     * output (doc_a, doc_b, jaccard) with jaccard >= threshold, exact. */

@@ -2263,6 +2263,178 @@ object Catalog {
              weight_q * 1048576 // (SELECT sw FROM s) AS rate_q
       FROM w ORDER BY source"""))
 
+  // ================================== relational depth: decorrelated shapes
+  // TPC-H Q17/Q21/Q22/Q18 analogs over the driver tables. Each is the
+  // DataFrame restatement Catalyst would decorrelate a subquery into —
+  // aggregate-then-join, never a per-row subquery — and every comparison
+  // is integer-exact (cross-multiplied instead of divided) so the oracle
+  // hash-matches bit-for-bit.
+
+  /** TPC-H Q17 shape: revenue lost to small-quantity orders of one brand.
+    * The correlated scalar subquery (avg qty per part) becomes a per-part
+    * aggregate joined back; the 0.2·avg comparison is cross-multiplied to
+    * pure integers (5·qty·cnt < sum) — no division anywhere until the
+    * final /7.0 of an exact decimal sum. */
+  private val q118 = QueryDef(
+    "q118_small_qty_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val brandParts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+      val brandLines = li.join(broadcast(brandParts),
+        col("l_partkey") === col("p_partkey"))
+      val perPart = brandLines.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity")).as("sum_q"), count(lit(1)).as("cnt"))
+      brandLines.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") * lit(5) * col("cnt") < col("sum_q"))
+        .agg(
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""WITH bl AS (
+        SELECT l.* FROM lineitem l JOIN part p ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#1'),
+      pp AS (SELECT l_partkey AS pk, SUM(l_quantity) AS sum_q,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM bl GROUP BY l_partkey)
+      SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS DOUBLE) AS avg_yearly,
+             COUNT(*) AS n_lines
+      FROM bl JOIN pp ON l_partkey = pk
+      WHERE l_quantity * 5 * cnt < sum_q"""))
+
+  /** TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    * multi-supplier order ("late" = shipped > 365 days after the order
+    * date). The double EXISTS / NOT EXISTS correlation becomes one
+    * per-order distinct-supplier aggregate joined back — counts only,
+    * integer-exact. */
+  private val q119 = QueryDef(
+    "q119_waiting_suppliers",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"))
+      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      li.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .select(col("l_suppkey"), col("l_orderkey")).distinct()
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+    Some("""WITH li AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 365 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      po AS (SELECT l_orderkey AS ok,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+               CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE late) AS BIGINT) AS n_late
+             FROM li GROUP BY l_orderkey),
+      w AS (SELECT DISTINCT l_suppkey, l_orderkey
+            FROM li JOIN po ON l_orderkey = ok
+            WHERE late AND n_supp > 1 AND n_late = 1)
+      SELECT s_name, COUNT(*) AS numwait
+      FROM w JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY numwait DESC, s_name"""))
+
+  /** TPC-H Q22 shape: above-average-balance customers with no big-ticket
+    * order, rolled up by nation. The scalar average is ONE broadcast row
+    * (exact decimal sum / exact count — a single division both engines
+    * round identically); the NOT EXISTS is a left-anti join against the
+    * filtered orders side. */
+  private val q120 = QueryDef(
+    "q120_quiet_customers",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_bal"))
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("int").as("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""WITH a AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) /
+               CAST(COUNT(*) AS DOUBLE) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0)
+      SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey,
+             COUNT(*) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg_bal FROM a)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  /** TPC-H Q18 shape: large-volume orders (sum qty > 250). The HAVING
+    * subquery becomes aggregate-then-join: the fact side collapses to
+    * qualifying order keys BEFORE touching the dimension joins — at
+    * 100 TB the join input is the handful of big orders, not the
+    * lineitem table. */
+  private val q121 = QueryDef(
+    "q121_big_orders",
+    (s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250.0)
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+      FROM big JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey"""))
+
+  /** Directed shingle containment (quote detection): doc_a mostly
+    * contained in doc_b (C = |A∩B|/|A| ≥ 0.6, lang-blocked). The signal
+    * jaccard dedup misses — a quoted paragraph inside a longer page.
+    * Asymmetric prefix filter + exact merge-pass intersect
+    * ([[graft.operators.Dedup.containmentPairs]]); the ratio is one
+    * division of two pinned integers — oracle bit-exact. */
+  private val q123 = QueryDef(
+    "q123_containment_pairs",
+    (s, dir) => graft.operators.Dedup.containmentPairs(
+      t(s, dir, "documents"), "doc_id", "text",
+      blockCol = "lang", shingleSize = 3, threshold = 0.6)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some("""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+      sh AS (SELECT doc_id, lang, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, lang, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.lang = b.lang
+              AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+      FROM i JOIN sz sa ON da = sa.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.6
+      ORDER BY doc_a, doc_b"""))
+
   /** Data selection under budget: per language, keep the highest-quality
     * docs (quality desc, id tiebreak) until a 5000-token budget is spent
     * (exclusive cumsum < budget — the crossing doc is included). The
@@ -2832,7 +3004,8 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117) ++
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
+    q118, q119, q120, q121, q123) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -224,6 +224,55 @@ object StreamGateQueries {
              COUNT(*) AS n_events, TRUE AS multi_epoch
       FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms"""))
 
+  /** T — stream-stream interval join (the last spec-only streaming
+    * surface): two independent scans of the user-keyed event log (even
+    * event_ids vs odd), watermarked on both sides, joined on user within
+    * ±10 minutes. Append mode emits each qualifying pair exactly once;
+    * the accumulated pair set must equal DuckDB's batch theta-join over
+    * the same events bit-for-bit. */
+  val qStreamJoin = QueryDef(
+    "q122_stream_join",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/sjoin", {
+      import s.implicits._
+      val uri = s"hub:$dir/sgate_sjoin"
+      val evs = t(s, dir, "events")
+        .select(col("user_id").cast("long"), col("event_id"), unix_millis(col("ts")))
+        .orderBy(col("event_id")).collect()
+      MemHub.publish(uri, "ev", evs.iterator.map { r =>
+        val bb = java.nio.ByteBuffer.allocate(8).putLong(r.getLong(1))
+        (r.getLong(0).toString, Map.empty[String, String], r.getLong(2), bb.array())
+      })
+      val per = math.max(1L, evs.length / 7L)
+      val a = eventStream(s, uri, per)
+        .filter(pmod(col("value"), lit(2)) === 0)
+        .select(col("key").cast("long").as("user_a"), col("value").as("a_id"),
+          col("eventTime").as("a_ts"))
+        .withWatermark("a_ts", "30 days")
+      val b = eventStream(s, uri, per)
+        .filter(pmod(col("value"), lit(2)) === 1)
+        .select(col("key").cast("long").as("user_b"), col("value").as("b_id"),
+          col("eventTime").as("b_ts"))
+        .withWatermark("b_ts", "30 days")
+      val joined = a.join(b, expr(
+          "user_a = user_b AND b_ts BETWEEN a_ts - INTERVAL 10 MINUTES " +
+            "AND a_ts + INTERVAL 10 MINUTES"))
+        .select(col("user_a").as("user_id"), col("a_id"), col("b_id"))
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val epochs = drain(joined, "append", s"$dir/sjoin") { (_, rows) =>
+        pairs ++= rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      pairs.toSeq.map { case (u, ai, bi) => (u, ai, bi, epochs > 1) }
+        .toDF("user_id", "a_id", "b_id", "multi_epoch")
+        .orderBy(col("user_id"), col("a_id"), col("b_id"))
+    }),
+    Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        TRUE AS multi_epoch
+      FROM events a JOIN events b ON a.user_id = b.user_id
+      WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
+        AND epoch_ms(b.ts) BETWEEN epoch_ms(a.ts) - 600000
+                               AND epoch_ms(a.ts) + 600000
+      ORDER BY a.user_id, a_id, b_id"""))
+
   val all: Seq[QueryDef] = Seq(qStreamRolling, qStreamDedup, qStreamWindow,
-    qMapService, qStreamSessions)
+    qMapService, qStreamSessions, qStreamJoin)
 }

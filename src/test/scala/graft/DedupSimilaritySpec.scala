@@ -715,4 +715,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(counts == pairs, s"maxBlockRows=$maxBlock thr=$thr: counts=$counts pairs=$pairs")
     }
   }
+
+  test("containment pairs == direct pairwise containment at multiple thresholds") {
+    import graft.functions.{shingle_hashes, sorted_intersect_count}
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = docs.select(col("lang").as("blk"), col("doc_id"),
+      shingle_hashes(col("text"), 3).as("sh"))
+    for (t <- Seq(0.4, 0.6, 0.9)) {
+      val got = Dedup.containmentPairs(docs, "doc_id", "text", "lang", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force: DIRECTED all-pairs, containment of a's shingles in b
+      val brute = sh.as("x").join(sh.as("y"),
+          col("x.blk") === col("y.blk") && col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id"),
+          (sorted_intersect_count(col("x.sh"), col("y.sh")).cast("double") /
+            size(col("x.sh")).cast("double")).as("c"))
+        .filter(col("c") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute,
+        s"t=$t: missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+      assert(brute.nonEmpty, s"t=$t: corpus should contain containment pairs")
+    }
+  }
+
+  test("containment catches the quote-in-container pair jaccard misses") {
+    import spark.implicits._
+    // doc 1 = a 12-word quote; doc 2 = the same quote inside a 60-word page.
+    // Shingle sets: |A| = 10, |B| = 58, |A∩B| = 10 → containment(A→B) = 1.0
+    // but jaccard = 10/58 ≈ 0.17 — far below any useful dedup threshold.
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val page = ((1 to 24).map(i => s"w$i") ++ (1 to 12).map(i => s"q$i") ++
+      (25 to 48).map(i => s"w$i")).mkString(" ")
+    val docs = Seq((1L, quote, "en"), (2L, page, "en"), (3L, "unrelated text here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", "lang", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont == Set((1L, 2L)), s"containment found $cont")
+    val jac = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", "lang", 3, 0.5)
+      .collect()
+    assert(jac.isEmpty, "jaccard at 0.5 must NOT see the asymmetric pair")
+  }
 }
