@@ -157,6 +157,20 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(inBlock > 1000, s"hot-block near-dup pairs: $inBlock (expected > 1000)")
   }
 
+  test("containmentPairs: hot near-identical block — balanced; quadratic output counted, not collected") {
+    val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") < 12000)
+    // the hot block makes containment's output itself quadratic (every
+    // directed hot pair shares 32+/38 shingles at one perturbed token in
+    // 40) — count inside the producing stage, never materialize the edges
+    val n = assertBalanced("containmentPairs", factor = 8.0) {
+      Dedup.containmentPairs(docs, "doc_id", "text", "lang",
+        shingleSize = 3, threshold = 0.8).count()
+    }
+    // lang splits the 1200-doc block 80/20: directed same-lang hot pairs
+    // alone are ~960·959 + 240-side pairs ≈ 978k — require the bulk found
+    assert(n > 900000L, s"hot-block directed containment pairs: $n")
+  }
+
   test("sessionsBatchScalable: bot's 120k-event session — balanced, equal to window formulation") {
     val events = Tables.load(spark, dir, "events")
     val scalable = assertBalanced("sessionsBatchScalable", factor = 6.0) {
