@@ -1266,4 +1266,224 @@ object Similarity {
         sum(when(col("val") > col("p_hi"), 1L).otherwise(0L)).as("n_above"))
       .orderBy(col("dim"))
   }
+
+  /** Cyclic Jacobi eigensolve of a symmetric matrix — fixed (p, q) sweep
+    * order, so the result is deterministic for a given input. Returns
+    * (eigenvalues desc, eigenvectors as rows in the same order). Driver
+    * work is O(d³) per sweep at d = the embedding dimension — corpus-size
+    * independent. */
+  private[graft] def jacobiEig(
+      cov: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val dim = cov.length
+    val a = cov.map(_.clone())
+    val q = Array.tabulate(dim, dim)((r, c) => if (r == c) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < dim - 1) {
+        var r = p + 1
+        while (r < dim) {
+          val apq = a(p)(r)
+          if (math.abs(apq) > 1e-18) {
+            off = math.max(off, math.abs(apq))
+            val theta = (a(r)(r) - a(p)(p)) / (2.0 * apq)
+            // sign convention must map theta == 0 to a FULL 45° rotation
+            // (t = 1); math.signum(0) = 0 would silently skip the
+            // equal-diagonal case and leave the matrix undiagonalized
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var m = 0
+            while (m < dim) {
+              val amp = a(m)(p); val amq = a(m)(r)
+              a(m)(p) = c * amp - s * amq
+              a(m)(r) = s * amp + c * amq
+              m += 1
+            }
+            m = 0
+            while (m < dim) {
+              val apm = a(p)(m); val aqm = a(r)(m)
+              a(p)(m) = c * apm - s * aqm
+              a(r)(m) = s * apm + c * aqm
+              val qmp = q(m)(p); val qmq = q(m)(r)
+              q(m)(p) = c * qmp - s * qmq
+              q(m)(r) = s * qmp + c * qmq
+              m += 1
+            }
+          }
+          r += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val eig = (0 until dim).map(d => (a(d)(d), (0 until dim).map(q(_)(d)).toArray))
+      .sortBy(-_._1)
+    (eig.map(_._1).toArray, eig.map(_._2).toArray)
+  }
+
+  /** PCA / whitening report over the embedding column — the one-pass
+    * 100 TB shape: every partition accumulates the d-vector sum and the
+    * d×d Gram upper triangle in one sweep (a few KB per task at d = 64,
+    * regardless of corpus size), the driver folds the partials in
+    * partition order, solves the d×d eigensystem with cyclic Jacobi
+    * (fixed sweep order — deterministic), and a second bounded pass
+    * verifies the whitening actually whitens (covariance of the
+    * transformed corpus ≈ I on the kept components). The report pins the
+    * algebraic invariants — PSD spectrum, eigenvector orthonormality,
+    * covariance reconstruction, whitened identity — as oracle-checkable
+    * booleans plus exact counts; at 100 TB the cost is two scans plus a
+    * 4096-double all-reduce, never a corpus-sized driver structure. */
+  def pcaWhitenReport(
+      vecs: DataFrame,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val rdd = vecs.select(vec_double(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .rdd.map(_.getSeq[Double](0).toArray)
+    val dim = rdd.first().length
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
+
+    // pass 1: per-partition (n, Σx, ΣxxT upper) — folded in partition order
+    def accumulate(it: Iterator[Array[Double]]): Iterator[(Int, Long, Array[Double], Array[Double])] = {
+      val s = new Array[Double](dim)
+      val g = new Array[Double](dim * (dim + 1) / 2)
+      var n = 0L
+      it.foreach { v =>
+        var i = 0
+        var o = 0
+        while (i < dim) {
+          s(i) += v(i)
+          var j = i
+          while (j < dim) { g(o) += v(i) * v(j); o += 1; j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), n, s, g))
+    }
+    val partials = rdd.mapPartitions(accumulate).collect().sortBy(_._1)
+    val n = partials.map(_._2).sum
+    require(n > 1, "pca needs at least two vectors")
+    val sum = new Array[Double](dim)
+    val gram = new Array[Double](dim * (dim + 1) / 2)
+    partials.foreach { case (_, _, ps, pg) =>
+      var i = 0
+      while (i < sum.length) { sum(i) += ps(i); i += 1 }
+      i = 0
+      while (i < gram.length) { gram(i) += pg(i); i += 1 }
+    }
+    val mu = sum.map(_ / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var o = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = gram(o) / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        o += 1; j += 1
+      }
+      i += 1
+    }
+
+    val (lambda, vecsQ) = jacobiEig(cov)
+
+    // invariants
+    val covScale = math.max(1e-30, cov.map(_.map(math.abs).max).max)
+    val psd = lambda.forall(_ >= -1e-8 * covScale)
+    var orthoErr = 0.0
+    i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        var d = 0.0
+        var m = 0
+        while (m < dim) { d += vecsQ(i)(m) * vecsQ(j)(m); m += 1 }
+        orthoErr = math.max(orthoErr, math.abs(d - (if (i == j) 1.0 else 0.0)))
+        j += 1
+      }
+      i += 1
+    }
+    var reconErr = 0.0
+    i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        var d = 0.0
+        var m = 0
+        while (m < dim) { d += vecsQ(m)(i) * lambda(m) * vecsQ(m)(j); m += 1 }
+        reconErr = math.max(reconErr, math.abs(d - cov(i)(j)))
+        j += 1
+      }
+      i += 1
+    }
+
+    // pass 2: whitened covariance on the top-k components must be ≈ I
+    val lamEps = 1e-12 * covScale
+    val w = Array.tabulate(k, dim) { (c, d) =>
+      val l = math.max(lambda(c), lamEps)
+      vecsQ(c)(d) / math.sqrt(l)
+    }
+    val bcW = spark.sparkContext.broadcast((mu, w))
+    val wPartials = rdd.mapPartitions { it =>
+      val (bmu, bw) = bcW.value
+      val kk = bw.length
+      val g = new Array[Double](kk * (kk + 1) / 2)
+      var cnt = 0L
+      it.foreach { v =>
+        val y = new Array[Double](kk)
+        var c = 0
+        while (c < kk) {
+          var d = 0.0
+          var m = 0
+          while (m < bmu.length) { d += bw(c)(m) * (v(m) - bmu(m)); m += 1 }
+          y(c) = d; c += 1
+        }
+        var o2 = 0
+        c = 0
+        while (c < kk) {
+          var j = c
+          while (j < kk) { g(o2) += y(c) * y(j); o2 += 1; j += 1 }
+          c += 1
+        }
+        cnt += 1
+      }
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), cnt, g))
+    }.collect().sortBy(_._1)
+    val wg = new Array[Double](k * (k + 1) / 2)
+    wPartials.foreach { case (_, _, pg) =>
+      var m = 0
+      while (m < wg.length) { wg(m) += pg(m); m += 1 }
+    }
+    var whitenErr = 0.0
+    o = 0
+    i = 0
+    while (i < k) {
+      var j = i
+      while (j < k) {
+        whitenErr = math.max(whitenErr,
+          math.abs(wg(o) / n - (if (i == j) 1.0 else 0.0)))
+        o += 1; j += 1
+      }
+      i += 1
+    }
+    bcW.unpersist(false)
+
+    val total = lambda.map(math.max(_, 0.0)).sum
+    val topK = lambda.take(k).map(math.max(_, 0.0)).sum
+    Seq((n, dim, k,
+      psd,
+      orthoErr < 1e-8,
+      reconErr < 1e-7 * covScale,
+      whitenErr < 1e-6,
+      total > 0.0 && topK > 0.0 && topK <= total * (1.0 + 1e-12)))
+      .toDF("n_vecs", "dim", "k", "psd", "orthonormal", "reconstructs",
+        "whitened_identity", "var_frac_ok")
+  }
 }

@@ -2435,6 +2435,20 @@ object Catalog {
       WHERE CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.6
       ORDER BY doc_a, doc_b"""))
 
+  /** PCA / whitening over the embedding corpus: one-pass distributed
+    * Gram accumulation + driver Jacobi on the 64×64, invariants pinned
+    * as oracle booleans (PSD spectrum, orthonormal eigenvectors,
+    * covariance reconstruction, whitened corpus covariance ≈ I) — the
+    * q84 pattern for operators whose artifact SQL can't replay. */
+  private val q124 = QueryDef(
+    "q124_pca_whitening",
+    (s, dir) => graft.operators.Similarity.pcaWhitenReport(
+      t(s, dir, "embeddings"), "embedding", k = 8),
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, 64 AS dim, 8 AS k,
+        TRUE AS psd, TRUE AS orthonormal, TRUE AS reconstructs,
+        TRUE AS whitened_identity, TRUE AS var_frac_ok
+      FROM embeddings"""))
+
   /** Data selection under budget: per language, keep the highest-quality
     * docs (quality desc, id tiebreak) until a 5000-token budget is spent
     * (exclusive cumsum < budget — the crossing doc is included). The
@@ -3005,7 +3019,7 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q123) ++
+    q118, q119, q120, q121, q123, q124) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -738,6 +738,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("jacobiEig recovers a known rotated spectrum exactly") {
+    // diag(3, 1) rotated by 45°: cov = [[2, 1], [1, 2]] → λ = {3, 1},
+    // eigenvectors ±(1, 1)/√2 and ±(1, -1)/√2
+    val cov = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val (lambda, q) = Similarity.jacobiEig(cov)
+    assert(math.abs(lambda(0) - 3.0) < 1e-12 && math.abs(lambda(1) - 1.0) < 1e-12,
+      s"eigenvalues ${lambda.toSeq}")
+    val r = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(q(0)(0) * r + q(0)(1) * r) - 1.0) < 1e-12,
+      s"top eigenvector ${q(0).toSeq} not aligned with (1,1)/sqrt2")
+    assert(math.abs(q(1)(0) * r + q(1)(1) * r) < 1e-12,
+      s"second eigenvector ${q(1).toSeq} not orthogonal to (1,1)/sqrt2")
+  }
+
+  test("pcaWhitenReport finds the planted dominant axis and whitens it away") {
+    import spark.implicits._
+    // 400 vectors along (1, 2, 0, 0) + small noise on dims 3/4: the top
+    // component must carry almost all variance, and whitening must pass
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { _ =>
+      val tV = rnd.nextGaussian() * 10.0
+      Array(tV.toFloat, (2.0 * tV).toFloat,
+        (rnd.nextGaussian() * 0.1).toFloat, (rnd.nextGaussian() * 0.1).toFloat)
+    }
+    val df = rows.map(v => Tuple1(v)).toDF("embedding")
+    val rpt = Similarity.pcaWhitenReport(df, "embedding", k = 2).collect()(0)
+    assert(rpt.getLong(0) == 400 && rpt.getInt(1) == 4 && rpt.getInt(2) == 2)
+    (3 to 7).foreach(i => assert(rpt.getBoolean(i), s"invariant $i false: $rpt"))
+    // report is stable under repartitioning (invariants, not raw floats)
+    val rpt2 = Similarity.pcaWhitenReport(df.repartition(7), "embedding", k = 2)
+      .collect()(0)
+    assert(rpt2 == rpt, s"repartitioned report differs: $rpt2 vs $rpt")
+  }
+
   test("containment catches the quote-in-container pair jaccard misses") {
     import spark.implicits._
     // doc 1 = a 12-word quote; doc 2 = the same quote inside a 60-word page.
