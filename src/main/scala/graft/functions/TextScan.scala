@@ -191,6 +191,51 @@ object TextScan {
     new GenericInternalRow(Array[Any](count.toLong, maxRun, dup))
   }
 
+  /** Floor-log2 ×16 + 4-bit linearized mantissa of a positive integer —
+    * the repo's 1/16-bit quantized log (same arithmetic as the q103/q115
+    * scoring: DuckDB replays it as
+    * `(length(bin(x))-1)*16 + ((x*16) >> (length(bin(x))-1)) - 16`). */
+  private def qlog16(x: Long): Long = {
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    b * 16L + ((x * 16L) >>> b) - 16L
+  }
+
+  /** Per-doc token (Shannon-analog) entropy under the quantized log:
+    * struct(n_tokens, n_distinct, ent_q) with
+    * ent_q = Σ_w c_w · (qlog16(n) − qlog16(c_w)) — integer-exact lexical
+    * diversity, one byte-level pass, row-local (scan-pushable, NO
+    * shuffle: the 100 TB shape of a per-document quality signal).
+    * Token identity via XXH64 of the byte slice (the
+    * [[distinctTokenCount]] device; collision odds ~m²/2^64 per doc). */
+  def tokenEntropyStats(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val tk = tokenize(bytes, 0, bytes.length)
+    val m = tk.length / 2
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val ts = tk(2 * i); val te = tk(2 * i + 1)
+      hs(i) = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + ts, te - ts, Seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    val n = m.toLong
+    val qn = qlog16(n)
+    var distinct = 0L
+    var ent = 0L
+    i = 0
+    while (i < m) {
+      var k = i + 1
+      while (k < m && hs(k) == hs(i)) k += 1
+      val c = (k - i).toLong
+      distinct += 1
+      ent += c * (qn - qlog16(c))
+      i = k
+    }
+    new GenericInternalRow(Array[Any](n, distinct, ent))
+  }
+
   /** Token strings — value-identical to `split(trim(s), "\\s+")` (same
     * tokenize as the shingle kernels), no regex engine. */
   def tokenStrings(s: UTF8String): ArrayData = {
@@ -369,6 +414,23 @@ case class NgramRepetitionScan(child: Expression, n: Int) extends UnaryExpressio
     defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.ngramRepetitionStats($c, $n)")
   override def prettyName: String = "ngram_repetition_scan"
   override protected def withNewChildInternal(newChild: Expression): NgramRepetitionScan =
+    copy(child = newChild)
+}
+
+/** `token_entropy_scan(text)`: per-doc quantized-log token entropy —
+  * struct(n_tokens, n_distinct, ent_q), one byte-level pass, row-local.
+  * Integer-exact: DuckDB replays qlog16 with bin()/shift arithmetic. */
+case class TokenEntropyScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("ent_q", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextScan.tokenEntropyStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.tokenEntropyStats($c)")
+  override def prettyName: String = "token_entropy_scan"
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropyScan =
     copy(child = newChild)
 }
 

@@ -98,6 +98,7 @@ package object functions {
         case Seq(c, Literal(n: Int, _)) => NgramRepetitionScan(c, n)
         case _ => throw new IllegalArgumentException("ngram_repetition_scan(text, n)")
       },
+      "token_entropy_scan" -> { exprs => TokenEntropyScan(exprs.head) },
       "token_count_scan" -> { exprs => TokenCountScan(exprs.head) },
       "distinct_token_count_scan" -> { exprs => DistinctTokenCountScan(exprs.head) },
       "cms_estimate" -> { exprs => CmsEstimate(exprs(0), exprs(1)) },
@@ -190,6 +191,11 @@ package object functions {
     * row-local byte pass — no shuffle at any corpus size. */
   def ngram_repetition(c: Column, n: Int): Column =
     call_function("ngram_repetition_scan", c, lit(n))
+
+  /** Per-doc quantized-log token entropy (lexical diversity quality
+    * signal): struct(n_tokens, n_distinct, ent_q), one row-local byte
+    * pass — integer-exact, no shuffle at any corpus size. */
+  def token_entropy(c: Column): Column = call_function("token_entropy_scan", c)
 
   /** Fused token count — `size(tokens(c))` values with no array build;
     * cheap enough to live in pushed-down Filter predicates. */

@@ -2316,13 +2316,17 @@ object Catalog {
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"))
-      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-      li.filter(col("late"))
+      // two-level aggregate instead of a double COUNT(DISTINCT) expand:
+      // (order, supplier) collapses first, then order stats are one plain
+      // count/sum — and the late-supplier rows for the final join come
+      // from the already-collapsed level, no second distinct
+      val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late").cast("int")).as("sl"))
+      val perOrder = perSupp.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("sl")).as("n_late"))
+      perSupp.filter(col("sl") === 1)
         .join(perOrder, col("l_orderkey") === col("ok"))
         .filter(col("n_supp") > 1 && col("n_late") === 1)
-        .select(col("l_suppkey"), col("l_orderkey")).distinct()
         .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
         .join(broadcast(t(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
@@ -2448,6 +2452,41 @@ object Catalog {
         TRUE AS psd, TRUE AS orthonormal, TRUE AS reconstructs,
         TRUE AS whitened_identity, TRUE AS var_frac_ok
       FROM embeddings"""))
+
+  /** Token-entropy quality signal (lexical diversity): per-doc Shannon
+    * entropy under the repo's 1/16-bit quantized log — one row-local
+    * byte pass ([[graft.functions.token_entropy]]), zero shuffle at any
+    * corpus size. DuckDB replays the qlog16 arithmetic with bin()/shift
+    * — every column integer-exact plus one pinned division. */
+  private val q125 = QueryDef(
+    "q125_token_entropy",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.token_entropy(col("text")).as("e"))
+        .select(col("doc_id"),
+          col("e.n_tokens").as("n_tokens"),
+          col("e.n_distinct").as("n_distinct"),
+          col("e.ent_q").as("ent_q"),
+          (col("e.ent_q").cast("double") /
+            greatest(col("e.n_tokens") * 16, lit(1L)).cast("double"))
+            .as("entropy"))
+        .orderBy(col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents),
+      c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY doc_id, w),
+      n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+              CAST(COUNT(*) AS BIGINT) AS nd
+            FROM c GROUP BY doc_id),
+      e AS (SELECT c.doc_id,
+              CAST(SUM(c.c * (
+                ((length(bin(n.n)) - 1) * 16 + ((n.n * 16) >> (length(bin(n.n)) - 1)) - 16)
+              - ((length(bin(c.c)) - 1) * 16 + ((c.c * 16) >> (length(bin(c.c)) - 1)) - 16)
+              )) AS BIGINT) AS ent
+            FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY c.doc_id)
+      SELECT n.doc_id, n.n AS n_tokens, n.nd AS n_distinct, e.ent AS ent_q,
+             CAST(e.ent AS DOUBLE) / CAST(GREATEST(n.n * 16, 1) AS DOUBLE) AS entropy
+      FROM n JOIN e ON n.doc_id = e.doc_id ORDER BY n.doc_id"""))
 
   /** Data selection under budget: per language, keep the highest-quality
     * docs (quality desc, id tiebreak) until a 5000-token budget is spent
@@ -3019,7 +3058,7 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q123, q124) ++
+    q118, q119, q120, q121, q123, q124, q125) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -161,6 +161,41 @@ class TextScanSpec extends AnyFunSuite {
     }
   }
 
+  test("token_entropy == independent declarative formulation (hostile + real docs)") {
+    import graft.functions.{token_entropy, tokens}
+    def qlog16(x: Long): Long = {
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      b * 16L + ((x * 16L) >>> b) - 16L
+    }
+    for (df <- Seq(hostile, Tables.load(spark, dir, "documents"))) {
+      // independent spec: counts from the declarative token split as
+      // STRINGS (no hashing), entropy folded on the driver
+      val want = df.select(col("doc_id"), tokens(col("text")).as("l"))
+        .select(col("doc_id"), explode(col("l")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(collect_list(col("c")).as("cs"))
+        .collect().map { r =>
+          val cs = r.getSeq[Long](1)
+          val n = cs.sum
+          val qn = qlog16(n)
+          (r.getLong(0), (n, cs.size.toLong, cs.map(c => c * (qn - qlog16(c))).sum))
+        }.toMap
+      val got = df.select(col("doc_id"), token_entropy(col("text")).as("e"))
+        .select(col("doc_id"), col("e.n_tokens"), col("e.n_distinct"), col("e.ent_q"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == want, s"diverging docs: ${
+        (got.keySet ++ want.keySet).filter(k => got.get(k) != want.get(k)).take(5)}")
+    }
+    // planted signals: uniform repetition has zero entropy; a 2-symbol
+    // uniform mix is EXACTLY one bit per token (16 sixteenths)
+    val planted = hostile.select(col("doc_id"), token_entropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(planted(18L).getLong(2) == 0L, "dup dup dup dup must have ent 0")
+    assert(planted(19L).getLong(2) == 96L,
+      "x y x y x y must measure exactly 1 bit/token (6 tokens x 16)")
+  }
+
   test("ngram_repetition == independent declarative formulation (hostile + real docs)") {
     import graft.functions.{ngram_repetition, tokens}
     for ((df, isHostile) <- Seq((hostile, true),
