@@ -205,8 +205,12 @@ object Dedup {
       lit(1)
     val prb = sh.select(col("blk"), col("doc_id").as("a_id"),
       explode(slice(col("sh"), lit(1), pLen)).as("g"))
+    // slice(sh, 1, n) == sh, but keeps the generate's inferred size()>0
+    // guard a TWO-attribute condition — a bare explode(sh) lets Catalyst
+    // collapse it to size(<kernel>) > 0 and push the kernel into the
+    // raw-scan Filter (the anti-pattern PLANS.md flags)
     val idx = sh.select(col("blk"), col("doc_id").as("b_id"),
-      explode(col("sh")).as("g"))
+      explode(slice(col("sh"), lit(1), col("n"))).as("g"))
     val cand = prb.join(idx, Seq("blk", "g"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
