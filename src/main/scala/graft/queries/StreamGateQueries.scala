@@ -273,6 +273,39 @@ object StreamGateQueries {
                                AND epoch_ms(a.ts) + 600000
       ORDER BY a.user_id, a_id, b_id"""))
 
+  /** T — stream-static lookup enrichment (the reference's mapUsingIMap /
+    * hash-join-enrichment shape): every streamed event picks up its
+    * type's dimension attribute (min event_id — a per-key constant) from
+    * a broadcast static snapshot; the drained rollup must equal DuckDB's
+    * batch join over the same events. */
+  val qStreamEnrich = QueryDef(
+    "q126_stream_enrich",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/enrich", {
+      import s.implicits._
+      val uri = s"hub:$dir/sgate_enrich"
+      seedEvents(s, dir, uri, copies = 1)
+      val n = t(s, dir, "events").count()
+      val dim = t(s, dir, "events")
+        .groupBy(col("event_type")).agg(min(col("event_id")).as("min_id"))
+      val enriched = eventStream(s, uri, math.max(1, n / 7))
+        .select(col("key").as("event_type"), col("value").as("event_id"))
+        .join(broadcast(dim), "event_type")
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      val epochs = drain(enriched, "append", s"$dir/enrich") { (_, rows) =>
+        acc ++= rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      acc.groupBy(r => (r._1, r._3)).toSeq
+        .map { case ((ty, mi), rs) =>
+          (ty, rs.size.toLong, mi, rs.map(_._2).sum, epochs > 1)
+        }
+        .toDF("event_type", "n", "min_id", "id_sum", "multi_epoch")
+        .orderBy(col("event_type"))
+    }),
+    Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(MIN(event_id) AS BIGINT) AS min_id,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum, TRUE AS multi_epoch
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(qStreamRolling, qStreamDedup, qStreamWindow,
-    qMapService, qStreamSessions, qStreamJoin)
+    qMapService, qStreamSessions, qStreamJoin, qStreamEnrich)
 }
