@@ -2453,22 +2453,6 @@ object Catalog {
         TRUE AS whitened_identity, TRUE AS var_frac_ok
       FROM embeddings"""))
 
-  /** CUBE over the two lineitem status dimensions — completes the
-    * grouping-analytics family (rollup q06, grouping sets q43). Null
-    * ordering pinned explicitly on both sides. */
-  private val q127 = QueryDef(
-    "q127_cube_revenue",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first),
-    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        SUM(l_quantity) AS sum_qty
-      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
-
   /** Token-entropy quality signal (lexical diversity): per-doc Shannon
     * entropy under the repo's 1/16-bit quantized log — one row-local
     * byte pass ([[graft.functions.token_entropy]]), zero shuffle at any
@@ -3074,7 +3058,7 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q123, q124, q125, q127) ++
+    q118, q119, q120, q121, q123, q124, q125) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
