@@ -10,7 +10,7 @@ object Bench {
     */
   def shortKey(name: String): String = {
     // connector names compress to two letters per segment
-    // (src_mongo_find_pushdown -> s_mofipu) — BenchLineSpec pins that the
+    // (src_mongo_find_pushdown -> smofipu) — BenchLineSpec pins that the
     // scheme stays collision-free over the whole catalog
     // 2 chars per segment, 3 for the LAST (the discriminating one:
     // pulsar_reader vs pulsar_record collide at 2)
@@ -18,9 +18,13 @@ object Bench {
       val parts = s.split('_')
       (parts.dropRight(1).map(_.take(2)) :+ parts.last.take(3)).mkString
     }
-    if (name.matches("^q\\d+_.*")) name.takeWhile(_ != '_')
-    else if (name.startsWith("src_")) "s_" + seg(name.drop(4))
-    else if (name.startsWith("snk_")) "k_" + seg(name.drop(4))
+    // "q41_..." → "41", "src_x_y" → "sxy", "snk_x_y" → "kxy": the 161-query
+    // round-7 catalog outgrew the q-prefixed key set at centisecond
+    // precision inside the ~1900-char window; digits-only can't collide
+    // with the letter-leading connector keys
+    if (name.matches("^q\\d+_.*")) name.drop(1).takeWhile(_ != '_')
+    else if (name.startsWith("src_")) "s" + seg(name.drop(4))
+    else if (name.startsWith("snk_")) "k" + seg(name.drop(4))
     else name
   }
 

@@ -540,10 +540,19 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int = 2,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    hammingPairs(simhashSignatures(df, idCol, textCol, shingleSize), maxDist)
+
+  /** Pigeonhole-blocked Hamming pairs over ANY 64-bit signature table
+    * (doc_id, simhash) — dedup is modality-agnostic once a row carries a
+    * signature, so text SimHash ([[simhashPairs]]) and media perceptual
+    * hash ([[graft.operators.Media.perceptualDupPairs]]) share this
+    * join. Split into (maxDist+1) chunks: any pair within distance
+    * maxDist agrees exactly on ≥ 1 chunk, so the chunk-equality
+    * self-join has full recall. */
+  private[graft] def hammingPairs(sig: DataFrame, maxDist: Int): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val sig = simhashSignatures(df, idCol, textCol, shingleSize)
     val chunkStructs = (0 until chunks).map { ci =>
       val v = shiftright(col("simhash"), ci * bitsPer)
         .bitwiseAND(lit((1L << bitsPer) - 1))

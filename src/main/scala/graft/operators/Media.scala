@@ -56,6 +56,27 @@ object Media {
       if (bytes.length <= targetLen) return bytes
       Array.tabulate(targetLen)(i => bytes((i.toLong * bytes.length / targetLen).toInt))
     }
+
+    /** "perceptual hash" → 64-bit dHash over a 65-sample stride
+      * thumbnail: bit i = sample(i) > sample(i+1) (adjacent-gradient
+      * signs — the real dHash recipe, with stride sampling standing in
+      * for the grayscale rescale). Identical payloads hash identically;
+      * local edits perturb only the samples they touch, so near-identical
+      * payloads land within small Hamming distance — the behavior a real
+      * dHash has under re-encodes. */
+    def phash64(bytes: Array[Byte]): Long = {
+      if (bytes.isEmpty) return 0L
+      val s = new Array[Int](65)
+      var i = 0
+      while (i < 65) {
+        s(i) = bytes(((i.toLong * bytes.length) / 65).toInt) & 0xFF
+        i += 1
+      }
+      var h = 0L
+      i = 0
+      while (i < 64) { if (s(i) > s(i + 1)) h |= (1L << i); i += 1 }
+      h
+    }
   }
 
   private val decodedSchema = StructType(Seq(
@@ -136,4 +157,35 @@ object Media {
         }
       }(enc)
   }
+
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("simhash", LongType, nullable = false)))
+
+  /** Perceptual 64-bit hash per media row — per-partition codec handle,
+    * one signature long per payload (the row-local, shuffle-free shape:
+    * at 100 TB the image corpus collapses to 8 bytes/row before any
+    * dedup join touches it). */
+  def phashAll(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(phashSchema)
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .mapPartitions { rows =>
+        val codec = StubCodec
+        rows.map { r =>
+          Row(r.getLong(0), codec.phash64(r.getStruct(1).getAs[Array[Byte]](0)))
+        }
+      }(enc)
+  }
+
+  /** Multimodal near-dup pairs: perceptual hash + the pigeonhole-blocked
+    * Hamming join text SimHash uses ([[graft.operators.Dedup]]) — dedup
+    * is modality-agnostic once rows carry a 64-bit signature. Output
+    * (doc_a, doc_b, hamming) with hamming ≤ maxDist, exact over the
+    * signatures (full recall by pigeonhole). */
+  def perceptualDupPairs(
+      df: DataFrame,
+      idCol: String,
+      mediaCol: String,
+      maxDist: Int = 3): DataFrame =
+    graft.operators.Dedup.hammingPairs(phashAll(df, idCol, mediaCol), maxDist)
 }

@@ -2453,6 +2453,40 @@ object Catalog {
         TRUE AS whitened_identity, TRUE AS var_frac_ok
       FROM embeddings"""))
 
+  /** Multimodal perceptual-hash dedup (image near-dup shape): documents
+    * wrapped as binary media with planted payload duplicates; the stub
+    * dHash + pigeonhole Hamming join must find every identical-payload
+    * pair at distance 0 and never emit a pair past maxDist — the q22
+    * planted-duplicate gate, one modality over. */
+  private val q127 = QueryDef(
+    "q127_media_phash_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dd = d.union(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("media", graft.operators.Media.asMedia("payload", "image/stub"))
+      val pairs = graft.operators.Media.perceptualDupPairs(
+        dd, "doc_id", "media", maxDist = 3)
+      val ht = dd.select(col("doc_id"), md5(col("text")).as("h"))
+      val idPairs = ht.as("a").join(ht.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val nIdentical = idPairs.agg(count(lit(1)).as("n_identical_pairs"))
+      val nFound = idPairs.join(pairs.filter(col("hamming") === 0),
+          Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_identical_found"))
+      val distOk = pairs.agg(
+        (count(when(col("hamming") > 3, 1)) === 0).as("max_dist_ok"))
+      nIdentical.crossJoin(nFound).crossJoin(distOk)
+    },
+    Some("""WITH dd AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      p AS (SELECT COUNT(*) AS n FROM dd a JOIN dd b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+      SELECT n AS n_identical_pairs, n AS n_identical_found, TRUE AS max_dist_ok
+      FROM p"""))
+
   /** Token-entropy quality signal (lexical diversity): per-doc Shannon
     * entropy under the repo's 1/16-bit quantized log — one row-local
     * byte pass ([[graft.functions.token_entropy]]), zero shuffle at any
@@ -3058,7 +3092,7 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q123, q124, q125) ++
+    q118, q119, q120, q121, q123, q124, q125, q127) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

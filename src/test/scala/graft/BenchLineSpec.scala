@@ -43,7 +43,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert((j \ "metric") === JString("total"))
     assert((j \ "unit") === JString("sec"))
     assert((j \ "value") === JDouble(1.735))
-    assert((j \ "queries" \ "q01") === JDouble(1.234) || (j \ "queries" \ "q01") === JDouble(1.235))
-    assert((j \ "queries" \ "s_rehas") === JDouble(0.5))
+    assert((j \ "queries" \ "01") === JDouble(1.234) || (j \ "queries" \ "01") === JDouble(1.235))
+    assert((j \ "queries" \ "srehas") === JDouble(0.5))
   }
 }

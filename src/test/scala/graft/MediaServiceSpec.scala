@@ -47,6 +47,31 @@ class MediaServiceSpec extends AnyFunSuite {
       again.map(_.getAs[Array[Byte]](1).toSeq).toSeq)
   }
 
+  test("perceptual-hash dedup: identical payloads at distance 0, " +
+      "1-byte edits nearby, unrelated payloads apart") {
+    val base = Array.tabulate(5000)(i => ((i * 31 + 7) % 251).toByte)
+    val edited = base.clone(); edited(2500) = (edited(2500) + 90).toByte
+    val unrelated = Array.tabulate(5000)(i => ((i * 17 + 131) % 239).toByte)
+    val rows = Seq((1L, base), (2L, base.clone()), (3L, edited), (4L, unrelated))
+    val df = rows.toDF("doc_id", "payload")
+      .withColumn("media", Media.asMedia("payload", "image/stub"))
+    val pairs = Media.perceptualDupPairs(df, "doc_id", "media", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0), s"identical pair missing/off: $pairs")
+    // a single-byte edit perturbs at most one stride sample → ≤ 2 dHash
+    // bits → the pigeonhole join must surface it
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 2,
+      s"edited pair not near: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(4L) },
+      s"unrelated payload paired: $pairs")
+    // phash is partition-invariant (row-local)
+    val h1 = Media.phashAll(df, "doc_id", "media").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Media.phashAll(df.repartition(5), "doc_id", "media").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2)
+  }
+
   test("rolling_hash64: incremental roll equals full hash; distinct-preserving") {
     import graft.functions.{rolling_fingerprint64, RollingHash64}
     val bytes = "the quick brown fox".getBytes("UTF-8")
