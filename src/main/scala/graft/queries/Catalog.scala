@@ -2453,6 +2453,102 @@ object Catalog {
         TRUE AS whitened_identity, TRUE AS var_frac_ok
       FROM embeddings"""))
 
+  /** TPC-H Q7 shape: bilateral shipping volume between two nations by
+    * year — supplier nation vs customer nation through the full
+    * five-table join, both directions. Dims broadcast; revenue is the
+    * exact decimal sum. */
+  private val q128 = QueryDef(
+    "q128_nation_trade_volume",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** TPC-H Q8 shape: market share of NATION_3 suppliers in PROMO-part
+    * revenue sold to ASIA customers, by year. The share is one division
+    * of two exact decimal sums cast to double — engine-identical. */
+  private val q129 = QueryDef(
+    "q129_market_share",
+    (s, dir) => {
+      val asiaCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"))
+      val promoParts = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          sum(when(col("n_name") === "NATION_3", discPrice)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("nation_rev"),
+          sum(discPrice).cast("double").as("total_rev"),
+          count(lit(1)).as("n_lines"))
+        .select(col("yr"),
+          (col("nation_rev") / col("total_rev")).as("mkt_share"),
+          col("n_lines"))
+        .orderBy(col("yr"))
+    },
+    Some("""WITH base AS (
+        SELECT year(o_orderdate) AS yr, n_name,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(1 - l_discount AS DECIMAL(18,2)) AS rev
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'))
+      SELECT CAST(yr AS INTEGER) AS yr,
+             CAST(CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN rev
+                                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+                  CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS mkt_share,
+             COUNT(*) AS n_lines
+      FROM base GROUP BY yr ORDER BY yr"""))
+
   /** Multimodal perceptual-hash dedup (image near-dup shape): documents
     * wrapped as binary media with planted payload duplicates; the stub
     * dHash + pigeonhole Hamming join must find every identical-payload
@@ -3092,7 +3188,7 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q123, q124, q125, q127) ++
+    q118, q119, q120, q121, q123, q124, q125, q127, q128, q129) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
