@@ -42,6 +42,8 @@ object StressBench {
         "text", "lang", threshold = 0.8).collect()(0).getLong(0)),
       "charngram" -> time(Dedup.charNgramPairs(ngramDocs, "doc_id", "text", "lang",
         threshold = 0.8).count()),
+      "containment" -> time(Dedup.containmentPairs(ngramDocs, "doc_id", "text",
+        "lang", shingleSize = 3, threshold = 0.8).count()),
       "sessions" -> time(Sessionize.sessionsBatchScalable(events, 600000L).count()),
       "ivf_build" -> time {
         Similarity.buildIvfIndex(emb, ivfPath, "vec_id", "embedding"); 0L
