@@ -99,6 +99,7 @@ package object functions {
         case _ => throw new IllegalArgumentException("ngram_repetition_scan(text, n)")
       },
       "token_entropy_scan" -> { exprs => TokenEntropyScan(exprs.head) },
+      "morton_interleave" -> { exprs => MortonInterleave(exprs(0), exprs(1)) },
       "token_count_scan" -> { exprs => TokenCountScan(exprs.head) },
       "distinct_token_count_scan" -> { exprs => DistinctTokenCountScan(exprs.head) },
       "cms_estimate" -> { exprs => CmsEstimate(exprs(0), exprs(1)) },
@@ -191,6 +192,11 @@ package object functions {
     * row-local byte pass — no shuffle at any corpus size. */
   def ngram_repetition(c: Column, n: Int): Column =
     call_function("ngram_repetition_scan", c, lit(n))
+
+  /** Z-order interleave of two longs (low 31 bits each) — the Morton
+    * clustering key for multi-column data skipping. */
+  def morton_interleave(a: Column, b: Column): Column =
+    call_function("morton_interleave", a, b)
 
   /** Per-doc quantized-log token entropy (lexical diversity quality
     * signal): struct(n_tokens, n_distinct, ent_q), one row-local byte

@@ -44,4 +44,42 @@ object Bucketing {
   /** True if the physical plan contains no shuffle exchange. */
   def isExchangeFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange")
+
+  /** Z-order clustered parquet writes — the MULTI-column data-skipping
+    * lever (bucketing co-locates one join key; Z-order clusters two
+    * filter columns at once). Each column is linearly scaled into a
+    * bounded non-negative range from its (min, max) — ONE tiny aggregate,
+    * two literals — and the Morton interleave of the scaled values
+    * becomes the layout key: `repartitionByRange` + in-partition sort by
+    * it writes files whose parquet row-group min/max are tight on BOTH
+    * columns, so a selective filter on either (or both) skips whole row
+    * groups at the scan. At 100 TB this turns "scan the fact table" into
+    * "read the few row groups whose rectangle intersects the predicate"
+    * — no index service, no table format, just layout. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nFiles > 0, "nFiles must be positive")
+    val b = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).collect()(0)
+    val scaleMax = (1L << graft.functions.Zorder.BitsPerDim) - 1
+    def scaled(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else least(lit(scaleMax), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * scaleMax)
+          .cast("long")))
+    val zv = graft.functions.morton_interleave(
+      scaled(colA, b.getDouble(0), b.getDouble(1)),
+      scaled(colB, b.getDouble(2), b.getDouble(3)))
+    df.withColumn("__z", zv)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

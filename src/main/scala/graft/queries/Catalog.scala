@@ -2549,6 +2549,45 @@ object Catalog {
              COUNT(*) AS n_lines
       FROM base GROUP BY yr ORDER BY yr"""))
 
+  private val builtZorderLayouts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Z-order clustered layout round-trip: events rewritten Morton-ordered
+    * on (user_id, value) — the multi-column data-skipping layout
+    * ([[graft.operators.Bucketing.writeZOrdered]]) — then read back
+    * through the selective two-column filter. The layout must NEVER
+    * change results (oracle = the same filter on the raw table); the
+    * row-group skipping itself is pinned by BucketingSpec's
+    * records-read comparison. Written once per (session, sf dir) — the
+    * ivf-index amortization precedent. */
+  private val q130 = QueryDef(
+    "q130_zorder_scan",
+    (s, dir) => {
+      val path = builtZorderLayouts.getOrElseUpdate(dir, {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft-zq130-" +
+          s"${dir.split('/').filter(_.nonEmpty).last}-" +
+          java.lang.ProcessHandle.current().pid()
+        graft.operators.Bucketing.writeZOrdered(
+          t(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("value"), col("event_type")),
+          p, "user_id", "value", nFiles = 16)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(p))
+        }))
+        p
+      })
+      s.read.parquet(path)
+        .filter(col("user_id") < 3 && col("value") > 100.0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, event_type FROM events
+      WHERE user_id < 3 AND value > 100.0 ORDER BY event_id"""))
+
   /** Multimodal perceptual-hash dedup (image near-dup shape): documents
     * wrapped as binary media with planted payload duplicates; the stub
     * dHash + pigeonhole Hamming join must find every identical-payload
@@ -3188,7 +3227,7 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q123, q124, q125, q127, q128, q129) ++
+    q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -95,4 +95,61 @@ class BucketingSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("morton interleave: known bit patterns, positive range, locality") {
+    import graft.functions.Zorder
+    assert(Zorder.interleave2(0x3L, 0x0L) == 0x5L)  // a bits land at even slots
+    assert(Zorder.interleave2(0x0L, 0x3L) == 0xAL)  // b bits at odd slots
+    assert(Zorder.interleave2(0x7FFFFFFFL, 0x7FFFFFFFL) > 0L,
+      "62 interleaved bits must stay a positive long")
+    // locality: small moves in either dim make small z deltas near origin
+    assert(Zorder.interleave2(1, 0) < Zorder.interleave2(2, 0))
+    assert(Zorder.interleave2(0, 1) < Zorder.interleave2(0, 2))
+  }
+
+  test("z-ordered layout skips row groups a scrambled layout must read") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-" +
+      java.lang.ProcessHandle.current().pid()
+    Bucketing.writeZOrdered(ev, s"$base/z", "user_id", "value", nFiles = 8)
+    // adversarial baseline: same rows, same file count, random layout
+    ev.withColumn("__r", xxhash64(col("event_id")))
+      .repartitionByRange(8, col("__r")).sortWithinPartitions(col("__r"))
+      .drop("__r").write.mode("overwrite").parquet(s"$base/r")
+
+    def readWithFilter(path: String): (Long, Seq[(Long, Long)]) = {
+      val rows = new java.util.concurrent.atomic.AtomicLong()
+      val l = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          rows.addAndGet(Option(t.taskMetrics)
+            .map(_.inputMetrics.recordsRead).getOrElse(0L)): Unit
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val got = spark.read.parquet(path)
+          .filter(col("user_id") < 3 && col("value") > 250.0)
+          .select(col("event_id"), col("user_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        // listener bus is async: poll the counter until stable
+        var last = -1L; var stable = 0; var waited = 0
+        while (stable < 2 && waited < 5000) {
+          val now = rows.get()
+          if (now == last) stable += 1 else stable = 0
+          last = now; Thread.sleep(100); waited += 100
+        }
+        (rows.get(), got)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val (zRead, zRows) = readWithFilter(s"$base/z")
+    val (rRead, rRows) = readWithFilter(s"$base/r")
+    assert(zRows == rRows, "layout must never change query results")
+    assert(zRows.nonEmpty, "filter should select something")
+    // scrambled layout: every row group spans the full user range → reads
+    // ~everything; z-ordered: only row groups intersecting the predicate
+    // rectangle decode
+    assert(zRead * 2 < rRead,
+      s"z-ordered read $zRead records vs scrambled $rRead — no skipping observed")
+  }
 }

@@ -118,6 +118,37 @@ class FaultToleranceSpec extends AnyFunSuite {
       "a killed-and-retried task must not change the result")
   }
 
+  test("containment + perceptual dedup: failing-once task kill — identical output") {
+    val docs = Tables.load(spark, dir, "documents")
+    val failOnce = udf { (id: Long) =>
+      if (FtInjection.fired.compareAndSet(false, true))
+        throw new RuntimeException("graft-ft: injected task failure")
+      true
+    }
+    val cleanCont = graft.operators.Dedup
+      .containmentPairs(docs, "doc_id", "text", "lang", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(cleanCont.nonEmpty)
+    FtInjection.fired.set(false)
+    val contInjected = graft.operators.Dedup.containmentPairs(
+        docs.filter(failOnce(col("doc_id"))), "doc_id", "text", "lang", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(FtInjection.fired.get(), "injection must actually have fired")
+    assert(contInjected.toSeq == cleanCont.toSeq)
+
+    val media = docs.withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media", graft.operators.Media.asMedia("payload", "image/stub"))
+    val cleanPairs = graft.operators.Media
+      .perceptualDupPairs(media, "doc_id", "media", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    FtInjection.fired.set(false)
+    val phashInjected = graft.operators.Media.perceptualDupPairs(
+        media.filter(failOnce(col("doc_id"))), "doc_id", "media", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(FtInjection.fired.get(), "injection must actually have fired")
+    assert(phashInjected.toSeq == cleanPairs.toSeq)
+  }
+
   test("jdbc sink: killed-and-retried staging task still lands rows exactly once") {
     import graft.sinks.JdbcSink
     val dbPath = s"${System.getProperty("java.io.tmpdir")}/graft-derby-spec/ft"
