@@ -236,6 +236,39 @@ object TextScan {
     new GenericInternalRow(Array[Any](n, distinct, ent))
   }
 
+  /** CCNet-style dedup normalization: lowercase → digits→'0' → strip the
+    * fixed punctuation class `[.,;:!?'"()-]` → collapse whitespace runs
+    * to one space → trim. Lowercasing is the UTF8String unicode path;
+    * the remaining passes are ASCII-only byte transforms (safe on UTF-8:
+    * continuation bytes have the high bit set). DuckDB replays the same
+    * pipeline with lower() + three regexp_replace calls in this order —
+    * byte-identical output, so normalized-text md5s hash-match. */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val lower = s.toLowerCase.getBytes
+    val out = new Array[Byte](lower.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < lower.length) {
+      val b = lower(i)
+      val c = b.toInt & 0xFF
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+        c == '\f' || 0x0b == c
+      val isPunct = c == '.' || c == ',' || c == ';' || c == ':' ||
+        c == '!' || c == '?' || c == '\'' || c == '"' || c == '(' ||
+        c == ')' || c == '-'
+      if (isWs) { if (n > 0) pendingSpace = true }
+      else if (isPunct) { /* stripped */ }
+      else {
+        if (pendingSpace) { out(n) = ' '; n += 1; pendingSpace = false }
+        out(n) = if (c >= '0' && c <= '9') '0'.toByte else b
+        n += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, n))
+  }
+
   /** Token strings — value-identical to `split(trim(s), "\\s+")` (same
     * tokenize as the shingle kernels), no regex engine. */
   def tokenStrings(s: UTF8String): ArrayData = {
@@ -414,6 +447,20 @@ case class NgramRepetitionScan(child: Expression, n: Int) extends UnaryExpressio
     defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.ngramRepetitionStats($c, $n)")
   override def prettyName: String = "ngram_repetition_scan"
   override protected def withNewChildInternal(newChild: Expression): NgramRepetitionScan =
+    copy(child = newChild)
+}
+
+/** `normalize_text_scan(text)`: CCNet-style dedup normalization
+  * (lowercase, digits→0, fixed punctuation stripped, whitespace
+  * collapsed, trimmed) — one pass, row-local, DuckDB-replayable. */
+case class NormalizeTextScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextScan.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.normalizeText($c)")
+  override def prettyName: String = "normalize_text_scan"
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextScan =
     copy(child = newChild)
 }
 

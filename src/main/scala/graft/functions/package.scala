@@ -100,6 +100,7 @@ package object functions {
       },
       "token_entropy_scan" -> { exprs => TokenEntropyScan(exprs.head) },
       "morton_interleave" -> { exprs => MortonInterleave(exprs(0), exprs(1)) },
+      "normalize_text_scan" -> { exprs => NormalizeTextScan(exprs.head) },
       "token_count_scan" -> { exprs => TokenCountScan(exprs.head) },
       "distinct_token_count_scan" -> { exprs => DistinctTokenCountScan(exprs.head) },
       "cms_estimate" -> { exprs => CmsEstimate(exprs(0), exprs(1)) },
@@ -197,6 +198,10 @@ package object functions {
     * clustering key for multi-column data skipping. */
   def morton_interleave(a: Column, b: Column): Column =
     call_function("morton_interleave", a, b)
+
+  /** CCNet-style dedup normalization (lowercase, digits→0, punctuation
+    * stripped, whitespace collapsed, trimmed) — one row-local pass. */
+  def normalize_text(c: Column): Column = call_function("normalize_text_scan", c)
 
   /** Per-doc quantized-log token entropy (lexical diversity quality
     * signal): struct(n_tokens, n_distinct, ent_q), one row-local byte

@@ -2588,6 +2588,51 @@ object Catalog {
     Some("""SELECT event_id, user_id, event_type FROM events
       WHERE user_id < 3 AND value > 100.0 ORDER BY event_id"""))
 
+  /** Dedup normalization (CCNet-style): case/punctuation variants that
+    * raw exact dedup misses collapse onto one normalized key. Variants
+    * are planted with ASCII-only transforms (vowel upcasing + a
+    * punctuation appendix) so both engines construct identical inputs;
+    * the kernel's one-pass normalization must hash-match DuckDB's
+    * lower → digits→0 → strip-punct → collapse-ws → trim pipeline
+    * byte-for-byte. */
+  private val q131 = QueryDef(
+    "q131_normalized_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dd = d.union(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(translate(col("text"), "aeiou", "AEIOU"), lit(" !! ??"))
+            .as("text")))
+      val normed = dd.select(col("doc_id"),
+        md5(graft.functions.normalize_text(col("text"))).as("h"),
+        md5(col("text")).as("raw"))
+      normed.as("a").join(normed.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("a.raw") =!= col("b.raw"), 1L).otherwise(0L))
+            .as("n_norm_only"),
+          sum(when(col("b.doc_id") === col("a.doc_id") + 2000000L, 1L)
+            .otherwise(0L)).as("n_planted_found"))
+    },
+    Some("""WITH dd AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 2000000,
+          translate(text, 'aeiou', 'AEIOU') || ' !! ??'
+        FROM documents WHERE doc_id % 11 = 0),
+      n AS (SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                lower(text), '[0-9]', '0', 'g'),
+                '[.,;:!?''"()-]', '', 'g'),
+                '\s+', ' ', 'g'))) AS h,
+              md5(text) AS raw
+            FROM dd)
+      SELECT COUNT(*) AS n_pairs,
+             CAST(COALESCE(SUM(CASE WHEN a.raw <> b.raw THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_norm_only,
+             CAST(COALESCE(SUM(CASE WHEN b.doc_id = a.doc_id + 2000000 THEN 1
+               ELSE 0 END), 0) AS BIGINT) AS n_planted_found
+      FROM n a JOIN n b ON a.h = b.h AND a.doc_id < b.doc_id"""))
+
   /** Multimodal perceptual-hash dedup (image near-dup shape): documents
     * wrapped as binary media with planted payload duplicates; the stub
     * dHash + pigeonhole Hamming join must find every identical-payload
@@ -3227,7 +3272,8 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130) ++
+    q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
+    q131) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

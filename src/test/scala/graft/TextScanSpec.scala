@@ -161,6 +161,34 @@ class TextScanSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize_text == declarative lower/regex pipeline (hostile + real docs)") {
+    import graft.functions.normalize_text
+    for (df <- Seq(hostile, Tables.load(spark, dir, "documents"))) {
+      // independent spec: the same pipeline as the DuckDB oracle, built
+      // from Spark's own lower + regexp_replace chain
+      val want = df.select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          lower(col("text")), "[0-9]", "0"),
+          """[.,;:!?'"()-]""", ""),
+          """\s+""", " ")).as("n"))
+      val got = df.select(col("doc_id"), normalize_text(col("text")).as("n"))
+      val bad = got.as("g").join(want.as("w"), Seq("doc_id"))
+        .filter(col("g.n") =!= col("w.n")).count()
+      assert(bad == 0, s"$bad docs diverge from the declarative pipeline")
+    }
+    import spark.implicits._
+    val pinned = Seq(
+      ("Hello,  World!" , "hello world"),
+      ("  A-B c1d2  " , "ab c0d0"),
+      ("\"quoted\" (parens) -- dash" , "quoted parens dash"),
+      ("" , ""))
+      .toDF("text", "want")
+      .select(graft.functions.normalize_text(col("text")).as("got"), col("want"))
+      .collect()
+    pinned.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"'${r.getString(0)}' != '${r.getString(1)}'"))
+  }
+
   test("token_entropy == independent declarative formulation (hostile + real docs)") {
     import graft.functions.{token_entropy, tokens}
     def qlog16(x: Long): Long = {
