@@ -306,6 +306,66 @@ object StreamGateQueries {
         CAST(SUM(event_id) AS BIGINT) AS id_sum, TRUE AS multi_epoch
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** T — stream-stream LEFT OUTER interval join: the watermark-driven
+    * semantics the inner join (q122) doesn't exercise — an unmatched left
+    * event emits its null row only once BOTH watermarks prove no future
+    * match can arrive. One far-future sentinel per side (an unmatchable
+    * user) pushes the final watermark past every real window under
+    * AvailableNow, so every unmatched row is forced out through the DATA
+    * path; sentinel rows are filtered from the result. */
+  val qStreamOuterJoin = QueryDef(
+    "q132_stream_outer_join",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/souter", {
+      import s.implicits._
+      val uri = s"hub:$dir/sgate_souter"
+      val evs = t(s, dir, "events")
+        .select(col("user_id").cast("long"), col("event_id"), unix_millis(col("ts")))
+        .orderBy(col("event_id")).collect()
+      val maxMs = evs.iterator.map(_.getLong(2)).max
+      val sentinelUser = 999999999L
+      val sentinels = Seq( // one per parity side, far past every window
+        (sentinelUser, 1000000000L, maxMs + 40L * 24 * 3600 * 1000),
+        (sentinelUser, 1000000001L, maxMs + 40L * 24 * 3600 * 1000))
+      MemHub.publish(uri, "ev",
+        (evs.iterator.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ++
+          sentinels.iterator).map { case (u, id, ms) =>
+          val bb = java.nio.ByteBuffer.allocate(8).putLong(id)
+          (u.toString, Map.empty[String, String], ms, bb.array())
+        })
+      val per = math.max(1L, (evs.length + 2L) / 7L)
+      val a = eventStream(s, uri, per)
+        .filter(pmod(col("value"), lit(2)) === 0)
+        .select(col("key").cast("long").as("user_a"), col("value").as("a_id"),
+          col("eventTime").as("a_ts"))
+        .withWatermark("a_ts", "30 days")
+      val b = eventStream(s, uri, per)
+        .filter(pmod(col("value"), lit(2)) === 1)
+        .select(col("key").cast("long").as("user_b"), col("value").as("b_id"),
+          col("eventTime").as("b_ts"))
+        .withWatermark("b_ts", "30 days")
+      val joined = a.join(b, expr(
+          "user_a = user_b AND b_ts BETWEEN a_ts - INTERVAL 10 MINUTES " +
+            "AND a_ts + INTERVAL 10 MINUTES"), "left_outer")
+        .select(col("user_a").as("user_id"), col("a_id"), col("b_id"))
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long])]
+      val epochs = drain(joined, "append", s"$dir/souter") { (_, rows) =>
+        acc ++= rows.map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      }
+      acc.toSeq.filter(_._1 != sentinelUser)
+        .map { case (u, ai, bi) => (u, ai, bi, epochs > 1) }
+        .toDF("user_id", "a_id", "b_id", "multi_epoch")
+        .orderBy(col("user_id"), col("a_id"), col("b_id").asc_nulls_first)
+    }),
+    Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        TRUE AS multi_epoch
+      FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
+      LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+        ON a.user_id = b.user_id
+        AND epoch_ms(b.ts) BETWEEN epoch_ms(a.ts) - 600000
+                               AND epoch_ms(a.ts) + 600000
+      ORDER BY a.user_id, a_id, b_id NULLS FIRST"""))
+
   val all: Seq[QueryDef] = Seq(qStreamRolling, qStreamDedup, qStreamWindow,
-    qMapService, qStreamSessions, qStreamJoin, qStreamEnrich)
+    qMapService, qStreamSessions, qStreamJoin, qStreamEnrich, qStreamOuterJoin)
 }
