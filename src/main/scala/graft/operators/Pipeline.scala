@@ -503,6 +503,48 @@ object Pipeline {
     * Shards are `⌊ord·n/total⌋`: contiguous in the SHUFFLED order, so
     * each shard is itself an unbiased sample — doc counts balanced to
     * ±1 by pure integer arithmetic. */
+  /** Deterministic weighted interleave of a multi-source corpus into ONE
+    * training sequence (the concrete order the mixture plan's rates
+    * imply): item j of source i gets the rational slot key (2j+1)/wᵢ —
+    * the classic proportional-fairness schedule: a weight-3 source
+    * appears 3× as often, evenly spaced, with the first occurrences
+    * phase-shifted so equal-weight sources alternate. Both ranks come
+    * from the range-partitioned prefix scan — never a single-partition
+    * window: per-source ordinals are (global rank in (source, id) order)
+    * minus the source's offset (k tiny driver values), and the final
+    * position is a second scan over (key, source, id). The slot key is
+    * ONE division of identical operands — engines agree bit-for-bit. */
+  def interleaveByWeight(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val filtered = df
+      .filter(col(sourceCol).isin(weights.map(_._1): _*))
+      .select(col(idCol).cast("long").as("__id"), col(sourceCol).as("__src"))
+      .withColumn("__one", lit(1L))
+    val rs1 = rankedScan(filtered, Seq("__src", "__id"), "__one")
+    val offsets = rs1.df.groupBy(col("__src"))
+      .agg(min(col("__rank")).as("off")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val offCol = weights.map(_._1).foldLeft(lit(0L)) { (acc, s) =>
+      when(col("__src") === s, lit(offsets.getOrElse(s, 0L))).otherwise(acc)
+    }
+    val wCol = weights.foldLeft(lit(1L)) { case (acc, (s, w)) =>
+      when(col("__src") === s, lit(w.toLong)).otherwise(acc)
+    }
+    val keyed = rs1.df
+      .withColumn("__key",
+        ((col("__rank") - offCol) * 2 + 1).cast("double") / wCol.cast("double"))
+      .select(col("__id"), col("__src"), col("__key"))
+      .withColumn("__one", lit(1L))
+    val rs2 = rankedScan(keyed, Seq("__key", "__src", "__id"), "__one")
+    rs2.df.select(col("__id").as(idCol), col("__src").as(sourceCol),
+      col("__rank").as("ord"))
+  }
+
   def trainingOrder(
       df: DataFrame,
       idCol: String,

@@ -2549,6 +2549,32 @@ object Catalog {
              COUNT(*) AS n_lines
       FROM base GROUP BY yr ORDER BY yr"""))
 
+  /** Weighted corpus interleave into one training order (3:2:1 over
+    * three sources): the proportional-fairness slot schedule, every
+    * position integer-or-single-division exact — DuckDB replays the
+    * same keys and the same tie-break. */
+  private val q133 = QueryDef(
+    "q133_weighted_interleave",
+    (s, dir) => graft.operators.Pipeline.interleaveByWeight(
+      t(s, dir, "documents"), "doc_id", "source",
+      Seq("src0" -> 3, "src1" -> 2, "src2" -> 1))
+      .orderBy(col("doc_id")),
+    Some("""WITH f AS (SELECT doc_id, source FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')),
+      j AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS j
+            FROM f),
+      k AS (SELECT doc_id, source,
+              CAST(2 * j + 1 AS DOUBLE) /
+              CAST(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                   ELSE 1 END AS DOUBLE) AS key
+            FROM j),
+      o AS (SELECT doc_id, source,
+              row_number() OVER (ORDER BY key, source, doc_id) - 1 AS ord
+            FROM k)
+      SELECT doc_id, source, CAST(ord AS BIGINT) AS ord
+      FROM o ORDER BY doc_id"""))
+
   private val builtZorderLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3273,7 +3299,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
-    q131) ++
+    q131, q133) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

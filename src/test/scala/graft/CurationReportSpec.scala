@@ -293,6 +293,39 @@ class CurationReportSpec extends AnyFunSuite {
       "output must contain only (index, delta) pairs")
   }
 
+  test("interleaveByWeight: proportional spacing, alternation, sequential-replay identity") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, if (i < 10) "a" else if (i < 20) "b" else "c"))
+      .toDF("doc_id", "source")
+    // equal weights: two sources alternate perfectly
+    val ab = graft.operators.Pipeline.interleaveByWeight(
+        docs.filter(col("source") =!= "c"), "doc_id", "source",
+        Seq("a" -> 1, "b" -> 1))
+      .orderBy(col("ord")).collect().map(_.getString(1))
+    assert(ab.grouped(2).forall(p => p.toSet == Set("a", "b")),
+      s"equal weights must alternate: ${ab.mkString}")
+    // 2:1 — the heavy source takes 2 of every 3 slots
+    val w21 = graft.operators.Pipeline.interleaveByWeight(
+        docs.filter(col("source") =!= "c"), "doc_id", "source",
+        Seq("a" -> 2, "b" -> 1))
+      .orderBy(col("ord")).collect().map(_.getString(1))
+    assert(w21.take(15).grouped(3).forall(_.count(_ == "a") == 2),
+      s"2:1 must give the heavy source 2 of every 3 early slots: ${w21.mkString}")
+    // sequential replay: sort the slot keys on the driver, positions match
+    val got = graft.operators.Pipeline.interleaveByWeight(
+        docs, "doc_id", "source", Seq("a" -> 3, "b" -> 2, "c" -> 1))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val ws = Map("a" -> 3, "b" -> 2, "c" -> 1)
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).toSeq.flatMap { case (s, rows) =>
+        rows.map(_._1).sorted.zipWithIndex.map { case (id, j) =>
+          (id, s, (2.0 * j + 1) / ws(s)) }
+      }
+      .sortBy { case (id, s, k) => (k, s, id) }
+      .zipWithIndex.map { case ((id, _, _), ord) => (id, ord.toLong) }.toMap
+    assert(got == want, s"diverges from sequential replay")
+  }
+
   test("mixturePlan: targets from weights, rates capped at 1") {
     val docs = Tables.load(spark, dir, "documents")
     // zh gets an absurd weight so its target exceeds availability → rate 1.0
