@@ -45,6 +45,34 @@ object Bucketing {
   def isExchangeFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange")
 
+  /** Small-file compaction — the table-maintenance op every long-lived
+    * 100 TB dataset needs (streaming sinks and per-epoch appends leave
+    * thousands of KB-sized files; a scan then pays one task + one open
+    * per file). Rewrites the directory into ⌈totalBytes/targetBytes⌉
+    * files via `coalesce` — NO shuffle: uniformly small inputs combine
+    * into evenly sized outputs, and the rewrite cost is one read + one
+    * write. Staged into a `.compact.tmp` sibling and swapped in only
+    * after the write commits, so a mid-compaction failure leaves the
+    * original intact. Returns the new file count. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(p, old), s"compaction swap failed: $p -> $old")
+    require(fs.rename(tmp, p), s"compaction swap failed: $tmp -> $p")
+    fs.delete(old, true)
+    n
+  }
+
   /** Z-order clustered parquet writes — the MULTI-column data-skipping
     * lever (bucketing co-locates one join key; Z-order clusters two
     * filter columns at once). Each column is linearly scaled into a

@@ -1172,6 +1172,27 @@ object Pipeline {
     * regexes — scan-speed at 100 TB, no shuffle; emails are redacted
     * before phones so a phone-looking local part never double-counts.
     * Counts are over the original text, replacements sequential. */
+  /** Malformed-record quarantine: PERMISSIVE JSON parsing that splits
+    * every row into parsed-ok vs quarantined WITHOUT failing the job —
+    * the poison-pill discipline a 100 TB ingest needs (FAILFAST on row
+    * 3 billion of a crawl is an outage; silently nulling is data loss).
+    * Row-local (`from_json` + a corrupt-record column), zero shuffle;
+    * the raw payload rides along so quarantined rows are re-processable. */
+  def parseWithQuarantine(
+      df: DataFrame,
+      idCol: String,
+      rawCol: String,
+      schemaDdl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    df.withColumn("__p", from_json(col(rawCol), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+      .withColumn("ok", col("__p").isNotNull && col("__p._corrupt").isNull)
+      .select(col(idCol) +: col("ok") +: col(rawCol).as("raw") +:
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl).fields.toSeq
+          .map(f => when(col("ok"), col(s"__p.${f.name}")).as(f.name)): _*)
+  }
+
   def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       size(regexp_extract_all(col(textCol), lit(EmailRegex), lit(0)))

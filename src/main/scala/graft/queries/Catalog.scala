@@ -2575,6 +2575,42 @@ object Catalog {
       SELECT doc_id, source, CAST(ord AS BIGINT) AS ord
       FROM o ORDER BY doc_id"""))
 
+  /** Poison-pill quarantine: deterministic JSON payloads, every 13th
+    * truncated mid-string — parsing must split ok vs quarantined without
+    * failing OR silently nulling; DuckDB replays with json_valid +
+    * json_extract. */
+  private val q134 = QueryDef(
+    "q134_parse_quarantine",
+    (s, dir) => {
+      val payload = concat(lit("{\"id\":"), col("doc_id").cast("string"),
+        lit(",\"lang\":\""), col("lang"), lit("\"}"))
+      val corrupted = when(pmod(col("doc_id"), lit(13)) === 0,
+        expr("substring(__j, 1, length(__j) - 1)")).otherwise(col("__j"))
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("__j", payload)
+        .withColumn("__raw", corrupted)
+        .select(col("doc_id"), col("__raw"))
+      graft.operators.Pipeline.parseWithQuarantine(
+        src, "doc_id", "__raw", "id BIGINT, lang STRING")
+        .select(col("doc_id"), col("ok"), col("id").as("parsed_id"),
+          col("lang").as("parsed_lang"), md5(col("raw")).as("raw_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+              '{"id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang || '"}' AS j
+            FROM documents),
+      c AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+              THEN substring(j, 1, length(j) - 1) ELSE j END AS raw
+            FROM p)
+      SELECT doc_id, json_valid(raw) AS ok,
+             CASE WHEN json_valid(raw)
+               THEN CAST(json_extract_string(raw, '$.id') AS BIGINT) END AS parsed_id,
+             CASE WHEN json_valid(raw)
+               THEN json_extract_string(raw, '$.lang') END AS parsed_lang,
+             md5(raw) AS raw_md5
+      FROM c ORDER BY doc_id"""))
+
   private val builtZorderLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3299,7 +3335,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
-    q131, q133) ++
+    q131, q133, q134) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

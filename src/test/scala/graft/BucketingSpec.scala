@@ -96,6 +96,26 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: many small files collapse to the byte-target count, content identical") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-compact-" +
+      java.lang.ProcessHandle.current().pid()
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    ev.repartition(64).write.mode("overwrite").parquet(base)
+    def parts = new java.io.File(base).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(parts == 64, s"fixture should start fragmented: $parts files")
+    val before = ev.collect().map(_.getLong(0)).sorted.toSeq
+    val totalBytes = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length).sum
+    val target = totalBytes / 4 + 1
+    val n = Bucketing.compact(spark, base, target)
+    assert(n <= 4 && parts == n, s"expected <=4 compacted files, got $n / $parts")
+    val after = spark.read.parquet(base).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before, "compaction must not change content")
+    assert(!new java.io.File(base + ".compact.tmp").exists())
+  }
+
   test("morton interleave: known bit patterns, positive range, locality") {
     import graft.functions.Zorder
     assert(Zorder.interleave2(0x3L, 0x0L) == 0x5L)  // a bits land at even slots
