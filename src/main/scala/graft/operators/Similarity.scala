@@ -1267,6 +1267,36 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Fold (pid, (n, Σx, gram)) partials into [[LloydChunks]] deterministic
+    * chunk partials on executors: partials inside a chunk combine in pid
+    * order, the driver folds the chunks in chunk order — bounded driver
+    * intake at ANY partition count, bit-stable for a fixed partitioning. */
+  private def gramChunkFold(
+      parts: org.apache.spark.rdd.RDD[(Int, (Long, Array[Double], Array[Double]))],
+      nParts: Int,
+      dim: Int): Array[(Int, (Long, Array[Double], Array[Double]))] = {
+    val chunkSize = math.max(1, (nParts + LloydChunks - 1) / LloydChunks)
+    parts
+      .map { case (pid, p) => (pid / chunkSize, (pid, p)) }
+      .groupByKey(LloydChunks)
+      .map { case (ck, it) =>
+        val sorted = it.toArray.sortBy(_._1)
+        val (_, (_, s0, g0)) = sorted.head
+        val s = new Array[Double](s0.length)
+        val g = new Array[Double](g0.length)
+        var n = 0L
+        sorted.foreach { case (_, (pn, ps, pg)) =>
+          n += pn
+          var i = 0
+          while (i < s.length) { s(i) += ps(i); i += 1 }
+          i = 0
+          while (i < g.length) { g(i) += pg(i); i += 1 }
+        }
+        (ck, (n, s, g))
+      }
+      .collect().sortBy(_._1)
+  }
+
   /** Cyclic Jacobi eigensolve of a symmetric matrix — fixed (p, q) sweep
     * order, so the result is deterministic for a given input. Returns
     * (eigenvalues desc, eigenvectors as rows in the same order). Driver
@@ -1349,8 +1379,11 @@ object Similarity {
     val dim = rdd.first().length
     require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
 
-    // pass 1: per-partition (n, Σx, ΣxxT upper) — folded in partition order
-    def accumulate(it: Iterator[Array[Double]]): Iterator[(Int, Long, Array[Double], Array[Double])] = {
+    // pass 1: per-partition (n, Σx, ΣxxT upper), folded into LloydChunks
+    // deterministic chunk partials ON EXECUTORS (pid-ordered inside each
+    // chunk), so the driver receives 16 partials regardless of partition
+    // count — at 100k partitions a flat collect would be GBs; this is KBs
+    def accumulate(it: Iterator[Array[Double]]): Iterator[(Int, (Long, Array[Double], Array[Double]))] = {
       val s = new Array[Double](dim)
       val g = new Array[Double](dim * (dim + 1) / 2)
       var n = 0L
@@ -1365,14 +1398,15 @@ object Similarity {
         }
         n += 1
       }
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), n, s, g))
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), (n, s, g)))
     }
-    val partials = rdd.mapPartitions(accumulate).collect().sortBy(_._1)
-    val n = partials.map(_._2).sum
+    val nParts = math.max(1, rdd.getNumPartitions)
+    val partials = gramChunkFold(rdd.mapPartitions(accumulate), nParts, dim)
+    val n = partials.map(_._2._1).sum
     require(n > 1, "pca needs at least two vectors")
     val sum = new Array[Double](dim)
     val gram = new Array[Double](dim * (dim + 1) / 2)
-    partials.foreach { case (_, _, ps, pg) =>
+    partials.foreach { case (_, (_, ps, pg)) =>
       var i = 0
       while (i < sum.length) { sum(i) += ps(i); i += 1 }
       i = 0
@@ -1431,7 +1465,7 @@ object Similarity {
       vecsQ(c)(d) / math.sqrt(l)
     }
     val bcW = spark.sparkContext.broadcast((mu, w))
-    val wPartials = rdd.mapPartitions { it =>
+    val wParts = rdd.mapPartitions { it =>
       val (bmu, bw) = bcW.value
       val kk = bw.length
       val g = new Array[Double](kk * (kk + 1) / 2)
@@ -1454,10 +1488,12 @@ object Similarity {
         }
         cnt += 1
       }
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), cnt, g))
-    }.collect().sortBy(_._1)
+      Iterator((org.apache.spark.TaskContext.getPartitionId(),
+        (cnt, new Array[Double](0), g)))
+    }
+    val wPartials = gramChunkFold(wParts, nParts, dim)
     val wg = new Array[Double](k * (k + 1) / 2)
-    wPartials.foreach { case (_, _, pg) =>
+    wPartials.foreach { case (_, (_, _, pg)) =>
       var m = 0
       while (m < wg.length) { wg(m) += pg(m); m += 1 }
     }
