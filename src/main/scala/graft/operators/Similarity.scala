@@ -1367,22 +1367,17 @@ object Similarity {
     * covariance reconstruction, whitened identity — as oracle-checkable
     * booleans plus exact counts; at 100 TB the cost is two scans plus a
     * 4096-double all-reduce, never a corpus-sized driver structure. */
-  def pcaWhitenReport(
-      vecs: DataFrame,
-      vecCol: String,
-      k: Int): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val rdd = vecs.select(vec_double(col(vecCol)).as("v"))
-      .filter(col("v").isNotNull)
-      .rdd.map(_.getSeq[Double](0).toArray)
-    val dim = rdd.first().length
-    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
+  private[graft] case class PcaFit(
+      n: Long, dim: Int, mu: Array[Double], cov: Array[Array[Double]],
+      lambda: Array[Double], q: Array[Array[Double]])
 
-    // pass 1: per-partition (n, Σx, ΣxxT upper), folded into LloydChunks
-    // deterministic chunk partials ON EXECUTORS (pid-ordered inside each
-    // chunk), so the driver receives 16 partials regardless of partition
-    // count — at 100k partitions a flat collect would be GBs; this is KBs
+  /** One-pass distributed PCA fit: per-partition (n, Σx, ΣxxT upper)
+    * folded into LloydChunks deterministic chunk partials ON EXECUTORS
+    * (pid-ordered inside each chunk), so the driver receives 16 partials
+    * regardless of partition count — at 100k partitions a flat collect
+    * would be GBs; this is KBs. Eigensolve is the d×d cyclic Jacobi. */
+  private[graft] def pcaFit(
+      rdd: org.apache.spark.rdd.RDD[Array[Double]], dim: Int): PcaFit = {
     def accumulate(it: Iterator[Array[Double]]): Iterator[(Int, (Long, Array[Double], Array[Double]))] = {
       val s = new Array[Double](dim)
       val g = new Array[Double](dim * (dim + 1) / 2)
@@ -1425,14 +1420,137 @@ object Similarity {
       }
       i += 1
     }
+    val (lambda, q) = jacobiEig(cov)
+    PcaFit(n, dim, mu, cov, lambda, q)
+  }
 
-    val (lambda, vecsQ) = jacobiEig(cov)
+  /** Project vectors onto the top-k principal axes (NO whitening — the
+    * λ^(-1/2) scaling distorts cosine geometry; plain projection keeps
+    * the dominant structure): the 8× smaller serve-side representation
+    * for PCA-compressed ANN. Fit is one corpus pass + a d×d driver
+    * eigensolve; the (μ, Q_k) projection broadcast is k·d doubles. */
+  def pcaProject(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val src = vecs.select(col(idCol).cast("long").as("__id"),
+        vec_double(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+    val vecRdd = src.rdd.map(_.getSeq[Double](1).toArray)
+    val dim = vecRdd.first().length
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
+    val fit = pcaFit(vecRdd, dim)
+    projectWithFit(vecs, idCol, vecCol, fit, k).select(col("__id").as(idCol), col("proj"))
+  }
+
+  /** Project (id, vec) rows with an existing fit's top-k axes — the
+    * device that keeps query and corpus in the SAME projected space. */
+  private def projectWithFit(
+      df: DataFrame, idCol: String, vecCol: String,
+      fit: PcaFit, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val src = df.select(col(idCol).cast("long").as("__id"),
+        vec_double(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+    val proj = Array.tabulate(k, fit.dim)((c, d) => fit.q(c)(d))
+    val bc = spark.sparkContext.broadcast((fit.mu, proj))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("proj",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    val out = src.rdd.mapPartitions { it =>
+      val (bmu, bw) = bc.value
+      it.map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val y = new Array[Double](bw.length)
+        var c = 0
+        while (c < bw.length) {
+          var d = 0.0
+          var m = 0
+          while (m < bmu.length) { d += bw(c)(m) * (v(m) - bmu(m)); m += 1 }
+          y(c) = d; c += 1
+        }
+        org.apache.spark.sql.Row(r.getLong(0), y.toSeq)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** PCA-compressed ANN serve — project-filter-rerank: candidates come
+    * from a brute-force scan of the kDim-projected corpus (kDim/dim of
+    * the dot-product work and memory traffic of the full scan), then
+    * ONLY the candM survivors per query get exact cosine on the original
+    * vectors (the PQ rerank discipline with a linear projection instead
+    * of codebooks). One corpus fit; queries project with the corpus's
+    * (μ, Q). Exact-rerank output matches [[bruteForceTopK]]'s cos
+    * bit-for-bit on every returned pair. */
+  def pcaTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusVec: String,
+      k: Int,
+      kDim: Int = 24,
+      candM: Int = 100): DataFrame = {
+    boundedQueryBatch(queries, "pcaTopK")
+    val vecRdd = corpus.select(vec_double(col(corpusVec)).as("v"))
+      .filter(col("v").isNotNull)
+      .rdd.map(_.getSeq[Double](0).toArray)
+    val dim = vecRdd.first().length
+    require(kDim >= 1 && kDim <= dim, s"kDim must be in [1, $dim]")
+    val fit = pcaFit(vecRdd, dim)
+    val cp = projectWithFit(corpus, corpusId, corpusVec, fit, kDim)
+      .select(col("__id").as("vec_id"), col("proj"))
+    val qp = projectWithFit(queries, queryId, queryVec, fit, kDim)
+      .select(col("__id").as("vec_id"), col("proj"))
+    val cand = bruteForceTopK(qp, cp, "vec_id", "proj", "vec_id", "proj", candM)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries
+      .select(col(queryId).cast("long").as("query_id"),
+        vec_double(col(queryVec)).as("qv"))
+      .withColumn("qn", sqrt(dotd(col("qv"), col("qv")))))
+    val c = corpus
+      .select(col(corpusId).cast("long").as("neighbor_id"),
+        vec_double(col(corpusVec)).as("cv"))
+      .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
+    val scored = cand.join(c, "neighbor_id").join(q, "query_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  def pcaWhitenReport(
+      vecs: DataFrame,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val rdd = vecs.select(vec_double(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .rdd.map(_.getSeq[Double](0).toArray)
+    val dim = rdd.first().length
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
+    val nParts = math.max(1, rdd.getNumPartitions)
+    val fit = pcaFit(rdd, dim)
+    val n = fit.n
+    val mu = fit.mu
+    val cov = fit.cov
+    val lambda = fit.lambda
+    val vecsQ = fit.q
 
     // invariants
     val covScale = math.max(1e-30, cov.map(_.map(math.abs).max).max)
     val psd = lambda.forall(_ >= -1e-8 * covScale)
     var orthoErr = 0.0
-    i = 0
+    var i = 0
     while (i < dim) {
       var j = 0
       while (j < dim) {
@@ -1498,7 +1616,7 @@ object Similarity {
       while (m < wg.length) { wg(m) += pg(m); m += 1 }
     }
     var whitenErr = 0.0
-    o = 0
+    var o = 0
     i = 0
     while (i < k) {
       var j = i

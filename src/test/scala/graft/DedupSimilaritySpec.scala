@@ -772,6 +772,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rpt2 == rpt, s"repartitioned report differs: $rpt2 vs $rpt")
   }
 
+  test("pcaTopK: rerank cosine bit-equals brute force on every returned pair") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val served = Similarity.pcaTopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, kDim = 24, candM = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(served.nonEmpty)
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 500)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    served.foreach { case (pair, cos) =>
+      assert(java.lang.Double.doubleToRawLongBits(cos) ==
+        java.lang.Double.doubleToRawLongBits(brute(pair)),
+        s"rerank cos differs from brute force on $pair")
+    }
+    // projection shape: kDim-wide arrays, one row per vector
+    val proj = Similarity.pcaProject(emb, "vec_id", "embedding", k = 24)
+    val row = proj.head()
+    assert(row.getSeq[Double](1).length == 24)
+    assert(proj.count() == emb.count())
+  }
+
   test("containment catches the quote-in-container pair jaccard misses") {
     import spark.implicits._
     // doc 1 = a 12-word quote; doc 2 = the same quote inside a 60-word page.
