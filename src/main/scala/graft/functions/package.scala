@@ -101,6 +101,10 @@ package object functions {
       "token_entropy_scan" -> { exprs => TokenEntropyScan(exprs.head) },
       "morton_interleave" -> { exprs => MortonInterleave(exprs(0), exprs(1)) },
       "normalize_text_scan" -> { exprs => NormalizeTextScan(exprs.head) },
+      "maxsim_score" -> {
+        case Seq(a, b, Literal(n: Int, _)) => MaxSimScore(a, b, n)
+        case _ => throw new IllegalArgumentException("maxsim_score(q, d, subDim)")
+      },
       "token_count_scan" -> { exprs => TokenCountScan(exprs.head) },
       "distinct_token_count_scan" -> { exprs => DistinctTokenCountScan(exprs.head) },
       "cms_estimate" -> { exprs => CmsEstimate(exprs(0), exprs(1)) },
@@ -202,6 +206,11 @@ package object functions {
   /** CCNet-style dedup normalization (lowercase, digits→0, punctuation
     * stripped, whitespace collapsed, trimmed) — one row-local pass. */
   def normalize_text(c: Column): Column = call_function("normalize_text_scan", c)
+
+  /** Late-interaction (ColBERT MaxSim) relevance: Σ_i max_j dot(q_i, d_j)
+    * over subDim-wide sub-vectors, fixed fold order. */
+  def maxsim_score(q: Column, d: Column, subDim: Int): Column =
+    call_function("maxsim_score", q, d, lit(subDim))
 
   /** Per-doc quantized-log token entropy (lexical diversity quality
     * signal): struct(n_tokens, n_distinct, ent_q), one row-local byte

@@ -1527,6 +1527,39 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Late-interaction retrieval (ColBERT MaxSim shape): each vector is a
+    * bag of `subDim`-wide token sub-vectors and relevance is
+    * Σ_i max_j dot(q_i, d_j) — the multi-vector scoring modern retrievers
+    * use where single-vector cosine washes out token-level matches. One
+    * codegen'd kernel pass per (query, doc) pair over the broadcast query
+    * batch — the corpus scan stays embarrassingly parallel, and only the
+    * tiny per-query top-k moves. Fold order is fixed (i asc, j asc, dot
+    * left-to-right) so the oracle replays the score bit-for-bit. */
+  def maxSimTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusVec: String,
+      k: Int,
+      subDim: Int = 8): DataFrame = {
+    boundedQueryBatch(queries, "maxSimTopK")
+    val q = broadcast(queries
+      .select(col(queryId).cast("long").as("query_id"),
+        vec_double(col(queryVec)).as("qv")))
+    val c = corpus
+      .select(col(corpusId).cast("long").as("neighbor_id"),
+        vec_double(col(corpusVec)).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.maxsim_score(col("qv"), col("cv"), subDim).as("cos"))
+    rankTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos").as("score"), col("rank"))
+  }
+
   def pcaWhitenReport(
       vecs: DataFrame,
       vecCol: String,

@@ -2643,6 +2643,40 @@ object Catalog {
         TRUE AS recall_ok
       FROM embeddings WHERE vec_id < 50"""))
 
+  /** Late-interaction retrieval (ColBERT MaxSim): each 64-d embedding is
+    * treated as 8 token sub-vectors of 8 dims; relevance is
+    * Σ_i max_j dot(q_i, d_j). The oracle SQL is GENERATED with the same
+    * fixed fold order (slices, left-assoc sum, GREATEST) — scores
+    * hash-match bit-for-bit. */
+  private val q136 = {
+    def dkSql(i: Int): String = (0 until 8).map { j =>
+      s"list_dot_product(qv[${i * 8 + 1}:${i * 8 + 8}], cv[${j * 8 + 1}:${j * 8 + 8}])"
+    }.mkString("GREATEST(", ", ", ")")
+    val scoreSql = (0 until 8).map(dkSql).mkString(" + ")
+    QueryDef(
+      "q136_maxsim_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.operators.Similarity.maxSimTopK(
+          emb.filter(col("vec_id") < 3), emb,
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, subDim = 8)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        sc AS (SELECT query_id, neighbor_id, $scoreSql AS score
+               FROM q, c WHERE query_id <> neighbor_id),
+        r AS (SELECT query_id, neighbor_id, score,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              FROM sc)
+        SELECT query_id, neighbor_id, score, rnk FROM r WHERE rnk <= 5
+        ORDER BY query_id, rnk"""))
+  }
+
   private val builtZorderLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3367,7 +3401,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
-    q131, q133, q134, q135) ++
+    q131, q133, q134, q135, q136) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -793,6 +793,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(proj.count() == emb.count())
   }
 
+  test("maxsim: kernel == driver fold; token-level match outranks diffuse cosine") {
+    import spark.implicits._
+    // 4-dim vectors, subDim 2 → two "token" sub-vectors each.
+    // q = e1 token + zero token; A carries q's token in the OTHER slot
+    // (cosine(q, A) = 0 — single-vector retrieval can't see it);
+    // B is diffusely similar (cos ≈ 0.7) but has no strong token match.
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), // query
+      (1L, Array(0f, 0f, 1f, 0f)), // A: exact token, wrong position
+      (2L, Array(0.5f, 0f, 0.5f, 0f))) // B: diffuse overlap
+      .toDF("vec_id", "embedding")
+    val served = Similarity.maxSimTopK(rows.filter(col("vec_id") === 0), rows,
+      "vec_id", "embedding", "vec_id", "embedding", k = 2, subDim = 2)
+      .orderBy(col("rank")).collect()
+    assert(served(0).getLong(1) == 1L && served(1).getLong(1) == 2L,
+      s"maxsim must rank the token match first: ${served.toSeq}")
+    assert(served(0).getDouble(2) == 1.0 && served(1).getDouble(2) == 0.5)
+    val cosTop = Similarity.bruteForceTopK(rows.filter(col("vec_id") === 0), rows,
+      "vec_id", "embedding", "vec_id", "embedding", k = 1).collect()(0)
+    assert(cosTop.getLong(1) == 2L, "cosine must prefer the diffuse doc — " +
+      "the case maxsim exists for")
+
+    // kernel == independent driver fold on real embeddings
+    val emb = Tables.load(spark, dir, "embeddings").limit(50)
+      .select(col("vec_id"), graft.functions.vec_double(col("embedding")).as("v"))
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def fold(q: Array[Double], d: Array[Double], s: Int): Double = {
+      (0 until q.length / s).map { i =>
+        (0 until d.length / s).map { j =>
+          (0 until s).foldLeft(0.0)((a, m) => a + q(i * s + m) * d(j * s + m))
+        }.max
+      }.sum
+    }
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.maxsim_score(col("a.v"), col("b.v"), 8).as("s"))
+      .collect()
+    pairs.foreach { r =>
+      val want = fold(vecs(r.getLong(0)), vecs(r.getLong(1)), 8)
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(want),
+        s"kernel diverges from driver fold on (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("containment catches the quote-in-container pair jaccard misses") {
     import spark.implicits._
     // doc 1 = a 12-word quote; doc 2 = the same quote inside a 60-word page.
