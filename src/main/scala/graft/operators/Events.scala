@@ -39,6 +39,27 @@ object Events {
       .drop("__us", "__new")
   }
 
+  /** Per-user event-type transition matrix (the Markov-chain view of
+    * user journeys): counts of (prev_type → type) over each user's
+    * fully-keyed (ts, id) event order, first events excluded. One lag
+    * window sharing the per-user sort, then a tiny (types × types)
+    * aggregate. A pathological single-user burst concentrates ONE
+    * window partition — at bot scale feed the range-partitioned
+    * sessionizer's layout first (the q44 note). */
+  def transitionCounts(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): DataFrame = {
+    val order = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(idCol))
+    df.withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__prev", lag(col(typeCol), 1).over(order))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-user session/event counts under gap-based sessionization. */
   def sessionCounts(
       df: DataFrame,

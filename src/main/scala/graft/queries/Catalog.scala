@@ -2677,6 +2677,34 @@ object Catalog {
         ORDER BY query_id, rnk"""))
   }
 
+  /** Event-type transition matrix (Markov journey view): (prev → next)
+    * counts over each user's fully-keyed event order plus the row
+    * transition share — integer counts and one division, oracle exact. */
+  private val q137 = QueryDef(
+    "q137_event_transitions",
+    (s, dir) => {
+      val tr = graft.operators.Events.transitionCounts(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      val tot = tr.groupBy(col("prev_type")).agg(sum(col("n")).as("row_n"))
+      tr.join(tot, "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          (col("n").cast("double") / col("row_n").cast("double")).as("share"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some("""WITH o AS (SELECT event_type, user_id,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id) AS prev
+            FROM events),
+      tr AS (SELECT prev AS prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+             FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n
+              FROM tr GROUP BY 1)
+      SELECT tr.prev_type, tr.next_type, tr.n,
+             CAST(tr.n AS DOUBLE) / CAST(tot.row_n AS DOUBLE) AS share
+      FROM tr JOIN tot ON tr.prev_type = tot.prev_type
+      ORDER BY tr.prev_type, tr.next_type"""))
+
   private val builtZorderLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3401,7 +3429,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
-    q131, q133, q134, q135, q136) ++
+    q131, q133, q134, q135, q136, q137) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
