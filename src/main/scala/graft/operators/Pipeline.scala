@@ -545,6 +545,35 @@ object Pipeline {
       col("__rank").as("ord"))
   }
 
+  /** GPT-style example chopping: documents are laid out in the seeded
+    * deterministic training order (the [[trainingOrder]] PRF) and the
+    * concatenated token stream is cut into fixed `exampleLen`-token
+    * examples that CROSS document boundaries — the standard LM
+    * pretokenization layout ([[packSequences]] is the no-crossing bin
+    * packing; this is its complement). Per doc: order, exclusive token
+    * start, the first/last example ids it lands in, and its offset
+    * inside the first — all BIGINT arithmetic off ONE range-partitioned
+    * prefix scan; no single-partition window at any corpus size. */
+  def chopExamples(
+      df: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      exampleLen: Long,
+      seed: String = "graft"): DataFrame = {
+    require(exampleLen > 0, "exampleLen must be positive")
+    val keyed = df.select(col(idCol).as("__id"),
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))).as("__k"),
+      tokenCount.cast("long").as("__t"))
+    val rs = rankedScan(keyed, Seq("__k", "__id"), "__t")
+    rs.df.select(col("__id").as(idCol),
+      col("__rank").as("ord"),
+      col("__cum").as("tok_start"),
+      col("__t").as("n_tokens"),
+      expr(s"__cum div ${exampleLen}L").as("first_example"),
+      expr(s"(__cum + __t - 1) div ${exampleLen}L").as("last_example"),
+      expr(s"__cum % ${exampleLen}L").as("offset_in_first"))
+  }
+
   def trainingOrder(
       df: DataFrame,
       idCol: String,

@@ -2705,6 +2705,33 @@ object Catalog {
       FROM tr JOIN tot ON tr.prev_type = tot.prev_type
       ORDER BY tr.prev_type, tr.next_type"""))
 
+  /** LM example layout: the corpus token stream in the seeded training
+    * order chopped into 128-token examples that cross doc boundaries —
+    * every column BIGINT arithmetic off one prefix scan, DuckDB replays
+    * the order, the exclusive cumsum, and the div/mod exactly. */
+  private val q138 = QueryDef(
+    "q138_chop_examples",
+    (s, dir) =>
+      graft.operators.Pipeline.chopExamples(
+        t(s, dir, "documents"), "doc_id",
+        token_count(col("text")), exampleLen = 128L, seed = "graft")
+        .orderBy(col("doc_id")),
+    Some("""WITH o AS (SELECT doc_id,
+              md5('graft:' || CAST(doc_id AS VARCHAR)) AS k,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS t
+            FROM documents),
+      r AS (SELECT doc_id, t,
+              row_number() OVER (ORDER BY k, doc_id) - 1 AS ord,
+              CAST(COALESCE(SUM(t) OVER (ORDER BY k, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts
+            FROM o)
+      SELECT doc_id, CAST(ord AS BIGINT) AS ord, ts AS tok_start,
+             t AS n_tokens,
+             ts // 128 AS first_example,
+             (ts + t - 1) // 128 AS last_example,
+             ts % 128 AS offset_in_first
+      FROM r ORDER BY doc_id"""))
+
   private val builtZorderLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3429,7 +3456,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
-    q131, q133, q134, q135, q136, q137) ++
+    q131, q133, q134, q135, q136, q137, q138) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
