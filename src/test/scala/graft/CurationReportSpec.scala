@@ -293,6 +293,72 @@ class CurationReportSpec extends AnyFunSuite {
       "output must contain only (index, delta) pairs")
   }
 
+  test("parseWithQuarantine: malformed matrix — truncated, garbage, empty, wrong shape") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, """{"id":1,"lang":"en"}"""),      // valid
+      (2L, """{"id":2,"lang":"en""""),        // truncated
+      (3L, """not json at all"""),            // garbage
+      (4L, ""),                               // empty
+      (5L, """[1,2,3]"""),                    // wrong shape (array)
+      (6L, """{"id":"x","lang":"de"}"""))     // type mismatch on id
+      .toDF("doc_id", "raw")
+    val out = graft.operators.Pipeline.parseWithQuarantine(
+        rows, "doc_id", "raw", "id BIGINT, lang STRING")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out(1L)._1 && out(1L)._2.contains(1L) && out(1L)._3.contains("en"))
+    Seq(2L, 3L, 4L, 5L).foreach { id =>
+      assert(!out(id)._1, s"doc $id must be quarantined")
+      assert(out(id)._2.isEmpty && out(id)._3.isEmpty,
+        s"quarantined doc $id must not leak parsed fields")
+    }
+    // PERMISSIVE type mismatch: id unparseable → corrupt → quarantined
+    assert(!out(6L)._1, "type-mismatched record must be quarantined")
+    // no row lost either way
+    assert(out.size == 6)
+  }
+
+  test("chopExamples: contiguous example coverage and replay identity") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = graft.operators.Pipeline.chopExamples(
+        docs, "doc_id", graft.functions.token_count(col("text")), 128L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val byOrd = out.sortBy(_._2)
+    // token stream is contiguous: each doc starts where the previous ended
+    byOrd.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 == a._3 + a._4, s"gap between ord ${a._2} and ${b._2}")
+      case _ =>
+    }
+    out.foreach { case (_, _, ts, t, fe, le, off) =>
+      assert(fe == ts / 128 && off == ts % 128)
+      assert(le == (ts + t - 1) / 128)
+      assert(le >= fe, "last example precedes first")
+    }
+    // total examples = ceil(total tokens / 128), anchored by the last doc
+    val last = byOrd.last
+    val total = last._3 + last._4
+    assert(last._6 == (total - 1) / 128)
+  }
+
+  test("transitionCounts: hand-built journey matrix") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
+    // user 1: a -> b -> a ; user 2: b -> b
+    val ev = Seq(
+      (1L, 1L, at(0), "a"), (2L, 1L, at(1), "b"), (3L, 1L, at(2), "a"),
+      (4L, 2L, at(0), "b"), (5L, 2L, at(1), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Events.transitionCounts(
+        ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "b") -> 1L),
+      s"got $got")
+  }
+
   test("interleaveByWeight: proportional spacing, alternation, sequential-replay identity") {
     import spark.implicits._
     val docs = (0L until 30L).map(i => (i, if (i < 10) "a" else if (i < 20) "b" else "c"))
