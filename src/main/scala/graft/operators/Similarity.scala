@@ -1560,6 +1560,83 @@ object Similarity {
         col("cos").as("score"), col("rank"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * per query, greedily pick `k` results balancing relevance against
+    * redundancy — score(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), ties
+    * by id. The greedy is inherently sequential, so it runs on the
+    * driver over a CONTRACT-BOUNDED candidate set (≤ `MaxMmrCandidates`
+    * per query, from the distributed top-candM scan): the distributed
+    * work is the corpus scan + the candM² candidate-pair sims, the
+    * driver folds ≤ a few KB per query. All cosines come from the same
+    * index-ordered dotd folds as [[bruteForceTopK]], so an engine
+    * replaying the greedy over ITS OWN identically-rounded cosines picks
+    * the identical set. */
+  private[graft] val MaxMmrCandidates = 64
+
+  def mmrSelect(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusVec: String,
+      k: Int,
+      candM: Int = 20,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && candM >= k, "need candM >= k >= 1")
+    require(candM <= MaxMmrCandidates,
+      s"MMR candidates per query are driver-folded — candM must be <= $MaxMmrCandidates")
+    boundedQueryBatch(queries, "mmrSelect")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(queries, corpus,
+      queryId, queryVec, corpusId, corpusVec, candM)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val cv = corpus.select(col(corpusId).cast("long").as("id"),
+        vec_double(col(corpusVec)).as("v"))
+      .withColumn("n", sqrt(dotd(col("v"), col("v"))))
+    // candidate-pair sims, per query: candM² tiny rows, same cosine folds
+    val pairs = cand.as("a").join(cand.as("b"), Seq("query_id"))
+      .filter(col("a.neighbor_id") < col("b.neighbor_id"))
+      .join(cv.select(col("id").as("__ia"), col("v").as("va"), col("n").as("na")),
+        col("a.neighbor_id") === col("__ia"))
+      .join(cv.select(col("id").as("__ib"), col("v").as("vb"), col("n").as("nb")),
+        col("b.neighbor_id") === col("__ib"))
+      .select(col("query_id"), col("a.neighbor_id").as("ia"),
+        col("b.neighbor_id").as("ib"),
+        (dotd(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+    val rels = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val sims = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    def simOf(q: Long, a: Long, b: Long): Double =
+      if (a == b) 1.0
+      else sims.getOrElse((q, math.min(a, b), math.max(a, b)), 0.0)
+    val out = rels.toSeq.sortBy(_._1).flatMap { case (q, cs) =>
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (selected.size < math.min(k, rel.size)) {
+        val best = rel.keysIterator
+          .filterNot(selected.contains)
+          .map { d =>
+            val red = if (selected.isEmpty) 0.0
+              else selected.iterator.map(s => simOf(q, d, s)).max
+            (lambda * rel(d) - (1.0 - lambda) * red, d)
+          }
+          // argmax with id tiebreak — identical to ORDER BY score DESC, id
+          .reduceLeft((x, y) =>
+            if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x)
+        selected += best._2
+      }
+      selected.toSeq.zipWithIndex.map { case (d, i) =>
+        (q, (i + 1), d, rel(d))
+      }
+    }
+    out.toDF("query_id", "sel_rank", "doc_id", "rel")
+  }
+
   def pcaWhitenReport(
       vecs: DataFrame,
       vecCol: String,

@@ -2732,6 +2732,60 @@ object Catalog {
              ts % 128 AS offset_in_first
       FROM r ORDER BY doc_id"""))
 
+  /** MMR diverse selection (Carbonell & Goldstein 1998): per query,
+    * greedy λ·rel − (1−λ)·max-sim-to-selected over the top-20 candidate
+    * set — the few-shot/exemplar picker that plain top-k can't express.
+    * The oracle replays the greedy as a RECURSIVE CTE over its own
+    * identically-rounded cosines — the selected sets and ranks match
+    * exactly. */
+  private val q139 = QueryDef(
+    "q139_mmr_select",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.mmrSelect(
+        emb.filter(col("vec_id") < 3), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, candM = 20, lambda = 0.5)
+        .orderBy(col("query_id"), col("sel_rank"))
+    },
+    Some("""WITH RECURSIVE
+      q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      sc AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS rel
+             FROM q, c WHERE qid <> nid),
+      cand AS (SELECT qid, nid, rel,
+                 row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+               FROM sc),
+      top AS (SELECT qid, nid, rel FROM cand WHERE rk <= 20),
+      sims AS (SELECT a.qid, a.nid AS ia, b.nid AS ib,
+                 list_cosine_similarity(ca.cv, cb.cv) AS sim
+               FROM top a JOIN top b ON a.qid = b.qid AND a.nid < b.nid
+               JOIN c ca ON ca.nid = a.nid JOIN c cb ON cb.nid = b.nid),
+      sel AS (
+        SELECT qid, 0 AS step, CAST([] AS BIGINT[]) AS ids
+        FROM (SELECT DISTINCT qid FROM top)
+        UNION ALL
+        SELECT s.qid, s.step + 1,
+          list_append(s.ids, (
+            SELECT t.nid FROM top t
+            WHERE t.qid = s.qid AND NOT list_contains(s.ids, t.nid)
+            ORDER BY 0.5 * t.rel - 0.5 * COALESCE((
+                SELECT MAX(sim) FROM sims
+                WHERE sims.qid = s.qid
+                  AND ((sims.ia = t.nid AND list_contains(s.ids, sims.ib))
+                    OR (sims.ib = t.nid AND list_contains(s.ids, sims.ia)))), 0.0)
+              DESC, t.nid
+            LIMIT 1))
+        FROM sel s WHERE s.step < 5)
+      SELECT x.qid AS query_id, CAST(x.gs AS INTEGER) AS sel_rank,
+             x.doc_id, top.rel
+      FROM (SELECT qid, ids[gs] AS doc_id, gs
+            FROM (SELECT qid, ids, unnest(generate_series(1, len(ids))) AS gs
+                  FROM sel WHERE step = 5)) x
+      JOIN top ON top.qid = x.qid AND top.nid = x.doc_id
+      ORDER BY query_id, sel_rank"""))
+
   private val builtZorderLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3456,7 +3510,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
-    q131, q133, q134, q135, q136, q137, q138) ++
+    q131, q133, q134, q135, q136, q137, q138, q139) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -839,6 +839,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("mmrSelect: redundancy penalized — the diverse doc outranks a near-clone") {
+    import spark.implicits._
+    // query = e1; docs 1/2 are near-identical clones tilted +e2 (rel ≈
+    // 0.90, sim12 ≈ 1), doc 3 is tilted −e2 (rel ≈ 0.88 — below the
+    // clones — but sim13 ≈ 0.59). Plain top-2 takes the two clones; MMR
+    // at λ = 0.5 must take one clone then the diverse doc
+    // (score(2) ≈ 0.45 − 0.50 < 0 < 0.15 ≈ score(3)).
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.44f, 0f, 0f)),
+      (2L, Array(0.9f, 0.44f, 0.01f, 0f)),
+      (3L, Array(0.88f, -0.47f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val sel = Similarity.mmrSelect(rows.filter(col("vec_id") === 0), rows,
+      "vec_id", "embedding", "vec_id", "embedding", k = 2, candM = 3)
+      .orderBy(col("sel_rank")).collect().map(_.getLong(2))
+    assert(sel(0) == 1L, s"first pick must be the most relevant: ${sel.toSeq}")
+    assert(sel(1) == 3L, s"second pick must be the DIVERSE doc, not the clone: ${sel.toSeq}")
+    val topk = Similarity.bruteForceTopK(rows.filter(col("vec_id") === 0), rows,
+      "vec_id", "embedding", "vec_id", "embedding", k = 2)
+      .orderBy(col("rank")).collect().map(_.getLong(1))
+    assert(topk.toSeq == Seq(1L, 2L), "plain top-2 must take both clones — " +
+      "the redundancy MMR exists to avoid")
+    // contract: oversized candidate sets are refused loudly
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(rows, rows, "vec_id", "embedding",
+        "vec_id", "embedding", k = 2, candM = 1000)
+    }
+  }
+
   test("containment catches the quote-in-container pair jaccard misses") {
     import spark.implicits._
     // doc 1 = a 12-word quote; doc 2 = the same quote inside a 60-word page.
