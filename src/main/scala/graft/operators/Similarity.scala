@@ -1573,6 +1573,10 @@ object Similarity {
     * the identical set. */
   private[graft] val MaxMmrCandidates = 64
 
+  /** The MMR driver fold is queries·candM² pair sims — bounded much
+    * tighter than [[MaxQueryBatch]]; larger batches shard into calls. */
+  private[graft] val MaxMmrQueries = 1024L
+
   def mmrSelect(
       queries: DataFrame,
       corpus: DataFrame,
@@ -1587,6 +1591,14 @@ object Similarity {
     require(candM <= MaxMmrCandidates,
       s"MMR candidates per query are driver-folded — candM must be <= $MaxMmrCandidates")
     boundedQueryBatch(queries, "mmrSelect")
+    // tighter than MaxQueryBatch: the driver folds queries·candM² sims
+    // (candM = 64 → ~2k pairs/query); 1024 queries keeps that < 100 MB.
+    // Shard a bigger reranking batch into calls — the greedy is per-query,
+    // so sharding changes nothing.
+    val nQ = queries.count()
+    require(nQ <= MaxMmrQueries,
+      s"mmrSelect folds queries x candM^2 candidate sims on the driver — " +
+        s"got $nQ queries, max $MaxMmrQueries; shard the query batch")
     val spark = queries.sparkSession
     import spark.implicits._
     val cand = bruteForceTopK(queries, corpus,
