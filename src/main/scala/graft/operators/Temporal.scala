@@ -137,4 +137,39 @@ object Temporal {
           col("__rus") >= col("__lus") - winUs && col("__rus") < col("__lus"))
       .drop("__lus", "__lbin", "__bin", "__rk", "__rus", "__rbin")
   }
+
+  /** Interval-overlap join (intervals × intervals — the family member
+    * [[asofJoin]] and [[rangeJoinBinned]] don't cover): rows match when
+    * [lStart, lEnd] ∩ [rStart, rEnd] ≠ ∅. Each interval explodes to its
+    * `binMs`-wide bins, pairs meet on a bin equi-join (overlapping
+    * intervals ALWAYS share the bin containing any intersection point —
+    * full recall), the exact predicate filters false bin collisions, and
+    * the pair is kept ONLY in the canonical bin holding
+    * max(lStart, rStart) — exactly one emission per pair, no distinct
+    * pass. Work scales with interval-length/binMs fan-out × bin
+    * collisions, never |L|·|R|; size binMs near the typical interval
+    * length. All columns are epoch-millis longs. */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      binMs: Long): DataFrame = {
+    require(binMs > 0, "binMs must be positive")
+    val reserved = Set("__bin", "__rbin")
+    require(!(left.columns ++ right.columns).exists(reserved),
+      s"columns may not use ${reserved.mkString("/")}")
+    val overlap = right.columns.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"rename right columns colliding with left: $overlap")
+    val l = left.withColumn("__bin", explode(sequence(
+      expr(s"$lStart DIV $binMs"), expr(s"$lEnd DIV $binMs"))))
+    val r = right.withColumn("__rbin", explode(sequence(
+      expr(s"$rStart DIV $binMs"), expr(s"$rEnd DIV $binMs"))))
+    l.join(r, col("__bin") === col("__rbin") &&
+        col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bin") === expr(s"greatest($lStart, $rStart) DIV $binMs"))
+      .drop("__bin", "__rbin")
+  }
 }

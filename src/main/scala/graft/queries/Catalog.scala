@@ -2786,6 +2786,56 @@ object Catalog {
       JOIN top ON top.qid = x.qid AND top.nid = x.doc_id
       ORDER BY query_id, sel_rank"""))
 
+  /** Interval-overlap join: user sessions (10-min gap islands) ×
+    * busy 6-hour event-type windows (≥ 4 events) — the intervals ×
+    * intervals shape asof/point-in-range don't cover; binned equi-join
+    * with single-emission canonical bins, rolled up per (user, type).
+    * Counts exact. */
+  private val q140 = QueryDef(
+    "q140_interval_overlap",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val sessions = graft.operators.Events.withSessionIds(
+          ev, "user_id", "ts", "event_id", gapMs = 600000L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(unix_millis(min(col("ts"))).as("s_ms"),
+          unix_millis(max(col("ts"))).as("e_ms"))
+      val windows = ev
+        .groupBy(col("event_type"),
+          (unix_millis(col("ts")).cast("long") / 21600000L).cast("long").as("wb"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 4)
+        .select(col("event_type"), (col("wb") * 21600000L).as("w_s"),
+          (col("wb") * 21600000L + 21599999L).as("w_e"))
+      graft.operators.Temporal.intervalOverlapJoin(
+          sessions, windows, "s_ms", "e_ms", "w_s", "w_e", binMs = 21600000L)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+              FROM events),
+      o AS (SELECT user_id, ms, event_id,
+              lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+            FROM e),
+      f AS (SELECT user_id, ms, event_id,
+              CASE WHEN prev IS NULL OR ms - prev > 600000 THEN 1 ELSE 0 END AS nf
+            FROM o),
+      sx AS (SELECT user_id, ms,
+               SUM(nf) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+             FROM f),
+      sess AS (SELECT user_id, MIN(ms) AS s_ms, MAX(ms) AS e_ms
+               FROM sx GROUP BY user_id, sid),
+      w AS (SELECT event_type, ms // 21600000 AS wb, COUNT(*) AS c
+            FROM e GROUP BY 1, 2),
+      win AS (SELECT event_type, wb * 21600000 AS w_s,
+                wb * 21600000 + 21599999 AS w_e
+              FROM w WHERE c >= 4)
+      SELECT sess.user_id, win.event_type, COUNT(*) AS n_overlaps
+      FROM sess JOIN win ON sess.s_ms <= win.w_e AND win.w_s <= sess.e_ms
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   private val builtZorderLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3510,7 +3560,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
-    q131, q133, q134, q135, q136, q137, q138, q139) ++
+    q131, q133, q134, q135, q136, q137, q138, q139, q140) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

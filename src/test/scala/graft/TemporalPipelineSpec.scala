@@ -78,6 +78,48 @@ class TemporalPipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty, "window pairs must exist in the test data")
   }
 
+  test("intervalOverlapJoin == theta-join reference; endpoints, containment, multi-bin, one emission") {
+    import spark.implicits._
+    val bin = 100L
+    // touching endpoints, containment, disjoint, bin-straddling, long
+    // multi-bin spans — every overlap topology
+    val left = Seq((1L, 0L, 100L), (2L, 250L, 260L), (3L, 0L, 950L),
+      (4L, 500L, 505L), (5L, 99L, 101L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((10L, 100L, 150L), (11L, 200L, 300L), (12L, 940L, 1000L),
+      (13L, 600L, 700L), (14L, 0L, 1000L))
+      .toDF("rid", "rs", "re")
+    val got = graft.operators.Temporal.intervalOverlapJoin(
+        left, right, "ls", "le", "rs", "re", bin)
+      .select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val ref = left.crossJoin(right)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == ref, s"got $got vs ref $ref")
+    assert(got.distinct == got, "no pair may emit twice")
+    assert(got.contains((1L, 10L)), "touching endpoints must match")
+    assert(got.contains((3L, 14L)), "containment must match")
+    assert(!got.contains((2L, 13L)), "disjoint intervals must not match")
+    // larger randomized cross-check on real data shapes
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), unix_millis(col("ts")).as("ms")).limit(300)
+    val li = ev.select(col("event_id").as("aid"), col("ms").as("as_"),
+      (col("ms") + 90000L).as("ae"))
+    val ri = ev.select((col("event_id") + 1000000L).as("bid"),
+      (col("ms") + 45000L).as("bs"), (col("ms") + 120000L).as("be"))
+    val g2 = graft.operators.Temporal.intervalOverlapJoin(
+        li, ri, "as_", "ae", "bs", "be", 60000L)
+      .select(col("aid"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val r2 = li.crossJoin(ri)
+      .filter(col("as_") <= col("be") && col("bs") <= col("ae"))
+      .select(col("aid"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(g2 == r2 && g2.nonEmpty)
+  }
+
   test("centroidMeans == driver-side fold of member vectors in id order") {
     import graft.operators.Similarity
     val emb = Tables.load(spark, dir, "embeddings")
