@@ -60,6 +60,42 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Rate-anomaly detection: per key, each `windowMs` tumbling window's
+    * event count is z-scored against that key's own window distribution
+    * (population moments from EXACT integer Σx/Σx² — counts are
+    * integral, so the sums are bit-exact in any engine — then a fixed
+    * order of divisions/sqrt every engine rounds identically). Two tiny
+    * aggregates: (key, window) counts, then per-key moments broadcast
+    * back — nothing scales with the event count except the first
+    * map-side-combined count. Returns every window with |z| ≥
+    * `zThreshold`. */
+  def windowAnomalies(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      windowMs: Long,
+      zThreshold: Double): DataFrame = {
+    require(windowMs > 0, "windowMs must be positive")
+    val wc = df
+      .groupBy(col(keyCol).as("key"),
+        (unix_millis(col(tsCol)).cast("long") / windowMs).cast("long").as("wb"))
+      .agg(count(lit(1)).as("c"))
+    val stats = wc.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_w"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("n_w") > 1)
+      .select(col("key"),
+        (col("s1").cast("double") / col("n_w").cast("double")).as("mean"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n_w").cast("double")) / col("n_w").cast("double")).as("std"))
+    wc.join(broadcast(stats), "key")
+      .filter(col("std") > 0.0)
+      .withColumn("z", (col("c").cast("double") - col("mean")) / col("std"))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("key"), col("wb"), col("c"), col("z"))
+  }
+
   /** Per-user session/event counts under gap-based sessionization. */
   def sessionCounts(
       df: DataFrame,

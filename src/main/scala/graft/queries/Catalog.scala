@@ -2836,6 +2836,34 @@ object Catalog {
       FROM sess JOIN win ON sess.s_ms <= win.w_e AND win.w_s <= sess.e_ms
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Event-rate anomaly windows: per type, 6-hour windows z-scored
+    * against the type's own window distribution — Σx/Σx² over integral
+    * counts are exact, so the doubles that follow round identically in
+    * both engines. */
+  private val q141 = QueryDef(
+    "q141_window_anomalies",
+    (s, dir) =>
+      graft.operators.Events.windowAnomalies(
+        t(s, dir, "events"), "event_type", "ts",
+        windowMs = 21600000L, zThreshold = 2.0)
+        .orderBy(col("key"), col("wb")),
+    Some("""WITH wc AS (SELECT event_type AS key, epoch_ms(ts) // 21600000 AS wb,
+              CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+      st AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS nw,
+               CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+             FROM wc GROUP BY 1),
+      m AS (SELECT key, CAST(s1 AS DOUBLE) / CAST(nw AS DOUBLE) AS mean,
+              sqrt((CAST(s2 AS DOUBLE) -
+                CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(nw AS DOUBLE))
+                / CAST(nw AS DOUBLE)) AS std
+            FROM st WHERE nw > 1)
+      SELECT wc.key, wc.wb, wc.c,
+             (CAST(wc.c AS DOUBLE) - m.mean) / m.std AS z
+      FROM wc JOIN m ON wc.key = m.key
+      WHERE m.std > 0 AND abs((CAST(wc.c AS DOUBLE) - m.mean) / m.std) >= 2.0
+      ORDER BY wc.key, wc.wb"""))
+
   private val builtZorderLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3560,7 +3588,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
-    q131, q133, q134, q135, q136, q137, q138, q139, q140) ++
+    q131, q133, q134, q135, q136, q137, q138, q139, q140, q141) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -343,6 +343,28 @@ class CurationReportSpec extends AnyFunSuite {
     assert(last._6 == (total - 1) / 128)
   }
 
+  test("windowAnomalies: a planted burst window is flagged, steady keys are not") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def row(id: Long, key: String, winIdx: Int, offs: Int) =
+      (id, key, new java.sql.Timestamp(base + winIdx * 3600000L + offs * 1000L))
+    // key "steady": 5 events in each of 10 hourly windows (z = 0 everywhere);
+    // key "bursty": 5 events in 9 windows, 50 in window 4
+    var id = 0L
+    val rows = (0 until 10).flatMap { w =>
+      (0 until 5).map { i => id += 1; row(id, "steady", w, i) }
+    } ++ (0 until 10).flatMap { w =>
+      val n = if (w == 4) 50 else 5
+      (0 until n).map { i => id += 1; row(id, "bursty", w, i) }
+    }
+    val df = rows.toDF("event_id", "key", "ts")
+    val got = graft.operators.Events.windowAnomalies(
+        df, "key", "ts", windowMs = 3600000L, zThreshold = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1) - base / 3600000L))
+    assert(got.toSeq == Seq(("bursty", 4L)),
+      s"exactly the planted burst must be flagged: ${got.toSeq}")
+  }
+
   test("transitionCounts: hand-built journey matrix") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
