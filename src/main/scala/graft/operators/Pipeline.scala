@@ -1222,6 +1222,30 @@ object Pipeline {
           .map(f => when(col("ok"), col(s"__p.${f.name}")).as(f.name)): _*)
   }
 
+  /** Keyword-in-context (concordance) extraction: every occurrence of a
+    * broadcast term list with its ±`window`-token context — the corpus
+    * inspection tool behind "show me how this token is used" audits.
+    * Row-local (tokenize → posexplode → slice), zero shuffle; the term
+    * list is a literal IN over the codegen'd token stream. */
+  def keywordInContext(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      window: Int): DataFrame = {
+    require(terms.nonEmpty && window >= 0, "need terms and window >= 0")
+    val s = greatest(col("__p") + 1 - window, lit(1))
+    val e = least(col("__p") + 1 + window, size(col("__t")))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.tokens_fast(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        posexplode(col("__t")).as(Seq("__p", "term")))
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"),
+        col("term"),
+        concat_ws(" ", slice(col("__t"), s, e - s + 1)).as("context"))
+  }
+
   def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       size(regexp_extract_all(col(textCol), lit(EmailRegex), lit(0)))

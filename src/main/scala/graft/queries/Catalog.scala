@@ -2864,6 +2864,26 @@ object Catalog {
       WHERE m.std > 0 AND abs((CAST(wc.c AS DOUBLE) - m.mean) / m.std) >= 2.0
       ORDER BY wc.key, wc.wb"""))
 
+  /** Concordance (keyword-in-context): every 'window'/'column' occurrence
+    * with ±3 tokens of context — row-local, string-exact in both
+    * engines. */
+  private val q142 = QueryDef(
+    "q142_keyword_context",
+    (s, dir) =>
+      graft.operators.Pipeline.keywordInContext(
+        t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("window", "column"), window = 3)
+        .orderBy(col("doc_id"), col("pos")),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+              FROM documents),
+      p AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS pos FROM t),
+      m AS (SELECT doc_id, pos, tk[pos] AS term, tk
+            FROM p WHERE tk[pos] IN ('window', 'column'))
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, term,
+             array_to_string(tk[greatest(pos - 3, 1):least(pos + 3, len(tk))], ' ')
+               AS context
+      FROM m ORDER BY doc_id, pos"""))
+
   private val builtZorderLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3588,7 +3608,8 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
-    q131, q133, q134, q135, q136, q137, q138, q139, q140, q141) ++
+    q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
+    q142) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
