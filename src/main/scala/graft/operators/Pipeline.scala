@@ -1222,6 +1222,39 @@ object Pipeline {
           .map(f => when(col("ok"), col(s"__p.${f.name}")).as(f.name)): _*)
   }
 
+  /** PMI collocations over adjacent token pairs (the distributional
+    * "these words belong together" signal): pmi(a,b) =
+    * log₂(c_ab·T / (c_a·c_b)) under the 1/16-bit quantized log —
+    * r = (c_ab·T·4096) DIV (c_a·c_b), pmi_q = qlog16(r) − 192, pure
+    * integer arithmetic both engines replay bit-for-bit. Marginals come
+    * from the ALREADY-reduced pair table (vocab²-bounded, map-side
+    * combined), the total broadcasts as one row. int64 envelope:
+    * c_ab·T·4096 — safe to T ≈ 2^39 bigrams (petabytes of text); drop
+    * the scale a notch beyond. */
+  def pmiPairs(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long): DataFrame = {
+    val base = df.select(graft.functions.tokens_fast(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val bi = base.select(explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("a"),
+          element_at(col("__t"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+    val cb = cab.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val tot = cab.agg(sum(col("c")).as("t"))
+    cab.filter(col("c") >= minCount)
+      .join(ca, "a").join(cb, "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("r", expr("(c * t * 4096) DIV (ca * cb)"))
+      .filter(col("r") >= 1)
+      .withColumn("pmi_q", expr(qlog2Sql("r")) - lit(192L))
+      .select(col("a"), col("b"), col("c"), col("pmi_q"))
+  }
+
   /** Keyword-in-context (concordance) extraction: every occurrence of a
     * broadcast term list with its ±`window`-token context — the corpus
     * inspection tool behind "show me how this token is used" audits.

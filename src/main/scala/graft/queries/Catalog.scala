@@ -2884,6 +2884,32 @@ object Catalog {
                AS context
       FROM m ORDER BY doc_id, pos"""))
 
+  /** PMI collocations: adjacent-pair pointwise mutual information under
+    * the quantized integer log — every column integer-exact. */
+  private val q143 = QueryDef(
+    "q143_pmi_collocations",
+    (s, dir) =>
+      graft.operators.Pipeline.pmiPairs(
+        t(s, dir, "documents"), "text", minCount = 5L)
+        .orderBy(col("a"), col("b")),
+    Some("""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+              FROM documents),
+      bi AS (SELECT tk[i] AS a, tk[i + 1] AS b
+             FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+                   FROM t WHERE len(tk) >= 2)),
+      cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1, 2),
+      ca AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM cab GROUP BY 1),
+      cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cab GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cab),
+      j AS (SELECT cab.a, cab.b, cab.c,
+              (cab.c * (SELECT t FROM tot) * 4096) // (ca.ca * cb.cb) AS r
+            FROM cab JOIN ca ON cab.a = ca.a JOIN cb ON cab.b = cb.b
+            WHERE cab.c >= 5)
+      SELECT a, b, c,
+        CAST((length(bin(r)) - 1) * 16 + ((r * 16) >> (length(bin(r)) - 1))
+          - 16 - 192 AS BIGINT) AS pmi_q
+      FROM j WHERE r >= 1 ORDER BY a, b"""))
+
   private val builtZorderLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3609,7 +3635,7 @@ object Catalog {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142) ++
+    q142, q143) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
