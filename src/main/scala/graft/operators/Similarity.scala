@@ -1649,6 +1649,49 @@ object Similarity {
     out.toDF("query_id", "sel_rank", "doc_id", "rel")
   }
 
+  /** Contrastive-pair mining (the embedding-training data prep): per
+    * query, the best SAME-label neighbor (positive) and the
+    * highest-ranked DIFFERENT-label neighbor (hard negative — the
+    * near-miss that actually teaches the margin, not a random negative).
+    * One broadcast top-candM scan; the per-query first-of-each-side pick
+    * is a tiny window over ≤ candM rows. Queries whose candidate window
+    * lacks one of the sides are dropped (both sides required). */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      queryVec: String,
+      corpusId: String,
+      corpusVec: String,
+      labelCol: String,
+      candM: Int = 50): DataFrame = {
+    boundedQueryBatch(queries, "hardNegatives")
+    val labels = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    val qLabels = queries.select(col(queryId).cast("long").as("query_id"),
+      col(labelCol).as("__ql"))
+    val ranked = bruteForceTopK(queries, corpus,
+        queryId, queryVec, corpusId, corpusVec, candM)
+      .join(labels, "neighbor_id")
+      .join(broadcast(qLabels), "query_id")
+    val firstOf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("__same"))
+      .orderBy(col("rank"))
+    val sides = ranked
+      .withColumn("__same", col("__nl") === col("__ql"))
+      .withColumn("__rn", row_number().over(firstOf))
+      .filter(col("__rn") === 1)
+    val pos = sides.filter(col("__same"))
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+        col("cos").as("pos_cos"))
+    val neg = sides.filter(!col("__same"))
+      .select(col("query_id"), col("neighbor_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, "query_id")
+      .select(col("query_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"))
+  }
+
   def pcaWhitenReport(
       vecs: DataFrame,
       vecCol: String,

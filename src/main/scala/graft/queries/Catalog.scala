@@ -2910,6 +2910,39 @@ object Catalog {
           - 16 - 192 AS BIGINT) AS pmi_q
       FROM j WHERE r >= 1 ORDER BY a, b"""))
 
+  /** Contrastive-pair mining: per query (vec_id < 50), the best
+    * same-label neighbor and the hardest different-label neighbor from
+    * the top-50 cosine window — pair ids and both cosines bit-exact. */
+  private val q144 = QueryDef(
+    "q144_hard_negatives",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.hardNegatives(
+        emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", "vec_id", "embedding", "label", candM = 50)
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, label AS ql,
+              CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 50),
+      c AS (SELECT vec_id AS nid, label AS nl,
+              CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      sc AS (SELECT qid, ql, nid, nl, list_cosine_similarity(qv, cv) AS cos
+             FROM q, c WHERE qid <> nid),
+      r AS (SELECT qid, ql, nid, nl, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+            FROM sc),
+      t50 AS (SELECT * FROM r WHERE rk <= 50),
+      f AS (SELECT qid, nid, nl, cos,
+              row_number() OVER (PARTITION BY qid, (nl = ql) ORDER BY rk) AS rn,
+              nl = ql AS same
+            FROM t50)
+      SELECT p.qid AS query_id, p.nid AS pos_id, p.cos AS pos_cos,
+             n.nid AS neg_id, n.cos AS neg_cos
+      FROM (SELECT * FROM f WHERE same AND rn = 1) p
+      JOIN (SELECT * FROM f WHERE NOT same AND rn = 1) n ON p.qid = n.qid
+      ORDER BY query_id"""))
+
   private val builtZorderLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3635,7 +3668,7 @@ object Catalog {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143) ++
+    q142, q143, q144) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
