@@ -733,6 +733,36 @@ object Pipeline {
     df.withColumn("split", assigned)
   }
 
+  /** Leakage-free splits BY CONSTRUCTION (the complement of the q96
+    * leakage AUDIT): near-duplicate clusters get ONE split fate —
+    * min-label cluster representatives from the minhash pair graph,
+    * singletons keep their own id, and the content-hash cut runs on the
+    * REP id, so two near-duplicates can never straddle train/val. Same
+    * exact integer cut arithmetic as [[assignSplits]]. */
+  def clusterAwareSplits(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "positive split weights required")
+    val pairs = graft.operators.Dedup.minhashLsh(
+      df, idCol, textCol, shingleSize = 3, numHashes = 128,
+      bands = 32, threshold = 0.8)
+    val reps = graft.operators.Dedup.connectedComponents(pairs)
+    val cuts = splitCuts(weights)
+    val withRep = df.select(col(idCol).cast("long").as("doc_id"))
+      .join(reps.select(col("doc_id"), col("rep").as("__rep")), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("__rep"), col("doc_id")))
+    val v = conv(substring(md5(concat(lit("graft:"), col("rep").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val assigned = weights.init.map(_._1).zip(cuts.init)
+      .foldRight(lit(weights.last._1)) { case ((label, cut), els) =>
+        when(v < lit(cut), lit(label)).otherwise(els)
+      }
+    withRep.select(col("doc_id"), col("rep"), assigned.as("split"))
+  }
+
   /** Exact integer cut points over the 60-bit hash space for a weight
     * vector (exposed so oracles/tests can embed the same literals). */
   def splitCuts(weights: Seq[(String, Double)]): Seq[Long] = {

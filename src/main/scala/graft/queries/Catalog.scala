@@ -2943,6 +2943,46 @@ object Catalog {
       JOIN (SELECT * FROM f WHERE NOT same AND rn = 1) n ON p.qid = n.qid
       ORDER BY query_id"""))
 
+  /** Leakage-free splits by construction: the content-hash cut runs on
+    * near-dup cluster REPRESENTATIVES (q51's closure), so near-duplicates
+    * can never straddle train/val — the construction complement of the
+    * q96 audit. Oracle replays closure + rep + md5-cut exactly. */
+  private val q145 = {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val cuts = graft.operators.Pipeline.splitCuts(weights)
+    QueryDef(
+      "q145_cluster_splits",
+      (s, dir) => graft.operators.Pipeline.clusterAwareSplits(
+        t(s, dir, "documents"), "doc_id", "text", weights)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+        sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+            THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+            ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+        sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+        i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT da AS a, db AS b
+                  FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        reach(v, w) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a),
+        reps AS (SELECT v AS doc_id, MIN(w) AS rep FROM reach GROUP BY v),
+        wr AS (SELECT d.doc_id, COALESCE(reps.rep, d.doc_id) AS rep
+               FROM documents d LEFT JOIN reps ON d.doc_id = reps.doc_id),
+        h AS (SELECT doc_id, rep,
+                CAST(concat('0x', substr(md5('graft:' || CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) AS v
+              FROM wr)
+        SELECT doc_id, rep, CASE WHEN v < ${cuts(0)} THEN 'train'
+            WHEN v < ${cuts(1)} THEN 'val' ELSE 'test' END AS split
+        FROM h ORDER BY doc_id"""))
+  }
+
   private val builtZorderLayouts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -3668,7 +3708,7 @@ object Catalog {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144) ++
+    q142, q143, q144, q145) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -343,6 +343,31 @@ class CurationReportSpec extends AnyFunSuite {
     assert(last._6 == (total - 1) / 128)
   }
 
+  test("clusterAwareSplits: no near-dup cluster straddles a split; every doc assigned") {
+    val docs = Tables.load(spark, dir, "documents")
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = graft.operators.Pipeline.clusterAwareSplits(
+      docs, "doc_id", "text", weights)
+    assert(out.count() == docs.count(), "every document must get a split")
+    val straddling = out.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling == 0, "a cluster must never straddle splits")
+    // the construction must actually cluster something (planted near-dups)
+    val clustered = out.filter(col("rep") =!= col("doc_id")).count()
+    assert(clustered > 0, "corpus should contain near-dup clusters")
+    // and plain content splits DO straddle at least one of those clusters
+    // (the leakage this construction exists to prevent)
+    val plain = graft.operators.Pipeline.assignSplits(docs, "text", weights)
+      .select(col("doc_id"), col("split").as("psplit"))
+    val plainStraddle = out.select(col("doc_id"), col("rep"))
+      .join(plain, "doc_id")
+      .groupBy(col("rep")).agg(countDistinct(col("psplit")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(plainStraddle > 0,
+      "content-hash splits should straddle some cluster — else the fixture is trivial")
+  }
+
   test("windowAnomalies: a planted burst window is flagged, steady keys are not") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
