@@ -1265,8 +1265,12 @@ object Pipeline {
       df: DataFrame,
       textCol: String,
       minCount: Long): DataFrame = {
-    val base = df.select(graft.functions.tokens_fast(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= 2)
+    // filter on the boundary-pass token_count kernel (cheap in pushed
+    // Filters by design) — a size(tokens_fast(...)) predicate would drag
+    // the array kernel into the raw-scan Filter (the PLANS.md flag)
+    val base = df
+      .filter(graft.functions.token_count(col(textCol)) >= 2)
+      .select(graft.functions.tokens_fast(col(textCol)).as("__t"))
     val bi = base.select(explode(transform(
         sequence(lit(1), size(col("__t")) - 1),
         i => struct(element_at(col("__t"), i).as("a"),
@@ -1301,8 +1305,12 @@ object Pipeline {
     val e = least(col("__p") + 1 + window, size(col("__t")))
     df.select(col(idCol).cast("long").as("doc_id"),
         graft.functions.tokens_fast(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      // slice(__t, 1, __n) == __t, but keeps the generate's inferred
+      // size() > 0 guard two-attribute — a bare posexplode(__t) lets
+      // Catalyst push the token kernel into the raw-scan Filter
       .select(col("doc_id"), col("__t"),
-        posexplode(col("__t")).as(Seq("__p", "term")))
+        posexplode(slice(col("__t"), lit(1), col("__n"))).as(Seq("__p", "term")))
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"),
         col("term"),
