@@ -78,24 +78,53 @@ object GraftSession {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Pin a small reduced artifact fault-tolerantly: persist to
-    * MEMORY_AND_DISK and materialize eagerly, KEEPING lineage.
+  /** Pin a small reduced artifact fault-tolerantly AND leak-free: cache
+    * the frame's InternalRow RDD (MEMORY_AND_DISK), materialize eagerly,
+    * and wrap it back as a DataFrame leaf carrying the measured size and
+    * row count as exact Catalyst statistics.
     *
-    * This replaces the earlier `localCheckpoint(true)` idiom. Local
-    * checkpoints store blocks on executors and DISCARD lineage — one lost
-    * executor mid-job fails the whole run, the #1 operational failure mode
-    * for a multi-hour 100 TB dedup. With persist the blocks are the fast
-    * path and a lost block is recomputed from its (shallow) lineage; AQE
-    * still sees exact sizes at the next stage boundary, so the
-    * broadcast-vs-shuffle decisions the checkpoint used to enable still
-    * happen at runtime. Use only where lineage is one or two stages deep —
-    * for iterative loops whose lineage grows per round, use
-    * [[reliableCheckpoint]] instead. */
+    * This replaces two earlier idioms, each with an operational cliff:
+    *
+    *  - `localCheckpoint(true)` stored blocks on executors and DISCARDED
+    *    lineage — one lost executor mid-job failed a multi-hour run. The
+    *    cached RDD here keeps lineage: a lost block recomputes.
+    *  - `Dataset.persist` kept lineage but parked the plan in the
+    *    session's CacheManager, which holds a STRONG reference until an
+    *    explicit `unpersist` — and an operator returning a LAZY result
+    *    over its pins has no safe point to call it (the caller's actions
+    *    still need the blocks). Every invocation leaked its pins for the
+    *    session's life; the round-7 bench measured the consequence (q81
+    *    reps ramping 1.5 s → 13 s as evicted-and-rebuilt pins thrashed
+    *    storage memory). RDD-level caching is registered with the
+    *    ContextCleaner through WEAK references instead: when the caller
+    *    drops the frame, the next driver GC frees the blocks — the
+    *    GC-managed lifecycle `groupedPrefixScan`/`rankedScan` already use.
+    *
+    * The wrapped leaf carries exact `Statistics(sizeInBytes, rowCount)`,
+    * so joins against the pinned artifact are planned with real numbers
+    * (broadcast when small); AQE's runtime re-plan covers the rest. Use
+    * only where lineage is one or two stages deep — for iterative loops
+    * whose lineage grows per round, use [[reliableCheckpoint]], and
+    * release provably-dead loop intermediates eagerly with [[release]]. */
   def pin(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    p
+    val spark = df.sparkSession
+    val rdd = org.apache.spark.sql.GraftSqlBridge.internalRdd(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count()
+    // measured footprint of the materialized blocks (deserialized heap +
+    // spilled disk) — an over-estimate of serialized join size, so
+    // compile-time broadcast decisions stay conservative
+    val size = spark.sparkContext.getRDDStorageInfo
+      .find(_.id == rdd.id).map(i => i.memSize + i.diskSize)
+      .getOrElse(n * math.max(df.schema.defaultSize.toLong, 1L))
+    org.apache.spark.sql.GraftSqlBridge.cachedDf(spark, rdd, df.schema, size, n)
   }
+
+  /** Eagerly free a [[pin]]ned frame that is PROVABLY dead (no live plan
+    * references it) — for loop intermediates where waiting for GC would
+    * accumulate frames with iteration depth. No-op on non-pinned frames. */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.GraftSqlBridge.releaseCached(df)
 
   /** Reliable (replicated-storage) checkpoint for iterative loops.
     *

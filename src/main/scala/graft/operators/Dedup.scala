@@ -633,7 +633,10 @@ object Dedup {
         else graft.core.GraftSession.pin(next0)
       val changed = next.as("n").join(labels.as("o"), "v")
         .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist(false)
+      // the superseded round's labels are provably dead once `next` is
+      // materialized — release eagerly so live frames don't scale with
+      // loop depth (GC would get them too, just later)
+      graft.core.GraftSession.release(labels)
       labels = next
       converged = changed == 0
       iter += 1

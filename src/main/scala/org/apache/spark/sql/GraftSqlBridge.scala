@@ -1,0 +1,65 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.types.StructType
+
+/** graft's narrow bridge into `private[sql]` Spark internals, used by
+  * [[graft.core.GraftSession.pin]]: wrap an already-materialized,
+  * RDD-level-cached InternalRow RDD back into a DataFrame (a [[LogicalRDD]]
+  * leaf) carrying EXACT statistics (size + row count) so Catalyst plans
+  * joins against the pinned artifact with real numbers, not
+  * `defaultSizeInBytes`.
+  *
+  * Why RDD-level caching instead of `Dataset.persist`: `persist` registers
+  * the plan in the session's `CacheManager`, which holds a STRONG reference
+  * until someone calls `unpersist` — an operator that pins an intermediate
+  * and returns a lazy result has no safe point to do that (the caller's
+  * actions still need the blocks), so every invocation leaked its pins for
+  * the life of the session (measured: the round-7 bench's q81 reps degraded
+  * 1.5 s → 13 s as evicted-and-rebuilt pins thrashed storage memory). An
+  * RDD `persist` is registered with the `ContextCleaner` through weak
+  * references (`SparkContext.persistentRdds` is weak-valued): when the
+  * caller drops the frame, the next driver GC frees the blocks — exactly
+  * the lifecycle an operator-boundary artifact wants, and the same
+  * mechanism `groupedPrefixScan`/`rankedScan` already rely on. */
+object GraftSqlBridge {
+
+  /** The analyzed plan's InternalRow RDD with per-row defensive copies
+    * (operators reuse row buffers; caching requires ownership). */
+  def internalRdd(df: DataFrame): RDD[InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd.map(_.copy())
+
+  /** Wrap a cached InternalRow RDD as a DataFrame leaf with exact stats. */
+  def cachedDf(
+      spark: SparkSession,
+      rdd: RDD[InternalRow],
+      schema: StructType,
+      sizeInBytes: Long,
+      rowCount: Long): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val stats = Statistics(
+      sizeInBytes = BigInt(sizeInBytes).max(BigInt(1)),
+      rowCount = Some(BigInt(rowCount)))
+    val plan = LogicalRDD(DataTypeUtils.toAttributes(schema), rdd)(
+      cs, Some(stats), None)
+    classic.Dataset.ofRows(cs, plan)
+  }
+
+  /** Eagerly release the cached RDD(s) behind a [[cachedDf]] frame —
+    * for provably-dead loop intermediates (iterative CC rounds) where
+    * waiting for GC would let live frames accumulate with loop depth. */
+  def releaseCached(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.collect {
+      case l: LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** True when the session's CacheManager holds no entries — the leak-audit
+    * invariant PinLifecycleSpec pins (graft never parks operator artifacts
+    * in the CacheManager). */
+  def cacheManagerIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.Dedup
+
+/** Pin lifecycle gate (VERDICT r7 items 1–2).
+  *
+  * Round 7 measured the q81 bench reps ramping 1.5 s → 13 s inside ONE
+  * session: every `GraftSession.pin` (then `Dataset.persist`) parked its
+  * blocks in the CacheManager — a STRONG reference the operator could never
+  * safely drop, because its result is lazy and the caller's actions still
+  * need the blocks — so repeated dedup invocations accumulated cached
+  * gram-array frames until storage-memory eviction thrash. `pin` now caches
+  * at the RDD level: the ContextCleaner tracks the RDD through weak
+  * references and frees its blocks on the first driver GC after the caller
+  * drops the frame. This suite pins that lifecycle:
+  *
+  *  1. the CacheManager NEVER holds an entry (no strong-ref leak is even
+  *     possible);
+  *  2. after each operator invocation's references die, a GC returns the
+  *     block manager to zero cached RDDs — flat across N invocations, the
+  *     bound a week-long production session needs.
+  */
+class PinLifecycleSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = GraftSession.local(4, "graft-pin")
+
+  /** GC until the block manager reports no cached RDDs (the ContextCleaner
+    * acts on a weak-reference queue, so cleanup is async-but-prompt). */
+  private def cachedRddsAfterGc(timeoutMs: Long = 30000): Int = {
+    val sc = spark.sparkContext
+    val t0 = System.currentTimeMillis()
+    var n = sc.getRDDStorageInfo.length
+    while (n > 0 && System.currentTimeMillis() - t0 < timeoutMs) {
+      System.gc()
+      Thread.sleep(200)
+      n = sc.getRDDStorageInfo.length
+    }
+    n
+  }
+
+  /** One full dedup invocation in its OWN stack frame: when this returns,
+    * no live reference to the operator frames (and their pinned RDDs)
+    * remains — the GC check in the caller then measures the real
+    * post-invocation lifecycle, not this frame's still-live locals. */
+  private def oneDedupInvocation(
+      docs: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, 0.8)
+    // maxLocalEdges = 0 forces the distributed loop (the pin-heavy path)
+    val cc = Dedup.connectedComponents(pairs, maxIter = 20, maxLocalEdges = 0L)
+    (pairs.count(), cc.count())
+  }
+
+  test("repeated minhash + CC invocations: CacheManager stays empty, cached blocks return to zero") {
+    val docs = Tables.load(spark, dir, "documents")
+    var expected: (Long, Long) = (-1L, -1L)
+    (1 to 5).foreach { i =>
+      val got = oneDedupInvocation(docs)
+      if (i == 1) expected = got
+      assert(got == expected, s"invocation $i changed results $got")
+      assert(GraftSqlBridge.cacheManagerIsEmpty(spark),
+        s"invocation $i parked an entry in the CacheManager — strong-ref leak")
+      // the invocation's frames died with its stack frame; the blocks it
+      // pinned must be reclaimable by GC alone, EVERY iteration — the
+      // flat-across-invocations bound a long-lived session needs
+      val left = cachedRddsAfterGc()
+      assert(left == 0,
+        s"$left cached RDDs still alive after invocation $i + GC — pin leak")
+    }
+    assert(expected._1 > 0 && expected._2 > 0,
+      "fixture must exercise the pinned paths (planted near-dups)")
+  }
+
+  private def oneBm25Invocation(docs: org.apache.spark.sql.DataFrame): Long =
+    graft.operators.Pipeline.bm25TopK(
+      docs.limit(5).select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")),
+      docs, "doc_id", "text", "doc_id", "text", k = 3).count()
+
+  test("bm25 invocations release postings blocks the same way") {
+    val docs = Tables.load(spark, dir, "documents")
+    var expected = -1L
+    (1 to 3).foreach { i =>
+      val n = oneBm25Invocation(docs)
+      if (i == 1) expected = n
+      assert(n == expected)
+      assert(GraftSqlBridge.cacheManagerIsEmpty(spark))
+      assert(cachedRddsAfterGc() == 0, s"bm25 invocation $i leaked cached blocks")
+    }
+  }
+}
