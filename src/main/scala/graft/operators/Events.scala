@@ -41,12 +41,88 @@ object Events {
 
   /** Per-user event-type transition matrix (the Markov-chain view of
     * user journeys): counts of (prev_type → type) over each user's
-    * fully-keyed (ts, id) event order, first events excluded. One lag
-    * window sharing the per-user sort, then a tiny (types × types)
-    * aggregate. A pathological single-user burst concentrates ONE
-    * window partition — at bot scale feed the range-partitioned
-    * sessionizer's layout first (the q44 note). */
+    * fully-keyed (ts, id) event order, first events excluded.
+    *
+    * Scale-safe by construction — NO per-user window, so a bot-scale key
+    * (the stress corpus's 120 k-event user; at 100 TB, orders more) never
+    * sorts on one task. The [[graft.streaming.Sessionize.sessionsBatchScalable]]
+    * device, applied to adjacency: range-partition the events by
+    * (user, ts, id) so the global order runs across partition indexes,
+    * count adjacent-pair transitions LOCALLY per partition into a
+    * (types × types) map — bounded by the type vocabulary, never by the
+    * event count — and resolve only the partition-boundary adjacencies
+    * (2 tuples per partition, never rows) on the driver. One wide
+    * shuffle, one tiny collect; identical output to the per-user lag
+    * window ([[transitionCountsWindow]], the stress spec's independent
+    * value proof). */
   def transitionCounts(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val tyType = df.schema(typeCol).dataType
+    val evs = df.select(col(userCol).as("u"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("rid"), col(typeCol).as("ty"))
+      .repartitionByRange(col("u"), col("us"), col("rid"))
+      .sortWithinPartitions(col("u"), col("us"), col("rid"))
+    // GC-managed RDD cache (the groupedPrefixScan lifecycle): both passes
+    // see identical partitions, lineage kept, blocks freed when this frame
+    // goes out of scope
+    val rdd = evs.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: each non-empty partition's edge rows — (idx, firstUser,
+    // firstType, lastUser, lastType); ≤ 1 tuple per partition
+    val edges = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        var last = first
+        while (it.hasNext) last = it.next()
+        Iterator.single((i, first.get(0), first.get(3), last.get(0), last.get(3)))
+      }
+    }.collect().sortBy(_._1)
+    // driver: the adjacency ACROSS each consecutive non-empty partition
+    // pair — a transition iff the user continues (null prev excluded,
+    // matching the window formulation's lag-isNotNull filter)
+    val boundary = scala.collection.mutable.HashMap.empty[(Any, Any), Long]
+    edges.sliding(2).foreach {
+      case Array((_, _, _, lu, lt), (_, fu, ft, _, _)) if lu == fu && lt != null =>
+        boundary((lt, ft)) = boundary.getOrElse((lt, ft), 0L) + 1L
+      case _ => ()
+    }
+    // pass 2: partition-local adjacent transitions, pre-aggregated into a
+    // per-partition (types × types) map — the partial that crosses the
+    // final exchange is vocabulary-sized, not event-sized
+    val local = rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[(Any, Any), Long]
+      var prevU: Any = null; var prevTy: Any = null; var has = false
+      it.foreach { r =>
+        val u = r.get(0); val ty = r.get(3)
+        if (has && prevU == u && prevTy != null)
+          m((prevTy, ty)) = m.getOrElse((prevTy, ty), 0L) + 1L
+        prevU = u; prevTy = ty; has = true
+      }
+      m.iterator.map { case ((p, n), c) => Row(p, n, c) }
+    }
+    val schema = StructType(Seq(
+      StructField("prev_type", tyType), StructField("next_type", tyType),
+      StructField("n", LongType, nullable = false)))
+    val boundaryRows = spark.sparkContext.parallelize(
+      boundary.toSeq.map { case ((p, n), c) => Row(p, n, c) }, 1)
+    spark.createDataFrame(local.union(boundaryRows), schema)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Reference formulation of [[transitionCounts]] — one lag window
+    * partitioned by raw user, so a hot key concentrates one task. Kept as
+    * the independent value proof in ScaleStressSpec (identical output);
+    * production code should use [[transitionCounts]]. */
+  private[graft] def transitionCountsWindow(
       df: DataFrame,
       userCol: String,
       tsCol: String,
@@ -76,9 +152,14 @@ object Events {
       windowMs: Long,
       zThreshold: Double): DataFrame = {
     require(windowMs > 0, "windowMs must be positive")
+    // bin id in PURE int64 floor division — `(a - pmod(a, w)) DIV w` floors
+    // for negative (pre-1970) epochs too, exactly like the oracle's `//`;
+    // Column./ would round-trip through doubles and truncate instead
+    val wb = expr(
+      s"(unix_millis(`$tsCol`) - pmod(unix_millis(`$tsCol`), ${windowMs}L)) " +
+        s"DIV ${windowMs}L")
     val wc = df
-      .groupBy(col(keyCol).as("key"),
-        (unix_millis(col(tsCol)).cast("long") / windowMs).cast("long").as("wb"))
+      .groupBy(col(keyCol).as("key"), wb.as("wb"))
       .agg(count(lit(1)).as("c"))
     val stats = wc.groupBy(col("key"))
       .agg(count(lit(1)).as("n_w"), sum(col("c")).as("s1"),

@@ -189,6 +189,29 @@ class ScaleStressSpec extends AnyFunSuite {
       s"bot session wrong: $bot")
   }
 
+  test("transitionCounts: bot's 120k-event burst — balanced, equal to window formulation") {
+    val events = Tables.load(spark, dir, "events")
+    val scalable = assertBalanced("transitionCounts", factor = 6.0) {
+      graft.operators.Events.transitionCounts(
+          events, "user_id", "ts", "event_id", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    }
+    // independent value proof: the per-user lag window (the formulation
+    // whose hot key WOULD land one task) produces identical counts
+    val windowed = graft.operators.Events.transitionCountsWindow(
+        events, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(scalable == windowed,
+      s"transition matrix diverged: ${(scalable -- windowed).size} extra, " +
+        s"${(windowed -- scalable).size} missing of ${windowed.size}")
+    // the bot contributes BotEvents-1 transitions; with them the total
+    // transition mass must dominate the user count — proves the hot key
+    // actually flowed through the balanced path
+    val total = scalable.toSeq.map(_._3).sum
+    assert(total >= StressData.BotEvents - 1,
+      s"only $total transitions — bot burst missing from the input")
+  }
+
   test("lshTopK + ivfTopKFromIndex: planted near-dups found at bounded scan, balanced") {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 100 && col("vec_id") % 2 === 0)
