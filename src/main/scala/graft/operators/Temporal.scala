@@ -148,7 +148,19 @@ object Temporal {
     * max(lStart, rStart) — exactly one emission per pair, no distinct
     * pass. Work scales with interval-length/binMs fan-out × bin
     * collisions, never |L|·|R|; size binMs near the typical interval
-    * length. All columns are epoch-millis longs. */
+    * length. All columns are epoch-millis longs.
+    *
+    * SKEW BOUND: with `leftKey`/`rightKey` unset the join key is the bin
+    * ALONE, so per-bin work is |L_bin|·|R_bin| on one task — fine when
+    * per-bin concurrency is bounded (the global-timeline case: machine
+    * maintenance windows, release trains), a scale-killer when a peak
+    * hour concentrates thousands of concurrent intervals. At corpus
+    * scale ALWAYS pass the natural blocking pair (host, user, region,
+    * …): the key joins AHEAD of the bin, so a hot bin shatters across
+    * keys exactly as [[rangeJoinBinned]]'s does — the stress suite gates
+    * this shape on a single-bin pileup. Key columns must be named
+    * differently on the two sides (rename on collision, like every
+    * other right-side column). */
   def intervalOverlapJoin(
       left: DataFrame,
       right: DataFrame,
@@ -156,8 +168,12 @@ object Temporal {
       lEnd: String,
       rStart: String,
       rEnd: String,
-      binMs: Long): DataFrame = {
+      binMs: Long,
+      leftKey: Option[String] = None,
+      rightKey: Option[String] = None): DataFrame = {
     require(binMs > 0, "binMs must be positive")
+    require(leftKey.isDefined == rightKey.isDefined,
+      "pass both leftKey and rightKey, or neither")
     val reserved = Set("__bin", "__rbin")
     require(!(left.columns ++ right.columns).exists(reserved),
       s"columns may not use ${reserved.mkString("/")}")
@@ -167,7 +183,11 @@ object Temporal {
       expr(s"$lStart DIV $binMs"), expr(s"$lEnd DIV $binMs"))))
     val r = right.withColumn("__rbin", explode(sequence(
       expr(s"$rStart DIV $binMs"), expr(s"$rEnd DIV $binMs"))))
-    l.join(r, col("__bin") === col("__rbin") &&
+    val keyCond = (leftKey, rightKey) match {
+      case (Some(a), Some(b)) => col(a) === col(b)
+      case _ => lit(true)
+    }
+    l.join(r, keyCond && col("__bin") === col("__rbin") &&
         col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
         col("__bin") === expr(s"greatest($lStart, $rStart) DIV $binMs"))
       .drop("__bin", "__rbin")

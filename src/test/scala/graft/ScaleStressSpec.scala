@@ -212,6 +212,60 @@ class ScaleStressSpec extends AnyFunSuite {
       s"only $total transitions — bot burst missing from the input")
   }
 
+  test("intervalOverlapJoin keyed: single-bin pileup shatters across keys — balanced, equal to unkeyed") {
+    import spark.implicits._
+    // a peak hour: 60k intervals per side, ALL inside one 1h bin, spread
+    // over 1k hosts — the unkeyed join would do 60k x 60k on ONE task;
+    // the keyed join shuffles on (host, bin) and stays balanced. A few
+    // bin-crossing stragglers keep the canonical-bin emission honest.
+    val binMs = 3600000L
+    def side(prefix: String) = (0 until 60000).map { i =>
+      val s = (i.toLong * 37) % binMs
+      val e = math.min(s + 1000L + (i % 7) * (binMs / 4), binMs * 3 / 2 + i % 13)
+      (i.toLong % 1000L, s, e)
+    }
+    val l = side("l").toDF("host", "ls", "le")
+    val r = side("r").toDF("rhost", "rs", "re")
+    // at corpus scale neither side broadcasts — disable the threshold so
+    // the audited plan is the 100 TB one (shuffle join on (key, bin)),
+    // not a test-scale BroadcastHashJoin with no exchange to measure
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the 4-long-column fixture compresses to ~150 KB of shuffle, under
+    // AQE's 1 MB minPartitionSize — it would coalesce to 1-2 tasks and
+    // leave nothing to audit; keep the initial hash layout instead (the
+    // (key, bin) balance across tasks IS the thing under test)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val keyed =
+      try assertBalanced("intervalOverlapJoin keyed", factor = 6.0) {
+        graft.operators.Temporal.intervalOverlapJoin(
+            l, r, "ls", "le", "rs", "re", binMs,
+            leftKey = Some("host"), rightKey = Some("rhost"))
+          .count()
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      }
+    assert(keyed > 0, "pileup fixture must produce overlaps")
+    // value proof on a slice the unkeyed (hot) formulation can afford:
+    // keyed == unkeyed-then-key-filtered, tuple for tuple
+    val lS = l.filter($"host" < 20)
+    val rS = r.filter($"rhost" < 20)
+    def collectSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("host", "ls", "le", "rhost", "rs", "re")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).toSeq.sorted
+    val keyedSlice = collectSet(graft.operators.Temporal.intervalOverlapJoin(
+      lS, rS, "ls", "le", "rs", "re", binMs,
+      leftKey = Some("host"), rightKey = Some("rhost")))
+    val unkeyedSlice = collectSet(graft.operators.Temporal.intervalOverlapJoin(
+        lS, rS, "ls", "le", "rs", "re", binMs)
+      .filter($"host" === $"rhost"))
+    assert(keyedSlice == unkeyedSlice,
+      s"keyed diverged from unkeyed+filter: ${keyedSlice.size} vs ${unkeyedSlice.size}")
+  }
+
   test("lshTopK + ivfTopKFromIndex: planted near-dups found at bounded scan, balanced") {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 100 && col("vec_id") % 2 === 0)
