@@ -114,7 +114,7 @@ object BpeEncode {
 
   def encode(text: String, merges: Array[(String, String)]): ArrayData = {
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
-    text.split("\\s+").foreach { w =>
+    text.split("[ \\t\\n\\f\\r]+").foreach { w =>
       if (w.nonEmpty)
         encodeWordCached(w, merges).foreach(s => out += UTF8String.fromString(s))
     }

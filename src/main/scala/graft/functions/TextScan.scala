@@ -14,9 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `zip_with`+`concat` → `array_distinct` → `transform(xxhash64)`) evaluates
   * higher-order functions interpreted, allocating a UTF8String per token AND
   * per shingle per row. These kernels produce identical values — the same
-  * token boundaries as `split(trim(text), "\\s+")` (space-only trim, Java
-  * split semantics including the leading empty token after a non-space
-  * whitespace prefix) and the same 64-bit hashes as `xxhash64(shingle)`
+  * token boundaries as `split(trim(text), "[ \\t\\n\\f\\r]+")` (space-only
+  * trim; the explicit class is the RE2 \\s — vertical tab excluded — so
+  * DuckDB regexp replays match byte-for-byte; split keeps the leading
+  * empty token after a non-space whitespace prefix) and the same 64-bit
+  * hashes as `xxhash64(shingle)`
   * (XXH64, seed 42, over the joined-with-' ' shingle bytes) — in one pass
   * over the document's bytes with two primitive-array buffers. At 100 TB the
   * shingle stage is the map side of every dedup operator; this keeps it
@@ -26,10 +28,14 @@ object TextScan {
 
   private final val Seed = 42L
 
+  // the RE2 \\s class [ \\t\\n\\f\\r] (DuckDB/RE2 exclude vertical tab
+  // 0x0B, unlike Java regex) — every kernel shares it so oracle replays
+  // via regexp functions are byte-identical on ANY input
   private def isWs(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d
 
-  /** Token boundaries equivalent to `split(trim(s), "\\s+")` — note Spark's
+  /** Token boundaries equivalent to `split(trim(s), "[ \\t\\n\\f\\r]+")`
+    * (the RE2 whitespace class — see [[isWs]]) — note Spark's
     * `split` passes limit -1, so BOTH a leading and a trailing whitespace
     * run yield an empty token (unlike bare `String.split`); space-only
     * trim; empty input yields [""]. Returns flat (start, end) pairs into
@@ -252,8 +258,10 @@ object TextScan {
     while (i < lower.length) {
       val b = lower(i)
       val c = b.toInt & 0xFF
+      // the RE2 \\s class (no vertical tab) — matches the DuckDB
+      // regexp_replace replay byte-for-byte, see object-level isWs
       val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
-        c == '\f' || 0x0b == c
+        c == '\f'
       val isPunct = c == '.' || c == ',' || c == ';' || c == ':' ||
         c == '!' || c == '?' || c == '\'' || c == '"' || c == '(' ||
         c == ')' || c == '-'
@@ -269,7 +277,8 @@ object TextScan {
     UTF8String.fromBytes(java.util.Arrays.copyOf(out, n))
   }
 
-  /** Token strings — value-identical to `split(trim(s), "\\s+")` (same
+  /** Token strings — value-identical to `split(trim(s),
+    * "[ \\t\\n\\f\\r]+")` (same
     * tokenize as the shingle kernels), no regex engine. */
   def tokenStrings(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
@@ -418,7 +427,8 @@ case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `tokens_scan(text)`: byte-level fast path for `split(trim(text), "\\s+")`
+/** `tokens_scan(text)`: byte-level fast path for
+  * `split(trim(text), "[ \\t\\n\\f\\r]+")`
   * (identical token arrays, no regex). */
 case class TokensScan(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -481,7 +491,7 @@ case class TokenEntropyScan(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `token_count_scan(text)`: fused `size(split(trim(text), "\\s+"))` —
+/** `token_count_scan(text)`: fused `size(split(trim(text), "[ \\t\\n\\f\\r]+"))` —
   * boundary pass only, no token array. Safe (cheap) inside pushed-down
   * Filter predicates, unlike the array kernels. */
 case class TokenCountScan(child: Expression) extends UnaryExpression {

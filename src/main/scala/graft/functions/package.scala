@@ -186,8 +186,10 @@ package object functions {
 
   // ------------------------------------------------------------ text (§ LLM-pipeline)
 
-  /** Whitespace tokenization. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokenization on the RE2 \\s class [ \\t\\n\\f\\r] —
+    * explicit so DuckDB (RE2 excludes vertical tab, Java \\s includes it)
+    * replays the exact token boundaries on any input. */
+  def tokens(c: Column): Column = split(trim(c), "[ \\t\\n\\f\\r]+")
 
   /** Byte-level fast path for [[tokens]] (identical values, no regex). */
   def tokens_fast(c: Column): Column = call_function("tokens_scan", c)
@@ -232,7 +234,7 @@ package object functions {
 
   /** Whitespace-collapsed, lower-cased normal form used for fingerprinting. */
   def norm_text(c: Column): Column =
-    lower(trim(regexp_replace(c, "\\s+", " ")))
+    lower(trim(regexp_replace(c, "[ \\t\\n\\f\\r]+", " ")))
 
   /** 64-bit document fingerprint of the normal form (block hash). */
   def fingerprint64(c: Column): Column = xxhash64(norm_text(c))

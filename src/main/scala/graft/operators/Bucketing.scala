@@ -52,8 +52,14 @@ object Bucketing {
     * files via `coalesce` — NO shuffle: uniformly small inputs combine
     * into evenly sized outputs, and the rewrite cost is one read + one
     * write. Staged into a `.compact.tmp` sibling and swapped in only
-    * after the write commits, so a mid-compaction failure leaves the
-    * original intact. Returns the new file count. */
+    * after the write commits, so a failure BEFORE the swap leaves the
+    * original intact, and a failure between the two swap renames rolls
+    * the original back. The swap itself is two directory renames, NOT
+    * atomic: a concurrent reader listing the path in that window fails
+    * its scan (and must retry) — schedule compaction when the dataset
+    * has no concurrent readers, or front it with a catalog/view flip;
+    * single-directory-rename atomicity needs a table format. Returns the
+    * new file count. */
   def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val p = new org.apache.hadoop.fs.Path(path)
@@ -68,7 +74,15 @@ object Bucketing {
     val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(p, old), s"compaction swap failed: $p -> $old")
-    require(fs.rename(tmp, p), s"compaction swap failed: $tmp -> $p")
+    if (!fs.rename(tmp, p)) {
+      // roll the original back so the dataset path never stays missing;
+      // only if THAT also fails is manual recovery (.compact.old) needed
+      val restored = fs.rename(old, p)
+      throw new IllegalStateException(
+        s"compaction swap failed: $tmp -> $p" +
+          (if (restored) " (original restored)"
+           else s" AND rollback failed — data is at $old"))
+    }
     fs.delete(old, true)
     n
   }
@@ -95,6 +109,13 @@ object Bucketing {
     val b = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).collect()(0)
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      // empty input (or all-null layout columns): min/max aggregates are
+      // NULL — there is nothing to cluster; write the (empty) frame
+      // instead of dying on an opaque NPE below
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val scaleMax = (1L << graft.functions.Zorder.BitsPerDim) - 1
     def scaled(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)

@@ -1258,9 +1258,17 @@ object Pipeline {
     * r = (c_ab·T·4096) DIV (c_a·c_b), pmi_q = qlog16(r) − 192, pure
     * integer arithmetic both engines replay bit-for-bit. Marginals come
     * from the ALREADY-reduced pair table (vocab²-bounded, map-side
-    * combined), the total broadcasts as one row. int64 envelope:
-    * c_ab·T·4096 — safe to T ≈ 2^39 bigrams (petabytes of text); drop
-    * the scale a notch beyond. */
+    * combined), the total broadcasts as one row.
+    *
+    * Arithmetic envelope: c_ab·T·4096 does NOT fit int64 — a frequent
+    * collocation has c_ab ≫ 2^63/(T·4096) for any real T, and Spark's
+    * non-ANSI int64 multiply would wrap silently — so the numerator runs
+    * in DECIMAL(38,0) (exact integer arithmetic to 10^38; the DIV result
+    * is int64 again). That is exact while c_ab·T ≤ 10^38/4096, i.e. for
+    * any corpus up to T ≈ 2^57 bigrams (≈ 10^17 — hundreds of petabytes
+    * of text); a loud guard trips at T > 2^50 well before the quantized
+    * log's own int64 input bound could be reached by r = c·T·4096/
+    * (c_a·c_b) ≤ 4096·T. */
   def pmiPairs(
       df: DataFrame,
       textCol: String,
@@ -1280,10 +1288,17 @@ object Pipeline {
     val ca = cab.groupBy(col("a")).agg(sum(col("c")).as("ca"))
     val cb = cab.groupBy(col("b")).agg(sum(col("c")).as("cb"))
     val tot = cab.agg(sum(col("c")).as("t"))
+      .select(when(col("t") > lit(1L << 50),
+          raise_error(concat(lit("pmiPairs: corpus has "), col("t"),
+            lit(" bigrams — beyond the 2^50 exact-arithmetic envelope; " +
+              "shard the corpus or drop the 4096 scale a notch"))))
+        .otherwise(col("t")).as("t"))
     cab.filter(col("c") >= minCount)
       .join(ca, "a").join(cb, "b")
       .crossJoin(broadcast(tot))
-      .withColumn("r", expr("(c * t * 4096) DIV (ca * cb)"))
+      // DECIMAL(38,0) numerator: exact where int64 would silently wrap
+      // (see envelope note above); IntegralDivide lands back in int64
+      .withColumn("r", expr("(CAST(c AS DECIMAL(38,0)) * t * 4096) DIV (ca * cb)"))
       .filter(col("r") >= 1)
       .withColumn("pmi_q", expr(qlog2Sql("r")) - lit(192L))
       .select(col("a"), col("b"), col("c"), col("pmi_q"))
@@ -1394,7 +1409,7 @@ object Pipeline {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      splitRegex: String = "\\.\\s+",
+      splitRegex: String = "\\.[ \\t\\n\\f\\r]+",
       joinSep: String = ". "): DataFrame = {
     val segs = df
       .select(col(idCol).as("__id"),
@@ -1584,7 +1599,7 @@ object Pipeline {
       idCol: String,
       textCol: String,
       carry: Seq[Column]): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = split(trim(col(textCol)), "[ \\t\\n\\f\\r]+")
     val base = df.select(
       (col(idCol).cast("long").as("doc_id") +: carry :+ toks.as("__toks")): _*)
     val keep = base.columns.filter(_ != "__toks").map(col).toSeq

@@ -127,6 +127,17 @@ class BucketingSpec extends AnyFunSuite {
     assert(Zorder.interleave2(0, 1) < Zorder.interleave2(0, 2))
   }
 
+  test("writeZOrdered on an empty frame: clean empty write, no NPE on null min/max") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("user_id") < 0) // empty by construction
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-zempty-" +
+      java.lang.ProcessHandle.current().pid()
+    Bucketing.writeZOrdered(ev, s"$base/z", "user_id", "value", nFiles = 4)
+    assert(spark.read.parquet(s"$base/z").count() == 0L,
+      "empty input must produce a readable empty dataset")
+  }
+
   test("z-ordered layout skips row groups a scrambled layout must read") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val ev = Tables.load(spark, dir, "events")

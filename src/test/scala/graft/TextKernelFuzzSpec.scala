@@ -19,14 +19,14 @@ class TextKernelFuzzSpec extends AnyFunSuite {
     val alphabets = Seq(
       "ab ",                       // tiny alphabet, many boundary cases
       "abc.,!?0123 \t",            // punct + digits + mixed ws
-      "word together \n\r\f", // every \s class member
+      "word together \n\r\f", // RE2 \s members + a raw VT (NOT \s in RE2/DuckDB)
       "café straße ÉL 世界 ",  // multibyte UTF-8
       "x" )                        // degenerate: one repeated char
     (0 until 300).map { i =>
       val alpha = alphabets(i % alphabets.length)
       val len = rnd.nextInt(120)
       (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
-    } :+ "" :+ " " :+ "\t\t" :+ ("y " * 500).trim
+    } :+ "" :+ " " :+ "\t\t" :+ "a\u000bb c" :+ "\u000b" :+ ("y " * 500).trim
   }
 
   private lazy val df = {
@@ -41,7 +41,7 @@ class TextKernelFuzzSpec extends AnyFunSuite {
       trim(regexp_replace(regexp_replace(regexp_replace(
         lower(col("text")), "[0-9]", "0"),
         """[.,;:!?'"()-]""", ""),
-        """\s+""", " ")).as("n"))
+        "[ \t\n\f\r]+", " ")).as("n"))
     val got = df.select(col("doc_id"), normalize_text(col("text")).as("n"))
     val bad = got.as("g").join(want.as("w"), Seq("doc_id"))
       .filter(col("g.n") =!= col("w.n"))

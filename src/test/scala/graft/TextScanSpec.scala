@@ -170,7 +170,7 @@ class TextScanSpec extends AnyFunSuite {
         trim(regexp_replace(regexp_replace(regexp_replace(
           lower(col("text")), "[0-9]", "0"),
           """[.,;:!?'"()-]""", ""),
-          """\s+""", " ")).as("n"))
+          "[ \t\n\f\r]+", " ")).as("n"))
       val got = df.select(col("doc_id"), normalize_text(col("text")).as("n"))
       val bad = got.as("g").join(want.as("w"), Seq("doc_id"))
         .filter(col("g.n") =!= col("w.n")).count()
@@ -311,7 +311,7 @@ class TextScanSpec extends AnyFunSuite {
         // SQL semantics, not Java's: trim() strips SPACES only, and SQL
         // split keeps leading/trailing empty tokens (limit -1)
         val toks = r.getString(1)
-          .replaceAll("^ +", "").replaceAll(" +$", "").split("\\s+", -1)
+          .replaceAll("^ +", "").replaceAll(" +$", "").split("[ \\t\\n\\f\\r]+", -1)
         val oov = toks.count(w => !vmap.contains(w)).toLong
         val sum = toks.map(w => flog2(nv / (vmap.getOrElse(w, 0L) + 1))).sum
         r.getLong(0) -> ((toks.length.toLong, oov, sum))
