@@ -101,6 +101,11 @@ object Dsv2 {
     def factory: PartitionReaderFactory
     /** called when Spark commits an epoch (ack hook). */
     def onCommit(end: MapOffset): Unit = ()
+    /** Lower bound on the next read's exclusive `from` for a partition —
+      * lets a transport declare a range it will never (re)deliver: an MQTT
+      * clean-session resubscribe skips everything published while the
+      * client was disconnected. Default: no floor. */
+    def readFloor(name: String): Long = -1L
 
     private var availableNowTarget: Option[Map[String, Long]] = None
     private def maxNow(): Map[String, Long] = names.map(n => n -> currentMax(n)).toMap
@@ -140,7 +145,8 @@ object Dsv2 {
       val s = start.asInstanceOf[MapOffset].m
       val e = end.asInstanceOf[MapOffset].m
       names.zipWithIndex.map { case (n, i) =>
-        FnPartition(i, n, s.getOrElse(n, -1L), e.getOrElse(n, -1L)): InputPartition
+        val from = math.max(s.getOrElse(n, -1L), readFloor(n))
+        FnPartition(i, n, from, math.max(e.getOrElse(n, -1L), from)): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory = factory

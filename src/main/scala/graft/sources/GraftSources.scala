@@ -127,10 +127,21 @@ object GraftSources {
       auth: Option[(String, String)] = None,
       tls: Option[TlsGate.ClientTls] = None): DataFrame =
     topic(spark, "mqtt", uri, topics, streaming = false, auth = auth, tls = tls)
+  /** Streaming subscribe. `autoReconnect`/`keepSession` mirror
+    * AbstractMqttBuilder.java:108-130 (Paho automatic reconnect /
+    * cleanSession=false): a broker drop either fails the stream
+    * (default), or reconnects + resubscribes — redelivering the QoS 1/2
+    * disconnect backlog iff the session is kept. */
   def mqtt(spark: SparkSession, uri: String, topics: Seq[String],
       auth: Option[(String, String)] = None,
-      tls: Option[TlsGate.ClientTls] = None): DataFrame =
-    topic(spark, "mqtt", uri, topics, streaming = true, auth = auth, tls = tls)
+      tls: Option[TlsGate.ClientTls] = None,
+      clientId: String = "graft-client",
+      autoReconnect: Boolean = false,
+      keepSession: Boolean = false): DataFrame =
+    topic(spark, "mqtt", uri, topics, streaming = true, auth = auth, tls = tls,
+      extraOpts = Map("clientId" -> clientId,
+        "autoReconnect" -> autoReconnect.toString,
+        "keepSession" -> keepSession.toString))
 
   /** The Pulsar `Schema<M>` analog (PulsarSources.java:84-92): `schema`
     * is one of bytes/string/int32/int64/float/double/bool — decoded at

@@ -258,6 +258,36 @@ object MemHub {
   /** QoS2 packet registry: a (uri/topic/packetId) batch appends at most once. */
   private val packets = new ConcurrentHashMap[String, java.lang.Boolean]()
 
+  // ---- MQTT connection/session state (autoReconnect / keepSession) --------
+
+  /** Dropped-connection flags per uri/clientId — the broker-side state a
+    * network partition or broker restart leaves behind
+    * (AbstractMqttBuilder.java:108-130: `autoReconnect()` toggles Paho's
+    * automatic reconnect, `keepSession()` toggles cleanSession=false). */
+  private val mqttConn = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicBoolean]()
+
+  private def conn(uri: String, clientId: String) =
+    mqttConn.computeIfAbsent(s"$uri/$clientId",
+      _ => new java.util.concurrent.atomic.AtomicBoolean(false))
+
+  /** Broker-side connection drop: every subsequent poll by this client
+    * observes it (specs inject this mid-stream). */
+  def dropMqttClient(uri: String, clientId: String): Unit =
+    conn(uri, clientId).set(true)
+
+  /** Client poll-time liveness gate. Returns true iff the client just
+    * RECONNECTED (a drop was observed and autoReconnect is on) — the
+    * caller then resubscribes and applies its session semantics. Without
+    * autoReconnect a dropped connection is terminal: the poll throws the
+    * "Connection lost" the reference's Paho client surfaces. */
+  def mqttPollGate(uri: String, clientId: String, autoReconnect: Boolean): Boolean = {
+    val c = conn(uri, clientId)
+    if (!c.get()) false
+    else if (!autoReconnect)
+      throw new java.io.IOException(s"Connection lost: $uri (client $clientId)")
+    else c.compareAndSet(true, false) // reconnect exactly once per drop
+  }
+
   /** Broker credentials per uri namespace (the secured-Mosquitto analog:
     * SecuredMqttSourceTest's username/password broker). An unsecured
     * namespace accepts any client. */
@@ -381,6 +411,6 @@ object MemHub {
       m.keySet().asScala.filter(_.startsWith(prefix)).foreach(m.remove)
     sweep(hashes); sweep(zsets); sweep(streams); sweep(collections)
     sweep(oplogs); sweep(series); sweep(topics); sweep(acks)
-    sweep(refusals); sweep(lostAcks); sweep(packets)
+    sweep(refusals); sweep(lostAcks); sweep(packets); sweep(mqttConn)
   }
 }

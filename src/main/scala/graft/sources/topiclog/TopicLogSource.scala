@@ -186,6 +186,21 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
   /** Pulsar-consumer semantics: ack up to the committed offset after each
     * epoch (PulsarConsumerBuilder.java:142-221 async ack). */
   private val ackAs = Option(options.get("ackAs"))
+
+  /** MQTT connection/session knobs (AbstractMqttBuilder.java:38-39,
+    * 108-130): `autoReconnect` — on a broker drop the client reconnects
+    * and resubscribes instead of failing the stream; `keepSession`
+    * (cleanSession=false) — the broker retains the durable subscription
+    * across the drop, so QoS 1/2 messages published while disconnected
+    * are REDELIVERED after the resubscribe. A clean session (default)
+    * retains nothing: the resubscribe starts at the live tail and the
+    * disconnect-window backlog is lost; QoS 0 backlog is dropped even
+    * under a kept session (non-durable delivery, MQTT spec). */
+  private val clientId = Option(options.get("clientId")).getOrElse("graft-client")
+  private val autoReconnect =
+    Option(options.get("autoReconnect")).exists(_.toBoolean)
+  private val keepSession =
+    Option(options.get("keepSession")).exists(_.toBoolean)
   /** batchReceive/fill-cap analog (PulsarConsumerBuilder.java:89-96 etc.). */
   private val maxPerTrigger = Option(options.get("maxPerTrigger")).map(_.toLong)
 
@@ -244,8 +259,26 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
         val (u, pr, ack, qos, cd) = (uri, profile, ackAs, topicQos, codec)
         val (ep, tr) = (endpoint, track)
+        val (cid, autoRec, keepSess) = (clientId, autoReconnect, keepSession)
         new Dsv2.SeqLogMicroBatchStream(topicNames, maxPerTrigger) {
-          override def currentMax(name: String): Long = MemHub.topicMaxSeq(u, name)
+          // resubscribe floors after a reconnect: a clean session skips
+          // the whole disconnect window; a kept session skips only QoS 0
+          // (non-durable) topics — QoS 1/2 backlog redelivers from the
+          // committed offset as the durable subscription promises
+          private val floors = new scala.collection.concurrent.TrieMap[String, Long]()
+          private def pollGate(): Unit =
+            if (pr == "mqtt" && MemHub.mqttPollGate(u, cid, autoRec)) {
+              topicNames.foreach { n =>
+                if (!keepSess || qos(n) == 0)
+                  floors.put(n, MemHub.topicMaxSeq(u, n)): Unit
+              }
+            }
+          override def readFloor(name: String): Long =
+            floors.getOrElse(name, -1L)
+          override def currentMax(name: String): Long = {
+            pollGate()
+            MemHub.topicMaxSeq(u, name)
+          }
           override def factory: PartitionReaderFactory =
             TopicProfiles.Factory(pr, u, cd, ep, tr)
           // QoS0 topics subscribe at the live tail (non-durable); no

@@ -123,4 +123,97 @@ class MqttQosSpec extends AnyFunSuite {
     assert(second.getOrElse("a", 0L) == 3, "QoS0 delivers what arrives while subscribed")
     assert(second.getOrElse("b", 0L) == 3, "QoS1 resumes from the committed offset")
   }
+
+  /** The reconnect/keepSession choreography (AbstractMqttBuilder.java:
+    * 108-130): broker drop mid-subscription, then — per the matrix — the
+    * stream fails, or reconnects + resubscribes with/without the durable
+    * session's QoS 1/2 backlog redelivery. */
+  private def drainMqtt(uri: String, cp: String, topics: Seq[String],
+      clientId: String, autoReconnect: Boolean, keepSession: Boolean): Map[String, Long] = {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val q = GraftSources.mqtt(spark, uri, topics,
+        clientId = clientId, autoReconnect = autoReconnect, keepSession = keepSession)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.groupBy(col("topic")).count().collect().foreach { r =>
+          counts(r.getString(0)) = counts.getOrElse(r.getString(0), 0L) + r.getLong(1)
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    counts.toMap
+  }
+
+  test("reconnect matrix: kept session redelivers the QoS1/2 disconnect backlog, QoS0 never") {
+    val uri = "hub:test/reconnect-keep"
+    def pub(t: String, n: Int): Unit =
+      MemHub.publish(uri, t, (0 until n).iterator.map(i =>
+        ("", Map.empty[String, String], i.toLong, Array[Byte](1))))
+    pub("q1", 4); pub("q2", 4); pub("q0", 4)
+    val cp = Files.createTempDirectory("graft-reconnect-keep").toString
+    val topics = Seq("q1:1", "q2:2", "q0:0")
+    val first = drainMqtt(uri, cp, topics, "keeper", autoReconnect = true, keepSession = true)
+    assert(first.getOrElse("q1", 0L) == 4 && first.getOrElse("q2", 0L) == 4 &&
+      first.getOrElse("q0", 0L) == 0, s"pre-drop baseline wrong: $first")
+
+    // broker drop, then a backlog published WHILE the client is gone
+    MemHub.dropMqttClient(uri, "keeper")
+    pub("q1", 3); pub("q2", 2); pub("q0", 5)
+    val second = drainMqtt(uri, cp, topics, "keeper", autoReconnect = true, keepSession = true)
+    assert(second.getOrElse("q1", 0L) == 3,
+      s"kept session must redeliver the QoS1 backlog: $second")
+    assert(second.getOrElse("q2", 0L) == 2,
+      s"kept session must redeliver the QoS2 backlog: $second")
+    assert(second.getOrElse("q0", 0L) == 0,
+      s"QoS0 backlog is non-durable even under a kept session: $second")
+
+    // post-reconnect publishes flow on every topic
+    pub("q1", 1); pub("q0", 2)
+    val third = drainMqtt(uri, cp, topics, "keeper", autoReconnect = true, keepSession = true)
+    assert(third.getOrElse("q1", 0L) == 1 && third.getOrElse("q0", 0L) == 2,
+      s"post-reconnect delivery wrong: $third")
+  }
+
+  test("reconnect matrix: clean session drops the whole disconnect window on resubscribe") {
+    val uri = "hub:test/reconnect-clean"
+    def pub(t: String, n: Int): Unit =
+      MemHub.publish(uri, t, (0 until n).iterator.map(i =>
+        ("", Map.empty[String, String], i.toLong, Array[Byte](1))))
+    pub("q1", 4)
+    val cp = Files.createTempDirectory("graft-reconnect-clean").toString
+    val first = drainMqtt(uri, cp, Seq("q1:1"), "cleaner",
+      autoReconnect = true, keepSession = false)
+    assert(first.getOrElse("q1", 0L) == 4, s"baseline wrong: $first")
+
+    MemHub.dropMqttClient(uri, "cleaner")
+    pub("q1", 3) // published while disconnected — lost to a clean session
+    val second = drainMqtt(uri, cp, Seq("q1:1"), "cleaner",
+      autoReconnect = true, keepSession = false)
+    assert(second.getOrElse("q1", 0L) == 0,
+      s"clean session must NOT redeliver the disconnect window: $second")
+
+    pub("q1", 2) // published after the resubscribe — delivered
+    val third = drainMqtt(uri, cp, Seq("q1:1"), "cleaner",
+      autoReconnect = true, keepSession = false)
+    assert(third.getOrElse("q1", 0L) == 2, s"post-resubscribe delivery wrong: $third")
+  }
+
+  test("reconnect matrix: without autoReconnect a broker drop fails the stream") {
+    val uri = "hub:test/reconnect-off"
+    MemHub.publish(uri, "t", Iterator(("", Map.empty[String, String], 0L, Array[Byte](1))))
+    val cp = Files.createTempDirectory("graft-reconnect-off").toString
+    val first = drainMqtt(uri, cp, Seq("t:1"), "fragile",
+      autoReconnect = false, keepSession = false)
+    assert(first.getOrElse("t", 0L) == 1)
+    MemHub.dropMqttClient(uri, "fragile")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainMqtt(uri, cp, Seq("t:1"), "fragile",
+        autoReconnect = false, keepSession = false)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => String.valueOf(c.getMessage).contains("Connection lost")),
+      s"expected the Paho-style connection-lost failure, got: $e")
+  }
 }
