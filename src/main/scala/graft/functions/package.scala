@@ -101,6 +101,7 @@ package object functions {
       "token_entropy_scan" -> { exprs => TokenEntropyScan(exprs.head) },
       "morton_interleave" -> { exprs => MortonInterleave(exprs(0), exprs(1)) },
       "normalize_text_scan" -> { exprs => NormalizeTextScan(exprs.head) },
+      "url_parts" -> { exprs => UrlPartsScan(exprs.head) },
       "maxsim_score" -> {
         case Seq(a, b, Literal(n: Int, _)) => MaxSimScore(a, b, n)
         case _ => throw new IllegalArgumentException("maxsim_score(q, d, subDim)")
@@ -208,6 +209,10 @@ package object functions {
   /** CCNet-style dedup normalization (lowercase, digits→0, punctuation
     * stripped, whitespace collapsed, trimmed) — one row-local pass. */
   def normalize_text(c: Column): Column = call_function("normalize_text_scan", c)
+
+  /** URL parse/canonicalize: struct(scheme, host, registrable_domain,
+    * path, qs, canonical_url); null on unparseable input ([[UrlKit]]). */
+  def url_parts(c: Column): Column = call_function("url_parts", c)
 
   /** Late-interaction (ColBERT MaxSim) relevance: Σ_i max_j dot(q_i, d_j)
     * over subDim-wide sub-vectors, fixed fold order. */

@@ -1663,4 +1663,58 @@ object Pipeline {
         (col("wsum") + col("prior")).as("score"),
         (col("wsum") + col("prior") >= 0).as("label"))
   }
+
+  // ------------------------------------------------------------------
+  // Domain-aware curation (C4 / RefinedWeb URL handling)
+  // ------------------------------------------------------------------
+
+  /** Per-domain document caps (quota sampling): keep at most `k`
+    * documents per registrable domain, the BEST by (`quality` desc, id
+    * asc) — the RefinedWeb-style guard against one crawl-heavy domain
+    * dominating the mixture. Scale shape: the domain key comes from the
+    * row-local [[graft.functions.url_parts]] kernel and the per-domain
+    * cut rides the bounded-heap `top_k` aggregate — k rows per partition
+    * cross the exchange, never a domain's documents, so the hottest
+    * domain (80 % of a crawl) costs what any domain costs. Documents
+    * with unparseable URLs carry no attributable domain and are dropped
+    * (curation discards what it cannot attribute).
+    *
+    * Output: (domain, rnk, doc_id, q) of the kept documents. */
+  def capPerDomain(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      quality: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.select(
+        graft.functions.url_parts(col(urlCol)).getField("registrable_domain")
+          .as("domain"),
+        col(idCol).cast("long").as("doc_id"),
+        quality.cast("long").as("q"))
+      .filter(col("domain").isNotNull)
+      .groupBy(col("domain"))
+      .agg(graft.functions.top_k(
+        struct(col("q"), (-col("doc_id")).as("nid")), k).as("__top"))
+      .select(col("domain"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("domain"), (col("__i") + 1).cast("int").as("rnk"),
+        (-col("__s.nid")).as("doc_id"), col("__s.q").as("q"))
+  }
+
+  /** Domain-blocklist filter: drop every document whose registrable
+    * domain is on the blocklist — row-local (kernel + literal IN), zero
+    * shuffle, so it composes into any scan. Unparseable URLs are dropped
+    * too (same attribution rule as [[capPerDomain]]). For a blocklist too
+    * large for a literal, broadcast-anti-join the same derived column. */
+  def filterBlockedDomains(
+      df: DataFrame,
+      urlCol: String,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist — nothing to filter")
+    val domain =
+      graft.functions.url_parts(col(urlCol)).getField("registrable_domain")
+    df.withColumn("__dom", domain)
+      .filter(col("__dom").isNotNull && !col("__dom").isin(blocked: _*))
+      .drop("__dom")
+  }
 }

@@ -3694,6 +3694,128 @@ object Catalog {
       FROM documents d JOIN q USING (doc_id) JOIN keep USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // ---- domain-aware curation (q146-q148) ---------------------------------
+
+  /** Deterministic per-doc URL (documents carry no URL column): five
+    * shapes exercising every canonicalization rule — mixed-case host +
+    * default port + fragment, non-default port, empty path, userinfo +
+    * default ftp port, trailing-dot host + percent-encoded path. The SAME
+    * arithmetic on (doc_id, source) builds the string in both engines. */
+  private def urlCol: Column = {
+    val id = col("doc_id").cast("string")
+    val m = pmod(col("doc_id"), lit(5))
+    when(m === 0, concat(lit("https://WWW."), col("source"),
+        lit("-News.CO.UK:443/Articles/"), id, lit("?id="), id, lit("#top")))
+      .when(m === 1, concat(lit("http://blog."), col("source"), lit(".com:8080/post/"), id))
+      .when(m === 2, concat(lit("https://cdn."), col("source"), lit(".io")))
+      .when(m === 3, concat(lit("ftp://user:pw@files."), col("source"),
+        lit(".org:21/data/"), id, lit(".bin")))
+      .otherwise(concat(lit("https://"), col("source"),
+        lit(".github.io./p%20a/"), id, lit("?b=2&a=1#frag")))
+  }
+
+  /** DuckDB replay of [[graft.functions.UrlKit]]: URL derivation + the
+    * full parse/canonicalize pipeline as CTEs ending in `parsed`
+    * (doc_id, source, n_chars, url, scheme, host, registrable_domain,
+    * path, qs, canonical_url). The multi-part-suffix IN list is GENERATED
+    * from [[graft.functions.UrlKit.MultiPartSuffixes]], so the two
+    * engines cannot drift. */
+  private def urlParseCtes: String = {
+    val suffixes = graft.functions.UrlKit.MultiPartSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"""u AS (SELECT doc_id, source, n_chars, CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'https://WWW.' || source || '-News.CO.UK:443/Articles/' || doc_id || '?id=' || doc_id || '#top'
+          WHEN 1 THEN 'http://blog.' || source || '.com:8080/post/' || doc_id
+          WHEN 2 THEN 'https://cdn.' || source || '.io'
+          WHEN 3 THEN 'ftp://user:pw@files.' || source || '.org:21/data/' || doc_id || '.bin'
+          ELSE 'https://' || source || '.github.io./p%20a/' || doc_id || '?b=2&a=1#frag'
+        END AS url FROM documents),
+      s1 AS (SELECT *, regexp_replace(url, '#.*$$', '') AS nofrag FROM u),
+      s2 AS (SELECT *, lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+        regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest FROM s1),
+      s3 AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS auth FROM s2),
+      s4 AS (SELECT *, substr(rest, length(auth) + 1) AS tail,
+        CASE WHEN contains(auth, '@') THEN regexp_extract(auth, '([^@]*)$$', 1) ELSE auth END AS hostport FROM s3),
+      s5 AS (SELECT *, regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM s4),
+      s6 AS (SELECT *, regexp_replace(lower(CASE WHEN port <> ''
+          THEN substr(hostport, 1, length(hostport) - length(port) - 1)
+          ELSE hostport END), '\\.$$', '') AS host FROM s5),
+      s7 AS (SELECT *, CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+          ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
+        regexp_extract(tail, '\\?(.*)$$', 1) AS qs,
+        string_split(host, '.') AS parts FROM s6),
+      s8 AS (SELECT *, len(parts) AS np, CASE WHEN len(parts) >= 2
+          THEN parts[len(parts)-1] || '.' || parts[len(parts)] ELSE host END AS last2 FROM s7),
+      parsed AS (SELECT doc_id, source, n_chars, url, scheme, host, path, qs,
+        CASE WHEN regexp_matches(host, '^[0-9.]+$$') THEN host
+             WHEN np <= 1 THEN host
+             WHEN np >= 3 AND last2 IN ($suffixes) THEN parts[np-2] || '.' || last2
+             ELSE last2 END AS registrable_domain,
+        scheme || '://' || host ||
+          CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+            OR (scheme = 'https' AND port = '443') OR (scheme = 'ftp' AND port = '21')
+            OR (scheme = 'ws' AND port = '80') OR (scheme = 'wss' AND port = '443'))
+            THEN ':' || port ELSE '' END || path ||
+          CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+       FROM s8 WHERE scheme <> '' AND host <> '')"""
+  }
+
+  /** URL parse + canonicalization over the row-local `url_parts` kernel:
+    * every derived field, oracle-replayed by regexp/string CTEs. */
+  private val q146 = QueryDef(
+    "q146_url_parts",
+    (s, dir) => {
+      val p = graft.functions.url_parts(urlCol)
+      t(s, dir, "documents")
+        .select(col("doc_id"), urlCol.as("url"), p.as("__p"))
+        .filter(col("__p").isNotNull)
+        .select(col("doc_id"), col("url"),
+          col("__p.scheme").as("scheme"), col("__p.host").as("host"),
+          col("__p.registrable_domain").as("registrable_domain"),
+          col("__p.path").as("path"), col("__p.qs").as("qs"),
+          col("__p.canonical_url").as("canonical_url"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $urlParseCtes
+      SELECT doc_id, url, scheme, host, registrable_domain, path, qs, canonical_url
+      FROM parsed ORDER BY doc_id"""))
+
+  /** Per-domain caps (quota sampling): keep the 3 best docs per
+    * registrable domain by (n_chars desc, id asc) — bounded-heap top_k,
+    * never a per-domain sort; oracle is the row_number window. */
+  private val q147 = QueryDef(
+    "q147_domain_caps",
+    (s, dir) => graft.operators.Pipeline.capPerDomain(
+        t(s, dir, "documents").withColumn("url", urlCol),
+        "doc_id", "url", col("n_chars"), k = 3)
+      .orderBy(col("domain"), col("rnk")),
+    Some(s"""WITH $urlParseCtes,
+      r AS (SELECT registrable_domain AS domain, doc_id,
+          CAST(n_chars AS BIGINT) AS q,
+          row_number() OVER (PARTITION BY registrable_domain
+            ORDER BY n_chars DESC, doc_id ASC) AS rnk
+        FROM parsed)
+      SELECT domain, CAST(rnk AS INT) AS rnk, doc_id, q
+      FROM r WHERE rnk <= 3 ORDER BY domain, rnk"""))
+
+  /** Domain-blocklist filter: row-local kernel + literal IN, zero
+    * shuffle; github.io (every 5th doc) and two exact domains blocked. */
+  private val q148 = {
+    val blocked = Seq("github.io", "src0.com", "src3-news.co.uk")
+    QueryDef(
+      "q148_domain_blocklist",
+      (s, dir) => graft.operators.Pipeline.filterBlockedDomains(
+          t(s, dir, "documents").withColumn("url", urlCol), "url", blocked)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source")),
+      Some(s"""WITH $urlParseCtes
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM parsed
+        WHERE registrable_domain NOT IN (${blocked.map(b => s"'$b'").mkString(", ")})
+        GROUP BY source ORDER BY source"""))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3708,7 +3830,7 @@ object Catalog {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145) ++
+    q142, q143, q144, q145, q146, q147, q148) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -212,6 +212,42 @@ class ScaleStressSpec extends AnyFunSuite {
       s"only $total transitions — bot burst missing from the input")
   }
 
+  test("capPerDomain: 80%-hot domain stays balanced — bounded-heap cut, equal to window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    // hostile URL layout: 80% of the corpus on ONE registrable domain
+    // (a crawl-heavy aggregator), the rest spread over ~1k sites
+    val withUrl = docs.withColumn("url",
+      when(pmod(xxhash64(col("doc_id")), lit(10)) < 8,
+        concat(lit("https://Hot.Example.COM/p/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("https://site"),
+          pmod(col("doc_id"), lit(1000)).cast("string"),
+          lit(".org/p/"), col("doc_id").cast("string"))))
+    val capped = assertBalanced("capPerDomain", factor = 6.0) {
+      graft.operators.Pipeline.capPerDomain(withUrl, "doc_id", "url",
+          col("n_chars"), k = 5)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    // independent value proof: the per-domain row_number window (whose
+    // hot key WOULD land one task) keeps the identical documents
+    val domain = graft.functions.url_parts(col("url"))
+      .getField("registrable_domain")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val windowed = withUrl
+      .select(domain.as("domain"), col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("q"))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1))).toSet
+    assert(capped == windowed,
+      s"capPerDomain diverged: ${(capped -- windowed).size} extra, " +
+        s"${(windowed -- capped).size} missing of ${windowed.size}")
+    assert(capped.count(_._1 == "example.com") == 5,
+      "the hot domain must be capped to exactly k docs")
+  }
+
   test("intervalOverlapJoin keyed: single-bin pileup shatters across keys — balanced, equal to unkeyed") {
     import spark.implicits._
     // a peak hour: 60k intervals per side, ALL inside one 1h bin, spread
