@@ -34,7 +34,19 @@ object Bench {
     * and sbt appends a ~75-char success line after ours. */
   val MaxLineLength = 1900
 
-  def renderLine(results: Map[String, Double], sfDir: String): String = {
+  /** How many p50 pathology flags the line carries at most — the driver
+    * tail is a fixed window, so the flag list must be bounded by
+    * construction (bench_detail.json has every query's full rep data). */
+  val MaxP50Flags = 8
+
+  /** A rep set is flagged when p50 is meaningfully above min — the
+    * round-7 q81 pathology (reps ramping 1.5 s → 13 s inside one session)
+    * was invisible in the min-of-reps headline. */
+  def p50Flagged(minV: Double, p50V: Double): Boolean =
+    p50V > minV * 1.25 + 0.05
+
+  def renderLine(results: Map[String, Double], sfDir: String,
+      p50s: Map[String, Double] = Map.empty): String = {
     // collision guard: two names compressing to one short key would
     // silently merge bench lines — disambiguate at render time with a
     // stable hash suffix (BenchLineSpec pins the current catalog clean)
@@ -52,7 +64,19 @@ object Bench {
       }.mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
       val sf = sfDir.split('/').last
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      // p50 visibility (VERDICT r7 #7): the total plus a BOUNDED list of
+      // the worst min->p50 offenders, so within-session degradation shows
+      // in BENCH_r{N}.json itself, not only in bench_detail.json
+      val p50Part = if (p50s.isEmpty) "" else {
+        val flags = p50s.toSeq
+          .filter { case (n, p) => results.get(n).exists(m => p50Flagged(m, p)) }
+          .sortBy { case (n, p) => (-(p - results(n)), n) }
+          .take(MaxP50Flags)
+          .map { case (n, p) => "\"" + keys.getOrElse(n, n) + "\":" + f(p) }
+          .mkString("{", ",", "}")
+        s""","p50_total":${fmt(p50s.values.sum)},"p50_flags":$flags"""
+      }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$p50Part,"sf":"$sf"}"""
     }
     def render(f: Double => String): String = renderMap(results.toSeq, f)
     // ms precision normally; if the query set ever grows the line past the
@@ -167,7 +191,8 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_STRESS").forall(_ == "1"))
       try println(graft.tools.StressBench.line(spark))
       catch { case e: Throwable => println(s"""{"metric":"stress","error":"${e.getClass.getSimpleName}"}""") }
-    println(renderLine(results ++ buildLine, sfDir))
+    println(renderLine(results ++ buildLine, sfDir,
+      allRuns.map { case (n, ts) => n -> p50(ts) }))
     spark.stop()
   }
 }

@@ -103,8 +103,14 @@ object HttpEndpoint {
   }
 
   /** GET `/events` → SSE snapshot of the broadcast buffer. */
+  /** `jobId` opts into the reference's address-advertisement contract
+    * (HttpListenerSinks.java:113-131): the listener binds an EPHEMERAL
+    * port on whichever member won the election, and clients discover
+    * `host:port` through [[graft.sources.hub.MemHub.sinkAddress]] instead
+    * of having to know it up front. */
   def startBroadcast(uri: String, port: Int = 0,
-      tls: Option[TlsConfig] = None): (HttpServer, Int) = {
+      tls: Option[TlsConfig] = None,
+      jobId: Option[String] = None): (HttpServer, Int) = {
     val server = createServer(port, tls)
     server.createContext("/events", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
@@ -124,6 +130,11 @@ object HttpEndpoint {
       }
     })
     server.start()
-    (server, server.getAddress.getPort)
+    val bound = server.getAddress.getPort
+    jobId.foreach { id =>
+      val scheme = if (tls.isDefined) "https" else "http"
+      MemHub.advertiseSinkAddress(id, s"$scheme://localhost:$bound/events")
+    }
+    (server, bound)
   }
 }

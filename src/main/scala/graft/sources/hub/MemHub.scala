@@ -258,6 +258,34 @@ object MemHub {
   /** QoS2 packet registry: a (uri/topic/packetId) batch appends at most once. */
   private val packets = new ConcurrentHashMap[String, java.lang.Boolean]()
 
+  // ---- WS/SSE sink address advertisement ----------------------------------
+
+  /** The elected listener-server address per job id — the reference
+    * advertises it through a job-keyed Ringbuffer and clients read slot 0
+    * (HttpListenerSinks.java:113-131, first advertisement wins); here the
+    * hub IS the cluster-shared state, so a one-slot putIfAbsent map gives
+    * the same semantics. */
+  private val sinkAddrs = new ConcurrentHashMap[String, String]()
+
+  def advertiseSinkAddress(jobId: String, addr: String): Unit =
+    sinkAddrs.putIfAbsent(jobId, addr): Unit
+
+  /** Blocking read with the reference's retrieve timeout: the sink server
+    * is elected on SOME member after the job starts, so clients poll the
+    * slot instead of racing the election. */
+  def sinkAddress(jobId: String, timeoutMs: Long = 5000L): String = {
+    val t0 = System.currentTimeMillis()
+    var a = sinkAddrs.get(jobId)
+    while (a == null && System.currentTimeMillis() - t0 < timeoutMs) {
+      Thread.sleep(20)
+      a = sinkAddrs.get(jobId)
+    }
+    if (a == null)
+      throw new java.util.concurrent.TimeoutException(
+        s"no sink address advertised for job $jobId within ${timeoutMs}ms")
+    a
+  }
+
   // ---- MQTT connection/session state (autoReconnect / keepSession) --------
 
   /** Dropped-connection flags per uri/clientId — the broker-side state a
@@ -412,5 +440,6 @@ object MemHub {
     sweep(hashes); sweep(zsets); sweep(streams); sweep(collections)
     sweep(oplogs); sweep(series); sweep(topics); sweep(acks)
     sweep(refusals); sweep(lostAcks); sweep(packets); sweep(mqttConn)
+    sweep(sinkAddrs)
   }
 }

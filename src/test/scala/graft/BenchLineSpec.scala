@@ -54,4 +54,28 @@ class BenchLineSpec extends AnyFunSuite {
     assert((j \ "queries" \ "01") === JDouble(1.234) || (j \ "queries" \ "01") === JDouble(1.235))
     assert((j \ "queries" \ "srehas") === JDouble(0.5))
   }
+
+  test("p50 pathologies surface in the line, bounded, and worst case still fits the tail") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // a q81-shaped rep set: min hides the ramp, p50 exposes it
+    val mins = Map("q81_char_ngram_pairs" -> 1.54, "q28_simhash" -> 0.50)
+    val p50s = Map("q81_char_ngram_pairs" -> 8.50, "q28_simhash" -> 0.51)
+    val j = JsonMethods.parse(Bench.renderLine(mins, "/x", p50s))
+    assert((j \ "p50_total") === JDouble(9.01))
+    assert((j \ "p50_flags" \ "81") === JDouble(8.5),
+      "the degrading query must be flagged")
+    assert((j \ "p50_flags" \ "28") === JNothing,
+      "a rep-stable query must NOT be flagged")
+    // worst case: every query flagged at 4-digit p50s — the flag list is
+    // capped at MaxP50Flags, so the line still fits the driver tail
+    val worstMin = names.map(_ -> 9999.999).toMap
+    val worstP50 = names.map(_ -> 99999.999).toMap
+    val worst = Bench.renderLine(worstMin, "/root/testdata/sf0.1", worstP50)
+    assert(worst.length <= Bench.MaxLineLength,
+      s"bench line with p50 flags is ${worst.length} chars — will be truncated")
+    val wj = JsonMethods.parse(worst)
+    val flagged = (wj \ "p50_flags").asInstanceOf[JObject].obj.size
+    assert(flagged == Bench.MaxP50Flags, s"flag list must cap at ${Bench.MaxP50Flags}")
+  }
 }

@@ -329,6 +329,35 @@ class ConnectorSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("SSE sink address advertisement: clients discover the elected server by job id " +
+      "(HttpListenerSinks.java:113-131 analog)") {
+    import graft.sources.http.HttpEndpoint
+    val uri = "hub:test/sse-advertise"
+    val jobId = "job-sse-advertise-1"
+    GraftSinks.wsBroadcast(
+      spark.range(1, 4).select(col("id").cast("string").as("payload")).orderBy(col("id")),
+      uri, accumulateLimit = 10)
+    // ephemeral port: the CALLER never learns it — discovery is the point
+    val (server, _) = HttpEndpoint.startBroadcast(uri, port = 0, jobId = Some(jobId))
+    try {
+      val addr = MemHub.sinkAddress(jobId)
+      assert(addr.matches("http://localhost:\\d+/events"), s"bad advertised address: $addr")
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(addr)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.body() == "data: 1\n\ndata: 2\n\ndata: 3\n\n")
+      // first advertisement wins (the reference reads ringbuffer slot 0):
+      // a second server electing under the same job must not re-point clients
+      MemHub.advertiseSinkAddress(jobId, "http://localhost:1/events")
+      assert(MemHub.sinkAddress(jobId) == addr)
+    } finally server.stop(0)
+    // unknown job: the retrieve times out like the reference's bounded read
+    intercept[java.util.concurrent.TimeoutException] {
+      MemHub.sinkAddress("job-that-never-elected", timeoutMs = 50L)
+    }
+  }
+
   test("mqtt publish retry: succeeds within maxAttempts (SinkContext.java:61-104 analog)") {
     val uri = "hub:test/mqtt-retry"
     GraftSinks.mqttPublish(
