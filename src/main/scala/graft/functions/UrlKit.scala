@@ -80,6 +80,45 @@ object UrlKit {
     }
   }
 
+  /** Cheap validity boundary-pass: true ⟺ [[parse]] returns non-null
+    * (spec-pinned equivalence). This is the predicate to FILTER on —
+    * scheme/host checks only, no struct or string building — so the
+    * parse kernel itself never lands in a Filter condition and runs
+    * exactly once, in the Project (the token_count-in-pushed-Filters
+    * idiom). */
+  def isValid(urlU: UTF8String): Boolean = {
+    val url = urlU.toString.trim
+    val sep = url.indexOf("://")
+    if (sep <= 0) return false
+    var i = 0
+    while (i < sep) {
+      if (!isSchemeChar(url.charAt(i), i == 0)) return false
+      i += 1
+    }
+    var authEnd = url.length
+    var k = sep + 3
+    while (k < authEnd) {
+      val c = url.charAt(k)
+      if (c == '/' || c == '?' || c == '#') { authEnd = k } else k += 1
+    }
+    val at = url.lastIndexOf('@', authEnd - 1)
+    val hostStart = if (at >= sep + 3) at + 1 else sep + 3
+    val colon = url.lastIndexOf(':', authEnd - 1)
+    // >= hostStart: a colon AT the host start is still a port separator
+    // (parse then sees an empty host and returns null — ':80' hosts)
+    var portDigits = colon >= hostStart && colon < authEnd - 1
+    k = colon + 1
+    while (portDigits && k < authEnd) {
+      val c = url.charAt(k)
+      if (c < '0' || c > '9') portDigits = false
+      k += 1
+    }
+    var hostEnd = if (portDigits) colon else authEnd
+    // ONE trailing dot is stripped by parse; an empty host after that fails
+    if (hostEnd > hostStart && url.charAt(hostEnd - 1) == '.') hostEnd -= 1
+    hostEnd > hostStart
+  }
+
   /** NULL for unparseable input (no scheme separator / empty host). */
   def parse(urlU: UTF8String): InternalRow = {
     val url = urlU.toString.trim
@@ -150,5 +189,19 @@ case class UrlPartsScan(child: Expression) extends UnaryExpression {
     """)
   override def prettyName: String = "url_parts"
   override protected def withNewChildInternal(newChild: Expression): UrlPartsScan =
+    copy(child = newChild)
+}
+
+/** `url_valid(url)`: boundary-pass validity check, true ⟺ `url_parts`
+  * parses — cheap enough for a pushed Filter, so the parse kernel never
+  * evaluates twice (Filter + Project). */
+case class UrlValidScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    UrlKit.isValid(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlKit.isValid($c)")
+  override def prettyName: String = "url_valid"
+  override protected def withNewChildInternal(newChild: Expression): UrlValidScan =
     copy(child = newChild)
 }

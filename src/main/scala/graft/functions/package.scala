@@ -102,6 +102,7 @@ package object functions {
       "morton_interleave" -> { exprs => MortonInterleave(exprs(0), exprs(1)) },
       "normalize_text_scan" -> { exprs => NormalizeTextScan(exprs.head) },
       "url_parts" -> { exprs => UrlPartsScan(exprs.head) },
+      "url_valid" -> { exprs => UrlValidScan(exprs.head) },
       "maxsim_score" -> {
         case Seq(a, b, Literal(n: Int, _)) => MaxSimScore(a, b, n)
         case _ => throw new IllegalArgumentException("maxsim_score(q, d, subDim)")
@@ -213,6 +214,10 @@ package object functions {
   /** URL parse/canonicalize: struct(scheme, host, registrable_domain,
     * path, qs, canonical_url); null on unparseable input ([[UrlKit]]). */
   def url_parts(c: Column): Column = call_function("url_parts", c)
+
+  /** Boundary-pass URL validity (true ⟺ [[url_parts]] parses): the
+    * FILTER-side twin, cheap enough for a pushed predicate. */
+  def url_valid(c: Column): Column = call_function("url_valid", c)
 
   /** Late-interaction (ColBERT MaxSim) relevance: Σ_i max_j dot(q_i, d_j)
     * over subDim-wide sub-vectors, fixed fold order. */

@@ -1687,12 +1687,14 @@ object Pipeline {
       quality: Column,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    df.select(
+    // filter on the cheap validity boundary-pass, parse in the project —
+    // the parse kernel runs ONCE per row, never inside a Filter condition
+    df.filter(col(urlCol).isNotNull && graft.functions.url_valid(col(urlCol)))
+      .select(
         graft.functions.url_parts(col(urlCol)).getField("registrable_domain")
           .as("domain"),
         col(idCol).cast("long").as("doc_id"),
         quality.cast("long").as("q"))
-      .filter(col("domain").isNotNull)
       .groupBy(col("domain"))
       .agg(graft.functions.top_k(
         struct(col("q"), (-col("doc_id")).as("nid")), k).as("__top"))
@@ -1713,8 +1715,9 @@ object Pipeline {
     require(blocked.nonEmpty, "empty blocklist — nothing to filter")
     val domain =
       graft.functions.url_parts(col(urlCol)).getField("registrable_domain")
-    df.withColumn("__dom", domain)
-      .filter(col("__dom").isNotNull && !col("__dom").isin(blocked: _*))
-      .drop("__dom")
+    // url_valid carries the null/parseability decision so the IN predicate
+    // is the parse kernel's ONLY evaluation site
+    df.filter(col(urlCol).isNotNull && graft.functions.url_valid(col(urlCol)) &&
+      !domain.isin(blocked: _*))
   }
 }

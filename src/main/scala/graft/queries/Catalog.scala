@@ -3766,9 +3766,11 @@ object Catalog {
     "q146_url_parts",
     (s, dir) => {
       val p = graft.functions.url_parts(urlCol)
+      // filter on the cheap url_valid boundary-pass; the parse kernel
+      // evaluates once, in the project (never in a Filter condition)
       t(s, dir, "documents")
+        .filter(graft.functions.url_valid(urlCol))
         .select(col("doc_id"), urlCol.as("url"), p.as("__p"))
-        .filter(col("__p").isNotNull)
         .select(col("doc_id"), col("url"),
           col("__p.scheme").as("scheme"), col("__p.host").as("host"),
           col("__p.registrable_domain").as("registrable_domain"),

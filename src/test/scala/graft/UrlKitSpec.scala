@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.functions.{url_parts, url_valid, UrlKit}
+
+/** The URL kernel's contract ([[UrlKit]]): pinned corner cases, the
+  * url_valid ⟺ url_parts-non-null equivalence (the cheap boundary-pass
+  * that keeps the parse kernel out of Filter conditions), and the
+  * registrable-domain rules. */
+class UrlKitSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+
+  private def parse(u: String): Option[Map[String, String]] =
+    Option(UrlKit.parse(UTF8String.fromString(u))).map { r =>
+      Seq("scheme", "host", "registrable_domain", "path", "qs", "canonical_url")
+        .zipWithIndex.map { case (n, i) => n -> r.getUTF8String(i).toString }.toMap
+    }
+
+  test("pinned shapes: case, ports, userinfo, trailing dot, fragment, empty path") {
+    val p0 = parse("https://WWW.Example.CO.UK:443/Articles/1?id=1#top").get
+    assert(p0("scheme") == "https" && p0("host") == "www.example.co.uk")
+    assert(p0("registrable_domain") == "example.co.uk")
+    assert(p0("canonical_url") == "https://www.example.co.uk/Articles/1?id=1",
+      "default https port + fragment stripped, path case preserved")
+
+    val p1 = parse("http://blog.site.com:8080/post/2").get
+    assert(p1("canonical_url") == "http://blog.site.com:8080/post/2",
+      "non-default port survives")
+
+    val p2 = parse("https://cdn.site.io").get
+    assert(p2("path") == "/" && p2("canonical_url") == "https://cdn.site.io/")
+
+    val p3 = parse("ftp://user:pw@files.site.org:21/data.bin").get
+    assert(p3("host") == "files.site.org" &&
+      p3("canonical_url") == "ftp://files.site.org/data.bin",
+      "userinfo dropped, default ftp port stripped")
+
+    val p4 = parse("https://x.github.io./p%20a?b=2&a=1#f").get
+    assert(p4("host") == "x.github.io" && p4("qs") == "b=2&a=1" &&
+      p4("path") == "/p%20a", "trailing dot stripped, query verbatim")
+
+    assert(parse("not a url").isEmpty)
+    assert(parse("://missing-scheme.com").isEmpty)
+    assert(parse("1http://bad-scheme-start.com") == None)
+    assert(parse("https://").isEmpty, "empty host")
+    assert(parse("https://./x").isEmpty, "host that is ONLY a trailing dot")
+  }
+
+  test("registrable domain: multi-part suffixes, IPv4, single label") {
+    assert(UrlKit.registrable("a.b.example.co.uk") == "example.co.uk")
+    assert(UrlKit.registrable("deep.sub.example.com") == "example.com")
+    assert(UrlKit.registrable("example.com") == "example.com")
+    assert(UrlKit.registrable("localhost") == "localhost")
+    assert(UrlKit.registrable("10.2.3.4") == "10.2.3.4")
+    assert(UrlKit.registrable("co.uk") == "co.uk",
+      "a bare suffix has no registrable label; it maps to itself")
+  }
+
+  test("url_valid fuzz equivalence: valid ⟺ url_parts parses, on hostile inputs") {
+    val rnd = new scala.util.Random(20260814)
+    val frags = Seq("https://", "http://", "x://", "://", "1a://", "a.b", "host",
+      ":", "@", ".", "/p", "?q=1", "#f", ":80", ":8x", "user:pw@", " ", "..",
+      "例", "%20", "", "a")
+    val urls = (0 until 2000).map { _ =>
+      (0 until rnd.nextInt(6)).map(_ => frags(rnd.nextInt(frags.length))).mkString
+    } ++ Seq("https://a.com", "https://a.com.", "https://.", "https://:80",
+      "https://@", "https://u@h.io:99/p?q#f", "ftp://h:21", "wss://h:443/x",
+      "  https://pad.ded.com/x  ", "https://h:0x1")
+    urls.foreach { u =>
+      val v = UrlKit.isValid(UTF8String.fromString(u))
+      val p = UrlKit.parse(UTF8String.fromString(u))
+      assert(v == (p != null),
+        s"url_valid ($v) diverges from url_parts (${p != null}) on: '$u'")
+    }
+  }
+
+  test("plan shape: the parse kernel never sits in a Filter condition") {
+    val df = spark.range(0, 100)
+      .select(concat(lit("https://h"), col("id").cast("string"), lit(".com/p")).as("url"))
+    val out = graft.operators.Pipeline.capPerDomain(
+      df.withColumn("doc_id", monotonically_increasing_id()),
+      "doc_id", "url", lit(1), k = 2)
+    val filters = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Filter")).mkString("\n")
+    assert(!filters.contains("url_parts"),
+      s"url_parts leaked into a Filter:\n$filters")
+    out.count() // executes clean
+  }
+}
