@@ -41,9 +41,11 @@ object Bench {
 
   /** A rep set is flagged when p50 is meaningfully above min — the
     * round-7 q81 pathology (reps ramping 1.5 s → 13 s inside one session)
-    * was invisible in the min-of-reps headline. */
+    * was invisible in the min-of-reps headline. The 0.25 s absolute floor
+    * keeps sub-second scheduler/GC jitter (measured: ±0.15 s on
+    * 0.2 s queries at local[32]) out of the flag list. */
   def p50Flagged(minV: Double, p50V: Double): Boolean =
-    p50V > minV * 1.25 + 0.05
+    p50V > minV * 1.25 + 0.25
 
   def renderLine(results: Map[String, Double], sfDir: String,
       p50s: Map[String, Double] = Map.empty): String = {

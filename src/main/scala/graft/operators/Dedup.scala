@@ -496,20 +496,8 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-
-    def shOf(df: DataFrame) = graft.core.GraftSession.widen(df)
-      .select(col(idCol).cast("long").as("doc_id"),
-        shingle_hashes(col(textCol), shingleSize).as("sh"))
-    def bucketsOf(sh: DataFrame) = {
-      val sig = sh.select(col("doc_id"), minhash_sig(col("sh"), numHashes).as("mh"))
-      val bandStructs = (0 until bands).map { b =>
-        val cols = (b * r until (b + 1) * r).map(i => element_at(col("mh"), i + 1)) :+ lit(b)
-        struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
-      }
-      sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    }
+    def shOf(df: DataFrame) = shingleProjection(df, idCol, textCol, shingleSize)
+    def bucketsOf(sh: DataFrame) = bandBuckets(sh, numHashes, bands)
     val shI = shOf(index)
     val shD = shOf(delta)
     // cross-side-only candidates: an equi-join on the band bucket (no
@@ -519,6 +507,96 @@ object Dedup {
       .select(col("i.doc_id").as("doc_a"), col("d.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, shI.unionByName(shD), threshold)
+  }
+
+  /** Shared (doc_id, sh) projection of the minhash family. */
+  private[graft] def shingleProjection(
+      df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    graft.core.GraftSession.widen(df)
+      .select(col(idCol).cast("long").as("doc_id"),
+        shingle_hashes(col(textCol), shingleSize).as("sh"))
+
+  /** Shared band-bucket projection: (doc_id, band, sig). */
+  private[graft] def bandBuckets(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val sig = sh.select(col("doc_id"), minhash_sig(col("sh"), numHashes).as("mh"))
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => element_at(col("mh"), i + 1)) :+ lit(b)
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Persist the INDEX side of [[minhashLshAgainst]] ONCE, as bucketed
+    * tables — the daily-crawl shape done right at 100 TB: the corpus is
+    * tokenized, minhashed and banded exactly once, here; every later
+    * delta join reads the stored layout instead of re-running the kernel
+    * pipeline over the whole corpus.
+    *
+    *  - `<table>_sh` (doc_id, sh): the verification shingle sets,
+    *    bucketed by doc_id;
+    *  - `<table>_buckets` (doc_id, band, sig): the band buckets,
+    *    bucketed by the candidate join key (band, sig) — the delta join
+    *    shuffles ONLY the delta's buckets into this layout; no exchange
+    *    ever sits above the index scan (spec-asserted).
+    *
+    * Banding parameters are recorded as table properties and VALIDATED at
+    * query time ([[minhashLshAgainstIndex]]), so an index built with a
+    * different signature scheme fails loudly instead of silently missing
+    * candidates. */
+  def minhashIndexWrite(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      buckets: Int = 8): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = df.sparkSession
+    shingleProjection(df, idCol, textCol, shingleSize)
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").mode("overwrite").saveAsTable(s"${table}_sh")
+    // derive signatures from the STORED shingles: one kernel pass total
+    bandBuckets(spark.table(s"${table}_sh"), numHashes, bands)
+      .write.bucketBy(buckets, "band", "sig")
+      .format("parquet").mode("overwrite").saveAsTable(s"${table}_buckets")
+    spark.sql(s"ALTER TABLE ${table}_buckets SET TBLPROPERTIES (" +
+      s"'graft.shingleSize' = '$shingleSize', " +
+      s"'graft.numHashes' = '$numHashes', 'graft.bands' = '$bands')")
+  }
+
+  /** [[minhashLshAgainst]] against a persisted [[minhashIndexWrite]]
+    * index: identical pair semantics, but the index side arrives
+    * pre-bucketed on the join key and pre-shingled for verification —
+    * the delta (a day's crawl) is the only side that computes kernels or
+    * shuffles. Ids must be disjoint across index and delta, as in
+    * [[minhashLshAgainst]]. */
+  def minhashLshAgainstIndex(
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = delta.sparkSession
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${table}_buckets")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (ss, nh, nb) =
+      (props.get("graft.shingleSize"), props.get("graft.numHashes"),
+        props.get("graft.bands")) match {
+        case (Some(a), Some(b), Some(c)) => (a.toInt, b.toInt, c.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"$table is not a graft minhash index (missing banding properties)")
+      }
+    val shD = shingleProjection(delta, idCol, textCol, ss)
+    val cand = spark.table(s"${table}_buckets").as("i")
+      .join(bandBuckets(shD, nh, nb).as("d"), Seq("band", "sig"))
+      .select(col("i.doc_id").as("doc_a"), col("d.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand,
+      spark.table(s"${table}_sh").unionByName(shD), threshold)
   }
 
   /** 64-bit SimHash signature per document over word-shingle hashes —

@@ -1703,6 +1703,60 @@ object Pipeline {
         (-col("__s.nid")).as("doc_id"), col("__s.q").as("q"))
   }
 
+  /** Canonical-URL dedup (the C4 first pass — cheaper than any text
+    * similarity and run BEFORE it): per canonical URL keep the best
+    * document by (`quality` desc, id asc). The same re-crawled page keeps
+    * exactly one copy regardless of tracking fragments, host case,
+    * default ports, or userinfo — everything [[graft.functions.url_parts]]
+    * canonicalizes away. One map-side-combinable max-struct aggregate: a
+    * URL crawled a million times sends ONE row per partition to the
+    * exchange. Unparseable URLs are dropped (no canonical identity).
+    *
+    * Output: (canonical_url, doc_id, q) of the kept documents. */
+  def dedupUrls(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      quality: Column): DataFrame =
+    df.filter(col(urlCol).isNotNull && graft.functions.url_valid(col(urlCol)))
+      .select(
+        graft.functions.url_parts(col(urlCol)).getField("canonical_url")
+          .as("canonical_url"),
+        col(idCol).cast("long").as("doc_id"),
+        quality.cast("long").as("q"))
+      .groupBy(col("canonical_url"))
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("__w"))
+      .select(col("canonical_url"), (-col("__w.nid")).as("doc_id"),
+        col("__w.q").as("q"))
+
+  /** Leakage-free splits by DOMAIN: every document of one registrable
+    * domain gets ONE split fate — the URL-world complement of
+    * [[clusterAwareSplits]] (an eval page and its sibling pages from the
+    * same site never straddle train/test, the contamination vector URL
+    * pipelines actually hit). Same exact integer cut arithmetic as
+    * [[assignSplits]] over md5 of the domain: pure map-side, no shuffle,
+    * content-stable across runs, engines, and corpus growth. */
+  def domainSplits(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "positive split weights required")
+    val cuts = splitCuts(weights)
+    val v = conv(substring(md5(concat(lit("graft:"), col("domain"))), 1, 15),
+      16, 10).cast("long")
+    val assigned = weights.init.map(_._1).zip(cuts.init)
+      .foldRight(lit(weights.last._1)) { case ((label, cut), els) =>
+        when(v < lit(cut), lit(label)).otherwise(els)
+      }
+    df.filter(col(urlCol).isNotNull && graft.functions.url_valid(col(urlCol)))
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.url_parts(col(urlCol)).getField("registrable_domain")
+          .as("domain"))
+      .withColumn("split", assigned)
+  }
+
   /** Domain-blocklist filter: drop every document whose registrable
     * domain is on the blocklist — row-local (kernel + literal IN), zero
     * shuffle, so it composes into any scan. Unparseable URLs are dropped

@@ -3818,6 +3818,46 @@ object Catalog {
         GROUP BY source ORDER BY source"""))
   }
 
+  /** Canonical-URL dedup (C4 first pass): the recrawl shapes (same page
+    * under different host case / default port / fragment / userinfo)
+    * collapse onto one canonical identity; keep-best by (n_chars, id). */
+  private val q149 = QueryDef(
+    "q149_url_dedup",
+    (s, dir) => graft.operators.Pipeline.dedupUrls(
+        t(s, dir, "documents").withColumn("url", urlCol),
+        "doc_id", "url", col("n_chars"))
+      .orderBy(col("canonical_url")),
+    Some(s"""WITH $urlParseCtes,
+      r AS (SELECT canonical_url, doc_id, CAST(n_chars AS BIGINT) AS q,
+          row_number() OVER (PARTITION BY canonical_url
+            ORDER BY n_chars DESC, doc_id ASC) AS rnk
+        FROM parsed)
+      SELECT canonical_url, doc_id, q FROM r WHERE rnk = 1
+      ORDER BY canonical_url"""))
+
+  /** Leakage-free domain splits: one split fate per registrable domain
+    * (site-sibling contamination can't straddle train/test); exact
+    * integer cuts over md5 of the domain, replayed literally. */
+  private val q150 = {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val cuts = graft.operators.Pipeline.splitCuts(weights)
+    QueryDef(
+      "q150_domain_splits",
+      (s, dir) => graft.operators.Pipeline.domainSplits(
+          t(s, dir, "documents").withColumn("url", urlCol),
+          "doc_id", "url", weights)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $urlParseCtes,
+        v AS (SELECT doc_id, registrable_domain AS domain,
+            CAST(concat('0x', substr(md5('graft:' || registrable_domain), 1, 15)) AS BIGINT) AS v
+          FROM parsed)
+        SELECT doc_id, domain,
+          CASE WHEN v < ${cuts(0)} THEN 'train'
+               WHEN v < ${cuts(1)} THEN 'val'
+               ELSE 'test' END AS split
+        FROM v ORDER BY doc_id"""))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3832,7 +3872,7 @@ object Catalog {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145, q146, q147, q148) ++
+    q142, q143, q144, q145, q146, q147, q148, q149, q150) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
