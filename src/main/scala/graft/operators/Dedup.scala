@@ -89,7 +89,9 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(cand, ids => shingleProjection(
+      df.join(broadcast(ids), df(idCol).cast("long") === ids("doc_id"), "left_semi"),
+      idCol, textCol, shingleSize), threshold)
   }
 
   /** All i<j pairs of a SORTED array as struct(a, b) — evaluated per
@@ -108,20 +110,25 @@ object Dedup {
     * projection twice, re-tokenizing and re-hashing EVERY document per
     * branch (measured: ~2/3 of minhashLsh wall time at sf0.1). Candidates
     * are a tiny reduced artifact, so instead: pin them once
-    * ([[graft.core.GraftSession.pin]] — persist + eager count, lineage
-    * KEPT so a lost executor recomputes instead of failing the job),
-    * semi-join the corpus down to just the candidate ids, and compute
-    * shingle sets for those documents only — the corpus-wide pass happens
-    * exactly once, in candidate generation. The materialized frames give
-    * AQE exact sizes at the next stage boundary, so it picks broadcast
-    * joins here on its own when they fit (and correctly doesn't at 100 TB
+    * ([[graft.core.GraftSession.pin]] — cached + eagerly materialized,
+    * lineage KEPT so a lost executor recomputes instead of failing the
+    * job), and build the verification shingle sets through `shOfIds` —
+    * callers with the RAW table in scope semi-join it down to the
+    * candidate ids BEFORE applying the shingle kernel (Catalyst does not
+    * push a semi join below a Project, so doing it in the plan would run
+    * the kernel corpus-wide a second time; measured 2× the map cost).
+    * The corpus-wide kernel pass then happens exactly once, in candidate
+    * generation. The materialized frames carry exact sizes, so broadcast
+    * decisions stay automatic (and correctly don't broadcast at 100 TB
     * candidate volumes — no forced hints). */
-  private def verifyJaccard(cand0: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  private def verifyJaccard(
+      cand0: DataFrame,
+      shOfIds: DataFrame => DataFrame,
+      threshold: Double): DataFrame = {
     val cand = graft.core.GraftSession.pin(cand0)
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shC = graft.core.GraftSession.pin(
-      sh.join(broadcast(ids), Seq("doc_id"), "left_semi"))
+    val shC = graft.core.GraftSession.pin(shOfIds(ids))
     cand
       .join(shC.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shC.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -166,7 +173,14 @@ object Dedup {
       .select(col(blockCol).as("blk"), col(idCol).cast("long").as("doc_id"),
         shingle_hashes(coalesce(col(textCol), lit("")), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
-    prefixFilteredPairs(sh, threshold)
+    prefixFilteredPairs(sh, threshold, Some { ids =>
+      val raw = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      graft.core.GraftSession.widen(
+          raw.join(broadcast(ids),
+            raw(idCol).cast("long") === ids("doc_id"), "left_semi"))
+        .select(col(idCol).cast("long").as("doc_id"),
+          shingle_hashes(coalesce(col(textCol), lit("")), shingleSize).as("sh"))
+    })
   }
 
   /** Directed containment join (quote / subset detection): pairs
@@ -426,9 +440,17 @@ object Dedup {
     }
   }
 
-  private def prefixFilteredPairs(sh: DataFrame, threshold: Double): DataFrame =
+  /** `shOfIds`, when given, rebuilds the verification sets from the RAW
+    * table restricted to the candidate ids (kernel AFTER the semi join) —
+    * see [[verifyJaccard]]; the default restricts the already-computed
+    * projection, re-running its kernel corpus-wide. */
+  private def prefixFilteredPairs(
+      sh: DataFrame,
+      threshold: Double,
+      shOfIds: Option[DataFrame => DataFrame] = None): DataFrame =
     verifyJaccard(prefixCandidates(sh, threshold),
-      sh.select(col("doc_id"), col("sh")), threshold)
+      shOfIds.getOrElse(ids => sh.select(col("doc_id"), col("sh"))
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")), threshold)
 
   /** Candidate pairs of the PPJoin core before exact verification —
     * exposed for specs that pin the pruning (candidate count ≪ all-pairs
@@ -506,7 +528,13 @@ object Dedup {
       .join(bucketsOf(shD).as("d"), Seq("band", "sig"))
       .select(col("i.doc_id").as("doc_a"), col("d.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, shI.unionByName(shD), threshold)
+    verifyJaccard(cand, ids => {
+      def restricted(raw: DataFrame) = shingleProjection(
+        raw.join(broadcast(ids),
+          raw(idCol).cast("long") === ids("doc_id"), "left_semi"),
+        idCol, textCol, shingleSize)
+      restricted(index).unionByName(restricted(delta))
+    }, threshold)
   }
 
   /** Shared (doc_id, sh) projection of the minhash family. */
@@ -595,8 +623,13 @@ object Dedup {
       .join(bandBuckets(shD, nh, nb).as("d"), Seq("band", "sig"))
       .select(col("i.doc_id").as("doc_a"), col("d.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand,
-      spark.table(s"${table}_sh").unionByName(shD), threshold)
+    verifyJaccard(cand, ids =>
+      spark.table(s"${table}_sh")
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .unionByName(shingleProjection(
+          delta.join(broadcast(ids),
+            delta(idCol).cast("long") === ids("doc_id"), "left_semi"),
+          idCol, textCol, ss)), threshold)
   }
 
   /** 64-bit SimHash signature per document over word-shingle hashes —
@@ -945,7 +978,20 @@ object Dedup {
             if (dense.isEmpty) big
             else big.filter(!dense.map(r => col("blk") <=> lit(r.get(0)))
               .reduce(_ || _))
-          Some(prefixFilteredPairs(sparseBig, threshold))
+          // verify sets rebuilt from the RAW table restricted to candidate
+          // ids (kernel AFTER the semi join) — candidates only come from
+          // the hot blocks, and the char-gram chain is deterministic, so
+          // the recompute is exact and never corpus-wide
+          Some(prefixFilteredPairs(sparseBig, threshold, Some { ids =>
+            val raw = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+            graft.core.GraftSession.widen(
+                raw.join(broadcast(ids),
+                  raw(idCol).cast("long") === ids("doc_id"), "left_semi"))
+              .select(col(idCol).cast("long").as("doc_id"),
+                sort_array(transform(
+                  char_shingles(coalesce(col(textCol), lit("")), n),
+                  g => xxhash64(g))).as("sh"))
+          }))
         }
       if (countsOnly)
         (Seq(reduced(allPairs(small))) ++ sparseSide.map(reduced) ++ triangles)
