@@ -103,6 +103,7 @@ package object functions {
       "normalize_text_scan" -> { exprs => NormalizeTextScan(exprs.head) },
       "url_parts" -> { exprs => UrlPartsScan(exprs.head) },
       "url_valid" -> { exprs => UrlValidScan(exprs.head) },
+      "html_to_text" -> { exprs => HtmlToTextScan(exprs.head) },
       "maxsim_score" -> {
         case Seq(a, b, Literal(n: Int, _)) => MaxSimScore(a, b, n)
         case _ => throw new IllegalArgumentException("maxsim_score(q, d, subDim)")
@@ -218,6 +219,10 @@ package object functions {
   /** Boundary-pass URL validity (true ⟺ [[url_parts]] parses): the
     * FILTER-side twin, cheap enough for a pushed predicate. */
   def url_valid(c: Column): Column = call_function("url_valid", c)
+
+  /** HTML → text extraction (script/style/comment drop, tag strip,
+    * fixed-entity decode, whitespace normal form — [[HtmlKit]]). */
+  def html_to_text(c: Column): Column = call_function("html_to_text", c)
 
   /** Late-interaction (ColBERT MaxSim) relevance: Σ_i max_j dot(q_i, d_j)
     * over subDim-wide sub-vectors, fixed fold order. */

@@ -3858,6 +3858,52 @@ object Catalog {
         FROM v ORDER BY doc_id"""))
   }
 
+  /** HTML → text extraction over the row-local `html_to_text` kernel —
+    * the boilerplate-removal stage between "fetched page" and every text
+    * operator. Synthetic page shapes exercise the contract: full page
+    * (style + script + comment + entities), an UNCLOSED script tag (the
+    * block survives, its tag still strips — defined behavior in both
+    * engines), mixed-case tags + `&amp;lt;` single-decode, and a no-HTML
+    * passthrough. The oracle chain is GENERATED by the kernel
+    * ([[graft.functions.HtmlKit.duckDbSql]]) so engines cannot drift. */
+  private val q151 = QueryDef(
+    "q151_html_extract",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val m = pmod(col("doc_id"), lit(4))
+      val html =
+        when(m === 0, concat(
+          lit("<html><head><style>p{color:red}</style>" +
+            "<script type=\"text/javascript\">var x=1;</script></head>" +
+            "<body><h1>T "), id,
+          lit("</h1><!-- hidden --><p>"), substring(col("text"), 1, 80),
+          lit(" &amp; &lt;tail&gt; &quot;q&quot; &#39;a&#39;</p></body></html>")))
+        .when(m === 1, concat(
+          lit("<ScRiPt>var leak=1; <p>"), substring(col("text"), 1, 60),
+          lit("</p> no closing tag")))
+        .when(m === 2, concat(
+          lit("<DIV CLASS=\"x\">"), substring(col("text"), 1, 70),
+          lit("</DIV><STYLE>h1{}</STYLE>&amp;lt;stays&amp;gt; <scriptify>k</scriptify>")))
+        .otherwise(substring(col("text"), 1, 90))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.html_to_text(html).as("text_clean"))
+        .withColumn("n_chars_clean", length(col("text_clean")).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val htmlSql = """CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN '<html><head><style>p{color:red}</style><script type="text/javascript">var x=1;</script></head><body><h1>T ' || doc_id || '</h1><!-- hidden --><p>' || substr(text, 1, 80) || ' &amp; &lt;tail&gt; &quot;q&quot; &#39;a&#39;</p></body></html>'
+          WHEN 1 THEN '<ScRiPt>var leak=1; <p>' || substr(text, 1, 60) || '</p> no closing tag'
+          WHEN 2 THEN '<DIV CLASS="x">' || substr(text, 1, 70) || '</DIV><STYLE>h1{}</STYLE>&amp;lt;stays&amp;gt; <scriptify>k</scriptify>'
+          ELSE substr(text, 1, 90)
+        END"""
+      s"""WITH h AS (SELECT doc_id, $htmlSql AS html FROM documents)
+        SELECT doc_id, ${graft.functions.HtmlKit.duckDbSql("html")} AS text_clean,
+          CAST(length(${graft.functions.HtmlKit.duckDbSql("html")}) AS BIGINT) AS n_chars_clean
+        FROM h ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3872,7 +3918,7 @@ object Catalog {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145, q146, q147, q148, q149, q150) ++
+    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
