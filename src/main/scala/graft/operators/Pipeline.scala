@@ -1703,6 +1703,44 @@ object Pipeline {
         (-col("__s.nid")).as("doc_id"), col("__s.q").as("q"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the rules
+    * behind the C4 corpus), as ONE row-local declarative pass — no
+    * kernel, no shuffle; both engines evaluate the same lambda over the
+    * same line split:
+    *
+    *  - a line is KEPT iff its space-trimmed form ends in terminal
+    *    punctuation (`. ! ? " '`), has at least `minWordsPerLine` words,
+    *    and contains neither `lorem ipsum` nor `javascript`
+    *    (case-insensitive) nor a `{`;
+    *  - a document is kept iff at least `minLines` lines survive; the
+    *    output text is the kept lines re-joined with newlines.
+    *
+    * (C4's remaining steps live elsewhere in this library: 3-sentence
+    * span dedup = [[dedupSegments]], URL dedup = [[dedupUrls]], bad-words
+    * filtering = [[qualityFilter]]'s keyword rules.) */
+  def c4LineClean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWordsPerLine: Int = 5,
+      minLines: Int = 3): DataFrame = {
+    require(minWordsPerLine > 0 && minLines > 0, "positive thresholds required")
+    val keptLine = (l: Column) => {
+      val tl = trim(l)
+      substring(tl, -1, 1).isin(".", "!", "?", "\"", "'") &&
+        size(split(tl, "[ \t\f\r]+")) >= minWordsPerLine &&
+        !contains(lower(tl), lit("lorem ipsum")) &&
+        !contains(lower(tl), lit("javascript")) &&
+        !contains(tl, lit("{"))
+    }
+    df.select(col(idCol).cast("long").as("doc_id"),
+        filter(split(col(textCol), "\n"), keptLine).as("__kept"))
+      .withColumn("n_lines_kept", size(col("__kept")).cast("long"))
+      .filter(col("n_lines_kept") >= minLines)
+      .select(col("doc_id"), col("n_lines_kept"),
+        array_join(col("__kept"), "\n").as("text_clean"))
+  }
+
   /** Canonical-URL dedup (the C4 first pass — cheaper than any text
     * similarity and run BEFORE it): per canonical URL keep the best
     * document by (`quality` desc, id asc). The same re-crawled page keeps

@@ -3904,6 +3904,49 @@ object Catalog {
         FROM h ORDER BY doc_id"""
     })
 
+  /** C4 line-level cleaning over a deterministically structured page:
+    * boilerplate header (no terminal punct), content lines with mixed
+    * punctuation, a `javascript { }` line, and a rotating `Lorem Ipsum`
+    * line — each rule in [[graft.operators.Pipeline.c4LineClean]] fires
+    * on some slice, and short documents fall under the 3-line floor. */
+  private val q152 = QueryDef(
+    "q152_c4_line_clean",
+    (s, dir) => {
+      val page = concat(
+        lit("Header menu login signup\n"),
+        substring(col("text"), 1, 60), lit(".\n"),
+        lit("function() { var javascript = true; }\n"),
+        substring(col("text"), 61, 80), lit("!\n"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("Lorem Ipsum dolor sit amet consectetur adipiscing."))
+          .otherwise(concat(substring(col("text"), 141, 70), lit("?"))),
+        lit("\n"), substring(col("text"), 211, 60), lit(".\""))
+      graft.operators.Pipeline.c4LineClean(
+          t(s, dir, "documents").withColumn("__page", page)
+            .select(col("doc_id"), col("__page")),
+          "doc_id", "__page")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          'Header menu login signup' || chr(10) ||
+          substr(text, 1, 60) || '.' || chr(10) ||
+          'function() { var javascript = true; }' || chr(10) ||
+          substr(text, 61, 80) || '!' || chr(10) ||
+          CASE WHEN doc_id % 3 = 0 THEN 'Lorem Ipsum dolor sit amet consectetur adipiscing.'
+               ELSE substr(text, 141, 70) || '?' END || chr(10) ||
+          substr(text, 211, 60) || '."' AS page
+        FROM documents),
+      l AS (SELECT doc_id, list_filter(string_split(page, chr(10)),
+          x -> (substr(trim(x, ' '), -1, 1) IN ('.', '!', '?', '"', '''')
+            AND len(string_split_regex(trim(x, ' '), '[ \t\f\r]+')) >= 5
+            AND NOT contains(lower(trim(x, ' ')), 'lorem ipsum')
+            AND NOT contains(lower(trim(x, ' ')), 'javascript')
+            AND NOT contains(trim(x, ' '), '{'))) AS kept
+        FROM p)
+      SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        array_to_string(kept, chr(10)) AS text_clean
+      FROM l WHERE len(kept) >= 3 ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3918,7 +3961,7 @@ object Catalog {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151) ++
+    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -941,4 +941,31 @@ class CurationReportSpec extends AnyFunSuite {
     val ratio = bigRate.toDouble / smallRate
     assert(math.abs(ratio - expect) < 0.01, s"ratio $ratio != sqrt(9)")
   }
+
+  test("c4LineClean: each rule fires; document floor enforced") {
+    import spark.implicits._
+    val page = Seq(
+      "Header menu login signup",                       // no terminal punct -> drop
+      "This sentence has enough words to survive.",     // keep
+      "function() { var x = 1; }",                      // '{' -> drop
+      "A perfectly fine second content line here!",     // keep
+      "Enable JavaScript to view this page.",           // 'javascript' -> drop
+      "Lorem ipsum dolor sit amet consectetur.",        // 'lorem ipsum' -> drop
+      "Too short.",                                     // < 5 words -> drop
+      "  Trimmed line with trailing spaces counts fine?  ", // keep (space trim)
+      "Quoted ending also counts as terminal.\"").mkString("\n")
+    val out = graft.operators.Pipeline.c4LineClean(
+      Seq((1L, page), (2L, "one good line that ends properly.")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L,
+      "doc 2 has only one kept line — under the 3-line floor")
+    assert(rows.head.getLong(1) == 4L, s"expected 4 kept lines, got ${rows.head.getLong(1)}")
+    val kept = rows.head.getString(2).split("\n").toSeq
+    assert(kept.head.startsWith("This sentence") &&
+      kept(1).startsWith("A perfectly") &&
+      kept(2).contains("Trimmed line") &&
+      kept(3).startsWith("Quoted ending"),
+      s"wrong kept lines: $kept")
+  }
 }
