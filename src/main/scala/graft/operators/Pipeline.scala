@@ -1741,6 +1741,43 @@ object Pipeline {
         array_join(col("__kept"), "\n").as("text_clean"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): for a
+    * deterministic `applyPct`% of documents, split the text into
+    * (prefix, middle, suffix) and re-emit in PSM sentinel order
+    * `<PRE>prefix<SUF>suffix<MID>middle`; the rest pass through. All
+    * randomness is CONTENT-KEYED (the [[assignSplits]] md5 device): the
+    * apply decision and the split point are pure functions of the doc id,
+    * so the transform replays identically across runs, engines, and
+    * repartitions — and the oracle replays it literally. Row-local, no
+    * shuffle at any corpus size. `middlePct` is the middle span's size as
+    * a percent of the document (integer arithmetic end to end). */
+  def fimTransform(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      middlePct: Int = 30,
+      applyPct: Int = 50): DataFrame = {
+    require(middlePct > 0 && middlePct <= 100, "middlePct in (0, 100]")
+    require(applyPct >= 0 && applyPct <= 100, "applyPct in [0, 100]")
+    val id = col(idCol).cast("long")
+    def h(tag: String) = conv(substring(
+      md5(concat(lit(s"graft:fim:$tag:"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val L = length(col(textCol)).cast("long")
+    val midLen = expr(s"length(`$textCol`) * $middlePct DIV 100")
+    val start = pmod(h("pos"), L - midLen + 1L).cast("int")
+    val isFim = pmod(h("apply"), lit(100L)) < applyPct && L > 0
+    val prefix = substr(col(textCol), lit(1), start)
+    val middle = substr(col(textCol), start + 1, midLen.cast("int"))
+    val suffix = substr(col(textCol), start + midLen.cast("int") + 1,
+      (L - start - midLen).cast("int"))
+    df.select(id.as("doc_id"), isFim.as("is_fim"),
+      when(isFim, concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+          lit("<MID>"), middle))
+        .otherwise(col(textCol)).as("text_out"))
+  }
+
   /** Canonical-URL dedup (the C4 first pass — cheaper than any text
     * similarity and run BEFORE it): per canonical URL keep the best
     * document by (`quality` desc, id asc). The same re-crawled page keeps

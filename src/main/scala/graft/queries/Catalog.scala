@@ -3947,6 +3947,32 @@ object Catalog {
         array_to_string(kept, chr(10)) AS text_clean
       FROM l WHERE len(kept) >= 3 ORDER BY doc_id"""))
 
+  /** Fill-in-the-middle transform: content-keyed apply decision + split
+    * point (md5 integer device), PSM sentinel re-ordering; the oracle
+    * replays the identical integer/substr arithmetic. */
+  private val q153 = QueryDef(
+    "q153_fim_transform",
+    (s, dir) => graft.operators.Pipeline.fimTransform(
+        t(s, dir, "documents"), "doc_id", "text",
+        middlePct = 30, applyPct = 50)
+      .orderBy(col("doc_id")),
+    Some("""WITH f AS (SELECT doc_id, text,
+          CAST(concat('0x', substr(md5('graft:fim:apply:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS ha,
+          CAST(concat('0x', substr(md5('graft:fim:pos:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hp,
+          CAST(length(text) AS BIGINT) AS L,
+          length(text) * 30 // 100 AS ml
+        FROM documents),
+      g AS (SELECT doc_id, text, L, ml,
+          (ha < 50 AND L > 0) AS is_fim,
+          CAST(hp % (L - ml + 1) AS INT) AS st
+        FROM f)
+      SELECT doc_id, is_fim,
+        CASE WHEN is_fim THEN '<PRE>' || substr(text, 1, st) ||
+            '<SUF>' || substr(text, st + ml + 1, CAST(L - st - ml AS INT)) ||
+            '<MID>' || substr(text, st + 1, CAST(ml AS INT))
+          ELSE text END AS text_out
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3961,7 +3987,7 @@ object Catalog {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152) ++
+    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
