@@ -3723,7 +3723,7 @@ object Catalog {
   private def urlParseCtes: String = {
     val suffixes = graft.functions.UrlKit.MultiPartSuffixes.toSeq.sorted
       .map(s => s"'$s'").mkString(", ")
-    s"""u AS (SELECT doc_id, source, n_chars, CASE CAST(doc_id % 5 AS INT)
+    s"""u AS (SELECT doc_id, source, n_chars, text, CASE CAST(doc_id % 5 AS INT)
           WHEN 0 THEN 'https://WWW.' || source || '-News.CO.UK:443/Articles/' || doc_id || '?id=' || doc_id || '#top'
           WHEN 1 THEN 'http://blog.' || source || '.com:8080/post/' || doc_id
           WHEN 2 THEN 'https://cdn.' || source || '.io'
@@ -3746,7 +3746,7 @@ object Catalog {
         string_split(host, '.') AS parts FROM s6),
       s8 AS (SELECT *, len(parts) AS np, CASE WHEN len(parts) >= 2
           THEN parts[len(parts)-1] || '.' || parts[len(parts)] ELSE host END AS last2 FROM s7),
-      parsed AS (SELECT doc_id, source, n_chars, url, scheme, host, path, qs,
+      parsed AS (SELECT doc_id, source, n_chars, text, url, scheme, host, path, qs,
         CASE WHEN regexp_matches(host, '^[0-9.]+$$') THEN host
              WHEN np <= 1 THEN host
              WHEN np >= 3 AND last2 IN ($suffixes) THEN parts[np-2] || '.' || last2
@@ -3973,6 +3973,68 @@ object Catalog {
           ELSE text END AS text_out
       FROM g ORDER BY doc_id"""))
 
+  /** End-to-end web-curation composite — the realistic "crawl in, corpus
+    * out" user story, in ONE declarative plan composing this round's
+    * stages: URL gate (validity + domain blocklist, row-local) →
+    * HTML → text extraction (row-local kernel) → canonical-URL keep-best
+    * dedup (one map-side-combinable aggregate) → per-domain rollup (one
+    * more tiny aggregate). Two shuffles total, both on reduced artifacts;
+    * every scan-stage step is codegen'd kernel work. The oracle composes
+    * the same generated CTE devices (URL parse chain + HtmlKit chain +
+    * window replay). */
+  private val q154 = {
+    val blocked = Seq("github.io", "src0.com")
+    QueryDef(
+      "q154_web_curate",
+      (s, dir) => {
+        import graft.functions.{html_to_text, url_parts, url_valid}
+        val id = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><style>p{}</style><script>var x;</script></head><body><h1>T "),
+          id, lit("</h1><p>"), substring(col("text"), 1, 120),
+          lit(" &amp; more</p><!-- nav --></body></html>"))
+        val p = url_parts(col("url"))
+        val parsed = t(s, dir, "documents")
+          .withColumn("url", urlCol)
+          .filter(url_valid(col("url")))
+          .withColumn("html", html)
+          .select(col("doc_id"),
+            p.getField("registrable_domain").as("domain"),
+            p.getField("canonical_url").as("canonical_url"),
+            html_to_text(col("html")).as("tc"))
+          .filter(!col("domain").isin(blocked: _*))
+          .select(col("domain"), col("canonical_url"), col("doc_id"),
+            length(col("tc")).cast("long").as("q"))
+        parsed
+          .groupBy(col("canonical_url"))
+          .agg(max(struct(col("q"), (-col("doc_id")).as("nid"),
+            col("domain").as("d"))).as("__w"))
+          .groupBy(col("__w.d").as("domain"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("__w.q")).as("n_chars_clean"))
+          .orderBy(col("domain"))
+      },
+      Some {
+        val html = "'<html><head><style>p{}</style><script>var x;</script>" +
+          "</head><body><h1>T ' || doc_id || '</h1><p>' || substr(text, 1, 120)" +
+          " || ' &amp; more</p><!-- nav --></body></html>'"
+        s"""WITH $urlParseCtes,
+          h AS (SELECT doc_id, registrable_domain AS domain, canonical_url,
+              $html AS html
+            FROM parsed
+            WHERE registrable_domain NOT IN (${blocked.map(b => s"'$b'").mkString(", ")})),
+          e AS (SELECT doc_id, domain, canonical_url,
+              CAST(length(${graft.functions.HtmlKit.duckDbSql("html")}) AS BIGINT) AS q
+            FROM h),
+          w AS (SELECT domain, canonical_url, doc_id, q,
+              row_number() OVER (PARTITION BY canonical_url
+                ORDER BY q DESC, doc_id ASC) AS rnk
+            FROM e)
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(q) AS BIGINT) AS n_chars_clean
+        FROM w WHERE rnk = 1 GROUP BY domain ORDER BY domain"""
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3987,7 +4049,8 @@ object Catalog {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153) ++
+    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
+    q154) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
