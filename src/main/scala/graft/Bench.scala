@@ -47,8 +47,24 @@ object Bench {
   def p50Flagged(minV: Double, p50V: Double): Boolean =
     p50V > minV * 1.25 + 0.25
 
+  /** A single-rep spike (the round-8 q81 13 s rep: 8.3× p50, invisible to
+    * both min and p50) is flagged when the worst run is > 3× p50 — with
+    * the same absolute floor so a 0.05 s → 0.2 s scheduler hiccup on a
+    * tiny query doesn't flag. */
+  def maxFlagged(p50V: Double, maxV: Double): Boolean =
+    maxV > p50V * 3 && maxV > p50V + 0.25
+
+  /** Cumulative stop-the-world GC milliseconds across all collectors —
+    * per-rep deltas attribute spike reps to GC pauses vs real work. */
+  def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   def renderLine(results: Map[String, Double], sfDir: String,
-      p50s: Map[String, Double] = Map.empty): String = {
+      p50s: Map[String, Double] = Map.empty,
+      maxs: Map[String, Double] = Map.empty): String = {
     // collision guard: two names compressing to one short key would
     // silently merge bench lines — disambiguate at render time with a
     // stable hash suffix (BenchLineSpec pins the current catalog clean)
@@ -78,7 +94,19 @@ object Bench {
           .mkString("{", ",", "}")
         s""","p50_total":${fmt(p50s.values.sum)},"p50_flags":$flags"""
       }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$p50Part,"sf":"$sf"}"""
+      // spike visibility (VERDICT r8 #8): worst-rep total plus a BOUNDED
+      // list of >3×-p50 spike queries, so single-rep pathologies reach the
+      // headline artifact instead of hiding in bench_detail.json
+      val maxPart = if (maxs.isEmpty) "" else {
+        val flags = maxs.toSeq
+          .filter { case (n, m) => p50s.get(n).exists(p => maxFlagged(p, m)) }
+          .sortBy { case (n, m) => (-(m - p50s(n)), n) }
+          .take(MaxP50Flags)
+          .map { case (n, m) => "\"" + keys.getOrElse(n, n) + "\":" + f(m) }
+          .mkString("{", ",", "}")
+        s""","max_total":${fmt(maxs.values.sum)},"max_flags":$flags"""
+      }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$p50Part$maxPart,"sf":"$sf"}"""
     }
     def render(f: Double => String): String = renderMap(results.toSeq, f)
     // ms precision normally; if the query set ever grows the line past the
@@ -150,27 +178,42 @@ object Bench {
     // are one-time (seedOnce) fixture setup at first plan/execution, so
     // repeated runs are read-only and idempotent.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val allRuns: Map[String, Seq[Double]] = SparkEntry.queries.map { case (name, fn) =>
+    val allDetail: Map[String, Seq[(Double, Long)]] = SparkEntry.queries.map { case (name, fn) =>
       // settle the heap before timing: one query's garbage (and its GC
       // debt) must not be billed to the next query's runs
       System.gc()
-      def run(): Double = {
+      // each rep: time the action, record the stop-the-world GC delta
+      // (attributes spike reps to GC vs work), then RELEASE the frame's
+      // pins (untimed — driver-side unpersist). Without the release, dead
+      // pinned blocks from reps 1..k-1 wait for a driver GC while rep k
+      // allocates, and the resulting storage pressure/eviction churn was
+      // the round-8 q145 rep ramp and the q81 spike class. Release is what
+      // a real pipeline's harness does after consuming a result; each rep
+      // still recomputes its pins from scratch (pin is per-invocation).
+      def run(): (Double, Long) = {
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val frame =
+          try { val d = fn(spark, sfDir); d.count(); d }
+          catch { case _: Throwable => null }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gcd = gcMillis() - gc0
+        if (frame != null) graft.core.GraftSession.release(frame, blocking = true)
+        (sec, gcd)
       }
-      val times = scala.collection.mutable.ArrayBuffer.fill(reps)(0.0)
+      val times = scala.collection.mutable.ArrayBuffer.fill(reps)((0.0, 0L))
       times.indices.foreach(i => times(i) = run())
       // adaptive warm-down: if the LAST run still set a materially new
       // minimum (≥5 % below all earlier runs), C2 is still compiling the
       // hot loops — extend (bounded) until the floor stabilizes, so the
       // reported min is steady-state for heavy codegen queries too
       var extra = 0
-      while (extra < 4 && times.size > 1 && times.last <= times.init.min * 0.95) {
+      while (extra < 4 && times.size > 1 && times.last._1 <= times.init.map(_._1).min * 0.95) {
         times += run(); extra += 1
       }
-      name -> (times.toSeq: Seq[Double])
+      name -> (times.toSeq: Seq[(Double, Long)])
     }
+    val allRuns: Map[String, Seq[Double]] = allDetail.map { case (n, ts) => n -> ts.map(_._1) }
     val results = allRuns.map { case (n, ts) => n -> ts.min }
     def p50(ts: Seq[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
     // the q84 index build is a one-time amortized cost (paid during
@@ -179,9 +222,12 @@ object Bench {
       .get(sfDir.split('/').last).map("ivf_build" -> _)
     // per-query min/p50/runs detail — too wide for the driver's ~2000-char
     // stdout tail, so it lands in a file the judge can read directly
-    val detail = allRuns.toSeq.sortBy(_._1).map { case (n, ts) =>
+    val detail = allDetail.toSeq.sortBy(_._1).map { case (n, rs) =>
+      val ts = rs.map(_._1)
       s"""  "$n": {"min": ${fmt(ts.min)}, "p50": ${fmt(p50(ts))}, """ +
-        s""""runs": [${ts.map(fmt).mkString(", ")}]}"""
+        s""""max": ${fmt(ts.max)}, """ +
+        s""""runs": [${ts.map(fmt).mkString(", ")}], """ +
+        s""""gc_ms": [${rs.map(_._2).mkString(", ")}]}"""
     }.mkString("{\n", ",\n", "\n}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
@@ -194,7 +240,8 @@ object Bench {
       try println(graft.tools.StressBench.line(spark))
       catch { case e: Throwable => println(s"""{"metric":"stress","error":"${e.getClass.getSimpleName}"}""") }
     println(renderLine(results ++ buildLine, sfDir,
-      allRuns.map { case (n, ts) => n -> p50(ts) }))
+      allRuns.map { case (n, ts) => n -> p50(ts) },
+      allRuns.map { case (n, ts) => n -> ts.max }))
     spark.stop()
   }
 }

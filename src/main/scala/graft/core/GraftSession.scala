@@ -117,14 +117,72 @@ object GraftSession {
     val size = spark.sparkContext.getRDDStorageInfo
       .find(_.id == rdd.id).map(i => i.memSize + i.diskSize)
       .getOrElse(n * math.max(df.schema.defaultSize.toLong, 1L))
+    pinnedIds.add(rdd.id)
+    pinScopes.get match {
+      case scope :: _ => scope += rdd
+      case Nil        => ()
+    }
     org.apache.spark.sql.GraftSqlBridge.cachedDf(spark, rdd, df.schema, size, n)
   }
 
-  /** Eagerly free a [[pin]]ned frame that is PROVABLY dead (no live plan
-    * references it) — for loop intermediates where waiting for GC would
-    * accumulate frames with iteration depth. No-op on non-pinned frames. */
-  def release(df: DataFrame): Unit =
-    org.apache.spark.sql.GraftSqlBridge.releaseCached(df)
+  /** RDD ids graft has pinned (and not yet released). Ids are never reused
+    * within a SparkContext, so entries for GC-collected pins are inert —
+    * the registry's job is to make [[release]] a safe operation on ANY
+    * frame: only leaves graft itself pinned are ever unpersisted, so
+    * checkpoints and user RDD-backed frames pass through untouched. */
+  private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Innermost-first stack of active [[pinScope]]s on this thread. */
+  private val pinScopes =
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]]] {
+      override def initialValue: List[scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]] = Nil
+    }
+
+  /** Eagerly free every [[pin]]ned artifact a frame's plan references —
+    * for (a) loop intermediates that are provably dead (the CC loop) and
+    * (b) harness code (bench reps, verify runs) that has just finished the
+    * frame's terminal action and KNOWS no further action is coming. Safe on
+    * arbitrary frames: only leaves in the pin registry are unpersisted.
+    * Lineage is kept by [[pin]], so a released block referenced by a
+    * not-yet-run plan recomputes instead of failing — release is a
+    * performance lever, never a correctness hazard. */
+  def release(df: DataFrame, blocking: Boolean = false): Unit =
+    org.apache.spark.sql.GraftSqlBridge.leafRdds(df)
+      .filter(r => pinnedIds.remove(r.id))
+      .foreach(_.unpersist(blocking))
+
+  /** Run a composite operator body and eagerly release every pin it
+    * created EXCEPT those the returned frame still references.
+    *
+    * The q145 lesson (round-8 bench `p50_flags`): a composite like
+    * clusterAwareSplits pins candidate/shingle/edge frames on the way to a
+    * final pinned artifact (the CC labels); once the final pin is
+    * materialized the intermediates are dead, but the GC-managed weak-ref
+    * free lags allocation in a tight loop, so dead blocks pile into
+    * storage pressure and evict live ones. This scope frees them at the
+    * exact moment they become dead — the returned frame's [[pin]] leaves
+    * (found by plan walk) are kept, everything else pinned inside `body`
+    * is unpersisted. Kept pins are propagated to an enclosing scope, so an
+    * outer composite can in turn release them when ITS result drops them.
+    * Recompute-on-block-loss still works for kept pins: lineage through a
+    * released intermediate simply recomputes it. */
+  def pinScope(body: => DataFrame): DataFrame = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    pinScopes.set(buf :: pinScopes.get)
+    val result =
+      try body
+      finally pinScopes.set(pinScopes.get.tail)
+    val keep = org.apache.spark.sql.GraftSqlBridge.leafRdds(result).map(_.id).toSet
+    val (kept, dead) = buf.partition(r => keep(r.id))
+    dead.foreach { r =>
+      if (pinnedIds.remove(r.id)) r.unpersist(blocking = false)
+    }
+    pinScopes.get match {
+      case parent :: _ => parent ++= kept
+      case Nil         => ()
+    }
+    result
+  }
 
   /** Reliable (replicated-storage) checkpoint for iterative loops.
     *

@@ -711,48 +711,52 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 20,
-      maxLocalEdges: Long = 4L << 20): DataFrame = {
+      maxLocalEdges: Long = 4L << 20): DataFrame = graft.core.GraftSession.pinScope {
     // undirected edge list, both directions
     // pin (persist + count, lineage kept): edge lineage is one distinct over
     // the pair list, so a lost executor recomputes its blocks instead of
-    // failing a multi-hour job the way localCheckpoint would.
+    // failing a multi-hour job the way localCheckpoint would. The enclosing
+    // pinScope frees the edge blocks the moment the returned frame no
+    // longer references them (both exits below).
     val edges = graft.core.GraftSession.pin(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct())
-    if (edges.count() <= maxLocalEdges) return localComponents(edges)
-    // seed with the first round folded in: label(v) = min(v, neighbors(v)).
-    // Plain pair-clusters (the common case) converge immediately — the loop
-    // only runs for chains longer than 2.
-    var labels = graft.core.GraftSession.pin(edges
-      .groupBy(col("dst").as("v")).agg(least(col("dst"), min(col("src"))).as("lbl")))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("src") === labels("v"))
-        .groupBy(col("dst").as("v2")).agg(min(col("lbl")).as("nlbl"))
-      val next0 = labels.join(neighborMin, col("v") === col("v2"), "left")
-        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // iterative lineage grows by two joins per round: persist keeps the
-      // round fast, and every CheckpointEvery rounds a RELIABLE checkpoint
-      // (durable storage, lineage truncated against data executor loss
-      // cannot strand) bounds both recompute depth and plan size. This is
-      // the FT story groupedPrefixScan already has, applied to the loop.
-      val next =
-        if ((iter + 1) % CcCheckpointEvery == 0) graft.core.GraftSession.reliableCheckpoint(next0)
-        else graft.core.GraftSession.pin(next0)
-      val changed = next.as("n").join(labels.as("o"), "v")
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      // the superseded round's labels are provably dead once `next` is
-      // materialized — release eagerly so live frames don't scale with
-      // loop depth (GC would get them too, just later)
-      graft.core.GraftSession.release(labels)
-      labels = next
-      converged = changed == 0
-      iter += 1
+    if (edges.count() <= maxLocalEdges) localComponents(edges)
+    else {
+      // seed with the first round folded in: label(v) = min(v, neighbors(v)).
+      // Plain pair-clusters (the common case) converge immediately — the loop
+      // only runs for chains longer than 2.
+      var labels = graft.core.GraftSession.pin(edges
+        .groupBy(col("dst").as("v")).agg(least(col("dst"), min(col("src"))).as("lbl")))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val neighborMin = edges
+          .join(labels, edges("src") === labels("v"))
+          .groupBy(col("dst").as("v2")).agg(min(col("lbl")).as("nlbl"))
+        val next0 = labels.join(neighborMin, col("v") === col("v2"), "left")
+          .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        // iterative lineage grows by two joins per round: persist keeps the
+        // round fast, and every CheckpointEvery rounds a RELIABLE checkpoint
+        // (durable storage, lineage truncated against data executor loss
+        // cannot strand) bounds both recompute depth and plan size. This is
+        // the FT story groupedPrefixScan already has, applied to the loop.
+        val next =
+          if ((iter + 1) % CcCheckpointEvery == 0) graft.core.GraftSession.reliableCheckpoint(next0)
+          else graft.core.GraftSession.pin(next0)
+        val changed = next.as("n").join(labels.as("o"), "v")
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        // the superseded round's labels are provably dead once `next` is
+        // materialized — release eagerly so live frames don't scale with
+        // loop depth (GC would get them too, just later)
+        graft.core.GraftSession.release(labels)
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("v").as("doc_id"), col("lbl").as("rep"))
     }
-    labels.select(col("v").as("doc_id"), col("lbl").as("rep"))
   }
 
   /** Driver-side union-find over a collected (src, dst) edge list; each
@@ -792,7 +796,7 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 128,
       bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame = graft.core.GraftSession.pinScope {
     val pairs = minhashLsh(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
     val drop = connectedComponents(pairs)
       .filter(col("doc_id") =!= col("rep"))
@@ -815,7 +819,7 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 128,
       bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame = graft.core.GraftSession.pinScope {
     val pairs = minhashLsh(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
     val cc = connectedComponents(pairs)
     val members = df

@@ -743,9 +743,16 @@ object Pipeline {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      weights: Seq[(String, Double)]): DataFrame = {
+      weights: Seq[(String, Double)]): DataFrame = graft.core.GraftSession.pinScope {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "positive split weights required")
+    // pinScope (the round-8 bench's one p50 flag, q145): this composite
+    // stacks the two heaviest pin users — minhash verify (candidate +
+    // shingle pins) feeding CC (edge + label pins). Only the final label
+    // pin survives into the returned plan; the scope frees the dead
+    // intermediates at return instead of waiting for a driver GC, which in
+    // a tight loop lags allocation and turns dead blocks into storage
+    // pressure (the measured rep ramp 1.3 s → 3.1 s).
     val pairs = graft.operators.Dedup.minhashLsh(
       df, idCol, textCol, shingleSize = 3, numHashes = 128,
       bands = 32, threshold = 0.8)

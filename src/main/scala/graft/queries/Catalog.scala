@@ -948,7 +948,11 @@ object Catalog {
     * replays the closure with a recursive CTE. */
   private val q51 = QueryDef(
     "q51_dedup_clusters",
-    (s, dir) => {
+    (s, dir) => graft.core.GraftSession.pinScope {
+      // manual minhash→CC composition: the candidate/shingle pins are only
+      // lineage of the (collected) CC result, so no frame walk can free
+      // them — the scope releases them at return (q51 held 2 dangling
+      // cached RDDs per invocation without it)
       val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))

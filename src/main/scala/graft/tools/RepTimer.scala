@@ -20,16 +20,25 @@ object RepTimer {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.GraftSession.prepare(spark)
+    // release=0 reproduces the pre-round-9 harness (no post-rep release)
+    // for A/B attribution of rep ramps to dead-pin storage pressure
+    val doRelease = sys.env.get("SPARK_GRAFT_REPTIMER_RELEASE").forall(_ == "1")
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
-      val times = (1 to reps).map { _ =>
+      val stats = (1 to reps).map { _ =>
+        val gc0 = graft.Bench.gcMillis()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val frame = fn(spark, sfDir)
+        frame.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gcd = graft.Bench.gcMillis() - gc0
+        if (doRelease) graft.core.GraftSession.release(frame, blocking = true)
+        (sec, gcd, spark.sparkContext.getRDDStorageInfo.length)
       }
-      val cached = spark.sparkContext.getRDDStorageInfo.length
-      println(s"$n: ${times.map(t => f"$t%.2f").mkString("[", ", ", "]")} " +
-        s"swing=${f"${times.max / times.min}%.2f"}x cachedRdds=$cached")
+      println(s"$n: ${stats.map(s => f"${s._1}%.2f").mkString("[", ", ", "]")} " +
+        s"swing=${f"${stats.map(_._1).max / stats.map(_._1).min}%.2f"}x " +
+        s"gcMs=${stats.map(_._2).mkString("[", ",", "]")} " +
+        s"cachedRdds=${stats.map(_._3).mkString("[", ",", "]")}")
     }
     spark.stop()
   }

@@ -49,13 +49,15 @@ object GraftSqlBridge {
     classic.Dataset.ofRows(cs, plan)
   }
 
-  /** Eagerly release the cached RDD(s) behind a [[cachedDf]] frame —
-    * for provably-dead loop intermediates (iterative CC rounds) where
-    * waiting for GC would let live frames accumulate with loop depth. */
-  def releaseCached(df: DataFrame): Unit =
+  /** Every [[LogicalRDD]] leaf RDD in a frame's analyzed plan — the set of
+    * pinned artifacts the frame still references. [[graft.core.GraftSession]]
+    * filters these against its pin registry before unpersisting, so frames
+    * whose leaves are NOT graft pins (checkpoints, user RDD frames) are
+    * never touched. */
+  def leafRdds(df: DataFrame): Seq[RDD[InternalRow]] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.collect {
-      case l: LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+      case l: LogicalRDD => l.rdd.asInstanceOf[RDD[InternalRow]]
+    }
 
   /** True when the session's CacheManager holds no entries — the leak-audit
     * invariant PinLifecycleSpec pins (graft never parks operator artifacts

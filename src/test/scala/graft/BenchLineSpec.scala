@@ -78,4 +78,30 @@ class BenchLineSpec extends AnyFunSuite {
     val flagged = (wj \ "p50_flags").asInstanceOf[JObject].obj.size
     assert(flagged == Bench.MaxP50Flags, s"flag list must cap at ${Bench.MaxP50Flags}")
   }
+
+  test("single-rep spikes surface as max_flags, bounded, line still fits") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // the round-8 q81 pathology: one 13 s rep, min AND p50 unremarkable
+    val mins = Map("q81_char_ngram_pairs" -> 1.51, "q28_simhash" -> 0.50)
+    val p50s = Map("q81_char_ngram_pairs" -> 1.56, "q28_simhash" -> 0.51)
+    val maxs = Map("q81_char_ngram_pairs" -> 13.0, "q28_simhash" -> 0.60)
+    val j = JsonMethods.parse(Bench.renderLine(mins, "/x", p50s, maxs))
+    assert((j \ "max_total") === JDouble(13.6))
+    assert((j \ "max_flags" \ "81") === JDouble(13.0),
+      "a >3x-p50 spike rep must be flagged")
+    assert((j \ "max_flags" \ "28") === JNothing,
+      "an unremarkable max must NOT be flagged")
+    // sub-second jitter on tiny queries stays below the absolute floor
+    assert(!Bench.maxFlagged(0.05, 0.16), "3x on a 50 ms query is jitter, not a spike")
+    // worst case: all three maps populated, every query spiking — both
+    // flag lists are capped, so the line still fits the driver tail
+    val worst = Bench.renderLine(
+      names.map(_ -> 9999.999).toMap, "/root/testdata/sf0.1",
+      names.map(_ -> 9999.999).toMap, names.map(_ -> 99999.999).toMap)
+    assert(worst.length <= Bench.MaxLineLength,
+      s"bench line with p50+max flags is ${worst.length} chars — will be truncated")
+    val wj = JsonMethods.parse(worst)
+    assert((wj \ "max_flags").asInstanceOf[JObject].obj.size == Bench.MaxP50Flags)
+  }
 }
