@@ -19,6 +19,27 @@ object Dedup {
     * never pays the write at all). */
   private[graft] val CcCheckpointEvery = 3
 
+  /** Broadcast ceiling for the verify-path candidate-id probe (the
+    * [[Similarity.MaxBroadcastProbeRows]] pattern applied to dedup).
+    * Candidate-set size scales with the corpus's near-dup DENSITY, not a
+    * contract-bounded batch — a 100 TB corpus with a high dup rate can
+    * push the id set past any broadcast budget, and an unconditional
+    * `broadcast(ids)` would then fail the job outright. Below the ceiling
+    * the semi join broadcasts (ids frames derive from a pinned candidate
+    * frame, so the estimate is MEASURED size, not guesswork); above it the
+    * hint is dropped and Catalyst plans a shuffle semi join — values
+    * identical on both paths (BroadcastGateSpec pins it). Var, not val:
+    * the spec forces the shuffle path by setting it to 0. */
+  private[graft] val DefaultMaxBroadcastIdBytes: Long = 64L << 20
+  @volatile private[graft] var maxBroadcastIdBytes: Long = DefaultMaxBroadcastIdBytes
+
+  /** The candidate-id set, broadcast-hinted only while its measured size
+    * estimate fits [[maxBroadcastIdBytes]]. */
+  private def gatedIds(ids: DataFrame): DataFrame =
+    if (org.apache.spark.sql.GraftSqlBridge.sizeEstimate(ids) <=
+        BigInt(maxBroadcastIdBytes)) broadcast(ids)
+    else ids
+
   /** Exact dedup: keep the lowest-id row per identical `keyCols` tuple.
     * One hash-shuffle on the group key; at 100 TB pre-hash the key
     * (fingerprint64) so the shuffle key is a fixed-width long. */
@@ -90,7 +111,7 @@ object Dedup {
       .distinct()
 
     verifyJaccard(cand, ids => shingleProjection(
-      df.join(broadcast(ids), df(idCol).cast("long") === ids("doc_id"), "left_semi"),
+      df.join(gatedIds(ids), df(idCol).cast("long") === ids("doc_id"), "left_semi"),
       idCol, textCol, shingleSize), threshold)
   }
 
@@ -176,7 +197,7 @@ object Dedup {
     prefixFilteredPairs(sh, threshold, Some { ids =>
       val raw = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
       graft.core.GraftSession.widen(
-          raw.join(broadcast(ids),
+          raw.join(gatedIds(ids),
             raw(idCol).cast("long") === ids("doc_id"), "left_semi"))
         .select(col(idCol).cast("long").as("doc_id"),
           shingle_hashes(coalesce(col(textCol), lit("")), shingleSize).as("sh"))
@@ -450,7 +471,7 @@ object Dedup {
       shOfIds: Option[DataFrame => DataFrame] = None): DataFrame =
     verifyJaccard(prefixCandidates(sh, threshold),
       shOfIds.getOrElse(ids => sh.select(col("doc_id"), col("sh"))
-        .join(broadcast(ids), Seq("doc_id"), "left_semi")), threshold)
+        .join(gatedIds(ids), Seq("doc_id"), "left_semi")), threshold)
 
   /** Candidate pairs of the PPJoin core before exact verification —
     * exposed for specs that pin the pruning (candidate count ≪ all-pairs
@@ -530,7 +551,7 @@ object Dedup {
       .distinct()
     verifyJaccard(cand, ids => {
       def restricted(raw: DataFrame) = shingleProjection(
-        raw.join(broadcast(ids),
+        raw.join(gatedIds(ids),
           raw(idCol).cast("long") === ids("doc_id"), "left_semi"),
         idCol, textCol, shingleSize)
       restricted(index).unionByName(restricted(delta))
@@ -625,9 +646,9 @@ object Dedup {
       .distinct()
     verifyJaccard(cand, ids =>
       spark.table(s"${table}_sh")
-        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .join(gatedIds(ids), Seq("doc_id"), "left_semi")
         .unionByName(shingleProjection(
-          delta.join(broadcast(ids),
+          delta.join(gatedIds(ids),
             delta(idCol).cast("long") === ids("doc_id"), "left_semi"),
           idCol, textCol, ss)), threshold)
   }
@@ -989,7 +1010,7 @@ object Dedup {
           Some(prefixFilteredPairs(sparseBig, threshold, Some { ids =>
             val raw = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
             graft.core.GraftSession.widen(
-                raw.join(broadcast(ids),
+                raw.join(gatedIds(ids),
                   raw(idCol).cast("long") === ids("doc_id"), "left_semi"))
               .select(col(idCol).cast("long").as("doc_id"),
                 sort_array(transform(

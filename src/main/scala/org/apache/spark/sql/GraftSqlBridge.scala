@@ -59,6 +59,14 @@ object GraftSqlBridge {
       case l: LogicalRDD => l.rdd.asInstanceOf[RDD[InternalRow]]
     }
 
+  /** Catalyst's optimized-plan size estimate for a frame, driver-side (no
+    * job). For frames derived from a [[cachedDf]] pin the leaf carries
+    * MEASURED size/rowCount, so the estimate is real data, not
+    * `defaultSizeInBytes` guesswork — the broadcast-or-shuffle gates in
+    * the dedup verify path decide on it. */
+  def sizeEstimate(df: DataFrame): BigInt =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.optimizedPlan.stats.sizeInBytes
+
   /** True when the session's CacheManager holds no entries — the leak-audit
     * invariant PinLifecycleSpec pins (graft never parks operator artifacts
     * in the CacheManager). */
