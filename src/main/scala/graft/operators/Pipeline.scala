@@ -1271,11 +1271,16 @@ object Pipeline {
     * collocation has c_ab ≫ 2^63/(T·4096) for any real T, and Spark's
     * non-ANSI int64 multiply would wrap silently — so the numerator runs
     * in DECIMAL(38,0) (exact integer arithmetic to 10^38; the DIV result
-    * is int64 again). That is exact while c_ab·T ≤ 10^38/4096, i.e. for
-    * any corpus up to T ≈ 2^57 bigrams (≈ 10^17 — hundreds of petabytes
-    * of text); a loud guard trips at T > 2^50 well before the quantized
-    * log's own int64 input bound could be reached by r = c·T·4096/
-    * (c_a·c_b) ≤ 4096·T. */
+    * is int64 again). The DIVISOR c_a·c_b is widened the same way: two
+    * hub tokens with c_a ≈ c_b ≈ 2^35 wrap an int64 product far below
+    * the T guard (reachable at T ≈ 2^40), and a wrapped — possibly
+    * negative — divisor yields wrong r values or silently drops rows
+    * through the r ≥ 1 filter. With both sides decimal the arithmetic is
+    * exact while c_ab·T ≤ 10^38/4096 AND c_a·c_b ≤ 10^38, i.e. for any
+    * corpus up to T ≈ 2^57 bigrams (≈ 10^17 — hundreds of petabytes of
+    * text); the loud guard trips at T > 2^50 well before either bound,
+    * and r = c·T·4096/(c_a·c_b) ≤ 4096·T keeps the int64 DIV result in
+    * range. */
   def pmiPairs(
       df: DataFrame,
       textCol: String,
@@ -1303,9 +1308,12 @@ object Pipeline {
     cab.filter(col("c") >= minCount)
       .join(ca, "a").join(cb, "b")
       .crossJoin(broadcast(tot))
-      // DECIMAL(38,0) numerator: exact where int64 would silently wrap
-      // (see envelope note above); IntegralDivide lands back in int64
-      .withColumn("r", expr("(CAST(c AS DECIMAL(38,0)) * t * 4096) DIV (ca * cb)"))
+      // DECIMAL(38,0) on BOTH sides of the DIV: numerator AND divisor
+      // silently wrap in non-ANSI int64 (hub-token marginals reach
+      // c_a·c_b > 2^63 far below the T guard — see envelope note above);
+      // IntegralDivide lands back in int64
+      .withColumn("r", expr(
+        "(CAST(c AS DECIMAL(38,0)) * t * 4096) DIV (CAST(ca AS DECIMAL(38,0)) * cb)"))
       .filter(col("r") >= 1)
       .withColumn("pmi_q", expr(qlog2Sql("r")) - lit(192L))
       .select(col("a"), col("b"), col("c"), col("pmi_q"))
@@ -1772,7 +1780,11 @@ object Pipeline {
       md5(concat(lit(s"graft:fim:$tag:"), id.cast("string"))), 1, 15), 16, 10)
       .cast("long")
     val L = length(col(textCol)).cast("long")
-    val midLen = expr(s"length(`$textCol`) * $middlePct DIV 100")
+    // widen BEFORE the multiply: Spark's length() is IntegerType, and an
+    // int32 product wraps (negative midLen) for documents past
+    // ~2^31/middlePct chars — the DuckDB replay computes in BIGINT, so
+    // the long cast is both the overflow fix and the parity contract
+    val midLen = expr(s"CAST(length(`$textCol`) AS BIGINT) * $middlePct DIV 100")
     val start = pmod(h("pos"), L - midLen + 1L).cast("int")
     val isFim = pmod(h("apply"), lit(100L)) < applyPct && L > 0
     val prefix = substr(col(textCol), lit(1), start)
