@@ -26,18 +26,34 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - query: verbatim, no parameter reordering; fragment: dropped;
   *  - canonical_url: scheme://host[:port]path[?query] with the scheme's
   *    DEFAULT port stripped (http 80, https 443, ftp 21, ws 80, wss 443);
-  *  - registrable_domain (eTLD+1): the last label plus one, except when
-  *    the last TWO labels form a multi-part public suffix from
-  *    [[UrlKit.MultiPartSuffixes]] (then last three). IPv4 hosts and
-  *    single-label hosts are their own registrable domain. The suffix set
-  *    is a deliberate ~50-entry approximation of the Public Suffix List's
-  *    head — the full PSL is a data file, not logic; swap it in via the
-  *    same hook at deployment.
+  *  - registrable_domain (eTLD+1): the public suffix plus one label,
+  *    where the public suffix is resolved against PSL-SHAPED rules
+  *    ([[SuffixRules]]: exact rules of any label depth, `*.zone`
+  *    wildcard rules, `!site.zone` exception rules — the
+  *    publicsuffix.org matching algorithm: exceptions prevail, else the
+  *    longest matching rule, else the implicit `*` default). IPv4 hosts,
+  *    single-label hosts, and hosts that ARE a public suffix map to
+  *    themselves (graceful never-null attribution). The zero-config rule
+  *    set is [[UrlKit.HeadRules]], a deliberate head sample of the real
+  *    PSL (ICANN two-label zones + hosting-platform private suffixes +
+  *    the `*.jp` city wildcards with their `!city.*` exceptions); the
+  *    FULL list loads from a data file — `-Dgraft.psl.path=<file>` or a
+  *    `/graft-public-suffix-list.dat` classpath resource — parsed with
+  *    [[UrlKit.parsePsl]]. Both are per-JVM static initialization, so on
+  *    a cluster ship the file with the job (`--files` + the property, or
+  *    bake the resource into the jar) and every executor resolves the
+  *    same rules; [[UrlKit.setRules]] is for tests/local sessions only.
   */
 object UrlKit {
 
-  /** Multi-part public suffixes (PSL head): when a host's last two labels
-    * are in this set the registrable domain takes three labels. */
+  /** PSL-shaped suffix rule set (publicsuffix.org/list semantics).
+    * `wildcard` stores `*.zone` rules as `zone`; `exception` stores
+    * `!site.zone` rules as `site.zone`. */
+  final case class SuffixRules(
+      exact: Set[String], wildcard: Set[String], exception: Set[String])
+
+  /** Multi-part public suffixes (ICANN PSL head): two-label country
+    * zones whose registrable domain takes three labels. */
   val MultiPartSuffixes: Set[String] = Set(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
@@ -51,6 +67,81 @@ object UrlKit {
     "com.sg", "com.hk", "com.my", "co.th", "com.vn", "com.ua",
     "co.il", "org.il", "com.co", "com.pe", "com.ve", "com.eg", "com.sa",
     "co.id", "com.ph", "com.pk", "com.bd", "com.ng")
+
+  /** PSL private-section head: hosting platforms whose subdomains are
+    * UNRELATED sites — without these, `capPerDomain` quotas, `domainSplits`
+    * leakage guarantees, and blocklists collapse thousands of tenants
+    * (every *.github.io page) into one registrable domain. All entries
+    * are on the real PSL; note `s3.amazonaws.com` is a THREE-label rule —
+    * the rule engine handles any depth. */
+  val PrivateSuffixHead: Set[String] = Set(
+    "github.io", "blogspot.com", "web.app", "herokuapp.com", "netlify.app",
+    "vercel.app", "pages.dev", "workers.dev", "appspot.com",
+    "firebaseapp.com", "azurewebsites.net", "cloudfront.net",
+    "s3.amazonaws.com")
+
+  /** PSL wildcard head: the `*.jp` city zones (every direct subdomain is
+    * itself a public suffix) … */
+  val WildcardHead: Set[String] = Set(
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp", "sapporo.jp",
+    "sendai.jp", "yokohama.jp")
+
+  /** … with the PSL's matching `!city.<zone>` exception rules (the city
+    * government sites are ordinary registrable domains). */
+  val ExceptionHead: Set[String] = WildcardHead.map("city." + _)
+
+  /** Zero-config default: a head sample of the real PSL across all three
+    * rule forms. */
+  val HeadRules: SuffixRules =
+    SuffixRules(MultiPartSuffixes ++ PrivateSuffixHead, WildcardHead, ExceptionHead)
+
+  @volatile private var rulesRef: SuffixRules = null
+
+  /** The rule set the kernel (and the oracle SQL generator) resolve
+    * against — initialized once per JVM from `-Dgraft.psl.path`, else the
+    * `/graft-public-suffix-list.dat` classpath resource, else
+    * [[HeadRules]]. */
+  def activeRules: SuffixRules = {
+    var r = rulesRef
+    if (r == null) { r = initRules(); rulesRef = r }
+    r
+  }
+
+  /** Test/local-session override (per-JVM; on a cluster use the property
+    * or resource so executors initialize identically). */
+  def setRules(r: SuffixRules): Unit = rulesRef = r
+
+  /** Re-run the property/resource/default resolution (after changing
+    * `graft.psl.path`). */
+  def reloadRules(): Unit = rulesRef = initRules()
+
+  private def initRules(): SuffixRules =
+    sys.props.get("graft.psl.path")
+      .map(p => parsePsl(scala.io.Source.fromFile(p, "UTF-8")))
+      .orElse(Option(getClass.getResourceAsStream("/graft-public-suffix-list.dat"))
+        .map(in => parsePsl(scala.io.Source.fromInputStream(in, "UTF-8"))))
+      .getOrElse(HeadRules)
+
+  /** Parse the publicsuffix.org data-file format: `//` comments and blank
+    * lines skipped, a rule is everything up to the first whitespace,
+    * `!rule` → exception, `*.rule` → wildcard, bare `*` is the (implicit)
+    * default rule. Closes the source. */
+  def parsePsl(src: scala.io.Source): SuffixRules =
+    try {
+      val exact = Set.newBuilder[String]
+      val wildcard = Set.newBuilder[String]
+      val exception = Set.newBuilder[String]
+      src.getLines().foreach { line0 =>
+        val line = line0.trim
+        if (line.nonEmpty && !line.startsWith("//")) {
+          val rule = line.takeWhile(!_.isWhitespace).toLowerCase
+          if (rule.startsWith("!")) exception += rule.substring(1)
+          else if (rule.startsWith("*.")) wildcard += rule.substring(2)
+          else if (rule != "*") exact += rule
+        }
+      }
+      SuffixRules(exact.result(), wildcard.result(), exception.result())
+    } finally src.close()
 
   private val DefaultPorts = Map(
     "http" -> "80", "https" -> "443", "ftp" -> "21", "ws" -> "80", "wss" -> "443")
@@ -68,16 +159,58 @@ object UrlKit {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (!first && ((c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'))
 
+  /** Registrable domain (eTLD+1) under the publicsuffix.org matching
+    * algorithm against [[activeRules]]: among matching rules an exception
+    * prevails (public suffix = the exception minus its leftmost label),
+    * else the longest match (a `*.zone` wildcard counts one label longer
+    * than `zone`), else the implicit `*` default (last label). The
+    * registrable domain is the public suffix plus one label; a host that
+    * IS a public suffix (or IPv4 / single-label) maps to itself. */
   def registrable(host: String): String = {
     if (host.forall(c => (c >= '0' && c <= '9') || c == '.')) return host // IPv4
     val parts = host.split('.')
-    if (parts.length <= 1) host
-    else {
-      val last2 = parts(parts.length - 2) + "." + parts(parts.length - 1)
-      if (parts.length >= 3 && MultiPartSuffixes.contains(last2))
-        parts(parts.length - 3) + "." + last2
-      else last2
+    val n = parts.length
+    if (n <= 1) return host
+    val rules = activeRules
+    var psLen = 1 // the implicit '*' default rule
+    var excLen = -1
+    var i = n - 1
+    var suffix = ""
+    while (i >= 0) {
+      suffix = if (i == n - 1) parts(i) else parts(i) + "." + suffix
+      val len = n - i
+      if (excLen < len - 1 && rules.exception.contains(suffix)) excLen = len - 1
+      if (psLen < len && rules.exact.contains(suffix)) psLen = len
+      if (i >= 1 && psLen < len + 1 && rules.wildcard.contains(suffix)) psLen = len + 1
+      i -= 1
     }
+    val ps = if (excLen >= 0) excLen else psLen
+    if (ps >= n) host
+    else parts.slice(n - ps - 1, n).mkString(".")
+  }
+
+  /** DuckDB replay of the public-suffix label count for `hostExpr` —
+    * GENERATED from [[activeRules]] so the two engines cannot drift (the
+    * same discipline as every kernel's oracle mirror). Exceptions are
+    * emitted longest-first (CASE first-match == the kernel's max), exact
+    * and wildcard matches fold through GREATEST with the default-rule
+    * floor of 1. */
+  def publicSuffixLenSql(hostExpr: String): String = {
+    val r = activeRules
+    val all = r.exact ++ r.wildcard ++ r.exception
+    require(all.forall(s => !s.exists(c => c == '%' || c == '_' || c == '\'')),
+      "suffix rules must be LIKE-literal for the oracle replay")
+    def labels(s: String) = s.count(_ == '.') + 1
+    val excCases = r.exception.toSeq.sortBy(e => (-labels(e), e))
+      .map(e => s"WHEN $hostExpr = '$e' OR $hostExpr LIKE '%.$e' THEN ${labels(e) - 1}")
+      .mkString(" ")
+    val lens =
+      r.exact.toSeq.sorted.map(s =>
+        s"CASE WHEN $hostExpr = '$s' OR $hostExpr LIKE '%.$s' THEN ${labels(s)} ELSE 1 END") ++
+      r.wildcard.toSeq.sorted.map(w =>
+        s"CASE WHEN $hostExpr LIKE '%.$w' THEN ${labels(w) + 1} ELSE 1 END")
+    val greatest = s"GREATEST(1, ${lens.mkString(", ")})"
+    if (excCases.isEmpty) greatest else s"CASE $excCases ELSE $greatest END"
   }
 
   /** Cheap validity boundary-pass: true ⟺ [[parse]] returns non-null

@@ -1851,21 +1851,27 @@ object Pipeline {
       .withColumn("split", assigned)
   }
 
-  /** Domain-blocklist filter: drop every document whose registrable
-    * domain is on the blocklist — row-local (kernel + literal IN), zero
-    * shuffle, so it composes into any scan. Unparseable URLs are dropped
-    * too (same attribution rule as [[capPerDomain]]). For a blocklist too
-    * large for a literal, broadcast-anti-join the same derived column. */
+  /** Domain-blocklist filter: drop every document whose HOST equals a
+    * blocked entry or sits under it (label-suffix match) — one rule form
+    * blocks a single site (`bad.example.com`), a whole registrable domain
+    * (`example.com`), or an entire public suffix (`github.io` drops every
+    * tenant page, which registrable-domain matching cannot express now
+    * that platform suffixes are public suffixes). Row-local (kernel +
+    * literal equals/endsWith chain), zero shuffle, so it composes into
+    * any scan. Unparseable URLs are dropped too (same attribution rule
+    * as [[capPerDomain]]). For a blocklist too large for a literal,
+    * broadcast-anti-join the host's label-suffix expansion instead. */
   def filterBlockedDomains(
       df: DataFrame,
       urlCol: String,
       blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "empty blocklist — nothing to filter")
-    val domain =
-      graft.functions.url_parts(col(urlCol)).getField("registrable_domain")
-    // url_valid carries the null/parseability decision so the IN predicate
-    // is the parse kernel's ONLY evaluation site
+    val host = graft.functions.url_parts(col(urlCol)).getField("host")
+    val isBlocked = blocked.map(b => host === b || host.endsWith("." + b))
+      .reduce(_ || _)
+    // url_valid carries the null/parseability decision so the blocklist
+    // predicate is the parse kernel's ONLY evaluation site
     df.filter(col(urlCol).isNotNull && graft.functions.url_valid(col(urlCol)) &&
-      !domain.isin(blocked: _*))
+      !isBlocked)
   }
 }

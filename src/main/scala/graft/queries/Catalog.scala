@@ -3721,12 +3721,10 @@ object Catalog {
   /** DuckDB replay of [[graft.functions.UrlKit]]: URL derivation + the
     * full parse/canonicalize pipeline as CTEs ending in `parsed`
     * (doc_id, source, n_chars, url, scheme, host, registrable_domain,
-    * path, qs, canonical_url). The multi-part-suffix IN list is GENERATED
-    * from [[graft.functions.UrlKit.MultiPartSuffixes]], so the two
-    * engines cannot drift. */
+    * path, qs, canonical_url). The public-suffix matching CASE is
+    * GENERATED from [[graft.functions.UrlKit.activeRules]] (exact +
+    * wildcard + exception PSL rules), so the two engines cannot drift. */
   private def urlParseCtes: String = {
-    val suffixes = graft.functions.UrlKit.MultiPartSuffixes.toSeq.sorted
-      .map(s => s"'$s'").mkString(", ")
     s"""u AS (SELECT doc_id, source, n_chars, text, CASE CAST(doc_id % 5 AS INT)
           WHEN 0 THEN 'https://WWW.' || source || '-News.CO.UK:443/Articles/' || doc_id || '?id=' || doc_id || '#top'
           WHEN 1 THEN 'http://blog.' || source || '.com:8080/post/' || doc_id
@@ -3748,13 +3746,13 @@ object Catalog {
           ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
         regexp_extract(tail, '\\?(.*)$$', 1) AS qs,
         string_split(host, '.') AS parts FROM s6),
-      s8 AS (SELECT *, len(parts) AS np, CASE WHEN len(parts) >= 2
-          THEN parts[len(parts)-1] || '.' || parts[len(parts)] ELSE host END AS last2 FROM s7),
+      s8 AS (SELECT *, len(parts) AS np,
+        ${graft.functions.UrlKit.publicSuffixLenSql("host")} AS ps FROM s7),
       parsed AS (SELECT doc_id, source, n_chars, text, url, scheme, host, path, qs,
         CASE WHEN regexp_matches(host, '^[0-9.]+$$') THEN host
              WHEN np <= 1 THEN host
-             WHEN np >= 3 AND last2 IN ($suffixes) THEN parts[np-2] || '.' || last2
-             ELSE last2 END AS registrable_domain,
+             WHEN ps >= np THEN host
+             ELSE array_to_string(parts[np-ps:np], '.') END AS registrable_domain,
         scheme || '://' || host ||
           CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
             OR (scheme = 'https' AND port = '443') OR (scheme = 'ftp' AND port = '21')
@@ -3804,8 +3802,10 @@ object Catalog {
       SELECT domain, CAST(rnk AS INT) AS rnk, doc_id, q
       FROM r WHERE rnk <= 3 ORDER BY domain, rnk"""))
 
-  /** Domain-blocklist filter: row-local kernel + literal IN, zero
-    * shuffle; github.io (every 5th doc) and two exact domains blocked. */
+  /** Domain-blocklist filter: row-local kernel + literal host-suffix
+    * chain, zero shuffle; github.io (a PUBLIC suffix — the whole platform
+    * zone, every 5th doc) and two registrable domains blocked with the
+    * same rule form. */
   private val q148 = {
     val blocked = Seq("github.io", "src0.com", "src3-news.co.uk")
     QueryDef(
@@ -3818,7 +3818,8 @@ object Catalog {
       Some(s"""WITH $urlParseCtes
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
         FROM parsed
-        WHERE registrable_domain NOT IN (${blocked.map(b => s"'$b'").mkString(", ")})
+        WHERE NOT (${blocked.map(b =>
+          s"host = '$b' OR host LIKE '%.$b'").mkString(" OR ")})
         GROUP BY source ORDER BY source"""))
   }
 
@@ -4003,10 +4004,14 @@ object Catalog {
           .filter(url_valid(col("url")))
           .withColumn("html", html)
           .select(col("doc_id"),
+            p.getField("host").as("host"),
             p.getField("registrable_domain").as("domain"),
             p.getField("canonical_url").as("canonical_url"),
             html_to_text(col("html")).as("tc"))
-          .filter(!col("domain").isin(blocked: _*))
+          // host-suffix blocking (filterBlockedDomains semantics): a
+          // public-suffix entry like github.io drops the whole zone
+          .filter(!blocked.map(b =>
+            col("host") === b || col("host").endsWith("." + b)).reduce(_ || _))
           .select(col("domain"), col("canonical_url"), col("doc_id"),
             length(col("tc")).cast("long").as("q"))
         parsed
@@ -4025,7 +4030,8 @@ object Catalog {
           h AS (SELECT doc_id, registrable_domain AS domain, canonical_url,
               $html AS html
             FROM parsed
-            WHERE registrable_domain NOT IN (${blocked.map(b => s"'$b'").mkString(", ")})),
+            WHERE NOT (${blocked.map(b =>
+              s"host = '$b' OR host LIKE '%.$b'").mkString(" OR ")})),
           e AS (SELECT doc_id, domain, canonical_url,
               CAST(length(${graft.functions.HtmlKit.duckDbSql("html")}) AS BIGINT) AS q
             FROM h),

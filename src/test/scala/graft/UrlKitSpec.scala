@@ -60,6 +60,73 @@ class UrlKitSpec extends AnyFunSuite {
       "a bare suffix has no registrable label; it maps to itself")
   }
 
+  test("PSL rule forms: private suffixes, 3-label rules, wildcard, exception") {
+    // private-section head: platform tenants are SEPARATE registrable
+    // domains (q148's "block github.io" now needs host-suffix matching)
+    assert(UrlKit.registrable("alice.github.io") == "alice.github.io")
+    assert(UrlKit.registrable("www.alice.github.io") == "alice.github.io")
+    assert(UrlKit.registrable("github.io") == "github.io",
+      "the bare suffix maps to itself")
+    assert(UrlKit.registrable("team.blogspot.com") == "team.blogspot.com")
+    // a THREE-label exact rule
+    assert(UrlKit.registrable("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+    assert(UrlKit.registrable("x.bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+    // amazonaws.com itself is NOT in the head rules: default rule applies
+    assert(UrlKit.registrable("ec2.amazonaws.com") == "amazonaws.com")
+    // wildcard rule *.kawasaki.jp: every direct child is a public suffix
+    assert(UrlKit.registrable("foo.kawasaki.jp") == "foo.kawasaki.jp",
+      "a wildcard-matched zone is a public suffix; maps to itself")
+    assert(UrlKit.registrable("site.foo.kawasaki.jp") == "site.foo.kawasaki.jp")
+    assert(UrlKit.registrable("www.site.foo.kawasaki.jp") == "site.foo.kawasaki.jp")
+    // exception rule !city.kawasaki.jp: the city site is an ordinary domain
+    assert(UrlKit.registrable("city.kawasaki.jp") == "city.kawasaki.jp")
+    assert(UrlKit.registrable("www.city.kawasaki.jp") == "city.kawasaki.jp")
+  }
+
+  test("parsePsl: data-file format round-trips into the matching engine") {
+    val psl =
+      """// comment line
+        |com
+        |co.uk
+        |*.kawasaki.jp
+        |!city.kawasaki.jp
+        |github.io
+        |
+        |// private section
+        |s3.amazonaws.com
+        |""".stripMargin
+    val rules = UrlKit.parsePsl(scala.io.Source.fromString(psl))
+    assert(rules.exact == Set("com", "co.uk", "github.io", "s3.amazonaws.com"))
+    assert(rules.wildcard == Set("kawasaki.jp"))
+    assert(rules.exception == Set("city.kawasaki.jp"))
+    val saved = UrlKit.activeRules
+    try {
+      UrlKit.setRules(rules)
+      assert(UrlKit.registrable("www.example.co.uk") == "example.co.uk")
+      assert(UrlKit.registrable("www.city.kawasaki.jp") == "city.kawasaki.jp")
+      assert(UrlKit.registrable("a.b.kawasaki.jp") == "a.b.kawasaki.jp")
+    } finally UrlKit.setRules(saved)
+  }
+
+  test("graft.psl.path property loads a PSL file on (re)initialization") {
+    val f = java.io.File.createTempFile("graft-psl", ".dat")
+    try {
+      java.nio.file.Files.write(f.toPath,
+        "web.example\n*.zz.example\n!ok.zz.example\n".getBytes("UTF-8"))
+      val saved = UrlKit.activeRules
+      try {
+        System.setProperty("graft.psl.path", f.getAbsolutePath)
+        UrlKit.reloadRules()
+        assert(UrlKit.registrable("a.site.web.example") == "site.web.example")
+        assert(UrlKit.registrable("x.y.zz.example") == "x.y.zz.example")
+        assert(UrlKit.registrable("www.ok.zz.example") == "ok.zz.example")
+      } finally {
+        System.clearProperty("graft.psl.path")
+        UrlKit.setRules(saved)
+      }
+    } finally { f.delete(): Unit }
+  }
+
   test("url_valid fuzz equivalence: valid ⟺ url_parts parses, on hostile inputs") {
     val rnd = new scala.util.Random(20260814)
     val frags = Seq("https://", "http://", "x://", "://", "1a://", "a.b", "host",
