@@ -149,7 +149,11 @@ object GraftSinks {
   /** K8 — WS/SSE broadcast sink (HttpListenerSinkBuilder.java:231-263):
     * single writer (forceTotalParallelismOne analog = coalesce(1)),
     * accumulate-up-to-N drop-oldest buffer while no client is connected.
-    * Cols: payload(string). */
+    * Both protocol legs serve this buffer:
+    * [[graft.sources.http.WsEndpoint.startWebsocket]] (RFC 6455 upgrade +
+    * text frames, `buildWebsocket`) and
+    * [[graft.sources.http.HttpEndpoint.startBroadcast]]
+    * (`text/event-stream`, `buildServerSent`). Cols: payload(string). */
   def wsBroadcast(df: DataFrame, uri: String, accumulateLimit: Int): Unit = {
     df.select("payload").coalesce(1).foreachPartition { (rows: Iterator[Row]) =>
       MemHub.publish(uri, "ws", rows.map(r =>

@@ -60,8 +60,9 @@ object HttpEndpoint {
     ctx
   }
 
-  private def createServer(port: Int, tls: Option[TlsConfig]): HttpServer = {
-    val addr = new InetSocketAddress("127.0.0.1", port)
+  private def createServer(port: Int, tls: Option[TlsConfig],
+      bindHost: String = "127.0.0.1"): HttpServer = {
+    val addr = new InetSocketAddress(bindHost, port)
     tls match {
       case None => HttpServer.create(addr, 0)
       case Some(cfg) =>
@@ -110,8 +111,10 @@ object HttpEndpoint {
     * of having to know it up front. */
   def startBroadcast(uri: String, port: Int = 0,
       tls: Option[TlsConfig] = None,
-      jobId: Option[String] = None): (HttpServer, Int) = {
-    val server = createServer(port, tls)
+      jobId: Option[String] = None,
+      bindHost: String = "127.0.0.1",
+      advertiseHost: Option[String] = None): (HttpServer, Int) = {
+    val server = createServer(port, tls, bindHost)
     server.createContext("/events", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         if (ex.getRequestMethod == "GET") {
@@ -133,7 +136,14 @@ object HttpEndpoint {
     val bound = server.getAddress.getPort
     jobId.foreach { id =>
       val scheme = if (tls.isDefined) "https" else "http"
-      MemHub.advertiseSinkAddress(id, s"$scheme://localhost:$bound/events")
+      // advertise a REACHABLE host, not a literal: the elected member's
+      // name when configured, else the bind host (which is only ambiguous
+      // when binding all interfaces — then fall back to the local address)
+      val host = advertiseHost.getOrElse(
+        if (bindHost == "0.0.0.0")
+          java.net.InetAddress.getLocalHost.getHostAddress
+        else bindHost)
+      MemHub.advertiseSinkAddress(id, s"$scheme://$host:$bound/events")
     }
     (server, bound)
   }

@@ -1,0 +1,245 @@
+package graft.sources.http
+
+import java.io.{BufferedInputStream, InputStream, OutputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket, SocketTimeoutException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Base64
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+
+import javax.net.ssl.SSLServerSocket
+
+import graft.sources.hub.MemHub
+
+/** RFC 6455 WebSocket server leg of the K8 broadcast sink — the protocol
+  * the reference serves beside SSE (`HttpListenerSinkBuilder.buildWebsocket`,
+  * `HttpListenerSinkBuilder.java:231-263`; protocol matrix
+  * `HttpListenerSinkTest.java:103-473`). Zero dependencies: the upgrade
+  * handshake and framing are small enough to speak directly over a
+  * `ServerSocket` (TLS via `SSLServerSocket` from the shared
+  * [[HttpEndpoint.sslContext]], mutual auth included).
+  *
+  * Contract (mirrors the reference's Undertow handler,
+  * `HttpListenerSinkContext.java:164-183`):
+  *  - a connecting client completes the 101 upgrade and immediately
+  *    receives the current drop-oldest accumulate buffer as text frames
+  *    (`messageBuffer.drain` on connect);
+  *  - items published after that stream live to every connected peer;
+  *  - client `ping` gets `pong`, client `close` gets a close reply;
+  *  - a non-WebSocket request on the socket gets `400 Bad Request`
+  *    (wrong-client-protocol row of the matrix).
+  *
+  * The server polls the hub topic for new messages between client-frame
+  * reads (50 ms cadence) — the single-process analog of the reference's
+  * receive-thread push; on a cluster the hub client swaps for the real
+  * shared buffer (MemHub.scala:14-16) and the socket loop is unchanged.
+  */
+object WsEndpoint {
+
+  /** RFC 6455 §1.3 handshake GUID. */
+  private val WsGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+  private[http] def acceptKey(clientKey: String): String =
+    Base64.getEncoder.encodeToString(
+      MessageDigest.getInstance("SHA-1")
+        .digest((clientKey + WsGuid).getBytes(UTF_8)))
+
+  final case class WsServer(port: Int, private[http] val stopFlag: AtomicBoolean,
+      private[http] val server: ServerSocket,
+      private[http] val clients: ConcurrentHashMap[Socket, java.lang.Boolean]) {
+    def stop(): Unit = {
+      stopFlag.set(true)
+      try server.close() catch { case _: Throwable => () }
+      clients.keySet.forEach(s => try s.close() catch { case _: Throwable => () })
+    }
+  }
+
+  /** Start the WebSocket broadcast server for a sink topic.
+    *
+    * @param uri           hub uri the `wsBroadcast` sink publishes into
+    * @param port          0 = ephemeral
+    * @param tls           serve `wss://` (mutual auth honored)
+    * @param jobId         opt into the address-advertisement contract
+    * @param bindHost      interface to bind (default loopback; "0.0.0.0"
+    *                      for all interfaces on a real deployment)
+    * @param advertiseHost host to ADVERTISE to clients — must be the
+    *                      elected member's reachable name, which the
+    *                      bind address alone cannot tell when binding
+    *                      all interfaces (defaults: the bind host, or
+    *                      the local address when bound to 0.0.0.0)
+    */
+  def startWebsocket(uri: String, port: Int = 0,
+      tls: Option[HttpEndpoint.TlsConfig] = None,
+      jobId: Option[String] = None,
+      bindHost: String = "127.0.0.1",
+      advertiseHost: Option[String] = None,
+      path: String = "/"): WsServer = {
+    val server: ServerSocket = tls match {
+      case None => new ServerSocket()
+      case Some(cfg) =>
+        val ctx = HttpEndpoint.sslContext(
+          Some(cfg.keystorePath), cfg.password, cfg.truststorePath)
+        val s = ctx.getServerSocketFactory.createServerSocket()
+          .asInstanceOf[SSLServerSocket]
+        s.setNeedClientAuth(cfg.needClientAuth)
+        s
+    }
+    server.bind(new InetSocketAddress(bindHost, port))
+    val bound = server.getLocalPort
+    val stop = new AtomicBoolean(false)
+    val clients = new ConcurrentHashMap[Socket, java.lang.Boolean]()
+    val acceptor = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val sock = server.accept()
+          clients.put(sock, java.lang.Boolean.TRUE)
+          val t = new Thread(() => {
+            try serveClient(sock, uri, path)
+            finally { clients.remove(sock); try sock.close() catch { case _: Throwable => () } }
+          }, s"graft-ws-client-$bound")
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: Throwable => () /* closed on stop */ }
+      }
+    }, s"graft-ws-accept-$bound")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    jobId.foreach { id =>
+      val scheme = if (tls.isDefined) "wss" else "ws"
+      val host = advertiseHost.getOrElse(
+        if (bindHost == "0.0.0.0")
+          java.net.InetAddress.getLocalHost.getHostAddress
+        else bindHost)
+      MemHub.advertiseSinkAddress(id, s"$scheme://$host:$bound$path")
+    }
+    WsServer(bound, stop, server, clients)
+  }
+
+  // ---- per-connection protocol ------------------------------------------
+
+  private def serveClient(sock: Socket, uri: String, path: String): Unit = {
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = sock.getOutputStream
+    val head = readRequestHead(in)
+    val lines = head.split("\r\n").toSeq
+    val request = lines.headOption.getOrElse("")
+    val headers = lines.drop(1).flatMap { l =>
+      val i = l.indexOf(':')
+      if (i < 0) None else Some(l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
+    }.toMap
+    val isGet = request.startsWith("GET ")
+    val reqPath = request.split(' ').lift(1).getOrElse("")
+    val upgrade = headers.get("upgrade").exists(_.equalsIgnoreCase("websocket"))
+    val key = headers.get("sec-websocket-key")
+    if (!isGet || reqPath != path || !upgrade || key.isEmpty) {
+      // wrong-client-protocol row of the reference matrix
+      out.write(("HTTP/1.1 400 Bad Request\r\nConnection: close\r\n" +
+        "Content-Length: 0\r\n\r\n").getBytes(UTF_8))
+      out.flush()
+      return
+    }
+    out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+      "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+      s"Sec-WebSocket-Accept: ${acceptKey(key.get)}\r\n\r\n").getBytes(UTF_8))
+    out.flush()
+    // accumulate-then-drain: the buffered snapshot first …
+    var lastSeq = -1L
+    MemHub.poll(uri, "ws", -1L).foreach { m =>
+      writeFrame(out, 0x1, m.payload)
+      lastSeq = m.seq
+    }
+    // … then live items, interleaved with client control frames
+    sock.setSoTimeout(50)
+    var open = true
+    while (open && !sock.isClosed) {
+      try {
+        readFrame(in) match {
+          case Some((0x8, payload)) => // close: echo and finish
+            writeFrame(out, 0x8, payload)
+            open = false
+          case Some((0x9, payload)) => writeFrame(out, 0xA, payload) // ping→pong
+          case Some(_) => () // sink is one-way; ignore data frames
+          case None => open = false // EOF
+        }
+      } catch {
+        case _: SocketTimeoutException =>
+          MemHub.poll(uri, "ws", lastSeq).foreach { m =>
+            writeFrame(out, 0x1, m.payload)
+            lastSeq = m.seq
+          }
+        case _: Throwable => open = false
+      }
+    }
+  }
+
+  private def readRequestHead(in: InputStream): String = {
+    val sb = new StringBuilder
+    var prev4 = 0
+    var c = in.read()
+    while (c >= 0) {
+      sb.append(c.toChar)
+      prev4 = ((prev4 << 8) | c) & 0xFFFFFFFF
+      if (prev4 == 0x0D0A0D0A) return sb.toString
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  /** One server frame: FIN set, no mask (RFC 6455 §5.1: server frames are
+    * never masked). */
+  private[http] def writeFrame(out: OutputStream, opcode: Int, payload: Array[Byte]): Unit =
+    out.synchronized {
+      out.write(0x80 | (opcode & 0xF))
+      val n = payload.length
+      if (n < 126) out.write(n)
+      else if (n <= 0xFFFF) { out.write(126); out.write(n >> 8); out.write(n & 0xFF) }
+      else {
+        out.write(127)
+        var i = 7
+        while (i >= 0) { out.write(((n.toLong >> (8 * i)) & 0xFF).toInt); i -= 1 }
+      }
+      out.write(payload)
+      out.flush()
+    }
+
+  /** One client frame → (opcode, unmasked payload); None on EOF. Client
+    * frames MUST be masked (§5.1) — unmasked data fails the connection. */
+  private[http] def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
+    val b0 = in.read()
+    if (b0 < 0) return None
+    val opcode = b0 & 0xF
+    val b1 = in.read()
+    if (b1 < 0) return None
+    val masked = (b1 & 0x80) != 0
+    var len: Long = b1 & 0x7F
+    if (len == 126) len = (readByte(in) << 8) | readByte(in)
+    else if (len == 127) {
+      len = 0
+      var i = 0
+      while (i < 8) { len = (len << 8) | readByte(in); i += 1 }
+    }
+    require(masked, "client frames must be masked (RFC 6455 §5.1)")
+    require(len <= Int.MaxValue, "oversized frame")
+    val mask = Array.fill(4)(readByte(in).toByte)
+    val payload = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < len) {
+      val r = in.read(payload, off, len.toInt - off)
+      if (r < 0) return None
+      off += r
+    }
+    var i = 0
+    while (i < payload.length) {
+      payload(i) = (payload(i) ^ mask(i % 4)).toByte
+      i += 1
+    }
+    Some((opcode, payload))
+  }
+
+  private def readByte(in: InputStream): Long = {
+    val b = in.read()
+    if (b < 0) throw new java.io.EOFException("ws frame truncated")
+    b.toLong
+  }
+}

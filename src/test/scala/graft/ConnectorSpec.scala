@@ -341,7 +341,10 @@ class ConnectorSpec extends AnyFunSuite {
     val (server, _) = HttpEndpoint.startBroadcast(uri, port = 0, jobId = Some(jobId))
     try {
       val addr = MemHub.sinkAddress(jobId)
-      assert(addr.matches("http://localhost:\\d+/events"), s"bad advertised address: $addr")
+      // the advertised host is the REACHABLE bind host (not a literal
+      // 'localhost'): loopback here; advertiseHost overrides on a cluster
+      assert(addr.matches("http://127\\.0\\.0\\.1:\\d+/events"),
+        s"bad advertised address: $addr")
       val resp = java.net.http.HttpClient.newHttpClient().send(
         java.net.http.HttpRequest.newBuilder(java.net.URI.create(addr)).GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
