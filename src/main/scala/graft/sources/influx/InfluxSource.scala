@@ -11,7 +11,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.Dsv2
 import graft.sources.Dsv2.{FnBatch, FnPartition}
-import graft.sources.hub.MemHub
+import graft.sources.hub.{Clients, InfluxClient}
 
 /** Time-series connector (SURVEY.md §2.1 S1-S2, reference
   * `influxdb/src/main/java/com/hazelcast/jet/contrib/influxdb/InfluxDbSources.java:79-136`).
@@ -41,6 +41,9 @@ class InfluxProvider extends TableProvider with DataSourceRegister {
 
 class InfluxTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   private val uri = options.get("uri")
+  // transport seam: option("client", fqn) swaps a real InfluxClient in
+  private val clientName =
+    Option(options.get("client")).getOrElse("graft.sources.hub.HubInfluxClient")
   /** InfluxQL verbatim passthrough (InfluxDbSources.java:79-136): when
     * `query` is set the string goes to the SERVER untouched — the scan
     * neither parses nor narrows it (no time pushdown: the query already
@@ -107,11 +110,11 @@ class InfluxTable(options: CaseInsensitiveStringMap) extends Table with Supports
         override def description(): String =
           s"influx($uri/$measurement) time=[$from,$to] cols=${required.fieldNames.mkString(",")}"
         override def batch: Batch = {
-          val (u, m, f, t, rs, ql) = (uri, measurement, from, to, required, query)
+          val (u, m, f, t, rs, ql, cn) = (uri, measurement, from, to, required, query, clientName)
           new FnBatch(Seq(FnPartition(0, m, f, t)), p => {
             val rows = ql match {
-              case Some(q) => MemHub.influxQuery(u, q) // served verbatim
-              case None => MemHub.queryRange(u, m, p.from, p.to)
+              case Some(q) => Clients.byName[InfluxClient](cn).influxQuery(u, q) // verbatim
+              case None => Clients.byName[InfluxClient](cn).queryRange(u, m, p.from, p.to)
             }
             rows.iterator.map { case (ms, tags, fields) =>
               Dsv2.row(rs.fieldNames.toIndexedSeq.map {

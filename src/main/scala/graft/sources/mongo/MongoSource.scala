@@ -14,7 +14,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.Dsv2
 import graft.sources.Dsv2.{FnBatch, FnPartition, MapOffset}
-import graft.sources.hub.MemHub
+import graft.sources.hub.{Clients, MongoClient}
 
 /** Document-store connector (SURVEY.md §2.1 S3-S5, reference
   * `mongodb/src/main/java/com/hazelcast/jet/contrib/mongodb/`).
@@ -246,6 +246,14 @@ object MongoJson {
 
 /** Test observability: documents emitted by find() scans after all
   * (planning-time AND runtime) predicates. */
+object MongoSources {
+  /** Transport seam default (see [[graft.sources.hub.Clients]]):
+    * `option("client", fqn)` swaps a real [[MongoClient]] in. */
+  val DefaultClient = "graft.sources.hub.HubMongoClient"
+  def clientName(options: CaseInsensitiveStringMap): String =
+    Option(options.get("client")).getOrElse(DefaultClient)
+}
+
 object MongoScanStats {
   val emitted = new java.util.concurrent.atomic.AtomicLong(0)
 }
@@ -263,6 +271,7 @@ class MongoProvider extends TableProvider with DataSourceRegister {
 class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
   extends Table with SupportsRead {
   private val uri = options.get("uri")
+  private val clientName = MongoSources.clientName(options)
   private val filterJson = Option(options.get("filter")).getOrElse("")
   override def name(): String = s"mongo($uri)"
   override def schema(): StructType = userSchema
@@ -378,15 +387,17 @@ class MongoTable(userSchema: StructType, options: CaseInsensitiveStringMap)
              else if (limit >= 0) s" limit=$limit" else "")
         override def batch: Batch = {
           val (u, ps, rs, cnt, lim) = (uri, preds ++ runtime, required, countPushed, limit)
+          val cn = clientName
           val cmp = if (topOrders.isEmpty) None else MongoJson.docComparator(topOrders)
           val isRaw = rs.length == 1 && rs.head.name == "doc"
           new FnBatch(Seq(FnPartition(0, "find", 0, 0)), _ =>
             if (cnt) {
-              val n = MemHub.find(u).iterator
+              val n = Clients.byName[MongoClient](cn).find(u).iterator
                 .count(docStr => ps.forall(_.eval(MongoJson.parse(docStr))))
               Iterator.single(Dsv2.row(n.toLong))
             } else {
-              val parsed = MemHub.find(u).iterator.map(s => (s, MongoJson.parse(s)))
+              val parsed = Clients.byName[MongoClient](cn).find(u).iterator
+                .map(s => (s, MongoJson.parse(s)))
                 .filter { case (_, doc) => ps.forall(_.eval(doc)) }
               // pushed TopN: the store sorts matching docs and the cursor
               // emits only the first `lim` — a real server would keep a
@@ -417,17 +428,19 @@ object MongoCdc {
     StructField("resumeToken", StringType, nullable = false),
     StructField("fullDocument", StringType, nullable = true)))
 
-  def rows(uri: String, after: Long, until: Long): Iterator[InternalRow] =
-    MemHub.oplogRange(uri, after, until).iterator.map {
+  def rows(uri: String, after: Long, until: Long,
+      clientName: String = MongoSources.DefaultClient): Iterator[InternalRow] =
+    Clients.byName[MongoClient](clientName).oplogRange(uri, after, until).iterator.map {
       case (seq, op, doc, ctMs) =>
         Dsv2.row(Dsv2.utf8(op), Dsv2.msToMicros(ctMs), Dsv2.utf8(seq.toString), Dsv2.utf8(doc))
     }
 
   /** Standalone serializable factory (must not capture the stream/table). */
-  final case class Factory(uri: String) extends PartitionReaderFactory {
+  final case class Factory(uri: String,
+      clientName: String = MongoSources.DefaultClient) extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val fp = p.asInstanceOf[FnPartition]
-      new Dsv2.IterReader(rows(uri, fp.from, fp.to))
+      new Dsv2.IterReader(rows(uri, fp.from, fp.to, clientName))
     }
   }
 }
@@ -442,6 +455,7 @@ class MongoCdcProvider extends TableProvider with DataSourceRegister {
 
 class MongoCdcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   private val uri = options.get("uri")
+  private val clientName = MongoSources.clientName(options)
   private val startAt = Option(options.get("startAt")).map(_.toLong).getOrElse(-1L)
   /** cursor batch-size analog (MongoDBSourceBuilder.java:57). */
   private val maxPerTrigger = Option(options.get("maxPerTrigger")).map(_.toLong)
@@ -455,23 +469,24 @@ class MongoCdcTable(options: CaseInsensitiveStringMap) extends Table with Suppor
       override def readSchema(): StructType = MongoCdc.schema
       override def description(): String = name()
       override def toBatch: Batch = {
-        val (u, s) = (uri, startAt)
+        val (u, s, cn) = (uri, startAt, clientName)
         // split the change-log range into parallel slices (the log is
         // ordered and dense, so equal seq ranges are balanced)
-        val hi = MemHub.oplogLen(u) - 1
+        val hi = Clients.byName[MongoClient](cn).oplogLen(u) - 1
         val n = math.max(1, math.min(8, ((hi - s) / 4096) + 1)).toInt
         val step = math.max(1L, (hi - s + n - 1) / n)
         // partition i covers the half-open seq range (s + i*step, s + (i+1)*step]
         val parts = (0 until n).map { i =>
           FnPartition(i, "cdc", s + i * step, math.min(hi, s + (i + 1) * step))
         }.filter(p => p.from < p.to || p.idx == 0)
-        new FnBatch(parts, p => MongoCdc.rows(u, p.from, p.to))
+        new FnBatch(parts, p => MongoCdc.rows(u, p.from, p.to, cn))
       }
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-        val (u, s0) = (uri, startAt)
+        val (u, s0, cn) = (uri, startAt, clientName)
         new Dsv2.SeqLogMicroBatchStream(Seq("cdc"), maxPerTrigger) {
-          override def currentMax(name: String): Long = MemHub.oplogLen(u) - 1
-          override def factory: PartitionReaderFactory = MongoCdc.Factory(u)
+          override def currentMax(name: String): Long =
+            Clients.byName[MongoClient](cn).oplogLen(u) - 1
+          override def factory: PartitionReaderFactory = MongoCdc.Factory(u, cn)
           override def initialOffset(): Offset = MapOffset(Map("cdc" -> s0))
         }
       }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.Dsv2
 import graft.sources.Dsv2.{FnBatch, FnPartition, MapOffset}
-import graft.sources.hub.MemHub
+import graft.sources.hub.{Clients, RedisClient}
 
 /** Redis-family connectors (SURVEY.md §2.1 S6-S8, reference
   * `redis/src/main/java/com/hazelcast/jet/contrib/redis/RedisSources.java`).
@@ -29,6 +29,15 @@ import graft.sources.hub.MemHub
   *   stream→member round-robin, :693-708), per-stream offsets snapshotted
   *   into the checkpoint (analog of :613-662).
   */
+object RedisSources {
+  /** Default transport: the MemHub-backed client; `option("client", fqn)`
+    * swaps a real-network implementation of [[RedisClient]] in without
+    * touching any DSv2 code (TransportSeamSpec). */
+  val DefaultClient = "graft.sources.hub.HubRedisClient"
+  def clientName(options: CaseInsensitiveStringMap): String =
+    Option(options.get("client")).getOrElse(DefaultClient)
+}
+
 object RedisHash {
   val schema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
@@ -65,6 +74,9 @@ class RedisHashTable(options: CaseInsensitiveStringMap) extends Table
   private val uri = options.get("uri")
   private val hash = options.get("hash")
   private val binary = Option(options.get("codec")).contains("binary")
+  // transport seam: the table captures only the client's class NAME;
+  // executors resolve their own instance (Clients.byName)
+  private val clientName = RedisSources.clientName(options)
   override def name(): String = s"redis-hash($uri/$hash)"
   override def schema(): StructType = RedisHash.schemaFor(options)
   override def capabilities(): util.Set[TableCapability] =
@@ -78,8 +90,10 @@ class RedisHashTable(options: CaseInsensitiveStringMap) extends Table
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
-          override def toBatch = new graft.sinks.RedisHashWrite.HashBatchWrite(target)
-          override def toStreaming = new graft.sinks.RedisHashWrite.HashStreamingWrite(target, queryId)
+          override def toBatch =
+            new graft.sinks.RedisHashWrite.HashBatchWrite(target, clientName)
+          override def toStreaming =
+            new graft.sinks.RedisHashWrite.HashStreamingWrite(target, queryId, clientName)
         }
     }
   }
@@ -88,13 +102,14 @@ class RedisHashTable(options: CaseInsensitiveStringMap) extends Table
       override def readSchema(): StructType = RedisHash.schemaFor(options)
       override def description(): String = name()
       override def batch: Batch = {
-        val (u, h, bin) = (uri, hash, binary)
+        val (u, h, bin, cn) = (uri, hash, binary, clientName)
         new FnBatch(Seq(FnPartition(0, h, 0, 0)), _ =>
-          MemHub.hashGetAll(s"$u/$h").toSeq.sortBy(_._1).iterator.map { case (k, v) =>
-            if (bin) Dsv2.row(k.getBytes("UTF-8"),
-              if (v == null) null else v.getBytes("UTF-8"))
-            else Dsv2.row(Dsv2.utf8(k), Dsv2.utf8(v))
-          })
+          Clients.byName[RedisClient](cn).hashGetAll(s"$u/$h")
+            .toSeq.sortBy(_._1).iterator.map { case (k, v) =>
+              if (bin) Dsv2.row(k.getBytes("UTF-8"),
+                if (v == null) null else v.getBytes("UTF-8"))
+              else Dsv2.row(Dsv2.utf8(k), Dsv2.utf8(v))
+            })
       }
     }
 }
@@ -117,6 +132,7 @@ class RedisZSetTable(options: CaseInsensitiveStringMap) extends Table with Suppo
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val uri = options.get("uri")
   private val key = options.get("key")
+  private val clientName = RedisSources.clientName(options)
   private val optFrom = Option(options.get("from")).map(_.toDouble).getOrElse(Double.NegativeInfinity)
   private val optTo = Option(options.get("to")).map(_.toDouble).getOrElse(Double.PositiveInfinity)
   override def name(): String = s"redis-zset($uri/$key)"
@@ -132,9 +148,10 @@ class RedisZSetTable(options: CaseInsensitiveStringMap) extends Table with Suppo
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
-          override def toBatch = new graft.sinks.RedisZSetWrite.ZSetBatchWrite(target)
+          override def toBatch =
+            new graft.sinks.RedisZSetWrite.ZSetBatchWrite(target, clientName)
           override def toStreaming =
-            new graft.sinks.RedisZSetWrite.ZSetStreamingWrite(target, queryId)
+            new graft.sinks.RedisZSetWrite.ZSetStreamingWrite(target, queryId, clientName)
         }
     }
   }
@@ -197,9 +214,10 @@ class RedisZSetTable(options: CaseInsensitiveStringMap) extends Table with Suppo
           s"redis-zset($uri/$key) range=[$from,$to]" +
             limit.map(l => s" topN=$l ${if (descending) "DESC" else "ASC"}").getOrElse("")
         override def batch: Batch = {
-          val (u, k, f, t, lim, desc) = (uri, key, from, to, limit, descending)
+          val (u, k, f, t, lim, desc, cn) = (uri, key, from, to, limit, descending, clientName)
           new FnBatch(Seq(FnPartition(0, k, 0, 0)), _ => {
-            val ranged = MemHub.zrangeByScore(s"$u/$k", f, t) // (member, score), score-asc
+            // (member, score), score-asc — via the seam-resolved transport
+            val ranged = Clients.byName[RedisClient](cn).zrangeByScore(s"$u/$k", f, t)
             val ordered = if (desc) ranged.reverse else ranged
             val limited = lim.map(ordered.take).getOrElse(ordered)
             limited.iterator.map { case (m, s) => Dsv2.row(s, Dsv2.utf8(m)) }
@@ -215,18 +233,19 @@ object RedisStream {
     StructField("id", StringType, nullable = false),
     StructField("body", MapType(StringType, StringType), nullable = false)))
 
-  def readRows(uri: String, stream: String, after: Long, until: Long): Iterator[InternalRow] =
-    MemHub.xread(uri, stream, after).iterator
+  def readRows(uri: String, stream: String, after: Long, until: Long,
+      clientName: String): Iterator[InternalRow] =
+    Clients.byName[RedisClient](clientName).xread(uri, stream, after).iterator
       .filter(_._1 <= until)
       .map { case (id, body) =>
         Dsv2.row(Dsv2.utf8(stream), Dsv2.utf8(s"0-$id"), Dsv2.stringMap(body))
       }
 
   /** Standalone serializable factory (must not capture the stream/table). */
-  final case class Factory(uri: String) extends PartitionReaderFactory {
+  final case class Factory(uri: String, clientName: String) extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val fp = p.asInstanceOf[FnPartition]
-      new Dsv2.IterReader(readRows(uri, fp.tag, fp.from, fp.to))
+      new Dsv2.IterReader(readRows(uri, fp.tag, fp.from, fp.to, clientName))
     }
   }
 }
@@ -242,6 +261,7 @@ class RedisStreamProvider extends TableProvider with DataSourceRegister {
 class RedisStreamTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   private val uri = options.get("uri")
   private val streamNames = options.get("streams").split(",").toSeq.sorted
+  private val clientName = RedisSources.clientName(options)
   /** XREAD COUNT analog (RedisSources.java:522-523): rows per micro-batch. */
   private val maxPerTrigger = Option(options.get("maxPerTrigger")).map(_.toLong)
   override def name(): String = s"redis-stream($uri)"
@@ -264,18 +284,19 @@ class RedisStreamTable(options: CaseInsensitiveStringMap) extends Table with Sup
           streamNames.length)
 
       override def toBatch: Batch = {
-        val u = uri
+        val (u, cn) = (uri, clientName)
         val parts = streamNames.zipWithIndex.map { case (s, i) =>
-          FnPartition(i, s, -1, MemHub.xlen(u, s) - 1)
+          FnPartition(i, s, -1, Clients.byName[RedisClient](cn).xlen(u, s) - 1)
         }
-        new FnBatch(parts, p => RedisStream.readRows(u, p.tag, p.from, p.to))
+        new FnBatch(parts, p => RedisStream.readRows(u, p.tag, p.from, p.to, cn))
       }
 
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-        val u = uri
+        val (u, cn) = (uri, clientName)
         new Dsv2.SeqLogMicroBatchStream(streamNames, maxPerTrigger) {
-          override def currentMax(name: String): Long = MemHub.xlen(u, name) - 1
-          override def factory: PartitionReaderFactory = RedisStream.Factory(u)
+          override def currentMax(name: String): Long =
+            Clients.byName[RedisClient](cn).xlen(u, name) - 1
+          override def factory: PartitionReaderFactory = RedisStream.Factory(u, cn)
         }
       }
     }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.Dsv2
 import graft.sources.Dsv2.{FnBatch, FnPartition, MapOffset}
-import graft.sources.hub.MemHub
+import graft.sources.hub.{Clients, MemHub, TopicLogClient}
 
 /** Message-bus connectors over the shared topic log: MQTT (S10), Pulsar
   * consumer/reader (S11-S12), HTTP listener (S13), Twitter (S14-S15),
@@ -137,22 +137,32 @@ object TopicProfiles {
 
   def rows(profile: String, uri: String, topic: String, after: Long, until: Long,
       codec: String = "bytes", endpoint: String = "firehose",
-      track: Seq[String] = Nil): Iterator[InternalRow] = {
+      track: Seq[String] = Nil,
+      clientName: String = TopicLog.DefaultClient): Iterator[InternalRow] = {
     val pred = endpointPredicate(endpoint, track)
-    MemHub.poll(uri, topic, after).iterator.filter(_.seq <= until)
+    Clients.byName[TopicLogClient](clientName)
+      .poll(uri, topic, after).iterator.filter(_.seq <= until)
       .filter(pred)
       .map(toRow(profile, topic, _, codec))
   }
 
   /** Standalone serializable factory (must not capture the stream/table). */
   final case class Factory(profile: String, uri: String, codec: String = "bytes",
-      endpoint: String = "firehose", track: Seq[String] = Nil)
+      endpoint: String = "firehose", track: Seq[String] = Nil,
+      clientName: String = TopicLog.DefaultClient)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val fp = p.asInstanceOf[FnPartition]
-      new Dsv2.IterReader(rows(profile, uri, fp.tag, fp.from, fp.to, codec, endpoint, track))
+      new Dsv2.IterReader(
+        rows(profile, uri, fp.tag, fp.from, fp.to, codec, endpoint, track, clientName))
     }
   }
+}
+
+object TopicLog {
+  /** Transport seam default (see [[graft.sources.hub.Clients]]):
+    * `option("client", fqn)` swaps a real broker [[TopicLogClient]] in. */
+  val DefaultClient = "graft.sources.hub.HubTopicLogClient"
 }
 
 class TopicLogProvider extends TableProvider with DataSourceRegister {
@@ -241,24 +251,31 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
+  private val clientName =
+    Option(options.get("client")).getOrElse(TopicLog.DefaultClient)
+  private def client = Clients.byName[TopicLogClient](clientName)
+
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
-    MemHub.checkTopicAuth(uri, auth)
-    MemHub.checkTopicTls(uri, clientTls)
+    client.checkTopicAuth(uri, auth)
+    client.checkTopicTls(uri, clientTls)
     () => new Scan {
       override def readSchema(): StructType = TopicProfiles.schemaFor(profile, codec)
       override def description(): String = name()
 
       override def toBatch: Batch = {
-        val (u, pr, cd, ep, tr) = (uri, profile, codec, endpoint, track)
+        val (u, pr, cd, ep, tr, cn) = (uri, profile, codec, endpoint, track, clientName)
         val parts = topicNames.zipWithIndex.map { case (t, i) =>
-          FnPartition(i, t, -1, MemHub.topicMaxSeq(u, t))
+          FnPartition(i, t, -1, client.topicMaxSeq(u, t))
         }
-        new FnBatch(parts, p => TopicProfiles.rows(pr, u, p.tag, p.from, p.to, cd, ep, tr))
+        new FnBatch(parts,
+          p => TopicProfiles.rows(pr, u, p.tag, p.from, p.to, cd, ep, tr, cn))
       }
 
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
         val (u, pr, ack, qos, cd) = (uri, profile, ackAs, topicQos, codec)
         val (ep, tr) = (endpoint, track)
+        val cn = clientName
+        def cl = Clients.byName[TopicLogClient](cn)
         val (cid, autoRec, keepSess) = (clientId, autoReconnect, keepSession)
         new Dsv2.SeqLogMicroBatchStream(topicNames, maxPerTrigger) {
           // resubscribe floors after a reconnect: a clean session skips
@@ -267,29 +284,29 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
           // committed offset as the durable subscription promises
           private val floors = new scala.collection.concurrent.TrieMap[String, Long]()
           private def pollGate(): Unit =
-            if (pr == "mqtt" && MemHub.mqttPollGate(u, cid, autoRec)) {
+            if (pr == "mqtt" && cl.mqttPollGate(u, cid, autoRec)) {
               topicNames.foreach { n =>
                 if (!keepSess || qos(n) == 0)
-                  floors.put(n, MemHub.topicMaxSeq(u, n)): Unit
+                  floors.put(n, cl.topicMaxSeq(u, n)): Unit
               }
             }
           override def readFloor(name: String): Long =
             floors.getOrElse(name, -1L)
           override def currentMax(name: String): Long = {
             pollGate()
-            MemHub.topicMaxSeq(u, name)
+            cl.topicMaxSeq(u, name)
           }
           override def factory: PartitionReaderFactory =
-            TopicProfiles.Factory(pr, u, cd, ep, tr)
+            TopicProfiles.Factory(pr, u, cd, ep, tr, cn)
           // QoS0 topics subscribe at the live tail (non-durable); no
           // backfill of pre-subscription messages
           override def initialOffset(): Offset =
             Dsv2.MapOffset(topicNames.map { n =>
-              n -> (if (qos(n) == 0) MemHub.topicMaxSeq(u, n) else -1L)
+              n -> (if (qos(n) == 0) cl.topicMaxSeq(u, n) else -1L)
             }.toMap)
           override def onCommit(end: Dsv2.MapOffset): Unit =
             ack.foreach { consumer =>
-              end.m.foreach { case (t, seq) => MemHub.ack(s"$consumer/$t", seq) }
+              end.m.foreach { case (t, seq) => cl.ack(s"$consumer/$t", seq) }
             }
         }
       }
