@@ -66,7 +66,9 @@ class BroadcastGateSpec extends AnyFunSuite {
   }
 
   test("minhashLshAgainstIndex (persisted index) identical on both paths") {
-    val tbl = "bgate_idx"
+    // unique per run: saveAsTable refuses a leftover warehouse LOCATION
+    // from a previous JVM even when the catalog entry is gone
+    val tbl = s"bgate_idx_${System.nanoTime()}"
     Dedup.minhashIndexWrite(
       docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
       "doc_id", "text", tbl, 3, 64, 16)
