@@ -145,6 +145,32 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(inBlock > 1000, s"hot-block duplicate pairs: $inBlock (expected > 1000)")
   }
 
+  test("minhashLsh oversized-candidate fallback: shuffle semi-join path, balanced and pair-identical") {
+    // the r8 verdict's scale guard (what's wrong #3), proven AT the skew
+    // gate's scale: with the broadcast ceiling forced to 0 the verify
+    // path's candidate semi-joins take the shuffle dispatch — the path a
+    // 100 TB dup-heavy corpus lands on when its candidate-id set outgrows
+    // any broadcast budget. The hot dedup block (4000 near-identical
+    // docs, a dense candidate graph) must still enumerate the SAME pairs
+    // with balanced tasks, where the old unconditional broadcast(ids)
+    // would simply have died past the ceiling.
+    val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") < 12000)
+    val broadcastPairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val saved = Dedup.maxBroadcastIdBytes
+    val shufflePairs =
+      try {
+        Dedup.maxBroadcastIdBytes = 0L
+        assertBalanced("minhashLsh-shuffle-fallback", factor = 8.0) {
+          Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+            .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        }
+      } finally Dedup.maxBroadcastIdBytes = saved
+    assert(shufflePairs.length == broadcastPairs.length &&
+      shufflePairs.sameElements(broadcastPairs),
+      s"fallback dispatch changed results: ${shufflePairs.length} vs ${broadcastPairs.length} pairs")
+  }
+
   test("charNgramPairs: hot block diverts to the guarded path — balanced") {
     val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") < 12000)
     val pairs = assertBalanced("charNgramPairs", factor = 8.0) {
