@@ -20,8 +20,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val frame = fn(spark, sfDir)
+        frame.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // the parquet write was the frame's terminal action: release its
+        // pinned artifacts now (pin-gated, no-op on pin-free frames) so
+        // 188 queries in one session don't stack dead blocks between GCs
+        graft.core.GraftSession.release(frame)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
