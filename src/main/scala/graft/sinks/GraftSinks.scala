@@ -187,4 +187,16 @@ object GraftSinks {
   def mongoInsertWriter(uri: String): ForeachWriter[Row] =
     new BufferedForeachWriter(rows =>
       MemHub.insertMany(uri, rows.iterator.map(_.getString(0))))
+
+  /** Streaming broadcast writer (K8 streaming shape — the reference sink
+    * IS a streaming processor, `writeBufferedP`): each epoch's payloads
+    * publish into the accumulate buffer at epoch close, drop-oldest cap
+    * applied, so connected WS/SSE clients see new items live. Col:
+    * payload(string). */
+  def wsBroadcastWriter(uri: String, accumulateLimit: Int): ForeachWriter[Row] =
+    new BufferedForeachWriter(rows => {
+      MemHub.publish(uri, "ws", rows.iterator.map(r =>
+        ("", Map.empty[String, String], 0L, r.getString(0).getBytes("UTF-8"))))
+      MemHub.trimTopic(uri, "ws", accumulateLimit)
+    })
 }

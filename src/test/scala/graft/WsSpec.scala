@@ -230,6 +230,28 @@ class WsSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("streaming shape: writeStream.foreach(wsBroadcastWriter) pushes epochs to a live socket") {
+    val uri = "hub:test/ws-streaming"
+    val server = WsEndpoint.startWebsocket(uri)
+    try {
+      val c = new WsClient("127.0.0.1", server.port, "/")
+      try {
+        import spark.implicits._
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[String](spark)
+        mem.addData("e1", "e2")
+        val q = mem.toDF().select(col("value").as("payload"))
+          .writeStream
+          .foreach(GraftSinks.wsBroadcastWriter(uri, accumulateLimit = 10))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(30000)
+        assert(Seq(c.readText(), c.readText()) == Seq("e1", "e2"),
+          "epoch-close publishes must reach the connected peer")
+      } finally c.close()
+    } finally server.stop()
+  }
+
   test("advertiseHost override reaches the advertisement verbatim") {
     val uri = "hub:test/ws-advertise-host"
     val jobId = "job-ws-advertise-host-1"
