@@ -127,6 +127,38 @@ class UrlKitSpec extends AnyFunSuite {
     } finally { f.delete(): Unit }
   }
 
+  test("PSL matcher fuzz: kernel equals an independent spec-literal implementation") {
+    // slow reference implementation written DIRECTLY from the
+    // publicsuffix.org algorithm text (enumerate candidate rules, pick
+    // exception else longest), sharing no code with UrlKit.registrable
+    def spec(host: String, r: UrlKit.SuffixRules): String = {
+      if (host.forall(c => (c >= '0' && c <= '9') || c == '.')) return host
+      val parts = host.split('.').toList
+      if (parts.length <= 1) return host
+      val suffixes = parts.indices.map(i => parts.drop(i))
+      val excMatches = suffixes.filter(sfx => r.exception.contains(sfx.mkString(".")))
+      val normalMatches =
+        suffixes.filter(sfx => r.exact.contains(sfx.mkString("."))).map(_.length) ++
+        suffixes.filter(sfx => sfx.length >= 2 &&
+          r.wildcard.contains(sfx.tail.mkString("."))).map(_.length) :+ 1
+      val ps =
+        if (excMatches.nonEmpty) excMatches.map(_.length - 1).max
+        else normalMatches.max
+      if (ps >= parts.length) host else parts.takeRight(ps + 1).mkString(".")
+    }
+    val rules = UrlKit.activeRules
+    val labels = Seq("a", "bb", "www", "city", "foo", "github", "io", "co", "uk",
+      "kawasaki", "jp", "s3", "amazonaws", "com", "blogspot", "example", "x1")
+    val rnd = new scala.util.Random(20260814)
+    (0 until 5000).foreach { _ =>
+      val n = 1 + rnd.nextInt(6)
+      val host = (0 until n).map(_ => labels(rnd.nextInt(labels.length))).mkString(".")
+      assert(UrlKit.registrable(host) == spec(host, rules),
+        s"PSL divergence on host '$host': kernel=${UrlKit.registrable(host)} " +
+          s"spec=${spec(host, rules)}")
+    }
+  }
+
   test("url_valid fuzz equivalence: valid ⟺ url_parts parses, on hostile inputs") {
     val rnd = new scala.util.Random(20260814)
     val frags = Seq("https://", "http://", "x://", "://", "1a://", "a.b", "host",
