@@ -1509,7 +1509,9 @@ object Catalog {
     * pairs vs few mega-clusters). */
   private val q75 = QueryDef(
     "q75_cluster_size_histogram",
-    (s, dir) => {
+    (s, dir) => graft.core.GraftSession.pinScope {
+      // q51's pattern: the CC result is collected (local path), so the
+      // minhash pins are pure lineage — scope-released at return
       val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
       Dedup.connectedComponents(pairs)
