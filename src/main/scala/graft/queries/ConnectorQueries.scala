@@ -246,6 +246,33 @@ object ConnectorQueries {
     Some("""SELECT lang AS topic, COUNT(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS chars
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** S10 wildcard subscription (MqttSources.java:76/93 — "the topics may
+    * include wildcards"): messages land on a nested per-language topic
+    * tree; one `docs/+/text` filter subscribes to every language level,
+    * and the `sensors/raw` sibling outside the filter must NOT match. */
+  private val srcMqttWildcard = QueryDef(
+    "src_mqtt_wildcard",
+    (s, dir) => {
+      val uri = s"hub:$dir/src_mqtt_wild"
+      seedOnce(uri) {
+        val rows = t(s, dir, "documents").select("doc_id", "lang", "text").collect()
+        rows.groupBy(_.getString(1)).toSeq.sortBy(_._1).foreach { case (lang, rs) =>
+          MemHub.publish(uri, s"docs/$lang/text", rs.sortBy(_.getLong(0)).iterator.map(r =>
+            ("", Map.empty[String, String], 0L, r.getString(2).getBytes("UTF-8"))))
+        }
+        MemHub.publish(uri, "sensors/raw",
+          Iterator(("", Map.empty[String, String], 0L, "noise".getBytes("UTF-8"))))
+      }
+      GraftSources.mqttBatch(s, uri, Seq("docs/+/text"))
+        .select(col("topic"), decode(col("payload"), "UTF-8").as("text"))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).cast("long").as("chars"))
+        .orderBy(col("topic"))
+    },
+    Some("""SELECT 'docs/' || lang || '/text' AS topic, COUNT(*) AS n,
+        CAST(SUM(length(text)) AS BIGINT) AS chars
+      FROM documents GROUP BY lang ORDER BY topic"""))
+
   private val srcPulsar = QueryDef(
     "src_pulsar_reader",
     (s, dir) => {
@@ -837,7 +864,7 @@ object ConnectorQueries {
 
   val all: Seq[QueryDef] = Seq(
     srcRedisHash, srcRedisBinary, srcRedisZset, srcRedisStream, srcMongoFind, srcMongoTopN,
-    srcMongoCdc, srcInflux, srcInfluxQL, srcMqtt, srcPulsar, srcPulsarTyped,
+    srcMongoCdc, srcInflux, srcInfluxQL, srcMqtt, srcMqttWildcard, srcPulsar, srcPulsarTyped,
     srcPulsarRecord, srcPulsarConsumer, srcHttp, srcHttpTyped,
     srcTwitter, srcTwitterEndpoints, srcTwitterSearch, srcConnect, srcConnectApi,
     snkRedisHash, snkRedisHashDsv2, snkRedisZset, snkRedisZsetDsv2, snkRedisXadd,

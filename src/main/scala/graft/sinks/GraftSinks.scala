@@ -85,6 +85,10 @@ object GraftSinks {
       val partId = Option(org.apache.spark.TaskContext.get())
         .map(_.partitionId()).getOrElse(0)
       rows.toSeq.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach { case (t, rs) =>
+        // PUBLISH topic names must not contain wildcards (MQTT 3.1.1
+        // §3.3.2.1; the reference's sink contract, MqttSinkBuilder.java:50)
+        require(!t.contains('+') && !t.contains('#'),
+          s"MQTT publish topic '$t' must not contain wildcard characters")
         def send(): Unit = {
           val msgs = rs.iterator.map { r =>
             ("", Map.empty[String, String], 0L, r.getAs[Array[Byte]](1))
@@ -126,6 +130,8 @@ object GraftSinks {
       override def close(errorOrNull: Throwable): Unit =
         if (errorOrNull == null && buf != null)
           buf.toSeq.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach { case (t, rs) =>
+            require(!t.contains('+') && !t.contains('#'),
+              s"MQTT publish topic '$t' must not contain wildcard characters")
             val msgs = rs.iterator.map(r =>
               ("", Map.empty[String, String], 0L, r.getAs[Array[Byte]](1)))
             if (qos == 2) MemHub.publishOnce(uri, t, s"$packet-$t", msgs)

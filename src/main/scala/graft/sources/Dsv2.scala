@@ -107,8 +107,17 @@ object Dsv2 {
       * client was disconnected. Default: no floor. */
     def readFloor(name: String): Long = -1L
 
+    /** The partition-name set for the NEXT micro-batch — overridable for
+      * transports whose subscription is a PATTERN (MQTT wildcard filters):
+      * a topic that first publishes after the stream started joins here
+      * and backfills from -1 (every message on it post-dates the
+      * subscription). Offsets key by name, so late joiners compose with
+      * checkpoints: an absent key reads as -1. Default: the fixed set. */
+    def currentNames: Seq[String] = names
+
     private var availableNowTarget: Option[Map[String, Long]] = None
-    private def maxNow(): Map[String, Long] = names.map(n => n -> currentMax(n)).toMap
+    private def maxNow(): Map[String, Long] =
+      currentNames.map(n => n -> currentMax(n)).toMap
 
     override def prepareForTriggerAvailableNow(): Unit =
       availableNowTarget = Some(maxNow())
@@ -126,9 +135,10 @@ object Dsv2 {
       val target = availableNowTarget.getOrElse(maxNow())
       limit match {
         case mr: ReadMaxRows =>
-          // greedy per-partition admission up to the row budget
+          // greedy per-partition admission up to the row budget (keyed by
+          // the TARGET's names, so pattern-matched late joiners admit too)
           var budget = mr.maxRows()
-          val out = names.map { n =>
+          val out = target.keys.toSeq.sorted.map { n =>
             val from = s.getOrElse(n, -1L)
             val avail = math.max(0L, target.getOrElse(n, -1L) - from)
             val take = math.min(avail, budget)
@@ -144,7 +154,10 @@ object Dsv2 {
     override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
       val s = start.asInstanceOf[MapOffset].m
       val e = end.asInstanceOf[MapOffset].m
-      names.zipWithIndex.map { case (n, i) =>
+      // plan from the END offset's name set: it was produced by
+      // latestOffset over currentNames, so late pattern joiners get a
+      // partition while checkpoint-restored fixed names stay stable
+      e.keys.toSeq.sorted.zipWithIndex.map { case (n, i) =>
         val from = math.max(s.getOrElse(n, -1L), readFloor(n))
         FnPartition(i, n, from, math.max(e.getOrElse(n, -1L), from)): InputPartition
       }.toArray

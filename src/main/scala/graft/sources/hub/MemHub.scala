@@ -413,6 +413,16 @@ object MemHub {
     val b = buf(topics, s"$uri/$topic")
     b.synchronized { b.iterator.filter(_.seq > afterSeq).take(max).toVector }
   }
+  /** All topic names known under a namespace — the broker's topic tree,
+    * as far as a subscriber can observe it (topics exist once published
+    * to). Drives MQTT wildcard-filter expansion. */
+  def topicNames(uri: String): Seq[String] = {
+    val prefix = uri + "/"
+    topics.keySet.asScala.iterator
+      .filter(_.startsWith(prefix))
+      .map(_.substring(prefix.length))
+      .toSeq.sorted
+  }
   def topicLen(uri: String, topic: String): Long = {
     val b = buf(topics, s"$uri/$topic")
     b.synchronized { b.length.toLong }

@@ -110,6 +110,9 @@ class HubInfluxClient extends InfluxClient {
 trait TopicLogClient {
   def poll(uri: String, topic: String, afterSeq: Long): Seq[MemHub.Msg]
   def topicMaxSeq(uri: String, topic: String): Long
+  /** The broker's known topic names under a namespace — the tree an MQTT
+    * wildcard filter expands against. */
+  def topicNames(uri: String): Seq[String]
   def ack(consumer: String, seq: Long): Unit
   def checkTopicAuth(uri: String, auth: Option[(String, String)]): Unit
   def checkTopicTls(uri: String, client: Option[TlsGate.ClientTls]): Unit
@@ -121,6 +124,7 @@ class HubTopicLogClient extends TopicLogClient {
     MemHub.poll(uri, topic, afterSeq)
   override def topicMaxSeq(uri: String, topic: String): Long =
     MemHub.topicMaxSeq(uri, topic)
+  override def topicNames(uri: String): Seq[String] = MemHub.topicNames(uri)
   override def ack(consumer: String, seq: Long): Unit = MemHub.ack(consumer, seq)
   override def checkTopicAuth(uri: String, auth: Option[(String, String)]): Unit =
     MemHub.checkTopicAuth(uri, auth)

@@ -165,6 +165,30 @@ object TopicLog {
   val DefaultClient = "graft.sources.hub.HubTopicLogClient"
 }
 
+/** MQTT 3.1.1 §4.7 topic-filter matching (the reference's source accepts
+  * wildcard topics — MqttSources.java:76/93, Paho subscribe semantics):
+  * `+` matches exactly one level, `#` (last level only) matches the
+  * parent and every level below it, and filters STARTING with a wildcard
+  * never match `$`-prefixed topics. */
+object MqttTopicFilter {
+  def isWildcard(filter: String): Boolean =
+    filter.contains('+') || filter.contains('#')
+
+  def matches(filter: String, topic: String): Boolean = {
+    val fl = filter.split("/", -1)
+    val tl = topic.split("/", -1)
+    if (topic.startsWith("$") && (fl(0) == "+" || fl(0) == "#")) return false
+    def go(i: Int, j: Int): Boolean =
+      if (i == fl.length) j == tl.length
+      else fl(i) match {
+        case "#" => i == fl.length - 1 // matches the parent and all below
+        case "+" => j < tl.length && go(i + 1, j + 1)
+        case lit => j < tl.length && tl(j) == lit && go(i + 1, j + 1)
+      }
+    go(0, 0)
+  }
+}
+
 class TopicLogProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-topic"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -193,6 +217,48 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
     case s => s -> 1
   }.toMap
   private val topicNames = topicQos.keys.toSeq.sorted
+
+  /** MQTT wildcard subscription (MqttSources.java:76/93 — "the topics may
+    * include wildcards"): `+`/`#` entries are FILTERS, expanded against
+    * the broker's topic tree at every batch/epoch, so a topic that first
+    * publishes after the stream started joins the next micro-batch and
+    * backfills from the subscription point (offset -1 — every message on
+    * it post-dates the subscribe). Non-MQTT profiles treat topic names
+    * literally (Pulsar patterns are a different surface). */
+  private val hasWildcardFilters =
+    profile == "mqtt" && topicNames.exists(MqttTopicFilter.isWildcard)
+  if (hasWildcardFilters)
+    topicNames.filter(MqttTopicFilter.isWildcard).foreach { f =>
+      val ls = f.split("/", -1)
+      ls.zipWithIndex.foreach { case (l, i) =>
+        require(!l.contains('#') || (l == "#" && i == ls.length - 1),
+          s"invalid MQTT topic filter '$f': '#' must be the final level")
+        require(!l.contains('+') || l == "+",
+          s"invalid MQTT topic filter '$f': '+' must occupy a whole level")
+      }
+    }
+
+  /** Subscription QoS for a (possibly filter-matched) topic — overlapping
+    * subscriptions grant the MAX matching QoS (MQTT 3.1.1 §3.8.4). */
+  private def qosFor(topic: String): Int =
+    topicQos.getOrElse(topic, {
+      val qs = topicQos.collect {
+        case (f, q) if MqttTopicFilter.isWildcard(f) &&
+          MqttTopicFilter.matches(f, topic) => q
+      }
+      if (qs.nonEmpty) qs.max else 1
+    })
+
+  /** The concrete topic set this subscription covers right now. */
+  private def resolveTopics(): Seq[String] =
+    if (!hasWildcardFilters) topicNames
+    else {
+      val (filters, literals) = topicNames.partition(MqttTopicFilter.isWildcard)
+      (literals ++ client.topicNames(uri)
+        .filter(t => filters.exists(MqttTopicFilter.matches(_, t))))
+        .distinct.sorted
+    }
+
   /** Pulsar-consumer semantics: ack up to the committed offset after each
     * epoch (PulsarConsumerBuilder.java:142-221 async ack). */
   private val ackAs = Option(options.get("ackAs"))
@@ -264,7 +330,7 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
 
       override def toBatch: Batch = {
         val (u, pr, cd, ep, tr, cn) = (uri, profile, codec, endpoint, track, clientName)
-        val parts = topicNames.zipWithIndex.map { case (t, i) =>
+        val parts = resolveTopics().zipWithIndex.map { case (t, i) =>
           FnPartition(i, t, -1, client.topicMaxSeq(u, t))
         }
         new FnBatch(parts,
@@ -278,6 +344,9 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
         def cl = Clients.byName[TopicLogClient](cn)
         val (cid, autoRec, keepSess) = (clientId, autoReconnect, keepSession)
         new Dsv2.SeqLogMicroBatchStream(topicNames, maxPerTrigger) {
+          // wildcard subscriptions re-expand against the broker's topic
+          // tree each epoch: late-appearing matches join with offset -1
+          override def currentNames: Seq[String] = resolveTopics()
           // resubscribe floors after a reconnect: a clean session skips
           // the whole disconnect window; a kept session skips only QoS 0
           // (non-durable) topics — QoS 1/2 backlog redelivers from the
@@ -285,8 +354,8 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
           private val floors = new scala.collection.concurrent.TrieMap[String, Long]()
           private def pollGate(): Unit =
             if (pr == "mqtt" && cl.mqttPollGate(u, cid, autoRec)) {
-              topicNames.foreach { n =>
-                if (!keepSess || qos(n) == 0)
+              currentNames.foreach { n =>
+                if (!keepSess || qosFor(n) == 0)
                   floors.put(n, cl.topicMaxSeq(u, n)): Unit
               }
             }
@@ -301,8 +370,8 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
           // QoS0 topics subscribe at the live tail (non-durable); no
           // backfill of pre-subscription messages
           override def initialOffset(): Offset =
-            Dsv2.MapOffset(topicNames.map { n =>
-              n -> (if (qos(n) == 0) cl.topicMaxSeq(u, n) else -1L)
+            Dsv2.MapOffset(currentNames.map { n =>
+              n -> (if (qosFor(n) == 0) cl.topicMaxSeq(u, n) else -1L)
             }.toMap)
           override def onCommit(end: Dsv2.MapOffset): Unit =
             ack.foreach { consumer =>

@@ -145,6 +145,83 @@ class MqttQosSpec extends AnyFunSuite {
     counts.toMap
   }
 
+  test("wildcard filters: + one level, # subtree incl. parent, $-topics excluded, batch + filter matcher") {
+    import graft.sources.topiclog.MqttTopicFilter._
+    // the matcher itself, against MQTT 3.1.1 §4.7's examples
+    assert(matches("home/+/temp", "home/kitchen/temp"))
+    assert(!matches("home/+/temp", "home/kitchen/oven/temp"), "+ is exactly one level")
+    assert(!matches("home/+/temp", "home/temp"))
+    assert(matches("sport/#", "sport"), "# matches the parent level")
+    assert(matches("sport/#", "sport/tennis/player1/score"))
+    assert(!matches("sport/#", "sports"))
+    assert(matches("#", "any/topic/at/all"))
+    assert(!matches("#", "$SYS/broker/load"), "wildcard-leading filters skip $-topics")
+    assert(!matches("+/monitor", "$SYS/monitor"))
+    assert(matches("$SYS/#", "$SYS/broker/load"), "an explicit $-prefix filter does match")
+    // batch subscribe through the source: the filter expands against the
+    // broker's topic tree
+    val uri = "hub:test/wild-batch"
+    def pub(t: String, n: Int): Unit =
+      MemHub.publish(uri, t, (0 until n).iterator.map(i =>
+        ("", Map.empty[String, String], i.toLong, Array[Byte](1))))
+    pub("home/kitchen/temp", 2); pub("home/cellar/temp", 3)
+    pub("home/kitchen/humidity", 4); pub("garden/temp", 5)
+    val got = GraftSources.mqttBatch(spark, uri, Seq("home/+/temp"))
+      .groupBy(col("topic")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("home/kitchen/temp" -> 2L, "home/cellar/temp" -> 3L),
+      s"wildcard expansion: $got")
+    val sub = GraftSources.mqttBatch(spark, uri, Seq("home/#")).count()
+    assert(sub == 2 + 3 + 4, "# subtree covers kitchen+cellar+humidity")
+  }
+
+  test("wildcard filters: a topic that first publishes mid-stream joins the next epoch") {
+    val uri = "hub:test/wild-stream"
+    def pub(t: String, n: Int): Unit =
+      MemHub.publish(uri, t, (0 until n).iterator.map(i =>
+        ("", Map.empty[String, String], i.toLong, Array[Byte](1))))
+    pub("dev/a/metrics", 2)
+    val cp = Files.createTempDirectory("graft-wild-ckpt").toString
+    def drain(): Map[String, Long] = {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      val q = GraftSources.mqtt(spark, uri, Seq("dev/+/metrics"))
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.groupBy(col("topic")).count().collect().foreach { r =>
+            counts(r.getString(0)) = counts.getOrElse(r.getString(0), 0L) + r.getLong(1)
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      counts.toMap
+    }
+    assert(drain() == Map("dev/a/metrics" -> 2L))
+    // a NEW matching topic appears after the subscription started: the
+    // next drain must deliver its full history (all of it post-dates the
+    // subscribe), while the old topic resumes from the committed offset
+    pub("dev/b/metrics", 4); pub("dev/a/metrics", 1); pub("other/x", 9)
+    val second = drain()
+    assert(second == Map("dev/a/metrics" -> 1L, "dev/b/metrics" -> 4L),
+      s"late-appearing wildcard match must join: $second")
+  }
+
+  test("wildcard validation: malformed filters and wildcard PUBLISH topics are rejected") {
+    val uri = "hub:test/wild-reject"
+    MemHub.publish(uri, "a/b", Iterator(("", Map.empty[String, String], 0L, Array[Byte](1))))
+    intercept[IllegalArgumentException] {
+      GraftSources.mqttBatch(spark, uri, Seq("a/#/b")).count() // '#' not last
+    }
+    intercept[IllegalArgumentException] {
+      GraftSources.mqttBatch(spark, uri, Seq("a/b+/c")).count() // '+' not a whole level
+    }
+    // sink side: PUBLISH topic must not contain wildcards (§3.3.2.1)
+    val bad = spark.range(0, 1).select(lit("a/+").as("topic"),
+      encode(col("id").cast("string"), "UTF-8").as("payload"))
+    val e = intercept[Exception] { GraftSinks.mqttPublish(bad, uri, qos = 1) }
+    assert(e.getMessage != null)
+  }
+
   test("reconnect matrix: kept session redelivers the QoS1/2 disconnect backlog, QoS0 never") {
     val uri = "hub:test/reconnect-keep"
     def pub(t: String, n: Int): Unit =

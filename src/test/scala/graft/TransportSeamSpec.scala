@@ -176,6 +176,7 @@ class MockTopicLogClient extends TopicLogClient {
     MockTopicLog.msgs.filter(_.seq > afterSeq)
   override def topicMaxSeq(uri: String, topic: String): Long =
     if (MockTopicLog.msgs.isEmpty) -1L else MockTopicLog.msgs.map(_.seq).max
+  override def topicNames(uri: String): Seq[String] = Seq("t1")
   override def ack(consumer: String, seq: Long): Unit = ()
   override def checkTopicAuth(uri: String, auth: Option[(String, String)]): Unit =
     MockTopicLog.authChecked.set(true)
