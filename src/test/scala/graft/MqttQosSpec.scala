@@ -175,6 +175,46 @@ class MqttQosSpec extends AnyFunSuite {
     assert(sub == 2 + 3 + 4, "# subtree covers kitchen+cellar+humidity")
   }
 
+  test("wildcard matcher fuzz: equals a spec-literal implementation on random filter/topic pairs") {
+    import graft.sources.topiclog.MqttTopicFilter
+    // slow reference written directly from MQTT 3.1.1 §4.7's level-list
+    // description, sharing no code with the matcher under test
+    def spec(filter: String, topic: String): Boolean = {
+      val fl = filter.split("/", -1).toList
+      val tl = topic.split("/", -1).toList
+      if (topic.startsWith("$") && (fl.head == "+" || fl.head == "#")) false
+      else {
+        def walk(f: List[String], t: List[String]): Boolean = (f, t) match {
+          case (Nil, Nil) => true
+          case ("#" :: Nil, _) => true
+          case ("+" :: fr, _ :: tr) => walk(fr, tr)
+          case (l :: fr, x :: tr) if l == x => walk(fr, tr)
+          case _ => false
+        }
+        walk(fl, tl)
+      }
+    }
+    val levels = Seq("a", "bb", "+", "#", "$SYS", "temp", "", "x")
+    val rnd = new scala.util.Random(20260814)
+    var checked = 0
+    (0 until 8000).foreach { _ =>
+      val f = (0 until 1 + rnd.nextInt(4)).map(_ => levels(rnd.nextInt(levels.length))).mkString("/")
+      val t = (0 until 1 + rnd.nextInt(4)).map(_ => levels(rnd.nextInt(levels.length))).mkString("/")
+      // only well-formed filters are comparable (malformed ones are
+      // rejected at subscribe — covered by the validation test)
+      val wellFormed = f.split("/", -1).zipWithIndex.forall { case (l, i) =>
+        (!l.contains('#') || (l == "#" && i == f.split("/", -1).length - 1)) &&
+          (!l.contains('+') || l == "+")
+      }
+      if (wellFormed && !t.contains('+') && !t.contains('#')) {
+        checked += 1
+        assert(MqttTopicFilter.matches(f, t) == spec(f, t),
+          s"matcher divergence: filter='$f' topic='$t'")
+      }
+    }
+    assert(checked > 2000, s"fuzz must exercise a healthy sample (got $checked)")
+  }
+
   test("wildcard filters: a topic that first publishes mid-stream joins the next epoch") {
     val uri = "hub:test/wild-stream"
     def pub(t: String, n: Int): Unit =
