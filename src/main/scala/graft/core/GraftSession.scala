@@ -171,6 +171,17 @@ object GraftSession {
     pinScopes.set(buf :: pinScopes.get)
     val result =
       try body
+      catch {
+        case t: Throwable =>
+          // no frame escapes a failed body, so every pin it created is
+          // dead RIGHT NOW — release eagerly instead of leaving failing
+          // reps to re-create the storage-pressure class this scope
+          // exists to prevent
+          buf.foreach { r =>
+            if (pinnedIds.remove(r.id)) r.unpersist(blocking = false)
+          }
+          throw t
+      }
       finally pinScopes.set(pinScopes.get.tail)
     val keep = org.apache.spark.sql.GraftSqlBridge.leafRdds(result).map(_.id).toSet
     val (kept, dead) = buf.partition(r => keep(r.id))

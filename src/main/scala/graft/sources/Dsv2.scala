@@ -136,7 +136,11 @@ object Dsv2 {
       limit match {
         case mr: ReadMaxRows =>
           // greedy per-partition admission up to the row budget (keyed by
-          // the TARGET's names, so pattern-matched late joiners admit too)
+          // the TARGET's names, so pattern-matched late joiners admit too).
+          // Names in the START offset but absent from the current target
+          // (a real broker's listing hiccup, a deleted/recreated topic)
+          // keep their committed sequence — dropping them would restart
+          // the topic at -1 on reappearance and redeliver everything.
           var budget = mr.maxRows()
           val out = target.keys.toSeq.sorted.map { n =>
             val from = s.getOrElse(n, -1L)
@@ -145,8 +149,14 @@ object Dsv2 {
             budget -= take
             n -> (from + take)
           }.toMap
-          MapOffset(out)
-        case _ => MapOffset(target)
+          MapOffset(s ++ out)
+        case _ =>
+          // union of committed and current names; an end sequence never
+          // regresses below the committed one (a transiently-empty topic
+          // reporting -1 must not rewind the checkpoint)
+          MapOffset((s.keySet ++ target.keySet).iterator.map { n =>
+            n -> math.max(target.getOrElse(n, -1L), s.getOrElse(n, -1L))
+          }.toMap)
       }
     }
     override def reportLatestOffset(): Offset = MapOffset(maxNow())

@@ -118,7 +118,25 @@ object WsEndpoint {
 
   // ---- per-connection protocol ------------------------------------------
 
+  /** Ceiling for a client frame's declared payload (the sink is one-way:
+    * data frames are ignored and control frames are ≤ 125 bytes by the
+    * RFC, so anything near this is abuse) — declared-length allocation
+    * without it lets one cheap 10-byte header demand a 2 GB buffer. */
+  private val MaxClientFrameBytes = 1 << 20
+
+  /** Ceiling for the upgrade-request head — bounds a garbage-streaming
+    * client that never sends the terminating CRLFCRLF. */
+  private val MaxRequestHeadBytes = 16 << 10
+
+  /** How long a fully-read frame may take to arrive once its first byte
+    * landed, and how long the upgrade handshake may take — slow-network
+    * tolerance, not the live-poll cadence. */
+  private val FrameReadTimeoutMs = 10000
+
   private def serveClient(sock: Socket, uri: String, path: String): Unit = {
+    // a client that connects and never speaks must not pin this thread
+    // forever, and the head read is size-bounded (slowloris guard)
+    sock.setSoTimeout(FrameReadTimeoutMs)
     val in = new BufferedInputStream(sock.getInputStream)
     val out = sock.getOutputStream
     val head = readRequestHead(in)
@@ -149,18 +167,27 @@ object WsEndpoint {
       writeFrame(out, 0x1, m.payload)
       lastSeq = m.seq
     }
-    // … then live items, interleaved with client control frames
-    sock.setSoTimeout(50)
+    // … then live items, interleaved with client control frames. The
+    // 50 ms timeout applies ONLY to the frame's FIRST byte (the poll
+    // cadence); once a frame starts, the rest reads under the long
+    // timeout — a timeout mid-frame must never be treated as "no data"
+    // or the parser desynchronizes on the frame's remaining bytes.
     var open = true
     while (open && !sock.isClosed) {
       try {
-        readFrame(in) match {
-          case Some((0x8, payload)) => // close: echo and finish
-            writeFrame(out, 0x8, payload)
-            open = false
-          case Some((0x9, payload)) => writeFrame(out, 0xA, payload) // ping→pong
-          case Some(_) => () // sink is one-way; ignore data frames
-          case None => open = false // EOF
+        sock.setSoTimeout(50)
+        val b0 = in.read()
+        if (b0 < 0) open = false
+        else {
+          sock.setSoTimeout(FrameReadTimeoutMs)
+          readFrame(in, b0) match {
+            case Some((0x8, payload)) => // close: echo and finish
+              writeFrame(out, 0x8, payload)
+              open = false
+            case Some((0x9, payload)) => writeFrame(out, 0xA, payload) // ping→pong
+            case Some(_) => () // sink is one-way; ignore data frames
+            case None => open = false // EOF
+          }
         }
       } catch {
         case _: SocketTimeoutException =>
@@ -177,7 +204,7 @@ object WsEndpoint {
     val sb = new StringBuilder
     var prev4 = 0
     var c = in.read()
-    while (c >= 0) {
+    while (c >= 0 && sb.length < MaxRequestHeadBytes) {
       sb.append(c.toChar)
       prev4 = ((prev4 << 8) | c) & 0xFFFFFFFF
       if (prev4 == 0x0D0A0D0A) return sb.toString
@@ -203,10 +230,12 @@ object WsEndpoint {
       out.flush()
     }
 
-  /** One client frame → (opcode, unmasked payload); None on EOF. Client
-    * frames MUST be masked (§5.1) — unmasked data fails the connection. */
-  private[http] def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
-    val b0 = in.read()
+  /** One client frame (first byte pre-read by the caller's polled read) →
+    * (opcode, unmasked payload); None on EOF. Client frames MUST be
+    * masked (§5.1) — unmasked data fails the connection — and the
+    * declared length is capped BEFORE allocation (a 10-byte header must
+    * not be able to demand a 2 GB buffer). */
+  private[http] def readFrame(in: InputStream, b0: Int): Option[(Int, Array[Byte])] = {
     if (b0 < 0) return None
     val opcode = b0 & 0xF
     val b1 = in.read()
@@ -220,7 +249,8 @@ object WsEndpoint {
       while (i < 8) { len = (len << 8) | readByte(in); i += 1 }
     }
     require(masked, "client frames must be masked (RFC 6455 §5.1)")
-    require(len <= Int.MaxValue, "oversized frame")
+    require(len >= 0 && len <= MaxClientFrameBytes,
+      s"client frame of $len bytes exceeds the $MaxClientFrameBytes ceiling")
     val mask = Array.fill(4)(readByte(in).toByte)
     val payload = new Array[Byte](len.toInt)
     var off = 0

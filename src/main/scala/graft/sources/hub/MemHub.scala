@@ -350,11 +350,20 @@ object MemHub {
       TlsGate.handshake(server, c)
     }
 
+  /** Per-namespace topic registry: the `uri`/`topic` boundary is LOST in
+    * the flat `"$uri/$topic"` store keys (both halves may contain '/'),
+    * so wildcard expansion must NOT prefix-scan those keys — uris
+    * "hub:x" and "hub:x/y" would leak topics into each other. The
+    * registry records the split explicitly at publish time. */
+  private val topicReg = new ConcurrentHashMap[String, java.util.Set[String]]()
+
   private def append(uri: String, topic: String,
       msgs: Iterator[(String, Map[String, String], Long, Array[Byte])]): Unit = {
     val b = buf(topics, s"$uri/$topic")
     val seq = topicSeq.computeIfAbsent(s"$uri/$topic",
       _ => new java.util.concurrent.atomic.AtomicLong(0L))
+    topicReg.computeIfAbsent(uri, _ => ConcurrentHashMap.newKeySet[String]())
+      .add(topic): Unit
     b.synchronized {
       msgs.foreach { case (k, props, et, payload) =>
         b += Msg(seq.getAndIncrement(), k, props, et, payload)
@@ -415,14 +424,13 @@ object MemHub {
   }
   /** All topic names known under a namespace — the broker's topic tree,
     * as far as a subscriber can observe it (topics exist once published
-    * to). Drives MQTT wildcard-filter expansion. */
-  def topicNames(uri: String): Seq[String] = {
-    val prefix = uri + "/"
-    topics.keySet.asScala.iterator
-      .filter(_.startsWith(prefix))
-      .map(_.substring(prefix.length))
-      .toSeq.sorted
-  }
+    * to). Drives MQTT wildcard-filter expansion. Reads the explicit
+    * per-uri registry, never a prefix scan of the flat store keys (which
+    * would leak topics between nested uris like "hub:x" / "hub:x/y"). */
+  def topicNames(uri: String): Seq[String] =
+    Option(topicReg.get(uri))
+      .map(_.asScala.toSeq.sorted)
+      .getOrElse(Seq.empty)
   def topicLen(uri: String, topic: String): Long = {
     val b = buf(topics, s"$uri/$topic")
     b.synchronized { b.length.toLong }

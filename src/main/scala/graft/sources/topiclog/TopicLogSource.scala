@@ -239,15 +239,16 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
     }
 
   /** Subscription QoS for a (possibly filter-matched) topic — overlapping
-    * subscriptions grant the MAX matching QoS (MQTT 3.1.1 §3.8.4). */
-  private def qosFor(topic: String): Int =
-    topicQos.getOrElse(topic, {
-      val qs = topicQos.collect {
-        case (f, q) if MqttTopicFilter.isWildcard(f) &&
-          MqttTopicFilter.matches(f, topic) => q
-      }
-      if (qs.nonEmpty) qs.max else 1
-    })
+    * subscriptions grant the MAX matching QoS (MQTT 3.1.1 §3.8.4), so a
+    * literal `dev/a:0` entry under a durable `dev/#:2` filter still gets
+    * the wildcard's QoS-2 delivery. */
+  private def qosFor(topic: String): Int = {
+    val qs = topicQos.get(topic).toSeq ++ topicQos.collect {
+      case (f, q) if MqttTopicFilter.isWildcard(f) &&
+        MqttTopicFilter.matches(f, topic) => q
+    }
+    if (qs.nonEmpty) qs.max else 1
+  }
 
   /** The concrete topic set this subscription covers right now. */
   private def resolveTopics(): Seq[String] =
@@ -338,7 +339,7 @@ class TopicLogTable(options: CaseInsensitiveStringMap) extends Table with Suppor
       }
 
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-        val (u, pr, ack, qos, cd) = (uri, profile, ackAs, topicQos, codec)
+        val (u, pr, ack, cd) = (uri, profile, ackAs, codec)
         val (ep, tr) = (endpoint, track)
         val cn = clientName
         def cl = Clients.byName[TopicLogClient](cn)

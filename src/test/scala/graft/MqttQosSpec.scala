@@ -246,6 +246,40 @@ class MqttQosSpec extends AnyFunSuite {
       s"late-appearing wildcard match must join: $second")
   }
 
+  test("overlapping subscriptions: a literal qos0 topic under a durable wildcard gets the MAX QoS") {
+    val uri = "hub:test/wild-overlap"
+    def pub(t: String, n: Int): Unit =
+      MemHub.publish(uri, t, (0 until n).iterator.map(i =>
+        ("", Map.empty[String, String], i.toLong, Array[Byte](1))))
+    pub("dev/a", 4) // backlog BEFORE subscribe
+    val cp = Files.createTempDirectory("graft-overlap-ckpt").toString
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val q = GraftSources.mqtt(spark, uri, Seq("dev/a:0", "dev/#:2"))
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.groupBy(col("topic")).count().collect().foreach { r =>
+          counts(r.getString(0)) = counts.getOrElse(r.getString(0), 0L) + r.getLong(1)
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // MQTT 3.1.1 para 3.8.4: overlapping subscriptions deliver at the MAX
+    // granted QoS — the durable dev/# subscription replays dev/a's
+    // backlog even though the literal entry asked for qos0
+    assert(counts.getOrElse("dev/a", 0L) == 4,
+      s"literal-under-wildcard must inherit the durable QoS: $counts")
+  }
+
+  test("hub topic registry: nested namespaces never leak topics into each other") {
+    MemHub.publish("hub:nest-x", "t1",
+      Iterator(("", Map.empty[String, String], 0L, Array[Byte](1))))
+    MemHub.publish("hub:nest-x/y", "t2",
+      Iterator(("", Map.empty[String, String], 0L, Array[Byte](1))))
+    assert(MemHub.topicNames("hub:nest-x") == Seq("t1"),
+      "a prefix-sharing uri's topics must not appear as phantom nested topics")
+    assert(MemHub.topicNames("hub:nest-x/y") == Seq("t2"))
+  }
+
   test("wildcard validation: malformed filters and wildcard PUBLISH topics are rejected") {
     val uri = "hub:test/wild-reject"
     MemHub.publish(uri, "a/b", Iterator(("", Map.empty[String, String], 0L, Array[Byte](1))))

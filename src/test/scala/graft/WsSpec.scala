@@ -159,6 +159,52 @@ class WsSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("a ping whose bytes straddle the poll timeout still gets a pong (no frame desync)") {
+    val uri = "hub:test/ws-slowframe"
+    val server = WsEndpoint.startWebsocket(uri)
+    try {
+      val c = new WsClient("127.0.0.1", server.port, "/")
+      try {
+        // hand-feed the frame in two writes with a pause longer than the
+        // 50 ms poll cadence between them: the server reads byte 0, must
+        // then WAIT for the rest instead of treating the timeout as "no
+        // data" and re-parsing mid-frame bytes as a new header
+        val out = c.sock.getOutputStream
+        out.write(0x89) // FIN + ping
+        out.flush()
+        Thread.sleep(250)
+        val mask = Array[Byte](1, 2, 3, 4)
+        val payload = "hb".getBytes(UTF_8)
+        out.write(0x80 | payload.length)
+        out.write(mask)
+        out.write(payload.zipWithIndex.map { case (b, i) => (b ^ mask(i % 4)).toByte })
+        out.flush()
+        val (op, p) = c.read()
+        assert(op == 0xA && new String(p, UTF_8) == "hb",
+          "split-frame ping must still round-trip as a pong")
+      } finally c.close()
+    } finally server.stop()
+  }
+
+  test("a frame header declaring a huge payload fails the connection, never allocates") {
+    val uri = "hub:test/ws-hugeframe"
+    val server = WsEndpoint.startWebsocket(uri)
+    try {
+      val c = new WsClient("127.0.0.1", server.port, "/")
+      try {
+        val out = c.sock.getOutputStream
+        // 127-form length declaring 2^31-1 bytes, masked
+        out.write(0x81); out.write(0x80 | 127)
+        out.write(Array[Byte](0, 0, 0, 0, 0x7F.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte))
+        out.write(Array[Byte](1, 2, 3, 4)) // mask
+        out.flush()
+        // server must drop the connection (oversized), not buffer 2 GB
+        val eof = try { c.sock.getInputStream.read() < 0 } catch { case _: Throwable => true }
+        assert(eof, "oversized frame must fail the connection")
+      } finally c.close()
+    } finally server.stop()
+  }
+
   test("wrong client protocol: a plain HTTP request gets 400") {
     val uri = "hub:test/ws-wrongproto"
     val server = WsEndpoint.startWebsocket(uri)
