@@ -143,6 +143,24 @@ class WsSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("broadcast fan-out: every connected peer receives every item") {
+    val uri = "hub:test/ws-fanout"
+    val server = WsEndpoint.startWebsocket(uri)
+    try {
+      val c1 = new WsClient("127.0.0.1", server.port, "/")
+      val c2 = new WsClient("127.0.0.1", server.port, "/")
+      try {
+        GraftSinks.wsBroadcast(
+          spark.range(21, 24).select(col("id").cast("string").as("payload")).orderBy(col("id")),
+          uri, accumulateLimit = 10)
+        // the reference sends to ALL peerConnections
+        // (HttpListenerSinkContext.java:181); both sockets must see all
+        assert(Seq(c1.readText(), c1.readText(), c1.readText()) == Seq("21", "22", "23"))
+        assert(Seq(c2.readText(), c2.readText(), c2.readText()) == Seq("21", "22", "23"))
+      } finally { c1.close(); c2.close() }
+    } finally server.stop()
+  }
+
   test("control frames: ping gets pong, close gets a close reply") {
     val uri = "hub:test/ws-control"
     val server = WsEndpoint.startWebsocket(uri)
