@@ -174,11 +174,21 @@ object WsEndpoint {
     // or the parser desynchronizes on the frame's remaining bytes.
     var open = true
     while (open && !sock.isClosed) {
-      try {
-        sock.setSoTimeout(50)
-        val b0 = in.read()
-        if (b0 < 0) open = false
-        else {
+      // ONLY the first byte's timeout means "no frame in flight — poll":
+      // once a frame has started, any exception (including a stall past
+      // the frame timeout) fails the connection rather than risking a
+      // desynchronized re-parse of mid-frame bytes as a fresh header.
+      val b0 =
+        try { sock.setSoTimeout(50); in.read() }
+        catch { case _: SocketTimeoutException => Int.MinValue }
+      if (b0 == Int.MinValue) {
+        try MemHub.poll(uri, "ws", lastSeq).foreach { m =>
+          writeFrame(out, 0x1, m.payload)
+          lastSeq = m.seq
+        } catch { case _: Throwable => open = false }
+      } else if (b0 < 0) open = false
+      else {
+        try {
           sock.setSoTimeout(FrameReadTimeoutMs)
           readFrame(in, b0) match {
             case Some((0x8, payload)) => // close: echo and finish
@@ -188,14 +198,7 @@ object WsEndpoint {
             case Some(_) => () // sink is one-way; ignore data frames
             case None => open = false // EOF
           }
-        }
-      } catch {
-        case _: SocketTimeoutException =>
-          MemHub.poll(uri, "ws", lastSeq).foreach { m =>
-            writeFrame(out, 0x1, m.payload)
-            lastSeq = m.seq
-          }
-        case _: Throwable => open = false
+        } catch { case _: Throwable => open = false }
       }
     }
   }
