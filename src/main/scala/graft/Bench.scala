@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** One timed repetition with its attribution channels: wall seconds,
+    * stop-the-world GC delta, storage-memory high-water over the window
+    * (20 ms sampler), block-removal count (evictions + the harness's own
+    * constant per-rep release baseline) and whole-stage-codegen
+    * compilation delta. */
+  final case class Rep(sec: Double, gcMs: Long, storHiBytes: Long,
+      blocksRemoved: Long, codegenCompiles: Long)
+
   /** Driver's tail capture is ~2000 chars (BENCH_r03.json "tail"); the JSON
     * line plus sbt's trailing "[success] ..." line must fit inside it or the
     * driver records parsed:null. Shorten "qNN_long_name" to its "qNN" code
@@ -54,6 +62,31 @@ object Bench {
   def maxFlagged(p50V: Double, maxV: Double): Boolean =
     maxV > p50V * 3 && maxV > p50V + 0.25
 
+  /** Floor for the rep-1/p50 ratio denominator: sub-50 ms queries have
+    * ratios dominated by scheduler quantum noise. */
+  val ColdP50Floor = 0.05
+
+  /** Rep-1 cold-cost flag (VERDICT r9 item 7): excluding rep 1 from
+    * `max_flags` made first-invocation regressions — the class users feel
+    * on their first query — invisible. Every query pays a KNOWN cold tax
+    * (JIT, connector fixture codegen), so the baseline is the CATALOG's
+    * median rep-1/p50 ratio; a query is flagged only when its own rep 1
+    * runs > 3× that shared baseline (and ≥ 0.5 s above p50, so a 0.1 s →
+    * 0.4 s toy-query wobble can't flag). A codegen blowup or fixture-build
+    * creep lands here without re-penalizing normal warm-up. */
+  def coldFlagged(rep1: Double, p50V: Double, medianRatio: Double): Boolean =
+    rep1 > math.max(p50V, ColdP50Floor) * medianRatio * 3 && rep1 > p50V + 0.5
+
+  /** The catalog-wide median rep-1/p50 ratio (the shared cold-tax
+    * baseline), never below 1 so a mostly-warm catalog can't make the
+    * threshold stricter than "3× p50 + 0.5 s". */
+  def coldMedianRatio(rep1s: Map[String, Double], p50s: Map[String, Double]): Double = {
+    val ratios = rep1s.toSeq.flatMap { case (n, r1) =>
+      p50s.get(n).map(p => r1 / math.max(p, ColdP50Floor))
+    }.sorted
+    if (ratios.isEmpty) 1.0 else math.max(1.0, ratios((ratios.size - 1) / 2))
+  }
+
   /** Cumulative stop-the-world GC milliseconds across all collectors —
     * per-rep deltas attribute spike reps to GC pauses vs real work. */
   def gcMillis(): Long = {
@@ -64,7 +97,8 @@ object Bench {
 
   def renderLine(results: Map[String, Double], sfDir: String,
       p50s: Map[String, Double] = Map.empty,
-      maxs: Map[String, Double] = Map.empty): String = {
+      maxs: Map[String, Double] = Map.empty,
+      rep1s: Map[String, Double] = Map.empty): String = {
     // collision guard: two names compressing to one short key would
     // silently merge bench lines — disambiguate at render time with a
     // stable hash suffix (BenchLineSpec pins the current catalog clean)
@@ -106,7 +140,20 @@ object Bench {
           .mkString("{", ",", "}")
         s""","max_total":${fmt(maxs.values.sum)},"max_flags":$flags"""
       }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$p50Part$maxPart,"sf":"$sf"}"""
+      // cold-start visibility (VERDICT r9 item 7): rep 1 is excluded from
+      // max_flags by design, so first-invocation regressions get their own
+      // BOUNDED flag list, keyed on the catalog's shared cold-tax baseline
+      val coldPart = if (rep1s.isEmpty || p50s.isEmpty) "" else {
+        val mr = coldMedianRatio(rep1s, p50s)
+        val flags = rep1s.toSeq
+          .filter { case (n, r1) => p50s.get(n).exists(p => coldFlagged(r1, p, mr)) }
+          .sortBy { case (n, r1) => (-(r1 - p50s(n)), n) }
+          .take(MaxP50Flags)
+          .map { case (n, r1) => "\"" + keys.getOrElse(n, n) + "\":" + f(r1) }
+          .mkString("{", ",", "}")
+        s""","cold_flags":$flags"""
+      }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$p50Part$maxPart$coldPart,"sf":"$sf"}"""
     }
     def render(f: Double => String): String = renderMap(results.toSeq, f)
     // ms precision normally; if the query set ever grows the line past the
@@ -178,42 +225,76 @@ object Bench {
     // are one-time (seedOnce) fixture setup at first plan/execution, so
     // repeated runs are read-only and idempotent.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val allDetail: Map[String, Seq[(Double, Long)]] = SparkEntry.queries.map { case (name, fn) =>
+    // eviction visibility (VERDICT r9 item 1): count block-removal events.
+    // The harness's own per-rep releases contribute a CONSTANT per-rep
+    // baseline; eviction churn (the q81-spike hypothesis) shows as a
+    // spike-rep outlier against the query's other reps.
+    val removedBlocks = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onBlockUpdated(e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
+        if (e.blockUpdatedInfo.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          removedBlocks.incrementAndGet(): Unit
+        }
+    })
+    val allDetail: Map[String, Seq[Rep]] = SparkEntry.queries.map { case (name, fn) =>
       // settle the heap before timing: one query's garbage (and its GC
       // debt) must not be billed to the next query's runs
       System.gc()
-      // each rep: time the action, record the stop-the-world GC delta
-      // (attributes spike reps to GC vs work), then RELEASE the frame's
-      // pins (untimed — driver-side unpersist). Without the release, dead
-      // pinned blocks from reps 1..k-1 wait for a driver GC while rep k
-      // allocates, and the resulting storage pressure/eviction churn was
-      // the round-8 q145 rep ramp and the q81 spike class. Release is what
-      // a real pipeline's harness does after consuming a result; each rep
-      // still recomputes its pins from scratch (pin is per-invocation).
-      def run(): (Double, Long) = {
+      // each rep: time the action; record the stop-the-world GC delta, the
+      // storage-memory high-water (20 ms sampler), the block-removal count
+      // and the codegen-compilation count over the window — so a spike rep
+      // arrives with its mechanism attached (GC pause vs storage/eviction
+      // churn vs recompilation vs none-of-the-JVM's-business). Then RELEASE
+      // the frame's pins (untimed — driver-side unpersist). Without the
+      // release, dead pinned blocks from reps 1..k-1 wait for a driver GC
+      // while rep k allocates; that storage pressure was the round-8 q145
+      // rep ramp. Release is what a real pipeline's harness does after
+      // consuming a result; each rep still recomputes its pins from scratch.
+      def run(): Rep = {
+        import org.apache.spark.GraftSparkBridge
+        GraftSparkBridge.drainListenerBus(spark.sparkContext)
         val gc0 = gcMillis()
+        val cg0 = GraftSparkBridge.codegenCompileCount
+        val ev0 = removedBlocks.get()
+        val storHi = new java.util.concurrent.atomic.AtomicLong(
+          GraftSparkBridge.storageMemoryUsed)
+        val stopSampler = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val sampler = new Thread(() => {
+          while (!stopSampler.get()) {
+            storHi.getAndAccumulate(GraftSparkBridge.storageMemoryUsed, math.max(_, _))
+            try Thread.sleep(20) catch { case _: InterruptedException => stopSampler.set(true) }
+          }
+        }, "graft-bench-storage-sampler")
+        sampler.setDaemon(true)
+        sampler.start()
         val t0 = System.nanoTime()
         val frame =
           try { val d = fn(spark, sfDir); d.count(); d }
           catch { case _: Throwable => null }
         val sec = (System.nanoTime() - t0) / 1e9
+        stopSampler.set(true)
+        sampler.join(500)
+        storHi.getAndAccumulate(GraftSparkBridge.storageMemoryUsed, math.max(_, _))
         val gcd = gcMillis() - gc0
         if (frame != null) graft.core.GraftSession.release(frame, blocking = true)
-        (sec, gcd)
+        GraftSparkBridge.drainListenerBus(spark.sparkContext)
+        Rep(sec, gcd, storHi.get(),
+          removedBlocks.get() - ev0,
+          GraftSparkBridge.codegenCompileCount - cg0)
       }
-      val times = scala.collection.mutable.ArrayBuffer.fill(reps)((0.0, 0L))
+      val times = scala.collection.mutable.ArrayBuffer.fill(reps)(Rep(0.0, 0L, 0L, 0L, 0L))
       times.indices.foreach(i => times(i) = run())
       // adaptive warm-down: if the LAST run still set a materially new
       // minimum (≥5 % below all earlier runs), C2 is still compiling the
       // hot loops — extend (bounded) until the floor stabilizes, so the
       // reported min is steady-state for heavy codegen queries too
       var extra = 0
-      while (extra < 4 && times.size > 1 && times.last._1 <= times.init.map(_._1).min * 0.95) {
+      while (extra < 4 && times.size > 1 && times.last.sec <= times.init.map(_.sec).min * 0.95) {
         times += run(); extra += 1
       }
-      name -> (times.toSeq: Seq[(Double, Long)])
+      name -> (times.toSeq: Seq[Rep])
     }
-    val allRuns: Map[String, Seq[Double]] = allDetail.map { case (n, ts) => n -> ts.map(_._1) }
+    val allRuns: Map[String, Seq[Double]] = allDetail.map { case (n, ts) => n -> ts.map(_.sec) }
     val results = allRuns.map { case (n, ts) => n -> ts.min }
     def p50(ts: Seq[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
     // the q84 index build is a one-time amortized cost (paid during
@@ -223,11 +304,14 @@ object Bench {
     // per-query min/p50/runs detail — too wide for the driver's ~2000-char
     // stdout tail, so it lands in a file the judge can read directly
     val detail = allDetail.toSeq.sortBy(_._1).map { case (n, rs) =>
-      val ts = rs.map(_._1)
+      val ts = rs.map(_.sec)
       s"""  "$n": {"min": ${fmt(ts.min)}, "p50": ${fmt(p50(ts))}, """ +
         s""""max": ${fmt(ts.max)}, """ +
         s""""runs": [${ts.map(fmt).mkString(", ")}], """ +
-        s""""gc_ms": [${rs.map(_._2).mkString(", ")}]}"""
+        s""""gc_ms": [${rs.map(_.gcMs).mkString(", ")}], """ +
+        s""""stor_hi_mb": [${rs.map(_.storHiBytes >> 20).mkString(", ")}], """ +
+        s""""blk_rm": [${rs.map(_.blocksRemoved).mkString(", ")}], """ +
+        s""""cg": [${rs.map(_.codegenCompiles).mkString(", ")}]}"""
     }.mkString("{\n", ",\n", "\n}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
@@ -247,7 +331,8 @@ object Bench {
     println(renderLine(results ++ buildLine, sfDir,
       allRuns.map { case (n, ts) => n -> p50(ts) },
       allRuns.map { case (n, ts) =>
-        n -> (if (ts.size > 1) ts.drop(1).max else ts.max) }))
+        n -> (if (ts.size > 1) ts.drop(1).max else ts.max) },
+      allRuns.map { case (n, ts) => n -> ts.head }))
     spark.stop()
   }
 }

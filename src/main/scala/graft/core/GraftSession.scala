@@ -75,7 +75,13 @@ object GraftSession {
     */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Partition width comes from a logical-plan estimate
+    // (GraftSqlBridge.planParallelism), NOT df.rdd: materializing the RDD
+    // compiled a second full physical plan per call site (and under AQE
+    // could run upstream stages just to count partitions).
+    if (org.apache.spark.sql.GraftSqlBridge.planParallelism(df) < target)
+      df.repartition(target)
+    else df
   }
 
   /** Pin a small reduced artifact fault-tolerantly AND leak-free: cache

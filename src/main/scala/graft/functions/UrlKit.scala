@@ -198,6 +198,15 @@ object UrlKit {
   def publicSuffixLenSql(hostExpr: String): String = {
     val r = activeRules
     val all = r.exact ++ r.wildcard ++ r.exception
+    // The replay inlines one CASE/LIKE per rule — fine for the built-in
+    // HeadRules (~70 entries), megabytes of nested SQL with the full
+    // ~9,500-rule publicsuffix.org file. Fail loudly instead of emitting
+    // an oracle DuckDB cannot realistically run; parity runs use the
+    // head-rule set, the full file is a deployment-only option.
+    require(all.size <= 512,
+      s"publicSuffixLenSql: ${all.size} suffix rules would inline into the " +
+        "oracle SQL (limit 512). Oracle parity runs must use the built-in " +
+        "head-rule set; keep -Dgraft.psl.path for deployments, not verify.")
     require(all.forall(s => !s.exists(c => c == '%' || c == '_' || c == '\'')),
       "suffix rules must be LIKE-literal for the oracle replay")
     def labels(s: String) = s.count(_ == '.') + 1

@@ -1867,7 +1867,10 @@ object Pipeline {
       blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "empty blocklist — nothing to filter")
     val host = graft.functions.url_parts(col(urlCol)).getField("host")
-    val isBlocked = blocked.map(b => host === b || host.endsWith("." + b))
+    // The kernel lowercases the host; a mixed-case blocklist entry
+    // ('GitHub.io') would otherwise silently never match anything.
+    val entries = blocked.map(_.toLowerCase(java.util.Locale.ROOT))
+    val isBlocked = entries.map(b => host === b || host.endsWith("." + b))
       .reduce(_ || _)
     // url_valid carries the null/parseability decision so the blocklist
     // predicate is the parse kernel's ONLY evaluation site

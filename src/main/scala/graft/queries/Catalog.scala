@@ -3820,7 +3820,7 @@ object Catalog {
       Some(s"""WITH $urlParseCtes
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
         FROM parsed
-        WHERE NOT (${blocked.map(b =>
+        WHERE NOT (${blocked.map(_.toLowerCase(java.util.Locale.ROOT)).map(b =>
           s"host = '$b' OR host LIKE '%.$b'").mkString(" OR ")})
         GROUP BY source ORDER BY source"""))
   }

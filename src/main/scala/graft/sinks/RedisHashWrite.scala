@@ -60,7 +60,7 @@ object RedisHashWrite {
   }
 
   final class HashBatchWrite(target: String,
-      clientName: String = "graft.sources.hub.HubRedisClient") extends BatchWrite {
+      clientName: String = graft.sources.redis.RedisSources.DefaultClient) extends BatchWrite {
     private def client = Clients.byName[RedisClient](clientName)
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       Factory(target, "batch", clientName)
@@ -77,7 +77,7 @@ object RedisHashWrite {
   }
 
   final class HashStreamingWrite(target: String, queryId: String,
-      clientName: String = "graft.sources.hub.HubRedisClient") extends StreamingWrite {
+      clientName: String = graft.sources.redis.RedisSources.DefaultClient) extends StreamingWrite {
     private def client = Clients.byName[RedisClient](clientName)
     private def logKey = s"$queryId/$target"
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =

@@ -41,7 +41,7 @@ object RedisZSetWrite {
   }
 
   final class ZSetBatchWrite(target: String,
-      clientName: String = "graft.sources.hub.HubRedisClient") extends BatchWrite {
+      clientName: String = graft.sources.redis.RedisSources.DefaultClient) extends BatchWrite {
     private def client = Clients.byName[RedisClient](clientName)
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       Factory(target, "batch", clientName)
@@ -58,7 +58,7 @@ object RedisZSetWrite {
   }
 
   final class ZSetStreamingWrite(target: String, queryId: String,
-      clientName: String = "graft.sources.hub.HubRedisClient") extends StreamingWrite {
+      clientName: String = graft.sources.redis.RedisSources.DefaultClient) extends StreamingWrite {
     private def client = Clients.byName[RedisClient](clientName)
     private def logKey = s"$queryId/$target"
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =

@@ -459,5 +459,11 @@ object MemHub {
     sweep(oplogs); sweep(series); sweep(topics); sweep(acks)
     sweep(refusals); sweep(lostAcks); sweep(packets); sweep(mqttConn)
     sweep(sinkAddrs)
+    // The topic registry and sequence counters are keyed by uri (resp.
+    // "$uri/$topic") and must die with the namespace too: a stale registry
+    // entry makes wildcard expansion plan partitions for topics whose
+    // buffers are gone, and a stale counter makes a re-seeded fixture
+    // start mid-sequence.
+    sweep(topicReg); sweep(topicSeq)
   }
 }

@@ -22,15 +22,32 @@ object Clients {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** Resolve an implementation by fully-qualified name — a Scala `object`
-    * (via MODULE$) or a no-arg class — cached per JVM. */
+    * (natural name or mangled `Obj$` form, via MODULE$) or a no-arg
+    * class — cached per JVM. A Scala object's natural name resolves to
+    * its mirror class (no MODULE$, no usable constructor), so retry with
+    * the `$`-suffixed companion-module class before concluding the name
+    * denotes an instantiable class. */
   def byName[T](name: String): T =
     cache.computeIfAbsent(name, n => {
+      def module(cls: Class[_]): Option[AnyRef] =
+        try Some(cls.getField("MODULE$").get(null))
+        catch { case _: NoSuchFieldException => None }
       val cls = Class.forName(n)
-      try cls.getField("MODULE$").get(null)
-      catch {
-        case _: NoSuchFieldException =>
-          cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
-      }
+      module(cls)
+        .orElse(
+          try module(Class.forName(n + "$"))
+          catch { case _: ClassNotFoundException => None })
+        .getOrElse {
+          try cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+          catch {
+            case e @ (_: NoSuchMethodException | _: InstantiationException) =>
+              throw new IllegalArgumentException(
+                s"client '$n' is neither a Scala object (no MODULE$$ on " +
+                  s"'$n' or '$n$$') nor a no-arg class — for a Scala " +
+                  "object, either name form works; for a class it needs " +
+                  "a public no-arg constructor", e)
+          }
+        }
     }).asInstanceOf[T]
 
   /** Test hook: drop a cached instance (e.g. after re-registering). */

@@ -23,23 +23,44 @@ object RepTimer {
     // release=0 reproduces the pre-round-9 harness (no post-rep release)
     // for A/B attribution of rep ramps to dead-pin storage pressure
     val doRelease = sys.env.get("SPARK_GRAFT_REPTIMER_RELEASE").forall(_ == "1")
+    // optional synthetic storage-pressure neighbor: pin ~N MB of blocks
+    // for the whole run (SPARK_GRAFT_REPTIMER_PRESSURE_MB), emulating a
+    // prior query's not-yet-GC'd weak-ref'd blocks, to test the
+    // eviction-churn hypothesis for spike reps
+    val pressureMb = sys.env.get("SPARK_GRAFT_REPTIMER_PRESSURE_MB").map(_.toInt).getOrElse(0)
+    val pressure = if (pressureMb <= 0) None else Some {
+      val rows = pressureMb.toLong * 1024 * 1024 / 1050
+      val df = spark.range(rows).selectExpr("id", "repeat('x', 1024) AS pad")
+      val pinned = graft.core.GraftSession.pin(df)
+      println(f"pressure: pinned ~$pressureMb MB " +
+        f"(storage used ${org.apache.spark.GraftSparkBridge.storageMemoryUsed >> 20} MB " +
+        f"of ${org.apache.spark.GraftSparkBridge.maxStorageMemory >> 20} MB)")
+      pinned
+    }
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       val stats = (1 to reps).map { _ =>
+        import org.apache.spark.GraftSparkBridge
         val gc0 = graft.Bench.gcMillis()
+        val cg0 = GraftSparkBridge.codegenCompileCount
         val t0 = System.nanoTime()
         val frame = fn(spark, sfDir)
         frame.count()
         val sec = (System.nanoTime() - t0) / 1e9
         val gcd = graft.Bench.gcMillis() - gc0
         if (doRelease) graft.core.GraftSession.release(frame, blocking = true)
-        (sec, gcd, spark.sparkContext.getRDDStorageInfo.length)
+        (sec, gcd, spark.sparkContext.getRDDStorageInfo.length,
+          GraftSparkBridge.storageMemoryUsed >> 20,
+          GraftSparkBridge.codegenCompileCount - cg0)
       }
       println(s"$n: ${stats.map(s => f"${s._1}%.2f").mkString("[", ", ", "]")} " +
         s"swing=${f"${stats.map(_._1).max / stats.map(_._1).min}%.2f"}x " +
         s"gcMs=${stats.map(_._2).mkString("[", ",", "]")} " +
-        s"cachedRdds=${stats.map(_._3).mkString("[", ",", "]")}")
+        s"cachedRdds=${stats.map(_._3).mkString("[", ",", "]")} " +
+        s"storMb=${stats.map(_._4).mkString("[", ",", "]")} " +
+        s"cg=${stats.map(_._5).mkString("[", ",", "]")}")
     }
+    pressure.foreach(p => graft.core.GraftSession.release(p))
     spark.stop()
   }
 }

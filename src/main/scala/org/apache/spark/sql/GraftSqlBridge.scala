@@ -72,4 +72,79 @@ object GraftSqlBridge {
     * in the CacheManager). */
   def cacheManagerIsEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** Estimated output partition count of a frame, derived ENTIRELY from
+    * the optimized logical plan — no physical planning, no second
+    * `QueryExecution`, no job. This is what [[graft.core.GraftSession.widen]]
+    * gates on: the old `df.rdd.getNumPartitions` compiled a full physical
+    * plan (on a SEPARATE deserializing QueryExecution) at every widen call
+    * site, and under AQE could even run upstream shuffle stages just to
+    * count partitions.
+    *
+    * The estimate walks the plan bottom-up:
+    *  - [[LogicalRDD]] leaves (graft pins, checkpoints) report exact RDD
+    *    partition counts;
+    *  - file-backed relations replay Spark's split math
+    *    (`FilePartition.maxSplitBytes`: openCost-padded total, per-core
+    *    floor, `files.maxPartitionBytes` ceiling) over the FileIndex's
+    *    cached size/count — a 100 TB table estimates hundreds of
+    *    thousands of splits and a 2-file toy table estimates ~2, both
+    *    without touching the planner;
+    *  - explicit repartitions report their target; unions sum; joins take
+    *    the wider input (broadcast keeps the streamed side's width, a
+    *    shuffle join lands on `shuffle.partitions` which IS the widen
+    *    target — either way not narrow when an input is wide);
+    *  - shuffle-materializing unaries (Aggregate/Window/global Sort/
+    *    Deduplicate) land on `shuffle.partitions`;
+    *  - anything else falls back to bytes/`maxPartitionBytes` from
+    *    Catalyst stats.
+    *
+    * Estimation error is deliberately cheap in both directions: a huge
+    * file source can only be estimated wide (never re-shuffled by
+    * mistake), while a borderline-small frame at worst pays one extra
+    * round-robin exchange of a few core-counts of rows. */
+  def planParallelism(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    val conf = cds.sparkSession.sessionState.conf
+    val shufflePartitions = conf.numShufflePartitions
+    def clamp(n: BigInt): Int = n.max(1).min(Int.MaxValue).toInt
+    def byBytes(sizeInBytes: BigInt): Int =
+      clamp(sizeInBytes / BigInt(math.max(conf.filesMaxPartitionBytes, 1L)) + 1)
+    def fileSplits(fs: HadoopFsRelation): Int = {
+      val openCost = conf.filesOpenCostInBytes
+      val nFiles = fs.location.inputFiles.length.toLong
+      val total = fs.location.sizeInBytes + nFiles * openCost
+      val minParts = conf.filesMinPartitionNum
+        .getOrElse(cds.sparkSession.sparkContext.defaultParallelism).toLong
+      val bytesPerCore = total / math.max(minParts, 1L)
+      val maxSplit = math.max(1L,
+        math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore)))
+      clamp(BigInt((total + maxSplit - 1) / maxSplit))
+    }
+    def est(p: LogicalPlan): Int = p match {
+      case l: LogicalRDD => l.rdd.getNumPartitions
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation => fileSplits(fs)
+          case _ => byBytes(lr.stats.sizeInBytes)
+        }
+      case _: LocalRelation => 1
+      case r: Range =>
+        r.numSlices.getOrElse(cds.sparkSession.sparkContext.defaultParallelism)
+      case r: Repartition =>
+        if (r.shuffle) r.numPartitions else math.min(est(r.child), r.numPartitions)
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.getOrElse(shufflePartitions)
+      case u: Union => u.children.map(est).sum
+      case j: Join => j.children.map(est).max
+      case _: Aggregate | _: Window | _: Deduplicate => shufflePartitions
+      case s: Sort if s.global => shufflePartitions
+      case leaf: LeafNode => byBytes(leaf.stats.sizeInBytes)
+      case other if other.children.nonEmpty => other.children.map(est).max
+      case other => byBytes(other.stats.sizeInBytes)
+    }
+    est(cds.queryExecution.optimizedPlan)
+  }
 }

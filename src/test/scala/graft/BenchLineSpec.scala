@@ -104,4 +104,35 @@ class BenchLineSpec extends AnyFunSuite {
     val wj = JsonMethods.parse(worst)
     assert((wj \ "max_flags").asInstanceOf[JObject].obj.size == Bench.MaxP50Flags)
   }
+
+  test("rep-1 cold-cost regressions surface as cold_flags against the catalog baseline") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // a healthy catalog warms at ~1.5-2x p50 on rep 1; one query's fixture
+    // build crept to 9 s — only IT must flag, the normal cold tax must not
+    val mins = Map("q59_pack" -> 0.31, "q21_minhash" -> 1.00, "q16_exact" -> 0.40)
+    val p50s = Map("q59_pack" -> 0.40, "q21_minhash" -> 1.10, "q16_exact" -> 0.45)
+    val rep1 = Map("q59_pack" -> 9.00, "q21_minhash" -> 2.00, "q16_exact" -> 0.80)
+    val j = JsonMethods.parse(Bench.renderLine(mins, "/x", p50s, Map.empty, rep1))
+    assert((j \ "cold_flags" \ "59") === JDouble(9.0),
+      "a rep-1 blowup far above the catalog's cold-tax baseline must flag")
+    assert((j \ "cold_flags" \ "21") === JNothing,
+      "a normal cold rep near the baseline ratio must NOT flag")
+    assert((j \ "cold_flags" \ "16") === JNothing)
+    // the baseline is the catalog MEDIAN ratio, floored at 1: an all-warm
+    // catalog cannot tighten the threshold below 3x p50 + 0.5 s
+    assert(Bench.coldMedianRatio(
+      Map("a" -> 0.5, "b" -> 0.6), Map("a" -> 1.0, "b" -> 1.0)) === 1.0)
+    // absolute floor: a 0.1 s -> 0.4 s toy-query wobble never flags
+    assert(!Bench.coldFlagged(0.4, 0.1, 1.0))
+    // worst case: all four maps populated — flag lists capped, line fits
+    val worst = Bench.renderLine(
+      names.map(_ -> 9999.999).toMap, "/root/testdata/sf0.1",
+      names.map(_ -> 9999.999).toMap, names.map(_ -> 99999.999).toMap,
+      names.map(_ -> 99999.999).toMap)
+    assert(worst.length <= Bench.MaxLineLength,
+      s"bench line with p50+max+cold flags is ${worst.length} chars — will be truncated")
+    val wj = JsonMethods.parse(worst)
+    assert((wj \ "cold_flags").asInstanceOf[JObject].obj.size <= Bench.MaxP50Flags)
+  }
 }
