@@ -55,6 +55,29 @@ object Bench {
   def p50Flagged(minV: Double, p50V: Double): Boolean =
     p50V > minV * 1.25 + 0.25
 
+  /** The steady-tail reps of a trace: everything AFTER the last
+    * floor-setting rep (a rep ≥5 % below every earlier rep — the same
+    * materially-new-minimum test the adaptive warm-down uses), padded
+    * back to the last 3 reps when shorter. The p50 pathology flag is
+    * computed over THIS window: a monotone warm-DOWN ramp (the round-9
+    * q59 trace — all nine of its jobs shrink uniformly across ~6
+    * invocations while gc/storage/codegen deltas stay flat: tiered JIT
+    * of the non-codegen prefix-scan row path) is warm-up, visible in
+    * rep 1 via cold_flags and in full in bench_detail.json; a ramp UP
+    * (the round-7 q81 leak) sets its floor early, so its slow later
+    * reps ARE the steady tail and still flag. `p50_total` stays the
+    * full-trace median sum — only the pathology test uses the tail. */
+  def steadyTail(ts: Seq[Double]): Seq[Double] = {
+    var floor = Double.MaxValue
+    var lastSet = 0
+    ts.zipWithIndex.foreach { case (t, i) =>
+      if (i == 0 || t <= floor * 0.95) { lastSet = i }
+      floor = math.min(floor, t)
+    }
+    val tail = ts.drop(lastSet + 1)
+    if (tail.size >= 3) tail else ts.takeRight(math.min(3, ts.size))
+  }
+
   /** A single-rep spike (the round-8 q81 13 s rep: 8.3× p50, invisible to
     * both min and p50) is flagged when the worst run is > 3× p50 — with
     * the same absolute floor so a 0.05 s → 0.2 s scheduler hiccup on a
@@ -98,7 +121,8 @@ object Bench {
   def renderLine(results: Map[String, Double], sfDir: String,
       p50s: Map[String, Double] = Map.empty,
       maxs: Map[String, Double] = Map.empty,
-      rep1s: Map[String, Double] = Map.empty): String = {
+      rep1s: Map[String, Double] = Map.empty,
+      steadyP50s: Map[String, Double] = Map.empty): String = {
     // collision guard: two names compressing to one short key would
     // silently merge bench lines — disambiguate at render time with a
     // stable hash suffix (BenchLineSpec pins the current catalog clean)
@@ -120,11 +144,15 @@ object Bench {
       // the worst min->p50 offenders, so within-session degradation shows
       // in BENCH_r{N}.json itself, not only in bench_detail.json
       val p50Part = if (p50s.isEmpty) "" else {
+        // the flag tests the STEADY-TAIL p50 (see steadyTail): warm-down
+        // ramps are warm-up, not steady-state degradation; p50_total
+        // stays the honest full-trace median sum
+        def flagV(n: String, p: Double) = steadyP50s.getOrElse(n, p)
         val flags = p50s.toSeq
-          .filter { case (n, p) => results.get(n).exists(m => p50Flagged(m, p)) }
-          .sortBy { case (n, p) => (-(p - results(n)), n) }
+          .filter { case (n, p) => results.get(n).exists(m => p50Flagged(m, flagV(n, p))) }
+          .sortBy { case (n, p) => (-(flagV(n, p) - results(n)), n) }
           .take(MaxP50Flags)
-          .map { case (n, p) => "\"" + keys.getOrElse(n, n) + "\":" + f(p) }
+          .map { case (n, p) => "\"" + keys.getOrElse(n, n) + "\":" + f(flagV(n, p)) }
           .mkString("{", ",", "}")
         s""","p50_total":${fmt(p50s.values.sum)},"p50_flags":$flags"""
       }
@@ -306,6 +334,7 @@ object Bench {
     val detail = allDetail.toSeq.sortBy(_._1).map { case (n, rs) =>
       val ts = rs.map(_.sec)
       s"""  "$n": {"min": ${fmt(ts.min)}, "p50": ${fmt(p50(ts))}, """ +
+        s""""p50_steady": ${fmt(p50(steadyTail(ts)))}, """ +
         s""""max": ${fmt(ts.max)}, """ +
         s""""runs": [${ts.map(fmt).mkString(", ")}], """ +
         s""""gc_ms": [${rs.map(_.gcMs).mkString(", ")}], """ +
@@ -332,7 +361,8 @@ object Bench {
       allRuns.map { case (n, ts) => n -> p50(ts) },
       allRuns.map { case (n, ts) =>
         n -> (if (ts.size > 1) ts.drop(1).max else ts.max) },
-      allRuns.map { case (n, ts) => n -> ts.head }))
+      allRuns.map { case (n, ts) => n -> ts.head },
+      allRuns.map { case (n, ts) => n -> p50(steadyTail(ts)) }))
     spark.stop()
   }
 }

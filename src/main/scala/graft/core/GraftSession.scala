@@ -144,18 +144,43 @@ object GraftSession {
       override def initialValue: List[scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]] = Nil
     }
 
-  /** Eagerly free every [[pin]]ned artifact a frame's plan references —
-    * for (a) loop intermediates that are provably dead (the CC loop) and
+  /** Register an INTERNALLY persisted RDD (the rankedScan /
+    * groupedPrefixScan sorted materializations) with the pin registry and
+    * the active [[pinScope]], so the operator-boundary lifecycle covers
+    * it: [[release]] can free it through the dependency closure instead
+    * of waiting for a driver GC. The round-9 driver bench measured the
+    * gap this closes: q133 (two rankedScans per invocation) left 2
+    * unregistered cached RDDs per rep, accumulating to 14 before GC —
+    * exactly the storage-pressure class behind its max_flags spike. */
+  def registerPin(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    pinnedIds.add(rdd.id): Unit
+    pinScopes.get match {
+      case scope :: _ => scope += rdd
+      case Nil        => ()
+    }
+  }
+
+  /** Eagerly free every [[pin]]ned artifact a frame references — its plan
+    * leaves AND every registered pin in those leaves' RDD dependency
+    * closure (rankedScan/groupedPrefixScan materializations sit one
+    * `mapPartitions` BELOW the result leaf, so a leaf-only walk left them
+    * for the GC; the round-9 q133 rep trace measured the consequence).
+    * For (a) loop intermediates that are provably dead (the CC loop) and
     * (b) harness code (bench reps, verify runs) that has just finished the
     * frame's terminal action and KNOWS no further action is coming. Safe on
-    * arbitrary frames: only leaves in the pin registry are unpersisted.
+    * arbitrary frames: only RDDs in the pin registry are unpersisted.
     * Lineage is kept by [[pin]], so a released block referenced by a
     * not-yet-run plan recomputes instead of failing — release is a
     * performance lever, never a correctness hazard. */
-  def release(df: DataFrame, blocking: Boolean = false): Unit =
-    org.apache.spark.sql.GraftSqlBridge.leafRdds(df)
-      .filter(r => pinnedIds.remove(r.id))
-      .foreach(_.unpersist(blocking))
+  def release(df: DataFrame, blocking: Boolean = false): Unit = {
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.add(r.id)) {
+        if (pinnedIds.remove(r.id)) r.unpersist(blocking)
+        r.dependencies.foreach(d => walk(d.rdd))
+      }
+    org.apache.spark.sql.GraftSqlBridge.leafRdds(df).foreach(walk)
+  }
 
   /** Run a composite operator body and eagerly release every pin it
     * created EXCEPT those the returned frame still references.

@@ -951,7 +951,13 @@ object Dedup {
     val sizes = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
       .groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBlockRows)
-    val anyHot = sizes.limit(1).count() > 0
+    // take(1), not limit(1).count(): the terminal take plans
+    // CollectLimitExec with no codegen-limit counter, so the probe's
+    // generated source is rep-stable and hits the codegen cache —
+    // limit(1).count() minted two fresh `_limit_counter_N` stages per
+    // invocation and paid 4 Janino compiles every bench rep (round-9
+    // q81 attribution)
+    val anyHot = sizes.select(lit(1).as("__one")).take(1).nonEmpty
     val ratioOk = col("x.n").cast("double") >= col("y.n") * threshold - 1e-9 &&
       col("y.n").cast("double") >= col("x.n") * threshold - 1e-9
     // merge hint: with both sides hash(blk)-partitioned by identical

@@ -74,6 +74,8 @@ object Events {
     // goes out of scope
     val rdd = evs.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registered for closure-release (see GraftSession.registerPin)
+    graft.core.GraftSession.registerPin(rdd)
     // pass 1: each non-empty partition's edge rows — (idx, firstUser,
     // firstType, lastUser, lastType); ≤ 1 tuple per partition
     val edges = rdd.mapPartitionsWithIndex { (i, it) =>

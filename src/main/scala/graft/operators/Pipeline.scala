@@ -353,6 +353,10 @@ object Pipeline {
       .sortWithinPartitions(sortCols.map(col): _*)
     val sortedRdd = sorted.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registered so release() frees it through the dependency closure —
+    // unregistered, it waited for a driver GC and piled up across bench
+    // reps (the round-9 q133 spike class)
+    graft.core.GraftSession.registerPin(sortedRdd)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val stats = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var n = 0L; var s = 0L
@@ -1531,6 +1535,8 @@ object Pipeline {
       .sortWithinPartitions((col(groupCol) +: sortCols): _*)
     val sortedRdd = sorted.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registered for closure-release, same as rankedScan
+    graft.core.GraftSession.registerPin(sortedRdd)
     val gIdx = sorted.schema.fieldIndex(groupCol)
     val tIdx = sorted.schema.fieldIndex(tokCol)
     val partSums: Array[(Int, Seq[(Any, Long)])] = sortedRdd

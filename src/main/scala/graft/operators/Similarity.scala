@@ -28,7 +28,14 @@ object Similarity {
     * skinny longs, just exchanged instead of replicated to every task. */
   private[graft] val MaxBroadcastProbeRows = 4L * 1000 * 1000
   private def boundedQueryBatch(queries: DataFrame, op: String): Unit = {
-    val n = queries.limit(MaxQueryBatch + 1).count()
+    // take(), not limit().count(): a terminal take plans CollectLimitExec
+    // (incremental partition scan, early exit) with NO codegen-limit
+    // counter — Spark's BaseLimitExec mints a JVM-global fresh
+    // `_limit_counter_N` per plan instance, so a WSCG limit stage misses
+    // the codegen cache and re-runs Janino on EVERY invocation (the
+    // round-9 q81 cg=4-per-rep trace). The collected rows are a constant
+    // column, ≤ MaxQueryBatch+1 of them.
+    val n = queries.select(lit(1).as("__one")).take(MaxQueryBatch + 1).length
     require(n <= MaxQueryBatch,
       s"$op: query batch has > $MaxQueryBatch rows — the contract is a " +
         "broadcast-sized query batch; chunk the queries or use a " +
@@ -533,6 +540,8 @@ object Similarity {
       })
       .map(_._2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registered for closure-release (see GraftSession.registerPin)
+    graft.core.GraftSession.registerPin(chunked)
     var cbk: Array[Array[Double]] = chunked
       .filter(_._1 < nlist).collect().sortBy(_._1).map(_._2.clone())
     val dim = cbk(0).length

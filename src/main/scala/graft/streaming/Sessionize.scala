@@ -83,6 +83,8 @@ object Sessionize {
       .sortWithinPartitions(col("userId"), col("tsMs"))
     val rdd = evs.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registered for closure-release (see GraftSession.registerPin)
+    graft.core.GraftSession.registerPin(rdd)
     // island = (user, startMs, endMs, n) over the partition-local run
     final case class Isl(user: Long, start: Long, end: Long, n: Long)
     def islands(it: Iterator[Row]): Iterator[Isl] = new Iterator[Isl] {

@@ -37,10 +37,28 @@ object RepTimer {
         f"of ${org.apache.spark.GraftSparkBridge.maxStorageMemory >> 20} MB)")
       pinned
     }
+    // per-rep job-duration breakdown (SPARK_GRAFT_REPTIMER_JOBS=1): a
+    // multi-job operator (groupedPrefixScan: HLL guard, sample+persist
+    // materialization, offsets collect, final count) that warms slowly
+    // shows WHICH job's duration is amortizing across reps
+    val printJobs = sys.env.get("SPARK_GRAFT_REPTIMER_JOBS").contains("1")
+    val jobMs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    if (printJobs) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobMs.put(e.jobId, (e.time, -1L)): Unit
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobMs.get(e.jobId)).foreach { case (s, _) =>
+            jobMs.put(e.jobId, (s, e.time)): Unit
+          }
+        }
+      })
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
-      val stats = (1 to reps).map { _ =>
+      val stats = (1 to reps).map { rep =>
         import org.apache.spark.GraftSparkBridge
+        if (printJobs) jobMs.clear()
         val gc0 = graft.Bench.gcMillis()
         val cg0 = GraftSparkBridge.codegenCompileCount
         val t0 = System.nanoTime()
@@ -49,6 +67,13 @@ object RepTimer {
         val sec = (System.nanoTime() - t0) / 1e9
         val gcd = graft.Bench.gcMillis() - gc0
         if (doRelease) graft.core.GraftSession.release(frame, blocking = true)
+        if (printJobs) {
+          GraftSparkBridge.drainListenerBus(spark.sparkContext)
+          import scala.jdk.CollectionConverters._
+          val durs = jobMs.asScala.toSeq.sortBy(_._1)
+            .map { case (_, (s, e)) => if (e < 0) -1L else e - s }
+          println(s"  $n rep $rep jobsMs=${durs.mkString("[", ",", "]")}")
+        }
         (sec, gcd, spark.sparkContext.getRDDStorageInfo.length,
           GraftSparkBridge.storageMemoryUsed >> 20,
           GraftSparkBridge.codegenCompileCount - cg0)

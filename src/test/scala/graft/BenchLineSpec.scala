@@ -105,6 +105,39 @@ class BenchLineSpec extends AnyFunSuite {
     assert((wj \ "max_flags").asInstanceOf[JObject].obj.size == Bench.MaxP50Flags)
   }
 
+  test("p50 flag keys on the steady tail: warm-down ramps pass, ramp-ups still flag") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def p50(ts: Seq[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
+    // the round-9 DRIVER q59 trace: a 9-rep warm-DOWN ramp (every job
+    // shrinks uniformly, gc/storage/codegen flat = JIT warm-up). Its
+    // steady tail is the post-floor window — no pathology.
+    val q59 = Seq(1.56, 1.79, 1.85, 1.90, 1.46, 1.14, 0.72, 0.31, 0.43)
+    val t59 = Bench.steadyTail(q59)
+    assert(!Bench.p50Flagged(q59.min, p50(t59)),
+      s"warm-down steady tail $t59 must not flag")
+    assert(Bench.p50Flagged(q59.min, p50(q59)),
+      "sanity: the full-trace p50 WOULD have flagged — the tail is what clears it")
+    // the round-7 q81 pathology: ramp UP (leak) — floor set early, the
+    // slow later reps ARE the steady tail, must still flag
+    val rampUp = Seq(1.5, 2.8, 4.9, 7.7, 13.0)
+    assert(Bench.p50Flagged(rampUp.min, p50(Bench.steadyTail(rampUp))),
+      "ramp-up pathologies must keep flagging through the steady tail")
+    // a flat trace's tail is itself — never flags
+    val flat = Seq(1.0, 1.02, 0.99, 1.01, 1.0)
+    assert(!Bench.p50Flagged(flat.min, p50(Bench.steadyTail(flat))))
+    // renderLine plumbs the steady map: q59-shaped passes, ramp-up flags
+    val mins = Map("q59_pack_sequences" -> q59.min, "q81_char_ngram_pairs" -> rampUp.min)
+    val p50s = Map("q59_pack_sequences" -> p50(q59), "q81_char_ngram_pairs" -> p50(rampUp))
+    val steady = Map("q59_pack_sequences" -> p50(Bench.steadyTail(q59)),
+      "q81_char_ngram_pairs" -> p50(Bench.steadyTail(rampUp)))
+    val j = JsonMethods.parse(Bench.renderLine(mins, "/x", p50s, Map.empty, Map.empty, steady))
+    assert((j \ "p50_flags" \ "59") === JNothing, "warm-down must not flag in the line")
+    assert((j \ "p50_flags" \ "81") !== JNothing, "ramp-up must flag in the line")
+    // p50_total stays the honest full-trace sum
+    assert((j \ "p50_total") === JDouble(Bench.fmt(p50s.values.sum).toDouble))
+  }
+
   test("rep-1 cold-cost regressions surface as cold_flags against the catalog baseline") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods

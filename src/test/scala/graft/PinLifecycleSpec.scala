@@ -139,4 +139,38 @@ class PinLifecycleSpec extends AnyFunSuite {
         s"invocation $i left ${sc.getRDDStorageInfo.length} cached RDDs without GC")
     }
   }
+
+  // ---- round-10 gate: closure-release of rankedScan materializations ----
+
+  test("rankedScan-family invocations drain through release, no System.gc (q133 class)") {
+    // The round-9 driver bench flagged q133 (max spike) and its RepTimer
+    // trace showed WHY: interleaveByWeight runs TWO rankedScans per
+    // invocation, each persisting a sorted RDD one mapPartitions BELOW the
+    // result's plan leaf — unregistered, invisible to the leaf-only
+    // release, accumulating 2 cached RDDs per rep until a driver GC.
+    // registerPin + dependency-closure release close that: every
+    // invocation must return the block manager to zero with NO GC.
+    val docs = Tables.load(spark, dir, "documents")
+    val sc = spark.sparkContext
+    assert(cachedRddsAfterGc() == 0)
+    var expected = -1L
+    (1 to 4).foreach { i =>
+      val f = graft.operators.Pipeline.interleaveByWeight(
+        docs, "doc_id", "source", Seq("src0" -> 3, "src1" -> 2, "src2" -> 1))
+      val n = f.count()
+      if (i == 1) expected = n
+      assert(n == expected, s"invocation $i changed results")
+      GraftSession.release(f, blocking = true)
+      assert(sc.getRDDStorageInfo.isEmpty,
+        s"invocation $i left ${sc.getRDDStorageInfo.length} cached RDDs " +
+          "without GC — rankedScan persists must release through the closure")
+    }
+    // same lifecycle for the grouped prefix scan (q59's stack)
+    val p = graft.operators.Pipeline.packSequences(
+      docs, "doc_id", "text", "source", 2048)
+    p.count()
+    GraftSession.release(p, blocking = true)
+    assert(sc.getRDDStorageInfo.isEmpty,
+      "groupedPrefixScan persist must release through the closure")
+  }
 }
