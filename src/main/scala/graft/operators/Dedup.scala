@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{char_shingles, fingerprint64, minhash_sig, shingle_hashes, simhash_sig, sorted_intersect_count}
@@ -614,7 +614,90 @@ object Dedup {
       .format("parquet").mode("overwrite").saveAsTable(s"${table}_buckets")
     spark.sql(s"ALTER TABLE ${table}_buckets SET TBLPROPERTIES (" +
       s"'graft.shingleSize' = '$shingleSize', " +
-      s"'graft.numHashes' = '$numHashes', 'graft.bands' = '$bands')")
+      s"'graft.numHashes' = '$numHashes', 'graft.bands' = '$bands', " +
+      s"'graft.indexedRows' = '${spark.table(s"${table}_sh")
+        .select(col("doc_id")).distinct().count()}', " +
+      s"'graft.appendedRows' = '0')")
+  }
+
+  /** Merge a served delta INTO a persisted [[minhashIndexWrite]] index —
+    * the step that keeps [[minhashLshAgainstIndex]] complete over time.
+    * The serve path generates delta×index candidates ONLY (that is its
+    * scale contract: the delta is the only side that shuffles), so pairs
+    * between docs in two different UNMERGED deltas are structurally
+    * invisible; merging each batch after serving closes the gap — the
+    * ScaleStressSpec staleness gate proves serve+merge equals the inline
+    * run pair-for-pair, and that skipping the merge measurably drops
+    * cross-delta pairs. Banding is data-independent (fixed hash family,
+    * no training), so a merged index loses NOTHING vs a rebuild; the
+    * [[minhashIndexStaleness]] rebuild recommendation is about bucket-file
+    * fragmentation (every append adds one file per bucket), not recall.
+    *
+    * Exactly-once per `batchId`: a batch already recorded in the table
+    * properties is skipped. A batch that FAILED mid-append leaves partial
+    * bucket files with no marker — retrying would duplicate them; rebuild
+    * the index instead (the tables are derived data; the rebuild is one
+    * [[minhashIndexWrite]]). This is the standard non-transactional
+    * bucketed-table caveat, stated rather than hidden. */
+  def minhashIndexAppend(
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      batchId: String): Unit = {
+    val spark = delta.sparkSession
+    require(batchId.matches("[A-Za-z0-9._-]+"),
+      s"minhashIndexAppend: batchId must be a plain token, got '$batchId'")
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${table}_buckets")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (ss, nh, nb) =
+      (props.get("graft.shingleSize"), props.get("graft.numHashes"),
+        props.get("graft.bands")) match {
+        case (Some(a), Some(b), Some(c)) => (a.toInt, b.toInt, c.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"$table is not a graft minhash index (missing banding properties)")
+      }
+    val done = props.getOrElse("graft.appendedBatches", "")
+      .split(',').filter(_.nonEmpty).toSet
+    if (done.contains(batchId)) return
+    val shD = shingleProjection(delta, idCol, textCol, ss)
+    // same bucket spec as the build: INSERT INTO a bucketed table keeps
+    // per-bucket file layout, so the serve join stays bucket-local
+    shD.write.mode("append").format("parquet")
+      .insertInto(s"${table}_sh")
+    bandBuckets(spark.table(s"${table}_sh")
+        .join(gatedIds(shD.select(col("doc_id"))), Seq("doc_id"), "left_semi"),
+        nh, nb)
+      .write.mode("append").format("parquet")
+      .insertInto(s"${table}_buckets")
+    val appended = props.getOrElse("graft.appendedRows", "0").toLong +
+      shD.select(col("doc_id")).distinct().count()
+    spark.sql(s"ALTER TABLE ${table}_buckets SET TBLPROPERTIES (" +
+      s"'graft.appendedRows' = '$appended', " +
+      s"'graft.appendedBatches' = '${(done + batchId).toSeq.sorted.mkString(",")}')")
+  }
+
+  /** Bucket-file fragmentation past which [[minhashIndexStaleness]]
+    * recommends a rebuild: appends ≥ the original build mass mean the
+    * bucketed tables carry at least as many append-era files as build-era
+    * ones (each append adds one file per bucket), and the serve join's
+    * per-task open cost starts tracking batch COUNT instead of data size.
+    * Recall is unaffected either way — banding is untrained. */
+  val MinhashRebuildFraction = 0.5
+
+  /** Staleness report for a persisted minhash index (the
+    * [[graft.operators.Similarity.ivfIndexStaleness]] analog): build-time
+    * rows, appended rows, appended fraction, rebuild recommendation. */
+  def minhashIndexStaleness(spark: SparkSession, table: String): DataFrame = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${table}_buckets")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val built = props.getOrElse("graft.indexedRows", "0").toLong
+    val appended = props.getOrElse("graft.appendedRows", "0").toLong
+    val frac = appended.toDouble / math.max(built + appended, 1L)
+    spark.createDataFrame(Seq(
+      (built, appended, frac, frac > MinhashRebuildFraction)))
+      .toDF("built_rows", "appended_rows", "appended_fraction",
+        "rebuild_recommended")
   }
 
   /** [[minhashLshAgainst]] against a persisted [[minhashIndexWrite]]

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{dotd, vec_double}
@@ -650,9 +650,47 @@ object Similarity {
       .toDF("j", "v")
       .write.mode("overwrite").parquet(s"$path/codebook")
     // build parameters ride with the index: replicate decides the serve
-    // side's pair dedup, so a mismatch would silently corrupt top-k
-    Seq((nl, refine, replicate)).toDF("nlist", "refine", "replicate")
+    // side's pair dedup, so a mismatch would silently corrupt top-k.
+    // built_rows seeds the staleness counter ivfIndexStaleness reads.
+    Seq((nl, refine, replicate, c.count()))
+      .toDF("nlist", "refine", "replicate", "built_rows")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Appended fraction above which [[ivfIndexStaleness]] recommends a
+    * retrain: the codebook was trained on the BUILD corpus only, so
+    * appended vectors are assigned to lists by a progressively staler
+    * quantizer as the appended mass grows. The 0.5 threshold is
+    * deliberately conservative — the ScaleStressSpec gate appends 2×
+    * the build corpus (fraction 0.67) from a shifted distribution and
+    * pins recall above its floor even THERE, so at 0.5 the index is
+    * measurably still serving well; past it you are running on
+    * extrapolated evidence. */
+  val IvfRetrainFraction = 0.5
+
+  /** Staleness report for a persisted IVF index: rows the codebook was
+    * trained on, rows appended since ([[appendToIvfIndex]] records one
+    * counter row per batch, idempotently by batchId), the appended
+    * fraction, and whether a retrain is recommended
+    * ([[IvfRetrainFraction]]). One tiny metadata read — run it before
+    * serving a day's queries, the way you'd check a compaction queue. */
+  def ivfIndexStaleness(spark: SparkSession, path: String): DataFrame = {
+    val built = spark.read.parquet(s"$path/meta")
+      .select(col("built_rows")).head().getLong(0)
+    val fs = new org.apache.hadoop.fs.Path(s"$path/appends")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val appended =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/appends"))) 0L
+      else spark.read.parquet(s"$path/appends")
+        .agg(sum(col("rows"))).collect()(0) match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+    val frac = appended.toDouble / math.max(built + appended, 1L)
+    spark.createDataFrame(Seq(
+      (built, appended, frac, frac > IvfRetrainFraction)))
+      .toDF("built_rows", "appended_rows", "appended_fraction",
+        "retrain_recommended")
   }
 
   /** Append a delta batch to a persisted [[buildIvfIndex]] index — the
@@ -689,6 +727,10 @@ object Similarity {
     corpusLists(normalizedCorpus(delta, corpusId, corpusVec), codebook, replicate)
       .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    // distinct ids, not list rows: replicate>1 writes each vector into
+    // several lists, and the staleness fraction compares CORPUS masses
+    val deltaRows = spark.read.parquet(stage)
+      .select(col("neighbor_id")).distinct().count()
     import org.apache.hadoop.fs.Path
     val lists = new Path(s"$path/lists")
     val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -716,6 +758,12 @@ object Similarity {
           }
       }
     fs.delete(new Path(stage), true): Unit
+    // staleness counter: one row per batch under appends/batch=<id>,
+    // overwrite-by-batchId so a retried append counts once (the same
+    // idempotence contract as the list-file renames above)
+    spark.createDataFrame(Seq(Tuple1(deltaRows)))
+      .toDF("rows")
+      .write.mode("overwrite").parquet(s"$path/appends/batch=$batchId")
   }
 
   /** Serve approximate top-k from a persisted [[buildIvfIndex]] index.

@@ -498,4 +498,117 @@ class ScaleStressSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- round-10 gates: index staleness under a 2x appended corpus ----
+
+  test("IVF index serving a 2x appended delta: recall holds, staleness counter and " +
+      "retrain threshold fire, appends are retry-idempotent") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-ivf-stale-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    Similarity.buildIvfIndex(emb, path, "vec_id", "embedding")
+    val s0 = Similarity.ivfIndexStaleness(spark, path).head()
+    assert(s0.getLong(0) == StressData.Vecs && s0.getLong(1) == 0L && !s0.getBoolean(3),
+      s"fresh index staleness: $s0")
+    // two delta batches, 1x the build corpus each: d1 = tiny deterministic
+    // perturbation of every base vector (cos ~ 1 to its original); d2 =
+    // the same plus a constant shift on dim 0 — DISTRIBUTION DRIFT, the
+    // case that ages a train-once codebook
+    def perturbed(off: Long, shift: Double): org.apache.spark.sql.DataFrame =
+      emb.select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + (pmod(xxhash64(col("vec_id") + off, i), lit(1000)).cast("double") / 1000.0 - 0.5) * 0.02
+            + when(i === 0, lit(shift)).otherwise(lit(0.0))).as("embedding"))
+    Similarity.appendToIvfIndex(perturbed(1000000L, 0.0), path, "vec_id", "embedding", "d1")
+    Similarity.appendToIvfIndex(perturbed(2000000L, 0.3), path, "vec_id", "embedding", "d2")
+    val s1 = Similarity.ivfIndexStaleness(spark, path).head()
+    assert(s1.getLong(1) == 2L * StressData.Vecs, s"appended counter: $s1")
+    assert(math.abs(s1.getDouble(2) - 2.0 / 3.0) < 1e-9)
+    assert(s1.getBoolean(3),
+      s"appended fraction ${s1.getDouble(2)} must trip IvfRetrainFraction=${Similarity.IvfRetrainFraction}")
+    // recall at fraction 0.67 — the evidence the 0.5 threshold leans on:
+    // delta queries (both batches, drifted included) must find their base
+    // original in the top-10 through the STALE codebook's lists
+    val nlist = spark.read.parquet(s"$path/meta").select("nlist").head().getInt(0)
+    val nprobe = math.max(8, nlist / 20)
+    def recallOf(off: Long, shift: Double): Double = {
+      val qs = perturbed(off, shift).filter(col("vec_id") < lit(off) + 200 &&
+        col("vec_id") % 2 === 0)
+      val got = Similarity.ivfTopKFromIndex(path, qs, "vec_id", "embedding",
+          k = 10, nprobe = nprobe)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      got.count { case (q, ns) => ns.contains(q - off) }.toDouble / math.max(1, got.size)
+    }
+    val r1 = recallOf(1000000L, 0.0)
+    val r2 = recallOf(2000000L, 0.3)
+    assert(r1 >= 0.8, f"appended-batch recall $r1%.2f below 0.8")
+    assert(r2 >= 0.8, f"drifted-batch recall $r2%.2f below 0.8 — retrain threshold too loose")
+    // retry idempotence: re-running d1 must change neither the counter
+    // nor the served results
+    Similarity.appendToIvfIndex(perturbed(1000000L, 0.0), path, "vec_id", "embedding", "d1")
+    val s2 = Similarity.ivfIndexStaleness(spark, path).head()
+    assert(s2.getLong(1) == 2L * StressData.Vecs, s"retried append must count once: $s2")
+    assert(math.abs(recallOf(1000000L, 0.0) - r1) < 1e-9,
+      "retried append must not change served results")
+  }
+
+  test("minhash index serve+merge over two 1x deltas equals the inline run pair-for-pair; " +
+      "skipping the merge provably drops cross-delta pairs") {
+    // a 120-doc slice of the hot near-identical block (dup pairs in every
+    // %3 class and across them) plus a realistic tail — the full 1200-doc
+    // hot block would be a ~720k-pair collect for no extra coverage
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 120 ||
+        (col("doc_id") >= StressData.HotBlock && col("doc_id") < 4000))
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val d1 = docs.filter(col("doc_id") % 3 === 1)
+    val d2 = docs.filter(col("doc_id") % 3 === 2)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(Dedup.minhashLsh(docs, "doc_id", "text"))
+    val table = s"stale_mh_${java.lang.ProcessHandle.current().pid()}"
+    Dedup.minhashIndexWrite(base, "doc_id", "text", table)
+    val st0 = Dedup.minhashIndexStaleness(spark, table).head()
+    assert(st0.getLong(1) == 0L && !st0.getBoolean(3))
+    // the documented daily-batch recipe: within-delta pairs + serve vs
+    // index, then MERGE before the next batch
+    val day1 = pairSet(Dedup.minhashLshAgainstIndex(d1, "doc_id", "text", table)) ++
+      pairSet(Dedup.minhashLsh(d1, "doc_id", "text"))
+    Dedup.minhashIndexAppend(d1, "doc_id", "text", table, "b1")
+    val day2 = pairSet(Dedup.minhashLshAgainstIndex(d2, "doc_id", "text", table)) ++
+      pairSet(Dedup.minhashLsh(d2, "doc_id", "text"))
+    Dedup.minhashIndexAppend(d2, "doc_id", "text", table, "b2")
+    val buildPairs = pairSet(Dedup.minhashLsh(base, "doc_id", "text"))
+    val workflow = (buildPairs ++ day1 ++ day2)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    assert(workflow == truth,
+      s"serve+merge must equal inline: missing ${(truth -- workflow).take(5)}, " +
+        s"extra ${(workflow -- truth).take(5)}")
+    // negative control: WITHOUT the b1 merge, day2's serve cannot see d1,
+    // so the truth's cross-delta pairs are structurally missing — this is
+    // the staleness the counter exists to surface
+    val cross = truth.filter { case (a, b) =>
+      (a % 3 == 1 && b % 3 == 2) || (a % 3 == 2 && b % 3 == 1)
+    }
+    assert(cross.nonEmpty, "fixture must contain cross-delta true pairs")
+    // day2 ran AFTER the merge and does find them; the no-merge serve is
+    // the same candidate join against the b1-less table — replay it
+    val table2 = s"stale_mh2_${java.lang.ProcessHandle.current().pid()}"
+    Dedup.minhashIndexWrite(base, "doc_id", "text", table2)
+    val day2NoMerge = pairSet(Dedup.minhashLshAgainstIndex(d2, "doc_id", "text", table2)) ++
+      pairSet(Dedup.minhashLsh(d2, "doc_id", "text"))
+    val missed = cross -- day2NoMerge.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    assert(missed.nonEmpty,
+      "an unmerged index must measurably miss cross-delta pairs (else the gate tests nothing)")
+    // counter + rebuild recommendation at appended fraction 2/3
+    val st1 = Dedup.minhashIndexStaleness(spark, table).head()
+    assert(st1.getLong(1) > 0 && st1.getBoolean(3),
+      s"2x appended index must recommend rebuild: $st1")
+    // exactly-once per batchId: a re-run of b1 is a no-op
+    Dedup.minhashIndexAppend(d1, "doc_id", "text", table, "b1")
+    val st2 = Dedup.minhashIndexStaleness(spark, table).head()
+    assert(st2.getLong(1) == st1.getLong(1), "retried merge must count once")
+  }
 }
