@@ -781,6 +781,23 @@ object Similarity {
   private val ivfMetaCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), (Int, Seq[Seq[Double]])]
 
+  /** The index's (replicate, codebook), pinned per (path, codebook mtime) —
+    * shared by the top-k serve and the index-backed dedup-pair paths. */
+  private[graft] def readIvfMeta(
+      spark: SparkSession, path: String): (Int, Seq[Seq[Double]]) = {
+    val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebook")
+    val cbFs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cbVersion = cbFs.getFileStatus(cbPath).getModificationTime
+    ivfMetaCache.getOrElseUpdate((path, cbVersion), {
+      val rep = spark.read.parquet(s"$path/meta")
+        .select(col("replicate")).head().getInt(0)
+      val cb: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
+        .orderBy(col("j")).collect()
+        .map(r => r.getSeq[Double](1).toSeq).toSeq
+      (rep, cb)
+    })
+  }
+
   def ivfTopKFromIndex(
       path: String,
       queries: DataFrame,
@@ -789,20 +806,10 @@ object Similarity {
       k: Int,
       nprobe: Int = 32): DataFrame = {
     val spark = queries.sparkSession
-    val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebook")
-    val cbFs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cbVersion = cbFs.getFileStatus(cbPath).getModificationTime
     // replicate comes from the index itself, never the caller: serving a
     // replicate>1 index without the pair dedup would return the same
     // neighbor at several ranks
-    val (replicate, codebook) = ivfMetaCache.getOrElseUpdate((path, cbVersion), {
-      val rep = spark.read.parquet(s"$path/meta")
-        .select(col("replicate")).head().getInt(0)
-      val cb: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
-        .orderBy(col("j")).collect()
-        .map(r => r.getSeq[Double](1).toSeq).toSeq
-      (rep, cb)
-    })
+    val (replicate, codebook) = readIvfMeta(spark, path)
     // the query batch is evaluated ONCE (a non-deterministic upstream —
     // sample/limit/rand — would otherwise probe one realization and score
     // another, silently losing neighbors) and bounded by the broadcast
@@ -832,6 +839,99 @@ object Similarity {
     val qDf = qRows.toSeq.toDF(queryId, queryVec)
     ivfProbe(qDf, lists, codebook, queryId, queryVec, k,
       math.min(nprobe, codebook.size), replicate)
+  }
+
+  /** Broadcast ceiling for the delta side of the index-backed semantic
+    * dedup join ([[Dedup.maxBroadcastIdBytes]] discipline: measured plan
+    * stats, shuffle fallback with identical values, spec knob = 0 forces
+    * the fallback). Var so SemanticIndexSpec can exercise both paths. */
+  private[graft] val DefaultMaxBroadcastDeltaBytes: Long = 64L << 20
+  @volatile private[graft] var maxBroadcastDeltaBytes: Long = DefaultMaxBroadcastDeltaBytes
+
+  /** Embedding near-dup pairs between a delta batch and a persisted
+    * [[buildIvfIndex]] corpus — the train-once/serve-delta shape the
+    * minhash family got with [[Dedup.minhashLshAgainstIndex]], applied to
+    * q82's semantic pair generation. Candidates are pairs whose vectors
+    * share a nearest list: the index side's list membership was decided
+    * at build/append time and is READ, never recomputed; the delta is
+    * assigned in-plan with the index's own persisted codebook (so both
+    * sides agree on the geometry), then verified with exact cosine over
+    * the stored double vectors — served pairs are bit-identical to the
+    * inline twin ([[semanticDedupPairsWithCodebook]], spec-pinned).
+    *
+    * Scan shape at 100 TB: the lists read is partition-PRUNED to the
+    * delta's own buckets (a driver-side distinct over ≤ nlist ints), and
+    * the delta side is broadcast while its measured size fits
+    * [[maxBroadcastDeltaBytes]] — the corpus-scale lists scan then joins
+    * stream-side with NO shuffle above it (spec-asserted); an oversized
+    * delta falls back to a shuffle join on `bucket`, values identical.
+    * Ids must be disjoint across delta and index, as in
+    * [[Dedup.minhashLshAgainstIndex]]. Output: (id_a = index id,
+    * id_b = delta id, cos), distinct. */
+  def semanticDedupAgainstIndex(
+      delta: DataFrame,
+      path: String,
+      deltaId: String,
+      deltaVec: String,
+      threshold: Double): DataFrame = {
+    val spark = delta.sparkSession
+    val (replicate, codebook) = readIvfMeta(spark, path)
+    val d = graft.core.GraftSession.pin(
+      corpusLists(normalizedCorpus(delta, deltaId, deltaVec), codebook, replicate)
+        .select(col("neighbor_id").as("id_b"), col("cv").as("bv"),
+          col("cn").as("bn"), col("bucket").as("bucket")))
+    // ≤ nlist ints — bounded at any delta size
+    val buckets = d.select(col("bucket")).distinct().collect()
+      .map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("bucket").isin(buckets: _*))
+    pairsOnSharedLists(lists, d, threshold, replicate)
+  }
+
+  /** Inline twin of [[semanticDedupAgainstIndex]]: identical pair
+    * semantics with the corpus side assigned in-plan from the same
+    * persisted codebook — the equality SemanticIndexSpec and the q155
+    * oracle pin. */
+  private[graft] def semanticDedupPairsWithCodebook(
+      delta: DataFrame,
+      corpus: DataFrame,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = delta.sparkSession
+    val (replicate, codebook) = readIvfMeta(spark, path)
+    val d = graft.core.GraftSession.pin(
+      corpusLists(normalizedCorpus(delta, idCol, vecCol), codebook, replicate)
+        .select(col("neighbor_id").as("id_b"), col("cv").as("bv"),
+          col("cn").as("bn"), col("bucket").as("bucket")))
+    pairsOnSharedLists(
+      corpusLists(normalizedCorpus(corpus, idCol, vecCol), codebook, replicate),
+      d, threshold, replicate)
+  }
+
+  /** Shared verify kernel: join the (corpus-side) lists frame —
+    * `(neighbor_id, cv, cn, bucket)` — with the assigned delta on the
+    * list id, exact cosine over the stored doubles, threshold filter.
+    * At replicate=1 (the default) a pair can share at most ONE list, so
+    * the plan is a pure broadcast-join scan stage — no exchange anywhere;
+    * replicate>1 duplicates a pair once per shared list with the SAME cos
+    * bits, so a distinct (one exchange over the reduced pair set, not the
+    * lists) collapses them exactly. */
+  private def pairsOnSharedLists(
+      lists: DataFrame, d: DataFrame, threshold: Double,
+      replicate: Int): DataFrame = {
+    val dSide =
+      if (org.apache.spark.sql.GraftSqlBridge.sizeEstimate(d) <=
+          BigInt(maxBroadcastDeltaBytes)) broadcast(d)
+      else d
+    val verified = lists.join(dSide, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("id_b") &&
+        col("cn") > 0.0 && col("bn") > 0.0)
+      .select(col("neighbor_id").as("id_a"), col("id_b"),
+        (dotd(col("cv"), col("bv")) / (col("cn") * col("bn"))).as("cos"))
+      .filter(col("cos") >= threshold)
+    if (replicate <= 1) verified else verified.distinct()
   }
 
   /** Per-subspace PQ codebooks trained over a deterministic residual

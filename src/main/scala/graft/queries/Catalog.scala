@@ -3989,6 +3989,45 @@ object Catalog {
     * every scan-stage step is codegen'd kernel work. The oracle composes
     * the same generated CTE devices (URL parse chain + HtmlKit chain +
     * window replay). */
+  /** Semantic dedup served from the PERSISTED IVF index (VERDICT r9 item
+    * 4 — the q71/q93 train-once/serve-delta shape applied to q82's pair
+    * generation): the delta is every 97th vector re-ingested under a
+    * shifted id, so each delta vector's cos-1.0 original sits in the
+    * corpus and the pair set is non-empty at every SF. Pairs come from
+    * shared nearest lists of the STORED index (list membership read, not
+    * recomputed; delta assigned in-plan with the index's own codebook),
+    * exact-cosine verified. Pinned booleans (the q84 device): served ==
+    * inline-twin exceptAll both ways, and every delta's original found
+    * (identical vectors share an assignment, so twin recall is exactly
+    * 1.0); n_delta replays in SQL. SemanticIndexSpec adds the
+    * no-exchange-above-the-lists-scan and broadcast-fallback gates. */
+  private val q155 = QueryDef(
+    "q155_semantic_dedup_index",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = ivfIndexPath(s, dir, emb)
+      val delta = emb.filter(col("vec_id") % 97 === 3)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val served = graft.operators.Similarity.semanticDedupAgainstIndex(
+        delta, path, "vec_id", "embedding", threshold = 0.9)
+      val inline = graft.operators.Similarity.semanticDedupPairsWithCodebook(
+        delta, t(s, dir, "embeddings"), path, "vec_id", "embedding", threshold = 0.9)
+      val same = served.exceptAll(inline).agg(count(lit(1)).as("a"))
+        .crossJoin(inline.exceptAll(served).agg(count(lit(1)).as("b")))
+        .select((col("a") === 0 && col("b") === 0).as("same_as_inline"))
+      val twins = served
+        .filter(col("id_a") === col("id_b") - 10000000L)
+        .agg(count(lit(1)).as("n_twins"))
+      delta.agg(count(lit(1)).as("n_delta"))
+        .crossJoin(twins).crossJoin(same)
+        .select(col("n_delta"),
+          (col("n_twins") === col("n_delta")).as("twin_recall_full"),
+          col("same_as_inline"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_delta,
+      TRUE AS twin_recall_full, TRUE AS same_as_inline
+      FROM embeddings WHERE vec_id % 97 = 3"""))
+
   private val q154 = {
     val blocked = Seq("github.io", "src0.com")
     QueryDef(
@@ -4062,7 +4101,7 @@ object Catalog {
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154) ++
+    q154, q155) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
