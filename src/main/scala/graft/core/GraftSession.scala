@@ -49,6 +49,61 @@ object GraftSession {
     spark
   }
 
+  /** The at-scale deployment profile — "on a real cluster this is
+    * overridden by the deployment", turned from a comment into code. Takes
+    * the DEPLOYMENT'S builder (master/executors/memory come from
+    * spark-submit or the platform) and applies graft's cluster posture on
+    * top of [[configure]]:
+    *
+    *  - `shuffle.partitions` sized from the cluster (2× total executor
+    *    cores — wide enough that AQE coalesces down rather than tasks
+    *    queueing up; override per job for known-skewed stages);
+    *  - AQE skew-join splitting ON (local[n] never triggers it; a 1000-
+    *    executor shuffle with a hot key does);
+    *  - a REQUIRED durable checkpoint dir (the CC loop and streaming
+    *    queries truncate lineage through it; losing it to a tmpdir is the
+    *    classic first-week cluster failure);
+    *  - the three deployment swap points as options: the full PSL file
+    *    for [[graft.functions.UrlKit]], the transport client class for
+    *    the DSv2 connectors (see `sources/hub/Transport.scala` — resolved
+    *    per-executor by name), and the warehouse dir for the bucketed
+    *    index tables.
+    *
+    * ClusterProfileSpec asserts every conf lands; README "Deployment"
+    * names the swap points. */
+  def cluster(
+      builder: SparkSession.Builder,
+      totalExecutorCores: Int,
+      checkpointDir: String,
+      warehouseDir: Option[String] = None,
+      pslPath: Option[String] = None,
+      transportClient: Option[String] = None,
+      appName: String = "graft"): SparkSession = {
+    require(totalExecutorCores > 0, "totalExecutorCores must be positive")
+    require(checkpointDir.nonEmpty,
+      "cluster profile requires a durable checkpoint dir (HDFS/S3/GCS " +
+        "path) — the CC loop and streaming queries truncate lineage " +
+        "through it; a lost tmpdir fails multi-hour runs")
+    val b = configure(builder.appName(appName),
+      shufflePartitions = math.max(2 * totalExecutorCores, 64))
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    warehouseDir.foreach(w => b.config("spark.sql.warehouse.dir", w))
+    pslPath.foreach(p => b.config("graft.psl.path", p))
+    transportClient.foreach(c => b.config("graft.transport.client", c))
+    val spark = b.getOrCreate()
+    spark.sparkContext.setCheckpointDir(checkpointDir)
+    pslPath.foreach(p => System.setProperty("graft.psl.path", p))
+    graft.functions.registerAll(spark)
+    installOptimizerRules(spark)
+    spark
+  }
+
+  /** The transport-client class name configured by [[cluster]] (empty on
+    * the default MemHub-backed profile) — connector call sites pass it as
+    * the DSv2 `client` option. */
+  def transportClient(spark: SparkSession): Option[String] =
+    spark.conf.getOption("graft.transport.client").filter(_.nonEmpty)
+
   /** graft's extra Catalyst rules, installed through experimentalMethods so
     * they apply to externally-built sessions (the driver's) too —
     * idempotent. */

@@ -3707,7 +3707,7 @@ object Catalog {
     * default port + fragment, non-default port, empty path, userinfo +
     * default ftp port, trailing-dot host + percent-encoded path. The SAME
     * arithmetic on (doc_id, source) builds the string in both engines. */
-  private def urlCol: Column = {
+  private[queries] def urlCol: Column = {
     val id = col("doc_id").cast("string")
     val m = pmod(col("doc_id"), lit(5))
     when(m === 0, concat(lit("https://WWW."), col("source"),
@@ -3726,7 +3726,7 @@ object Catalog {
     * path, qs, canonical_url). The public-suffix matching CASE is
     * GENERATED from [[graft.functions.UrlKit.activeRules]] (exact +
     * wildcard + exception PSL rules), so the two engines cannot drift. */
-  private def urlParseCtes: String = {
+  private[queries] def urlParseCtes: String = {
     s"""u AS (SELECT doc_id, source, n_chars, text, CASE CAST(doc_id % 5 AS INT)
           WHEN 0 THEN 'https://WWW.' || source || '-News.CO.UK:443/Articles/' || doc_id || '?id=' || doc_id || '#top'
           WHEN 1 THEN 'http://blog.' || source || '.com:8080/post/' || doc_id

@@ -366,6 +366,183 @@ object StreamGateQueries {
                                AND epoch_ms(a.ts) + 600000
       ORDER BY a.user_id, a_id, b_id NULLS FIRST"""))
 
+  /** The streaming incremental curation composite (VERDICT r9 item 5):
+    * the q154 web-curate chain run as a DAILY-DELTA STREAM — each
+    * AvailableNow micro-batch applies URL gate → HTML→text → quality →
+    * decontaminate row-locally, then canonical-URL dedup against a
+    * PERSISTED url index (seeded from the already-curated base corpus,
+    * grown by each epoch's accepted urls), exactly the operational shape
+    * of a crawl pipeline ingesting a day at a time. First epoch carrying
+    * a url wins it; within an epoch, keep-best (q DESC, doc_id ASC) —
+    * both rules replay in SQL because the epoch schedule is fixed
+    * (doc_id-ordered log, maxPerTrigger = max(1, n/7)).
+    *
+    * Decontamination is applied BEFORE the url claim (a contaminated doc
+    * never blocks a clean recrawl of the same page) — stated because the
+    * arrow order in prose ("dedup → decontaminate") leaves it ambiguous.
+    *
+    * Bounded state: the streaming query itself is STATELESS (foreachBatch;
+    * no watermark state, no mapGroupsWithState) — the only growing
+    * artifact is the persisted url index, which is disk-resident,
+    * grows only with ACCEPTED canonical urls, and at 100 TB would be the
+    * same bucketed table the minhash index uses. Nothing scales with
+    * stream length in executor or driver memory except the gate's own
+    * result accumulator (the drained FINAL table, as in every gate). */
+  val qStreamCurate = QueryDef(
+    "q156_stream_curate",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/scurate", {
+      import s.implicits._
+      import graft.functions.{html_to_text, url_parts, url_valid}
+      val blocked = Seq("github.io", "src0.com")
+      val uri = s"hub:$dir/sgate_scurate"
+      val docs = t(s, dir, "documents")
+
+      // shared row-local chain: url gate -> html -> text -> quality ->
+      // decontaminate; identical expressions on base and delta sides
+      val html = concat(
+        lit("<html><head><style>p{}</style><script>var x;</script></head><body><h1>T "),
+        col("doc_id").cast("string"), lit("</h1><p>"), substring(col("text"), 1, 120),
+        lit(" &amp; more</p><!-- nav --></body></html>"))
+      val evalHashes = docs.filter(pmod(col("doc_id"), lit(11)) === 7)
+        .select(md5(col("text")).as("__h")).distinct()
+      def chain(in: DataFrame): DataFrame = {
+        val p = url_parts(col("url"))
+        in.withColumn("url", Catalog.urlCol)
+          .filter(url_valid(col("url")))
+          .withColumn("html", html)
+          .select(col("doc_id"),
+            p.getField("host").as("host"),
+            p.getField("registrable_domain").as("domain"),
+            p.getField("canonical_url").as("canonical_url"),
+            html_to_text(col("html")).as("tc"), col("text"))
+          .filter(!blocked.map(b =>
+            col("host") === b || col("host").endsWith("." + b)).reduce(_ || _))
+          .select(col("domain"), col("canonical_url"), col("doc_id"),
+            length(col("tc")).cast("long").as("q"), md5(col("text")).as("__h"))
+          .filter(col("q") >= 60)
+          .join(broadcast(evalHashes), Seq("__h"), "left_anti")
+          .drop("__h")
+      }
+
+      // persisted url index, seeded with the curated BASE corpus's urls
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-sgate-urlidx-" +
+        s"${java.lang.ProcessHandle.current().pid()}-" +
+        java.lang.Integer.toHexString(s"$dir/scurate".hashCode)
+      chain(docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+        .select(col("canonical_url")).distinct()
+        .write.mode("overwrite").parquet(idxDir)
+
+      // the delta arrives as a stream: doc_id-ordered log, JSON payload
+      val delta = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val rows = delta.select(col("doc_id"), col("source"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      MemHub.publish(uri, "docs", rows.iterator.map { r =>
+        val payload = s"""{"source":${jsonStr(r.getString(1))},"text":${jsonStr(r.getString(2))}}"""
+        (r.getLong(0).toString, Map.empty[String, String], r.getLong(0),
+          payload.getBytes("UTF-8"))
+      })
+      val per = math.max(1L, rows.length / 7L)
+      val stream = s.readStream.format("graft-topic")
+        .option("profile", "pulsar").option("uri", uri).option("topics", "docs")
+        .option("maxPerTrigger", per.toString)
+        .load()
+        .select(col("key").cast("long").as("doc_id"),
+          from_json(col("value").cast("string"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "source STRING, text STRING")).as("j"))
+        .select(col("doc_id"), col("j.source").as("source"), col("j.text").as("text"))
+
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+      var epochs = 0L
+      val cp = s"${System.getProperty("java.io.tmpdir")}/graft-sgate-cp-" +
+        s"${java.lang.ProcessHandle.current().pid()}-" +
+        java.lang.Integer.toHexString(s"$dir/scurate".hashCode)
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // per-epoch: row-local chain, anti-join the PERSISTED index,
+          // keep-best within the epoch, append the epoch's claims
+          val gated = chain(batch)
+          val fresh = gated.join(
+            s.read.parquet(idxDir), Seq("canonical_url"), "left_anti")
+          val best = fresh
+            .groupBy(col("canonical_url"))
+            .agg(max(struct(col("q"), (-col("doc_id")).as("nid"),
+              col("domain").as("d"))).as("__w"))
+            .select(col("canonical_url"), col("__w.d").as("domain"),
+              (-col("__w.nid")).as("doc_id"), col("__w.q").as("q"))
+          val got = best.collect()
+          synchronized {
+            epochs = math.max(epochs, id + 1)
+            accepted ++= got.map(r =>
+              (r.getString(1), r.getString(0), r.getLong(2), r.getLong(3)))
+          }
+          s.createDataset(got.map(_.getString(0)).toSeq).toDF("canonical_url")
+            .write.mode("append").parquet(idxDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      accepted.toSeq.toDF("domain", "canonical_url", "doc_id", "q")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("q")).as("n_chars_clean"))
+        .withColumn("multi_epoch", lit(epochs > 1))
+        .orderBy(col("domain"))
+    }),
+    Some {
+      val blockedSql = Seq("github.io", "src0.com")
+        .map(b => s"host = '$b' OR host LIKE '%.$b'").mkString(" OR ")
+      val html = "'<html><head><style>p{}</style><script>var x;</script>" +
+        "</head><body><h1>T ' || doc_id || '</h1><p>' || substr(text, 1, 120)" +
+        " || ' &amp; more</p><!-- nav --></body></html>'"
+      s"""WITH ${Catalog.urlParseCtes},
+        h AS (SELECT doc_id, registrable_domain AS domain, canonical_url, text,
+            $html AS html
+          FROM parsed WHERE NOT ($blockedSql)),
+        e AS (SELECT doc_id, domain, canonical_url, text,
+            CAST(length(${graft.functions.HtmlKit.duckDbSql("html")}) AS BIGINT) AS q
+          FROM h),
+        cl AS (SELECT * FROM e WHERE q >= 60
+          AND md5(text) NOT IN
+            (SELECT md5(text) FROM documents WHERE doc_id % 11 = 7)),
+        base AS (SELECT DISTINCT canonical_url FROM cl WHERE doc_id % 3 = 0),
+        np AS (SELECT GREATEST(1, CAST(COUNT(*) // 7 AS BIGINT)) AS per
+          FROM documents WHERE doc_id % 3 <> 0),
+        ep AS (SELECT doc_id,
+            CAST((row_number() OVER (ORDER BY doc_id) - 1) // (SELECT per FROM np) AS BIGINT) AS epoch
+          FROM documents WHERE doc_id % 3 <> 0),
+        d2 AS (SELECT cl.*, ep.epoch FROM cl JOIN ep USING (doc_id)
+          WHERE cl.doc_id % 3 <> 0
+            AND cl.canonical_url NOT IN (SELECT canonical_url FROM base)),
+        f AS (SELECT *, MIN(epoch) OVER (PARTITION BY canonical_url) AS fe FROM d2),
+        k AS (SELECT * FROM f WHERE epoch = fe),
+        r AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+            ORDER BY q DESC, doc_id ASC) AS rnk FROM k),
+        acc AS (SELECT * FROM r WHERE rnk = 1)
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(q) AS BIGINT) AS n_chars_clean, TRUE AS multi_epoch
+      FROM acc GROUP BY domain ORDER BY domain"""
+    })
+
+  /** Minimal JSON string escaper for the seeded payloads (the corpus text
+    * is plain ASCII-ish but quotes/backslashes/newlines must survive the
+    * round-trip exactly — md5(text) is part of the decontamination key). */
+  private def jsonStr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append("\"").toString
+  }
+
   val all: Seq[QueryDef] = Seq(qStreamRolling, qStreamDedup, qStreamWindow,
-    qMapService, qStreamSessions, qStreamJoin, qStreamEnrich, qStreamOuterJoin)
+    qMapService, qStreamSessions, qStreamJoin, qStreamEnrich, qStreamOuterJoin,
+    qStreamCurate)
 }
