@@ -32,6 +32,12 @@ object GraftSession {
       // whole-stage codegen (default maxFields=100 would silently fall
       // back to interpreted row-based aggregation)
       .config("spark.sql.codegen.maxFields", "256")
+      // JVM-wide Janino-compiled class cache: the default 100 entries is
+      // smaller than ONE composite value-pin query's unit count (q155
+      // compiles ~99), so rep cycles thrash the cache and re-pay compiles
+      // mid-session; a 191-query analytics session wants room for the
+      // whole working set (entries are KB-scale generated classes)
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       // honor KeyGroupedPartitioning reported by our DSv2 scans (one
       // partition per stream/shard → exchange-free groupBy on the key)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")

@@ -880,9 +880,11 @@ object Similarity {
       corpusLists(normalizedCorpus(delta, deltaId, deltaVec), codebook, replicate)
         .select(col("neighbor_id").as("id_b"), col("cv").as("bv"),
           col("cn").as("bn"), col("bucket").as("bucket")))
-    // ≤ nlist ints — bounded at any delta size
+    // ≤ nlist ints — bounded at any delta size; SORTED so the IN-list
+    // literal order (hence the generated source, hence the codegen
+    // cache key) is identical across invocations
     val buckets = d.select(col("bucket")).distinct().collect()
-      .map(r => Integer.valueOf(r.getInt(0))).toSeq
+      .map(_.getInt(0)).sorted.map(Integer.valueOf(_)).toSeq
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("bucket").isin(buckets: _*))
     pairsOnSharedLists(lists, d, threshold, replicate)
