@@ -4,10 +4,18 @@ object Bench {
   /** One timed repetition with its attribution channels: wall seconds,
     * stop-the-world GC delta, storage-memory high-water over the window
     * (20 ms sampler), block-removal count (evictions + the harness's own
-    * constant per-rep release baseline) and whole-stage-codegen
-    * compilation delta. */
+    * constant per-rep release baseline), whole-stage-codegen compilation
+    * delta, and the round-11 interference channels (graft.tools.HostStat):
+    * process-CPU seconds, other-process host-busy seconds, steal+irq
+    * seconds and JIT-compile milliseconds over the same window. The
+    * decision rule (STRESS.md "Interference attribution"): a flagged rep
+    * whose cpu_s stays at the query's baseline while other_busy_s jumps
+    * is PROVEN external; one whose cpu_s scales with wall is internal and
+    * needs a JVM-side hypothesis. */
   final case class Rep(sec: Double, gcMs: Long, storHiBytes: Long,
-      blocksRemoved: Long, codegenCompiles: Long)
+      blocksRemoved: Long, codegenCompiles: Long,
+      cpuS: Double = 0.0, otherBusyS: Double = 0.0, stealS: Double = 0.0,
+      jitMs: Long = 0L)
 
   /** Driver's tail capture is ~2000 chars (BENCH_r03.json "tail"); the JSON
     * line plus sbt's trailing "[success] ..." line must fit inside it or the
@@ -118,11 +126,28 @@ object Bench {
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
+  /** Machine-context fragment for the driver line (VERDICT r10 item 6):
+    * pre-run and post-run 1-min loadavg, whole-run process-CPU /
+    * other-process-busy / steal seconds, and cumulative JIT seconds — so a
+    * cross-round total shift (r9 54.6 s → r10 59.4 s) is adjudicable from
+    * the two BENCH lines alone: a slower round with higher other_busy/
+    * loadavg is machine drift; one with flat env context is a code
+    * regression worth a worktree A/B. ~90 chars, inside the
+    * BenchLineSpec-pinned window. */
+  def envPart(load1Pre: Double, load1Post: Double,
+      runDelta: graft.tools.HostStat.Delta): String = {
+    def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    s""","env":{"load1":[${f1(load1Pre)},${f1(load1Post)}],""" +
+      s""""cpu_s":${f1(runDelta.cpuS)},"other_s":${f1(runDelta.otherBusyS)},""" +
+      s""""steal_s":${f1(runDelta.stealS)},"jit_s":${f1(runDelta.jitMs / 1000.0)}}"""
+  }
+
   def renderLine(results: Map[String, Double], sfDir: String,
       p50s: Map[String, Double] = Map.empty,
       maxs: Map[String, Double] = Map.empty,
       rep1s: Map[String, Double] = Map.empty,
-      steadyP50s: Map[String, Double] = Map.empty): String = {
+      steadyP50s: Map[String, Double] = Map.empty,
+      env: String = ""): String = {
     // collision guard: two names compressing to one short key would
     // silently merge bench lines — disambiguate at render time with a
     // stable hash suffix (BenchLineSpec pins the current catalog clean)
@@ -181,7 +206,7 @@ object Bench {
           .mkString("{", ",", "}")
         s""","cold_flags":$flags"""
       }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$p50Part$maxPart$coldPart,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$p50Part$maxPart$coldPart$env,"sf":"$sf"}"""
     }
     def render(f: Double => String): String = renderMap(results.toSeq, f)
     // ms precision normally; if the query set ever grows the line past the
@@ -218,6 +243,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // machine context BEFORE any Spark work: the pre-run loadavg is the
+    // "was the machine already busy" signal for cross-round adjudication
+    val load1Pre = graft.tools.HostStat.load1
+    val runSnap0 = graft.tools.HostStat.snap()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -286,6 +315,7 @@ object Bench {
         val gc0 = gcMillis()
         val cg0 = GraftSparkBridge.codegenCompileCount
         val ev0 = removedBlocks.get()
+        val host0 = graft.tools.HostStat.snap()
         val storHi = new java.util.concurrent.atomic.AtomicLong(
           GraftSparkBridge.storageMemoryUsed)
         val stopSampler = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -302,6 +332,9 @@ object Bench {
           try { val d = fn(spark, sfDir); d.count(); d }
           catch { case _: Throwable => null }
         val sec = (System.nanoTime() - t0) / 1e9
+        // interference snapshot BEFORE the untimed release below — the
+        // window must match the wall measurement it attributes
+        val hostD = graft.tools.HostStat.delta(host0, graft.tools.HostStat.snap())
         stopSampler.set(true)
         sampler.join(500)
         storHi.getAndAccumulate(GraftSparkBridge.storageMemoryUsed, math.max(_, _))
@@ -310,7 +343,8 @@ object Bench {
         GraftSparkBridge.drainListenerBus(spark.sparkContext)
         Rep(sec, gcd, storHi.get(),
           removedBlocks.get() - ev0,
-          GraftSparkBridge.codegenCompileCount - cg0)
+          GraftSparkBridge.codegenCompileCount - cg0,
+          hostD.cpuS, hostD.otherBusyS, hostD.stealS, hostD.jitMs)
       }
       val times = scala.collection.mutable.ArrayBuffer.fill(reps)(Rep(0.0, 0L, 0L, 0L, 0L))
       times.indices.foreach(i => times(i) = run())
@@ -342,7 +376,11 @@ object Bench {
         s""""gc_ms": [${rs.map(_.gcMs).mkString(", ")}], """ +
         s""""stor_hi_mb": [${rs.map(_.storHiBytes >> 20).mkString(", ")}], """ +
         s""""blk_rm": [${rs.map(_.blocksRemoved).mkString(", ")}], """ +
-        s""""cg": [${rs.map(_.codegenCompiles).mkString(", ")}]}"""
+        s""""cg": [${rs.map(_.codegenCompiles).mkString(", ")}], """ +
+        s""""cpu_s": [${rs.map(r => fmt(r.cpuS)).mkString(", ")}], """ +
+        s""""other_busy_s": [${rs.map(r => fmt(r.otherBusyS)).mkString(", ")}], """ +
+        s""""steal_s": [${rs.map(r => fmt(r.stealS)).mkString(", ")}], """ +
+        s""""jit_ms": [${rs.map(_.jitMs).mkString(", ")}]}"""
     }.mkString("{\n", ",\n", "\n}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
@@ -364,7 +402,9 @@ object Bench {
       allRuns.map { case (n, ts) =>
         n -> (if (ts.size > 1) ts.drop(1).max else ts.max) },
       allRuns.map { case (n, ts) => n -> ts.head },
-      allRuns.map { case (n, ts) => n -> p50(steadyTail(ts)) }))
+      allRuns.map { case (n, ts) => n -> p50(steadyTail(ts)) },
+      envPart(load1Pre, graft.tools.HostStat.load1,
+        graft.tools.HostStat.delta(runSnap0, graft.tools.HostStat.snap()))))
     spark.stop()
   }
 }

@@ -63,10 +63,12 @@ object RepTimer {
         if (printJobs) jobMs.clear()
         val gc0 = graft.Bench.gcMillis()
         val cg0 = GraftSparkBridge.codegenCompileCount
+        val host0 = HostStat.snap()
         val t0 = System.nanoTime()
         val frame = fn(spark, sfDir)
         frame.count()
         val sec = (System.nanoTime() - t0) / 1e9
+        val hostD = HostStat.delta(host0, HostStat.snap())
         val gcd = graft.Bench.gcMillis() - gc0
         if (doRelease) graft.core.GraftSession.release(frame, blocking = true)
         if (printJobs) {
@@ -78,14 +80,18 @@ object RepTimer {
         }
         (sec, gcd, spark.sparkContext.getRDDStorageInfo.length,
           GraftSparkBridge.storageMemoryUsed >> 20,
-          GraftSparkBridge.codegenCompileCount - cg0)
+          GraftSparkBridge.codegenCompileCount - cg0, hostD)
       }
       println(s"$n: ${stats.map(s => f"${s._1}%.2f").mkString("[", ", ", "]")} " +
         s"swing=${f"${stats.map(_._1).max / stats.map(_._1).min}%.2f"}x " +
         s"gcMs=${stats.map(_._2).mkString("[", ",", "]")} " +
         s"cachedRdds=${stats.map(_._3).mkString("[", ",", "]")} " +
         s"storMb=${stats.map(_._4).mkString("[", ",", "]")} " +
-        s"cg=${stats.map(_._5).mkString("[", ",", "]")}")
+        s"cg=${stats.map(_._5).mkString("[", ",", "]")} " +
+        s"cpuS=${stats.map(s => f"${s._6.cpuS}%.2f").mkString("[", ",", "]")} " +
+        s"otherS=${stats.map(s => f"${s._6.otherBusyS}%.2f").mkString("[", ",", "]")} " +
+        s"stealS=${stats.map(s => f"${s._6.stealS}%.2f").mkString("[", ",", "]")} " +
+        s"jitMs=${stats.map(_._6.jitMs).mkString("[", ",", "]")}")
     }
     pressure.foreach(p => graft.core.GraftSession.release(p))
     spark.stop()

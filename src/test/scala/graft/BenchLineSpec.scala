@@ -138,6 +138,76 @@ class BenchLineSpec extends AnyFunSuite {
     assert((j \ "p50_total") === JDouble(Bench.fmt(p50s.values.sum).toDouble))
   }
 
+  test("machine context (env) renders bounded, valid, and the line still fits with it") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val env = Bench.envPart(1.23, 31.9,
+      graft.tools.HostStat.Delta(cpuS = 1234.5, otherBusyS = 98.7, stealS = 0.42,
+        jitMs = 45678))
+    assert(env.length < 120, s"env fragment must stay small, was ${env.length}")
+    val j = JsonMethods.parse(Bench.renderLine(
+      Map("q01_pricing_summary" -> 1.0), "/x", env = env))
+    assert((j \ "env" \ "load1") === JArray(List(JDouble(1.2), JDouble(31.9))))
+    assert((j \ "env" \ "cpu_s") === JDouble(1234.5))
+    assert((j \ "env" \ "other_s") === JDouble(98.7))
+    assert((j \ "env" \ "steal_s") === JDouble(0.4))
+    assert((j \ "env" \ "jit_s") === JDouble(45.7))
+    // worst case with ALL parts present must still fit the driver tail
+    val worst = Bench.renderLine(
+      names.map(_ -> 9999.999).toMap, "/root/testdata/sf0.1",
+      names.map(_ -> 9999.999).toMap, names.map(_ -> 99999.999).toMap,
+      names.map(_ -> 99999.999).toMap, Map.empty,
+      Bench.envPart(99.9, 99.9,
+        graft.tools.HostStat.Delta(99999.9, 99999.9, 9999.9, 99999999L)))
+    assert(worst.length <= Bench.MaxLineLength,
+      s"bench line with env context is ${worst.length} chars — will be truncated")
+  }
+
+  test("HostStat: /proc/stat parse, live counters monotone, delta attributes CPU") {
+    import graft.tools.HostStat
+    // canonical /proc/stat first line: user nice system idle iowait irq
+    // softirq steal — busy excludes idle+iowait; stealIrq = irq+softirq+steal
+    val (busy, stealIrq) = HostStat.parseProcStat(
+      "cpu  100 20 30 1000 50 5 7 3 0 0")
+    assert(busy === 100L + 20 + 30 + 5 + 7 + 3)
+    assert(stealIrq === 5L + 7 + 3)
+    // short line (some kernels omit trailing fields) must not throw
+    assert(HostStat.parseProcStat("cpu 1 2 3 4")._1 === 6L)
+    // live: burning CPU must move processCpuNs, and the delta must see it
+    val s0 = HostStat.snap()
+    val t0 = System.nanoTime()
+    var sink = 0L
+    while (System.nanoTime() - t0 < 200e6) { sink += 1 }
+    assert(sink > 0)
+    val d = HostStat.delta(s0, HostStat.snap())
+    assert(d.cpuS > 0.05, s"a 200 ms spin must register process CPU, saw ${d.cpuS}")
+    assert(d.cpuS < 10.0, "single-thread spin can't exceed wall x threads")
+    assert(d.otherBusyS >= 0.0 && d.stealS >= 0.0)
+  }
+
+  test("HostStat: an external CPU burner is POSITIVELY attributed to other_busy_s") {
+    import graft.tools.HostStat
+    // the round-10 q81 residual ("all four channels flat → external
+    // interference" was a hypothesis by elimination) — this gate proves the
+    // new channel turns it into a measurement: CPU burned by processes
+    // OUTSIDE this JVM lands in other_busy_s, not cpu_s
+    assume(new java.io.File("/proc/stat").canRead, "Linux /proc required")
+    val s0 = HostStat.snap()
+    val burners = (1 to 8).map { _ =>
+      new ProcessBuilder("timeout", "0.8", "yes")
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .redirectError(ProcessBuilder.Redirect.DISCARD).start()
+    }
+    burners.foreach(_.waitFor())
+    val d = HostStat.delta(s0, HostStat.snap())
+    // 8 single-thread burners x 0.8 s ≈ 6.4 s of external CPU; demand only
+    // a loose lower bound (scheduler startup, container throttling)
+    assert(d.otherBusyS > 1.5,
+      s"8 external burners must register in other_busy_s, saw ${d.otherBusyS}")
+    assert(d.cpuS < d.otherBusyS,
+      "an idle JVM must not absorb the neighbors' CPU into its own channel")
+  }
+
   test("rep-1 cold-cost regressions surface as cold_flags against the catalog baseline") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
