@@ -20,13 +20,21 @@ object Bucketing {
     * location still exists and `saveAsTable` refuses to reuse it — so drop
     * the table AND clear the location first. Matters for re-runs after
     * failures on a shared warehouse, not just tests. */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
-    val spark = df.sparkSession
+  /** Drop a managed table AND clear its default location — `saveAsTable`
+    * refuses to reuse a leftover location from a previous JVM even after
+    * the (in-memory) catalog forgot the table. Shared by [[writeBucketed]]
+    * and the index-rebuild staging/swap paths. */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog.defaultTablePath(
       org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
+  }
+
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    dropTableAndLocation(spark, table)
     df.write
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -700,6 +700,78 @@ object Dedup {
         "rebuild_recommended")
   }
 
+  /** Rebuild a fragmented minhash index in place — the operator behind
+    * [[minhashIndexStaleness]]'s `rebuild_recommended` (round 10 measured
+    * fragmentation; this closes the loop). Banding is untrained, so a
+    * rebuild changes NO pair semantics ([[minhashLshAgainstIndex]] results
+    * are identical before and after, spec-pinned); what it fixes is the
+    * file layout: every [[minhashIndexAppend]] adds one file per bucket to
+    * both tables, so after k appends a serve-join task opens k+1 files per
+    * bucket — rebuild rewrites each table at ONE file per bucket
+    * (repartition by the bucket keys uses the same murmur3 hash family as
+    * `bucketBy`, so each write task holds exactly one bucket's rows).
+    *
+    * Shingles are re-read from the stored `_sh` table — no source text,
+    * no kernel pass. Both tables are staged under `__rebuild` names and
+    * swapped via catalog renames with the [[Bucketing.compact]] caveat:
+    * the swap window is not atomic for a concurrent reader. Counters
+    * reset: `indexedRows` becomes the full current mass, `appendedRows`
+    * 0; `appendedBatches` is CARRIED FORWARD so a late upstream retry of
+    * an absorbed batch stays exactly-once instead of re-inserting rows
+    * the rebuild already owns. */
+  def minhashIndexRebuild(spark: SparkSession, table: String): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${table}_buckets")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (ss, nh, nb) =
+      (props.get("graft.shingleSize"), props.get("graft.numHashes"),
+        props.get("graft.bands")) match {
+        case (Some(a), Some(b), Some(c)) => (a.toInt, b.toInt, c.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"$table is not a graft minhash index (missing banding properties)")
+      }
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_sh"))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    Bucketing.dropTableAndLocation(spark, s"${table}_sh__rebuild")
+    Bucketing.dropTableAndLocation(spark, s"${table}_buckets__rebuild")
+    // bucketed READS must be off for the staging writes: the planner sees
+    // the source table's bucketing as satisfying the repartition (elides
+    // the exchange) yet still scans by file splits, so every write task
+    // holds rows of EVERY bucket and emits one file per (task, bucket) —
+    // exactly the fragmentation this operator exists to remove. With the
+    // scan un-bucketed the repartition lands, each task holds one bucket,
+    // and each table comes out at one file per bucket (spec-pinned).
+    val bucketedReads = spark.conf.get("spark.sql.sources.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try {
+      spark.table(s"${table}_sh")
+        .repartition(buckets, col("doc_id"))
+        .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .format("parquet").mode("overwrite").saveAsTable(s"${table}_sh__rebuild")
+      bandBuckets(spark.table(s"${table}_sh__rebuild"), nh, nb)
+        .repartition(buckets, col("band"), col("sig"))
+        .write.bucketBy(buckets, "band", "sig")
+        .format("parquet").mode("overwrite").saveAsTable(s"${table}_buckets__rebuild")
+    } finally spark.conf.set("spark.sql.sources.bucketing.enabled", bucketedReads)
+    val total = spark.table(s"${table}_sh__rebuild")
+      .select(col("doc_id")).distinct().count()
+    val carried = props.getOrElse("graft.appendedBatches", "")
+    spark.sql(s"ALTER TABLE ${table}_buckets__rebuild SET TBLPROPERTIES (" +
+      s"'graft.shingleSize' = '$ss', " +
+      s"'graft.numHashes' = '$nh', 'graft.bands' = '$nb', " +
+      s"'graft.indexedRows' = '$total', " +
+      s"'graft.appendedRows' = '0', " +
+      s"'graft.appendedBatches' = '$carried')")
+    // swap both tables through catalog renames (two renames per table —
+    // the compact non-atomicity caveat applies to concurrent readers)
+    Seq(s"${table}_sh", s"${table}_buckets").foreach { t =>
+      Bucketing.dropTableAndLocation(spark, s"${t}__old")
+      spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
+      spark.sql(s"ALTER TABLE ${t}__rebuild RENAME TO $t")
+      Bucketing.dropTableAndLocation(spark, s"${t}__old")
+    }
+  }
+
   /** [[minhashLshAgainst]] against a persisted [[minhashIndexWrite]]
     * index: identical pair semantics, but the index side arrives
     * pre-bucketed on the join key and pre-shingled for verification —

@@ -675,12 +675,26 @@ object Similarity {
     * ([[IvfRetrainFraction]]). One tiny metadata read — run it before
     * serving a day's queries, the way you'd check a compaction queue. */
   def ivfIndexStaleness(spark: SparkSession, path: String): DataFrame = {
-    val built = spark.read.parquet(s"$path/meta")
-      .select(col("built_rows")).head().getLong(0)
+    // `built_rows` joined the meta schema in round 10 — an index built
+    // before that (or by an older job version) must read as 0, not throw
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val built =
+      if (!metaDf.columns.contains("built_rows")) 0L
+      else metaDf.select(col("built_rows")).head().getLong(0)
+    // NOTE appended_rows counts each batch's distinct vector ids; a vector
+    // re-ingested under a DIFFERENT batchId counts once per batch, so the
+    // fraction is an upper bound under at-least-once upstream delivery —
+    // conservative in the safe direction (recommends retrain earlier).
     val fs = new org.apache.hadoop.fs.Path(s"$path/appends")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$path/appends")
+    // an appends dir may EXIST but hold no batches (failed first append,
+    // manual cleanup) — parquet schema inference would throw on it
+    val hasBatches = fs.exists(appendsPath) &&
+      fs.listStatus(appendsPath).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
     val appended =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/appends"))) 0L
+      if (!hasBatches) 0L
       else spark.read.parquet(s"$path/appends")
         .agg(sum(col("rows"))).collect()(0) match {
           case r if r.isNullAt(0) => 0L
@@ -718,6 +732,19 @@ object Similarity {
     val spark = delta.sparkSession
     require(batchId.matches("[A-Za-z0-9._-]+"),
       s"appendToIvfIndex: batchId must be a plain file-name token, got '$batchId'")
+    // exactly-once per batchId: the counter marker is written LAST, so its
+    // presence means the batch fully committed — skip the retry outright.
+    // (A FAILED append has no marker; its retry falls through to the
+    // prefix-delete + redo below.) This also protects a REBUILT index:
+    // rebuildIvfIndex absorbs appended vectors into the build mass and
+    // carries each batch marker forward as a rows=0 tombstone, so a late
+    // upstream retry of an absorbed batch lands here and cannot
+    // re-duplicate vectors the rebuild already owns.
+    val markerFs = new org.apache.hadoop.fs.Path(s"$path/appends")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (markerFs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/appends/batch=$batchId")))
+      return
     val replicate = spark.read.parquet(s"$path/meta")
       .select(col("replicate")).head().getInt(0)
     val codebook: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
@@ -764,6 +791,94 @@ object Similarity {
     spark.createDataFrame(Seq(Tuple1(deltaRows)))
       .toDF("rows")
       .write.mode("overwrite").parquet(s"$path/appends/batch=$batchId")
+  }
+
+  /** Retrain a persisted IVF index over its FULL current mass — the
+    * operator behind [[ivfIndexStaleness]]'s `retrain_recommended` (round
+    * 10 measured staleness; this closes the loop). The corpus is
+    * recovered from the index's own lists (distinct vector ids —
+    * replicate>1 stores each vector in several lists), the codebook is
+    * retrained on build + appended vectors together, and every list is
+    * rewritten under the fresh quantizer, so post-rebuild assignments
+    * reflect the drifted distribution the appends brought in.
+    *
+    * The new index (lists + codebook + meta) is STAGED as a complete
+    * sibling directory and swapped in with the [[Bucketing.compact]]
+    * two-rename discipline: a failure before the swap leaves the old
+    * index untouched; a failure between the renames rolls the original
+    * back. The swap window is two directory renames — not atomic for a
+    * CONCURRENT reader (schedule rebuilds off-peak or front the path
+    * with a catalog flip, same caveat as compact). [[readIvfMeta]]'s
+    * serving pin keys on the codebook file's mtime, so long-lived
+    * serving processes pick up the new codebook on their next batch.
+    *
+    * The appends counter dir is not carried over: a rebuilt index has
+    * ZERO appended mass by definition, so [[ivfIndexStaleness]] reads
+    * fraction 0 — the counter-reset contract the staleness gate pins.
+    *
+    * `nlist = 0` re-derives the list count from the CURRENT corpus size
+    * ([[autoNlist]]) — after a 2× append that typically grows the list
+    * count, keeping per-list occupancy (hence probe cost) level;
+    * `replicate = 0` keeps the build-time replication. */
+  def rebuildIvfIndex(
+      spark: SparkSession,
+      path: String,
+      nlist: Int = 0,
+      refine: Int = 3,
+      replicate: Int = 0): Unit = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta")
+    val rep =
+      if (replicate > 0) replicate
+      else meta.select(col("replicate")).head().getInt(0)
+    // recover the distinct corpus from the lists: replicate>1 wrote each
+    // vector into several bucket partitions; (cv, cn) are identical across
+    // replicas so any representative is exact
+    val corpus = spark.read.parquet(s"$path/lists")
+      .groupBy(col("neighbor_id"))
+      .agg(first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+    val nl = resolveNlist(nlist, corpus)
+    val codebook = trainIvfCodebook(corpus, nl, refine)
+    val stage = s"$path.rebuild.tmp"
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(stage))) fs.delete(new Path(stage), true)
+    corpusLists(corpus, codebook, rep)
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$stage/lists")
+    codebook.zipWithIndex.map { case (v, j) => (j, v) }
+      .toDF("j", "v")
+      .write.mode("overwrite").parquet(s"$stage/codebook")
+    val builtRows = spark.read.parquet(s"$stage/lists")
+      .select(col("neighbor_id")).distinct().count()
+    Seq((nl, refine, rep, builtRows))
+      .toDF("nlist", "refine", "replicate", "built_rows")
+      .write.mode("overwrite").parquet(s"$stage/meta")
+    // carry each append batch marker forward as a rows=0 tombstone: the
+    // appended MASS is absorbed into built_rows (staleness reads 0), but
+    // the batch ids stay known so a late retry of an absorbed batch is
+    // still skipped by appendToIvfIndex's exactly-once check
+    val appendsPath = new Path(s"$path/appends")
+    if (fs.exists(appendsPath))
+      fs.listStatus(appendsPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName)
+        .foreach { b =>
+          spark.createDataFrame(Seq(Tuple1(0L))).toDF("rows")
+            .write.mode("overwrite").parquet(s"$stage/appends/$b")
+        }
+    // two-rename swap with rollback (the Bucketing.compact discipline)
+    val old = new Path(s"$path.rebuild.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(new Path(path), old), s"rebuild swap failed: $path -> $old")
+    if (!fs.rename(new Path(stage), new Path(path))) {
+      val restored = fs.rename(old, new Path(path))
+      throw new IllegalStateException(
+        s"rebuild swap failed: $stage -> $path" +
+          (if (restored) " (original restored)"
+           else s" AND rollback failed — index is at $old"))
+    }
+    fs.delete(old, true): Unit
   }
 
   /** Serve approximate top-k from a persisted [[buildIvfIndex]] index.

@@ -531,11 +531,11 @@ class ScaleStressSpec extends AnyFunSuite {
     // original in the top-10 through the STALE codebook's lists
     val nlist = spark.read.parquet(s"$path/meta").select("nlist").head().getInt(0)
     val nprobe = math.max(8, nlist / 20)
-    def recallOf(off: Long, shift: Double): Double = {
+    def recallOf(off: Long, shift: Double, np: Int = nprobe): Double = {
       val qs = perturbed(off, shift).filter(col("vec_id") < lit(off) + 200 &&
         col("vec_id") % 2 === 0)
       val got = Similarity.ivfTopKFromIndex(path, qs, "vec_id", "embedding",
-          k = 10, nprobe = nprobe)
+          k = 10, nprobe = np)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
         .view.mapValues(_.map(_._2).toSet).toMap
       got.count { case (q, ns) => ns.contains(q - off) }.toDouble / math.max(1, got.size)
@@ -551,6 +551,35 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(s2.getLong(1) == 2L * StressData.Vecs, s"retried append must count once: $s2")
     assert(math.abs(recallOf(1000000L, 0.0) - r1) < 1e-9,
       "retried append must not change served results")
+    // ---- round-11: rebuild closes the staleness loop ----
+    Similarity.rebuildIvfIndex(spark, path)
+    val s3 = Similarity.ivfIndexStaleness(spark, path).head()
+    assert(s3.getLong(0) == 3L * StressData.Vecs,
+      s"rebuild must absorb appended mass into built_rows: $s3")
+    assert(s3.getLong(1) == 0L && !s3.getBoolean(3),
+      s"rebuild must reset the staleness counter: $s3")
+    // auto-nlist re-derives from the 3x mass — per-list occupancy stays
+    // level instead of lists growing 3x
+    val nlist2 = spark.read.parquet(s"$path/meta").select("nlist").head().getInt(0)
+    assert(nlist2 >= nlist, s"auto-nlist must not shrink on a 3x corpus: $nlist -> $nlist2")
+    val nprobe2 = math.max(8, nlist2 / 20)
+    // recall through the RETRAINED codebook: the drifted batch is now in
+    // the training mass, so its recall must be at fresh-build level — at
+    // least what the stale codebook served, and above the 0.8 floor
+    val r1Post = recallOf(1000000L, 0.0, nprobe2)
+    val r2Post = recallOf(2000000L, 0.3, nprobe2)
+    assert(r1Post >= 0.8 && r1Post >= r1 - 0.02,
+      f"post-rebuild recall $r1Post%.2f regressed vs stale-codebook $r1%.2f")
+    assert(r2Post >= 0.8 && r2Post >= r2 - 0.02,
+      f"post-rebuild drifted recall $r2Post%.2f regressed vs stale-codebook $r2%.2f")
+    // a late upstream retry of an ABSORBED batch must be skipped (the
+    // carried tombstone), not re-append vectors the rebuild already owns
+    Similarity.appendToIvfIndex(perturbed(1000000L, 0.0), path, "vec_id", "embedding", "d1")
+    val s4 = Similarity.ivfIndexStaleness(spark, path).head()
+    assert(s4.getLong(1) == 0L,
+      s"retry of an absorbed batch must be a no-op after rebuild: $s4")
+    assert(math.abs(recallOf(1000000L, 0.0, nprobe2) - r1Post) < 1e-9,
+      "retry of an absorbed batch must not change served results")
   }
 
   test("minhash index serve+merge over two 1x deltas equals the inline run pair-for-pair; " +
@@ -610,5 +639,45 @@ class ScaleStressSpec extends AnyFunSuite {
     Dedup.minhashIndexAppend(d1, "doc_id", "text", table, "b1")
     val st2 = Dedup.minhashIndexStaleness(spark, table).head()
     assert(st2.getLong(1) == st1.getLong(1), "retried merge must count once")
+    // ---- round-11: rebuild defragments, resets counters, changes no pairs ----
+    def tableFiles(t: String): Int = {
+      val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    }
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_sh"))
+      .bucketSpec.get.numBuckets
+    val filesBefore = tableFiles(s"${table}_buckets")
+    assert(filesBefore > bucketSpec,
+      s"fixture must be fragmented before rebuild (build + 2 appends), saw $filesBefore files")
+    // an exact-duplicate delta with fresh disjoint ids: its served pair
+    // set is the semantic probe the rebuild must preserve bit-for-bit
+    val probe = docs.filter(col("doc_id") < 120)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val servedBefore = pairSet(Dedup.minhashLshAgainstIndex(probe, "doc_id", "text", table))
+    assert(servedBefore.nonEmpty, "probe delta must hit the index")
+    Dedup.minhashIndexRebuild(spark, table)
+    // defragmented: one file per bucket in both tables
+    assert(tableFiles(s"${table}_sh") <= bucketSpec &&
+      tableFiles(s"${table}_buckets") <= bucketSpec,
+      s"rebuild must leave at most one file per bucket, saw " +
+        s"${tableFiles(s"${table}_sh")} / ${tableFiles(s"${table}_buckets")}")
+    // counters reset: full mass indexed, nothing appended, no recommendation
+    val st3 = Dedup.minhashIndexStaleness(spark, table).head()
+    assert(st3.getLong(0) == st1.getLong(0) + st1.getLong(1) &&
+      st3.getLong(1) == 0L && !st3.getBoolean(3),
+      s"rebuild must absorb appends into indexedRows and reset the counter: $st3")
+    // banding is untrained: the served pair set is IDENTICAL post-rebuild
+    val servedAfter = pairSet(Dedup.minhashLshAgainstIndex(probe, "doc_id", "text", table))
+    assert(servedAfter == servedBefore,
+      s"rebuild changed served pairs: missing ${(servedBefore -- servedAfter).take(5)}, " +
+        s"extra ${(servedAfter -- servedBefore).take(5)}")
+    // absorbed-batch retry protection: appendedBatches carried forward
+    Dedup.minhashIndexAppend(d1, "doc_id", "text", table, "b1")
+    val st4 = Dedup.minhashIndexStaleness(spark, table).head()
+    assert(st4.getLong(1) == 0L,
+      s"retry of an absorbed batch must be a no-op after rebuild: $st4")
   }
 }
