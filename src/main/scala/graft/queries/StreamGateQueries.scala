@@ -424,13 +424,16 @@ object StreamGateQueries {
           .drop("__h")
       }
 
-      // persisted url index, seeded with the curated BASE corpus's urls
+      // persisted url index, seeded with the curated BASE corpus's urls —
+      // UrlIndex gives it the lifecycle the other persisted indexes have:
+      // exactly-once per-epoch claim dirs, a fragmentation counter, and
+      // compaction (UrlIndexSpec pins bounded file count over many epochs)
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-sgate-urlidx-" +
         s"${java.lang.ProcessHandle.current().pid()}-" +
         java.lang.Integer.toHexString(s"$dir/scurate".hashCode)
-      chain(docs.filter(pmod(col("doc_id"), lit(3)) === 0))
-        .select(col("canonical_url")).distinct()
-        .write.mode("overwrite").parquet(idxDir)
+      graft.operators.UrlIndex.seed(
+        chain(docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+          .select(col("canonical_url")), idxDir)
 
       // the delta arrives as a stream: doc_id-ordered log, JSON payload
       val delta = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
@@ -465,7 +468,8 @@ object StreamGateQueries {
           // keep-best within the epoch, append the epoch's claims
           val gated = chain(batch)
           val fresh = gated.join(
-            s.read.parquet(idxDir), Seq("canonical_url"), "left_anti")
+            graft.operators.UrlIndex.members(s, idxDir),
+            Seq("canonical_url"), "left_anti")
           val best = fresh
             .groupBy(col("canonical_url"))
             .agg(max(struct(col("q"), (-col("doc_id")).as("nid"),
@@ -478,8 +482,14 @@ object StreamGateQueries {
             accepted ++= got.map(r =>
               (r.getString(1), r.getString(0), r.getLong(2), r.getLong(3)))
           }
-          s.createDataset(got.map(_.getString(0)).toSeq).toDF("canonical_url")
-            .write.mode("append").parquet(idxDir)
+          graft.operators.UrlIndex.claim(
+            s.createDataset(got.map(_.getString(0)).toSeq).toDF("canonical_url"),
+            idxDir, id.toString)
+          // table maintenance rides the stream: a no-op until the claim
+          // dirs fragment past the threshold, then one fold — the gate's
+          // few epochs never trip it (values are compaction-invariant
+          // anyway, UrlIndexSpec proves membership identity)
+          graft.operators.UrlIndex.compactIfFragmented(s, idxDir): Unit
         }
         .trigger(Trigger.AvailableNow())
         .start()

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.UrlIndex
+
+/** The q156 url index's lifecycle gate (VERDICT r10 item 4): per-epoch
+  * claims land exactly-once, the file count stays BOUNDED over many
+  * epochs because compaction folds claim generations, and membership —
+  * the only semantics the index has — is invariant under every
+  * maintenance action. */
+class UrlIndexSpec extends AnyFunSuite {
+  lazy val spark = graft.core.GraftSession.local(4)
+
+  private def urls(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => s"http://d$i.example.com/p").toDF("canonical_url")
+  }
+
+  private def memberSet(path: String): Set[String] =
+    UrlIndex.members(spark, path).collect().map(_.getString(0)).toSet
+
+  test("many epochs stay bounded: claims fragment, compaction folds, membership invariant") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-urlidx-spec-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    UrlIndex.seed(urls(0 until 50), path)
+    val expected = scala.collection.mutable.Set.empty[String] ++ memberSet(path)
+    assert(expected.size == 50)
+    // 40 "daily" epochs with maintenance riding each one (the q156
+    // foreachBatch shape); threshold low so the spec exercises several
+    // compaction generations, not just one
+    val threshold = 12
+    var compactions = 0
+    var maxFiles = 0
+    (0 until 40).foreach { epoch =>
+      val batch = urls(1000 + epoch * 10 until 1000 + epoch * 10 + 10)
+      UrlIndex.claim(batch, path, epoch.toString)
+      expected ++= batch.collect().map(_.getString(0))
+      if (UrlIndex.compactIfFragmented(spark, path, threshold)) compactions += 1
+      val files = UrlIndex.fileCount(spark, path)
+      maxFiles = math.max(maxFiles, files)
+      assert(files <= threshold + spark.sparkContext.defaultParallelism,
+        s"epoch $epoch: $files files — compaction is not bounding growth")
+    }
+    assert(compactions >= 2,
+      s"40 epochs over threshold $threshold must compact repeatedly, saw $compactions")
+    assert(memberSet(path) == expected.toSet,
+      "membership must be invariant across claims and compactions")
+    // post-compaction set is duplicate-free rows, not just duplicate-free set
+    val total = UrlIndex.members(spark, path).count()
+    UrlIndex.compactIfFragmented(spark, path, threshold = 0)
+    assert(UrlIndex.members(spark, path).count() == expected.size.toLong &&
+      total >= expected.size.toLong,
+      "a forced compaction must leave exactly one row per url")
+  }
+
+  test("claim is exactly-once per batchId: a retried epoch replaces, never duplicates") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-urlidx-retry-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    UrlIndex.seed(urls(0 until 5), path)
+    UrlIndex.claim(urls(100 until 110), path, "7")
+    val before = UrlIndex.members(spark, path).count()
+    // foreachBatch retry of the SAME epoch (checkpoint replay) — the
+    // partition-dir overwrite must replace the prior write
+    UrlIndex.claim(urls(100 until 110), path, "7")
+    assert(UrlIndex.members(spark, path).count() == before,
+      "a retried claim must not grow the index")
+    assert(memberSet(path).count(_.contains("d10")) > 0)
+    // a PARTIAL prior write is also replaced, not merged
+    UrlIndex.claim(urls(100 until 105), path, "8")
+    UrlIndex.claim(urls(100 until 110), path, "8")
+    assert(UrlIndex.members(spark, path).count() == before + 10,
+      "a DIFFERENT batch re-claiming the same urls adds its own rows " +
+        "(set semantics preserved; compaction cleans the rows)")
+    assert(memberSet(path).size == 15, "membership is still the 15-url set")
+    UrlIndex.compactIfFragmented(spark, path, threshold = 0)
+    assert(UrlIndex.members(spark, path).count() == 15,
+      "compaction must fold cross-batch duplicate rows")
+  }
+
+  test("compaction swap leaves no stage/old residue and a fresh generation counter") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-urlidx-swap-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    UrlIndex.seed(urls(0 until 20), path)
+    (0 until 6).foreach(e => UrlIndex.claim(urls(200 + e * 5 until 205 + e * 5), path, e.toString))
+    assert(UrlIndex.compactIfFragmented(spark, path, threshold = 1))
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path.compact.tmp")) &&
+      !f.exists(new org.apache.hadoop.fs.Path(s"$path.compact.old")),
+      "swap must clean its staging and backup dirs")
+    val gens = f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName).toSeq
+    assert(gens == Seq("batch=c0"), s"first compaction folds everything into c0: $gens")
+    // second compaction increments the generation, never reuses c0's name
+    UrlIndex.claim(urls(300 until 305), path, "x1")
+    assert(UrlIndex.compactIfFragmented(spark, path, threshold = 1))
+    val gens2 = f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName).toSeq
+    assert(gens2 == Seq("batch=c1"), s"generation counter must advance: $gens2")
+    assert(memberSet(path).size == 20 + 30 + 5)
+  }
+}
