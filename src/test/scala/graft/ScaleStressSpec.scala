@@ -499,6 +499,101 @@ class ScaleStressSpec extends AnyFunSuite {
     }
   }
 
+  // ---- round-11 gate: the cluster profile's skew handling, proven live ----
+
+  test("hot-key join under the cluster profile: values identical, AQE shatters the hot partition") {
+    import spark.implicits._
+    // ClusterProfileSpec proves the confs LAND; this proves they DO the
+    // right thing to a hot shuffle partition and change NO values. One
+    // host owns a third of the corpus: keyed bin-join partitioning (the
+    // operator's own skew answer for many-host pileups) cannot help when
+    // the hot key IS one host — that residual is exactly what the
+    // profile's AQE skew-join split exists for on a real cluster.
+    val binMs = 86400000L
+    def side(n: Int, host: Long => Long) = (0 until n).map { i =>
+      (host(i.toLong), i.toLong * 1000, i.toLong * 1000 + 900)
+    }
+    // hot host 0: 8k mostly-disjoint intervals in ONE bin; tail: 800
+    // hosts x 10. Join output stays bounded (disjoint intervals match
+    // ~1:1) while the hot (host, bin) group dominates shuffle bytes.
+    val l = (side(8000, _ => 0L) ++ side(8000, i => 1 + i % 800)).toDF("host", "ls", "le")
+    val r = (side(8000, _ => 0L) ++ side(8000, i => 1 + i % 800)).toDF("rhost", "rs", "re")
+    val saved = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    // per-stage max shuffle-read records: the split EVIDENCE (the hot
+    // partition's rows spread over several tasks instead of one)
+    def maxTaskRecords[T](action: => T): (T, Long) = {
+      val maxRec = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null && m.shuffleReadMetrics != null)
+            maxRec.getAndAccumulate(m.shuffleReadMetrics.recordsRead, math.max): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val out = action
+        org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+        (out, maxRec.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    try {
+      // the PROFILE session: same JVM SparkContext, cluster posture on top
+      // (shuffle width floor 64, AQE skew join ON)
+      val prof = GraftSession.cluster(
+        org.apache.spark.sql.SparkSession.builder().master("local[8]"),
+        totalExecutorCores = 8,
+        checkpointDir = s"${System.getProperty("java.io.tmpdir")}/graft-skew-cp-" +
+          s"${java.lang.ProcessHandle.current().pid()}")
+      assert(prof.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      // fixture-scale thresholds: the hot (host, bin) group is ~250 KB —
+      // a 100 TB hot partition scaled down; AQE's 256 MB default exists
+      // for real clusters, the MECHANISM under test is scale-free
+      prof.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      prof.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      prof.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+      prof.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def run(): (Seq[(Long, Long, Long)], Long, String) = {
+        val df = graft.operators.Temporal.intervalOverlapJoin(
+            l, r, "ls", "le", "rs", "re", binMs,
+            leftKey = Some("host"), rightKey = Some("rhost"))
+          .select(col("host"), col("ls"), col("rs"))
+        val (rows, maxRec) = maxTaskRecords {
+          df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq.sorted
+        }
+        (rows, maxRec, df.queryExecution.executedPlan.toString)
+      }
+      prof.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (valsOff, maxOff, _) = run()
+      prof.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val (valsOn, maxOn, planOn) = run()
+      // value identity: the profile's skew split changes NOTHING
+      assert(valsOn == valsOff,
+        s"skew split changed join values: ${valsOff.size} vs ${valsOn.size} rows")
+      assert(valsOn.size >= 16000, s"fixture must produce real overlaps: ${valsOn.size}")
+      // split evidence 1: the final adaptive plan marks the join skew=true
+      assert(planOn.contains("skew=true"),
+        s"AQE must mark the shattered join, plan:\n${planOn.take(1500)}")
+      // split evidence 2: the hot partition's rows spread across tasks —
+      // skew-off reads the whole hot group in one task, skew-on caps the
+      // per-task read well below it
+      assert(maxOff >= 8000L,
+        s"skew-off baseline must show the single-task hot read, saw $maxOff")
+      assert(maxOn * 2 <= maxOff,
+        s"skew-on must at least halve the hottest task's read: $maxOn vs $maxOff")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   // ---- round-10 gates: index staleness under a 2x appended corpus ----
 
   test("IVF index serving a 2x appended delta: recall holds, staleness counter and " +
