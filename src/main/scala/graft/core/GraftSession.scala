@@ -90,6 +90,12 @@ object GraftSession {
       "cluster profile requires a durable checkpoint dir (HDFS/S3/GCS " +
         "path) — the CC loop and streaming queries truncate lineage " +
         "through it; a lost tmpdir fails multi-hour runs")
+    // static confs (warehouse dir, codegen cache size) only land when NO
+    // SparkSession exists yet in this JVM — getOrCreate silently ignores
+    // them otherwise (ADVICE r10); detect BEFORE building so the drop
+    // can be reported against what the caller asked for
+    val preexisting =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val b = configure(builder.appName(appName),
       shufflePartitions = math.max(2 * totalExecutorCores, 64))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -97,11 +103,58 @@ object GraftSession {
     pslPath.foreach(p => b.config("graft.psl.path", p))
     transportClient.foreach(c => b.config("graft.transport.client", c))
     val spark = b.getOrCreate()
+    preexisting.foreach { _ =>
+      val drops = staticConfDrops(spark,
+        warehouseDir.map("spark.sql.warehouse.dir" -> _).toSeq :+
+          ("spark.sql.codegen.cache.maxEntries" -> "4000"))
+      if (drops.nonEmpty)
+        System.err.println(
+          "[graft] cluster(): a SparkSession already existed in this JVM, " +
+            "so these STATIC confs were silently ignored by getOrCreate — " +
+            drops.map { case (k, want, got) => s"$k wanted=$want actual=$got" }
+              .mkString("; ") +
+            ". Build the cluster session before any other SparkSession " +
+            "(or restart the JVM) for them to land.")
+    }
     spark.sparkContext.setCheckpointDir(checkpointDir)
-    pslPath.foreach(p => System.setProperty("graft.psl.path", p))
+    pslPath.foreach { p =>
+      System.setProperty("graft.psl.path", p)
+      requireExecutorPslWiring(spark.sparkContext.isLocal,
+        spark.sparkContext.getConf.get("spark.executor.extraJavaOptions", ""), p)
+    }
     graft.functions.registerAll(spark)
     installOptimizerRules(spark)
     spark
+  }
+
+  /** Static confs the caller asked for that the existing session does not
+    * carry — getOrCreate cannot apply them post-hoc. */
+  private[graft] def staticConfDrops(spark: SparkSession,
+      wanted: Seq[(String, String)]): Seq[(String, String, String)] =
+    wanted.flatMap { case (k, want) =>
+      val got = spark.conf.getOption(k).getOrElse("")
+      if (got == want) None else Some((k, want, got))
+    }
+
+  /** `graft.psl.path` is read ONCE PER JVM by [[graft.functions.UrlKit]]
+    * from that JVM's own system properties — a driver-side property never
+    * reaches executor JVMs, so on a real cluster the url kernels would
+    * silently fall back to the built-in head rules while the driver (and
+    * the generated oracle SQL) used the full PSL file: silent
+    * registrable_domain/canonical_url divergence (ADVICE r10). Local
+    * masters share one JVM (the property IS visible); any other master
+    * must ship the property — and the file — to executors explicitly. */
+  private[graft] def requireExecutorPslWiring(isLocal: Boolean,
+      executorJavaOptions: String, pslPath: String): Unit = {
+    if (isLocal) return
+    require(executorJavaOptions.contains("-Dgraft.psl.path="),
+      s"cluster(pslPath = $pslPath) on a non-local master requires " +
+        "executor-side wiring, or executor url kernels silently diverge " +
+        "from the driver's PSL rules. Add BOTH: " +
+        "--conf spark.executor.extraJavaOptions='-Dgraft.psl.path=<name>' " +
+        "and ship the file (--files <path>, then <name> is its basename " +
+        "in the executor working dir; or bake it into the image at an " +
+        "absolute path).")
   }
 
   /** The transport-client class name configured by [[cluster]] (empty on
@@ -275,7 +328,25 @@ object GraftSession {
           throw t
       }
       finally pinScopes.set(pinScopes.get.tail)
-    val keep = org.apache.spark.sql.GraftSqlBridge.leafRdds(result).map(_.id).toSet
+    // keep = the result's plan leaves plus the pins they READ THROUGH:
+    // walk each leaf's dependency chain, stopping below the first
+    // registered pin. Two shapes, both spec-pinned (PinLifecycleSpec):
+    //  - rankedScan shape (ADVICE r10): the registered sorted RDD sits one
+    //    dependency BELOW an UNCACHED result leaf — a leaf-only keep-set
+    //    unpersisted it at scope exit and the lazy result's first action
+    //    re-paid the full sort. The walk keeps it.
+    //  - pin-of-pin shape: a leaf that IS a materialized pin already holds
+    //    its blocks; pins further up its lineage are recompute insurance
+    //    only (lineage survives release) — the walk stops at the pin, so
+    //    those stay eagerly freeable dead intermediates.
+    val keep = {
+      val s = scala.collection.mutable.Set.empty[Int]
+      def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+        if (s.add(r.id) && !pinnedIds.contains(r.id))
+          r.dependencies.foreach(d => walk(d.rdd))
+      org.apache.spark.sql.GraftSqlBridge.leafRdds(result).foreach(walk)
+      s
+    }
     val (kept, dead) = buf.partition(r => keep(r.id))
     dead.foreach { r =>
       if (pinnedIds.remove(r.id)) r.unpersist(blocking = false)

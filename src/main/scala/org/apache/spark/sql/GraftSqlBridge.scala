@@ -123,12 +123,39 @@ object GraftSqlBridge {
         math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore)))
       clamp(BigInt((total + maxSplit - 1) / maxSplit))
     }
+    // shuffle-landing nodes: with AQE partition coalescing on, the
+    // RUNTIME partition count of a small post-shuffle frame is
+    // bytes/advisory, not shuffle.partitions — estimating the latter made
+    // widen() silently no-op on AQE-coalesced aggregate outputs the old
+    // df.rdd path would have re-widened (ADVICE r10)
+    def postShuffle(stats: => BigInt): Int =
+      if (conf.adaptiveExecutionEnabled && conf.coalesceShufflePartitionsEnabled) {
+        val advisory = math.max(
+          conf.getConf(org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES), 1L)
+        clamp((stats / BigInt(advisory) + 1).min(BigInt(shufflePartitions)))
+      } else shufflePartitions
     def est(p: LogicalPlan): Int = p match {
       case l: LogicalRDD => l.rdd.getNumPartitions
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation => fileSplits(fs)
           case _ => byBytes(lr.stats.sizeInBytes)
+        }
+      // DSv2 scans: catalyst stats default to spark.sql.defaultSizeInBytes
+      // (huge) when the source reports nothing, which estimated every
+      // connector scan as wide and made widen() a no-op on genuinely
+      // narrow ones (ADVICE r10). graft's own scans know their partition
+      // list without running anything; foreign scans fall back to their
+      // reported statistics, then to catalyst stats (conservatively wide).
+      case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        d.scan match {
+          case s: graft.sources.Dsv2.BatchScan =>
+            math.max(1, s.toBatch.planInputPartitions().length)
+          case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+            val st = s.estimateStatistics()
+            if (st.sizeInBytes.isPresent) byBytes(BigInt(st.sizeInBytes.getAsLong))
+            else byBytes(d.stats.sizeInBytes)
+          case _ => byBytes(d.stats.sizeInBytes)
         }
       case _: LocalRelation => 1
       case r: Range =>
@@ -139,8 +166,8 @@ object GraftSqlBridge {
         r.optNumPartitions.getOrElse(shufflePartitions)
       case u: Union => u.children.map(est).sum
       case j: Join => j.children.map(est).max
-      case _: Aggregate | _: Window | _: Deduplicate => shufflePartitions
-      case s: Sort if s.global => shufflePartitions
+      case a @ (_: Aggregate | _: Window | _: Deduplicate) => postShuffle(a.stats.sizeInBytes)
+      case s: Sort if s.global => postShuffle(s.stats.sizeInBytes)
       case leaf: LeafNode => byBytes(leaf.stats.sizeInBytes)
       case other if other.children.nonEmpty => other.children.map(est).max
       case other => byBytes(other.stats.sizeInBytes)

@@ -79,4 +79,36 @@ class ClusterProfileSpec extends AnyFunSuite {
     val spark = GraftSession.local(4)
     assert(GraftSession.transportClient(spark).isEmpty)
   }
+
+  test("pslPath on a non-local master requires executor-side wiring (ADVICE r10)") {
+    // UrlKit reads graft.psl.path once per JVM from ITS OWN system
+    // properties — a driver-only property silently diverges executors'
+    // registrable_domain/canonical_url from the driver's PSL rules
+    GraftSession.requireExecutorPslWiring(isLocal = true,
+      executorJavaOptions = "", pslPath = "/x/psl.dat") // local: one JVM, fine
+    GraftSession.requireExecutorPslWiring(isLocal = false,
+      executorJavaOptions = "-Xmx4g -Dgraft.psl.path=psl.dat",
+      pslPath = "/x/psl.dat") // wired: fine
+    val e = intercept[IllegalArgumentException] {
+      GraftSession.requireExecutorPslWiring(isLocal = false,
+        executorJavaOptions = "-Xmx4g", pslPath = "/x/psl.dat")
+    }
+    assert(e.getMessage.contains("extraJavaOptions") &&
+      e.getMessage.contains("--files"),
+      s"error must name the exact wiring to add: ${e.getMessage}")
+  }
+
+  test("static confs dropped by an existing session are detected (ADVICE r10)") {
+    val spark = GraftSession.local(4)
+    // the shared session's warehouse is graft-warehouse; asking cluster()
+    // for a different one on this JVM CANNOT land — the detector must say so
+    val drops = GraftSession.staticConfDrops(spark, Seq(
+      "spark.sql.warehouse.dir" -> "/definitely/not/the/current/warehouse",
+      "spark.sql.codegen.cache.maxEntries" ->
+        spark.conf.get("spark.sql.codegen.cache.maxEntries")))
+    assert(drops.map(_._1) == Seq("spark.sql.warehouse.dir"),
+      s"only the genuinely dropped conf must be reported: $drops")
+    val (_, want, got) = drops.head
+    assert(want == "/definitely/not/the/current/warehouse" && got != want)
+  }
 }

@@ -112,6 +112,33 @@ class PinLifecycleSpec extends AnyFunSuite {
     assert(sc.getRDDStorageInfo.isEmpty, "release(kept) must drain storage")
   }
 
+  test("pinScope keeps SUB-LEAF registered pins the result depends on (rankedScan shape)") {
+    // ADVICE r10: the keep-set was computed from the result's plan LEAVES
+    // only, but registerPin'd materializations (rankedScan's sorted RDD)
+    // sit one dependency BELOW the leaf — a leaf-only keep would unpersist
+    // them at scope exit, forcing the lazy result's first action to redo
+    // the full sort. Reproduce the shape directly: persist+register an
+    // internal RDD, return a frame whose leaf is a DERIVED rdd.
+    val sc = spark.sparkContext
+    assert(cachedRddsAfterGc() == 0, "dirty storage before sub-leaf scope test")
+    val result = GraftSession.pinScope {
+      val df = spark.range(2000).toDF("a")
+      val rdd = GraftSqlBridge.internalRdd(df)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      GraftSession.registerPin(rdd)
+      val derived = rdd.mapPartitions(identity)
+      GraftSqlBridge.cachedDf(spark, derived, df.schema, 16000L, 2000L)
+    }
+    assert(sc.getRDDStorageInfo.exists(_.numCachedPartitions > 0),
+      "the sub-leaf registered pin must SURVIVE scope exit — the result's " +
+        "first action reads through it")
+    assert(result.count() == 2000, "kept result must stay usable")
+    GraftSession.release(result, blocking = true)
+    assert(sc.getRDDStorageInfo.isEmpty,
+      "release(result) must still drain the sub-leaf pin through the closure")
+  }
+
   test("release is pin-gated: checkpointed / non-pinned frames pass through") {
     val ck = GraftSession.reliableCheckpoint(spark.range(100).toDF("a"))
     val before = ck.count()

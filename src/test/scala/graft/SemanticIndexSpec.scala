@@ -84,6 +84,29 @@ class SemanticIndexSpec extends AnyFunSuite {
       "lists scan must carry partition filters (bucket IN (...))")
   }
 
+  test("staleness guards: pre-round-10 meta (no built_rows) and an empty appends dir read as 0") {
+    import spark.implicits._
+    // ADVICE r10: an index built before built_rows joined the meta schema
+    // threw AnalysisException; an appends dir with no batch (failed first
+    // append, manual cleanup) broke parquet schema inference
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-semidx-old-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    Similarity.buildIvfIndex(emb.limit(500), p, "vec_id", "embedding")
+    // rewrite meta in the OLD shape: no built_rows column
+    val oldMeta = spark.read.parquet(s"$p/meta")
+      .select(col("nlist"), col("refine"), col("replicate")).collect()
+    Seq((oldMeta.head.getInt(0), oldMeta.head.getInt(1), oldMeta.head.getInt(2)))
+      .toDF("nlist", "refine", "replicate")
+      .write.mode("overwrite").parquet(s"$p/meta")
+    // and an EXISTING but empty appends dir
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/appends"))
+    val st = Similarity.ivfIndexStaleness(spark, p).head()
+    assert(st.getLong(0) == 0L && st.getLong(1) == 0L && !st.getBoolean(3),
+      s"legacy meta + empty appends must read as zeros, not throw: $st")
+  }
+
   test("oversized delta falls back to a shuffle join with identical pairs") {
     val before = pairs(Similarity.semanticDedupAgainstIndex(
       delta, path, "vec_id", "embedding", threshold = 0.9))

@@ -76,8 +76,16 @@ class WidenSpec extends AnyFunSuite {
     val (out, jobs) = jobsDuring(GraftSession.widen(agg))
     assert(jobs === 0,
       "counting partitions of an aggregated frame must not run its stages")
-    // an Aggregate lands on shuffle.partitions == the widen target → no-op
-    assert(out eq agg)
+    // round 11: the estimate is the AQE-coalesced runtime width (this tiny
+    // aggregate coalesces to ~1 partition), so widen now re-widens it —
+    // the old df.rdd behavior, recovered without running stages
+    assert(!(out eq agg), "an AQE-coalesced narrow aggregate must be re-widened")
+    // with coalescing off the estimate is the static shuffle width → no-op
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val (out2, jobs2) = jobsDuring(GraftSession.widen(agg))
+      assert(jobs2 === 0 && (out2 eq agg))
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
   }
 
   test("pinned frames report exact partition counts") {
@@ -99,6 +107,38 @@ class WidenSpec extends AnyFunSuite {
     val u = d.select(col("doc_id")).union(d.select(col("doc_id")))
     val single = GraftSqlBridge.planParallelism(d.select(col("doc_id")))
     assert(GraftSqlBridge.planParallelism(u) === single * 2)
+  }
+
+  test("DSv2 connector scans estimate their REAL partition count, and widen re-widens them") {
+    // a graft-redis-hash scan is ONE partition by construction
+    // (RedisSources FnBatch) — but its catalyst stats default to
+    // spark.sql.defaultSizeInBytes, which the old estimator read as
+    // "wide" and widen() silently no-op'd on (ADVICE r10)
+    val uri = "hub:widen/dsv2-est"
+    graft.sources.hub.MemHub.hashPut(s"$uri/h", (0 until 500).iterator.map(i => s"k$i" -> s"v$i"))
+    val df = graft.sources.GraftSources.redisHash(spark, uri, "h")
+    val (est, jobs) = jobsDuring { GraftSqlBridge.planParallelism(df) }
+    assert(jobs === 0, "the DSv2 estimate must not run jobs")
+    assert(est === 1, s"single-partition connector scan must estimate 1, got $est")
+    val widened = GraftSession.widen(df)
+    assert(widened.rdd.getNumPartitions === spark.sparkContext.defaultParallelism,
+      "widen must re-widen a narrow connector scan before kernels")
+  }
+
+  test("shuffle-landing estimate uses the AQE-coalesced minimum, not raw shuffle.partitions") {
+    // a 22-source aggregate output is a few KB: AQE coalesces it to ~1
+    // runtime partition, and the estimator must say so — estimating
+    // shuffle.partitions made widen() skip AQE-coalesced frames the old
+    // df.rdd path re-widened (ADVICE r10)
+    val agg = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val est = GraftSqlBridge.planParallelism(agg)
+    val width = spark.sessionState.conf.numShufflePartitions
+    assert(est < width,
+      s"small aggregate must estimate below shuffle.partitions=$width, got $est")
+    // with coalescing off the estimate returns to the static width
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try assert(GraftSqlBridge.planParallelism(agg) === width)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
   }
 
   test("file-split estimate tracks Spark's actual split count on a real table") {
