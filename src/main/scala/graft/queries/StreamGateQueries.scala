@@ -388,41 +388,50 @@ object StreamGateQueries {
     * same bucketed table the minhash index uses. Nothing scales with
     * stream length in executor or driver memory except the gate's own
     * result accumulator (the drained FINAL table, as in every gate). */
-  val qStreamCurate = QueryDef(
-    "q156_stream_curate",
-    (s, dir) => ran.getOrElseUpdate(s"$dir/scurate", {
-      import s.implicits._
-      import graft.functions.{html_to_text, url_parts, url_valid}
-      val blocked = Seq("github.io", "src0.com")
-      val uri = s"hub:$dir/sgate_scurate"
-      val docs = t(s, dir, "documents")
+  /** The q156 row-local curation chain (url gate → synthetic HTML → text
+    * extraction → quality floor → decontaminate) — shared verbatim by the
+    * base-corpus seed, every streaming epoch, and the epoch-robustness
+    * property spec's driver-side replay (StreamingSpec). */
+  private[graft] def curateChain(s: SparkSession, dir: String)(in: DataFrame): DataFrame = {
+    import graft.functions.{html_to_text, url_parts, url_valid}
+    val blocked = Seq("github.io", "src0.com")
+    val docs = t(s, dir, "documents")
+    val html = concat(
+      lit("<html><head><style>p{}</style><script>var x;</script></head><body><h1>T "),
+      col("doc_id").cast("string"), lit("</h1><p>"), substring(col("text"), 1, 120),
+      lit(" &amp; more</p><!-- nav --></body></html>"))
+    val evalHashes = docs.filter(pmod(col("doc_id"), lit(11)) === 7)
+      .select(md5(col("text")).as("__h")).distinct()
+    val p = url_parts(col("url"))
+    in.withColumn("url", Catalog.urlCol)
+      .filter(url_valid(col("url")))
+      .withColumn("html", html)
+      .select(col("doc_id"),
+        p.getField("host").as("host"),
+        p.getField("registrable_domain").as("domain"),
+        p.getField("canonical_url").as("canonical_url"),
+        html_to_text(col("html")).as("tc"), col("text"))
+      .filter(!blocked.map(b =>
+        col("host") === b || col("host").endsWith("." + b)).reduce(_ || _))
+      .select(col("domain"), col("canonical_url"), col("doc_id"),
+        length(col("tc")).cast("long").as("q"), md5(col("text")).as("__h"))
+      .filter(col("q") >= 60)
+      .join(broadcast(evalHashes), Seq("__h"), "left_anti")
+      .drop("__h")
+  }
 
-      // shared row-local chain: url gate -> html -> text -> quality ->
-      // decontaminate; identical expressions on base and delta sides
-      val html = concat(
-        lit("<html><head><style>p{}</style><script>var x;</script></head><body><h1>T "),
-        col("doc_id").cast("string"), lit("</h1><p>"), substring(col("text"), 1, 120),
-        lit(" &amp; more</p><!-- nav --></body></html>"))
-      val evalHashes = docs.filter(pmod(col("doc_id"), lit(11)) === 7)
-        .select(md5(col("text")).as("__h")).distinct()
-      def chain(in: DataFrame): DataFrame = {
-        val p = url_parts(col("url"))
-        in.withColumn("url", Catalog.urlCol)
-          .filter(url_valid(col("url")))
-          .withColumn("html", html)
-          .select(col("doc_id"),
-            p.getField("host").as("host"),
-            p.getField("registrable_domain").as("domain"),
-            p.getField("canonical_url").as("canonical_url"),
-            html_to_text(col("html")).as("tc"), col("text"))
-          .filter(!blocked.map(b =>
-            col("host") === b || col("host").endsWith("." + b)).reduce(_ || _))
-          .select(col("domain"), col("canonical_url"), col("doc_id"),
-            length(col("tc")).cast("long").as("q"), md5(col("text")).as("__h"))
-          .filter(col("q") >= 60)
-          .join(broadcast(evalHashes), Seq("__h"), "left_anti")
-          .drop("__h")
-      }
+  /** One full q156 run at a caller-chosen epoch schedule: `perOf` maps
+    * the delta's published row count to `maxPerTrigger` (the QueryDef
+    * uses n/7; the epoch-robustness property spec re-runs other
+    * schedules and replays each one's first-epoch-wins outcome
+    * driver-side). `tag` isolates the topic / index / checkpoint
+    * namespaces per run. */
+  private[graft] def streamCurate(s: SparkSession, dir: String,
+      perOf: Long => Long, tag: String): DataFrame = {
+      import s.implicits._
+      val uri = s"hub:$dir/sgate_$tag"
+      val docs = t(s, dir, "documents")
+      def chain(in: DataFrame): DataFrame = curateChain(s, dir)(in)
 
       // persisted url index, seeded with the curated BASE corpus's urls —
       // UrlIndex gives it the lifecycle the other persisted indexes have:
@@ -430,7 +439,7 @@ object StreamGateQueries {
       // compaction (UrlIndexSpec pins bounded file count over many epochs)
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-sgate-urlidx-" +
         s"${java.lang.ProcessHandle.current().pid()}-" +
-        java.lang.Integer.toHexString(s"$dir/scurate".hashCode)
+        java.lang.Integer.toHexString(s"$dir/$tag".hashCode)
       graft.operators.UrlIndex.seed(
         chain(docs.filter(pmod(col("doc_id"), lit(3)) === 0))
           .select(col("canonical_url")), idxDir)
@@ -444,7 +453,7 @@ object StreamGateQueries {
         (r.getLong(0).toString, Map.empty[String, String], r.getLong(0),
           payload.getBytes("UTF-8"))
       })
-      val per = math.max(1L, rows.length / 7L)
+      val per = perOf(rows.length.toLong)
       val stream = s.readStream.format("graft-topic")
         .option("profile", "pulsar").option("uri", uri).option("topics", "docs")
         .option("maxPerTrigger", per.toString)
@@ -459,7 +468,7 @@ object StreamGateQueries {
       var epochs = 0L
       val cp = s"${System.getProperty("java.io.tmpdir")}/graft-sgate-cp-" +
         s"${java.lang.ProcessHandle.current().pid()}-" +
-        java.lang.Integer.toHexString(s"$dir/scurate".hashCode)
+        java.lang.Integer.toHexString(s"$dir/$tag".hashCode)
       val q = stream.writeStream
         .outputMode("append")
         .option("checkpointLocation", cp)
@@ -499,7 +508,12 @@ object StreamGateQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("q")).as("n_chars_clean"))
         .withColumn("multi_epoch", lit(epochs > 1))
         .orderBy(col("domain"))
-    }),
+  }
+
+  val qStreamCurate = QueryDef(
+    "q156_stream_curate",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/scurate",
+      streamCurate(s, dir, n => math.max(1L, n / 7L), "scurate")),
     Some {
       val blockedSql = Seq("github.io", "src0.com")
         .map(b => s"host = '$b' OR host LIKE '%.$b'").mkString(" OR ")

@@ -572,4 +572,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(got((w0, "spark")) == 4L, s"got $got")
     assert(got.filter(_._1._2 == "flink").values.max == 4L)
   }
+
+  test("q156 epoch robustness: ANY maxPerTrigger schedule equals its own first-epoch-wins replay") {
+    // the oracle pins ONE fixed schedule (n/7); this property pins the
+    // foreachBatch logic itself: under any epoch slicing, the streamed
+    // result must equal a driver-side replay of first-epoch-wins +
+    // within-epoch keep-best FOR THAT SCHEDULE (VERDICT r10 item 7 —
+    // guards against schedule-dependent bugs in the claim/anti-join step)
+    val dir = "/root/testdata/sf0.001"
+    // Catalog <-> StreamGateQueries initialize each other; every other
+    // entry point goes through Catalog first — do the same here or the
+    // StreamGateQueries clinit reads Catalog's half-built vals as null
+    graft.SparkEntry.queries.size: Unit
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val chain = graft.queries.StreamGateQueries.curateChain(spark, dir) _
+    // replay inputs, computed once: the full delta publish order and the
+    // chain-gated candidate rows (gating is epoch-independent)
+    val deltaIds = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id")).orderBy(col("doc_id")).collect().map(_.getLong(0))
+    val gated = chain(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+      .collect().map(r => (r.getLong(2), r.getString(0), r.getString(1), r.getLong(3)))
+      .map { case (id, dom, url, q) => id -> (dom, url, q) }.toMap
+    val baseUrls = chain(docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+      .select(col("canonical_url")).collect().map(_.getString(0)).toSet
+    def replay(per: Long): Map[String, (Long, Long)] = {
+      val claimed = scala.collection.mutable.Set.empty[String] ++ baseUrls
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      deltaIds.grouped(math.max(1, per).toInt).foreach { epoch =>
+        val fresh = epoch.flatMap(id => gated.get(id).map(id -> _))
+          .filter { case (_, (_, url, _)) => !claimed.contains(url) }
+        val winners = fresh.groupBy(_._2._2).map { case (_, g) =>
+          g.maxBy { case (id, (_, _, q)) => (q, -id) }
+        }
+        winners.foreach { case (_, (dom, url, q)) =>
+          accepted += ((dom, q)): Unit
+        }
+        claimed ++= fresh.map(_._2._2)
+      }
+      accepted.groupBy(_._1).map { case (d, g) =>
+        d -> (g.size.toLong, g.map(_._2).sum)
+      }
+    }
+    // three schedules: coarse (3 epochs), fine (12), degenerate (1 row
+    // per epoch would be hundreds of epochs — use a mid schedule instead)
+    Seq[Long => Long](n => math.max(1L, n / 3L), n => math.max(1L, n / 12L),
+      n => 17L).zipWithIndex.foreach { case (perOf, i) =>
+      val got = graft.queries.StreamGateQueries
+        .streamCurate(spark, dir, perOf, s"scurate-prop$i")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = replay(perOf(deltaIds.length.toLong))
+      assert(got == want,
+        s"schedule $i diverged from its replay: " +
+          s"missing ${(want.keySet -- got.keySet).take(3)}, " +
+          s"extra ${(got.keySet -- want.keySet).take(3)}, " +
+          s"diff ${want.collect { case (k, v) if got.get(k).exists(_ != v) => k }.take(3)}")
+      assert(got.nonEmpty, "property fixture must accept documents")
+    }
+    // and the schedules genuinely differ: coarse vs fine winner sets are
+    // allowed to differ — the per-domain totals under at least one pair
+    // SHOULD differ if first-epoch-wins has any bite at this sf; do not
+    // assert inequality (corpus-dependent), the per-schedule equality
+    // above is the property
+  }
 }
