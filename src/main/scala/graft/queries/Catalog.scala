@@ -1836,6 +1836,75 @@ object Catalog {
       (SELECT COUNT(*) FROM embeddings) AS n_indexed,
       TRUE AS recall_ok"""))
 
+  /** Session-scoped build→append→REBUILD index (round 11: the operator
+    * behind the staleness counter's retrain recommendation). Own dir —
+    * q93's append index stays untouched so its served results never
+    * depend on query order. */
+  private def ivfRebuiltIndexPath(s: SparkSession, dir: String, emb: DataFrame): String = {
+    val key = dir.split('/').filter(_.nonEmpty).last + "-rebuilt"
+    builtIvfIndexes.getOrElseUpdate(key, {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
+        s"$key-${java.lang.ProcessHandle.current().pid()}"
+      val stage = base + ".stage"
+      graft.operators.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), stage, "vec_id", "embedding")
+      graft.operators.Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") % 2 =!= 0), stage, "vec_id", "embedding", "d1")
+      // the lifecycle close: retrain over build+appended mass, counters reset
+      graft.operators.Similarity.rebuildIvfIndex(s, stage)
+      val renamed = new java.io.File(stage).renameTo(new java.io.File(base))
+      require(renamed || new java.io.File(base).isDirectory,
+        s"IVF rebuilt-index rename failed: $stage -> $base")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+      }))
+      base
+    })
+  }
+
+  /** The staleness loop CLOSED (build half → append half → rebuild): the
+    * rebuilt index must own the FULL corpus as build mass (built_rows ==
+    * corpus, appended_rows == 0, no retrain flag — the counter-reset
+    * contract), serve every vector from its retrained lists (n_indexed)
+    * and keep brute-force recall — all driver-gate-checkable because the
+    * counts are exact and the quality floor is a pinned boolean. */
+  private val q157 = QueryDef(
+    "q157_ivf_rebuild",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = ivfRebuiltIndexPath(s, dir, emb)
+      val queries = emb.filter(col("vec_id") < 50)
+      val ann = graft.operators.Similarity.ivfTopKFromIndex(
+        path, queries, "vec_id", "embedding", k = 5)
+      val truth = Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      val hits = ann.join(truth.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val indexed = s.read.parquet(s"$path/lists").agg(count(lit(1)).as("n_indexed"))
+      val stale = graft.operators.Similarity.ivfIndexStaleness(s, path)
+        .select(col("built_rows"), col("appended_rows"), col("retrain_recommended"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
+        .crossJoin(indexed)
+        .crossJoin(stale)
+        .crossJoin(hits)
+        .select(col("n_queries"), col("n_truth"), col("n_indexed"),
+          col("built_rows"), col("appended_rows"), col("retrain_recommended"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double")
+            >= 0.4).as("recall_ok"))
+    },
+    Some("""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50) AS n_queries,
+      (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50) * 5 AS n_truth,
+      (SELECT COUNT(*) FROM embeddings) AS n_indexed,
+      (SELECT COUNT(*) FROM embeddings) AS built_rows,
+      CAST(0 AS BIGINT) AS appended_rows, FALSE AS retrain_recommended,
+      TRUE AS recall_ok"""))
+
   /** Session-scoped persisted IVF-PQ index — the [[ivfIndexPath]]
     * staging/rename/cleanup discipline for the compressed-codes variant. */
   private def ivfPqIndexPath(s: SparkSession, dir: String, emb: DataFrame): String = {
@@ -4101,7 +4170,7 @@ object Catalog {
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155) ++
+    q154, q155, q157) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
