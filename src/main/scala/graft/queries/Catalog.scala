@@ -1905,6 +1905,61 @@ object Catalog {
       CAST(0 AS BIGINT) AS appended_rows, FALSE AS retrain_recommended,
       TRUE AS recall_ok"""))
 
+  /** Session-scoped build→append→REBUILD minhash index (the q157 device
+    * for the banded-LSH family): built on the %3==0 third, the %3==1
+    * third merged as batch b1, then defragmented in place. */
+  private val builtMinhashRebuilt =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def minhashRebuiltTable(s: SparkSession, dir: String,
+      docs: DataFrame): String = {
+    val key = dir.split('/').filter(_.nonEmpty).last
+    builtMinhashRebuilt.getOrElseUpdate(key, {
+      val table = s"mhreb_${key.replace('.', '_')}_" +
+        s"${java.lang.ProcessHandle.current().pid()}"
+      Dedup.minhashIndexWrite(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", table)
+      Dedup.minhashIndexAppend(
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", table, "b1")
+      Dedup.minhashIndexRebuild(s, table)
+      table
+    })
+  }
+
+  /** The minhash staleness loop CLOSED: serve a fresh delta against the
+    * REBUILT index. Banding is untrained, so the rebuilt index must
+    * produce exactly the near-dup pairs the exact cross-jaccard gives at
+    * the threshold (the q71 oracle device, index side = the merged two
+    * thirds); the staleness columns pin the counter-reset contract
+    * (built_rows = merged mass, appended_rows = 0). */
+  private val q158 = QueryDef(
+    "q158_minhash_rebuild",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val table = minhashRebuiltTable(s, dir, docs)
+      val pairs = Dedup.minhashLshAgainstIndex(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", table,
+        threshold = 0.8)
+      val stale = Dedup.minhashIndexStaleness(s, table)
+        .select(col("built_rows"), col("appended_rows"))
+      pairs.crossJoin(stale).orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id % 3 <> 2 AND b.doc_id % 3 = 2
+            GROUP BY 1, 2)
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard,
+             (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 2) AS built_rows,
+             CAST(0 AS BIGINT) AS appended_rows
+      FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+      ORDER BY doc_a, doc_b"""))
+
   /** Session-scoped persisted IVF-PQ index — the [[ivfIndexPath]]
     * staging/rename/cleanup discipline for the compressed-codes variant. */
   private def ivfPqIndexPath(s: SparkSession, dir: String, emb: DataFrame): String = {
@@ -4170,7 +4225,7 @@ object Catalog {
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q157) ++
+    q154, q155, q157, q158) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
