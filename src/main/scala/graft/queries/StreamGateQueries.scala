@@ -549,6 +549,145 @@ object StreamGateQueries {
       FROM acc GROUP BY domain ORDER BY domain"""
     })
 
+  /** Streaming near-dup ingest against the persisted minhash index — the
+    * continuous-crawl counterpart of q156's exact-URL gate, and the
+    * production shape for dedup at ingest time: the corpus index is built
+    * ONCE ([[graft.operators.Dedup.minhashIndexWrite]]); every arriving
+    * micro-batch is (a) served against the index
+    * ([[graft.operators.Dedup.minhashLshAgainstIndex]] — only the batch
+    * shuffles), (b) self-deduped within the batch (inline
+    * [[graft.operators.Dedup.minhashLsh]] on the batch alone), and then
+    * (c) the WHOLE batch — accepted and rejected alike — is merged into
+    * the index ([[graft.operators.Dedup.minhashIndexAppend]],
+    * batchId-idempotent).
+    *
+    * Indexing rejected docs too is deliberate: the index is a SEEN-
+    * SIGNATURES set, not the accepted corpus. A later doc that near-dups
+    * a rejected doc belongs to a dup cluster that already has a kept
+    * representative (via the chain), so it is suppressed as well — the
+    * conservative transitive choice for training data. It also makes the
+    * accepted set EPOCH-SCHEDULE-INVARIANT: a doc is accepted iff it has
+    * no near-dup (exact Jaccard >= 0.8) among base docs or smaller-id
+    * delta docs, regardless of how the stream was chunked — docs arrive
+    * in doc_id order, so earlier epochs are exactly the smaller ids, and
+    * same-epoch smaller ids are caught by the inline batch pass.
+    * StreamingSpec pins the invariance property (several maxPerTrigger
+    * schedules, identical accepted set) and the chain semantics (A~B~C
+    * with A!~C: C stays suppressed although B was).
+    *
+    * Bounded state: the streaming query is STATELESS (foreachBatch, no
+    * watermark/mapGroupsWithState state); the growing artifact is the
+    * bucketed index on disk. The per-epoch collects are the gate's
+    * documented test accumulators, not the production shape. */
+  private[graft] def streamDedupIngest(s: SparkSession, docs: DataFrame,
+      perOf: Long => Long, tag: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Dedup
+    val uri = s"hub:sdi_$tag"
+    val tbl = "sdi_" +
+      java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid()) +
+      "_" + java.lang.Integer.toHexString(tag.hashCode).replace('-', 'm')
+    Dedup.minhashIndexWrite(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", tbl)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val rows = delta.select(col("doc_id"), col("source"), col("text"))
+      .orderBy(col("doc_id")).collect()
+    MemHub.publish(uri, "docs", rows.iterator.map { r =>
+      val payload =
+        s"""{"source":${jsonStr(r.getString(1))},"text":${jsonStr(r.getString(2))}}"""
+      (r.getLong(0).toString, Map.empty[String, String], r.getLong(0),
+        payload.getBytes("UTF-8"))
+    })
+    val per = perOf(rows.length.toLong)
+    val stream = s.readStream.format("graft-topic")
+      .option("profile", "pulsar").option("uri", uri).option("topics", "docs")
+      .option("maxPerTrigger", per.toString)
+      .load()
+      .select(col("key").cast("long").as("doc_id"),
+        from_json(col("value").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "source STRING, text STRING")).as("j"))
+      .select(col("doc_id"), col("j.source").as("source"), col("j.text").as("text"))
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var epochs = 0L
+    val cp = s"${System.getProperty("java.io.tmpdir")}/graft-sdi-cp-" +
+      s"${java.lang.ProcessHandle.current().pid()}-" +
+      java.lang.Integer.toHexString(tag.hashCode)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val rejIdx = Dedup.minhashLshAgainstIndex(batch, "doc_id", "text", tbl)
+          .select(col("doc_b").as("doc_id"))
+        // within-batch pass: doc_a < doc_b by construction, so dropping
+        // every doc_b is exactly "smaller id wins" inside the epoch
+        val rejSelf = Dedup.minhashLsh(batch, "doc_id", "text")
+          .select(col("doc_b").as("doc_id"))
+        val acc = batch
+          .join(rejIdx.unionByName(rejSelf).distinct(), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), length(col("text")).cast("long")).collect()
+        val sn = batch.select(col("doc_id"), col("source")).collect()
+        synchronized {
+          epochs = math.max(epochs, id + 1)
+          accepted ++= acc.map(r => (r.getLong(0), r.getLong(1)))
+          seen ++= sn.map(r => (r.getLong(0), r.getString(1)))
+        }
+        // seen-signature merge: the FULL batch, exactly-once per epoch
+        Dedup.minhashIndexAppend(batch, "doc_id", "text", tbl, id.toString)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}_sh")
+    s.sql(s"DROP TABLE IF EXISTS ${tbl}_buckets")
+    seen.toSeq.toDF("doc_id", "source")
+      .join(accepted.toSeq.toDF("doc_id", "chars"), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_in"),
+        count(col("chars")).as("n_accepted"),
+        (count(lit(1)) - count(col("chars"))).as("n_rejected"),
+        coalesce(sum(col("chars")), lit(0L)).as("n_chars_accepted"))
+      .withColumn("multi_epoch", lit(epochs > 1))
+      .orderBy(col("source"))
+  }
+
+  val qStreamDedupIngest = QueryDef(
+    "q159_stream_dedup_ingest",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/sdi",
+      streamDedupIngest(s, t(s, dir, "documents"),
+        n => math.max(1L, n / 7L), s"q159_$dir")),
+    // the accepted set is schedule-invariant (see streamDedupIngest), so
+    // the replay needs no epoch simulation: a delta doc is rejected iff
+    // it has an exact-Jaccard>=0.8 partner that is a base doc (always
+    // indexed first) or a smaller-id delta doc (earlier epoch via the
+    // index, or same epoch via the within-batch pass)
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      p AS (SELECT da, db
+            FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      rej AS (SELECT db AS doc_id FROM p WHERE db % 3 <> 0
+              UNION
+              SELECT da FROM p WHERE da % 3 <> 0 AND db % 3 = 0),
+      delta AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+      acc AS (SELECT * FROM delta WHERE doc_id NOT IN (SELECT doc_id FROM rej))
+      SELECT d.source,
+        CAST(COUNT(*) AS BIGINT) AS n_in,
+        CAST(COUNT(a.doc_id) AS BIGINT) AS n_accepted,
+        CAST(COUNT(*) - COUNT(a.doc_id) AS BIGINT) AS n_rejected,
+        CAST(SUM(CASE WHEN a.doc_id IS NOT NULL THEN length(d.text) ELSE 0 END) AS BIGINT) AS n_chars_accepted,
+        TRUE AS multi_epoch
+      FROM delta d LEFT JOIN acc a USING (doc_id)
+      GROUP BY d.source ORDER BY d.source"""))
+
   /** Minimal JSON string escaper for the seeded payloads (the corpus text
     * is plain ASCII-ish but quotes/backslashes/newlines must survive the
     * round-trip exactly — md5(text) is part of the decontamination key). */
@@ -568,5 +707,5 @@ object StreamGateQueries {
 
   val all: Seq[QueryDef] = Seq(qStreamRolling, qStreamDedup, qStreamWindow,
     qMapService, qStreamSessions, qStreamJoin, qStreamEnrich, qStreamOuterJoin,
-    qStreamCurate)
+    qStreamCurate, qStreamDedupIngest)
 }

@@ -128,4 +128,38 @@ class SemanticIndexSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("a crashed rebuild leaves serving untouched, and the next rebuild recovers") {
+    // rebuildIvfIndex stages at <path>.rebuild.tmp and parks the original
+    // at <path>.rebuild.old during the swap — a rebuild that died before
+    // its swap must leave both serving and staleness reading the LIVE
+    // index (they only read <path>), and a later rebuild must clean the
+    // debris and succeed
+    import spark.implicits._
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-semidx-crash-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    Similarity.buildIvfIndex(emb.limit(600), p, "vec_id", "embedding")
+    val q = emb.filter(col("vec_id") % 17 === 3)
+    def serve() = Similarity.ivfTopKFromIndex(p, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = serve()
+    // simulate the two crash layouts: a half-written staging dir and a
+    // leftover parked original from an interrupted earlier attempt
+    Seq(s"$p.rebuild.tmp/lists", s"$p.rebuild.old").foreach { d =>
+      Seq((1L, "garbage")).toDF("a", "b").write.mode("overwrite").parquet(d)
+    }
+    assert(serve() == before, "debris dirs must be invisible to serving")
+    val st = Similarity.ivfIndexStaleness(spark, p).head()
+    assert(st.getLong(1) == 0L && !st.getBoolean(3),
+      s"debris dirs must be invisible to staleness: $st")
+    Similarity.rebuildIvfIndex(spark, p)
+    assert(serve().nonEmpty, "post-recovery rebuild must serve")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p.rebuild.tmp")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$p.rebuild.old")),
+      "rebuild must clean both debris dirs")
+    val st2 = Similarity.ivfIndexStaleness(spark, p).head()
+    assert(st2.getLong(1) == 0L && !st2.getBoolean(3), s"counters must read fresh: $st2")
+  }
 }

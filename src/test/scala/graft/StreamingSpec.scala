@@ -634,4 +634,51 @@ class StreamingSpec extends AnyFunSuite {
     // assert inequality (corpus-dependent), the per-schedule equality
     // above is the property
   }
+
+  test("q159 schedule invariance: the accepted set is identical under any maxPerTrigger slicing") {
+    // q159's seen-signature semantics make acceptance depend only on
+    // doc_id order, never on epoch boundaries (streamDedupIngest doc) —
+    // a STRONGER property than q156's per-schedule replay: three
+    // schedules must produce byte-identical results (multi_epoch aside)
+    val dir = "/root/testdata/sf0.001"
+    graft.SparkEntry.queries.size: Unit
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    def run(perOf: Long => Long, i: Int): Seq[(String, Long, Long, Long, Long)] =
+      graft.queries.StreamGateQueries
+        .streamDedupIngest(spark, docs, perOf, s"sdi-prop$i")
+        .collect().toSeq.map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val coarse = run(n => math.max(1L, n / 3L), 0)
+    val fine = run(n => math.max(1L, n / 11L), 1)
+    val fixed = run(_ => 23L, 2)
+    assert(coarse == fine, s"coarse vs fine diverged: " +
+      s"${coarse.zip(fine).filter { case (a, b) => a != b }.take(3)}")
+    assert(coarse == fixed, s"coarse vs fixed-23 diverged: " +
+      s"${coarse.zip(fixed).filter { case (a, b) => a != b }.take(3)}")
+    assert(coarse.map(_._4).sum > 0, "fixture must reject some near-dups")
+    assert(coarse.map(_._3).sum > 0, "fixture must accept some docs")
+  }
+
+  test("q159 chain semantics: a doc near-dupping a REJECTED doc is still suppressed") {
+    // A(base) ~ B(delta) ~ C(delta), A !~ C: B is rejected against A; C
+    // near-dups only B. Accepted-corpus semantics would re-admit C; the
+    // seen-signature index (the whole batch is merged, rejected docs
+    // included) suppresses it — under BOTH schedules (C in B's epoch via
+    // the within-batch pass, C in a later epoch via the index)
+    graft.SparkEntry.queries.size: Unit
+    val toks = (0 until 68).map(i => s"w$i")
+    def span(from: Int, until: Int) = toks.slice(from, until).mkString(" ")
+    // 3-shingle Jaccards: A-B 54/62 = 0.87, B-C 54/62 = 0.87, A-C 50/66 = 0.76
+    val docs = Seq(
+      (0L, "chain", span(0, 60)),
+      (1L, "chain", span(4, 64)),
+      (2L, "chain", span(8, 68))).toDF("doc_id", "source", "text")
+    Seq(1L, 2L).zipWithIndex.foreach { case (per, i) =>
+      val got = graft.queries.StreamGateQueries
+        .streamDedupIngest(spark, docs, _ => per, s"sdi-chain$i-$per")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == Seq(("chain", 2L, 0L, 2L)),
+        s"per=$per: B and C must both be rejected, got ${got.toSeq}")
+    }
+  }
 }
