@@ -769,6 +769,17 @@ object Dedup {
       spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
       spark.sql(s"ALTER TABLE ${t}__rebuild RENAME TO $t")
       Bucketing.dropTableAndLocation(spark, s"${t}__old")
+      // the rename moves files under the live name but this session still
+      // lists the PRE-swap part files — a same-session re-read (the
+      // in-stream maintenance shape) throws FILE_NOT_EXIST without BOTH
+      // invalidations: refreshTable drops the cached relation, and
+      // refreshByPath evicts the shared FileStatusCache entry (path-keyed
+      // — the swapped dir keeps its path, so a fresh InMemoryFileIndex
+      // would otherwise re-adopt the stale listing)
+      spark.catalog.refreshByPath(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .location.toString)
+      spark.catalog.refreshTable(t)
     }
   }
 

@@ -559,7 +559,11 @@ object StreamGateQueries {
     * [[graft.operators.Dedup.minhashLsh]] on the batch alone), and then
     * (c) the WHOLE batch — accepted and rejected alike — is merged into
     * the index ([[graft.operators.Dedup.minhashIndexAppend]],
-    * batchId-idempotent).
+    * batchId-idempotent), and (d) when
+    * [[graft.operators.Dedup.minhashIndexStaleness]] reports the appended
+    * mass past the fragmentation threshold, the index is defragmented in
+    * place ([[graft.operators.Dedup.minhashIndexRebuild]]) — maintenance
+    * rides the stream, with the counter reset as hysteresis.
     *
     * Indexing rejected docs too is deliberate: the index is a SEEN-
     * SIGNATURES set, not the accepted corpus. A later doc that near-dups
@@ -579,6 +583,11 @@ object StreamGateQueries {
     * watermark/mapGroupsWithState state); the growing artifact is the
     * bucketed index on disk. The per-epoch collects are the gate's
     * documented test accumulators, not the production shape. */
+  /** In-stream rebuild count per streamDedupIngest tag — observability
+    * for the spec (the gate's result schema is pinned by the oracle). */
+  private[graft] val sdiRebuilds =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+
   private[graft] def streamDedupIngest(s: SparkSession, docs: DataFrame,
       perOf: Long => Long, tag: String): DataFrame = {
     import s.implicits._
@@ -635,6 +644,23 @@ object StreamGateQueries {
         }
         // seen-signature merge: the FULL batch, exactly-once per epoch
         Dedup.minhashIndexAppend(batch, "doc_id", "text", tbl, id.toString)
+        // table maintenance rides the stream (the q156 compaction
+        // pattern): when the appended mass crosses the fragmentation
+        // threshold, defragment in place. Banding is untrained, so the
+        // rebuild changes NO pair semantics — the schedule-invariance
+        // property doubles as a rebuild-point-invariance proof, since
+        // different epoch slicings cross the threshold at different
+        // moments (and the counter reset gives natural hysteresis)
+        // the rebuild must run on the MICRO-BATCH's session: streaming
+        // clones the session per query, and each clone has its own
+        // relation cache — a rebuild (and its post-swap refresh) through
+        // the outer session would leave the clone's cache pointing at
+        // the pre-swap file listing (FILE_NOT_EXIST on the next epoch)
+        val bs = batch.sparkSession
+        if (Dedup.minhashIndexStaleness(bs, tbl).head().getBoolean(3)) {
+          Dedup.minhashIndexRebuild(bs, tbl)
+          sdiRebuilds.updateWith(tag)(c => Some(c.getOrElse(0L) + 1L)): Unit
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -657,6 +657,13 @@ class StreamingSpec extends AnyFunSuite {
       s"${coarse.zip(fixed).filter { case (a, b) => a != b }.take(3)}")
     assert(coarse.map(_._4).sum > 0, "fixture must reject some near-dups")
     assert(coarse.map(_._3).sum > 0, "fixture must accept some docs")
+    // the delta is ~2x the base, so every schedule crosses the
+    // fragmentation threshold at SOME epoch — the equalities above are
+    // therefore also a rebuild-point-invariance proof
+    Seq("sdi-prop0", "sdi-prop1", "sdi-prop2").foreach { t =>
+      assert(graft.queries.StreamGateQueries.sdiRebuilds.getOrElse(t, 0L) >= 1L,
+        s"$t: the in-stream maintenance rebuild never fired")
+    }
   }
 
   test("q159 chain semantics: a doc near-dupping a REJECTED doc is still suppressed") {
