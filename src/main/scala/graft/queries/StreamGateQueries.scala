@@ -588,6 +588,54 @@ object StreamGateQueries {
   private[graft] val sdiRebuilds =
     new scala.collection.concurrent.TrieMap[String, Long]()
 
+  /** One q159 epoch against the persisted index `tbl`: serve → within-
+    * batch dedup → seen-signature merge → in-stream maintenance. Returns
+    * (accepted (doc_id, chars), seen (doc_id, source)) rows. Extracted so
+    * the resume/replay specs drive the SHIPPED epoch logic through their
+    * own checkpoints.
+    *
+    * Replay boundary (pinned by StreamingSpec): the index merge is
+    * exactly-once per batchId, so a replayed epoch (checkpoint lost
+    * after the append committed) never duplicates index rows — but its
+    * docs now near-dup their OWN signatures, so the replay returns them
+    * all as rejected. Paired with an idempotent downstream sink keyed on
+    * doc_id this is safe (the docs were already emitted); a sink that
+    * lost its commit under-emits — the standard at-least-once boundary
+    * of a side-effecting foreachBatch, stated rather than hidden. */
+  private[graft] def sdiEpoch(tbl: String, tag: String)(
+      batch: DataFrame, id: Long): (Array[Row], Array[Row]) = {
+    import graft.operators.Dedup
+    val rejIdx = Dedup.minhashLshAgainstIndex(batch, "doc_id", "text", tbl)
+      .select(col("doc_b").as("doc_id"))
+    // within-batch pass: doc_a < doc_b by construction, so dropping
+    // every doc_b is exactly "smaller id wins" inside the epoch
+    val rejSelf = Dedup.minhashLsh(batch, "doc_id", "text")
+      .select(col("doc_b").as("doc_id"))
+    val acc = batch
+      .join(rejIdx.unionByName(rejSelf).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), length(col("text")).cast("long")).collect()
+    val sn = batch.select(col("doc_id"), col("source")).collect()
+    // seen-signature merge: the FULL batch, exactly-once per epoch
+    Dedup.minhashIndexAppend(batch, "doc_id", "text", tbl, id.toString)
+    // table maintenance rides the stream (the q156 compaction pattern):
+    // when the appended mass crosses the fragmentation threshold,
+    // defragment in place. Banding is untrained, so the rebuild changes
+    // NO pair semantics — the schedule-invariance property doubles as a
+    // rebuild-point-invariance proof, since different epoch slicings
+    // cross the threshold at different moments (and the counter reset
+    // gives natural hysteresis). The rebuild must run on the MICRO-
+    // BATCH's session: streaming clones the session per query, and each
+    // clone has its own relation cache — a rebuild (and its post-swap
+    // refresh) through the outer session would leave the clone's cache
+    // pointing at the pre-swap file listing (FILE_NOT_EXIST next epoch)
+    val bs = batch.sparkSession
+    if (Dedup.minhashIndexStaleness(bs, tbl).head().getBoolean(3)) {
+      Dedup.minhashIndexRebuild(bs, tbl)
+      sdiRebuilds.updateWith(tag)(c => Some(c.getOrElse(0L) + 1L)): Unit
+    }
+    (acc, sn)
+  }
+
   private[graft] def streamDedupIngest(s: SparkSession, docs: DataFrame,
       perOf: Long => Long, tag: String): DataFrame = {
     import s.implicits._
@@ -627,40 +675,13 @@ object StreamGateQueries {
       .outputMode("append")
       .option("checkpointLocation", cp)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val rejIdx = Dedup.minhashLshAgainstIndex(batch, "doc_id", "text", tbl)
-          .select(col("doc_b").as("doc_id"))
-        // within-batch pass: doc_a < doc_b by construction, so dropping
-        // every doc_b is exactly "smaller id wins" inside the epoch
-        val rejSelf = Dedup.minhashLsh(batch, "doc_id", "text")
-          .select(col("doc_b").as("doc_id"))
-        val acc = batch
-          .join(rejIdx.unionByName(rejSelf).distinct(), Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), length(col("text")).cast("long")).collect()
-        val sn = batch.select(col("doc_id"), col("source")).collect()
+        val (acc, sn) = sdiEpoch(tbl, tag)(batch, id)
         synchronized {
           epochs = math.max(epochs, id + 1)
           accepted ++= acc.map(r => (r.getLong(0), r.getLong(1)))
           seen ++= sn.map(r => (r.getLong(0), r.getString(1)))
         }
-        // seen-signature merge: the FULL batch, exactly-once per epoch
-        Dedup.minhashIndexAppend(batch, "doc_id", "text", tbl, id.toString)
-        // table maintenance rides the stream (the q156 compaction
-        // pattern): when the appended mass crosses the fragmentation
-        // threshold, defragment in place. Banding is untrained, so the
-        // rebuild changes NO pair semantics — the schedule-invariance
-        // property doubles as a rebuild-point-invariance proof, since
-        // different epoch slicings cross the threshold at different
-        // moments (and the counter reset gives natural hysteresis)
-        // the rebuild must run on the MICRO-BATCH's session: streaming
-        // clones the session per query, and each clone has its own
-        // relation cache — a rebuild (and its post-swap refresh) through
-        // the outer session would leave the clone's cache pointing at
-        // the pre-swap file listing (FILE_NOT_EXIST on the next epoch)
-        val bs = batch.sparkSession
-        if (Dedup.minhashIndexStaleness(bs, tbl).head().getBoolean(3)) {
-          Dedup.minhashIndexRebuild(bs, tbl)
-          sdiRebuilds.updateWith(tag)(c => Some(c.getOrElse(0L) + 1L)): Unit
-        }
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -717,7 +738,7 @@ object StreamGateQueries {
   /** Minimal JSON string escaper for the seeded payloads (the corpus text
     * is plain ASCII-ish but quotes/backslashes/newlines must survive the
     * round-trip exactly — md5(text) is part of the decontamination key). */
-  private def jsonStr(s: String): String = {
+  private[graft] def jsonStr(s: String): String = {
     val b = new StringBuilder("\"")
     s.foreach {
       case '"' => b.append("\\\"")

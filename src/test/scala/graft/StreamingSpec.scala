@@ -666,6 +666,114 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q159 resumes from its checkpoint: a two-publish restart equals the one-shot run") {
+    // the ingest stream dies between crawls and comes back: drain half
+    // the delta, then publish the rest and drain AGAIN through the SAME
+    // checkpoint — offsets resume, batchIds continue, and the combined
+    // accepted set must equal an uninterrupted run's (acceptance is
+    // doc_id-order-only, and the index state lives on disk)
+    val dir = "/root/testdata/sf0.001"
+    graft.SparkEntry.queries.size: Unit
+    import graft.operators.Dedup
+    import graft.queries.StreamGateQueries
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val pid = java.lang.ProcessHandle.current().pid()
+    val tbl = s"sdires_$pid"
+    Dedup.minhashIndexWrite(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", tbl)
+    val uri = "hub:sdi_resume-fixture"
+    val rows = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .orderBy(col("doc_id")).collect()
+    val cp = Files.createTempDirectory("graft-sdi-resume-cp").toString
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def publish(part: Array[org.apache.spark.sql.Row]): Unit =
+      MemHub.publish(uri, "docs", part.iterator.map { r =>
+        val payload = s"""{"source":${StreamGateQueries.jsonStr(r.getString(1))},""" +
+          s""""text":${StreamGateQueries.jsonStr(r.getString(2))}}"""
+        (r.getLong(0).toString, Map.empty[String, String], r.getLong(0),
+          payload.getBytes("UTF-8"))
+      })
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-topic")
+        .option("profile", "pulsar").option("uri", uri).option("topics", "docs")
+        .option("maxPerTrigger", "23")
+        .load()
+        .select(col("key").cast("long").as("doc_id"),
+          from_json(col("value").cast("string"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "source STRING, text STRING")).as("j"))
+        .select(col("doc_id"), col("j.source").as("source"), col("j.text").as("text"))
+        .writeStream.outputMode("append").option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val (a, sn) = StreamGateQueries.sdiEpoch(tbl, "sdi-resume-fixture")(b, id)
+          accepted.synchronized {
+            accepted ++= a.map(r => (r.getLong(0), r.getLong(1)))
+            seen ++= sn.map(r => (r.getLong(0), r.getString(1)))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    publish(half1); drain()
+    val afterFirst = seen.size
+    assert(afterFirst == half1.length, s"first drain saw $afterFirst of ${half1.length}")
+    publish(half2); drain()
+    assert(seen.size == rows.length,
+      s"resume must pick up ONLY the new rows: saw ${seen.size} of ${rows.length}")
+    // fold to the gate's aggregate and compare with an uninterrupted run
+    import spark.implicits._
+    val got = seen.toSeq.toDF("doc_id", "source")
+      .join(accepted.toSeq.toDF("doc_id", "chars"), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_in"), count(col("chars")).as("n_accepted"),
+        (count(lit(1)) - count(col("chars"))).as("n_rejected"),
+        coalesce(sum(col("chars")), lit(0L)).as("n_chars_accepted"))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ref = graft.queries.StreamGateQueries
+      .streamDedupIngest(spark, docs, _ => 23L, "sdi-resume-ref")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == ref.toSeq, s"resumed run diverged: " +
+      s"${got.zip(ref).filter { case (a, b) => a != b }.take(3)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_sh")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_buckets")
+  }
+
+  test("q159 epoch replay: batchId idempotence holds and replayed docs self-suppress") {
+    // checkpoint lost AFTER the index merge committed: the epoch replays.
+    // The merge must be a no-op (appendedBatches) and the replayed docs —
+    // now near-dupping their OWN signatures — come back rejected: the
+    // documented at-least-once boundary of the side-effecting epoch
+    graft.SparkEntry.queries.size: Unit
+    import graft.operators.Dedup
+    import spark.implicits._
+    val pid = java.lang.ProcessHandle.current().pid()
+    val tbl = s"sdirep_$pid"
+    val base = Seq((0L, "s", (0 until 60).map(i => s"a$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    Dedup.minhashIndexWrite(base, "doc_id", "text", tbl)
+    val batch = Seq((1L, "s", (0 until 60).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val (acc1, _) = graft.queries.StreamGateQueries.sdiEpoch(tbl, "sdi-replay")(batch, 0L)
+    assert(acc1.map(_.getLong(0)).toSeq == Seq(1L), "fresh doc must be accepted")
+    val shRows = spark.table(s"${tbl}_sh").count()
+    val appended = Dedup.minhashIndexStaleness(spark, tbl).head().getLong(1)
+    val (acc2, seen2) = graft.queries.StreamGateQueries.sdiEpoch(tbl, "sdi-replay")(batch, 0L)
+    assert(seen2.length == 1, "the replayed epoch still reports its rows as seen")
+    assert(acc2.isEmpty, "replayed docs must self-suppress, not re-accept")
+    assert(spark.table(s"${tbl}_sh").count() == shRows,
+      "a replayed batchId must not duplicate index rows")
+    assert(Dedup.minhashIndexStaleness(spark, tbl).head().getLong(1) == appended,
+      "a replayed batchId must not advance the appended counter")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_sh")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_buckets")
+  }
+
   test("q159 chain semantics: a doc near-dupping a REJECTED doc is still suppressed") {
     // A(base) ~ B(delta) ~ C(delta), A !~ C: B is rejected against A; C
     // near-dups only B. Accepted-corpus semantics would re-admit C; the
