@@ -1621,7 +1621,10 @@ object Pipeline {
       textCol: String,
       carry: Seq[Column]): DataFrame = {
     val toks = split(trim(col(textCol)), "[ \\t\\n\\f\\r]+")
-    val base = df.select(
+    // widen before the explode+md5 kernel pass: the feature stream is
+    // consumed twice (bucket weights, then the per-doc fold), and a
+    // narrow scan would run both passes at the file-split parallelism
+    val base = graft.core.GraftSession.widen(df).select(
       (col(idCol).cast("long").as("doc_id") +: carry :+ toks.as("__toks")): _*)
     val keep = base.columns.filter(_ != "__toks").map(col).toSeq
     val uni = base.select((keep :+ explode(col("__toks")).as("f")): _*)
