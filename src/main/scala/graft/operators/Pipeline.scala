@@ -601,6 +601,68 @@ object Pipeline {
     * per-group totals; the vocabulary (bounded by `vocabSize`) broadcasts
     * into the anti join, so the corpus-side token stream is never shuffled
     * for membership — only the small per-group partial counts move. */
+  /** First-k byte-pair-encoding merges over the corpus vocabulary
+    * (Sennrich, Haddow & Birch, ACL 2016) — the tokenizer-training verb.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * aggregate); the merge loop then runs entirely over that vocab-sized
+    * table — at 100 TB the vocabulary is millions of rows where the
+    * corpus is billions, so k iterations over it are k small jobs, not k
+    * corpus passes. Driver state is exactly k merge tuples (the argmax
+    * row per iteration) — never rows.
+    *
+    * Determinism / engine parity: words are lowercase [a-z0-9]+ runs;
+    * a word's symbol string is sentinel-wrapped (`|a|b|c|`), pair counts
+    * weight ALL adjacent symbol positions by word frequency (standard
+    * BPE counting, overlap allowed), argmax ties break on the pair
+    * string ascending, and the winning pair is applied with plain
+    * leftmost-non-overlapping string replace of `|x|y|` → `|xy|` —
+    * shared-sentinel chains (`b b b` merges once, standard BPE greedy)
+    * behave identically in Spark's `replace` and DuckDB's (spec-pinned).
+    * Symbols never contain the sentinel, so the replace cannot match
+    * across symbol boundaries. */
+  def bpeMerges(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.core.GraftSession.pinScope {
+      val words = graft.core.GraftSession.widen(df)
+        .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
+        .filter(length(col("w")) > 0)
+      // the one corpus pass; pinned because the loop reads it k times
+      val wf = graft.core.GraftSession.pin(
+        words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .withColumn("enc",
+            concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))))
+      var enc: Column = col("enc")
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      var i = 0
+      while (i < k) {
+        val arr = split(enc, "\\|")
+        val symbols = slice(arr, lit(2), size(arr) - 2)
+        val pairs = when(size(symbols) >= 2,
+          transform(sequence(lit(1), size(symbols) - 1),
+            j => concat(element_at(symbols, j), lit("|"),
+              element_at(symbols, j + 1))))
+          .otherwise(array().cast("array<string>"))
+        val top = wf.select(col("n"), explode(pairs).as("p"))
+          .groupBy(col("p")).agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("p").asc)
+          .take(1)
+        require(top.nonEmpty, s"corpus exhausted after $i merges (k = $k)")
+        val p = top.head.getString(0)
+        val cnt = top.head.getLong(1)
+        val sep = p.indexOf('|')
+        val (lft, rgt) = (p.substring(0, sep), p.substring(sep + 1))
+        merges += ((i + 1, lft, rgt, lft + rgt, cnt))
+        enc = call_function("replace", enc, lit(s"|$p|"), lit(s"|$lft$rgt|"))
+        i += 1
+      }
+      merges.toSeq
+        .toDF("merge_rank", "sym_left", "sym_right", "merged", "pair_count")
+    }
+  }
+
   def oovRate(
       df: DataFrame,
       groupCol: String,

@@ -1960,6 +1960,57 @@ object Catalog {
       WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
       ORDER BY doc_a, doc_b"""))
 
+  /** q160 oracle: the k BPE merge stages unrolled as GENERATED CTEs (the
+    * PSL / MaxSim generated-SQL device — two engines cannot drift when
+    * one template emits both sides). Stage i: count all adjacent symbol
+    * positions weighted by word frequency over w(i-1), pick the argmax
+    * pair (ties on the pair string ascending), rewrite every word's
+    * sentinel-wrapped symbol string with a plain leftmost-non-overlap
+    * replace — identical semantics to Spark's `replace`
+    * ([[graft.operators.Pipeline.bpeMerges]]).
+    *
+    * Every CTE is `AS MATERIALIZED`: each stage references its
+    * predecessor more than once (the pair count and the rewrite, plus
+    * the final UNION reads every m_i), so DuckDB's default inlining
+    * re-evaluates the chain with ~2^k blowup — measured 529 s plain vs
+    * 0.1 s materialized at sf0.01. */
+  private def bpeOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+        '|' || regexp_replace(w, '(.)', '\1|', 'g') AS enc
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w FROM documents)
+      WHERE length(w) > 0 GROUP BY w)""")
+    (1 to k).foreach { i =>
+      sb.append(s""",
+        p$i AS MATERIALIZED (SELECT p, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT n, unnest([s[j] || '|' || s[j+1] for j in range(2, len(s) - 1)]) AS p
+            FROM (SELECT n, string_split(enc, '|') AS s FROM w${i - 1})) GROUP BY p),
+        m$i AS MATERIALIZED (SELECT p, cnt FROM p$i ORDER BY cnt DESC, p ASC LIMIT 1),
+        w$i AS MATERIALIZED (SELECT w, n, replace(enc,
+            '|' || (SELECT p FROM m$i) || '|',
+            '|' || replace((SELECT p FROM m$i), '|', '') || '|') AS enc FROM w${i - 1})""")
+    }
+    sb.append("\n      ")
+    sb.append((1 to k).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS merge_rank,
+          split_part(p, '|', 1) AS sym_left, split_part(p, '|', 2) AS sym_right,
+          replace(p, '|', '') AS merged, cnt AS pair_count FROM m$i"""
+    }.mkString(" UNION ALL "))
+    sb.append(" ORDER BY merge_rank")
+    sb.toString
+  }
+
+  /** BPE vocabulary induction: the first 8 merges (pair, merged symbol,
+    * weighted adjacency count) — the tokenizer-training verb. The merge
+    * loop runs over the vocab-sized word-frequency table, never the
+    * corpus (one corpus pass total); driver state is 8 merge tuples. */
+  private val q160 = QueryDef(
+    "q160_bpe_merges",
+    (s, dir) =>
+      graft.operators.Pipeline.bpeMerges(t(s, dir, "documents"), "text", k = 8)
+        .orderBy(col("merge_rank")),
+    Some(bpeOracleSql(8)))
+
   /** Session-scoped persisted IVF-PQ index — the [[ivfIndexPath]]
     * staging/rename/cleanup discipline for the compressed-codes variant. */
   private def ivfPqIndexPath(s: SparkSession, dir: String, emb: DataFrame): String = {
@@ -4225,7 +4276,7 @@ object Catalog {
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q157, q158) ++
+    q154, q155, q157, q158, q160) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

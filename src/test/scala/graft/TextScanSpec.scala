@@ -330,4 +330,32 @@ class TextScanSpec extends AnyFunSuite {
       assert(bad == 0, s"$bad rows diverge from the declarative CASE")
     }
   }
+
+  test("bpeMerges: shared-sentinel chains, greedy non-overlap, deterministic ties") {
+    import spark.implicits._
+    // 'b b b' is the shared-sentinel edge: '|b|b|b|' rewriting '|b|b|' →
+    // '|bb|' must merge ONCE (greedy left-to-right, standard BPE), giving
+    // '|bb|b|' — and the next round's top pair over the remaining corpus
+    // must see symbols 'bb' and 'b' as distinct
+    val docs = Seq(
+      (0L, "bbb bbb bbb bbb"), // four 'bbb' words: pair b|b counted 2x per word (overlap), merged once per word
+      (1L, "aa aa aa")         // three 'aa': pair a|a counted 1x per word
+    ).toDF("doc_id", "text")
+    val m = graft.operators.Pipeline.bpeMerges(docs, "text", k = 3)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // counts: b|b = 4 words x 2 adjacent positions = 8; a|a = 3
+    assert(m(0) == ((1, "b", "b", "bb", 8L)), s"merge 1: ${m(0)}")
+    // after '|b|b|' -> '|bb|': every 'bbb' is '|bb|b|' — pair bb|b = 4;
+    // a|a = 3 still; bb|b wins
+    assert(m(1) == ((2, "bb", "b", "bbb", 4L)), s"merge 2: ${m(1)}")
+    // then a|a = 3 is all that's left
+    assert(m(2) == ((3, "a", "a", "aa", 3L)), s"merge 3: ${m(2)}")
+    // deterministic tie-break: two pairs at equal count resolve on the
+    // pair string ascending
+    val tie = Seq((0L, "xy xy qr qr")).toDF("doc_id", "text")
+    val t = graft.operators.Pipeline.bpeMerges(tie, "text", k = 1).head()
+    assert(t.getString(1) == "q" && t.getString(2) == "r",
+      s"tie must break to the ascending pair: $t")
+  }
 }
