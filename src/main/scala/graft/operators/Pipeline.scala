@@ -621,19 +621,21 @@ object Pipeline {
     * behave identically in Spark's `replace` and DuckDB's (spec-pinned).
     * Symbols never contain the sentinel, so the replace cannot match
     * across symbol boundaries. */
-  def bpeMerges(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+  /** The training loop behind [[bpeMerges]] and [[bpeFertility]]: the
+    * (rank, left, right, merged, weighted count) tuples — exactly k rows
+    * of driver state. */
+  private def trainBpe(
+      df: DataFrame, textCol: String, k: Int): Seq[(Int, String, String, String, Long)] = {
     require(k >= 1 && k <= 64, "k must be in [1, 64]")
-    val spark = df.sparkSession
-    import spark.implicits._
-    graft.core.GraftSession.pinScope {
-      val words = graft.core.GraftSession.widen(df)
-        .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
-        .filter(length(col("w")) > 0)
-      // the one corpus pass; pinned because the loop reads it k times
-      val wf = graft.core.GraftSession.pin(
-        words.groupBy(col("w")).agg(count(lit(1)).as("n"))
-          .withColumn("enc",
-            concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))))
+    val words = graft.core.GraftSession.widen(df)
+      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) > 0)
+    // the one corpus pass; pinned because the loop reads it k times
+    val wf = graft.core.GraftSession.pin(
+      words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .withColumn("enc",
+          concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))))
+    try {
       var enc: Column = col("enc")
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
       var i = 0
@@ -659,8 +661,41 @@ object Pipeline {
         i += 1
       }
       merges.toSeq
-        .toDF("merge_rank", "sym_left", "sym_right", "merged", "pair_count")
+    } finally graft.core.GraftSession.release(wf)
+  }
+
+  def bpeMerges(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    trainBpe(df, textCol, k)
+      .toDF("merge_rank", "sym_left", "sym_right", "merged", "pair_count")
+  }
+
+  /** Tokenizer fertility (tokens per word) by group after encoding with
+    * the first-k [[bpeMerges]] — the tokenizer-fit report a mixture plan
+    * reads next to [[oovRate]]: a language whose fertility stays near its
+    * character count is under-served by the learned vocabulary. The
+    * APPLY step is one corpus pass of row-local work: each word instance
+    * is sentinel-encoded and the k learned replaces run as a literal
+    * codegen'd chain — no joins, no vocab broadcast, driver state is the
+    * k merge tuples from training. */
+  def bpeFertility(
+      df: DataFrame, groupCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val merges = trainBpe(df, textCol, k)
+    val words = graft.core.GraftSession.widen(df)
+      .select(col(groupCol).as("grp"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) > 0)
+    var enc: Column = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
+    merges.foreach { case (_, l, r, m, _) =>
+      enc = call_function("replace", enc, lit(s"|$l|$r|"), lit(s"|$m|"))
     }
+    words
+      .withColumn("t", (size(split(enc, "\\|")) - 2).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_words"), sum(col("t")).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
   }
 
   def oovRate(

@@ -1974,7 +1974,7 @@ object Catalog {
     * the final UNION reads every m_i), so DuckDB's default inlining
     * re-evaluates the chain with ~2^k blowup — measured 529 s plain vs
     * 0.1 s materialized at sf0.01. */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeChainSql(k: Int): String = {
     val sb = new StringBuilder
     sb.append("""WITH w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
         '|' || regexp_replace(w, '(.)', '\1|', 'g') AS enc
@@ -1990,15 +1990,30 @@ object Catalog {
             '|' || (SELECT p FROM m$i) || '|',
             '|' || replace((SELECT p FROM m$i), '|', '') || '|') AS enc FROM w${i - 1})""")
     }
-    sb.append("\n      ")
-    sb.append((1 to k).map { i =>
-      s"""SELECT CAST($i AS INTEGER) AS merge_rank,
-          split_part(p, '|', 1) AS sym_left, split_part(p, '|', 2) AS sym_right,
-          replace(p, '|', '') AS merged, cnt AS pair_count FROM m$i"""
-    }.mkString(" UNION ALL "))
-    sb.append(" ORDER BY merge_rank")
     sb.toString
   }
+
+  private def bpeOracleSql(k: Int): String =
+    bpeChainSql(k) + "\n      " +
+      (1 to k).map { i =>
+        s"""SELECT CAST($i AS INTEGER) AS merge_rank,
+          split_part(p, '|', 1) AS sym_left, split_part(p, '|', 2) AS sym_right,
+          replace(p, '|', '') AS merged, cnt AS pair_count FROM m$i"""
+      }.mkString(" UNION ALL ") + " ORDER BY merge_rank"
+
+  /** q161 oracle: encode every word INSTANCE with the learned merges —
+    * the per-word rewrite is already computed at vocab level in w_k, so
+    * the corpus join is by word; fertility is a double division of two
+    * exact int64s (bit-exact in both engines). */
+  private def bpeFertilityOracleSql(k: Int): String =
+    bpeChainSql(k) + s""",
+      dw AS MATERIALIZED (SELECT lang, w FROM (
+          SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents) WHERE length(w) > 0)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(len(string_split(enc, '|')) - 2) AS BIGINT) AS n_tokens,
+        CAST(SUM(len(string_split(enc, '|')) - 2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+      FROM dw JOIN w$k USING (w) GROUP BY lang ORDER BY lang"""
 
   /** BPE vocabulary induction: the first 8 merges (pair, merged symbol,
     * weighted adjacency count) — the tokenizer-training verb. The merge
@@ -2010,6 +2025,19 @@ object Catalog {
       graft.operators.Pipeline.bpeMerges(t(s, dir, "documents"), "text", k = 8)
         .orderBy(col("merge_rank")),
     Some(bpeOracleSql(8)))
+
+  /** BPE apply step: tokenizer fertility (tokens per word) by language
+    * after encoding with the q160 merges — the tokenizer-fit report next
+    * to q69's OOV rate. One row-local corpus pass (the k replaces run as
+    * a literal codegen'd chain per word instance; no joins). */
+  private val q161 = QueryDef(
+    "q161_bpe_fertility",
+    (s, dir) =>
+      graft.operators.Pipeline.bpeFertility(
+        t(s, dir, "documents"), "lang", "text", k = 8)
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang")),
+    Some(bpeFertilityOracleSql(8)))
 
   /** Session-scoped persisted IVF-PQ index — the [[ivfIndexPath]]
     * staging/rename/cleanup discipline for the compressed-codes variant. */
@@ -4276,7 +4304,7 @@ object Catalog {
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q157, q158, q160) ++
+    q154, q155, q157, q158, q160, q161) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
