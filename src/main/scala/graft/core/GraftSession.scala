@@ -128,12 +128,27 @@ object GraftSession {
   }
 
   /** Static confs the caller asked for that the existing session does not
-    * carry — getOrCreate cannot apply them post-hoc. */
+    * carry — getOrCreate cannot apply them post-hoc. Path-valued confs are
+    * compared as QUALIFIED paths: SharedState stores
+    * `spark.sql.warehouse.dir` as a URI (`file:/data/wh`), so a raw-string
+    * compare against the caller's `/data/wh` would report a drop for a
+    * conf that actually landed — the exact misdiagnosis this detector
+    * exists to prevent. */
   private[graft] def staticConfDrops(spark: SparkSession,
       wanted: Seq[(String, String)]): Seq[(String, String, String)] =
     wanted.flatMap { case (k, want) =>
       val got = spark.conf.getOption(k).getOrElse("")
-      if (got == want) None else Some((k, want, got))
+      def norm(v: String): String =
+        if (v.isEmpty) v
+        else try {
+          val p = new org.apache.hadoop.fs.Path(v)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .makeQualified(p).toUri.toString.stripSuffix("/")
+        } catch { case _: Throwable => v }
+      val same =
+        if (k.endsWith(".dir") || k.endsWith(".path")) norm(got) == norm(want)
+        else got == want
+      if (same) None else Some((k, want, got))
     }
 
   /** `graft.psl.path` is read ONCE PER JVM by [[graft.functions.UrlKit]]

@@ -763,11 +763,25 @@ object Dedup {
       s"'graft.appendedRows' = '0', " +
       s"'graft.appendedBatches' = '$carried')")
     // swap both tables through catalog renames (two renames per table —
-    // the compact non-atomicity caveat applies to concurrent readers)
+    // the compact non-atomicity caveat applies to concurrent readers). A
+    // failure on the SECOND rename rolls the original back (the
+    // rebuildIvfIndex / compact discipline): without it the live name is
+    // simply GONE and every later epoch of an in-stream maintenance
+    // caller dies on table-not-found instead of serving the stale layout
     Seq(s"${table}_sh", s"${table}_buckets").foreach { t =>
       Bucketing.dropTableAndLocation(spark, s"${t}__old")
       spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
-      spark.sql(s"ALTER TABLE ${t}__rebuild RENAME TO $t")
+      try spark.sql(s"ALTER TABLE ${t}__rebuild RENAME TO $t")
+      catch {
+        case e: Throwable =>
+          val restored =
+            try { spark.sql(s"ALTER TABLE ${t}__old RENAME TO $t"); true }
+            catch { case _: Throwable => false }
+          throw new IllegalStateException(
+            s"minhashIndexRebuild swap failed: ${t}__rebuild -> $t" +
+              (if (restored) " (original restored)"
+               else s" AND rollback failed — original is at ${t}__old"), e)
+      }
       Bucketing.dropTableAndLocation(spark, s"${t}__old")
       // the rename moves files under the live name but this session still
       // lists the PRE-swap part files — a same-session re-read (the

@@ -601,8 +601,8 @@ object Pipeline {
     * per-group totals; the vocabulary (bounded by `vocabSize`) broadcasts
     * into the anti join, so the corpus-side token stream is never shuffled
     * for membership — only the small per-group partial counts move. */
-  /** First-k byte-pair-encoding merges over the corpus vocabulary
-    * (Sennrich, Haddow & Birch, ACL 2016) — the tokenizer-training verb.
+  /** First-k byte-pair-encoding merges over the corpus vocabulary (after
+    * Sennrich, Haddow & Birch, ACL 2016) — the tokenizer-training verb.
     *
     * Scale shape: the corpus is touched ONCE (the word-frequency
     * aggregate); the merge loop then runs entirely over that vocab-sized
@@ -615,12 +615,27 @@ object Pipeline {
     * a word's symbol string is sentinel-wrapped (`|a|b|c|`), pair counts
     * weight ALL adjacent symbol positions by word frequency (standard
     * BPE counting, overlap allowed), argmax ties break on the pair
-    * string ascending, and the winning pair is applied with plain
+    * string ascending, and the winning pair is applied with a plain
     * leftmost-non-overlapping string replace of `|x|y|` → `|xy|` —
-    * shared-sentinel chains (`b b b` merges once, standard BPE greedy)
-    * behave identically in Spark's `replace` and DuckDB's (spec-pinned).
+    * identical semantics in Spark's `replace` and DuckDB's (spec-pinned).
     * Symbols never contain the sentinel, so the replace cannot match
-    * across symbol boundaries. */
+    * across symbol boundaries.
+    *
+    * MERGE-APPLICATION VARIANT — stated, not hidden: because consecutive
+    * symbol-level pair instances share the middle sentinel at string
+    * level (`|a|b|a|b|`), one replace pass merges the 1st, 3rd, 5th …
+    * instance of an unbroken run/alternation, where Sennrich's
+    * symbol-level greedy merges every non-overlapping instance in one
+    * iteration (`bbbb` → here `[bb,b,b]`, symbol-greedy `[bb,bb]`;
+    * `abab` → here `[ab,a,b]`, symbol-greedy `[ab,ab]`; `bbb` agrees:
+    * `[bb,b]`). The residue is picked up by LATER merge iterations (the
+    * skipped `a|b` adjacency is still counted and re-wins), so training
+    * converges along a slightly different merge path. The exact
+    * symbol-level fold needs regex lookahead, which RE2 (DuckDB) lacks —
+    * this variant is the strongest semantics both engines compute
+    * bit-identically, it is applied consistently at train time, apply
+    * time ([[bpeFertility]]) and in the oracle, and TextScanSpec pins
+    * the divergence cases. */
   /** The training loop behind [[bpeMerges]] and [[bpeFertility]]: the
     * (rank, left, right, merged, weighted count) tuples — exactly k rows
     * of driver state. */

@@ -786,11 +786,21 @@ object Similarity {
       }
     fs.delete(new Path(stage), true): Unit
     // staleness counter: one row per batch under appends/batch=<id>,
-    // overwrite-by-batchId so a retried append counts once (the same
-    // idempotence contract as the list-file renames above)
+    // COMMITTED ATOMICALLY — the parquet job creates its output dir before
+    // any data commits, so writing batch=<id> in place would let a crash
+    // mid-write leave a bare dir that the exactly-once check above reads
+    // as "committed", silently skipping the retry (rows counter lost, and
+    // a first-batch crash leaves appends/ with no readable parquet).
+    // Write to a hidden sibling and rename: dir presence == full commit.
+    val markerTmp = new Path(s"$path/appends/.batch-$batchId.tmp")
+    if (markerFs.exists(markerTmp)) markerFs.delete(markerTmp, true)
     spark.createDataFrame(Seq(Tuple1(deltaRows)))
       .toDF("rows")
-      .write.mode("overwrite").parquet(s"$path/appends/batch=$batchId")
+      .write.mode("overwrite").parquet(markerTmp.toString)
+    val committed = markerFs.rename(markerTmp,
+      new Path(s"$path/appends/batch=$batchId"))
+    require(committed,
+      s"appendToIvfIndex: marker commit failed for batch $batchId")
   }
 
   /** Retrain a persisted IVF index over its FULL current mass — the
@@ -819,18 +829,24 @@ object Similarity {
     * `nlist = 0` re-derives the list count from the CURRENT corpus size
     * ([[autoNlist]]) — after a 2× append that typically grows the list
     * count, keeping per-list occupancy (hence probe cost) level;
-    * `replicate = 0` keeps the build-time replication. */
+    * `replicate = 0` and `refine = 0` keep the build-time values from the
+    * index meta — a rebuild must never silently retrain with FEWER Lloyd
+    * iterations than the original build, or post-rebuild recall can
+    * regress below what the stale index served. */
   def rebuildIvfIndex(
       spark: SparkSession,
       path: String,
       nlist: Int = 0,
-      refine: Int = 3,
+      refine: Int = 0,
       replicate: Int = 0): Unit = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta")
     val rep =
       if (replicate > 0) replicate
       else meta.select(col("replicate")).head().getInt(0)
+    val ref =
+      if (refine > 0) refine
+      else meta.select(col("refine")).head().getInt(0)
     // recover the distinct corpus from the lists: replicate>1 wrote each
     // vector into several bucket partitions; (cv, cn) are identical across
     // replicas so any representative is exact
@@ -838,7 +854,7 @@ object Similarity {
       .groupBy(col("neighbor_id"))
       .agg(first(col("cv")).as("cv"), first(col("cn")).as("cn"))
     val nl = resolveNlist(nlist, corpus)
-    val codebook = trainIvfCodebook(corpus, nl, refine)
+    val codebook = trainIvfCodebook(corpus, nl, ref)
     val stage = s"$path.rebuild.tmp"
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -851,7 +867,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$stage/codebook")
     val builtRows = spark.read.parquet(s"$stage/lists")
       .select(col("neighbor_id")).distinct().count()
-    Seq((nl, refine, rep, builtRows))
+    Seq((nl, ref, rep, builtRows))
       .toDF("nlist", "refine", "replicate", "built_rows")
       .write.mode("overwrite").parquet(s"$stage/meta")
     // carry each append batch marker forward as a rows=0 tombstone: the

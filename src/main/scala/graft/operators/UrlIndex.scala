@@ -73,17 +73,26 @@ object UrlIndex {
   }
 
   /** Part files currently in the index (all batch generations). */
-  def fileCount(spark: SparkSession, path: String): Int = {
+  def fileCount(spark: SparkSession, path: String): Int =
+    fileStats(spark, path)._1
+
+  /** One recursive listing yielding (part-file count, total part bytes) —
+    * compaction needs both, and a remote listing per epoch is the
+    * dominant metadata cost of this maintenance step, so it is paid
+    * once. */
+  private def fileStats(spark: SparkSession, path: String): (Int, Long) = {
     val f = fs(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
-    if (!f.exists(p)) 0
+    if (!f.exists(p)) (0, 0L)
     else {
       val it = f.listFiles(p, true)
       var n = 0
+      var b = 0L
       while (it.hasNext) {
-        if (it.next().getPath.getName.startsWith("part-")) n += 1
+        val s = it.next()
+        if (s.getPath.getName.startsWith("part-")) { n += 1; b += s.getLen }
       }
-      n
+      (n, b)
     }
   }
 
@@ -95,7 +104,8 @@ object UrlIndex {
   def compactIfFragmented(spark: SparkSession, path: String,
       threshold: Int = CompactThresholdFiles,
       targetBytes: Long = 128L << 20): Boolean = {
-    if (fileCount(spark, path) <= threshold) return false
+    val (nFiles, totalBytes) = fileStats(spark, path)
+    if (nFiles <= threshold) return false
     val f = fs(spark, path)
     // next compaction generation: one past the highest existing cN (the
     // generation counter is recovered from the layout, not a clock)
@@ -109,15 +119,7 @@ object UrlIndex {
     if (f.exists(stagePath)) f.delete(stagePath, true)
     // size the output like Bucketing.compact: ⌈bytes/target⌉ files, so a
     // 100 TB-era index compacts to executor-sized files, not one giant one
-    val totalBytes = {
-      val it = f.listFiles(new org.apache.hadoop.fs.Path(path), true)
-      var b = 0L
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.getPath.getName.startsWith("part-")) b += s.getLen
-      }
-      b
-    }
+    // (bytes from the same single listing as the threshold check)
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     members(spark, path).distinct()
       .coalesce(nOut)

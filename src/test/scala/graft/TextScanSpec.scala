@@ -358,4 +358,26 @@ class TextScanSpec extends AnyFunSuite {
     assert(t.getString(1) == "q" && t.getString(2) == "r",
       s"tie must break to the ascending pair: $t")
   }
+
+  test("bpe merge-application variant: runs and alternations merge every OTHER instance per pass") {
+    import spark.implicits._
+    // the documented divergence from symbol-level greedy (trainBpe doc):
+    // consecutive pair instances share the middle sentinel, so one pass
+    // merges instances 1, 3, 5…  — 'bbbb' tokenizes to [bb, b, b] (3),
+    // where Sennrich's symbol-greedy gives [bb, bb] (2); 'abab' to
+    // [ab, a, b] (3) not [ab, ab] (2). Pinned so the variant can never
+    // silently drift — the oracle computes the identical semantics.
+    val runs = Seq((0L, "en", "bbbb")).toDF("doc_id", "lang", "text")
+    val f1 = graft.operators.Pipeline.bpeFertility(runs, "lang", "text", k = 1).head()
+    assert(f1.getLong(1) == 1L && f1.getLong(2) == 3L,
+      s"'bbbb' after merge (b,b) must encode as 3 tokens in this variant: $f1")
+    val alt = Seq((0L, "en", "abab")).toDF("doc_id", "lang", "text")
+    val f2 = graft.operators.Pipeline.bpeFertility(alt, "lang", "text", k = 1).head()
+    assert(f2.getLong(1) == 1L && f2.getLong(2) == 3L,
+      s"'abab' after merge (a,b) must encode as 3 tokens in this variant: $f2")
+    // the residue is not lost: a second iteration still sees the skipped
+    // adjacency and merges it
+    val f3 = graft.operators.Pipeline.bpeFertility(runs, "lang", "text", k = 2).head()
+    assert(f3.getLong(2) < 3L, s"later iterations must absorb the residue: $f3")
+  }
 }
