@@ -142,8 +142,13 @@ object GraftSession {
         if (v.isEmpty) v
         else try {
           val p = new org.apache.hadoop.fs.Path(v)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .makeQualified(p).toUri.toString.stripSuffix("/")
+          val u = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .makeQualified(p).toUri
+          // compare components, not the rendered string: a null authority
+          // renders 'file:/x' while an empty one renders 'file:///x'
+          Option(u.getScheme).getOrElse("") + "//" +
+            Option(u.getAuthority).getOrElse("") +
+            u.getPath.stripSuffix("/")
         } catch { case _: Throwable => v }
       val same =
         if (k.endsWith(".dir") || k.endsWith(".path")) norm(got) == norm(want)

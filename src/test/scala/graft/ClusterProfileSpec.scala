@@ -111,4 +111,19 @@ class ClusterProfileSpec extends AnyFunSuite {
     val (_, want, got) = drops.head
     assert(want == "/definitely/not/the/current/warehouse" && got != want)
   }
+
+  test("a warehouse conf that LANDED is not reported as dropped (URI vs raw path)") {
+    // SharedState stores spark.sql.warehouse.dir qualified ('file:/x'); a
+    // raw-string compare against the caller's '/x' would cry wolf — the
+    // exact misdiagnosis the detector exists to prevent
+    val spark = GraftSession.local(4)
+    val current = spark.conf.get("spark.sql.warehouse.dir")
+    // ask for the SAME warehouse, but as a raw local path (scheme stripped,
+    // trailing slash added) — must compare equal after qualification
+    val raw = current.stripPrefix("file:") + "/"
+    val drops = GraftSession.staticConfDrops(spark,
+      Seq("spark.sql.warehouse.dir" -> raw))
+    assert(drops.isEmpty,
+      s"conf landed (got '$current', asked '$raw') yet reported dropped: $drops")
+  }
 }
