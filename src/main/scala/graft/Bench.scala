@@ -15,7 +15,7 @@ object Bench {
   final case class Rep(sec: Double, gcMs: Long, storHiBytes: Long,
       blocksRemoved: Long, codegenCompiles: Long,
       cpuS: Double = 0.0, otherBusyS: Double = 0.0, stealS: Double = 0.0,
-      jitMs: Long = 0L)
+      jitMs: Long = 0L, bcastBytesLeft: Long = 0L)
 
   /** Driver's tail capture is ~2000 chars (BENCH_r03.json "tail"); the JSON
     * line plus sbt's trailing "[success] ..." line must fit inside it or the
@@ -242,6 +242,115 @@ object Bench {
     }
   }
 
+  /** One query's full rep block: `reps` timed runs plus the bounded
+    * adaptive warm-down, with the per-rep lifecycle the round-9/11 leak
+    * hunts converged on — settle the heap once up front, then per rep:
+    * time the action; record the stop-the-world GC delta, the
+    * storage-memory high-water (20 ms sampler), the block-removal count
+    * and the codegen-compilation count over the window — so a spike rep
+    * arrives with its mechanism attached (GC pause vs storage/eviction
+    * churn vs recompilation vs none-of-the-JVM's-business). Then RELEASE
+    * the frame's pins (untimed — driver-side unpersist; without it, dead
+    * pinned blocks from reps 1..k-1 wait for a driver GC while rep k
+    * allocates — the round-8 q145 rep ramp) and DROP the broadcasts the
+    * rep created (untimed — `removeBroadcasts` on the created-this-rep
+    * id delta; without it, AQE broadcast-join relations — weak-ref'd,
+    * freed only by a driver GC that a mostly-empty 12 GiB heap never
+    * runs — accumulate across reps: the round-11 q123 flag, +90.5 MB of
+    * broadcast blocks per rep with zero removals and zero GC, pushing
+    * late reps into storage-pressure CPU). Both are what a real
+    * pipeline's driver does between queries (consume, drop references,
+    * let GC + ContextCleaner reclaim) — the rep boundary just runs the
+    * reclaim deterministically instead of waiting for a GC that the
+    * bench heap never needs. The broadcast drops (and the pin releases)
+    * surface as block-removal listener events: `blk_rm`'s constant
+    * per-rep baseline includes them by design.
+    *
+    * With `assertDrain` (CI: BenchDrainSpec; the live-pressure variants
+    * stay in ScaleStressSpec) the block is a leak CONTRACT, not a flag:
+    * after the last rep's cleanup, any broadcast id created during the
+    * block that still has live blocks, or any growth in rdd block count
+    * over the block's start, throws — turning the q123/q133 leak class
+    * from a bench-flag-and-chase into an immediate spec failure. */
+  def repBlock(spark: SparkSession,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String, reps: Int,
+      removedBlocks: java.util.concurrent.atomic.AtomicLong,
+      assertDrain: Boolean = false, name: String = ""): Seq[Rep] = {
+    import org.apache.spark.GraftSparkBridge
+    // settle the heap before timing: one query's garbage (and its GC
+    // debt) must not be billed to the next query's runs
+    System.gc()
+    val bcQuery0 = GraftSparkBridge.broadcastIds()
+    val rdd0 = GraftSparkBridge.blockCensus().get("rdd").map(_._1).getOrElse(0L)
+    def run(): Rep = {
+      GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      val gc0 = gcMillis()
+      val cg0 = GraftSparkBridge.codegenCompileCount
+      val ev0 = removedBlocks.get()
+      val bc0 = GraftSparkBridge.broadcastIds()
+      val host0 = graft.tools.HostStat.snap()
+      val storHi = new java.util.concurrent.atomic.AtomicLong(
+        GraftSparkBridge.storageMemoryUsed)
+      val stopSampler = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val sampler = new Thread(() => {
+        while (!stopSampler.get()) {
+          storHi.getAndAccumulate(GraftSparkBridge.storageMemoryUsed, math.max(_, _))
+          try Thread.sleep(20) catch { case _: InterruptedException => stopSampler.set(true) }
+        }
+      }, "graft-bench-storage-sampler")
+      sampler.setDaemon(true)
+      sampler.start()
+      val t0 = System.nanoTime()
+      val frame =
+        try { val d = fn(spark, sfDir); d.count(); d }
+        catch { case _: Throwable => null }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // interference snapshot BEFORE the untimed release below — the
+      // window must match the wall measurement it attributes
+      val hostD = graft.tools.HostStat.delta(host0, graft.tools.HostStat.snap())
+      stopSampler.set(true)
+      sampler.join(500)
+      storHi.getAndAccumulate(GraftSparkBridge.storageMemoryUsed, math.max(_, _))
+      val gcd = gcMillis() - gc0
+      if (frame != null) graft.core.GraftSession.release(frame, blocking = true)
+      // drop this rep's broadcasts (delta only: broadcasts alive before
+      // the rep — fixture/warm-up artifacts — are never touched; nothing
+      // outside the rep can hold a this-rep broadcast because every rep
+      // re-plans its query from scratch)
+      GraftSparkBridge.removeBroadcasts(
+        GraftSparkBridge.broadcastIds() -- bc0, blocking = true)
+      GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      val bcastLeft = GraftSparkBridge.blockCensus()
+        .get("broadcast").map(_._2).getOrElse(0L)
+      Rep(sec, gcd, storHi.get(),
+        removedBlocks.get() - ev0,
+        GraftSparkBridge.codegenCompileCount - cg0,
+        hostD.cpuS, hostD.otherBusyS, hostD.stealS, hostD.jitMs, bcastLeft)
+    }
+    val times = scala.collection.mutable.ArrayBuffer.fill(reps)(Rep(0.0, 0L, 0L, 0L, 0L))
+    times.indices.foreach(i => times(i) = run())
+    // adaptive warm-down: if the LAST run still set a materially new
+    // minimum (≥5 % below all earlier runs), C2 is still compiling the
+    // hot loops — extend (bounded) until the floor stabilizes, so the
+    // reported min is steady-state for heavy codegen queries too
+    var extra = 0
+    while (extra < 4 && times.size > 1 && times.last.sec <= times.init.map(_.sec).min * 0.95) {
+      times += run(); extra += 1
+    }
+    if (assertDrain) {
+      val leaked = GraftSparkBridge.broadcastIds() -- bcQuery0
+      if (leaked.nonEmpty) throw new IllegalStateException(
+        s"$name: ${leaked.size} broadcast(s) created during the rep block " +
+          s"still have live blocks after cleanup: ${leaked.toSeq.sorted.take(8)}")
+      val rdd1 = GraftSparkBridge.blockCensus().get("rdd").map(_._1).getOrElse(0L)
+      if (rdd1 > rdd0) throw new IllegalStateException(
+        s"$name: rdd block count grew over the rep block ($rdd0 -> $rdd1): " +
+          "a pin escaped the per-rep release")
+    }
+    times.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     // machine context BEFORE any Spark work: the pre-run loadavg is the
     // "was the machine already busy" signal for cross-round adjudication
@@ -296,67 +405,9 @@ object Bench {
         }
     })
     val allDetail: Map[String, Seq[Rep]] = SparkEntry.queries.map { case (name, fn) =>
-      // settle the heap before timing: one query's garbage (and its GC
-      // debt) must not be billed to the next query's runs
-      System.gc()
-      // each rep: time the action; record the stop-the-world GC delta, the
-      // storage-memory high-water (20 ms sampler), the block-removal count
-      // and the codegen-compilation count over the window — so a spike rep
-      // arrives with its mechanism attached (GC pause vs storage/eviction
-      // churn vs recompilation vs none-of-the-JVM's-business). Then RELEASE
-      // the frame's pins (untimed — driver-side unpersist). Without the
-      // release, dead pinned blocks from reps 1..k-1 wait for a driver GC
-      // while rep k allocates; that storage pressure was the round-8 q145
-      // rep ramp. Release is what a real pipeline's harness does after
-      // consuming a result; each rep still recomputes its pins from scratch.
-      def run(): Rep = {
-        import org.apache.spark.GraftSparkBridge
-        GraftSparkBridge.drainListenerBus(spark.sparkContext)
-        val gc0 = gcMillis()
-        val cg0 = GraftSparkBridge.codegenCompileCount
-        val ev0 = removedBlocks.get()
-        val host0 = graft.tools.HostStat.snap()
-        val storHi = new java.util.concurrent.atomic.AtomicLong(
-          GraftSparkBridge.storageMemoryUsed)
-        val stopSampler = new java.util.concurrent.atomic.AtomicBoolean(false)
-        val sampler = new Thread(() => {
-          while (!stopSampler.get()) {
-            storHi.getAndAccumulate(GraftSparkBridge.storageMemoryUsed, math.max(_, _))
-            try Thread.sleep(20) catch { case _: InterruptedException => stopSampler.set(true) }
-          }
-        }, "graft-bench-storage-sampler")
-        sampler.setDaemon(true)
-        sampler.start()
-        val t0 = System.nanoTime()
-        val frame =
-          try { val d = fn(spark, sfDir); d.count(); d }
-          catch { case _: Throwable => null }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // interference snapshot BEFORE the untimed release below — the
-        // window must match the wall measurement it attributes
-        val hostD = graft.tools.HostStat.delta(host0, graft.tools.HostStat.snap())
-        stopSampler.set(true)
-        sampler.join(500)
-        storHi.getAndAccumulate(GraftSparkBridge.storageMemoryUsed, math.max(_, _))
-        val gcd = gcMillis() - gc0
-        if (frame != null) graft.core.GraftSession.release(frame, blocking = true)
-        GraftSparkBridge.drainListenerBus(spark.sparkContext)
-        Rep(sec, gcd, storHi.get(),
-          removedBlocks.get() - ev0,
-          GraftSparkBridge.codegenCompileCount - cg0,
-          hostD.cpuS, hostD.otherBusyS, hostD.stealS, hostD.jitMs)
-      }
-      val times = scala.collection.mutable.ArrayBuffer.fill(reps)(Rep(0.0, 0L, 0L, 0L, 0L))
-      times.indices.foreach(i => times(i) = run())
-      // adaptive warm-down: if the LAST run still set a materially new
-      // minimum (≥5 % below all earlier runs), C2 is still compiling the
-      // hot loops — extend (bounded) until the floor stabilizes, so the
-      // reported min is steady-state for heavy codegen queries too
-      var extra = 0
-      while (extra < 4 && times.size > 1 && times.last.sec <= times.init.map(_.sec).min * 0.95) {
-        times += run(); extra += 1
-      }
-      name -> (times.toSeq: Seq[Rep])
+      name -> repBlock(spark, fn, sfDir, reps, removedBlocks,
+        assertDrain = sys.env.get("SPARK_GRAFT_BENCH_ASSERT_DRAIN").contains("1"),
+        name = name)
     }
     val allRuns: Map[String, Seq[Double]] = allDetail.map { case (n, ts) => n -> ts.map(_.sec) }
     val results = allRuns.map { case (n, ts) => n -> ts.min }
@@ -375,6 +426,7 @@ object Bench {
         s""""runs": [${ts.map(fmt).mkString(", ")}], """ +
         s""""gc_ms": [${rs.map(_.gcMs).mkString(", ")}], """ +
         s""""stor_hi_mb": [${rs.map(_.storHiBytes >> 20).mkString(", ")}], """ +
+        s""""bcast_mb": [${rs.map(_.bcastBytesLeft >> 20).mkString(", ")}], """ +
         s""""blk_rm": [${rs.map(_.blocksRemoved).mkString(", ")}], """ +
         s""""cg": [${rs.map(_.codegenCompiles).mkString(", ")}], """ +
         s""""cpu_s": [${rs.map(r => fmt(r.cpuS)).mkString(", ")}], """ +

@@ -63,6 +63,7 @@ object RepTimer {
         if (printJobs) jobMs.clear()
         val gc0 = graft.Bench.gcMillis()
         val cg0 = GraftSparkBridge.codegenCompileCount
+        val bc0 = GraftSparkBridge.broadcastIds()
         val host0 = HostStat.snap()
         val t0 = System.nanoTime()
         val frame = fn(spark, sfDir)
@@ -70,7 +71,13 @@ object RepTimer {
         val sec = (System.nanoTime() - t0) / 1e9
         val hostD = HostStat.delta(host0, HostStat.snap())
         val gcd = graft.Bench.gcMillis() - gc0
-        if (doRelease) graft.core.GraftSession.release(frame, blocking = true)
+        if (doRelease) {
+          graft.core.GraftSession.release(frame, blocking = true)
+          // drop this rep's broadcasts (the Bench.repBlock discipline —
+          // release=0 reproduces the leaking pre-round-12 lifecycle)
+          GraftSparkBridge.removeBroadcasts(
+            GraftSparkBridge.broadcastIds() -- bc0, blocking = true)
+        }
         if (printJobs) {
           GraftSparkBridge.drainListenerBus(spark.sparkContext)
           import scala.jdk.CollectionConverters._
@@ -78,9 +85,10 @@ object RepTimer {
             .map { case (_, (s, e)) => if (e < 0) -1L else e - s }
           println(s"  $n rep $rep jobsMs=${durs.mkString("[", ",", "]")}")
         }
+        val census = GraftSparkBridge.blockCensus()
         (sec, gcd, spark.sparkContext.getRDDStorageInfo.length,
           GraftSparkBridge.storageMemoryUsed >> 20,
-          GraftSparkBridge.codegenCompileCount - cg0, hostD)
+          GraftSparkBridge.codegenCompileCount - cg0, hostD, census)
       }
       println(s"$n: ${stats.map(s => f"${s._1}%.2f").mkString("[", ", ", "]")} " +
         s"swing=${f"${stats.map(_._1).max / stats.map(_._1).min}%.2f"}x " +
@@ -91,7 +99,9 @@ object RepTimer {
         s"cpuS=${stats.map(s => f"${s._6.cpuS}%.2f").mkString("[", ",", "]")} " +
         s"otherS=${stats.map(s => f"${s._6.otherBusyS}%.2f").mkString("[", ",", "]")} " +
         s"stealS=${stats.map(s => f"${s._6.stealS}%.2f").mkString("[", ",", "]")} " +
-        s"jitMs=${stats.map(_._6.jitMs).mkString("[", ",", "]")}")
+        s"jitMs=${stats.map(_._6.jitMs).mkString("[", ",", "]")} " +
+        s"census=${stats.map(_._7.map { case (k, (c, b)) => s"$k:$c/${b >> 20}MB" }
+          .toSeq.sorted.mkString("{", " ", "}")).mkString("[", ", ", "]")}")
     }
     pressure.foreach(p => graft.core.GraftSession.release(p))
     spark.stop()

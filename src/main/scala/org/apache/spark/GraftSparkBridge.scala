@@ -32,4 +32,48 @@ object GraftSparkBridge {
     * per-rep listener-derived counters (eviction counts) exact windows. */
   def drainListenerBus(sc: SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Per-block-type (count, bytes-in-memory) census over the local block
+    * manager — the channel the round-11 verdict asked for: a rep whose
+    * storage high-water ramps arrives with the accumulating blocks NAMED
+    * (broadcast vs rdd vs other) instead of inferred. local-mode driver ==
+    * the only executor, so the local BlockManager is the whole picture. */
+  def blockCensus(): Map[String, (Long, Long)] =
+    Option(SparkEnv.get).map { e =>
+      val bm = e.blockManager
+      bm.getMatchingBlockIds(_ => true)
+        .flatMap(id => bm.getStatus(id).map(st => (id, st.memSize + st.diskSize)))
+        .groupBy {
+          case (_: storage.BroadcastBlockId, _) => "broadcast"
+          case (_: storage.RDDBlockId, _) => "rdd"
+          case _ => "other"
+        }
+        .map { case (k, xs) => k -> (xs.size.toLong, xs.map(_._2).sum) }
+    }.getOrElse(Map.empty)
+
+  /** Broadcast ids with live blocks in the local block manager. */
+  def broadcastIds(): Set[Long] =
+    Option(SparkEnv.get).map { e =>
+      e.blockManager
+        .getMatchingBlockIds(_.isInstanceOf[storage.BroadcastBlockId])
+        .collect { case b: storage.BroadcastBlockId => b.broadcastId }.toSet
+    }.getOrElse(Set.empty)
+
+  /** Drop the blocks of the given broadcasts everywhere (master + stores).
+    * Safe ONLY for broadcasts whose owning query execution is finished and
+    * unreachable — a later `.value` on a destroyed broadcast fails. The
+    * bench rep boundary uses the created-during-this-rep DELTA: each rep
+    * re-plans its query from scratch, so nothing outside the rep can hold
+    * one of its broadcasts. Without this, AQE broadcast-join relations
+    * (weak-ref'd, freed only by a driver GC that a 12 GiB mostly-empty
+    * heap never runs) accumulate across reps — the round-11 q123 signature
+    * (+90.5 MB storage per rep, zero removals, zero GC). */
+  def removeBroadcasts(ids: Set[Long], blocking: Boolean = false): Unit =
+    Option(SparkEnv.get).foreach { e =>
+      ids.foreach { id =>
+        try e.blockManager.master.removeBroadcast(
+          id, removeFromMaster = true, blocking = blocking)
+        catch { case _: Throwable => () }
+      }
+    }
 }
