@@ -801,8 +801,13 @@ object Dedup {
     * index: identical pair semantics, but the index side arrives
     * pre-bucketed on the join key and pre-shingled for verification —
     * the delta (a day's crawl) is the only side that computes kernels or
-    * shuffles. Ids must be disjoint across index and delta, as in
-    * [[minhashLshAgainst]]. */
+    * shuffles. Unlike [[minhashLshAgainst]], ids MAY overlap across
+    * index and delta (re-ingestion: a replayed micro-batch whose index
+    * append already committed re-serves docs whose own signatures are
+    * now indexed — the q159 replay boundary): a doc is never paired
+    * with itself, and a doc present on both sides contributes exactly
+    * one shingle row to verification (the copies are the same document
+    * by the id contract). */
   def minhashLshAgainstIndex(
       delta: DataFrame,
       idCol: String,
@@ -823,10 +828,16 @@ object Dedup {
     val cand = spark.table(s"${table}_buckets").as("i")
       .join(bandBuckets(shD, nh, nb).as("d"), Seq("band", "sig"))
       .select(col("i.doc_id").as("doc_a"), col("d.doc_id").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
     verifyJaccard(cand, ids =>
       spark.table(s"${table}_sh")
         .join(gatedIds(ids), Seq("doc_id"), "left_semi")
+        // an id on BOTH sides must contribute ONE row — the delta copy
+        // wins (anti-join against the batch's ids, a micro-batch-sized
+        // frame); a duplicated doc row would duplicate verified pairs
+        .join(delta.select(delta(idCol).cast("long").as("doc_id")),
+          Seq("doc_id"), "left_anti")
         .unionByName(shingleProjection(
           delta.join(gatedIds(ids),
             delta(idCol).cast("long") === ids("doc_id"), "left_semi"),

@@ -596,16 +596,31 @@ object StreamGateQueries {
     *
     * Replay boundary (pinned by StreamingSpec): the index merge is
     * exactly-once per batchId, so a replayed epoch (checkpoint lost
-    * after the append committed) never duplicates index rows — but its
-    * docs now near-dup their OWN signatures, so the replay returns them
-    * all as rejected. Paired with an idempotent downstream sink keyed on
-    * doc_id this is safe (the docs were already emitted); a sink that
-    * lost its commit under-emits — the standard at-least-once boundary
-    * of a side-effecting foreachBatch, stated rather than hidden. */
+    * after the append committed) never duplicates index rows — and the
+    * replayed epoch's ACCEPTED SET equals the original run's, i.e. the
+    * epoch is a deterministic function of its batch and the PRIOR index
+    * state. The index rows carry doc_id, so the two contaminating pair
+    * classes a replay introduces are both identifiable and excluded:
+    * same-id pairs (a doc vs its own committed signature) are dropped
+    * inside [[graft.operators.Dedup.minhashLshAgainstIndex]], and pairs
+    * whose index doc is itself a member of the current batch are exactly
+    * the within-batch pairs — owned by the smaller-id-wins pass below on
+    * the fresh run and on the replay alike — so the serve leg anti-joins
+    * them out. On a fresh epoch neither class exists (ids are disjoint
+    * from the index), so the non-replay semantics are unchanged
+    * (StreamingSpec asserts both). A downstream sink that lost its
+    * commit still under-emits until the replay re-emits — the standard
+    * at-least-once boundary of a side-effecting foreachBatch — but what
+    * it re-emits is now byte-identical. */
   private[graft] def sdiEpoch(tbl: String, tag: String)(
       batch: DataFrame, id: Long): (Array[Row], Array[Row]) = {
     import graft.operators.Dedup
     val rejIdx = Dedup.minhashLshAgainstIndex(batch, "doc_id", "text", tbl)
+      // replay: index docs that are members of THIS batch pair with
+      // their batch-mates; those pairs belong to the within-batch pass
+      // (which sees them under the same smaller-id-wins rule in both
+      // runs) — a fresh epoch has no such pairs, so this is a no-op there
+      .join(batch.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
       .select(col("doc_b").as("doc_id"))
     // within-batch pass: doc_a < doc_b by construction, so dropping
     // every doc_b is exactly "smaller id wins" inside the epoch

@@ -744,28 +744,43 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_buckets")
   }
 
-  test("q159 epoch replay: batchId idempotence holds and replayed docs self-suppress") {
+  test("q159 epoch replay: batchId idempotence holds and the accepted set is REPLAY-EQUAL") {
     // checkpoint lost AFTER the index merge committed: the epoch replays.
-    // The merge must be a no-op (appendedBatches) and the replayed docs —
-    // now near-dupping their OWN signatures — come back rejected: the
-    // documented at-least-once boundary of the side-effecting epoch
+    // The merge must be a no-op (appendedBatches) and the replayed
+    // epoch's accepted set must EQUAL the original run's (round-11
+    // verdict item 2 — the index rows carry doc_id, so the replay's two
+    // contaminating pair classes, same-id and within-batch-partner, are
+    // identified and excluded rather than letting the docs self-suppress).
+    // The batch exercises every pair class: doc 1 is fresh-accepted,
+    // doc 2 near-dups doc 1 (within-batch pair — on replay it ALSO
+    // arrives as an index pair and must not reject doc 1), doc 3
+    // near-dups the base doc 0 (a genuine index pair, rejected in both
+    // runs)
     graft.SparkEntry.queries.size: Unit
     import graft.operators.Dedup
     import spark.implicits._
     val pid = java.lang.ProcessHandle.current().pid()
     val tbl = s"sdirep_$pid"
-    val base = Seq((0L, "s", (0 until 60).map(i => s"a$i").mkString(" ")))
+    val toks = (0 until 70).map(i => s"w$i")
+    def span(from: Int, until: Int) = toks.slice(from, until).mkString(" ")
+    val base = Seq((0L, "s", span(0, 60)))
       .toDF("doc_id", "source", "text")
     Dedup.minhashIndexWrite(base, "doc_id", "text", tbl)
-    val batch = Seq((1L, "s", (0 until 60).map(i => s"b$i").mkString(" ")))
-      .toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (1L, "s", (0 until 60).map(i => s"b$i").mkString(" ")),
+      (2L, "s", (0 until 58).map(i => s"b$i").mkString(" ") + " z1 z2"),
+      (3L, "s", span(2, 62))).toDF("doc_id", "source", "text")
     val (acc1, _) = graft.queries.StreamGateQueries.sdiEpoch(tbl, "sdi-replay")(batch, 0L)
-    assert(acc1.map(_.getLong(0)).toSeq == Seq(1L), "fresh doc must be accepted")
+    assert(acc1.map(_.getLong(0)).toSeq.sorted == Seq(1L),
+      s"fresh run: doc 1 accepted, 2 (batch dup) and 3 (index dup) rejected; " +
+        s"got ${acc1.map(_.getLong(0)).toSeq.sorted}")
     val shRows = spark.table(s"${tbl}_sh").count()
     val appended = Dedup.minhashIndexStaleness(spark, tbl).head().getLong(1)
     val (acc2, seen2) = graft.queries.StreamGateQueries.sdiEpoch(tbl, "sdi-replay")(batch, 0L)
-    assert(seen2.length == 1, "the replayed epoch still reports its rows as seen")
-    assert(acc2.isEmpty, "replayed docs must self-suppress, not re-accept")
+    assert(seen2.length == 3, "the replayed epoch still reports its rows as seen")
+    assert(acc2.map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1) ==
+      acc1.map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1),
+      "the replayed epoch's accepted set must equal the original run's")
     assert(spark.table(s"${tbl}_sh").count() == shRows,
       "a replayed batchId must not duplicate index rows")
     assert(Dedup.minhashIndexStaleness(spark, tbl).head().getLong(1) == appended,
