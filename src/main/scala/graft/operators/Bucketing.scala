@@ -53,45 +53,51 @@ object Bucketing {
   def isExchangeFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange")
 
+  /** The dataset's live directory: the highest committed generation under
+    * `path` ([[graft.core.GenDir]]) when [[compact]] has ever run, else
+    * the flat `path` itself (a dataset that never compacted). Readers of
+    * a compactable dataset resolve through this. */
+  def current(spark: SparkSession, path: String): String =
+    graft.core.GenDir.resolve(spark, path).getOrElse(path)
+
   /** Small-file compaction — the table-maintenance op every long-lived
     * 100 TB dataset needs (streaming sinks and per-epoch appends leave
     * thousands of KB-sized files; a scan then pays one task + one open
-    * per file). Rewrites the directory into ⌈totalBytes/targetBytes⌉
+    * per file). Rewrites the live data into ⌈totalBytes/targetBytes⌉
     * files via `coalesce` — NO shuffle: uniformly small inputs combine
     * into evenly sized outputs, and the rewrite cost is one read + one
-    * write. Staged into a `.compact.tmp` sibling and swapped in only
-    * after the write commits, so a failure BEFORE the swap leaves the
-    * original intact, and a failure between the two swap renames rolls
-    * the original back. The swap itself is two directory renames, NOT
-    * atomic: a concurrent reader listing the path in that window fails
-    * its scan (and must retry) — schedule compaction when the dataset
-    * has no concurrent readers, or front it with a catalog/view flip;
-    * single-directory-rename atomicity needs a table format. Returns the
+    * write. Swap discipline: [[graft.core.GenDir]] — the fold is staged
+    * as the next generation beside the live one and published with one
+    * atomic sentinel create, so a concurrent reader (resolving through
+    * [[current]]) never fails mid-scan and never sees a mixed state;
+    * crashed-compaction debris is swept at the next commit. The FIRST
+    * compaction of a flat directory migrates it: the flat part files are
+    * folded into generation 0 and then deleted — a reader that opened the
+    * flat files in that one migration window should retry through
+    * [[current]] (every later compaction is reader-atomic). Returns the
     * new file count. */
   def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+    import graft.core.GenDir
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = current(spark, path)
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val flatMigration = src == path
+    val total = fs.listStatus(srcP).filter(_.getPath.getName.startsWith("part-"))
       .map(_.getLen).sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    spark.read.parquet(path).coalesce(n)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(p, old), s"compaction swap failed: $p -> $old")
-    if (!fs.rename(tmp, p)) {
-      // roll the original back so the dataset path never stays missing;
-      // only if THAT also fails is manual recovery (.compact.old) needed
-      val restored = fs.rename(old, p)
-      throw new IllegalStateException(
-        s"compaction swap failed: $tmp -> $p" +
-          (if (restored) " (original restored)"
-           else s" AND rollback failed — data is at $old"))
-    }
-    fs.delete(old, true)
+    val gen = GenDir.next(spark, path)
+    spark.read.parquet(src).coalesce(n)
+      .write.mode("overwrite").parquet(GenDir.genPath(path, gen))
+    GenDir.commit(spark, path, gen)
+    if (flatMigration)
+      fs.listStatus(srcP)
+        .filter { s =>
+          val name = s.getPath.getName
+          s.isFile && (name.startsWith("part-") || name == "_SUCCESS")
+        }
+        .foreach(s => fs.delete(s.getPath, false))
     n
   }
 

@@ -577,19 +577,107 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
   }
 
+  /** Generation machinery for the catalog-table minhash index — the
+    * [[graft.core.GenDir]] discipline expressed in table names: the
+    * physical tables of generation N are `<table>_sh__gN` /
+    * `<table>_buckets__gN`, a generation is COMMITTED by the single
+    * atomic `graft.committed` property flip on its buckets table (which
+    * also carries the banding params and counters, so data + metadata
+    * publish together), and the live generation is the highest committed
+    * one. A rebuild stages generation N+1 beside N and publishes with
+    * that one ALTER — the live tables never move, so concurrent readers
+    * never fail, never need a relation-cache/FileStatusCache refresh
+    * (new generations are new names and new paths), and never see a
+    * mixed state (every operation resolves ONCE and derives both table
+    * names from the same generation). Grace keeps one generation back
+    * for in-flight scans. */
+  private def minhashGenTables(table: String, gen: Int): (String, String) =
+    (s"${table}_sh__g$gen", s"${table}_buckets__g$gen")
+
+  /** All generations of the index, with their committed flag. */
+  private def minhashGens(
+      spark: SparkSession, table: String): Seq[(Int, Boolean)] = {
+    val cat = spark.sessionState.catalog
+    val prefix = s"${table}_buckets__g"
+    cat.listTables(cat.getCurrentDatabase, s"$prefix*").flatMap { ti =>
+      ti.table.stripPrefix(prefix).toIntOption.map { g =>
+        g -> cat.getTableMetadata(ti).properties
+          .get("graft.committed").contains("true")
+      }
+    }
+  }
+
+  /** The live generation and its properties (from the buckets table —
+    * the single publish object, so props and table names are one
+    * consistent snapshot). */
+  private[graft] def minhashResolve(
+      spark: SparkSession, table: String): (Int, Map[String, String]) = {
+    val committed = minhashGens(spark, table).collect { case (g, true) => g }
+    if (committed.isEmpty) throw new IllegalArgumentException(
+      s"$table is not a graft minhash index (no committed generation)")
+    val gen = committed.max
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        minhashGenTables(table, gen)._2)).properties
+    (gen, props)
+  }
+
+  /** Resolved live table names — (sh, buckets) — for direct readers
+    * (specs, plan audits). */
+  private[graft] def minhashLiveTables(
+      spark: SparkSession, table: String): (String, String) =
+    minhashGenTables(table, minhashResolve(spark, table)._1)
+
+  /** Drop generations left behind by a publish: committed ones older
+    * than the grace window (one behind `newGen`) and uncommitted debris
+    * below `newGen` (crashed rebuilds). */
+  private def minhashDropOldGens(
+      spark: SparkSession, table: String, newGen: Int): Unit = {
+    val all = minhashGens(spark, table)
+    // grace keeps the newest committed generation below newGen (by
+    // recency, not number — gen numbers need not be dense when debris
+    // was staged in between), matching graft.core.GenDir
+    val kept = all.collect { case (g, true) if g < newGen => g }
+      .sorted.lastOption.toSet
+    all.foreach { case (g, committed) =>
+      val drop =
+        if (committed) g < newGen && !kept.contains(g)
+        else g < newGen
+      if (drop) {
+        val (sh, bk) = minhashGenTables(table, g)
+        Bucketing.dropTableAndLocation(spark, sh)
+        Bucketing.dropTableAndLocation(spark, bk)
+      }
+    }
+  }
+
+  /** Drop the whole index (every generation + any pre-generation legacy
+    * tables) — the cleanup hook fixtures and streaming gates use. */
+  def dropMinhashIndex(spark: SparkSession, table: String): Unit = {
+    minhashGens(spark, table).foreach { case (g, _) =>
+      val (sh, bk) = minhashGenTables(table, g)
+      Bucketing.dropTableAndLocation(spark, sh)
+      Bucketing.dropTableAndLocation(spark, bk)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_sh")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_buckets"): Unit
+  }
+
   /** Persist the INDEX side of [[minhashLshAgainst]] ONCE, as bucketed
     * tables — the daily-crawl shape done right at 100 TB: the corpus is
     * tokenized, minhashed and banded exactly once, here; every later
     * delta join reads the stored layout instead of re-running the kernel
     * pipeline over the whole corpus.
     *
-    *  - `<table>_sh` (doc_id, sh): the verification shingle sets,
+    *  - `<table>_sh__gN` (doc_id, sh): the verification shingle sets,
     *    bucketed by doc_id;
-    *  - `<table>_buckets` (doc_id, band, sig): the band buckets,
+    *  - `<table>_buckets__gN` (doc_id, band, sig): the band buckets,
     *    bucketed by the candidate join key (band, sig) — the delta join
     *    shuffles ONLY the delta's buckets into this layout; no exchange
     *    ever sits above the index scan (spec-asserted).
     *
+    * `N` is the committed generation ([[minhashResolve]]); writing over
+    * an existing index publishes a fresh generation reader-atomically.
     * Banding parameters are recorded as table properties and VALIDATED at
     * query time ([[minhashLshAgainstIndex]]), so an index built with a
     * different signature scheme fails loudly instead of silently missing
@@ -605,19 +693,28 @@ object Dedup {
       buckets: Int = 8): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = df.sparkSession
+    val gens = minhashGens(spark, table)
+    val gen = if (gens.isEmpty) 0 else gens.map(_._1).max + 1
+    val (shT, bkT) = minhashGenTables(table, gen)
+    Bucketing.dropTableAndLocation(spark, shT)
+    Bucketing.dropTableAndLocation(spark, bkT)
     shingleProjection(df, idCol, textCol, shingleSize)
       .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .format("parquet").mode("overwrite").saveAsTable(s"${table}_sh")
+      .format("parquet").mode("overwrite").saveAsTable(shT)
     // derive signatures from the STORED shingles: one kernel pass total
-    bandBuckets(spark.table(s"${table}_sh"), numHashes, bands)
+    bandBuckets(spark.table(shT), numHashes, bands)
       .write.bucketBy(buckets, "band", "sig")
-      .format("parquet").mode("overwrite").saveAsTable(s"${table}_buckets")
-    spark.sql(s"ALTER TABLE ${table}_buckets SET TBLPROPERTIES (" +
+      .format("parquet").mode("overwrite").saveAsTable(bkT)
+    // the publish point: ONE property flip carries banding params,
+    // counters AND the committed flag — readers resolve either the old
+    // generation or this one, both complete
+    spark.sql(s"ALTER TABLE $bkT SET TBLPROPERTIES (" +
       s"'graft.shingleSize' = '$shingleSize', " +
       s"'graft.numHashes' = '$numHashes', 'graft.bands' = '$bands', " +
-      s"'graft.indexedRows' = '${spark.table(s"${table}_sh")
+      s"'graft.indexedRows' = '${spark.table(shT)
         .select(col("doc_id")).distinct().count()}', " +
-      s"'graft.appendedRows' = '0')")
+      s"'graft.appendedRows' = '0', 'graft.committed' = 'true')")
+    minhashDropOldGens(spark, table, gen)
   }
 
   /** Merge a served delta INTO a persisted [[minhashIndexWrite]] index —
@@ -648,8 +745,8 @@ object Dedup {
     val spark = delta.sparkSession
     require(batchId.matches("[A-Za-z0-9._-]+"),
       s"minhashIndexAppend: batchId must be a plain token, got '$batchId'")
-    val props = spark.sql(s"SHOW TBLPROPERTIES ${table}_buckets")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (gen, props) = minhashResolve(spark, table)
+    val (shT, bkT) = minhashGenTables(table, gen)
     val (ss, nh, nb) =
       (props.get("graft.shingleSize"), props.get("graft.numHashes"),
         props.get("graft.bands")) match {
@@ -664,15 +761,15 @@ object Dedup {
     // same bucket spec as the build: INSERT INTO a bucketed table keeps
     // per-bucket file layout, so the serve join stays bucket-local
     shD.write.mode("append").format("parquet")
-      .insertInto(s"${table}_sh")
-    bandBuckets(spark.table(s"${table}_sh")
+      .insertInto(shT)
+    bandBuckets(spark.table(shT)
         .join(gatedIds(shD.select(col("doc_id"))), Seq("doc_id"), "left_semi"),
         nh, nb)
       .write.mode("append").format("parquet")
-      .insertInto(s"${table}_buckets")
+      .insertInto(bkT)
     val appended = props.getOrElse("graft.appendedRows", "0").toLong +
       shD.select(col("doc_id")).distinct().count()
-    spark.sql(s"ALTER TABLE ${table}_buckets SET TBLPROPERTIES (" +
+    spark.sql(s"ALTER TABLE $bkT SET TBLPROPERTIES (" +
       s"'graft.appendedRows' = '$appended', " +
       s"'graft.appendedBatches' = '${(done + batchId).toSeq.sorted.mkString(",")}')")
   }
@@ -689,8 +786,7 @@ object Dedup {
     * [[graft.operators.Similarity.ivfIndexStaleness]] analog): build-time
     * rows, appended rows, appended fraction, rebuild recommendation. */
   def minhashIndexStaleness(spark: SparkSession, table: String): DataFrame = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES ${table}_buckets")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = minhashResolve(spark, table)._2
     val built = props.getOrElse("graft.indexedRows", "0").toLong
     val appended = props.getOrElse("graft.appendedRows", "0").toLong
     val frac = appended.toDouble / math.max(built + appended, 1L)
@@ -712,16 +808,19 @@ object Dedup {
     * `bucketBy`, so each write task holds exactly one bucket's rows).
     *
     * Shingles are re-read from the stored `_sh` table — no source text,
-    * no kernel pass. Both tables are staged under `__rebuild` names and
-    * swapped via catalog renames with the [[Bucketing.compact]] caveat:
-    * the swap window is not atomic for a concurrent reader. Counters
-    * reset: `indexedRows` becomes the full current mass, `appendedRows`
-    * 0; `appendedBatches` is CARRIED FORWARD so a late upstream retry of
-    * an absorbed batch stays exactly-once instead of re-inserting rows
-    * the rebuild already owns. */
+    * no kernel pass. Both tables are staged as the NEXT GENERATION
+    * ([[minhashResolve]]) and published with one atomic `graft.committed`
+    * property flip — the live tables never move, so concurrent readers
+    * never fail, need no cache refresh, and never see a mixed generation
+    * (SwapAtomicitySpec loops serves through a rebuild); crashed-rebuild
+    * debris (uncommitted generation tables) is swept at the next publish.
+    * Counters reset: `indexedRows` becomes the full current mass,
+    * `appendedRows` 0; `appendedBatches` is CARRIED FORWARD so a late
+    * upstream retry of an absorbed batch stays exactly-once instead of
+    * re-inserting rows the rebuild already owns. */
   def minhashIndexRebuild(spark: SparkSession, table: String): Unit = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES ${table}_buckets")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (gen, props) = minhashResolve(spark, table)
+    val (shT, bkT) = minhashGenTables(table, gen)
     val (ss, nh, nb) =
       (props.get("graft.shingleSize"), props.get("graft.numHashes"),
         props.get("graft.bands")) match {
@@ -730,10 +829,11 @@ object Dedup {
           s"$table is not a graft minhash index (missing banding properties)")
       }
     val buckets = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_sh"))
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(shT))
       .bucketSpec.map(_.numBuckets).getOrElse(8)
-    Bucketing.dropTableAndLocation(spark, s"${table}_sh__rebuild")
-    Bucketing.dropTableAndLocation(spark, s"${table}_buckets__rebuild")
+    val (shNew, bkNew) = minhashGenTables(table, gen + 1)
+    Bucketing.dropTableAndLocation(spark, shNew)
+    Bucketing.dropTableAndLocation(spark, bkNew)
     // bucketed READS must be off for the staging writes: the planner sees
     // the source table's bucketing as satisfying the repartition (elides
     // the exchange) yet still scans by file splits, so every write task
@@ -744,57 +844,34 @@ object Dedup {
     val bucketedReads = spark.conf.get("spark.sql.sources.bucketing.enabled")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
     try {
-      spark.table(s"${table}_sh")
+      spark.table(shT)
         .repartition(buckets, col("doc_id"))
         .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
-        .format("parquet").mode("overwrite").saveAsTable(s"${table}_sh__rebuild")
-      bandBuckets(spark.table(s"${table}_sh__rebuild"), nh, nb)
+        .format("parquet").mode("overwrite").saveAsTable(shNew)
+      bandBuckets(spark.table(shNew), nh, nb)
         .repartition(buckets, col("band"), col("sig"))
         .write.bucketBy(buckets, "band", "sig")
-        .format("parquet").mode("overwrite").saveAsTable(s"${table}_buckets__rebuild")
+        .format("parquet").mode("overwrite").saveAsTable(bkNew)
     } finally spark.conf.set("spark.sql.sources.bucketing.enabled", bucketedReads)
-    val total = spark.table(s"${table}_sh__rebuild")
+    val total = spark.table(shNew)
       .select(col("doc_id")).distinct().count()
     val carried = props.getOrElse("graft.appendedBatches", "")
-    spark.sql(s"ALTER TABLE ${table}_buckets__rebuild SET TBLPROPERTIES (" +
+    // the publish point: ONE property flip — params, reset counters,
+    // carried batch markers and the committed flag land together. No
+    // renames, so no rollback window and no relation-cache/
+    // FileStatusCache refresh (the round-11 two-cache invalidation dance
+    // existed only because the rename moved files under a live name);
+    // in-stream maintenance (foreachBatch's cloned session) needs no
+    // special-casing for the same reason, though it still runs on
+    // batch.sparkSession for catalog-session hygiene
+    spark.sql(s"ALTER TABLE $bkNew SET TBLPROPERTIES (" +
       s"'graft.shingleSize' = '$ss', " +
       s"'graft.numHashes' = '$nh', 'graft.bands' = '$nb', " +
       s"'graft.indexedRows' = '$total', " +
       s"'graft.appendedRows' = '0', " +
-      s"'graft.appendedBatches' = '$carried')")
-    // swap both tables through catalog renames (two renames per table —
-    // the compact non-atomicity caveat applies to concurrent readers). A
-    // failure on the SECOND rename rolls the original back (the
-    // rebuildIvfIndex / compact discipline): without it the live name is
-    // simply GONE and every later epoch of an in-stream maintenance
-    // caller dies on table-not-found instead of serving the stale layout
-    Seq(s"${table}_sh", s"${table}_buckets").foreach { t =>
-      Bucketing.dropTableAndLocation(spark, s"${t}__old")
-      spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
-      try spark.sql(s"ALTER TABLE ${t}__rebuild RENAME TO $t")
-      catch {
-        case e: Throwable =>
-          val restored =
-            try { spark.sql(s"ALTER TABLE ${t}__old RENAME TO $t"); true }
-            catch { case _: Throwable => false }
-          throw new IllegalStateException(
-            s"minhashIndexRebuild swap failed: ${t}__rebuild -> $t" +
-              (if (restored) " (original restored)"
-               else s" AND rollback failed — original is at ${t}__old"), e)
-      }
-      Bucketing.dropTableAndLocation(spark, s"${t}__old")
-      // the rename moves files under the live name but this session still
-      // lists the PRE-swap part files — a same-session re-read (the
-      // in-stream maintenance shape) throws FILE_NOT_EXIST without BOTH
-      // invalidations: refreshTable drops the cached relation, and
-      // refreshByPath evicts the shared FileStatusCache entry (path-keyed
-      // — the swapped dir keeps its path, so a fresh InMemoryFileIndex
-      // would otherwise re-adopt the stale listing)
-      spark.catalog.refreshByPath(spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
-        .location.toString)
-      spark.catalog.refreshTable(t)
-    }
+      s"'graft.appendedBatches' = '$carried', " +
+      s"'graft.committed' = 'true')")
+    minhashDropOldGens(spark, table, gen + 1)
   }
 
   /** [[minhashLshAgainst]] against a persisted [[minhashIndexWrite]]
@@ -815,8 +892,11 @@ object Dedup {
       table: String,
       threshold: Double = 0.8): DataFrame = {
     val spark = delta.sparkSession
-    val props = spark.sql(s"SHOW TBLPROPERTIES ${table}_buckets")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // one resolve per serve: props and BOTH table names come from the
+    // same committed generation, so a rebuild publishing midway can
+    // never mix generations inside one operation
+    val (gen, props) = minhashResolve(spark, table)
+    val (shT, bkT) = minhashGenTables(table, gen)
     val (ss, nh, nb) =
       (props.get("graft.shingleSize"), props.get("graft.numHashes"),
         props.get("graft.bands")) match {
@@ -825,13 +905,13 @@ object Dedup {
           s"$table is not a graft minhash index (missing banding properties)")
       }
     val shD = shingleProjection(delta, idCol, textCol, ss)
-    val cand = spark.table(s"${table}_buckets").as("i")
+    val cand = spark.table(bkT).as("i")
       .join(bandBuckets(shD, nh, nb).as("d"), Seq("band", "sig"))
       .select(col("i.doc_id").as("doc_a"), col("d.doc_id").as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
     verifyJaccard(cand, ids =>
-      spark.table(s"${table}_sh")
+      spark.table(shT)
         .join(gatedIds(ids), Seq("doc_id"), "left_semi")
         // an id on BOTH sides must contribute ONE row — the delta copy
         // wins (anti-join against the batch's ids, a micro-batch-sized

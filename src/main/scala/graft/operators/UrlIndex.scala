@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.GenDir
+
 /** Persisted canonical-URL claim index — the membership set behind
   * streaming incremental curation (q156: each epoch anti-joins its
   * candidate urls against the index and appends the urls it claims).
@@ -18,17 +20,24 @@ import org.apache.spark.sql.functions._
   *    `batch=<id>` partition dir with `mode("overwrite")` — a foreachBatch
   *    retry of the same epoch REPLACES its own claims instead of
   *    duplicating them (the appendToIvfIndex batch contract, done with
-  *    partition dirs instead of file prefixes).
+  *    partition dirs instead of file prefixes). A retry that straddles a
+  *    compaction lands in the NEW generation — duplicate ROWS against the
+  *    compacted fold, identical SET semantics (consumers semi/anti-join).
   *  - **Fragmentation counter**: [[fileCount]] is the measured signal
   *    (files, not batches — an epoch can write several part files).
   *  - **Compaction**: [[compactIfFragmented]] folds every batch dir into
-  *    one `batch=cN` generation (distinct urls — claims are a SET) via a
-  *    staged sibling + two-rename swap with rollback (the
-  *    [[Bucketing.compact]] discipline and its concurrent-reader caveat).
-  *    Membership is provably unchanged (spec-pinned); an epoch retried
-  *    from a pre-compaction checkpoint re-claims into its batch dir —
-  *    duplicate ROWS against the compacted generation, identical SET
-  *    semantics, cleaned by the next compaction.
+  *    one `batch=c` dir in the NEXT GENERATION ([[graft.core.GenDir]] —
+  *    the shared reader-atomic swap discipline: stage beside the live
+  *    generation, publish with one atomic sentinel create, live files
+  *    never move). A concurrent reader mid-scan keeps its generation's
+  *    files (grace keeps one generation back); a crashed compaction
+  *    leaves uncommitted debris that the next commit sweeps — no manual
+  *    `.old` recovery. Membership is provably unchanged (spec-pinned).
+  *
+  * Compaction and claims are a single logical maintenance writer (the
+  * q156 epoch loop runs them sequentially): a claim racing a compaction
+  * could land in the generation the compaction already read and be absent
+  * from the fold until its epoch retries.
   *
   * At 100 TB the index stays a partitioned parquet set: membership reads
   * are one column, the anti-join broadcast-gates on the DELTA side (the
@@ -52,90 +61,73 @@ object UrlIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     if (f.exists(p)) f.delete(p, true)
     urls.select(col(urlCol).as("canonical_url")).distinct()
-      .write.mode("overwrite").parquet(s"$path/batch=seed")
+      .write.mode("overwrite").parquet(s"${GenDir.genPath(path, 0)}/batch=seed")
+    GenDir.commit(spark, path, 0)
   }
 
   /** The claimed-url membership set (may contain duplicate rows across
-    * generations after a retried epoch; consumers anti-join / semi-join,
+    * batch dirs after a retried epoch; consumers anti-join / semi-join,
     * so duplicates are semantically invisible). */
   def members(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).select(col("canonical_url"))
+    spark.read.parquet(GenDir.resolveRequired(spark, path))
+      .select(col("canonical_url"))
 
   /** Record one epoch's claimed urls, exactly-once per `batchId`: the
-    * batch's partition dir is overwritten, so a foreachBatch retry
-    * replaces its own prior (possibly partial) write. */
+    * batch's partition dir in the live generation is overwritten, so a
+    * foreachBatch retry replaces its own prior (possibly partial) write. */
   def claim(urls: DataFrame, path: String, batchId: String,
       urlCol: String = "canonical_url"): Unit = {
     require(batchId.matches("[A-Za-z0-9._-]+"),
       s"UrlIndex.claim: batchId must be a plain file-name token, got '$batchId'")
+    val cur = GenDir.resolveRequired(urls.sparkSession, path)
     urls.select(col(urlCol).as("canonical_url")).distinct()
-      .write.mode("overwrite").parquet(s"$path/batch=b$batchId")
+      .write.mode("overwrite").parquet(s"$cur/batch=b$batchId")
   }
 
-  /** Part files currently in the index (all batch generations). */
+  /** Part files currently in the live generation. */
   def fileCount(spark: SparkSession, path: String): Int =
     fileStats(spark, path)._1
 
-  /** One recursive listing yielding (part-file count, total part bytes) —
-    * compaction needs both, and a remote listing per epoch is the
-    * dominant metadata cost of this maintenance step, so it is paid
-    * once. */
+  /** One recursive listing of the live generation yielding (part-file
+    * count, total part bytes) — compaction needs both, and a remote
+    * listing per epoch is the dominant metadata cost of this maintenance
+    * step, so it is paid once. */
   private def fileStats(spark: SparkSession, path: String): (Int, Long) = {
-    val f = fs(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!f.exists(p)) (0, 0L)
-    else {
-      val it = f.listFiles(p, true)
-      var n = 0
-      var b = 0L
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.getPath.getName.startsWith("part-")) { n += 1; b += s.getLen }
-      }
-      (n, b)
+    GenDir.resolve(spark, path) match {
+      case None => (0, 0L)
+      case Some(cur) =>
+        val f = fs(spark, path)
+        val it = f.listFiles(new org.apache.hadoop.fs.Path(cur), true)
+        var n = 0
+        var b = 0L
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.startsWith("part-")) { n += 1; b += s.getLen }
+        }
+        (n, b)
     }
   }
 
-  /** Fold every batch dir into one fresh `batch=cN` generation when the
-    * file count exceeds `threshold`. Returns true when a compaction ran.
-    * Swap discipline: full staged sibling, rename away, rename in,
-    * rollback on failure — a reader between the two renames fails its
-    * scan and must retry ([[Bucketing.compact]]'s documented caveat). */
+  /** Fold every batch dir into one `batch=c` dir in a fresh generation
+    * when the live generation's file count exceeds `threshold`. Returns
+    * true when a compaction ran. Swap discipline: [[graft.core.GenDir]]
+    * — stage the fold as the next generation, publish with one atomic
+    * sentinel create; concurrent readers never fail and never see a
+    * mixed state (SwapAtomicitySpec). */
   def compactIfFragmented(spark: SparkSession, path: String,
       threshold: Int = CompactThresholdFiles,
       targetBytes: Long = 128L << 20): Boolean = {
     val (nFiles, totalBytes) = fileStats(spark, path)
     if (nFiles <= threshold) return false
-    val f = fs(spark, path)
-    // next compaction generation: one past the highest existing cN (the
-    // generation counter is recovered from the layout, not a clock)
-    val gen = f.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .collect { case n if n.startsWith("batch=c") =>
-        n.stripPrefix("batch=c").toIntOption.getOrElse(-1)
-      }.foldLeft(-1)(math.max) + 1
-    val stage = s"$path.compact.tmp"
-    val stagePath = new org.apache.hadoop.fs.Path(stage)
-    if (f.exists(stagePath)) f.delete(stagePath, true)
+    val gen = GenDir.next(spark, path)
     // size the output like Bucketing.compact: ⌈bytes/target⌉ files, so a
     // 100 TB-era index compacts to executor-sized files, not one giant one
     // (bytes from the same single listing as the threshold check)
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     members(spark, path).distinct()
       .coalesce(nOut)
-      .write.mode("overwrite").parquet(s"$stage/batch=c$gen")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(s"$path.compact.old")
-    if (f.exists(old)) f.delete(old, true)
-    require(f.rename(p, old), s"url-index compaction swap failed: $p -> $old")
-    if (!f.rename(stagePath, p)) {
-      val restored = f.rename(old, p)
-      throw new IllegalStateException(
-        s"url-index compaction swap failed: $stage -> $path" +
-          (if (restored) " (original restored)"
-           else s" AND rollback failed — index is at $old"))
-    }
-    f.delete(old, true)
+      .write.mode("overwrite").parquet(s"${GenDir.genPath(path, gen)}/batch=c")
+    GenDir.commit(spark, path, gen)
     true
   }
 }

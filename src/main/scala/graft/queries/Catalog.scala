@@ -1822,7 +1822,9 @@ object Catalog {
       val hits = ann.join(truth.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
-      val indexed = s.read.parquet(s"$path/lists").agg(count(lit(1)).as("n_indexed"))
+      val indexed = s.read.parquet(
+          s"${Similarity.ivfCurrent(s, path)}/lists")
+        .agg(count(lit(1)).as("n_indexed"))
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
         .crossJoin(indexed)
@@ -1885,7 +1887,9 @@ object Catalog {
       val hits = ann.join(truth.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
-      val indexed = s.read.parquet(s"$path/lists").agg(count(lit(1)).as("n_indexed"))
+      val indexed = s.read.parquet(
+          s"${graft.operators.Similarity.ivfCurrent(s, path)}/lists")
+        .agg(count(lit(1)).as("n_indexed"))
       val stale = graft.operators.Similarity.ivfIndexStaleness(s, path)
         .select(col("built_rows"), col("appended_rows"), col("retrain_recommended"))
       truth.agg(count(lit(1)).as("n_truth"))

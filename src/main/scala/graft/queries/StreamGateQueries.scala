@@ -701,8 +701,7 @@ object StreamGateQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.sql(s"DROP TABLE IF EXISTS ${tbl}_sh")
-    s.sql(s"DROP TABLE IF EXISTS ${tbl}_buckets")
+    graft.operators.Dedup.dropMinhashIndex(s, tbl)
     seen.toSeq.toDF("doc_id", "source")
       .join(accepted.toSeq.toDF("doc_id", "chars"), Seq("doc_id"), "left")
       .groupBy(col("source"))

@@ -110,10 +110,23 @@ class BucketingSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("part-")).map(_.length).sum
     val target = totalBytes / 4 + 1
     val n = Bucketing.compact(spark, base, target)
-    assert(n <= 4 && parts == n, s"expected <=4 compacted files, got $n / $parts")
-    val after = spark.read.parquet(base).collect().map(_.getLong(0)).sorted.toSeq
+    val live = Bucketing.current(spark, base)
+    assert(live != base, "compaction must publish a generation dir")
+    def liveParts = new java.io.File(live).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(n <= 4 && liveParts == n, s"expected <=4 compacted files, got $n / $liveParts")
+    assert(parts == 0, "the flat files must be migrated into generation 0")
+    val after = spark.read.parquet(live).collect().map(_.getLong(0)).sorted.toSeq
     assert(after == before, "compaction must not change content")
-    assert(!new java.io.File(base + ".compact.tmp").exists())
+    assert(new java.io.File(live, graft.core.GenDir.CommitMarker).exists(),
+      "the live generation must carry its commit sentinel")
+    // a second compaction publishes a new generation and keeps ONE back
+    val n2 = Bucketing.compact(spark, base, target)
+    val live2 = Bucketing.current(spark, base)
+    assert(live2 != live && n2 >= 1, "second compaction must advance the generation")
+    assert(new java.io.File(live).exists(),
+      "grace must keep the previous generation for in-flight readers")
+    assert(spark.read.parquet(live2).collect().map(_.getLong(0)).sorted.toSeq == before)
   }
 
   test("morton interleave: known bit patterns, positive range, locality") {

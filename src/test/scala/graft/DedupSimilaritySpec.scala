@@ -408,7 +408,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
     Similarity.buildIvfIndex(even, path, "vec_id", "embedding")
     Similarity.appendToIvfIndex(odd, path, "vec_id", "embedding")
     // every appended vector landed in exactly replicate(=1) lists
-    assert(spark.read.parquet(s"$path/lists").count() == emb.count())
+    def listsOf(p: String) =
+      spark.read.parquet(s"${Similarity.ivfCurrent(spark, p)}/lists")
+    assert(listsOf(path).count() == emb.count())
     val queries = emb.filter(col("vec_id") < 20)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1),
@@ -452,15 +454,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // a re-run with the SAME batchId replaces its own files — no duplicates
     Similarity.appendToIvfIndex(odd, path, "vec_id", "embedding", batchId = "b1")
     Similarity.appendToIvfIndex(odd, path, "vec_id", "embedding", batchId = "b1")
-    assert(spark.read.parquet(s"$path/lists").count() == emb.count(),
+    val cur = Similarity.ivfCurrent(spark, path)
+    assert(spark.read.parquet(s"$cur/lists").count() == emb.count(),
       "same-batchId retry must not duplicate delta vectors")
-    // no staging residue: readers of $path/lists never see stage dirs
-    val residue = Option(new java.io.File(path).listFiles()).get
+    // no staging residue: readers of the lists never see stage dirs
+    val residue = Option(new java.io.File(cur).listFiles()).get
       .map(_.getName).filter(_.contains(".stage"))
     assert(residue.isEmpty, s"staging residue left behind: ${residue.toSeq}")
     // a DIFFERENT batchId is a new delta (appends again)
     Similarity.appendToIvfIndex(odd, path, "vec_id", "embedding", batchId = "b2")
-    assert(spark.read.parquet(s"$path/lists").count() ==
+    assert(spark.read.parquet(s"$cur/lists").count() ==
       even.count() + 2 * odd.count())
     rm(path)
   }

@@ -42,8 +42,9 @@ class MinhashIndexSpec extends AnyFunSuite {
     val index = docs.filter(col("doc_id") % 2 === 0)
     val delta = docs.filter(col("doc_id") % 2 === 1)
 
-    dropManaged(s"${table}_sh"); dropManaged(s"${table}_buckets")
+    Dedup.dropMinhashIndex(spark, table)
     Dedup.minhashIndexWrite(index, "doc_id", "text", table)
+    val (_, bucketsTable) = Dedup.minhashLiveTables(spark, table)
     val viaIndex = Dedup.minhashLshAgainstIndex(delta, "doc_id", "text", table)
     val got = viaIndex.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -60,7 +61,7 @@ class MinhashIndexSpec extends AnyFunSuite {
     // The operator pins (materializes) the candidate pairs internally, so
     // the plan to audit is the candidate join itself, rebuilt here from
     // the same shared projections the operator uses.
-    val candJoin = spark.table(s"${table}_buckets").as("i")
+    val candJoin = spark.table(bucketsTable).as("i")
       .join(Dedup.bandBuckets(
         Dedup.shingleProjection(delta, "doc_id", "text", 3), 128, 32).as("d"),
         Seq("band", "sig"))
@@ -71,7 +72,7 @@ class MinhashIndexSpec extends AnyFunSuite {
       .filter { ex =>
         flatten(ex.asInstanceOf[SparkPlan]).exists {
           case f: FileSourceScanExec =>
-            f.tableIdentifier.exists(_.table == s"${table}_buckets")
+            f.tableIdentifier.exists(_.table == bucketsTable)
           case _ => false
         }
       }
@@ -79,7 +80,7 @@ class MinhashIndexSpec extends AnyFunSuite {
       s"the index scan sits under ${offending.size} shuffle exchange(s) — " +
         "the persisted bucketing is not being used")
     val bucketScans = nodes.collect {
-      case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == s"${table}_buckets") => f
+      case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == bucketsTable) => f
     }
     assert(bucketScans.nonEmpty, "the stored band-bucket table must be scanned")
   }

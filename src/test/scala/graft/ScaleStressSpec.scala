@@ -335,7 +335,7 @@ class ScaleStressSpec extends AnyFunSuite {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-ivf-" +
       s"${java.lang.ProcessHandle.current().pid()}"
     Similarity.buildIvfIndex(emb, path, "vec_id", "embedding")
-    val nlist = spark.read.parquet(s"$path/meta").select("nlist").head().getInt(0)
+    val nlist = spark.read.parquet(s"${Similarity.ivfCurrent(spark, path)}/meta").select("nlist").head().getInt(0)
     assert(nlist == Similarity.autoNlist(StressData.Vecs), s"auto nlist: $nlist")
     // factor 10: probe-scan task size is the probed LIST size, and list
     // sizes legitimately spread with the data's cluster-mass distribution
@@ -372,7 +372,7 @@ class ScaleStressSpec extends AnyFunSuite {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-ivf-big-" +
       s"${java.lang.ProcessHandle.current().pid()}"
     Similarity.buildIvfIndex(emb, path, "vec_id", "embedding")
-    val nlist = spark.read.parquet(s"$path/meta").select("nlist").head().getInt(0)
+    val nlist = spark.read.parquet(s"${Similarity.ivfCurrent(spark, path)}/meta").select("nlist").head().getInt(0)
     // sqrt-N trend: 4*sqrt(200k) = 1789 (vs 566 at 20k) — and 1789*64 >
     // the distributed-Lloyd threshold, so this build trained on executors
     assert(nlist == Similarity.autoNlist(StressData.BigVecs), s"auto nlist: $nlist")
@@ -624,7 +624,7 @@ class ScaleStressSpec extends AnyFunSuite {
     // recall at fraction 0.67 — the evidence the 0.5 threshold leans on:
     // delta queries (both batches, drifted included) must find their base
     // original in the top-10 through the STALE codebook's lists
-    val nlist = spark.read.parquet(s"$path/meta").select("nlist").head().getInt(0)
+    val nlist = spark.read.parquet(s"${Similarity.ivfCurrent(spark, path)}/meta").select("nlist").head().getInt(0)
     val nprobe = math.max(8, nlist / 20)
     def recallOf(off: Long, shift: Double, np: Int = nprobe): Double = {
       val qs = perturbed(off, shift).filter(col("vec_id") < lit(off) + 200 &&
@@ -655,7 +655,7 @@ class ScaleStressSpec extends AnyFunSuite {
       s"rebuild must reset the staleness counter: $s3")
     // auto-nlist re-derives from the 3x mass — per-list occupancy stays
     // level instead of lists growing 3x
-    val nlist2 = spark.read.parquet(s"$path/meta").select("nlist").head().getInt(0)
+    val nlist2 = spark.read.parquet(s"${Similarity.ivfCurrent(spark, path)}/meta").select("nlist").head().getInt(0)
     assert(nlist2 >= nlist, s"auto-nlist must not shrink on a 3x corpus: $nlist -> $nlist2")
     val nprobe2 = math.max(8, nlist2 / 20)
     // recall through the RETRAINED codebook: the drifted batch is now in
@@ -741,10 +741,11 @@ class ScaleStressSpec extends AnyFunSuite {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(loc).count(f => f.isFile && f.getPath.getName.startsWith("part-"))
     }
+    val (shBefore, bkBefore) = Dedup.minhashLiveTables(spark, table)
     val bucketSpec = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_sh"))
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(shBefore))
       .bucketSpec.get.numBuckets
-    val filesBefore = tableFiles(s"${table}_buckets")
+    val filesBefore = tableFiles(bkBefore)
     assert(filesBefore > bucketSpec,
       s"fixture must be fragmented before rebuild (build + 2 appends), saw $filesBefore files")
     // an exact-duplicate delta with fresh disjoint ids: its served pair
@@ -754,11 +755,14 @@ class ScaleStressSpec extends AnyFunSuite {
     val servedBefore = pairSet(Dedup.minhashLshAgainstIndex(probe, "doc_id", "text", table))
     assert(servedBefore.nonEmpty, "probe delta must hit the index")
     Dedup.minhashIndexRebuild(spark, table)
-    // defragmented: one file per bucket in both tables
-    assert(tableFiles(s"${table}_sh") <= bucketSpec &&
-      tableFiles(s"${table}_buckets") <= bucketSpec,
+    // defragmented: one file per bucket in both tables (of the NEW live
+    // generation — the rebuild publishes fresh tables, never moves old ones)
+    val (shAfter, bkAfter) = Dedup.minhashLiveTables(spark, table)
+    assert(shAfter != shBefore, "rebuild must publish a new generation")
+    assert(tableFiles(shAfter) <= bucketSpec &&
+      tableFiles(bkAfter) <= bucketSpec,
       s"rebuild must leave at most one file per bucket, saw " +
-        s"${tableFiles(s"${table}_sh")} / ${tableFiles(s"${table}_buckets")}")
+        s"${tableFiles(shAfter)} / ${tableFiles(bkAfter)}")
     // counters reset: full mass indexed, nothing appended, no recommendation
     val st3 = Dedup.minhashIndexStaleness(spark, table).head()
     assert(st3.getLong(0) == st1.getLong(0) + st1.getLong(1) &&

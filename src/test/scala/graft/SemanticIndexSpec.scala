@@ -92,16 +92,17 @@ class SemanticIndexSpec extends AnyFunSuite {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft-semidx-old-" +
       s"${java.lang.ProcessHandle.current().pid()}"
     Similarity.buildIvfIndex(emb.limit(500), p, "vec_id", "embedding")
+    val cur = Similarity.ivfCurrent(spark, p)
     // rewrite meta in the OLD shape: no built_rows column
-    val oldMeta = spark.read.parquet(s"$p/meta")
+    val oldMeta = spark.read.parquet(s"$cur/meta")
       .select(col("nlist"), col("refine"), col("replicate")).collect()
     Seq((oldMeta.head.getInt(0), oldMeta.head.getInt(1), oldMeta.head.getInt(2)))
       .toDF("nlist", "refine", "replicate")
-      .write.mode("overwrite").parquet(s"$p/meta")
+      .write.mode("overwrite").parquet(s"$cur/meta")
     // and an EXISTING but empty appends dir
     val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/appends"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$cur/appends"))
     val st = Similarity.ivfIndexStaleness(spark, p).head()
     assert(st.getLong(0) == 0L && st.getLong(1) == 0L && !st.getBoolean(3),
       s"legacy meta + empty appends must read as zeros, not throw: $st")
@@ -130,35 +131,41 @@ class SemanticIndexSpec extends AnyFunSuite {
   }
 
   test("a crashed rebuild leaves serving untouched, and the next rebuild recovers") {
-    // rebuildIvfIndex stages at <path>.rebuild.tmp and parks the original
-    // at <path>.rebuild.old during the swap — a rebuild that died before
-    // its swap must leave both serving and staleness reading the LIVE
-    // index (they only read <path>), and a later rebuild must clean the
-    // debris and succeed
+    // rebuildIvfIndex stages the next GENERATION dir and publishes it
+    // with the _COMMITTED sentinel (graft.core.GenDir) — a rebuild that
+    // died before its sentinel leaves an UNCOMMITTED generation that
+    // serving and staleness (which resolve the highest committed
+    // generation) never see, and the next successful publish sweeps
     import spark.implicits._
     val p = s"${System.getProperty("java.io.tmpdir")}/graft-semidx-crash-" +
       s"${java.lang.ProcessHandle.current().pid()}"
     Similarity.buildIvfIndex(emb.limit(600), p, "vec_id", "embedding")
+    val liveGen = Similarity.ivfCurrent(spark, p)
     val q = emb.filter(col("vec_id") % 17 === 3)
     def serve() = Similarity.ivfTopKFromIndex(p, q, "vec_id", "embedding", k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val before = serve()
-    // simulate the two crash layouts: a half-written staging dir and a
-    // leftover parked original from an interrupted earlier attempt
-    Seq(s"$p.rebuild.tmp/lists", s"$p.rebuild.old").foreach { d =>
-      Seq((1L, "garbage")).toDF("a", "b").write.mode("overwrite").parquet(d)
-    }
-    assert(serve() == before, "debris dirs must be invisible to serving")
+    // simulate a crashed rebuild: a half-written staged generation with
+    // garbage content and NO commit sentinel
+    val debris = graft.core.GenDir.genPath(p, 9)
+    Seq((1L, "garbage")).toDF("a", "b")
+      .write.mode("overwrite").parquet(s"$debris/lists")
+    assert(Similarity.ivfCurrent(spark, p) == liveGen,
+      "an uncommitted generation must not resolve as live")
+    assert(serve() == before, "debris generations must be invisible to serving")
     val st = Similarity.ivfIndexStaleness(spark, p).head()
     assert(st.getLong(1) == 0L && !st.getBoolean(3),
-      s"debris dirs must be invisible to staleness: $st")
+      s"debris generations must be invisible to staleness: $st")
     Similarity.rebuildIvfIndex(spark, p)
     assert(serve().nonEmpty, "post-recovery rebuild must serve")
     val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p.rebuild.tmp")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$p.rebuild.old")),
-      "rebuild must clean both debris dirs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(debris)),
+      "the publish must sweep crashed-rebuild debris")
+    assert(Similarity.ivfCurrent(spark, p) != liveGen,
+      "the rebuild must publish a new live generation")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(liveGen)),
+      "grace must keep the previous committed generation for in-flight readers")
     val st2 = Similarity.ivfIndexStaleness(spark, p).head()
     assert(st2.getLong(1) == 0L && !st2.getBoolean(3), s"counters must read fresh: $st2")
   }

@@ -740,8 +740,7 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq == ref.toSeq, s"resumed run diverged: " +
       s"${got.zip(ref).filter { case (a, b) => a != b }.take(3)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_sh")
-    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_buckets")
+    graft.operators.Dedup.dropMinhashIndex(spark, tbl)
   }
 
   test("q159 epoch replay: batchId idempotence holds and the accepted set is REPLAY-EQUAL") {
@@ -774,19 +773,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(acc1.map(_.getLong(0)).toSeq.sorted == Seq(1L),
       s"fresh run: doc 1 accepted, 2 (batch dup) and 3 (index dup) rejected; " +
         s"got ${acc1.map(_.getLong(0)).toSeq.sorted}")
-    val shRows = spark.table(s"${tbl}_sh").count()
+    val shLive = graft.operators.Dedup.minhashLiveTables(spark, tbl)._1
+    val shRows = spark.table(shLive).count()
     val appended = Dedup.minhashIndexStaleness(spark, tbl).head().getLong(1)
     val (acc2, seen2) = graft.queries.StreamGateQueries.sdiEpoch(tbl, "sdi-replay")(batch, 0L)
     assert(seen2.length == 3, "the replayed epoch still reports its rows as seen")
     assert(acc2.map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1) ==
       acc1.map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1),
       "the replayed epoch's accepted set must equal the original run's")
-    assert(spark.table(s"${tbl}_sh").count() == shRows,
+    assert(spark.table(shLive).count() == shRows,
       "a replayed batchId must not duplicate index rows")
     assert(Dedup.minhashIndexStaleness(spark, tbl).head().getLong(1) == appended,
       "a replayed batchId must not advance the appended counter")
-    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_sh")
-    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_buckets")
+    Dedup.dropMinhashIndex(spark, tbl)
   }
 
   test("q159 chain semantics: a doc near-dupping a REJECTED doc is still suppressed") {

@@ -79,26 +79,31 @@ class UrlIndexSpec extends AnyFunSuite {
       "compaction must fold cross-batch duplicate rows")
   }
 
-  test("compaction swap leaves no stage/old residue and a fresh generation counter") {
+  test("compaction publishes generations: grace keeps one back, debris is swept") {
+    import graft.core.GenDir
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-urlidx-swap-" +
       s"${java.lang.ProcessHandle.current().pid()}"
     UrlIndex.seed(urls(0 until 20), path)
     (0 until 6).foreach(e => UrlIndex.claim(urls(200 + e * 5 until 205 + e * 5), path, e.toString))
+    val live0 = GenDir.resolveRequired(spark, path)
     assert(UrlIndex.compactIfFragmented(spark, path, threshold = 1))
     val f = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path.compact.tmp")) &&
-      !f.exists(new org.apache.hadoop.fs.Path(s"$path.compact.old")),
-      "swap must clean its staging and backup dirs")
-    val gens = f.listStatus(new org.apache.hadoop.fs.Path(path))
+    val live1 = GenDir.resolveRequired(spark, path)
+    assert(live1 != live0, "compaction must publish a new generation")
+    assert(f.exists(new org.apache.hadoop.fs.Path(live0)),
+      "grace must keep the previous generation for in-flight readers")
+    val folded = f.listStatus(new org.apache.hadoop.fs.Path(live1))
       .filter(_.isDirectory).map(_.getPath.getName).toSeq
-    assert(gens == Seq("batch=c0"), s"first compaction folds everything into c0: $gens")
-    // second compaction increments the generation, never reuses c0's name
+    assert(folded == Seq("batch=c"), s"compaction folds everything into one dir: $folded")
+    // second compaction advances the generation and drops generation 0
     UrlIndex.claim(urls(300 until 305), path, "x1")
     assert(UrlIndex.compactIfFragmented(spark, path, threshold = 1))
-    val gens2 = f.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(_.isDirectory).map(_.getPath.getName).toSeq
-    assert(gens2 == Seq("batch=c1"), s"generation counter must advance: $gens2")
+    val live2 = GenDir.resolveRequired(spark, path)
+    assert(live2 != live1, s"generation must advance: $live2")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(live0)),
+      "generations behind the grace window must be deleted")
+    assert(f.exists(new org.apache.hadoop.fs.Path(live1)), "grace keeps one back")
     assert(memberSet(path).size == 20 + 30 + 5)
   }
 }
