@@ -621,68 +621,185 @@ object Pipeline {
     * Symbols never contain the sentinel, so the replace cannot match
     * across symbol boundaries.
     *
-    * MERGE-APPLICATION VARIANT — stated, not hidden: because consecutive
-    * symbol-level pair instances share the middle sentinel at string
-    * level (`|a|b|a|b|`), one replace pass merges the 1st, 3rd, 5th …
-    * instance of an unbroken run/alternation, where Sennrich's
-    * symbol-level greedy merges every non-overlapping instance in one
-    * iteration (`bbbb` → here `[bb,b,b]`, symbol-greedy `[bb,bb]`;
-    * `abab` → here `[ab,a,b]`, symbol-greedy `[ab,ab]`; `bbb` agrees:
-    * `[bb,b]`). The residue is picked up by LATER merge iterations (the
-    * skipped `a|b` adjacency is still counted and re-wins), so training
-    * converges along a slightly different merge path. The exact
-    * symbol-level fold needs regex lookahead, which RE2 (DuckDB) lacks —
-    * this variant is the strongest semantics both engines compute
-    * bit-identically, it is applied consistently at train time, apply
-    * time ([[bpeFertility]]) and in the oracle, and TextScanSpec pins
-    * the divergence cases. */
+    * EXACT SYMBOL-LEVEL SEMANTICS (round 12, VERDICT r11 item 4): the
+    * word-frequency table is vocab-sized, so when its measured plan
+    * stats fit [[maxBpeVocabCollectBytes]] it is collected and the merge
+    * loop runs DRIVER-SIDE as Sennrich's exact greedy fold — every
+    * iteration merges every leftmost-non-overlapping instance
+    * (`bbbb` → `[bb,bb]`, `abab` → `[ab,ab]`), k is an in-memory pass
+    * over ≤ vocab words instead of k sequential Spark jobs (so real
+    * tokenizer-scale k is affordable — the spec gates k = 256 inside the
+    * bench budget), and the final per-word encodings come out of the
+    * same fold for free, making the apply step a broadcast vocab lookup.
+    * The DuckDB oracle replays the exact fold with a `list_reduce`
+    * lambda per unrolled stage (the RE2-lookahead limitation only bound
+    * the old string-replace formulation).
+    *
+    * DISTRIBUTED FALLBACK — above the ceiling (a 100 TB corpus can have
+    * a word-frequency table too large to collect) the loop runs as the
+    * round-11 string-replace VARIANT over the pinned wf table: because
+    * consecutive symbol-level pair instances share the middle sentinel
+    * at string level (`|a|b|a|b|`), one replace pass merges the 1st,
+    * 3rd, 5th … instance (`bbbb` → `[bb,b,b]`), and the residue is
+    * picked up by LATER iterations, so training converges along a
+    * slightly different merge path; k is capped at 64 (k sequential
+    * vocab-table jobs). TextScanSpec pins the exact semantics, the
+    * fallback's variant semantics, and the agreement of the two paths on
+    * divergence-free corpora. */
+
+  /** Measured-stats ceiling (the gatedIds discipline) under which the
+    * word-frequency table collects for the exact driver-side merge loop;
+    * 0 forces the distributed fallback (spec knob). */
+  private[graft] val DefaultMaxBpeVocabCollectBytes: Long = 64L << 20
+  @volatile private[graft] var maxBpeVocabCollectBytes: Long =
+    DefaultMaxBpeVocabCollectBytes
+
+  /** Exact greedy BPE over a collected (word, freq) vocabulary: pair
+    * counts weight ALL adjacent symbol positions (overlap allowed,
+    * standard BPE counting — identical to the fallback's), argmax ties
+    * break on the pair string `"l|r"` ascending (identical to the
+    * fallback and the oracle's ORDER BY), and the winning pair merges
+    * every leftmost-non-overlapping instance in one pass. Returns the
+    * merge table and each vocab word's final token count (the apply
+    * step's lookup). Driver memory: the vocab rows (ceiling-gated) plus
+    * a pair-count map bounded by total adjacent positions. */
+  private[graft] def exactBpeTrain(
+      words: Seq[(String, Long)],
+      k: Int): (Seq[(Int, String, String, String, Long)], Seq[(String, Int)]) = {
+    val vocab: Array[(String, Long)] = words.toArray
+    val encs: Array[Array[String]] =
+      vocab.map { case (w, _) => w.map(_.toString).toArray }
+    // incremental pair bookkeeping (every real BPE trainer's device): the
+    // global count per adjacent pair, plus which words contain it — a
+    // merge then touches ONLY the words holding the winning adjacency
+    // instead of recounting the vocabulary, so k=256 costs the initial
+    // count pass + the affected rewrites, not k full passes. The pair-key
+    // space stays tiny (initial bigrams over [a-z0-9] plus O(k) pairs
+    // involving learned symbols), so the per-iteration argmax scan is
+    // over a few thousand keys.
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    val occurs =
+      scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.Set[Int]]
+    def tally(wi: Int, sign: Long): Unit = {
+      val syms = encs(wi); val f = vocab(wi)._2 * sign
+      var i = 0
+      while (i + 1 < syms.length) {
+        val key = syms(i) + "|" + syms(i + 1)
+        val nv = counts.getOrElse(key, 0L) + f
+        if (nv == 0L) counts.remove(key) else counts(key) = nv
+        if (sign > 0)
+          occurs.getOrElseUpdate(key, scala.collection.mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < encs.length) { tally(wi, 1L); wi += 1 }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var it = 0
+    // stop at corpus exhaustion (every word one symbol — no pairs left):
+    // standard tokenizer-trainer semantics; the oracle's unrolled stages
+    // are exhaustion-stable (an empty argmax stage rewrites nothing)
+    while (it < k && counts.nonEmpty) {
+      val (p, cnt) = counts.minBy { case (pp, c) => (-c, pp) }
+      val sep = p.indexOf('|')
+      val (lft, rgt) = (p.substring(0, sep), p.substring(sep + 1))
+      val mg = lft + rgt
+      merges += ((it + 1, lft, rgt, mg, cnt))
+      // exact leftmost-non-overlapping merge in every word holding the
+      // adjacency (occurs sets may carry stale members whose adjacency
+      // was consumed by an earlier merge — their rewrite is a no-op and
+      // the subtract/re-add cancels)
+      occurs.get(p).map(_.toArray).getOrElse(Array.empty).foreach { w =>
+        val syms = encs(w)
+        if (syms.length >= 2) {
+          tally(w, -1L)
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == lft && syms(i + 1) == rgt) {
+              out += mg; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          encs(w) = out.toArray
+          tally(w, 1L)
+        }
+      }
+      it += 1
+    }
+    (merges.toSeq, vocab.indices.map(i => (vocab(i)._1, encs(i).length)))
+  }
+
+  /** A trained tokenizer: the merge table, and — on the exact path — the
+    * final token count per vocab word (None on the distributed
+    * fallback, whose apply step is the replace chain). */
+  private case class BpeTrained(
+      merges: Seq[(Int, String, String, String, Long)],
+      exactTokenCounts: Option[Seq[(String, Int)]])
+
   /** The training loop behind [[bpeMerges]] and [[bpeFertility]]: the
     * (rank, left, right, merged, weighted count) tuples — exactly k rows
-    * of driver state. */
-  private def trainBpe(
-      df: DataFrame, textCol: String, k: Int): Seq[(Int, String, String, String, Long)] = {
-    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    * of driver state (plus, on the exact path, the vocab-sized final
+    * encodings). Dispatches exact-vs-fallback on the wf table's measured
+    * size (see the operator doc above). */
+  private def trainBpe(df: DataFrame, textCol: String, k: Int): BpeTrained = {
+    require(k >= 1 && k <= 4096, "k must be in [1, 4096]")
     val words = graft.core.GraftSession.widen(df)
       .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
       .filter(length(col("w")) > 0)
-    // the one corpus pass; pinned because the loop reads it k times
+    // the one corpus pass; pinned because both paths re-read it
     val wf = graft.core.GraftSession.pin(
-      words.groupBy(col("w")).agg(count(lit(1)).as("n"))
-        .withColumn("enc",
-          concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))))
+      words.groupBy(col("w")).agg(count(lit(1)).as("n")))
     try {
-      var enc: Column = col("enc")
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-      var i = 0
-      while (i < k) {
-        val arr = split(enc, "\\|")
-        val symbols = slice(arr, lit(2), size(arr) - 2)
-        val pairs = when(size(symbols) >= 2,
-          transform(sequence(lit(1), size(symbols) - 1),
-            j => concat(element_at(symbols, j), lit("|"),
-              element_at(symbols, j + 1))))
-          .otherwise(array().cast("array<string>"))
-        val top = wf.select(col("n"), explode(pairs).as("p"))
-          .groupBy(col("p")).agg(sum(col("n")).as("cnt"))
-          .orderBy(col("cnt").desc, col("p").asc)
-          .take(1)
-        require(top.nonEmpty, s"corpus exhausted after $i merges (k = $k)")
-        val p = top.head.getString(0)
-        val cnt = top.head.getLong(1)
-        val sep = p.indexOf('|')
-        val (lft, rgt) = (p.substring(0, sep), p.substring(sep + 1))
-        merges += ((i + 1, lft, rgt, lft + rgt, cnt))
-        enc = call_function("replace", enc, lit(s"|$p|"), lit(s"|$lft$rgt|"))
-        i += 1
-      }
-      merges.toSeq
+      if (org.apache.spark.sql.GraftSqlBridge.sizeEstimate(wf) <=
+          BigInt(maxBpeVocabCollectBytes)) {
+        val rows = wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val (merges, counts) = exactBpeTrain(rows, k)
+        BpeTrained(merges, Some(counts))
+      } else trainBpeDistributed(wf, k)
     } finally graft.core.GraftSession.release(wf)
+  }
+
+  /** The distributed string-replace fallback (see the variant doc above):
+    * k sequential jobs over the pinned wf table, k ≤ 64. */
+  private def trainBpeDistributed(wfIn: DataFrame, k: Int): BpeTrained = {
+    require(k <= 64, "k must be <= 64 on the distributed fallback path")
+    val wf = wfIn.withColumn("enc",
+      concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")))
+    var enc: Column = col("enc")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < k && !exhausted) {
+      val arr = split(enc, "\\|")
+      val symbols = slice(arr, lit(2), size(arr) - 2)
+      val pairs = when(size(symbols) >= 2,
+        transform(sequence(lit(1), size(symbols) - 1),
+          j => concat(element_at(symbols, j), lit("|"),
+            element_at(symbols, j + 1))))
+        .otherwise(array().cast("array<string>"))
+      val top = wf.select(col("n"), explode(pairs).as("p"))
+        .groupBy(col("p")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p").asc)
+        .take(1)
+      if (top.isEmpty) { exhausted = true }
+      else {
+      val p = top.head.getString(0)
+      val cnt = top.head.getLong(1)
+      val sep = p.indexOf('|')
+      val (lft, rgt) = (p.substring(0, sep), p.substring(sep + 1))
+      merges += ((i + 1, lft, rgt, lft + rgt, cnt))
+      enc = call_function("replace", enc, lit(s"|$p|"), lit(s"|$lft$rgt|"))
+      i += 1
+      }
+    }
+    BpeTrained(merges.toSeq, None)
   }
 
   def bpeMerges(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    trainBpe(df, textCol, k)
+    trainBpe(df, textCol, k).merges
       .toDF("merge_rank", "sym_left", "sym_right", "merged", "pair_count")
   }
 
@@ -696,17 +813,33 @@ object Pipeline {
     * k merge tuples from training. */
   def bpeFertility(
       df: DataFrame, groupCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val merges = trainBpe(df, textCol, k)
+    val spark = df.sparkSession
+    val trained = trainBpe(df, textCol, k)
     val words = graft.core.GraftSession.widen(df)
       .select(col(groupCol).as("grp"),
         explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
       .filter(length(col("w")) > 0)
-    var enc: Column = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
-    merges.foreach { case (_, l, r, m, _) =>
-      enc = call_function("replace", enc, lit(s"|$l|$r|"), lit(s"|$m|"))
+    val perWord = trained.exactTokenCounts match {
+      case Some(counts) =>
+        // exact path: training already encoded every vocab word — the
+        // apply step is one broadcast vocab lookup (tokenize IS a vocab
+        // lookup at scale). Inner join is total by construction: the
+        // vocabulary was built from this same frame's word stream.
+        import spark.implicits._
+        val tokDf = counts.toDF("w", "t")
+        words.join(broadcast(tokDf), Seq("w"))
+          .select(col("grp"), col("t").cast("long").as("t"))
+      case None =>
+        // fallback: the k learned replaces run as a literal codegen'd
+        // chain per word instance — no joins, no vocab broadcast
+        var enc: Column = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
+        trained.merges.foreach { case (_, l, r, m, _) =>
+          enc = call_function("replace", enc, lit(s"|$l|$r|"), lit(s"|$m|"))
+        }
+        words.select(col("grp"),
+          (size(split(enc, "\\|")) - 2).cast("long").as("t"))
     }
-    words
-      .withColumn("t", (size(split(enc, "\\|")) - 2).cast("long"))
+    perWord
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_words"), sum(col("t")).as("n_tokens"))
       .withColumn("fertility",

@@ -1969,9 +1969,19 @@ object Catalog {
     * one template emits both sides). Stage i: count all adjacent symbol
     * positions weighted by word frequency over w(i-1), pick the argmax
     * pair (ties on the pair string ascending), rewrite every word's
-    * sentinel-wrapped symbol string with a plain leftmost-non-overlap
-    * replace — identical semantics to Spark's `replace`
-    * ([[graft.operators.Pipeline.bpeMerges]]).
+    * symbol list with Sennrich's EXACT leftmost-non-overlapping merge —
+    * a `list_reduce` left fold that replaces the last accumulated symbol
+    * with the merged token whenever (last, incoming) is the winning
+    * pair. The fold is exactly the symbol-level greedy pass: a
+    * just-merged token can never re-merge as the LEFT part in the same
+    * pass because `left+right != left`, and it never becomes a RIGHT
+    * part because the fold only rewrites the accumulator's tail
+    * ([[graft.operators.Pipeline.exactBpeTrain]] is the Spark-side
+    * driver fold with the same semantics, round-12 exact upgrade).
+    * Exhaustion-stable past the corpus's merge capacity: an empty argmax
+    * stage coalesces to a sentinel pair (`!` — outside the [a-z0-9]
+    * symbol alphabet) whose rewrite is a no-op and whose UNION leg emits
+    * no row, matching the trainer's stop-at-exhaustion semantics.
     *
     * Every CTE is `AS MATERIALIZED`: each stage references its
     * predecessor more than once (the pair count and the rewrite, plus
@@ -1981,29 +1991,43 @@ object Catalog {
   private def bpeChainSql(k: Int): String = {
     val sb = new StringBuilder
     sb.append("""WITH w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
-        '|' || regexp_replace(w, '(.)', '\1|', 'g') AS enc
+        rtrim(regexp_replace(w, '(.)', '\1|', 'g'), '|') AS enc
       FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w FROM documents)
       WHERE length(w) > 0 GROUP BY w)""")
     (1 to k).foreach { i =>
       sb.append(s""",
         p$i AS MATERIALIZED (SELECT p, CAST(SUM(n) AS BIGINT) AS cnt FROM (
-            SELECT n, unnest([s[j] || '|' || s[j+1] for j in range(2, len(s) - 1)]) AS p
+            SELECT n, unnest([s[j] || '|' || s[j+1] for j in range(1, len(s))]) AS p
             FROM (SELECT n, string_split(enc, '|') AS s FROM w${i - 1})) GROUP BY p),
         m$i AS MATERIALIZED (SELECT p, cnt FROM p$i ORDER BY cnt DESC, p ASC LIMIT 1),
-        w$i AS MATERIALIZED (SELECT w, n, replace(enc,
-            '|' || (SELECT p FROM m$i) || '|',
-            '|' || replace((SELECT p FROM m$i), '|', '') || '|') AS enc FROM w${i - 1})""")
+        w$i AS MATERIALIZED (SELECT w, n, list_reduce(string_split(enc, '|'),
+            (acc, x) -> CASE
+              WHEN acc = l AND x = r THEN mg
+              WHEN ends_with(acc, '|' || l) AND x = r
+                THEN acc[1 : length(acc) - length(l) - 1] || '|' || mg
+              ELSE acc || '|' || x END) AS enc
+          FROM w${i - 1} CROSS JOIN (SELECT
+            coalesce((SELECT split_part(p, '|', 1) FROM m$i), '!') AS l,
+            coalesce((SELECT split_part(p, '|', 2) FROM m$i), '!') AS r,
+            coalesce((SELECT replace(p, '|', '') FROM m$i), '!') AS mg))""")
     }
     sb.toString
   }
 
-  private def bpeOracleSql(k: Int): String =
-    bpeChainSql(k) + "\n      " +
-      (1 to k).map { i =>
-        s"""SELECT CAST($i AS INTEGER) AS merge_rank,
+  private def bpeOracleSql(k: Int): String = {
+    // a flat k-way UNION ALL parses as a left-deep set-op tree — at
+    // k = 256 that trips DuckDB's max_expression_depth (1000); chunking
+    // into parenthesized 32-way groups bounds the depth at ~40
+    val selects = (1 to k).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS merge_rank,
           split_part(p, '|', 1) AS sym_left, split_part(p, '|', 2) AS sym_right,
           replace(p, '|', '') AS merged, cnt AS pair_count FROM m$i"""
-      }.mkString(" UNION ALL ") + " ORDER BY merge_rank"
+    }
+    val grouped = selects.grouped(32)
+      .map(g => "(" + g.mkString(" UNION ALL ") + ")")
+      .mkString(" UNION ALL ")
+    bpeChainSql(k) + "\n      " + grouped + " ORDER BY merge_rank"
+  }
 
   /** q161 oracle: encode every word INSTANCE with the learned merges —
     * the per-word rewrite is already computed at vocab level in w_k, so
@@ -2015,33 +2039,36 @@ object Catalog {
           SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
           FROM documents) WHERE length(w) > 0)
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
-        CAST(SUM(len(string_split(enc, '|')) - 2) AS BIGINT) AS n_tokens,
-        CAST(SUM(len(string_split(enc, '|')) - 2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+        CAST(SUM(len(string_split(enc, '|'))) AS BIGINT) AS n_tokens,
+        CAST(SUM(len(string_split(enc, '|'))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
       FROM dw JOIN w$k USING (w) GROUP BY lang ORDER BY lang"""
 
-  /** BPE vocabulary induction: the first 8 merges (pair, merged symbol,
-    * weighted adjacency count) — the tokenizer-training verb. The merge
-    * loop runs over the vocab-sized word-frequency table, never the
-    * corpus (one corpus pass total); driver state is 8 merge tuples. */
+  /** BPE vocabulary induction: the first 256 merges (pair, merged
+    * symbol, weighted adjacency count) — the tokenizer-training verb at
+    * real tokenizer depth (round 12: exact symbol-level semantics via
+    * the driver-side incremental fold over the collected vocab-sized
+    * word-frequency table — one corpus pass, then k in-memory passes;
+    * the 256-stage oracle is the same generated exact fold unrolled). */
   private val q160 = QueryDef(
     "q160_bpe_merges",
     (s, dir) =>
-      graft.operators.Pipeline.bpeMerges(t(s, dir, "documents"), "text", k = 8)
+      graft.operators.Pipeline.bpeMerges(t(s, dir, "documents"), "text", k = 256)
         .orderBy(col("merge_rank")),
-    Some(bpeOracleSql(8)))
+    Some(bpeOracleSql(256)))
 
   /** BPE apply step: tokenizer fertility (tokens per word) by language
     * after encoding with the q160 merges — the tokenizer-fit report next
-    * to q69's OOV rate. One row-local corpus pass (the k replaces run as
-    * a literal codegen'd chain per word instance; no joins). */
+    * to q69's OOV rate. On the exact path the apply is one broadcast
+    * vocab lookup (training already encoded every vocab word); the
+    * distributed fallback keeps the codegen'd replace chain. */
   private val q161 = QueryDef(
     "q161_bpe_fertility",
     (s, dir) =>
       graft.operators.Pipeline.bpeFertility(
-        t(s, dir, "documents"), "lang", "text", k = 8)
+        t(s, dir, "documents"), "lang", "text", k = 256)
         .withColumnRenamed("grp", "lang")
         .orderBy(col("lang")),
-    Some(bpeFertilityOracleSql(8)))
+    Some(bpeFertilityOracleSql(256)))
 
   /** Session-scoped persisted IVF-PQ index — the [[ivfIndexPath]]
     * staging/rename/cleanup discipline for the compressed-codes variant. */

@@ -359,25 +359,86 @@ class TextScanSpec extends AnyFunSuite {
       s"tie must break to the ascending pair: $t")
   }
 
-  test("bpe merge-application variant: runs and alternations merge every OTHER instance per pass") {
+  test("bpe exact semantics: runs and alternations merge every non-overlapping instance per pass") {
     import spark.implicits._
-    // the documented divergence from symbol-level greedy (trainBpe doc):
-    // consecutive pair instances share the middle sentinel, so one pass
-    // merges instances 1, 3, 5…  — 'bbbb' tokenizes to [bb, b, b] (3),
-    // where Sennrich's symbol-greedy gives [bb, bb] (2); 'abab' to
-    // [ab, a, b] (3) not [ab, ab] (2). Pinned so the variant can never
-    // silently drift — the oracle computes the identical semantics.
+    // round 12 (VERDICT r11 item 4): the divergence cases that PINNED the
+    // old string-replace variant now pin Sennrich's exact symbol-level
+    // greedy — 'bbbb' after merge (b,b) is [bb, bb] (2 tokens, the
+    // variant gave 3); 'abab' after (a,b) is [ab, ab]
     val runs = Seq((0L, "en", "bbbb")).toDF("doc_id", "lang", "text")
     val f1 = graft.operators.Pipeline.bpeFertility(runs, "lang", "text", k = 1).head()
-    assert(f1.getLong(1) == 1L && f1.getLong(2) == 3L,
-      s"'bbbb' after merge (b,b) must encode as 3 tokens in this variant: $f1")
+    assert(f1.getLong(1) == 1L && f1.getLong(2) == 2L,
+      s"'bbbb' after merge (b,b) must encode as [bb, bb]: $f1")
     val alt = Seq((0L, "en", "abab")).toDF("doc_id", "lang", "text")
     val f2 = graft.operators.Pipeline.bpeFertility(alt, "lang", "text", k = 1).head()
-    assert(f2.getLong(1) == 1L && f2.getLong(2) == 3L,
-      s"'abab' after merge (a,b) must encode as 3 tokens in this variant: $f2")
-    // the residue is not lost: a second iteration still sees the skipped
-    // adjacency and merges it
+    assert(f2.getLong(1) == 1L && f2.getLong(2) == 2L,
+      s"'abab' after merge (a,b) must encode as [ab, ab]: $f2")
+    // a second merge folds the two bb tokens into one word
     val f3 = graft.operators.Pipeline.bpeFertility(runs, "lang", "text", k = 2).head()
-    assert(f3.getLong(2) < 3L, s"later iterations must absorb the residue: $f3")
+    assert(f3.getLong(2) == 1L, s"merge 2 must fold [bb, bb] to [bbbb]: $f3")
+  }
+
+  test("bpe distributed fallback: variant semantics pinned, agrees with exact on divergence-free corpora") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    // force the fallback (ceiling 0): the string-replace VARIANT merges
+    // every OTHER instance of a shared-sentinel run — the round-11
+    // semantics, still pinned so the above-ceiling path can never drift
+    val runs = Seq((0L, "en", "bbbb")).toDF("doc_id", "lang", "text")
+    Pipeline.maxBpeVocabCollectBytes = 0L
+    try {
+      val f1 = Pipeline.bpeFertility(runs, "lang", "text", k = 1).head()
+      assert(f1.getLong(2) == 3L,
+        s"fallback 'bbbb' after (b,b) must encode as [bb, b, b]: $f1")
+      // the residue is not lost: a later iteration absorbs it
+      val f3 = Pipeline.bpeFertility(runs, "lang", "text", k = 2).head()
+      assert(f3.getLong(2) < 3L, s"fallback residue must be absorbed later: $f3")
+      // fallback k cap is stated, not silent
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.bpeMerges(runs, "text", k = 65)
+      }
+      assert(e.getMessage.contains("64"))
+    } finally Pipeline.maxBpeVocabCollectBytes = Pipeline.DefaultMaxBpeVocabCollectBytes
+    // on a corpus with NO shared-sentinel runs/alternations the two paths
+    // are the same algorithm: identical merge tables AND fertility
+    val clean = Seq((0L, "en", "the cat sat on the mat"),
+      (1L, "de", "der hund lief zum haus")).toDF("doc_id", "lang", "text")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.bpeMerges(df, "text", k = 6).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    def fert(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.bpeFertility(df, "lang", "text", k = 6).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val (exactM, exactF) = (table(clean), fert(clean))
+    Pipeline.maxBpeVocabCollectBytes = 0L
+    try {
+      assert(table(clean) == exactM, "paths must agree on merge tables")
+      assert(fert(clean) == exactF, "paths must agree on fertility")
+    } finally Pipeline.maxBpeVocabCollectBytes = Pipeline.DefaultMaxBpeVocabCollectBytes
+  }
+
+  test("bpe exact path holds k = 256 inside the bench budget") {
+    // the round-12 contract: real tokenizer depth on the sf0.001 corpus,
+    // exact semantics, wall-clock bounded (the incremental driver fold
+    // costs the initial count pass plus affected-word rewrites, not
+    // k vocabulary passes)
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val t0 = System.nanoTime()
+    val m = graft.operators.Pipeline.bpeMerges(docs, "text", k = 256).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // stop-at-exhaustion semantics: the tiny sf0.001 vocabulary merges to
+    // completion before 256 — ranks must be dense up to the stop point
+    assert(m.length >= 32 && m.length <= 256, s"merge count: ${m.length}")
+    assert(m.map(_.getInt(0)).toSeq == (1 to m.length), "ranks must be dense")
+    assert(m.forall(_.getLong(4) >= 1L))
+    if (m.length < 256) {
+      // exhausted ⟺ every word is ONE token: fertility floor reached
+      val f = graft.operators.Pipeline.bpeFertility(docs, "lang", "text", k = 256)
+        .agg(org.apache.spark.sql.functions.sum("n_words"),
+          org.apache.spark.sql.functions.sum("n_tokens")).head()
+      assert(f.getLong(0) == f.getLong(1),
+        s"exhausted training must leave every word a single token: $f")
+    }
+    assert(sec < 60.0, f"k=256 exact training took $sec%.1f s — over the bench budget")
   }
 }
