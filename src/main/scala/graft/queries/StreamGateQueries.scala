@@ -749,6 +749,202 @@ object StreamGateQueries {
       FROM delta d LEFT JOIN acc a USING (doc_id)
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** In-stream IVF maintenance counter per [[streamSemanticIngest]] tag —
+    * observability for the spec (the gate's result schema is pinned by
+    * the oracle, which asserts `rebuilt` TRUE). */
+  private[graft] val ssiRebuilds =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** One q162 epoch against the persisted IVF index at `path`: serve →
+    * within-batch pass → exactly-once append of the WHOLE batch
+    * (seen-signature semantics, as in q159) → staleness check →
+    * in-stream [[graft.operators.Similarity.rebuildIvfIndex]] on the
+    * micro-batch's session. Replay discipline mirrors [[sdiEpoch]]: the
+    * append's `_DONE` sentinel makes the merge exactly-once, and pairs
+    * whose index member is in THIS batch (same-id self-pairs and
+    * within-batch partners, both present only on a replay) are
+    * anti-joined out so a replayed epoch returns the original accepted
+    * set. The index is generation-published (GenDir), so the in-stream
+    * rebuild needs NO cache invalidation: the cloned session's next
+    * serve resolves the new generation path fresh — the gate running
+    * epochs AFTER the rebuild (and staying oracle-exact) is the proof. */
+  private[graft] def ssiEpoch(path: String, tag: String,
+      deltaOf: SparkSession => DataFrame, threshold: Double)(
+      batch: DataFrame, id: Long): (Array[Row], Array[Row]) = {
+    import graft.operators.Similarity
+    val bs = batch.sparkSession
+    // enrich the admitted ids from the deterministic delta source ON THE
+    // MICRO-BATCH's session (frames cannot cross sessions)
+    val b = batch.join(deltaOf(bs), Seq("vec_id"))
+      .select(col("vec_id"), col("grp"), col("embedding"))
+    val rejIdx = Similarity.semanticDedupAgainstIndex(
+        b, path, "vec_id", "embedding", threshold)
+      .join(b.select(col("vec_id").as("id_a")), Seq("id_a"), "left_anti")
+      .select(col("id_b").as("vec_id"))
+    // within-batch pass: id_a < id_b drops the larger id — smaller id wins
+    val rejSelf = Similarity.semanticDedupPairsWithCodebook(
+        b, b, path, "vec_id", "embedding", threshold)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as("vec_id"))
+    val acc = b.join(rejIdx.unionByName(rejSelf).distinct(),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id")).collect()
+    val sn = b.select(col("vec_id"), col("grp")).collect()
+    Similarity.appendToIvfIndex(b.select(col("vec_id"), col("embedding")),
+      path, "vec_id", "embedding", batchId = s"e$id")
+    if (Similarity.ivfIndexStaleness(bs, path).head().getBoolean(3)) {
+      Similarity.rebuildIvfIndex(bs, path)
+      ssiRebuilds.updateWith(tag)(c => Some(c.getOrElse(0L) + 1L)): Unit
+    }
+    (acc, sn)
+  }
+
+  /** Streaming semantic (embedding) dedup ingest against the persisted
+    * IVF index — q159's continuous-ingest shape for the ANN family, and
+    * the round-12 in-stream IVF maintenance parity gate (VERDICT r11
+    * item 5): the index is built ONCE on the base corpus; each arriving
+    * micro-batch is served against it
+    * ([[graft.operators.Similarity.semanticDedupAgainstIndex]] — only
+    * the batch computes assignments; the lists scan is partition-pruned
+    * to the batch's buckets), self-deduped within the batch, merged
+    * whole (seen-signature semantics), and when
+    * [[graft.operators.Similarity.ivfIndexStaleness]] trips, RETRAINED
+    * in-stream ([[graft.operators.Similarity.rebuildIvfIndex]] on the
+    * micro-batch's session — maintenance rides the stream, serving
+    * continues across the generation publish).
+    *
+    * The accepted set is epoch-schedule-invariant by the q159 argument:
+    * vectors arrive in id order, so a vector is rejected iff it has a
+    * cos≥threshold partner among base vectors or smaller-id delta
+    * vectors — earlier epochs via the index, same epoch via the
+    * within-batch pass. Rebuilds change detection only through codebook
+    * assignment; at the gate's threshold the only qualifying pairs are
+    * exact-duplicate vectors, which share their nearest list under ANY
+    * codebook — so the gate is oracle-exact across every schedule and
+    * every rebuild point, and the drifted-recall property (retraining
+    * restores near-dup recall to fresh-build level) is measured
+    * separately in StreamingSpec with a synthetic drifted stream.
+    *
+    * `deltaOf` rebuilds the (vec_id, grp, embedding) delta frame on a
+    * GIVEN session — foreachBatch runs on a clone, and frames cannot
+    * cross sessions. */
+  private[graft] def streamSemanticIngest(
+      s: SparkSession,
+      base: DataFrame,
+      deltaOf: SparkSession => DataFrame,
+      perOf: Long => Long,
+      tag: String,
+      threshold: Double,
+      onEpoch: (Long, Array[Row], Array[Row]) => Unit = (_, _, _) => ()): DataFrame = {
+    import s.implicits._
+    import graft.operators.Similarity
+    val uri = s"hub:ssi_$tag"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ssi-" +
+      s"${java.lang.ProcessHandle.current().pid()}-" +
+      java.lang.Integer.toHexString(tag.hashCode).replace('-', 'm')
+    val fsP = new org.apache.hadoop.fs.Path(path)
+    val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(fsP)) fs.delete(fsP, true)
+    Similarity.buildIvfIndex(base, path, "vec_id", "embedding")
+    val ids = deltaOf(s).select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    MemHub.publish(uri, "vecs", ids.iterator.map { v =>
+      (v.toString, Map.empty[String, String], v, Array[Byte](1))
+    })
+    val per = perOf(ids.length.toLong)
+    val stream = s.readStream.format("graft-topic")
+      .option("profile", "pulsar").option("uri", uri).option("topics", "vecs")
+      .option("maxPerTrigger", per.toString)
+      .load()
+      .select(col("key").cast("long").as("vec_id"))
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var epochs = 0L
+    val cp = s"${System.getProperty("java.io.tmpdir")}/graft-ssi-cp-" +
+      s"${java.lang.ProcessHandle.current().pid()}-" +
+      java.lang.Integer.toHexString(tag.hashCode)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val (acc, sn) = ssiEpoch(path, tag, deltaOf, threshold)(batch, id)
+        synchronized {
+          epochs = math.max(epochs, id + 1)
+          accepted ++= acc.map(_.getLong(0))
+          seen ++= sn.map(r => (r.getLong(0), r.getInt(1)))
+        }
+        onEpoch(id, acc, sn)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    seen.toSeq.toDF("vec_id", "label")
+      .join(accepted.toSeq.toDF("vec_id").withColumn("__a", lit(1)),
+        Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_in"),
+        count(col("__a")).as("n_accepted"),
+        (count(lit(1)) - count(col("__a"))).as("n_rejected"))
+      .withColumn("multi_epoch", lit(epochs > 1))
+      .withColumn("rebuilt", lit(ssiRebuilds.getOrElse(tag, 0L) > 0L))
+      .orderBy(col("label"))
+  }
+
+  /** The q162 delta: embeddings with vec_id % 3 != 0, where two id
+    * classes are EXACT twins (the oracle-safe dedup signal — distinct
+    * fixture vectors top out at cos ~0.6, far under the threshold):
+    * v % 7 == 1 streams the embedding of base vector 3·⌊(v−1)/3⌋ (an
+    * index member from epoch 0), and v % 7 == 2 (v ≥ 3) streams the
+    * embedding of delta vector v−3 (same residue class, smaller id,
+    * itself raw since (v−3) % 7 == 6 — no twin chains). Everything else
+    * streams its own (unique) embedding. */
+  private[graft] def ssiDelta(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").as("grp"), col("embedding"))
+    val d0 = raw.filter(col("vec_id") % 3 =!= 0)
+    val cls1 = d0.filter(col("vec_id") % 7 === 1)
+      .select(col("vec_id"), col("grp"),
+        (col("vec_id") - lit(1) - pmod(col("vec_id") - 1, lit(3))).as("src"))
+    val cls2 = d0.filter(col("vec_id") % 7 === 2 && col("vec_id") >= 3)
+      .select(col("vec_id"), col("grp"), (col("vec_id") - 3).as("src"))
+    val twins = cls1.unionByName(cls2)
+      .join(raw.select(col("vec_id").as("src"), col("embedding")), Seq("src"))
+      .select(col("vec_id"), col("grp"), col("embedding"))
+    d0.join(twins.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(twins)
+  }
+
+  val qStreamSemanticIngest = QueryDef(
+    "q162_stream_semantic_ingest",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/ssi",
+      streamSemanticIngest(s,
+        t(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id"), col("embedding")),
+        bs => ssiDelta(bs, dir),
+        n => math.max(1L, n / 7L), s"q162_$dir", threshold = 0.99)),
+    // schedule-invariant replay (see streamSemanticIngest): a delta
+    // vector is rejected iff its STREAMED embedding equals (list
+    // equality — the only pairs over the 0.99 threshold are exact
+    // twins) a base embedding or a smaller-id delta's streamed
+    // embedding. `rebuilt` is TRUE deterministically: at per = n/7 the
+    // appended fraction crosses 0.5 mid-stream at every sf
+    Some("""WITH e AS (SELECT vec_id AS v, label, embedding AS emb FROM embeddings),
+      d AS (SELECT v, label,
+          CASE WHEN v % 7 = 1 THEN (SELECT b.emb FROM e b WHERE b.v = d0.v - 1 - ((d0.v - 1) % 3))
+               WHEN v % 7 = 2 AND v >= 3 THEN (SELECT b.emb FROM e b WHERE b.v = d0.v - 3)
+               ELSE emb END AS se
+        FROM e d0 WHERE v % 3 <> 0),
+      r AS (SELECT d.v, d.label,
+          (EXISTS (SELECT 1 FROM e b WHERE b.v % 3 = 0 AND b.emb = d.se)
+           OR EXISTS (SELECT 1 FROM d d2 WHERE d2.v < d.v AND d2.se = d.se)) AS rej
+        FROM d)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_in,
+        CAST(SUM(CASE WHEN rej THEN 0 ELSE 1 END) AS BIGINT) AS n_accepted,
+        CAST(SUM(CASE WHEN rej THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+        TRUE AS multi_epoch, TRUE AS rebuilt
+      FROM r GROUP BY label ORDER BY label"""))
+
   /** Minimal JSON string escaper for the seeded payloads (the corpus text
     * is plain ASCII-ish but quotes/backslashes/newlines must survive the
     * round-trip exactly — md5(text) is part of the decontamination key). */
@@ -768,5 +964,5 @@ object StreamGateQueries {
 
   val all: Seq[QueryDef] = Seq(qStreamRolling, qStreamDedup, qStreamWindow,
     qMapService, qStreamSessions, qStreamJoin, qStreamEnrich, qStreamOuterJoin,
-    qStreamCurate, qStreamDedupIngest)
+    qStreamCurate, qStreamDedupIngest, qStreamSemanticIngest)
 }
