@@ -119,8 +119,16 @@ object GraftSession {
     spark.sparkContext.setCheckpointDir(checkpointDir)
     pslPath.foreach { p =>
       System.setProperty("graft.psl.path", p)
-      requireExecutorPslWiring(spark.sparkContext.isLocal,
-        spark.sparkContext.getConf.get("spark.executor.extraJavaOptions", ""), p)
+      // the property may arrive via either executor JVM-options conf; an
+      // image-baked delivery (JAVA_TOOL_OPTIONS, wrapper scripts) is
+      // invisible here — the deployment asserts it with the documented
+      // opt-out conf instead of being hard-failed (ADVICE r11)
+      val execOpts = Seq("spark.executor.extraJavaOptions",
+          "spark.executor.defaultJavaOptions")
+        .map(k => spark.sparkContext.getConf.get(k, "")).mkString(" ")
+      requireExecutorPslWiring(spark.sparkContext.isLocal, execOpts, p,
+        assertedWired = spark.sparkContext.getConf
+          .get("graft.psl.executorWired", "false") == "true")
     }
     graft.functions.registerAll(spark)
     installOptimizerRules(spark)
@@ -165,16 +173,20 @@ object GraftSession {
     * masters share one JVM (the property IS visible); any other master
     * must ship the property — and the file — to executors explicitly. */
   private[graft] def requireExecutorPslWiring(isLocal: Boolean,
-      executorJavaOptions: String, pslPath: String): Unit = {
-    if (isLocal) return
+      executorJavaOptions: String, pslPath: String,
+      assertedWired: Boolean = false): Unit = {
+    if (isLocal || assertedWired) return
     require(executorJavaOptions.contains("-Dgraft.psl.path="),
       s"cluster(pslPath = $pslPath) on a non-local master requires " +
         "executor-side wiring, or executor url kernels silently diverge " +
         "from the driver's PSL rules. Add BOTH: " +
         "--conf spark.executor.extraJavaOptions='-Dgraft.psl.path=<name>' " +
+        "(or spark.executor.defaultJavaOptions) " +
         "and ship the file (--files <path>, then <name> is its basename " +
         "in the executor working dir; or bake it into the image at an " +
-        "absolute path).")
+        "absolute path). A deployment that delivers the property outside " +
+        "both confs (image-baked JAVA_TOOL_OPTIONS, a wrapper script) " +
+        "asserts it with --conf graft.psl.executorWired=true.")
   }
 
   /** The transport-client class name configured by [[cluster]] (empty on

@@ -88,12 +88,25 @@ class ClusterProfileSpec extends AnyFunSuite {
       executorJavaOptions = "", pslPath = "/x/psl.dat") // local: one JVM, fine
     GraftSession.requireExecutorPslWiring(isLocal = false,
       executorJavaOptions = "-Xmx4g -Dgraft.psl.path=psl.dat",
-      pslPath = "/x/psl.dat") // wired: fine
+      pslPath = "/x/psl.dat") // wired via extraJavaOptions: fine
+    // wired via defaultJavaOptions: cluster() concatenates both confs
+    // into this argument, so a property arriving through either passes
+    // (ADVICE r11: deployments using spark.executor.defaultJavaOptions
+    // are valid and must not hard-fail)
+    GraftSession.requireExecutorPslWiring(isLocal = false,
+      executorJavaOptions = " -Dgraft.psl.path=psl.dat -XX:+UseG1GC",
+      pslPath = "/x/psl.dat")
+    // image-baked delivery (JAVA_TOOL_OPTIONS): invisible in the confs —
+    // the documented opt-out asserts it instead of being rejected
+    GraftSession.requireExecutorPslWiring(isLocal = false,
+      executorJavaOptions = "", pslPath = "/x/psl.dat", assertedWired = true)
     val e = intercept[IllegalArgumentException] {
       GraftSession.requireExecutorPslWiring(isLocal = false,
         executorJavaOptions = "-Xmx4g", pslPath = "/x/psl.dat")
     }
     assert(e.getMessage.contains("extraJavaOptions") &&
+      e.getMessage.contains("defaultJavaOptions") &&
+      e.getMessage.contains("graft.psl.executorWired") &&
       e.getMessage.contains("--files"),
       s"error must name the exact wiring to add: ${e.getMessage}")
   }
