@@ -89,27 +89,33 @@ object GenDir {
     if (all.isEmpty) 0 else all.max + 1
   }
 
+  /** The generations a publish of `newGen` must delete: committed ones
+    * older than the grace window — the newest [[GraceKeep]] committed
+    * generations below `newGen`, selected by RECENCY, not by number (gen
+    * numbers need not be dense when debris was staged in between) — and
+    * every uncommitted debris generation below `newGen`. Pure selection,
+    * shared by the path-backed commit here and the catalog-table minhash
+    * variant ([[graft.operators.Dedup]]), so the grace policy can never
+    * diverge between the two index layouts. */
+  def toDrop(all: Seq[(Int, Boolean)], newGen: Int): Seq[Int] = {
+    val kept = all.collect { case (g, true) if g < newGen => g }
+      .sorted.takeRight(GraceKeep).toSet
+    all.collect {
+      case (g, true) if g < newGen && !kept.contains(g) => g
+      case (g, false) if g < newGen => g
+    }
+  }
+
   /** Publish generation `gen`: create its `_COMMITTED` sentinel (the
-    * single atomic step readers key on), then clean up — committed
-    * generations older than `gen - GraceKeep` and any uncommitted debris
-    * below `gen` are deleted. Call only after every data file under the
-    * generation dir is fully written. */
+    * single atomic step readers key on), then delete the [[toDrop]]
+    * generations. Call only after every data file under the generation
+    * dir is fully written. */
   def commit(spark: SparkSession, root: String, gen: Int): Unit = {
     val fs = fsOf(spark, root)
     val marker = new org.apache.hadoop.fs.Path(genPath(root, gen), CommitMarker)
     if (!fs.exists(marker)) fs.create(marker, false).close()
-    val all = gens(spark, root)
-    // grace keeps the newest GraceKeep committed generations below `gen`
-    // (by recency, not by number — gen numbers need not be dense when
-    // debris was staged in between)
-    val kept = all.collect { case (g, true) if g < gen => g }
-      .sorted.takeRight(GraceKeep).toSet
-    all.foreach { case (g, committed) =>
-      val drop =
-        if (committed) g < gen && !kept.contains(g)
-        else g < gen
-      if (drop)
-        fs.delete(new org.apache.hadoop.fs.Path(genPath(root, g)), true): Unit
+    toDrop(gens(spark, root), gen).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(genPath(root, g)), true): Unit
     }
   }
 }

@@ -126,9 +126,15 @@ object GraftSession {
       val execOpts = Seq("spark.executor.extraJavaOptions",
           "spark.executor.defaultJavaOptions")
         .map(k => spark.sparkContext.getConf.get(k, "")).mkString(" ")
+      // the opt-out key is spark.-prefixed: spark-submit silently DROPS
+      // --conf keys outside the spark.* namespace ("Ignoring non-Spark
+      // config property"), which is exactly the delivery path the
+      // opt-out targets; the unprefixed spelling is also accepted for
+      // programmatic SparkConf users
       requireExecutorPslWiring(spark.sparkContext.isLocal, execOpts, p,
-        assertedWired = spark.sparkContext.getConf
-          .get("graft.psl.executorWired", "false") == "true")
+        assertedWired = Seq("spark.graft.psl.executorWired",
+            "graft.psl.executorWired")
+          .exists(k => spark.sparkContext.getConf.get(k, "false") == "true"))
     }
     graft.functions.registerAll(spark)
     installOptimizerRules(spark)
@@ -186,7 +192,7 @@ object GraftSession {
         "in the executor working dir; or bake it into the image at an " +
         "absolute path). A deployment that delivers the property outside " +
         "both confs (image-baked JAVA_TOOL_OPTIONS, a wrapper script) " +
-        "asserts it with --conf graft.psl.executorWired=true.")
+        "asserts it with --conf spark.graft.psl.executorWired=true.")
   }
 
   /** The transport-client class name configured by [[cluster]] (empty on

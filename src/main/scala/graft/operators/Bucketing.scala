@@ -83,7 +83,6 @@ object Bucketing {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = current(spark, path)
     val srcP = new org.apache.hadoop.fs.Path(src)
-    val flatMigration = src == path
     val total = fs.listStatus(srcP).filter(_.getPath.getName.startsWith("part-"))
       .map(_.getLen).sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
@@ -91,13 +90,16 @@ object Bucketing {
     spark.read.parquet(src).coalesce(n)
       .write.mode("overwrite").parquet(GenDir.genPath(path, gen))
     GenDir.commit(spark, path, gen)
-    if (flatMigration)
-      fs.listStatus(srcP)
-        .filter { s =>
-          val name = s.getPath.getName
-          s.isFile && (name.startsWith("part-") || name == "_SUCCESS")
-        }
-        .foreach(s => fs.delete(s.getPath, false))
+    // sweep leftover FLAT part files under the root — after the migration
+    // compaction, but also on every later one: a crash between a
+    // migration's commit and its sweep must not leave the stale flat copy
+    // (and a legacy direct reader on it) behind forever
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter { s =>
+        val name = s.getPath.getName
+        s.isFile && (name.startsWith("part-") || name == "_SUCCESS")
+      }
+      .foreach(s => fs.delete(s.getPath, false))
     n
   }
 

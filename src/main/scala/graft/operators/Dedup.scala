@@ -592,19 +592,31 @@ object Dedup {
     * names from the same generation). Grace keeps one generation back
     * for in-flight scans. */
   private def minhashGenTables(table: String, gen: Int): (String, String) =
-    (s"${table}_sh__g$gen", s"${table}_buckets__g$gen")
+    // generation -1 is the PRE-GENERATION legacy layout (round ≤ 11):
+    // unsuffixed table names. It participates in the normal grace/sweep
+    // lifecycle — the first rebuild over it publishes __g0, the publish
+    // after that drops the legacy tables.
+    if (gen < 0) (s"${table}_sh", s"${table}_buckets")
+    else (s"${table}_sh__g$gen", s"${table}_buckets__g$gen")
 
-  /** All generations of the index, with their committed flag. */
+  /** All generations of the index, with their committed flag. A legacy
+    * unsuffixed index (identified by its banding properties) reports as
+    * generation -1, committed. */
   private def minhashGens(
       spark: SparkSession, table: String): Seq[(Int, Boolean)] = {
     val cat = spark.sessionState.catalog
     val prefix = s"${table}_buckets__g"
-    cat.listTables(cat.getCurrentDatabase, s"$prefix*").flatMap { ti =>
+    val gens = cat.listTables(cat.getCurrentDatabase, s"$prefix*").flatMap { ti =>
       ti.table.stripPrefix(prefix).toIntOption.map { g =>
         g -> cat.getTableMetadata(ti).properties
           .get("graft.committed").contains("true")
       }
     }
+    val legacyId = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_buckets")
+    val legacy =
+      cat.tableExists(legacyId) &&
+        cat.getTableMetadata(legacyId).properties.contains("graft.shingleSize")
+    if (legacy) gens :+ (-1 -> true) else gens
   }
 
   /** The live generation and its properties (from the buckets table —
@@ -632,24 +644,14 @@ object Dedup {
     * than the grace window (one behind `newGen`) and uncommitted debris
     * below `newGen` (crashed rebuilds). */
   private def minhashDropOldGens(
-      spark: SparkSession, table: String, newGen: Int): Unit = {
-    val all = minhashGens(spark, table)
-    // grace keeps the newest committed generation below newGen (by
-    // recency, not number — gen numbers need not be dense when debris
-    // was staged in between), matching graft.core.GenDir
-    val kept = all.collect { case (g, true) if g < newGen => g }
-      .sorted.lastOption.toSet
-    all.foreach { case (g, committed) =>
-      val drop =
-        if (committed) g < newGen && !kept.contains(g)
-        else g < newGen
-      if (drop) {
-        val (sh, bk) = minhashGenTables(table, g)
-        Bucketing.dropTableAndLocation(spark, sh)
-        Bucketing.dropTableAndLocation(spark, bk)
-      }
+      spark: SparkSession, table: String, newGen: Int): Unit =
+    // the grace/debris selection is graft.core.GenDir's — ONE policy for
+    // the path-backed and the catalog-table index layouts
+    graft.core.GenDir.toDrop(minhashGens(spark, table), newGen).foreach { g =>
+      val (sh, bk) = minhashGenTables(table, g)
+      Bucketing.dropTableAndLocation(spark, sh)
+      Bucketing.dropTableAndLocation(spark, bk)
     }
-  }
 
   /** Drop the whole index (every generation + any pre-generation legacy
     * tables) — the cleanup hook fixtures and streaming gates use. */

@@ -642,8 +642,8 @@ object Pipeline {
     * at string level (`|a|b|a|b|`), one replace pass merges the 1st,
     * 3rd, 5th … instance (`bbbb` → `[bb,b,b]`), and the residue is
     * picked up by LATER iterations, so training converges along a
-    * slightly different merge path; k is capped at 64 (k sequential
-    * vocab-table jobs). TextScanSpec pins the exact semantics, the
+    * slightly different merge path, and k costs k sequential
+    * vocab-table jobs. TextScanSpec pins the exact semantics, the
     * fallback's variant semantics, and the agreement of the two paths on
     * divergence-free corpora. */
 
@@ -761,9 +761,13 @@ object Pipeline {
   }
 
   /** The distributed string-replace fallback (see the variant doc above):
-    * k sequential jobs over the pinned wf table, k ≤ 64. */
+    * k sequential jobs over the pinned wf table. No k cap — an
+    * above-ceiling corpus asking for tokenizer-scale k pays k sequential
+    * vocab-table jobs (a one-time training cost, stated rather than
+    * crashed on: round-12 review found the old `k ≤ 64` require turned
+    * the silent exact→fallback dispatch into a data-size-dependent
+    * IllegalArgumentException). */
   private def trainBpeDistributed(wfIn: DataFrame, k: Int): BpeTrained = {
-    require(k <= 64, "k must be <= 64 on the distributed fallback path")
     val wf = wfIn.withColumn("enc",
       concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")))
     var enc: Column = col("enc")

@@ -647,6 +647,7 @@ object Similarity {
     val c = normalizedCorpus(corpus, corpusId, corpusVec)
     val nl = resolveNlist(nlist, c)
     val codebook = trainIvfCodebook(c, nl, refine)
+    sweepLegacyIvf(spark, path)
     val gen = graft.core.GenDir.next(spark, path)
     val stage = graft.core.GenDir.genPath(path, gen)
     corpusLists(c, codebook, replicate)
@@ -667,9 +668,36 @@ object Similarity {
   /** The live generation dir of a persisted IVF index — every reader and
     * maintenance op resolves through this ONCE per operation, so each
     * operation sees one consistent generation (meta, codebook, lists and
-    * appends all from the same `_gN`). */
+    * appends all from the same `_gN`). An index persisted by the
+    * pre-generation layout (round ≤ 11: flat `path/lists` etc.) resolves
+    * to the flat root — fully servable and appendable; its first
+    * [[rebuildIvfIndex]] (or a fresh [[buildIvfIndex]] over it) migrates
+    * it by publishing `_g0`, after which the flat subdirs are the grace
+    * generation and are swept at the following publish. */
   def ivfCurrent(spark: SparkSession, path: String): String =
-    graft.core.GenDir.resolveRequired(spark, path)
+    graft.core.GenDir.resolve(spark, path).getOrElse {
+      val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
+      val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(lists)) path
+      else throw new IllegalStateException(
+        s"no committed generation and no legacy flat layout under $path — " +
+          "not a graft IVF index (or its build never committed)")
+    }
+
+  /** Sweep the pre-generation flat subdirs once a committed generation
+    * supersedes them by more than the grace window — the legacy analog of
+    * [[graft.core.GenDir.commit]]'s debris sweep. Idempotent; called at
+    * the start of every build/rebuild so a crash between a migration's
+    * publish and its sweep self-heals on the next maintenance pass. */
+  private def sweepLegacyIvf(spark: SparkSession, path: String): Unit =
+    if (graft.core.GenDir.resolve(spark, path).isDefined) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("lists", "codebook", "meta", "appends").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+        if (fs.exists(p)) fs.delete(p, true): Unit
+      }
+    }
 
   /** Sentinel marking an append batch dir as FULLY committed. Marker
     * dirs are parquet jobs: the output dir (and on object stores, where
@@ -888,6 +916,10 @@ object Similarity {
         .agg(first(col("cv")).as("cv"), first(col("cn")).as("cn")))
     val nl = resolveNlist(nlist, corpus)
     val codebook = trainIvfCodebook(corpus, nl, ref)
+    // a legacy flat layout superseded by an earlier migration is now two
+    // publishes old — sweep before staging (self-healing: also covers a
+    // crash between a migration's commit and any later cleanup)
+    sweepLegacyIvf(spark, path)
     val gen = graft.core.GenDir.next(spark, path)
     val stage = graft.core.GenDir.genPath(path, gen)
     import org.apache.hadoop.fs.Path
@@ -939,19 +971,25 @@ object Similarity {
   /** Pinned (replicate, codebook) per index GENERATION: a generation is
     * immutable after commit ([[appendToIvfIndex]] only adds list files),
     * so a serving process reads it once and pins it instead of paying two
-    * Spark jobs per query batch. Keyed by the generation path — a rebuild
-    * publishes a NEW generation path, so the pin can never serve a stale
-    * codebook. */
+    * Spark jobs per query batch. Keyed by (generation path, codebook
+    * mtime): a rebuild publishes a NEW generation path, and a
+    * delete-the-root-and-rebuild at the same path (test fixtures,
+    * re-seeded pipelines — generation numbering restarts at `_g0`) gets
+    * a fresh codebook mtime, so the pin can never serve a stale
+    * codebook either way. */
   private val ivfMetaCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Int, Seq[Seq[Double]])]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (Int, Seq[Seq[Double]])]
 
   /** The live generation's (replicate, codebook), pinned per generation —
     * shared by the top-k serve and the index-backed dedup-pair paths.
     * Takes the RESOLVED generation dir so one serve operation reads its
     * meta and its lists from the same generation. */
   private[graft] def readIvfMetaAt(
-      spark: SparkSession, cur: String): (Int, Seq[Seq[Double]]) =
-    ivfMetaCache.getOrElseUpdate(cur, {
+      spark: SparkSession, cur: String): (Int, Seq[Seq[Double]]) = {
+    val cbPath = new org.apache.hadoop.fs.Path(s"$cur/codebook")
+    val cbVersion = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(cbPath).getModificationTime
+    ivfMetaCache.getOrElseUpdate((cur, cbVersion), {
       val rep = spark.read.parquet(s"$cur/meta")
         .select(col("replicate")).head().getInt(0)
       val cb: Seq[Seq[Double]] = spark.read.parquet(s"$cur/codebook")
@@ -959,6 +997,7 @@ object Similarity {
         .map(r => r.getSeq[Double](1).toSeq).toSeq
       (rep, cb)
     })
+  }
 
   def ivfTopKFromIndex(
       path: String,

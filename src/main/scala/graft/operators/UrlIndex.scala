@@ -65,11 +65,28 @@ object UrlIndex {
     GenDir.commit(spark, path, 0)
   }
 
+  /** The live claim dir: the highest committed generation, or — for an
+    * index persisted by the pre-generation layout (round ≤ 11: flat
+    * `batch=*` dirs under the root) — the flat root itself, fully
+    * servable and claimable; its first compaction migrates it to `_g0`
+    * and sweeps the flat batch dirs. */
+  private def liveDir(spark: SparkSession, path: String): String =
+    GenDir.resolve(spark, path).getOrElse {
+      val f = fs(spark, path)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val legacy = f.exists(p) && f.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
+      if (legacy) path
+      else throw new IllegalStateException(
+        s"no committed generation and no legacy batch dirs under $path — " +
+          "not a graft url index (or its seed never committed)")
+    }
+
   /** The claimed-url membership set (may contain duplicate rows across
     * batch dirs after a retried epoch; consumers anti-join / semi-join,
     * so duplicates are semantically invisible). */
   def members(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(GenDir.resolveRequired(spark, path))
+    spark.read.parquet(liveDir(spark, path))
       .select(col("canonical_url"))
 
   /** Record one epoch's claimed urls, exactly-once per `batchId`: the
@@ -79,7 +96,7 @@ object UrlIndex {
       urlCol: String = "canonical_url"): Unit = {
     require(batchId.matches("[A-Za-z0-9._-]+"),
       s"UrlIndex.claim: batchId must be a plain file-name token, got '$batchId'")
-    val cur = GenDir.resolveRequired(urls.sparkSession, path)
+    val cur = liveDir(urls.sparkSession, path)
     urls.select(col(urlCol).as("canonical_url")).distinct()
       .write.mode("overwrite").parquet(s"$cur/batch=b$batchId")
   }
@@ -93,19 +110,18 @@ object UrlIndex {
     * listing per epoch is the dominant metadata cost of this maintenance
     * step, so it is paid once. */
   private def fileStats(spark: SparkSession, path: String): (Int, Long) = {
-    GenDir.resolve(spark, path) match {
-      case None => (0, 0L)
-      case Some(cur) =>
-        val f = fs(spark, path)
-        val it = f.listFiles(new org.apache.hadoop.fs.Path(cur), true)
-        var n = 0
-        var b = 0L
-        while (it.hasNext) {
-          val s = it.next()
-          if (s.getPath.getName.startsWith("part-")) { n += 1; b += s.getLen }
-        }
-        (n, b)
+    val cur =
+      try liveDir(spark, path)
+      catch { case _: IllegalStateException => return (0, 0L) }
+    val f = fs(spark, path)
+    val it = f.listFiles(new org.apache.hadoop.fs.Path(cur), true)
+    var n = 0
+    var b = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.startsWith("part-")) { n += 1; b += s.getLen }
     }
+    (n, b)
   }
 
   /** Fold every batch dir into one `batch=c` dir in a fresh generation
@@ -128,6 +144,13 @@ object UrlIndex {
       .coalesce(nOut)
       .write.mode("overwrite").parquet(s"${GenDir.genPath(path, gen)}/batch=c")
     GenDir.commit(spark, path, gen)
+    // legacy-migration sweep (idempotent, re-checked every compaction so
+    // a crash between commit and sweep self-heals): once a committed
+    // generation exists, flat pre-generation batch dirs are stale
+    val f = fs(spark, path)
+    f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .foreach(s => f.delete(s.getPath, true))
     true
   }
 }

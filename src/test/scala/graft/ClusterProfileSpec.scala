@@ -106,7 +106,7 @@ class ClusterProfileSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("extraJavaOptions") &&
       e.getMessage.contains("defaultJavaOptions") &&
-      e.getMessage.contains("graft.psl.executorWired") &&
+      e.getMessage.contains("spark.graft.psl.executorWired") &&
       e.getMessage.contains("--files"),
       s"error must name the exact wiring to add: ${e.getMessage}")
   }

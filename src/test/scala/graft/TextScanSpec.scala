@@ -393,11 +393,12 @@ class TextScanSpec extends AnyFunSuite {
       // the residue is not lost: a later iteration absorbs it
       val f3 = Pipeline.bpeFertility(runs, "lang", "text", k = 2).head()
       assert(f3.getLong(2) < 3L, s"fallback residue must be absorbed later: $f3")
-      // fallback k cap is stated, not silent
-      val e = intercept[IllegalArgumentException] {
-        Pipeline.bpeMerges(runs, "text", k = 65)
-      }
-      assert(e.getMessage.contains("64"))
+      // no k cap on the fallback: an above-ceiling corpus at tokenizer
+      // scale k trains (k sequential jobs), it does not crash — the tiny
+      // corpus exhausts early, exercising the stop path too
+      val deep = Pipeline.bpeMerges(runs, "text", k = 70).collect()
+      assert(deep.nonEmpty && deep.length < 70,
+        s"fallback must run past 64 and stop at exhaustion: ${deep.length}")
     } finally Pipeline.maxBpeVocabCollectBytes = Pipeline.DefaultMaxBpeVocabCollectBytes
     // on a corpus with NO shared-sentinel runs/alternations the two paths
     // are the same algorithm: identical merge tables AND fertility
