@@ -6,7 +6,16 @@ import org.apache.spark.sql.SparkSession
   * times back-to-back in ONE session and print each rep's seconds — the
   * measurement that exposed the round-7 pin leak (q81 reps ramping
   * 1.5 s → 13 s in `bench_detail.json` while min-of-reps hid it).
-  * Usage: RepTimer <sfDir> <comma-query-names> [reps=5] */
+  * Usage: RepTimer <sfDir> <comma-query-names> [reps=5]
+  *
+  * Deliberately NOT built on [[graft.Bench.repBlock]]: this tool's value
+  * is its A/B knobs — `SPARK_GRAFT_REPTIMER_RELEASE=0` reproduces the
+  * pre-round-9 no-release lifecycle, the pressure knob emulates a
+  * neighbor's resident blocks, the jobs knob prints per-job durations —
+  * which are exactly the behaviors repBlock's fixed lifecycle forbids.
+  * The release/broadcast-drop steps mirror repBlock's discipline; a
+  * change to the rep lifecycle lands in BOTH (BenchDrainSpec gates the
+  * Bench side). */
 object RepTimer {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
