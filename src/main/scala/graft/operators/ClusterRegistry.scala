@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GenDir
+
+/** Persisted duplicate-cluster registry — the PROVENANCE piece of the
+  * dedup lifecycle: where q159/q162 decide accept/reject per document,
+  * this assigns every near-duplicate a STABLE cluster id (the minimum
+  * doc id of its connected component), maintained INCREMENTALLY as
+  * batches arrive, so downstream curation can trace every suppressed
+  * document to the representative that kept its slot (the dedup-map
+  * artifact every large training-data pipeline publishes next to the
+  * corpus).
+  *
+  * Design — a distributed union-find with a deferred-compaction relabel
+  * log, [[graft.core.GenDir]]-published:
+  *
+  *  - `root/_gN/assign/batch=<id>/` (doc_id, rep): MEMBER rows — docs
+  *    whose cluster representative is another doc. Docs absent from the
+  *    registry are singletons (rep = self) by convention, so the registry
+  *    size is the number of duplicate documents, not the corpus.
+  *  - `root/_gN/relabel/batch=<id>/` (old_rep, new_rep): the UNION log.
+  *    When a new document BRIDGES two existing clusters, rewriting the
+  *    losing cluster's member rows in place would be a corpus-sized
+  *    random update; instead one (old → new) row is appended and every
+  *    read resolves representatives through the (driver-bounded — one
+  *    row per historical cluster merge) relabel chain. [[compact]] folds
+  *    the chains back into member rows as a fresh generation.
+  *
+  * Exactly-once per epoch: each batch writes its own `batch=<id>` dirs
+  * with overwrite, and [[register]] derives its decisions from registry
+  * state EXCLUDING its own batch partitions — a replayed epoch reads the
+  * same pre-state and rewrites identical rows. Across a compaction, a
+  * replayed epoch re-derives against the folded state; its rows resolve
+  * to the same representatives (resolution is confluent), so duplicate
+  * member rows are semantically invisible (reads resolve-then-distinct).
+  *
+  * Scale shape: per epoch the driver holds the batch's edge list and the
+  * touched partners' representatives (bounded by batch size × duplicate
+  * degree, loud ceiling [[MaxEpochEdges]]) — never corpus state; the
+  * corpus-sized artifact (member rows) is written distributed and read
+  * as a plain parquet join side. */
+object ClusterRegistry {
+
+  /** Loud ceiling for one epoch's driver-side union-find input. */
+  val MaxEpochEdges: Int = 1 << 22
+
+  /** Relabel batches past which [[staleness]] recommends a [[compact]]:
+    * every read pays one driver collect of the relabel log plus a
+    * broadcast-join hop per lookup, so the log is kept short. */
+  val CompactRelabelBatches = 4
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def cur(spark: SparkSession, path: String): String =
+    GenDir.resolveRequired(spark, path)
+
+  /** Seed generation 0 from a batch pair set (the base corpus's own
+    * connected components, computed once at build time — this is what
+    * lets the stream see base↔base duplicate structure it could never
+    * observe itself). */
+  def seed(spark: SparkSession, pairs: DataFrame, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(p)) fs.delete(p, true)
+    val g0 = GenDir.genPath(path, 0)
+    Dedup.connectedComponents(pairs)
+      .filter(col("rep") =!= col("doc_id"))
+      .select(col("doc_id"), col("rep"))
+      .write.mode("overwrite").parquet(s"$g0/assign/batch=seed")
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "old_rep BIGINT, new_rep BIGINT"))
+      .write.mode("overwrite").parquet(s"$g0/relabel/batch=seed")
+    GenDir.commit(spark, path, 0)
+  }
+
+  /** Member rows of the live generation, with their batch partition
+    * (raw — representatives NOT yet chain-resolved). */
+  private def rawAssign(spark: SparkSession, curGen: String): DataFrame =
+    spark.read.parquet(s"$curGen/assign")
+      .select(col("doc_id"), col("rep"), col("batch").cast("string").as("batch"))
+
+  /** The relabel log collapsed to final targets (chains resolved on the
+    * driver — bounded by one row per historical cluster merge). Excludes
+    * `excludeBatch` so a replayed epoch derives from its pre-state. */
+  private def relabelMap(spark: SparkSession, curGen: String,
+      excludeBatch: Option[String]): Map[Long, Long] = {
+    val raw = spark.read.parquet(s"$curGen/relabel")
+      .select(col("old_rep"), col("new_rep"), col("batch").cast("string").as("batch"))
+    val rows = excludeBatch.fold(raw)(b => raw.filter(col("batch") =!= b))
+      .select(col("old_rep"), col("new_rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // defensive min on duplicate keys (replay overlap windows), then
+    // resolve chains to their final target — new_rep < old_rep always,
+    // so chains are finite and cycle-free
+    val m = scala.collection.mutable.HashMap.empty[Long, Long]
+    rows.foreach { case (o, n) =>
+      m.get(o) match {
+        case Some(e) => m(o) = math.min(e, n)
+        case None => m(o) = n
+      }
+    }
+    def resolve(x: Long): Long = {
+      var r = x
+      while (m.getOrElse(r, r) != r) r = m(r)
+      r
+    }
+    m.keys.toSeq.map(o => o -> resolve(o)).toMap
+  }
+
+  /** Resolved representatives for `docs` (a frame with `doc_id`): member
+    * rows joined, relabel chains applied, absent docs are singletons.
+    * One distributed join against the member rows (broadcast-gated by
+    * Spark's own stats) plus one broadcast hop for the relabel map. */
+  def assignFor(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val g = cur(spark, path)
+    val rel = relabelMap(spark, g, excludeBatch = None)
+    val base = docs.select(col("doc_id"))
+      .join(rawAssign(spark, g).select(col("doc_id"), col("rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep0"))
+    val resolved =
+      if (rel.isEmpty) base.select(col("doc_id"), col("rep0").as("rep"))
+      else {
+        import spark.implicits._
+        val relDf = rel.toSeq.toDF("rep0", "relto")
+        base.join(broadcast(relDf), Seq("rep0"), "left")
+          .select(col("doc_id"), coalesce(col("relto"), col("rep0")).as("rep"))
+      }
+    resolved.distinct()
+  }
+
+  /** Fold one epoch's near-dup edges into the registry, exactly-once per
+    * `batchId`. `edges` are (batch doc, other) pairs where `other` is a
+    * batch doc (within-batch pass) or any already-seen doc (index serve);
+    * partner↔partner edges never occur (the serve only pairs the batch).
+    * The union-find runs driver-side over the batch docs plus the touched
+    * partners' CURRENT representatives — [[MaxEpochEdges]]-bounded. */
+  def register(spark: SparkSession, path: String,
+      batchDocs: Seq[Long], edges: Seq[(Long, Long)], batchId: String): Unit = {
+    require(batchId.matches("[A-Za-z0-9._-]+"),
+      s"ClusterRegistry.register: batchId must be a plain token, got '$batchId'")
+    require(edges.size <= MaxEpochEdges,
+      s"ClusterRegistry.register: ${edges.size} edges exceeds MaxEpochEdges " +
+        s"($MaxEpochEdges) — split the epoch or raise the ceiling")
+    val g = cur(spark, path)
+    val batchSet = batchDocs.toSet
+    val rel = relabelMap(spark, g, excludeBatch = Some(batchId))
+    def chase(x: Long): Long = rel.getOrElse(x, x)
+    // current representative of every non-batch partner: raw member row
+    // (excluding this batch's own prior write — replay determinism), then
+    // the relabel chain; absent partner = itself (singleton or a rep)
+    val partners = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+      .filterNot(batchSet).toSet
+    val partnerRaw: Map[Long, Long] =
+      if (partners.isEmpty) Map.empty
+      else {
+        import spark.implicits._
+        val pdf = partners.toSeq.toDF("doc_id")
+        rawAssign(spark, g).filter(col("batch") =!= s"b$batchId")
+          .join(broadcast(pdf), Seq("doc_id"))
+          .select(col("doc_id"), col("rep")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+      }
+    def repOf(p: Long): Long = chase(partnerRaw.getOrElse(p, p))
+    // driver union-find by min over batch docs + touched representatives
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }: Unit
+    }
+    def node(x: Long): Long = if (batchSet.contains(x)) x else repOf(x)
+    edges.foreach { case (a, b) => union(node(a), node(b)) }
+    val assignRows = batchDocs.sorted.flatMap { d =>
+      val f = find(d)
+      if (f != d) Some((d, f)) else None
+    }
+    val touchedReps = partners.map(repOf)
+    val relabelRows = touchedReps.toSeq.sorted.flatMap { r =>
+      val f = find(r)
+      if (f != r) Some((r, f)) else None
+    }
+    import spark.implicits._
+    assignRows.toDF("doc_id", "rep")
+      .write.mode("overwrite").parquet(s"$g/assign/batch=b$batchId")
+    relabelRows.toDF("old_rep", "new_rep")
+      .write.mode("overwrite").parquet(s"$g/relabel/batch=b$batchId")
+  }
+
+  /** Registry health: member rows, relabel entries/batches, and whether
+    * the relabel log is long enough to fold ([[CompactRelabelBatches]]). */
+  def staleness(spark: SparkSession, path: String): DataFrame = {
+    val g = cur(spark, path)
+    val members = rawAssign(spark, g).select(col("doc_id")).distinct().count()
+    val rel = spark.read.parquet(s"$g/relabel")
+    val relRows = rel.count()
+    // batch DIRS, not row-bearing batches: every read pays the dir
+    // listing whether a batch carried relabels or not (an epoch with no
+    // bridges still writes its empty exactly-once partition), so the
+    // fragmentation signal is the filesystem count — the same
+    // files-not-batches reasoning as UrlIndex.fileCount
+    val relBatches = fsOf(spark, path)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$g/relabel"))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .toLong
+    spark.createDataFrame(Seq((members, relRows, relBatches,
+        relBatches > CompactRelabelBatches)))
+      .toDF("member_rows", "relabel_rows", "relabel_batches",
+        "compact_recommended")
+  }
+
+  /** Fold the relabel log into the member rows as a fresh generation
+    * ([[graft.core.GenDir]] publish — reader-atomic, crash debris swept):
+    * every member row gets its chain-resolved representative, every
+    * RELABELED representative becomes a member row of its final cluster
+    * (it is a document too — without this row it would read as a
+    * singleton once the log is gone), and the new relabel log is empty. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val g = cur(spark, path)
+    val rel = relabelMap(spark, g, excludeBatch = None)
+    val gen = GenDir.next(spark, path)
+    val stage = GenDir.genPath(path, gen)
+    import spark.implicits._
+    val relDf = rel.toSeq.toDF("rep0", "relto")
+    val folded = rawAssign(spark, g)
+      .select(col("doc_id"), col("rep").as("rep0"))
+      .join(broadcast(relDf), Seq("rep0"), "left")
+      .select(col("doc_id"), coalesce(col("relto"), col("rep0")).as("rep"))
+      .unionByName(rel.toSeq.toDF("doc_id", "rep"))
+      .filter(col("rep") =!= col("doc_id"))
+      .distinct()
+    folded.write.mode("overwrite").parquet(s"$stage/assign/batch=c")
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "old_rep BIGINT, new_rep BIGINT"))
+      .write.mode("overwrite").parquet(s"$stage/relabel/batch=c")
+    GenDir.commit(spark, path, gen)
+  }
+}

@@ -945,6 +945,153 @@ object StreamGateQueries {
         TRUE AS multi_epoch, TRUE AS rebuilt
       FROM r GROUP BY label ORDER BY label"""))
 
+  /** In-stream registry compactions per [[streamClusterIngest]] tag. */
+  private[graft] val scrCompactions =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** One q163 epoch: near-dup edges for the batch (index serve with the
+    * replay guard + within-batch pass) → [[graft.operators.ClusterRegistry.register]]
+    * (exactly-once per batchId) → seen-signature index merge → registry
+    * maintenance (fold the relabel log in-stream when its batch count
+    * trips — the generation publish keeps concurrent reads safe). The
+    * collected edge lists are the registry's documented driver bound
+    * ([[graft.operators.ClusterRegistry.MaxEpochEdges]]). */
+  private[graft] def scrEpoch(tbl: String, regPath: String, tag: String)(
+      batch: DataFrame, id: Long): Array[Row] = {
+    import graft.operators.{ClusterRegistry, Dedup}
+    val bs = batch.sparkSession
+    val ids = batch.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val idxEdges = Dedup.minhashLshAgainstIndex(batch, "doc_id", "text", tbl)
+      // replay guard (the q159/q162 discipline): index pairs whose index
+      // member is in THIS batch are the within-batch pass's property
+      .join(batch.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .select(col("doc_b"), col("doc_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val selfEdges = Dedup.minhashLsh(batch, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    ClusterRegistry.register(bs, regPath, ids,
+      (idxEdges ++ selfEdges).toSeq, id.toString)
+    Dedup.minhashIndexAppend(batch, "doc_id", "text", tbl, id.toString)
+    if (ClusterRegistry.staleness(bs, regPath).head().getBoolean(3)) {
+      ClusterRegistry.compact(bs, regPath)
+      scrCompactions.updateWith(tag)(c => Some(c.getOrElse(0L) + 1L)): Unit
+    }
+    batch.select(col("doc_id")).collect()
+  }
+
+  /** Streaming dup-cluster registry ingest — the PROVENANCE leg of the
+    * dedup lifecycle (q159 decides accept/reject; this assigns every
+    * document its STABLE cluster id as it arrives): the minhash index is
+    * built on the base corpus and its own near-dup structure seeds the
+    * [[graft.operators.ClusterRegistry]] (CC over the base pairs); every
+    * arriving micro-batch contributes its observed edges (vs the seen
+    * index + within itself), and the registry's incremental union-find
+    * folds them in — a document bridging two existing clusters appends
+    * ONE relabel row instead of rewriting the losing cluster's members,
+    * and the relabel log is folded in-stream when its batch count trips
+    * (reader-atomic generation publish).
+    *
+    * The final assignment is provably schedule-invariant: docs arrive in
+    * id order against a seen-signature index, so the union of observed
+    * edges over any schedule is EVERY exact-Jaccard≥0.8 pair among the
+    * corpus (base↔base via the seed, the rest via serve/within-batch),
+    * and incremental union-find and batch connected components agree on
+    * the final partition — the oracle replays plain transitive closure
+    * over the exact pair set. */
+  private[graft] def streamClusterIngest(s: SparkSession, docs: DataFrame,
+      perOf: Long => Long, tag: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{ClusterRegistry, Dedup}
+    val uri = s"hub:scr_$tag"
+    val tbl = "scr_" +
+      java.lang.Long.toHexString(java.lang.ProcessHandle.current().pid()) +
+      "_" + java.lang.Integer.toHexString(tag.hashCode).replace('-', 'm')
+    val regPath = s"${System.getProperty("java.io.tmpdir")}/graft-scr-" +
+      s"${java.lang.ProcessHandle.current().pid()}-" +
+      java.lang.Integer.toHexString(tag.hashCode).replace('-', 'm')
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    Dedup.minhashIndexWrite(base, "doc_id", "text", tbl)
+    ClusterRegistry.seed(s, Dedup.minhashLsh(base, "doc_id", "text"), regPath)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val rows = delta.select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+    MemHub.publish(uri, "docs", rows.iterator.map { r =>
+      val payload = s"""{"text":${jsonStr(r.getString(1))}}"""
+      (r.getLong(0).toString, Map.empty[String, String], r.getLong(0),
+        payload.getBytes("UTF-8"))
+    })
+    val per = perOf(rows.length.toLong)
+    val stream = s.readStream.format("graft-topic")
+      .option("profile", "pulsar").option("uri", uri).option("topics", "docs")
+      .option("maxPerTrigger", per.toString)
+      .load()
+      .select(col("key").cast("long").as("doc_id"),
+        from_json(col("value").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL("text STRING")).as("j"))
+      .select(col("doc_id"), col("j.text").as("text"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var epochs = 0L
+    val cp = s"${System.getProperty("java.io.tmpdir")}/graft-scr-cp-" +
+      s"${java.lang.ProcessHandle.current().pid()}-" +
+      java.lang.Integer.toHexString(tag.hashCode)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sn = scrEpoch(tbl, regPath, tag)(batch, id)
+        synchronized {
+          epochs = math.max(epochs, id + 1)
+          seen ++= sn.map(_.getLong(0))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Dedup.dropMinhashIndex(s, tbl)
+    ClusterRegistry.assignFor(seen.toSeq.toDF("doc_id"), regPath)
+      .withColumn("multi_epoch", lit(epochs > 1))
+      .withColumn("registry_compacted",
+        lit(scrCompactions.getOrElse(tag, 0L) > 0L))
+      .orderBy(col("doc_id"))
+  }
+
+  val qStreamClusterRegistry = QueryDef(
+    "q163_stream_cluster_registry",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/scr",
+      streamClusterIngest(s, t(s, dir, "documents"),
+        n => math.max(1L, n / 7L), s"q163_$dir")),
+    // the registry's final state is CC over EVERY exact pair (see
+    // streamClusterIngest) — the oracle replays transitive closure with
+    // the q92 reach device, reps as the component minimum INCLUDING self;
+    // registry_compacted is deterministically TRUE (the relabel-batch
+    // counter grows once per epoch, so the batch-count trigger trips
+    // mid-stream at per = n/7 regardless of bridge incidence)
+    Some("""WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT da AS a, db AS b
+                FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      reach(v, w) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a),
+      cl AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS rep FROM reach GROUP BY v)
+      SELECT d.doc_id, CAST(COALESCE(cl.rep, d.doc_id) AS BIGINT) AS rep,
+        TRUE AS multi_epoch, TRUE AS registry_compacted
+      FROM documents d LEFT JOIN cl USING (doc_id)
+      WHERE d.doc_id % 3 <> 0
+      ORDER BY d.doc_id"""))
+
   /** Minimal JSON string escaper for the seeded payloads (the corpus text
     * is plain ASCII-ish but quotes/backslashes/newlines must survive the
     * round-trip exactly — md5(text) is part of the decontamination key). */
@@ -964,5 +1111,6 @@ object StreamGateQueries {
 
   val all: Seq[QueryDef] = Seq(qStreamRolling, qStreamDedup, qStreamWindow,
     qMapService, qStreamSessions, qStreamJoin, qStreamEnrich, qStreamOuterJoin,
-    qStreamCurate, qStreamDedupIngest, qStreamSemanticIngest)
+    qStreamCurate, qStreamDedupIngest, qStreamSemanticIngest,
+    qStreamClusterRegistry)
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GenDir, GraftSession}
+import graft.operators.ClusterRegistry
+
+/** The persisted dup-cluster registry ([[graft.operators.ClusterRegistry]])
+  * — incremental union-find with a relabel log. Gates: seeded base
+  * structure, member assignment, the BRIDGE case (a new doc merging two
+  * existing clusters relabels the losing representative instead of
+  * rewriting its members), chain resolution across several merges,
+  * replay idempotence (derivations exclude the epoch's own partitions),
+  * and compaction folding the log into member rows with identical read
+  * semantics. */
+class ClusterRegistrySpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4, "graft-clreg")
+  private val pid = java.lang.ProcessHandle.current().pid()
+  private var n = 0
+  import spark.implicits._
+
+  private def freshPath(): String = {
+    n += 1
+    s"${System.getProperty("java.io.tmpdir")}/graft-clreg-$pid-$n"
+  }
+
+  private def reps(path: String, ids: Seq[Long]): Map[Long, Long] =
+    ClusterRegistry.assignFor(ids.toDF("doc_id"), path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("seed + member assignment + implicit singletons") {
+    val path = freshPath()
+    // base clusters: {1,5}, {2,8}; doc 3 singleton
+    ClusterRegistry.seed(spark,
+      Seq((1L, 5L), (2L, 8L)).toDF("doc_a", "doc_b"), path)
+    assert(reps(path, Seq(1L, 5L, 2L, 8L, 3L)) ==
+      Map(1L -> 1L, 5L -> 1L, 2L -> 2L, 8L -> 2L, 3L -> 3L))
+    // epoch 0: doc 10 dups 5 → joins cluster 1; doc 11 fresh
+    ClusterRegistry.register(spark, path, Seq(10L, 11L),
+      Seq((10L, 5L)), "0")
+    assert(reps(path, Seq(10L, 11L)) == Map(10L -> 1L, 11L -> 11L))
+  }
+
+  test("bridge: a doc merging two clusters relabels the losing rep; chains resolve") {
+    val path = freshPath()
+    ClusterRegistry.seed(spark,
+      Seq((1L, 5L), (2L, 8L)).toDF("doc_a", "doc_b"), path)
+    // doc 20 dups BOTH 5 (cluster 1) and 8 (cluster 2): clusters merge,
+    // rep 2 relabels to 1; no member row of cluster 2 is rewritten
+    ClusterRegistry.register(spark, path, Seq(20L),
+      Seq((20L, 5L), (20L, 8L)), "0")
+    assert(reps(path, Seq(1L, 5L, 2L, 8L, 20L)) ==
+      Map(1L -> 1L, 5L -> 1L, 2L -> 1L, 8L -> 1L, 20L -> 1L),
+      "the bridged clusters must read as ONE under the minimum rep")
+    // the raw member row of 8 still says rep 2 — resolution is via the log
+    val g = GenDir.resolveRequired(spark, path)
+    val raw8 = spark.read.parquet(s"$g/assign")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 8L)
+      .collect().map(_.getLong(1)).toSet
+    assert(raw8 == Set(2L), "bridging must relabel, not rewrite member rows")
+    // a second bridge chains: doc 30 dups 8 and a NEW cluster {0,9}
+    ClusterRegistry.register(spark, path, Seq(25L, 26L),
+      Seq((25L, 26L)), "1") // cluster {25,26}
+    ClusterRegistry.register(spark, path, Seq(30L),
+      Seq((30L, 8L), (30L, 26L)), "2")
+    assert(reps(path, Seq(25L, 26L, 30L, 8L)) ==
+      Map(25L -> 1L, 26L -> 1L, 30L -> 1L, 8L -> 1L),
+      "chained merges must resolve through the relabel log")
+  }
+
+  test("replay: re-registering a batch is derivation- and write-idempotent") {
+    val path = freshPath()
+    ClusterRegistry.seed(spark, Seq((1L, 5L)).toDF("doc_a", "doc_b"), path)
+    ClusterRegistry.register(spark, path, Seq(10L, 11L),
+      Seq((10L, 5L), (10L, 11L)), "0")
+    val before = reps(path, Seq(1L, 5L, 10L, 11L))
+    val g = GenDir.resolveRequired(spark, path)
+    val rowsBefore = spark.read.parquet(s"$g/assign").count()
+    ClusterRegistry.register(spark, path, Seq(10L, 11L),
+      Seq((10L, 5L), (10L, 11L)), "0")
+    assert(reps(path, Seq(1L, 5L, 10L, 11L)) == before,
+      "a replayed epoch must not change any assignment")
+    assert(spark.read.parquet(s"$g/assign").count() == rowsBefore,
+      "a replayed epoch must overwrite its own rows, not duplicate them")
+  }
+
+  test("staleness counts the relabel log; compaction folds it and keeps read semantics") {
+    val path = freshPath()
+    ClusterRegistry.seed(spark,
+      Seq((1L, 5L), (2L, 8L), (3L, 9L)).toDF("doc_a", "doc_b"), path)
+    // two bridges → two relabel entries in two batches
+    ClusterRegistry.register(spark, path, Seq(20L), Seq((20L, 5L), (20L, 8L)), "0")
+    ClusterRegistry.register(spark, path, Seq(21L), Seq((21L, 8L), (21L, 9L)), "1")
+    val ids = Seq(1L, 5L, 2L, 8L, 3L, 9L, 20L, 21L, 4L)
+    val before = reps(path, ids)
+    assert(before.values.toSet == Set(1L, 4L),
+      s"all three clusters bridged into rep 1 (4 stays singleton): $before")
+    val st = ClusterRegistry.staleness(spark, path).head()
+    assert(st.getLong(1) == 2L && st.getLong(2) >= 2L,
+      s"two bridge relabels must be counted: $st")
+    val genBefore = GenDir.resolveRequired(spark, path)
+    ClusterRegistry.compact(spark, path)
+    assert(GenDir.resolveRequired(spark, path) != genBefore,
+      "compaction must publish a new generation")
+    assert(reps(path, ids) == before,
+      "folding the relabel log must not change any assignment")
+    val st2 = ClusterRegistry.staleness(spark, path).head()
+    assert(st2.getLong(1) == 0L, s"the folded log must be empty: $st2")
+    // the relabeled reps (2, 3) must now be MEMBER rows, not implicit
+    // singletons — the fold materializes them
+    val g2 = GenDir.resolveRequired(spark, path)
+    val folded = spark.read.parquet(s"$g2/assign")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded.get(2L).contains(1L) && folded.get(3L).contains(1L),
+      s"relabeled reps must become member rows on fold: $folded")
+    // registering against the folded registry still works
+    ClusterRegistry.register(spark, path, Seq(40L), Seq((40L, 9L)), "2")
+    assert(reps(path, Seq(40L)) == Map(40L -> 1L))
+  }
+
+  test("within-epoch transitivity and the edge ceiling") {
+    val path = freshPath()
+    ClusterRegistry.seed(spark,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), path)
+    // chain inside ONE batch: 50-51, 51-52 → one cluster, rep 50
+    ClusterRegistry.register(spark, path, Seq(50L, 51L, 52L),
+      Seq((50L, 51L), (51L, 52L)), "0")
+    assert(reps(path, Seq(50L, 51L, 52L)) ==
+      Map(50L -> 50L, 51L -> 50L, 52L -> 50L))
+    val e = intercept[IllegalArgumentException] {
+      ClusterRegistry.register(spark, path, Seq(60L),
+        (0 until ClusterRegistry.MaxEpochEdges + 1).map(i => (60L, i.toLong)),
+        "big")
+    }
+    assert(e.getMessage.contains("MaxEpochEdges"))
+  }
+}

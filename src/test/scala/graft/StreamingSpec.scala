@@ -995,4 +995,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"post-rebuild twin recall $recall%.2f below floor")
     ffs.delete(fp, true): Unit
   }
+
+  test("q163 cluster registry: schedule-invariant assignments, in-stream fold, replay-equal epochs") {
+    // the provenance leg of the dedup lifecycle: stable cluster ids
+    // maintained incrementally at ingest. Two epoch schedules observe
+    // different per-epoch edge sets and bridge at different moments, yet
+    // the FINAL assignment must be identical (both equal CC over every
+    // exact pair); the relabel-log fold must fire mid-stream on both
+    graft.SparkEntry.queries.size: Unit
+    import graft.queries.StreamGateQueries
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run(tag: String, perOf: Long => Long) = {
+      val got = StreamGateQueries.streamClusterIngest(spark, docs, perOf, tag)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      (got, StreamGateQueries.scrCompactions.getOrElse(tag, 0L))
+    }
+    val (a, compA) = run("scr-sched-7", n => math.max(1L, n / 7L))
+    // n/5 still crosses the relabel-batch fold threshold mid-stream (6
+    // epochs) while folding at a DIFFERENT epoch than n/7 — fold-point
+    // invariance is only proven when the points differ
+    val (b, compB) = run("scr-sched-5", n => math.max(1L, n / 5L))
+    assert(compA >= 1L && compB >= 1L,
+      s"the relabel-log fold must ride the stream: $compA / $compB")
+    assert(a == b, s"final assignments must be schedule-invariant: " +
+      s"${a.zip(b).filter { case (x, y) => x != y }.take(3)}")
+  }
+
+  test("q163 epoch replay: registering the same epoch twice is assignment- and index-idempotent") {
+    graft.SparkEntry.queries.size: Unit
+    import graft.operators.{ClusterRegistry, Dedup}
+    import graft.queries.StreamGateQueries
+    import spark.implicits._
+    val pid = java.lang.ProcessHandle.current().pid()
+    val tbl = s"scrrep_$pid"
+    val regPath = s"${System.getProperty("java.io.tmpdir")}/graft-scrrep-$pid"
+    Dedup.dropMinhashIndex(spark, tbl)
+    val toks = (0 until 70).map(i => s"w$i")
+    def span(from: Int, until: Int) = toks.slice(from, until).mkString(" ")
+    // base: docs 0 and 3 are near-dups (a seeded base cluster)
+    val base = Seq((0L, span(0, 60)), (3L, span(4, 64)))
+      .toDF("doc_id", "text")
+    Dedup.minhashIndexWrite(base, "doc_id", "text", tbl)
+    ClusterRegistry.seed(spark, Dedup.minhashLsh(base, "doc_id", "text"), regPath)
+    // batch: 10 fresh, 11 dups 10 (within-batch), 12 dups base 3 (index
+    // edge that must fold 12 into the SEEDED cluster rep 0)
+    val batch = Seq(
+      (10L, (0 until 60).map(i => s"x$i").mkString(" ")),
+      (11L, (0 until 58).map(i => s"x$i").mkString(" ") + " z1 z2"),
+      (12L, span(2, 62))).toDF("doc_id", "text")
+    def epoch() = StreamGateQueries.scrEpoch(tbl, regPath, "scr-replay")(batch, 0L)
+    epoch()
+    def assigned() = ClusterRegistry
+      .assignFor(Seq(10L, 11L, 12L).toDF("doc_id"), regPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val first = assigned()
+    assert(first == Map(10L -> 10L, 11L -> 10L, 12L -> 0L),
+      s"within-batch pair + transitive index fold into the seeded cluster: $first")
+    val (shT, _) = Dedup.minhashLiveTables(spark, tbl)
+    val shRows = spark.table(shT).count()
+    epoch()
+    assert(assigned() == first, "a replayed epoch must not move any assignment")
+    assert(spark.table(shT).count() == shRows,
+      "a replayed epoch must not duplicate index rows")
+    Dedup.dropMinhashIndex(spark, tbl)
+  }
 }
