@@ -1257,8 +1257,14 @@ object Dedup {
       // [[DenseDispatchDensity]]): dense near-dup sets run exact triangle
       // all-pairs, sparse collision blocks — and any block past the probe
       // cap — stay on the prefix-filtered path. Identical output either
-      // way; the probe only picks the cheaper exact plan.
-      val probed = sizes.limit(MaxProbedHotBlocks + 1).collect()
+      // way; the probe only picks the cheaper exact plan. The probe SET
+      // is ordered (size desc, key) — a bare limit() takes whatever
+      // partitions answer first, so past the cap the dispatch (and with
+      // it the plan's cost) would vary run to run; biggest blocks are
+      // exactly the ones where picking the wrong path hurts most
+      val probed = sizes
+        .orderBy(col("__bn").desc, col("blk"))
+        .limit(MaxProbedHotBlocks + 1).collect()
       val capped = probed.length > MaxProbedHotBlocks
       // a null block key never pairs in ANY path (x.blk === y.blk is never
       // true for nulls — and left_anti keeps null rows out of `big` too),
