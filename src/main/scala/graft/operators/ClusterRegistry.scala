@@ -152,7 +152,11 @@ object ClusterRegistry {
         s"($MaxEpochEdges) — split the epoch or raise the ceiling")
     val g = cur(spark, path)
     val batchSet = batchDocs.toSet
-    val rel = relabelMap(spark, g, excludeBatch = Some(batchId))
+    // exclude by the WRITTEN partition value (`b<id>`, line below) — the
+    // bare id never matches, which would let a replayed bridging epoch
+    // read its own prior relabel rows, derive an empty relabel set, and
+    // overwrite (= delete) union-log rows still resolving older members
+    val rel = relabelMap(spark, g, excludeBatch = Some(s"b$batchId"))
     def chase(x: Long): Long = rel.getOrElse(x, x)
     // current representative of every non-batch partner: raw member row
     // (excluding this batch's own prior write — replay determinism), then

@@ -85,6 +85,35 @@ class ClusterRegistrySpec extends AnyFunSuite {
       "a replayed epoch must overwrite its own rows, not duplicate them")
   }
 
+  test("replay of a BRIDGING epoch rewrites its relabel rows, not an empty set") {
+    // regression: relabelMap's exclusion must use the WRITTEN partition
+    // value (`b<id>`). With the bare id the replay read its own prior
+    // (2→1) relabel row, derived nothing to relabel, and overwrote the
+    // partition with an empty set — permanently splitting the bridged
+    // clusters (member 8 still resolves through that log row).
+    val path = freshPath()
+    ClusterRegistry.seed(spark,
+      Seq((1L, 5L), (2L, 8L)).toDF("doc_a", "doc_b"), path)
+    ClusterRegistry.register(spark, path, Seq(20L),
+      Seq((20L, 5L), (20L, 8L)), "0")
+    val ids = Seq(1L, 5L, 2L, 8L, 20L)
+    val before = reps(path, ids)
+    assert(before.values.toSet == Set(1L), s"bridge must merge: $before")
+    val g = GenDir.resolveRequired(spark, path)
+    def relabelRows(): Set[(Long, Long)] =
+      spark.read.parquet(s"$g/relabel")
+        .filter(org.apache.spark.sql.functions.col("batch") === "b0")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val logBefore = relabelRows()
+    assert(logBefore == Set((2L, 1L)), s"bridge must log 2→1: $logBefore")
+    ClusterRegistry.register(spark, path, Seq(20L),
+      Seq((20L, 5L), (20L, 8L)), "0") // replay
+    assert(relabelRows() == logBefore,
+      "a replayed bridge epoch must rewrite the SAME relabel rows")
+    assert(reps(path, ids) == before,
+      "a replayed bridge epoch must not change any assignment")
+  }
+
   test("staleness counts the relabel log; compaction folds it and keeps read semantics") {
     val path = freshPath()
     ClusterRegistry.seed(spark,
