@@ -44,8 +44,16 @@ import graft.core.GenDir
   * as a plain parquet join side. */
 object ClusterRegistry {
 
-  /** Loud ceiling for one epoch's driver-side union-find input. */
-  val MaxEpochEdges: Int = 1 << 22
+  /** Ceiling for one epoch's driver-side union-find input. Epochs whose
+    * edge list exceeds it are NOT an error: [[register]] dispatches them
+    * to the distributed pass ([[registerDistributed]] via
+    * [[Dedup.connectedComponents]]) that computes the identical
+    * assign/relabel rows without driver state — a hot template cluster
+    * (one batch doc near-dup to a million indexed docs) produces such an
+    * epoch routinely at ingest scale. `var` as a test knob (the
+    * `Dedup.maxBroadcastIdBytes = 0` pattern) to force the distributed
+    * path on small fixtures. */
+  var MaxEpochEdges: Int = 1 << 22
 
   /** Relabel batches past which [[staleness]] recommends a [[compact]]:
     * every read pays one driver collect of the relabel log plus a
@@ -117,8 +125,17 @@ object ClusterRegistry {
   /** Resolved representatives for `docs` (a frame with `doc_id`): member
     * rows joined, relabel chains applied, absent docs are singletons.
     * One distributed join against the member rows (broadcast-gated by
-    * Spark's own stats) plus one broadcast hop for the relabel map. */
-  def assignFor(docs: DataFrame, path: String): DataFrame = {
+    * Spark's own stats) plus one broadcast hop for the relabel map.
+    *
+    * `docsDistinct = true` skips the output dedup — a corpus-wide shuffle
+    * that is a pure no-op when (a) `docs` carries no duplicate ids AND
+    * (b) no epoch has been REPLAYED since the last [[compact]] (a replay
+    * across a compaction leaves the doc a member row in both the folded
+    * `batch=c` and its re-written `batch=b<id>` partition — confluent,
+    * identical reps, but two join matches). The default keeps the dedup:
+    * correctness over one shuffle unless the caller can prove both. */
+  def assignFor(docs: DataFrame, path: String,
+      docsDistinct: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val g = cur(spark, path)
     val rel = relabelMap(spark, g, excludeBatch = None)
@@ -134,7 +151,7 @@ object ClusterRegistry {
         base.join(broadcast(relDf), Seq("rep0"), "left")
           .select(col("doc_id"), coalesce(col("relto"), col("rep0")).as("rep"))
       }
-    resolved.distinct()
+    if (docsDistinct) resolved else resolved.distinct()
   }
 
   /** Fold one epoch's near-dup edges into the registry, exactly-once per
@@ -147,9 +164,15 @@ object ClusterRegistry {
       batchDocs: Seq[Long], edges: Seq[(Long, Long)], batchId: String): Unit = {
     require(batchId.matches("[A-Za-z0-9._-]+"),
       s"ClusterRegistry.register: batchId must be a plain token, got '$batchId'")
-    require(edges.size <= MaxEpochEdges,
-      s"ClusterRegistry.register: ${edges.size} edges exceeds MaxEpochEdges " +
-        s"($MaxEpochEdges) — split the epoch or raise the ceiling")
+    if (edges.size > MaxEpochEdges) {
+      // past the driver ceiling this is a dispatch, not a crash (the
+      // data-size-dependent-require anti-pattern): same decision, computed
+      // distributed
+      import spark.implicits._
+      registerDistributed(spark, path, batchDocs.toDF("doc_id"),
+        edges.toDF("doc_a", "doc_b"), batchId)
+      return
+    }
     val g = cur(spark, path)
     val batchSet = batchDocs.toSet
     // exclude by the WRITTEN partition value (`b<id>`, line below) — the
@@ -205,13 +228,106 @@ object ClusterRegistry {
       .write.mode("overwrite").parquet(s"$g/relabel/batch=b$batchId")
   }
 
+  /** DataFrame-shaped epoch entry: counts the edges once and dispatches.
+    * At or below [[MaxEpochEdges]] the edge list is collected and folded
+    * with the driver union-find ([[register]] — cheaper: no Spark jobs
+    * per propagation round); above it the identical decision is computed
+    * distributed without ever materializing the edges on the driver.
+    * `batchDocs` is one `doc_id` column, `edges` is (`doc_a`, `doc_b`). */
+  def registerEpoch(spark: SparkSession, path: String,
+      batchDocs: DataFrame, edges: DataFrame, batchId: String): Unit = {
+    require(batchId.matches("[A-Za-z0-9._-]+"),
+      s"ClusterRegistry.registerEpoch: batchId must be a plain token, got '$batchId'")
+    val e = edges.select(col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b"))
+    if (e.limit(MaxEpochEdges + 1).count() > MaxEpochEdges)
+      registerDistributed(spark, path, batchDocs, e, batchId)
+    else {
+      val docs = batchDocs.select(col("doc_id").cast("long"))
+        .collect().map(_.getLong(0)).toSeq
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      register(spark, path, docs, es, batchId)
+    }
+  }
+
+  /** The distributed twin of [[register]]'s driver fold — same inputs,
+    * same written rows, no driver state beyond the (historically-bounded)
+    * relabel map:
+    *
+    *  1. each non-batch endpoint is node-mapped to its CURRENT
+    *     representative (member row excluding this batch's prior write,
+    *     then the relabel chain — exactly [[register]]'s `node()`),
+    *  2. [[Dedup.connectedComponents]] labels the mapped edge graph with
+    *     component minima (identical to the driver union-find-by-min, and
+    *     already restricted to touched components — only vertices on this
+    *     epoch's edges enter the propagation),
+    *  3. assign rows = batch docs whose label differs from themselves;
+    *     relabel rows = touched representatives whose label differs —
+    *     written with the same overwrite-own-partition exactly-once
+    *     discipline.
+    *
+    * Scale shape: two shuffles to node-map (joins against the member
+    * rows, broadcast-gated by Spark stats), the CC propagation (driver
+    * path below `maxLocalEdges`, min-label rounds above), one shuffle per
+    * output join. The driver holds only the relabel map. */
+  private def registerDistributed(spark: SparkSession, path: String,
+      batchDocs: DataFrame, edges: DataFrame, batchId: String): Unit = {
+    graft.core.GraftSession.pinScope {
+    val g = cur(spark, path)
+    val rel = relabelMap(spark, g, excludeBatch = Some(s"b$batchId"))
+    import spark.implicits._
+    val bset = graft.core.GraftSession.pin(
+      batchDocs.select(col("doc_id").cast("long").as("doc_id")).distinct())
+    val verts = edges.select(col("doc_a").as("doc_id"))
+      .union(edges.select(col("doc_b").as("doc_id"))).distinct()
+    val relDf = rel.toSeq.toDF("rep0", "relto")
+    // current rep of every non-batch endpoint ([[register]]'s repOf):
+    // member row excluding own prior write, then the relabel chain;
+    // absent partner = itself
+    val pRep = graft.core.GraftSession.pin(
+      verts.join(bset, Seq("doc_id"), "left_anti")
+        .join(rawAssign(spark, g).filter(col("batch") =!= s"b$batchId")
+          .select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep0"))
+        .join(broadcast(relDf), Seq("rep0"), "left")
+        .select(col("doc_id"),
+          coalesce(col("relto"), col("rep0")).as("prep")))
+    val mapped = edges
+      .join(pRep.select(col("doc_id").as("doc_a"), col("prep").as("na")),
+        Seq("doc_a"), "left")
+      .join(pRep.select(col("doc_id").as("doc_b"), col("prep").as("nb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("na"), col("doc_a")).as("doc_a"),
+        coalesce(col("nb"), col("doc_b")).as("doc_b"))
+    val cc = graft.core.GraftSession.pin(Dedup.connectedComponents(mapped))
+    val assignRows = bset.join(cc, Seq("doc_id"))
+      .filter(col("rep") =!= col("doc_id"))
+      .select(col("doc_id"), col("rep"))
+    val relabelRows = pRep.select(col("prep").as("doc_id")).distinct()
+      .join(cc, Seq("doc_id"))
+      .filter(col("rep") =!= col("doc_id"))
+      .select(col("doc_id").as("old_rep"), col("rep").as("new_rep"))
+    assignRows.write.mode("overwrite").parquet(s"$g/assign/batch=b$batchId")
+    relabelRows.write.mode("overwrite").parquet(s"$g/relabel/batch=b$batchId")
+    // both outputs are on disk — nothing escapes the scope, so every pin
+    // (bset, pRep, cc) is dead here; the empty frame keeps none of them
+    spark.emptyDataFrame
+    }: Unit
+  }
+
   /** Registry health: member rows, relabel entries/batches, and whether
     * the relabel log is long enough to fold ([[CompactRelabelBatches]]). */
   def staleness(spark: SparkSession, path: String): DataFrame = {
     val g = cur(spark, path)
-    val members = rawAssign(spark, g).select(col("doc_id")).distinct().count()
-    val rel = spark.read.parquet(s"$g/relabel")
-    val relRows = rel.count()
+    // one Spark job for both row counts (the r11 rebuildIvfIndex fold):
+    // distinct members and relabel rows union through a tag column
+    val counts = rawAssign(spark, g).select(col("doc_id")).distinct()
+      .select(lit("m").as("k"))
+      .unionByName(spark.read.parquet(s"$g/relabel").select(lit("r").as("k")))
+      .groupBy(col("k")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val members = counts.getOrElse("m", 0L)
+    val relRows = counts.getOrElse("r", 0L)
     // batch DIRS, not row-bearing batches: every read pays the dir
     // listing whether a batch carried relabels or not (an epoch with no
     // bridges still writes its empty exactly-once partition), so the

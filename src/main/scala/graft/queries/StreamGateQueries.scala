@@ -950,28 +950,28 @@ object StreamGateQueries {
     new scala.collection.concurrent.TrieMap[String, Long]()
 
   /** One q163 epoch: near-dup edges for the batch (index serve with the
-    * replay guard + within-batch pass) → [[graft.operators.ClusterRegistry.register]]
-    * (exactly-once per batchId) → seen-signature index merge → registry
-    * maintenance (fold the relabel log in-stream when its batch count
-    * trips — the generation publish keeps concurrent reads safe). The
-    * collected edge lists are the registry's documented driver bound
-    * ([[graft.operators.ClusterRegistry.MaxEpochEdges]]). */
+    * replay guard + within-batch pass) →
+    * [[graft.operators.ClusterRegistry.registerEpoch]] (exactly-once per
+    * batchId) → seen-signature index merge → registry maintenance (fold
+    * the relabel log in-stream when its batch count trips — the
+    * generation publish keeps concurrent reads safe). The edge frames
+    * stay distributed end-to-end: `registerEpoch` collects them only
+    * below its driver ceiling, and a hot-template epoch past
+    * [[graft.operators.ClusterRegistry.MaxEpochEdges]] dispatches to the
+    * connected-components pass instead. */
   private[graft] def scrEpoch(tbl: String, regPath: String, tag: String)(
       batch: DataFrame, id: Long): Array[Row] = {
     import graft.operators.{ClusterRegistry, Dedup}
     val bs = batch.sparkSession
-    val ids = batch.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     val idxEdges = Dedup.minhashLshAgainstIndex(batch, "doc_id", "text", tbl)
       // replay guard (the q159/q162 discipline): index pairs whose index
       // member is in THIS batch are the within-batch pass's property
       .join(batch.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
-      .select(col("doc_b"), col("doc_a")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
     val selfEdges = Dedup.minhashLsh(batch, "doc_id", "text")
-      .select(col("doc_a"), col("doc_b")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    ClusterRegistry.register(bs, regPath, ids,
-      (idxEdges ++ selfEdges).toSeq, id.toString)
+      .select(col("doc_a"), col("doc_b"))
+    ClusterRegistry.registerEpoch(bs, regPath, batch.select(col("doc_id")),
+      idxEdges.unionByName(selfEdges), id.toString)
     Dedup.minhashIndexAppend(batch, "doc_id", "text", tbl, id.toString)
     if (ClusterRegistry.staleness(bs, regPath).head().getBoolean(3)) {
       ClusterRegistry.compact(bs, regPath)

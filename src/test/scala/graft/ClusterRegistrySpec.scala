@@ -148,7 +148,7 @@ class ClusterRegistrySpec extends AnyFunSuite {
     assert(reps(path, Seq(40L)) == Map(40L -> 1L))
   }
 
-  test("within-epoch transitivity and the edge ceiling") {
+  test("within-epoch transitivity") {
     val path = freshPath()
     ClusterRegistry.seed(spark,
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), path)
@@ -157,11 +157,93 @@ class ClusterRegistrySpec extends AnyFunSuite {
       Seq((50L, 51L), (51L, 52L)), "0")
     assert(reps(path, Seq(50L, 51L, 52L)) ==
       Map(50L -> 50L, 51L -> 50L, 52L -> 50L))
-    val e = intercept[IllegalArgumentException] {
-      ClusterRegistry.register(spark, path, Seq(60L),
-        (0 until ClusterRegistry.MaxEpochEdges + 1).map(i => (60L, i.toLong)),
-        "big")
+  }
+
+  /** Raw on-disk state of the live generation — assign member rows and
+    * relabel log rows per batch partition. Path identity is asserted on
+    * THIS, not just resolved reps: the distributed fallback must write
+    * the same artifact, not merely an equivalent one. */
+  private def rawState(path: String): (Set[(Long, Long, String)], Set[(Long, Long, String)]) = {
+    val g = GenDir.resolveRequired(spark, path)
+    val a = spark.read.parquet(s"$g/assign")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Any]("batch").toString)).toSet
+    val r = spark.read.parquet(s"$g/relabel")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Any]("batch").toString)).toSet
+    (a, r)
+  }
+
+  test("distributed fallback past the edge ceiling writes the identical rows") {
+    // the same epoch sequence (seeds, joins, a bridge, a chain, a replay)
+    // down both paths: the driver fold (default ceiling) and the
+    // connectedComponents pass (ceiling forced to 0 — the
+    // Dedup.maxBroadcastIdBytes=0 pattern); raw assign+relabel state and
+    // resolved reps must be bit-identical
+    val ids = Seq(1L, 5L, 2L, 8L, 3L, 9L, 20L, 21L, 30L, 31L, 4L)
+    def run(path: String): Unit = {
+      ClusterRegistry.seed(spark,
+        Seq((1L, 5L), (2L, 8L), (3L, 9L)).toDF("doc_a", "doc_b"), path)
+      // join + bridge in one epoch
+      ClusterRegistry.register(spark, path, Seq(20L),
+        Seq((20L, 5L), (20L, 8L)), "0")
+      // within-batch chain + index edge
+      ClusterRegistry.register(spark, path, Seq(30L, 31L),
+        Seq((30L, 31L), (31L, 9L)), "1")
+      // second bridge through a relabeled rep
+      ClusterRegistry.register(spark, path, Seq(21L),
+        Seq((21L, 8L), (21L, 3L)), "2")
+      // replay of the bridging epoch
+      ClusterRegistry.register(spark, path, Seq(20L),
+        Seq((20L, 5L), (20L, 8L)), "0")
     }
-    assert(e.getMessage.contains("MaxEpochEdges"))
+    val driverPath = freshPath()
+    run(driverPath)
+    val driverReps = reps(driverPath, ids)
+    val driverRaw = rawState(driverPath)
+    val distPath = freshPath()
+    val saved = ClusterRegistry.MaxEpochEdges
+    try {
+      ClusterRegistry.MaxEpochEdges = 0
+      run(distPath)
+    } finally ClusterRegistry.MaxEpochEdges = saved
+    assert(reps(distPath, ids) == driverReps,
+      "distributed fallback must resolve identical representatives")
+    assert(rawState(distPath) == driverRaw,
+      "distributed fallback must write the identical assign/relabel rows")
+    // and registerEpoch's count-dispatch: DataFrame entry at default
+    // ceiling (driver path) also matches
+    val epochPath = freshPath()
+    ClusterRegistry.seed(spark,
+      Seq((1L, 5L), (2L, 8L), (3L, 9L)).toDF("doc_a", "doc_b"), epochPath)
+    ClusterRegistry.registerEpoch(spark, epochPath, Seq(20L).toDF("doc_id"),
+      Seq((20L, 5L), (20L, 8L)).toDF("doc_a", "doc_b"), "0")
+    ClusterRegistry.registerEpoch(spark, epochPath,
+      Seq(30L, 31L).toDF("doc_id"),
+      Seq((30L, 31L), (31L, 9L)).toDF("doc_a", "doc_b"), "1")
+    ClusterRegistry.registerEpoch(spark, epochPath, Seq(21L).toDF("doc_id"),
+      Seq((21L, 8L), (21L, 3L)).toDF("doc_a", "doc_b"), "2")
+    ClusterRegistry.registerEpoch(spark, epochPath, Seq(20L).toDF("doc_id"),
+      Seq((20L, 5L), (20L, 8L)).toDF("doc_a", "doc_b"), "0")
+    assert(reps(epochPath, ids) == driverReps)
+    assert(rawState(epochPath) == driverRaw)
+  }
+
+  test("a hot-cluster epoch past the ceiling dispatches instead of throwing") {
+    // one batch doc near-dup to MANY indexed docs — the 100TB hot-template
+    // shape that used to throw MaxEpochEdges; with the ceiling forced tiny
+    // the epoch must dispatch and produce the right single cluster
+    val path = freshPath()
+    val base = (0L until 40L).map(i => (1000L + i, 1001L + i))
+    ClusterRegistry.seed(spark, base.toDF("doc_a", "doc_b"), path)
+    val saved = ClusterRegistry.MaxEpochEdges
+    try {
+      ClusterRegistry.MaxEpochEdges = 4
+      // 41 edges from the hot doc to every member of the base cluster
+      ClusterRegistry.register(spark, path, Seq(6000L),
+        (1000L to 1040L).map(p => (6000L, p)), "hot")
+    } finally ClusterRegistry.MaxEpochEdges = saved
+    val got = reps(path, Seq(6000L, 1000L, 1017L, 1040L))
+    assert(got == Map(6000L -> 1000L, 1000L -> 1000L,
+      1017L -> 1000L, 1040L -> 1000L),
+      s"hot epoch must fold into the existing cluster: $got")
   }
 }

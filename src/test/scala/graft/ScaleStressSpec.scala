@@ -814,4 +814,45 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(st4.getLong(1) == 0L,
       s"retry of an absorbed batch must be a no-op after rebuild: $st4")
   }
+
+  test("cluster-registry hot-template epoch past the edge ceiling: dispatches " +
+      "distributed (used to throw), balanced, equal to batch connected components") {
+    import graft.operators.ClusterRegistry
+    import spark.implicits._
+    // 20k seeded 3-doc clusters (60k member docs), then ONE batch doc
+    // near-dup to every one of them — 60k edges in a single epoch, the
+    // 100TB hot-template shape that used to crash on MaxEpochEdges
+    val regPath =
+      s"${System.getProperty("java.io.tmpdir")}/graft-stress-reg-${java.lang.ProcessHandle.current().pid()}"
+    val nClusters = 20000
+    val seedPairs = spark.range(nClusters).select(
+        (col("id") * 3).as("doc_a"), (col("id") * 3 + 1).as("doc_b"))
+      .unionByName(spark.range(nClusters).select(
+        (col("id") * 3).as("doc_a"), (col("id") * 3 + 2).as("doc_b")))
+    ClusterRegistry.seed(spark, seedPairs, regPath)
+    val hot = 1000000L
+    val hotEdges = spark.range(nClusters.toLong * 3)
+      .select(lit(hot).as("doc_a"), col("id").as("doc_b"))
+    val saved = ClusterRegistry.MaxEpochEdges
+    try {
+      ClusterRegistry.MaxEpochEdges = 1000
+      assertBalanced("registryHotEpoch", factor = 8.0) {
+        ClusterRegistry.registerEpoch(spark, regPath,
+          Seq(hot).toDF("doc_id"), hotEdges, "hot")
+      }
+    } finally ClusterRegistry.MaxEpochEdges = saved
+    // independent formulation: batch CC over seed ∪ hot edges — everything
+    // is one component under rep 0
+    val probeIds = Seq(hot, 0L, 1L, 2L, 29999L, 59999L, 3L * (nClusters - 1))
+    val got = ClusterRegistry.assignFor(probeIds.toDF("doc_id"), regPath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == probeIds.map(_ -> 0L).toMap,
+      s"hot epoch must merge every seeded cluster into rep 0: $got")
+    // the relabel log carries exactly one row per losing representative
+    // (nClusters - 1: every seed rep except 0), never a member rewrite
+    val g = graft.core.GenDir.resolveRequired(spark, regPath)
+    val relabels = spark.read.parquet(s"$g/relabel").count()
+    assert(relabels == (nClusters - 1).toLong,
+      s"one relabel row per losing rep expected, saw $relabels")
+  }
 }
