@@ -67,24 +67,146 @@ object ClusterRegistry {
   private def cur(spark: SparkSession, path: String): String =
     GenDir.resolveRequired(spark, path)
 
+  private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  /** Per-doc quality sidecar — `root/_qual/batch=<id>`, OUTSIDE the
+    * generations: (doc_id, quality) is an immutable fact about a
+    * document, independent of cluster structure, so compaction never
+    * rewrites it (it is corpus-sized — one slim row per registered doc —
+    * and exists so a doc that arrives as a SINGLETON and is bridged into
+    * a cluster epochs later can still stand for election with its real
+    * quality). Exactly-once per batch by partition overwrite; the `_`
+    * prefix keeps `spark.read.parquet(root)` blind to it, like the
+    * generation dirs. */
+  private def qualRoot(path: String): String = s"$path/_qual"
+
+  private def writeQual(df: DataFrame, path: String, batch: String): Unit =
+    df.select(col("doc_id").cast("long").as("doc_id"),
+        col("quality").cast("double").as("quality"))
+      .write.mode("overwrite").parquet(s"${qualRoot(path)}/batch=$batch")
+
+  /** Sidecar qualities for `ids` (bounded) — max over replay-duplicated
+    * rows (identical values; max for determinism). Empty map when the
+    * registry predates the quality era. */
+  private def qualFor(spark: SparkSession, path: String,
+      ids: Set[Long]): Map[Long, Double] = {
+    val qr = qualRoot(path)
+    if (ids.isEmpty || !fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(qr)))
+      Map.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(qr)
+        .join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"))
+        .groupBy(col("doc_id")).agg(max(col("quality")).as("quality"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+  }
+
+  /** Raw elect-log rows of a generation (`rep` as written — NOT yet
+    * chain-resolved), with the batch partition; empty when the registry
+    * predates the quality era. */
+  private def rawElect(spark: SparkSession, curGen: String,
+      excludeBatch: Option[String]): DataFrame = {
+    val p = s"$curGen/elect"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p)))
+      emptyDf(spark,
+        "rep BIGINT, best_doc BIGINT, best_quality DOUBLE, batch STRING")
+    else {
+      val raw = spark.read.parquet(p)
+        .select(col("rep"), col("best_doc"), col("best_quality"),
+          col("batch").cast("string").as("batch"))
+      excludeBatch.fold(raw)(b => raw.filter(col("batch") =!= b))
+    }
+  }
+
+  /** Elect rows with their written rep resolved through the relabel
+    * chain — (rep_r, best_doc, best_quality). */
+  private def electResolved(spark: SparkSession, curGen: String,
+      rel: Map[Long, Long], excludeBatch: Option[String]): DataFrame = {
+    import spark.implicits._
+    val e = rawElect(spark, curGen, excludeBatch)
+      .select(col("rep"), col("best_doc"), col("best_quality"))
+    if (rel.isEmpty) e.withColumnRenamed("rep", "rep_r")
+    else {
+      val relDf = rel.toSeq.toDF("rep", "relto")
+      e.join(broadcast(relDf), Seq("rep"), "left")
+        .select(coalesce(col("relto"), col("rep")).as("rep_r"),
+          col("best_doc"), col("best_quality"))
+    }
+  }
+
+  /** The elected representative per cluster — (rep, rep_doc,
+    * rep_quality): max quality, ties to the smaller doc id, over the
+    * relabel-resolved elect log. Per-cluster best under (quality desc,
+    * id asc) is a semilattice max, so the fold over per-epoch rows of
+    * MERGED clusters is exactly the best over the union of their
+    * members — no log replay order matters. Empty for a registry never
+    * given quality. */
+  def electedReps(spark: SparkSession, path: String): DataFrame = {
+    val g = cur(spark, path)
+    val rel = relabelMap(spark, g, excludeBatch = None)
+    electResolved(spark, g, rel, excludeBatch = None)
+      .groupBy(col("rep_r").as("rep"))
+      .agg(max(struct(col("best_quality"), (-col("best_doc")).as("negid"))).as("w"))
+      .select(col("rep"), (-col("w.negid")).as("rep_doc"),
+        col("w.best_quality").as("rep_quality"))
+  }
+
+  /** [[assignFor]] plus the quality-elected representative: (doc_id,
+    * cluster_id, rep_doc) — `cluster_id` is the stable minimum-id label
+    * the union-find maintains, `rep_doc` the member that KEPT THE SLOT
+    * under keep-best election (falls back to the cluster id for
+    * registries or clusters without quality data). This is the dedup-map
+    * artifact row: every suppressed document traceable to the doc that
+    * survived. */
+  def assignWithReps(docs: DataFrame, path: String,
+      docsDistinct: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    assignFor(docs, path, docsDistinct)
+      .join(electedReps(spark, path), Seq("rep"), "left")
+      .select(col("doc_id"), col("rep").as("cluster_id"),
+        coalesce(col("rep_doc"), col("rep")).as("rep_doc"))
+  }
+
   /** Seed generation 0 from a batch pair set (the base corpus's own
     * connected components, computed once at build time — this is what
     * lets the stream see base↔base duplicate structure it could never
-    * observe itself). */
-  def seed(spark: SparkSession, pairs: DataFrame, path: String): Unit = {
+    * observe itself).
+    *
+    * `quality` (doc_id, quality), when given, makes the registry
+    * QUALITY-AWARE: it should cover the WHOLE base corpus — not just the
+    * paired docs — so a base singleton bridged into a cluster epochs
+    * later can still stand for election. Each seed cluster's elected
+    * representative (max quality, ties to the smaller id) is logged. */
+  def seed(spark: SparkSession, pairs: DataFrame, path: String,
+      quality: Option[DataFrame] = None): Unit = {
     val fs = fsOf(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(p)) fs.delete(p, true)
     val g0 = GenDir.genPath(path, 0)
-    Dedup.connectedComponents(pairs)
-      .filter(col("rep") =!= col("doc_id"))
+    val cc = quality.fold(Dedup.connectedComponents(pairs))(_ =>
+      graft.core.GraftSession.pin(Dedup.connectedComponents(pairs)))
+    cc.filter(col("rep") =!= col("doc_id"))
       .select(col("doc_id"), col("rep"))
       .write.mode("overwrite").parquet(s"$g0/assign/batch=seed")
-    spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "old_rep BIGINT, new_rep BIGINT"))
+    emptyDf(spark, "old_rep BIGINT, new_rep BIGINT")
       .write.mode("overwrite").parquet(s"$g0/relabel/batch=seed")
+    quality.foreach { q =>
+      writeQual(q, path, "seed")
+      cc.join(q.select(col("doc_id"),
+          col("quality").cast("double").as("quality")), Seq("doc_id"))
+        .groupBy(col("rep"))
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("w"))
+        .select(col("rep"), (-col("w.negid")).as("best_doc"),
+          col("w.quality").as("best_quality"))
+        .write.mode("overwrite").parquet(s"$g0/elect/batch=seed")
+      graft.core.GraftSession.release(cc)
+    }
     GenDir.commit(spark, path, 0)
   }
 
@@ -159,9 +281,17 @@ object ClusterRegistry {
     * batch doc (within-batch pass) or any already-seen doc (index serve);
     * partner↔partner edges never occur (the serve only pairs the batch).
     * The union-find runs driver-side over the batch docs plus the touched
-    * partners' CURRENT representatives — [[MaxEpochEdges]]-bounded. */
+    * partners' CURRENT representatives — [[MaxEpochEdges]]-bounded.
+    *
+    * `batchQuality` (nonempty = quality-aware epoch) maps every batch doc
+    * to its quality: the batch's (doc, quality) rows land in the sidecar
+    * and each epoch-touched component logs its elected representative —
+    * max quality, ties to the smaller id, over the batch docs in the
+    * component, the merged clusters' prior electeds, and bridged
+    * singletons' sidecar qualities. */
   def register(spark: SparkSession, path: String,
-      batchDocs: Seq[Long], edges: Seq[(Long, Long)], batchId: String): Unit = {
+      batchDocs: Seq[Long], edges: Seq[(Long, Long)], batchId: String,
+      batchQuality: Map[Long, Double] = Map.empty): Unit = {
     require(batchId.matches("[A-Za-z0-9._-]+"),
       s"ClusterRegistry.register: batchId must be a plain token, got '$batchId'")
     if (edges.size > MaxEpochEdges) {
@@ -169,7 +299,10 @@ object ClusterRegistry {
       // data-size-dependent-require anti-pattern): same decision, computed
       // distributed
       import spark.implicits._
-      registerDistributed(spark, path, batchDocs.toDF("doc_id"),
+      val docsDf =
+        if (batchQuality.isEmpty) batchDocs.toDF("doc_id")
+        else batchDocs.map(d => (d, batchQuality(d))).toDF("doc_id", "quality")
+      registerDistributed(spark, path, docsDf,
         edges.toDF("doc_a", "doc_b"), batchId)
       return
     }
@@ -226,6 +359,41 @@ object ClusterRegistry {
       .write.mode("overwrite").parquet(s"$g/assign/batch=b$batchId")
     relabelRows.toDF("old_rep", "new_rep")
       .write.mode("overwrite").parquet(s"$g/relabel/batch=b$batchId")
+    if (batchQuality.nonEmpty) {
+      writeQual(batchQuality.toSeq.sortBy(_._1).toDF("doc_id", "quality"),
+        path, s"b$batchId")
+      // candidates per epoch component: batch docs (caller quality) ∪
+      // merged clusters' prior electeds (elect log, OWN BATCH EXCLUDED —
+      // replay determinism) ∪ bridged singleton/legacy reps (sidecar).
+      // Per-component best is a semilattice max, so logging one row per
+      // touched component keeps electedReps exact across any schedule.
+      val priorElect: Map[Long, (Long, Double)] =
+        if (touchedReps.isEmpty) Map.empty
+        else electResolved(spark, g, rel, excludeBatch = Some(s"b$batchId"))
+          .join(broadcast(touchedReps.toSeq.toDF("rep_r")), Seq("rep_r"))
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+          .groupBy(_._1).map { case (k, vs) =>
+            k -> vs.map(_._2).minBy { case (d, q) => (-q, d) }
+          }
+      val sidecarQ = qualFor(spark, path,
+        touchedReps.diff(priorElect.keySet))
+      val nodes = edges.iterator
+        .flatMap(e => Iterator(node(e._1), node(e._2))).toSet
+      val electRows = nodes.groupBy(find).toSeq.sortBy(_._1).map {
+        case (root, members) =>
+          val cands = members.toSeq.flatMap { n =>
+            if (batchSet.contains(n))
+              Some((n, batchQuality.getOrElse(n, Double.NegativeInfinity)))
+            else priorElect.get(n).orElse(
+              Some((n, sidecarQ.getOrElse(n, Double.NegativeInfinity))))
+          }
+          val (bd, bq) = cands.minBy { case (d, q) => (-q, d) }
+          (root, bd, bq)
+      }
+      electRows.toDF("rep", "best_doc", "best_quality")
+        .write.mode("overwrite").parquet(s"$g/elect/batch=b$batchId")
+    }
   }
 
   /** DataFrame-shaped epoch entry: counts the edges once and dispatches.
@@ -243,10 +411,17 @@ object ClusterRegistry {
     if (e.limit(MaxEpochEdges + 1).count() > MaxEpochEdges)
       registerDistributed(spark, path, batchDocs, e, batchId)
     else {
-      val docs = batchDocs.select(col("doc_id").cast("long"))
-        .collect().map(_.getLong(0)).toSeq
       val es = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      register(spark, path, docs, es, batchId)
+      if (batchDocs.columns.contains("quality")) {
+        val dq = batchDocs.select(col("doc_id").cast("long"),
+            col("quality").cast("double"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        register(spark, path, dq.map(_._1).toSeq, es, batchId, dq.toMap)
+      } else {
+        val docs = batchDocs.select(col("doc_id").cast("long"))
+          .collect().map(_.getLong(0)).toSeq
+        register(spark, path, docs, es, batchId)
+      }
     }
   }
 
@@ -309,7 +484,44 @@ object ClusterRegistry {
       .select(col("doc_id").as("old_rep"), col("rep").as("new_rep"))
     assignRows.write.mode("overwrite").parquet(s"$g/assign/batch=b$batchId")
     relabelRows.write.mode("overwrite").parquet(s"$g/relabel/batch=b$batchId")
-    // both outputs are on disk — nothing escapes the scope, so every pin
+    if (batchDocs.columns.contains("quality")) {
+      // quality-aware epoch — the distributed twin of [[register]]'s
+      // election: candidates per component label are batch docs (caller
+      // quality), merged clusters' prior electeds (elect log resolved,
+      // own batch excluded), and bridged singleton/legacy reps (sidecar,
+      // -inf fallback); winner = lexicographic max of (quality, -doc)
+      val bq = batchDocs.select(col("doc_id").cast("long").as("doc_id"),
+        col("quality").cast("double").as("quality"))
+      writeQual(bq, path, s"b$batchId")
+      val candBatch = bq.join(cc, Seq("doc_id"))
+        .select(col("rep").as("lbl"), col("doc_id").as("cand"), col("quality").as("q"))
+      val prior = electResolved(spark, g, rel, excludeBatch = Some(s"b$batchId"))
+      val preps = pRep.select(col("prep")).distinct()
+      val candPrior = prior
+        .join(preps, col("rep_r") === col("prep"))
+        .join(cc.select(col("doc_id").as("rep_r"), col("rep").as("lbl")), Seq("rep_r"))
+        .select(col("lbl"), col("best_doc").as("cand"), col("best_quality").as("q"))
+      val qr = qualRoot(path)
+      val qualDf =
+        if (fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(qr)))
+          spark.read.parquet(qr)
+            .groupBy(col("doc_id")).agg(max(col("quality")).as("sq"))
+        else emptyDf(spark, "doc_id BIGINT, sq DOUBLE")
+      val candSingleton = preps
+        .join(prior.select(col("rep_r").as("prep")).distinct(),
+          Seq("prep"), "left_anti")
+        .join(cc.select(col("doc_id").as("prep"), col("rep").as("lbl")), Seq("prep"))
+        .join(qualDf.select(col("doc_id").as("prep"), col("sq")), Seq("prep"), "left")
+        .select(col("lbl"), col("prep").as("cand"),
+          coalesce(col("sq"), lit(Double.NegativeInfinity)).as("q"))
+      candBatch.unionByName(candPrior).unionByName(candSingleton)
+        .groupBy(col("lbl"))
+        .agg(max(struct(col("q"), (-col("cand")).as("negid"))).as("w"))
+        .select(col("lbl").as("rep"), (-col("w.negid")).as("best_doc"),
+          col("w.q").as("best_quality"))
+        .write.mode("overwrite").parquet(s"$g/elect/batch=b$batchId")
+    }
+    // all outputs are on disk — nothing escapes the scope, so every pin
     // (bset, pRep, cc) is dead here; the empty frame keeps none of them
     spark.emptyDataFrame
     }: Unit
@@ -364,11 +576,20 @@ object ClusterRegistry {
       .filter(col("rep") =!= col("doc_id"))
       .distinct()
     folded.write.mode("overwrite").parquet(s"$stage/assign/batch=c")
-    spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "old_rep BIGINT, new_rep BIGINT"))
+    emptyDf(spark, "old_rep BIGINT, new_rep BIGINT")
       .write.mode("overwrite").parquet(s"$stage/relabel/batch=c")
+    // fold the elect log too: one row per final cluster, its elected
+    // representative chain-resolved and max-reduced (the sidecar is NOT
+    // touched — per-doc quality is immutable and lives outside the
+    // generations). Skipped for registries that predate the quality era.
+    if (fsOf(spark, path)
+        .exists(new org.apache.hadoop.fs.Path(s"$g/elect")))
+      electResolved(spark, g, rel, excludeBatch = None)
+        .groupBy(col("rep_r").as("rep"))
+        .agg(max(struct(col("best_quality"), (-col("best_doc")).as("negid"))).as("w"))
+        .select(col("rep"), (-col("w.negid")).as("best_doc"),
+          col("w.best_quality").as("best_quality"))
+        .write.mode("overwrite").parquet(s"$stage/elect/batch=c")
     GenDir.commit(spark, path, gen)
   }
 }

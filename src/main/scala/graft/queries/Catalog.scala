@@ -4320,6 +4320,93 @@ object Catalog {
       })
   }
 
+  /** Session-scoped quality-aware cluster registry: the base third seeds
+    * it (full-corpus quality sidecar for the base — a base singleton
+    * bridged epochs later must still stand for election), two epoch
+    * thirds register incrementally with a COMPACTION between them, so
+    * the gate exercises seed → join → bridge → fold → join on one
+    * artifact. Edges per epoch are exactly the near-dup pairs whose
+    * LATER endpoint arrives in that epoch — the union over epochs is
+    * every exact-Jaccard≥0.8 pair, which is what makes the final
+    * assignment schedule-invariant and equal to batch keep-best-CC. */
+  private val builtKeepBestRegistry =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def keepBestRegistry(s: SparkSession, dir: String,
+      docs: DataFrame): String = {
+    val key = dir.split('/').filter(_.nonEmpty).last
+    builtKeepBestRegistry.getOrElseUpdate(key, {
+      val regPath = s"${System.getProperty("java.io.tmpdir")}/graft-kbreg-" +
+        s"${key.replace('.', '_')}-${java.lang.ProcessHandle.current().pid()}"
+      import graft.core.GraftSession
+      import graft.operators.ClusterRegistry
+      GraftSession.pinScope {
+        val ep = greatest(pmod(col("doc_a"), lit(3)), pmod(col("doc_b"), lit(3)))
+        val pairs = GraftSession.pin(
+          Dedup.minhashLsh(docs, "doc_id", "text")
+            .select(col("doc_a"), col("doc_b"), ep.as("ep")))
+        def qual(m: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === m)
+          .select(col("doc_id"), token_count(col("text")).cast("double").as("quality"))
+        ClusterRegistry.seed(s,
+          pairs.filter(col("ep") === 0).select(col("doc_a"), col("doc_b")),
+          regPath, Some(qual(0)))
+        for (m <- 1 to 2) {
+          ClusterRegistry.registerEpoch(s, regPath, qual(m),
+            pairs.filter(col("ep") === m).select(col("doc_a"), col("doc_b")),
+            s"e$m")
+          if (m == 1) ClusterRegistry.compact(s, regPath)
+        }
+        s.emptyDataFrame
+      }
+      regPath
+    })
+  }
+
+  /** Quality-elected cluster representatives (the q92 keep-best leg as a
+    * REGISTRY read): every document's stable cluster id and the member
+    * that kept the slot — max token count, ties to the smaller id —
+    * maintained INCREMENTALLY across epochs (bridges append one relabel
+    * row, elections one elect row) yet exactly equal to batch
+    * keep-best over full-corpus connected components. */
+  private val q164 = QueryDef(
+    "q164_registry_keep_best",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val regPath = keepBestRegistry(s, dir, docs)
+      graft.operators.ClusterRegistry
+        .assignWithReps(docs.select(col("doc_id")), regPath)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT da AS a, db AS b
+                FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      reach(v, w) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a),
+      cl AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS rep FROM reach GROUP BY v),
+      q AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS quality
+            FROM documents),
+      best AS (SELECT rep, doc_id AS rep_doc FROM (
+          SELECT cl.rep, cl.doc_id, row_number() OVER (
+            PARTITION BY cl.rep ORDER BY q.quality DESC, cl.doc_id) AS rn
+          FROM cl JOIN q USING (doc_id)) WHERE rn = 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(cl.rep, d.doc_id) AS BIGINT) AS cluster_id,
+        CAST(COALESCE(best.rep_doc, d.doc_id) AS BIGINT) AS rep_doc
+      FROM documents d LEFT JOIN cl USING (doc_id)
+        LEFT JOIN best ON best.rep = cl.rep
+      ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4335,7 +4422,7 @@ object Catalog {
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q157, q158, q160, q161) ++
+    q154, q155, q157, q158, q160, q161, q164) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

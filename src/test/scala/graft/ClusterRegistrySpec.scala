@@ -227,6 +227,161 @@ class ClusterRegistrySpec extends AnyFunSuite {
     assert(rawState(epochPath) == driverRaw)
   }
 
+  private def electedMap(path: String): Map[Long, (Long, Double)] =
+    ClusterRegistry.electedReps(spark, path)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  private def withReps(path: String, ids: Seq[Long]): Map[Long, (Long, Long)] =
+    ClusterRegistry.assignWithReps(ids.toDF("doc_id"), path)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("quality-aware election: seed best, bridge merges elections, " +
+      "singleton sidecar quality, higher-quality arrival migrates the rep") {
+    val path = freshPath()
+    // clusters {1,5} (q: 1→2.0, 5→7.0 ⇒ elected 5), {2,8} (2→4.0, 8→3.0 ⇒ 2);
+    // 3 a singleton with the HIGHEST quality of all (9.0)
+    val qual = Seq((1L, 2.0), (5L, 7.0), (2L, 4.0), (8L, 3.0), (3L, 9.0))
+      .toDF("doc_id", "quality")
+    ClusterRegistry.seed(spark,
+      Seq((1L, 5L), (2L, 8L)).toDF("doc_a", "doc_b"), path, Some(qual))
+    assert(electedMap(path) == Map(1L -> (5L, 7.0), 2L -> (2L, 4.0)))
+    assert(withReps(path, Seq(1L, 5L, 2L, 8L, 3L)) ==
+      Map(1L -> (1L, 5L), 5L -> (1L, 5L), 2L -> (2L, 2L), 8L -> (2L, 2L),
+        3L -> (3L, 3L)),
+      "cluster_id stays the min-id label; rep_doc is the elected member")
+    // epoch 0: doc 20 (q 5.0) bridges clusters 1 and 2 → elected = 5 (7.0)
+    ClusterRegistry.register(spark, path, Seq(20L),
+      Seq((20L, 5L), (20L, 8L)), "0", Map(20L -> 5.0))
+    assert(electedMap(path) == Map(1L -> (5L, 7.0)),
+      "merged cluster must elect the best across BOTH merged elections")
+    // epoch 1: doc 21 (q 1.0) bridges the merged cluster with SINGLETON 3
+    // — 3 was never in a cluster, its quality must come from the sidecar
+    ClusterRegistry.register(spark, path, Seq(21L),
+      Seq((21L, 20L), (21L, 3L)), "1", Map(21L -> 1.0))
+    assert(electedMap(path) == Map(1L -> (3L, 9.0)),
+      "a bridged singleton's sidecar quality must stand for election")
+    // epoch 2: doc 22 (q 11.0) joins — elected migrates to the arrival
+    ClusterRegistry.register(spark, path, Seq(22L),
+      Seq((22L, 1L)), "2", Map(22L -> 11.0))
+    assert(electedMap(path) == Map(1L -> (22L, 11.0)))
+    assert(withReps(path, Seq(1L, 3L, 22L, 40L)) ==
+      Map(1L -> (1L, 22L), 3L -> (1L, 22L), 22L -> (1L, 22L),
+        40L -> (40L, 40L)))
+    // LATE replay of the bridge epoch (epochs have run since): the
+    // rewritten rows derive from the CURRENT pre-state, so they need not
+    // be byte-identical — but the resolved election must be unchanged,
+    // and a second replay must be write-idempotent (byte identity for
+    // immediate replays is pinned in the distributed-fallback test)
+    val g = GenDir.resolveRequired(spark, path)
+    def electRows(b: String): Set[(Long, Long, Double)] =
+      spark.read.parquet(s"$g/elect")
+        .filter(org.apache.spark.sql.functions.col("batch") === b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    ClusterRegistry.register(spark, path, Seq(21L),
+      Seq((21L, 20L), (21L, 3L)), "1", Map(21L -> 1.0))
+    assert(electedMap(path) == Map(1L -> (22L, 11.0)),
+      "a late replay must not change the resolved election")
+    val e1 = electRows("b1")
+    ClusterRegistry.register(spark, path, Seq(21L),
+      Seq((21L, 20L), (21L, 3L)), "1", Map(21L -> 1.0))
+    assert(electRows("b1") == e1,
+      "an immediate re-replay must rewrite the SAME elect rows")
+    assert(electedMap(path) == Map(1L -> (22L, 11.0)))
+    // compact folds the elect log and preserves the elected rep
+    ClusterRegistry.compact(spark, path)
+    assert(electedMap(path) == Map(1L -> (22L, 11.0)),
+      "compact must preserve elected representatives")
+    assert(withReps(path, Seq(5L, 8L)) == Map(5L -> (1L, 22L), 8L -> (1L, 22L)))
+    // ties break to the smaller id: 50/51 both q 6.0 → 50
+    ClusterRegistry.register(spark, path, Seq(50L, 51L),
+      Seq((50L, 51L)), "3", Map(50L -> 6.0, 51L -> 6.0))
+    assert(electedMap(path).get(50L).contains((50L, 6.0)))
+  }
+
+  test("quality-aware distributed fallback writes identical elect rows") {
+    def run(path: String): Unit = {
+      val qual = Seq((1L, 2.0), (5L, 7.0), (2L, 4.0), (8L, 3.0), (3L, 9.0))
+        .toDF("doc_id", "quality")
+      ClusterRegistry.seed(spark,
+        Seq((1L, 5L), (2L, 8L)).toDF("doc_a", "doc_b"), path, Some(qual))
+      ClusterRegistry.register(spark, path, Seq(20L),
+        Seq((20L, 5L), (20L, 8L)), "0", Map(20L -> 5.0))
+      ClusterRegistry.register(spark, path, Seq(21L),
+        Seq((21L, 20L), (21L, 3L)), "1", Map(21L -> 1.0))
+      ClusterRegistry.register(spark, path, Seq(21L),
+        Seq((21L, 20L), (21L, 3L)), "1", Map(21L -> 1.0)) // replay
+    }
+    def electState(path: String): Set[(Long, Long, Double, String)] = {
+      val g = GenDir.resolveRequired(spark, path)
+      spark.read.parquet(s"$g/elect")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getAs[Any]("batch").toString)).toSet
+    }
+    val driverPath = freshPath()
+    run(driverPath)
+    val distPath = freshPath()
+    val saved = ClusterRegistry.MaxEpochEdges
+    try {
+      ClusterRegistry.MaxEpochEdges = 0
+      run(distPath)
+    } finally ClusterRegistry.MaxEpochEdges = saved
+    assert(electState(distPath) == electState(driverPath),
+      "distributed election must write the identical elect rows")
+    assert(electedMap(distPath) == electedMap(driverPath))
+    assert(withReps(distPath, Seq(1L, 5L, 2L, 8L, 3L, 20L, 21L)) ==
+      withReps(driverPath, Seq(1L, 5L, 2L, 8L, 3L, 20L, 21L)))
+  }
+
+  test("keep-best election is schedule-invariant and equals batch keep-best-CC") {
+    // fixed truth: docs 0..11, quality, and the near-dup pair set;
+    // three DIFFERENT ingestion schedules must land on the identical
+    // (doc, cluster_id, rep_doc) state — equal to keep-best over batch CC
+    val quality = Map(0L -> 3.0, 1L -> 9.0, 2L -> 1.0, 3L -> 5.0, 4L -> 5.0,
+      5L -> 2.0, 6L -> 8.0, 7L -> 8.0, 8L -> 4.0, 9L -> 1.0, 10L -> 6.0,
+      11L -> 7.0)
+    val pairSet = Seq((0L, 4L), (4L, 8L), (1L, 5L), (2L, 3L), (6L, 7L),
+      (9L, 10L), (10L, 11L))
+    // truth (by hand): clusters {0,4,8} best 4 (5.0>4.0>3.0), {1,5} best 1,
+    // {2,3} best 3, {6,7} best 6 (tie 8.0 → min id), {9,10,11} best 11
+    val truth = Map(
+      0L -> (0L, 4L), 4L -> (0L, 4L), 8L -> (0L, 4L),
+      1L -> (1L, 1L), 5L -> (1L, 1L),
+      2L -> (2L, 3L), 3L -> (2L, 3L),
+      6L -> (6L, 6L), 7L -> (6L, 6L),
+      9L -> (9L, 11L), 10L -> (9L, 11L), 11L -> (9L, 11L))
+    def arrivesAt(d: Long, epochOf: Long => Int): Int = epochOf(d)
+    def build(path: String, epochOf: Long => Int, nEpochs: Int,
+        compactAfter: Set[Int]): Unit = {
+      val seedDocs = quality.keys.filter(epochOf(_) == 0).toSeq
+      val seedPairs = pairSet.filter(p => epochOf(p._1) == 0 && epochOf(p._2) == 0)
+      ClusterRegistry.seed(spark, seedPairs.toDF("doc_a", "doc_b"), path,
+        Some(seedDocs.map(d => (d, quality(d))).toDF("doc_id", "quality")))
+      for (m <- 1 until nEpochs) {
+        val batch = quality.keys.filter(epochOf(_) == m).toSeq.sorted
+        val edges = pairSet.filter(p =>
+          math.max(arrivesAt(p._1, epochOf), math.max(arrivesAt(p._2, epochOf), 0)) == m)
+        ClusterRegistry.register(spark, path, batch, edges, s"e$m",
+          batch.map(d => d -> quality(d)).toMap)
+        if (compactAfter.contains(m)) ClusterRegistry.compact(spark, path)
+      }
+    }
+    val ids = quality.keys.toSeq.sorted
+    // schedule A: mod-3 epochs, no compaction
+    val pa = freshPath()
+    build(pa, d => (d % 3).toInt, 3, Set.empty)
+    // schedule B: everything in one epoch after an empty seed
+    val pb = freshPath()
+    build(pb, d => if (d >= 0) 1 else 0, 2, Set.empty)
+    // schedule C: mod-4 epochs, compaction after every epoch
+    val pc = freshPath()
+    build(pc, d => (d % 4).toInt, 4, Set(1, 2, 3))
+    val a = withReps(pa, ids)
+    assert(a == truth, s"schedule A must equal batch keep-best-CC: $a")
+    assert(withReps(pb, ids) == truth, "schedule B must match")
+    assert(withReps(pc, ids) == truth,
+      "schedule C (compaction between every epoch) must match")
+  }
+
   test("a hot-cluster epoch past the ceiling dispatches instead of throwing") {
     // one batch doc near-dup to MANY indexed docs — the 100TB hot-template
     // shape that used to throw MaxEpochEdges; with the ceiling forced tiny
