@@ -122,6 +122,151 @@ object BpeEncode {
   }
 }
 
+/** Markerless merge-chain apply over a whole (pre-lowered) text — the
+  * row-local encode step for the [[graft.operators.Pipeline]] BPE family
+  * (no `</w>` marker; words split on `[^a-z0-9]+` exactly like its
+  * trainer). Returns struct(n_words, n_tokens): the fertility
+  * numerator/denominator in ONE codegen'd corpus pass, no explode, no
+  * vocab join — the held-out apply works for words the training never
+  * saw, because each merge rule replays its exact
+  * leftmost-non-overlapping pass (rank order; identical to the training
+  * fold on in-vocab words — a pair's adjacencies are fully consumed when
+  * it wins and can never be re-created by later merges, so one pass per
+  * rule in learn order reproduces the trainer's rewrite sequence). */
+case class BpeChainStats(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_words",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  @transient private lazy val table: Array[(String, String)] = merges.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    BpeChain.stats(v.asInstanceOf[UTF8String].toString, table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeChainMerges", table, "scala.Tuple2[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.BpeChain.stats($v.toString(), " +
+        s"(scala.Tuple2[]) $m);")
+  }
+
+  override def prettyName: String = "bpe_chain_stats"
+  override protected def withNewChildInternal(newChild: Expression): BpeChainStats =
+    copy(child = newChild)
+}
+
+/** The per-doc token array under the same markerless chain semantics —
+  * the exposed encode step ([[graft.operators.Pipeline.bpeEncode]]). */
+case class BpeChainEncode(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val table: Array[(String, String)] = merges.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    BpeChain.encode(v.asInstanceOf[UTF8String].toString, table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeChainMerges", table, "scala.Tuple2[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.BpeChain.encode($v.toString(), " +
+        s"(scala.Tuple2[]) $m);")
+  }
+
+  override def prettyName: String = "bpe_chain_encode"
+  override protected def withNewChildInternal(newChild: Expression): BpeChainEncode =
+    copy(child = newChild)
+}
+
+object BpeChain {
+
+  /** Exact leftmost-non-overlapping merge chain on one word, NO
+    * end-of-word marker (the [[graft.operators.Pipeline]] trainer
+    * family). Scan-only rule detection like [[BpeEncode.encodeWord]]. */
+  def encodeWordChain(word: String, merges: Array[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var r = 0
+    while (r < merges.length && syms.length > 1) {
+      val (a, b) = merges(r)
+      var hit = -1
+      var i = 0
+      while (hit < 0 && i + 1 < syms.length) {
+        if (syms(i) == a && syms(i + 1) == b) hit = i
+        i += 1
+      }
+      if (hit >= 0) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b)
+            j += 2
+          } else {
+            out += syms(j)
+            j += 1
+          }
+        }
+        syms = out.toArray
+      }
+      r += 1
+    }
+    syms
+  }
+
+  /** Per-thread word→tokens memo (Zipfian hit rate), keyed by merge-table
+    * identity — the [[BpeEncode]] cache device for the chain family. */
+  private val cache = new ThreadLocal[
+      (Array[(String, String)], java.util.HashMap[String, Array[String]])]() {
+    override def initialValue() = (null, new java.util.HashMap[String, Array[String]]())
+  }
+  private val MaxCachedWords = 65536
+
+  private def cached(word: String, merges: Array[(String, String)]): Array[String] = {
+    var (tbl, m) = cache.get()
+    if (tbl ne merges) {
+      m = new java.util.HashMap[String, Array[String]]()
+      cache.set((merges, m))
+    }
+    val hit = m.get(word)
+    if (hit != null) hit
+    else {
+      val toks = encodeWordChain(word, merges)
+      if (m.size() >= MaxCachedWords) m.clear()
+      m.put(word, toks)
+      toks
+    }
+  }
+
+  private val SplitRe = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  def stats(text: String, merges: Array[(String, String)]): org.apache.spark.sql.catalyst.InternalRow = {
+    var nWords = 0L
+    var nTokens = 0L
+    SplitRe.split(text).foreach { w =>
+      if (w.nonEmpty) {
+        nWords += 1L
+        nTokens += cached(w, merges).length.toLong
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nWords, nTokens)
+  }
+
+  def encode(text: String, merges: Array[(String, String)]): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    SplitRe.split(text).foreach { w =>
+      if (w.nonEmpty)
+        cached(w, merges).foreach(s => out += UTF8String.fromString(s))
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
 object BpeTrainer {
 
   /** The driver-side merge loop over a weighted word vocabulary:

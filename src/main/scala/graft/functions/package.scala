@@ -42,6 +42,24 @@ package object functions {
           BpeEncode(c, pairs)
         case _ => throw new IllegalArgumentException("bpe_encode(text, merges)")
       },
+      "bpe_chain_stats" -> {
+        case Seq(c, Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData, _)) =>
+          val pairs = (0 until arr.numElements()).map { i =>
+            val r = arr.getStruct(i, 2)
+            (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+          }
+          BpeChainStats(c, pairs)
+        case _ => throw new IllegalArgumentException("bpe_chain_stats(text, merges)")
+      },
+      "bpe_chain_encode" -> {
+        case Seq(c, Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData, _)) =>
+          val pairs = (0 until arr.numElements()).map { i =>
+            val r = arr.getStruct(i, 2)
+            (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+          }
+          BpeChainEncode(c, pairs)
+        case _ => throw new IllegalArgumentException("bpe_chain_encode(text, merges)")
+      },
       "lm_surprisal" -> {
         case Seq(c, Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData, _),
             Literal(nv: Long, _)) =>
@@ -347,6 +365,17 @@ package object functions {
     * whitespace words → char symbols + `</w>` → merges in rank order. */
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     call_function("bpe_encode", text, typedLit(merges))
+
+  /** Fertility numerator/denominator struct (n_words, n_tokens) under the
+    * markerless merge-chain apply (see [[BpeChainStats]]); pass a
+    * pre-lowered text column. */
+  def bpe_chain_stats(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_chain_stats", text, typedLit(merges))
+
+  /** Per-doc token array under the markerless merge-chain apply (see
+    * [[BpeChainEncode]]); pass a pre-lowered text column. */
+  def bpe_chain_encode(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_chain_encode", text, typedLit(merges))
 
   /** Unigram-surprisal scoring struct (n_tokens, n_oov, surprisal_sum) —
     * see [[LmSurprisal]]; train the vocab with

@@ -730,19 +730,29 @@ object Pipeline {
     (merges.toSeq, vocab.indices.map(i => (vocab(i)._1, encs(i).length)))
   }
 
-  /** A trained tokenizer: the merge table, and — on the exact path — the
-    * final token count per vocab word (None on the distributed
-    * fallback, whose apply step is the replace chain). */
+  /** A trained tokenizer: the merge table, which semantics it was
+    * trained under (`exact` — the dispatch is SURFACED, not silent: the
+    * two paths have different merge semantics, so callers whose output
+    * is oracle-gated pin the path explicitly via `forceExact`), and — on
+    * the exact path — the final token count per vocab word (None on the
+    * distributed fallback, whose apply step is the replace chain). */
   private case class BpeTrained(
       merges: Seq[(Int, String, String, String, Long)],
-      exactTokenCounts: Option[Seq[(String, Int)]])
+      exactTokenCounts: Option[Seq[(String, Int)]]) {
+    def exact: Boolean = exactTokenCounts.isDefined
+  }
 
   /** The training loop behind [[bpeMerges]] and [[bpeFertility]]: the
     * (rank, left, right, merged, weighted count) tuples — exactly k rows
     * of driver state (plus, on the exact path, the vocab-sized final
     * encodings). Dispatches exact-vs-fallback on the wf table's measured
-    * size (see the operator doc above). */
-  private def trainBpe(df: DataFrame, textCol: String, k: Int): BpeTrained = {
+    * size (see the operator doc above) — UNLESS `forceExact` pins the
+    * path: Some(true) for oracle-gated callers whose expected values
+    * replay the exact fold (a corpus whose stats estimate drifts across
+    * the ceiling must fail loudly in the collect, not silently flip
+    * merge semantics), Some(false) to exercise the fallback. */
+  private def trainBpe(df: DataFrame, textCol: String, k: Int,
+      forceExact: Option[Boolean] = None): BpeTrained = {
     require(k >= 1 && k <= 4096, "k must be in [1, 4096]")
     val words = graft.core.GraftSession.widen(df)
       .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
@@ -751,8 +761,10 @@ object Pipeline {
     val wf = graft.core.GraftSession.pin(
       words.groupBy(col("w")).agg(count(lit(1)).as("n")))
     try {
-      if (org.apache.spark.sql.GraftSqlBridge.sizeEstimate(wf) <=
-          BigInt(maxBpeVocabCollectBytes)) {
+      val exact = forceExact.getOrElse(
+        org.apache.spark.sql.GraftSqlBridge.sizeEstimate(wf) <=
+          BigInt(maxBpeVocabCollectBytes))
+      if (exact) {
         val rows = wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         val (merges, counts) = exactBpeTrain(rows, k)
         BpeTrained(merges, Some(counts))
@@ -800,11 +812,15 @@ object Pipeline {
     BpeTrained(merges.toSeq, None)
   }
 
-  def bpeMerges(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+  def bpeMerges(df: DataFrame, textCol: String, k: Int = 8,
+      forceExact: Option[Boolean] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    trainBpe(df, textCol, k).merges
+    val trained = trainBpe(df, textCol, k, forceExact)
+    trained.merges
       .toDF("merge_rank", "sym_left", "sym_right", "merged", "pair_count")
+      // which semantics produced this table — never silent (ADVICE r12)
+      .withColumn("exact_path", lit(trained.exact))
   }
 
   /** Tokenizer fertility (tokens per word) by group after encoding with
@@ -816,9 +832,10 @@ object Pipeline {
     * codegen'd chain — no joins, no vocab broadcast, driver state is the
     * k merge tuples from training. */
   def bpeFertility(
-      df: DataFrame, groupCol: String, textCol: String, k: Int = 8): DataFrame = {
+      df: DataFrame, groupCol: String, textCol: String, k: Int = 8,
+      forceExact: Option[Boolean] = None): DataFrame = {
     val spark = df.sparkSession
-    val trained = trainBpe(df, textCol, k)
+    val trained = trainBpe(df, textCol, k, forceExact)
     val words = graft.core.GraftSession.widen(df)
       .select(col(groupCol).as("grp"),
         explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
@@ -848,6 +865,67 @@ object Pipeline {
       .agg(count(lit(1)).as("n_words"), sum(col("t")).as("n_tokens"))
       .withColumn("fertility",
         col("n_tokens").cast("double") / col("n_words").cast("double"))
+  }
+
+  /** Held-out tokenizer-fit report: TRAIN the merge table on `train`,
+    * measure fertility by group on `eval` — the real tokenizer-fit shape
+    * ([[bpeFertility]] trains and measures on the same frame, where the
+    * exact path's vocab-lookup apply is total only by that construction;
+    * here eval words the training never saw take the merge-CHAIN path).
+    *
+    * Exact-trained apply is ONE row-local codegen'd corpus pass
+    * ([[graft.functions.BpeChainStats]]): each merge rule replays its
+    * leftmost-non-overlapping pass in rank order — provably identical to
+    * the training fold on in-vocab words (a pair's adjacencies are fully
+    * consumed when it wins and later merges cannot re-create them, so
+    * rules fire at most once in either formulation) and well-defined on
+    * unseen words. No explode, no vocab broadcast, no join: tokenizing
+    * 100 TB of eval text is a map-side kernel. Fallback-trained merges
+    * keep the replace-chain apply — the semantics a table was TRAINED
+    * under are the semantics it must be applied under. */
+  def bpeFertilityHeldOut(
+      train: DataFrame, eval: DataFrame, groupCol: String, textCol: String,
+      k: Int = 8, forceExact: Option[Boolean] = None): DataFrame = {
+    val trained = trainBpe(train, textCol, k, forceExact)
+    if (trained.exact) {
+      val st = graft.functions.bpe_chain_stats(lower(col(textCol)),
+        trained.merges.map(m => (m._2, m._3)))
+      graft.core.GraftSession.widen(eval)
+        .select(col(groupCol).as("grp"), st.as("st"))
+        .groupBy(col("grp"))
+        .agg(sum(col("st.n_words")).as("n_words"),
+          sum(col("st.n_tokens")).as("n_tokens"))
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+    } else {
+      val words = graft.core.GraftSession.widen(eval)
+        .select(col(groupCol).as("grp"),
+          explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
+        .filter(length(col("w")) > 0)
+      var enc: Column = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
+      trained.merges.foreach { case (_, l, r, m, _) =>
+        enc = call_function("replace", enc, lit(s"|$l|$r|"), lit(s"|$m|"))
+      }
+      words.select(col("grp"), (size(split(enc, "\\|")) - 2).cast("long").as("t"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_words"), sum(col("t")).as("n_tokens"))
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+    }
+  }
+
+  /** Apply a trained merge table to a corpus: each document gains a
+    * `bpe_tokens` array under the markerless merge-chain semantics (the
+    * encode step exposed — [[graft.functions.BpeChainEncode]], row-local
+    * codegen, Zipf-cached per task thread). `merges` is [[bpeMerges]]
+    * output or any (sym_left, sym_right) table in rank order. */
+  def bpeEncode(docs: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    val tbl = merges.select(col("merge_rank").cast("int"),
+        col("sym_left").cast("string"), col("sym_right").cast("string"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    docs.withColumn("bpe_tokens",
+      graft.functions.bpe_chain_encode(lower(col(textCol)), tbl))
   }
 
   def oovRate(

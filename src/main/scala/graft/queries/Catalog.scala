@@ -1988,18 +1988,23 @@ object Catalog {
     * the final UNION reads every m_i), so DuckDB's default inlining
     * re-evaluates the chain with ~2^k blowup — measured 529 s plain vs
     * 0.1 s materialized at sf0.01. */
-  private def bpeChainSql(k: Int): String = {
-    val sb = new StringBuilder
-    sb.append("""WITH w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+  private def bpeChainSql(k: Int, w0Cte: Option[String] = None): String = {
+    val sb = new StringBuilder("WITH ")
+    sb.append(w0Cte.getOrElse(
+      """w0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
         rtrim(regexp_replace(w, '(.)', '\1|', 'g'), '|') AS enc
       FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w FROM documents)
-      WHERE length(w) > 0 GROUP BY w)""")
+      WHERE length(w) > 0 GROUP BY w)"""))
     (1 to k).foreach { i =>
+      // WHERE cnt > 0: a no-op for the plain chain (every w0 word has
+      // n ≥ 1) but load-bearing for the held-out variant, whose w0
+      // carries zero-frequency eval-vocab rows that must never elect a
+      // phantom merge past the real corpus's exhaustion point
       sb.append(s""",
         p$i AS MATERIALIZED (SELECT p, CAST(SUM(n) AS BIGINT) AS cnt FROM (
             SELECT n, unnest([s[j] || '|' || s[j+1] for j in range(1, len(s))]) AS p
             FROM (SELECT n, string_split(enc, '|') AS s FROM w${i - 1})) GROUP BY p),
-        m$i AS MATERIALIZED (SELECT p, cnt FROM p$i ORDER BY cnt DESC, p ASC LIMIT 1),
+        m$i AS MATERIALIZED (SELECT p, cnt FROM p$i WHERE cnt > 0 ORDER BY cnt DESC, p ASC LIMIT 1),
         w$i AS MATERIALIZED (SELECT w, n, list_reduce(string_split(enc, '|'),
             (acc, x) -> CASE
               WHEN acc = l AND x = r THEN mg
@@ -2021,7 +2026,8 @@ object Catalog {
     val selects = (1 to k).map { i =>
       s"""SELECT CAST($i AS INTEGER) AS merge_rank,
           split_part(p, '|', 1) AS sym_left, split_part(p, '|', 2) AS sym_right,
-          replace(p, '|', '') AS merged, cnt AS pair_count FROM m$i"""
+          replace(p, '|', '') AS merged, cnt AS pair_count,
+          TRUE AS exact_path FROM m$i"""
     }
     val grouped = selects.grouped(32)
       .map(g => "(" + g.mkString(" UNION ALL ") + ")")
@@ -2051,8 +2057,12 @@ object Catalog {
     * the 256-stage oracle is the same generated exact fold unrolled). */
   private val q160 = QueryDef(
     "q160_bpe_merges",
+    // forceExact: this oracle replays the exact fold — the path is pinned
+    // explicitly (and surfaced per row) instead of riding the size
+    // estimate staying under the collect ceiling (ADVICE r12)
     (s, dir) =>
-      graft.operators.Pipeline.bpeMerges(t(s, dir, "documents"), "text", k = 256)
+      graft.operators.Pipeline.bpeMerges(t(s, dir, "documents"), "text",
+        k = 256, forceExact = Some(true))
         .orderBy(col("merge_rank")),
     Some(bpeOracleSql(256)))
 
@@ -2065,10 +2075,62 @@ object Catalog {
     "q161_bpe_fertility",
     (s, dir) =>
       graft.operators.Pipeline.bpeFertility(
-        t(s, dir, "documents"), "lang", "text", k = 256)
+        t(s, dir, "documents"), "lang", "text", k = 256,
+        forceExact = Some(true))
         .withColumnRenamed("grp", "lang")
         .orderBy(col("lang")),
     Some(bpeFertilityOracleSql(256)))
+
+  /** q165 oracle: train the k-stage exact fold on split A only
+    * (`doc_id % 2 = 0`) — but seed w0 with split B's vocabulary at
+    * FREQUENCY ZERO: zero-weight rows change no pair count, no argmax,
+    * no exhaustion point (m_i requires cnt > 0), yet every stage's
+    * rewrite encodes them along with the real vocab, so the single
+    * 3k-CTE chain yields the merge-chain apply on B's unseen words for
+    * free (a second unrolled apply chain trips DuckDB's
+    * max_expression_depth at k = 256). Fertility then aggregates B's
+    * word instances against w_k by language. */
+  private def bpeHeldOutOracleSql(k: Int): String = {
+    val w0 = """wtrain AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents WHERE doc_id % 2 = 0)
+        WHERE length(w) > 0 GROUP BY w),
+      weval AS MATERIALIZED (SELECT DISTINCT w
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents WHERE doc_id % 2 = 1)
+        WHERE length(w) > 0),
+      w0 AS MATERIALIZED (SELECT w, n,
+          rtrim(regexp_replace(w, '(.)', '\1|', 'g'), '|') AS enc
+        FROM (SELECT w, n FROM wtrain
+              UNION ALL
+              SELECT w, CAST(0 AS BIGINT) AS n FROM weval
+              WHERE w NOT IN (SELECT w FROM wtrain)))"""
+    bpeChainSql(k, Some(w0)) + s""",
+      dw AS MATERIALIZED (SELECT lang, w FROM (
+          SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents WHERE doc_id % 2 = 1) WHERE length(w) > 0)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(len(string_split(enc, '|'))) AS BIGINT) AS n_tokens,
+        CAST(SUM(len(string_split(enc, '|'))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+      FROM dw JOIN w$k USING (w) GROUP BY lang ORDER BY lang"""
+  }
+
+  /** Held-out tokenizer fit: merges trained on the even half, fertility
+    * measured by language on the odd half — unseen words take the
+    * merge-chain apply ([[graft.operators.Pipeline.bpeFertilityHeldOut]]:
+    * one row-local codegen'd pass over the eval corpus, no vocab join). */
+  private val q165 = QueryDef(
+    "q165_bpe_heldout_fertility",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Pipeline.bpeFertilityHeldOut(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "lang", "text", k = 256, forceExact = Some(true))
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang"))
+    },
+    Some(bpeHeldOutOracleSql(256)))
 
   /** Session-scoped persisted IVF-PQ index — the [[ivfIndexPath]]
     * staging/rename/cleanup discipline for the compressed-codes variant. */
@@ -4422,7 +4484,7 @@ object Catalog {
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q157, q158, q160, q161, q164) ++
+    q154, q155, q157, q158, q160, q161, q164, q165) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -418,6 +418,56 @@ class TextScanSpec extends AnyFunSuite {
     } finally Pipeline.maxBpeVocabCollectBytes = Pipeline.DefaultMaxBpeVocabCollectBytes
   }
 
+  test("bpe held-out apply: chain path equals the training fold on in-vocab words, " +
+      "handles unseen words, and respects trained semantics") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    // (1) exact-path agreement: fertility via the vocab-LOOKUP apply
+    // (train == eval frame) must equal fertility via the merge-CHAIN
+    // apply (bpeFertilityHeldOut with eval = train) word for word — the
+    // chain replays the trainer's own rewrite sequence on in-vocab words
+    val corpus = Seq((0L, "en", "the cat sat on the mat bbbb abab"),
+      (1L, "de", "der hund lief zum haus abab"),
+      (2L, "en", "cats sat and sat again")).toDF("doc_id", "lang", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(org.apache.spark.sql.functions.col("grp")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val lookup = rows(Pipeline.bpeFertility(corpus, "lang", "text", k = 8,
+      forceExact = Some(true)))
+    val chain = rows(Pipeline.bpeFertilityHeldOut(corpus, corpus, "lang", "text",
+      k = 8, forceExact = Some(true)))
+    assert(chain == lookup,
+      s"chain apply must equal the training fold on in-vocab words: $chain vs $lookup")
+    // (2) unseen words: train has no 'bbbb'; after merge (b,b) the EXACT
+    // chain encodes the unseen 'bbbb' as [bb, bb] — 2 tokens
+    val train = Seq((0L, "en", "bb bb bb cc")).toDF("doc_id", "lang", "text")
+    val eval = Seq((1L, "en", "bbbb")).toDF("doc_id", "lang", "text")
+    val ho = Pipeline.bpeFertilityHeldOut(train, eval, "lang", "text", k = 1,
+      forceExact = Some(true)).head()
+    assert(ho.getLong(1) == 1L && ho.getLong(2) == 2L,
+      s"unseen 'bbbb' must take the exact merge-chain path to [bb, bb]: $ho")
+    // (3) fallback-trained tables apply under fallback (variant)
+    // semantics: the same unseen word encodes [bb, b, b] — 3 tokens
+    val hoV = Pipeline.bpeFertilityHeldOut(train, eval, "lang", "text", k = 1,
+      forceExact = Some(false)).head()
+    assert(hoV.getLong(2) == 3L,
+      s"variant-trained held-out apply must keep variant semantics: $hoV")
+    // (4) the dispatch is surfaced: bpeMerges carries exact_path
+    val ep = Pipeline.bpeMerges(train, "text", k = 1).select("exact_path").head().getBoolean(0)
+    assert(ep, "under-ceiling training must surface exact_path = true")
+    Pipeline.maxBpeVocabCollectBytes = 0L
+    try {
+      val epF = Pipeline.bpeMerges(train, "text", k = 1)
+        .select("exact_path").head().getBoolean(0)
+      assert(!epF, "above-ceiling training must surface exact_path = false")
+    } finally Pipeline.maxBpeVocabCollectBytes = Pipeline.DefaultMaxBpeVocabCollectBytes
+    // (5) bpeEncode exposes the per-doc token stream (lossless word-wise)
+    val merges = Pipeline.bpeMerges(train, "text", k = 1, forceExact = Some(true))
+    val enc = Pipeline.bpeEncode(eval, "text", merges)
+      .select("bpe_tokens").head().getSeq[String](0)
+    assert(enc == Seq("bb", "bb"), s"bpeEncode must chain-apply per doc: $enc")
+  }
+
   test("bpe exact path holds k = 256 inside the bench budget") {
     // the round-12 contract: real tokenizer depth on the sf0.001 corpus,
     // exact semantics, wall-clock bounded (the incremental driver fold
