@@ -53,22 +53,43 @@ object StreamGateQueries {
     * `ran` cache key — because a reused checkpoint would RESUME from the
     * previous dir's committed offsets against a different topic (a warm
     * run at sf0.001 would silently eat the head of the sf0.1 stream). */
+  /** Start-and-await with a ZERO-INTAKE guard: every gate publishes a
+    * non-empty fixture before starting, so an AvailableNow run that
+    * commits zero batches is a snapshot flake (observed once in-session:
+    * q163 drained nothing inside a 200-query Verify where the identical
+    * deterministic replay passed), not a result. A zero-batch run has no
+    * side effects — no epoch callbacks fired — so ONE retry on a fresh
+    * checkpoint is sound; still zero → throw loudly instead of returning
+    * an empty (silently wrong) gate result. */
+  private[graft] def awaitIntake(label: String,
+      start: String => org.apache.spark.sql.streaming.StreamingQuery,
+      cp: String, intake: () => Long): Unit = {
+    start(cp).awaitTermination()
+    if (intake() == 0L) {
+      System.err.println(
+        s"[graft] $label: AvailableNow drained zero batches — retrying on a fresh checkpoint")
+      start(s"$cp-retry").awaitTermination()
+      if (intake() == 0L)
+        throw new IllegalStateException(s"$label: stream intake is zero " +
+          "after a fresh-checkpoint retry — offset snapshot or publish broken")
+    }
+  }
+
   private def drain(stream: DataFrame, mode: String, cpKey: String)(
       merge: (Long, Array[Row]) => Unit): Long = {
     var epochs = 0L
     val cp = s"${System.getProperty("java.io.tmpdir")}/graft-sgate-cp-" +
       s"${java.lang.ProcessHandle.current().pid()}-" +
       java.lang.Integer.toHexString(cpKey.hashCode)
-    val q = stream.writeStream
+    awaitIntake(s"drain:$cpKey", cpv => stream.writeStream
       .outputMode(mode)
-      .option("checkpointLocation", cp)
+      .option("checkpointLocation", cpv)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val rows = batch.collect()
         synchronized { epochs = math.max(epochs, id + 1); merge(id, rows) }
       }
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start(), cp, () => epochs)
     epochs
   }
 
@@ -469,9 +490,9 @@ object StreamGateQueries {
       val cp = s"${System.getProperty("java.io.tmpdir")}/graft-sgate-cp-" +
         s"${java.lang.ProcessHandle.current().pid()}-" +
         java.lang.Integer.toHexString(s"$dir/$tag".hashCode)
-      val q = stream.writeStream
+      awaitIntake(s"q156:$tag", cpv => stream.writeStream
         .outputMode("append")
-        .option("checkpointLocation", cp)
+        .option("checkpointLocation", cpv)
         .foreachBatch { (batch: DataFrame, id: Long) =>
           // per-epoch: row-local chain, anti-join the PERSISTED index,
           // keep-best within the epoch, append the epoch's claims
@@ -501,8 +522,7 @@ object StreamGateQueries {
           graft.operators.UrlIndex.compactIfFragmented(s, idxDir): Unit
         }
         .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+        .start(), cp, () => synchronized { epochs })
       accepted.toSeq.toDF("domain", "canonical_url", "doc_id", "q")
         .groupBy(col("domain"))
         .agg(count(lit(1)).as("n_docs"), sum(col("q")).as("n_chars_clean"))
@@ -686,9 +706,9 @@ object StreamGateQueries {
     val cp = s"${System.getProperty("java.io.tmpdir")}/graft-sdi-cp-" +
       s"${java.lang.ProcessHandle.current().pid()}-" +
       java.lang.Integer.toHexString(tag.hashCode)
-    val q = stream.writeStream
+    awaitIntake(s"q159:$tag", cpv => stream.writeStream
       .outputMode("append")
-      .option("checkpointLocation", cp)
+      .option("checkpointLocation", cpv)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val (acc, sn) = sdiEpoch(tbl, tag)(batch, id)
         synchronized {
@@ -699,8 +719,7 @@ object StreamGateQueries {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start(), cp, () => synchronized { epochs })
     graft.operators.Dedup.dropMinhashIndex(s, tbl)
     seen.toSeq.toDF("doc_id", "source")
       .join(accepted.toSeq.toDF("doc_id", "chars"), Seq("doc_id"), "left")
@@ -863,9 +882,9 @@ object StreamGateQueries {
     val cp = s"${System.getProperty("java.io.tmpdir")}/graft-ssi-cp-" +
       s"${java.lang.ProcessHandle.current().pid()}-" +
       java.lang.Integer.toHexString(tag.hashCode)
-    val q = stream.writeStream
+    awaitIntake(s"q162:$tag", cpv => stream.writeStream
       .outputMode("append")
-      .option("checkpointLocation", cp)
+      .option("checkpointLocation", cpv)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val (acc, sn) = ssiEpoch(path, tag, deltaOf, threshold)(batch, id)
         synchronized {
@@ -877,8 +896,7 @@ object StreamGateQueries {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start(), cp, () => synchronized { epochs })
     seen.toSeq.toDF("vec_id", "label")
       .join(accepted.toSeq.toDF("vec_id").withColumn("__a", lit(1)),
         Seq("vec_id"), "left")
@@ -1035,9 +1053,9 @@ object StreamGateQueries {
     val cp = s"${System.getProperty("java.io.tmpdir")}/graft-scr-cp-" +
       s"${java.lang.ProcessHandle.current().pid()}-" +
       java.lang.Integer.toHexString(tag.hashCode)
-    val q = stream.writeStream
+    awaitIntake(s"q163:$tag", cpv => stream.writeStream
       .outputMode("append")
-      .option("checkpointLocation", cp)
+      .option("checkpointLocation", cpv)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val sn = scrEpoch(tbl, regPath, tag)(batch, id)
         synchronized {
@@ -1047,8 +1065,7 @@ object StreamGateQueries {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .start(), cp, () => synchronized { epochs })
     Dedup.dropMinhashIndex(s, tbl)
     ClusterRegistry.assignFor(seen.toSeq.toDF("doc_id"), regPath)
       .withColumn("multi_epoch", lit(epochs > 1))
