@@ -708,6 +708,38 @@ object Similarity {
     * read gates on it. */
   private[graft] val BatchDoneMarker = "_DONE"
 
+  /** Legacy marker migration: a round-≤11 append committed its counter
+    * marker via tmp+rename with NO `_DONE` sentinel, so under the
+    * sentinel-gated discipline a legacy index would read its appended
+    * mass as 0 and a rebuild would drop those batch tombstones — letting
+    * a late upstream retry of an absorbed batch re-append duplicate
+    * vectors. On a LEGACY layout only (no committed generation — under
+    * the generation discipline every committed marker carries the
+    * sentinel, so a sentinel-less dir there is genuine crash debris), a
+    * sentinel-less batch dir whose rows parquet is READABLE is a
+    * committed legacy marker: stamp the sentinel. An unreadable dir is a
+    * real partial write and stays unstamped for its retry to delete. */
+  private def stampLegacyAppendMarkers(spark: SparkSession, path: String,
+      cur: String): Unit =
+    if (graft.core.GenDir.resolve(spark, path).isEmpty) {
+      val appends = new org.apache.hadoop.fs.Path(s"$cur/appends")
+      val fs = appends.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(appends))
+        fs.listStatus(appends)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+            !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, BatchDoneMarker)))
+          .foreach { b =>
+            val readable =
+              try {
+                spark.read.parquet(b.getPath.toString)
+                  .select(col("rows")).count() >= 0L
+              } catch { case scala.util.control.NonFatal(_) => false }
+            if (readable)
+              fs.create(new org.apache.hadoop.fs.Path(b.getPath, BatchDoneMarker),
+                false).close()
+          }
+    }
+
   /** Appended fraction above which [[ivfIndexStaleness]] recommends a
     * retrain: the codebook was trained on the BUILD corpus only, so
     * appended vectors are assigned to lists by a progressively staler
@@ -727,6 +759,7 @@ object Similarity {
     * serving a day's queries, the way you'd check a compaction queue. */
   def ivfIndexStaleness(spark: SparkSession, path: String): DataFrame = {
     val cur = ivfCurrent(spark, path)
+    stampLegacyAppendMarkers(spark, path, cur)
     // `built_rows` joined the meta schema in round 10 — an index built
     // before that (or by an older job version) must read as 0, not throw
     val metaDf = spark.read.parquet(s"$cur/meta")
@@ -789,6 +822,9 @@ object Similarity {
     require(batchId.matches("[A-Za-z0-9._-]+"),
       s"appendToIvfIndex: batchId must be a plain file-name token, got '$batchId'")
     val cur = ivfCurrent(spark, path)
+    // a legacy batch's commit evidence predates the sentinel — stamp it
+    // so the exactly-once check below skips (not redoes) committed work
+    stampLegacyAppendMarkers(spark, path, cur)
     // exactly-once per batchId: the marker's _DONE sentinel is written
     // LAST, so its presence means the batch fully committed — skip the
     // retry outright. (A FAILED append has no sentinel; its retry falls
@@ -901,6 +937,10 @@ object Similarity {
       replicate: Int = 0): Unit = {
     import spark.implicits._
     val cur = ivfCurrent(spark, path)
+    // migrating a legacy index: its committed markers predate the
+    // sentinel — stamp them NOW or the carry-forward below would drop
+    // their tombstones and a late retry could re-append absorbed vectors
+    stampLegacyAppendMarkers(spark, path, cur)
     // one driver read for both carried hyperparams (the round-11 verdict
     // noted the two separate head() jobs here)
     val metaRow = spark.read.parquet(s"$cur/meta")

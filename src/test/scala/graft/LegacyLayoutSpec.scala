@@ -73,6 +73,52 @@ class LegacyLayoutSpec extends AnyFunSuite {
     fs.delete(new Path(path), true): Unit
   }
 
+  test("legacy SENTINEL-LESS append markers: staleness counts them, rebuild " +
+      "carries their tombstones, a late retry of an absorbed batch is a no-op") {
+    // a round-≤11 append committed its counter marker via tmp+rename with
+    // no _DONE sentinel — hand-build that layout by stripping the sentinel
+    val emb = Tables.load(spark, dir, "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-legacy-ivf-sl-$pid"
+    val fs = hfs(path)
+    if (fs.exists(new Path(path))) fs.delete(new Path(path), true)
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), path,
+      "vec_id", "embedding")
+    flattenGen0(path)
+    val d1 = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.appendToIvfIndex(d1, path, "vec_id", "embedding", "d1")
+    val sentinel = new Path(s"$path/appends/batch=d1/_DONE")
+    assert(fs.delete(sentinel, false), "fixture: strip the sentinel")
+    // and one GENUINE partial marker (empty dir, unreadable parquet) —
+    // it must never be stamped or counted
+    fs.mkdirs(new Path(s"$path/appends/batch=crashed"))
+    // (a) staleness must read the legacy committed batch's mass, not 0
+    val st = Similarity.ivfIndexStaleness(spark, path).head()
+    val d1Rows = d1.count()
+    assert(st.getLong(1) == d1Rows,
+      s"sentinel-less committed legacy marker must count its rows: $st")
+    assert(fs.exists(sentinel),
+      "legacy resolution must stamp the sentinel on the readable marker")
+    assert(!fs.exists(new Path(s"$path/appends/batch=crashed/_DONE")),
+      "an unreadable partial marker must stay unstamped")
+    // (b) rebuild (the migration) carries the batch tombstone forward
+    fs.delete(sentinel, false) // strip again: prove REBUILD also stamps
+    Similarity.rebuildIvfIndex(spark, path)
+    val cur = Similarity.ivfCurrent(spark, path)
+    assert(fs.exists(new Path(s"$cur/appends/batch=d1/_DONE")),
+      "rebuild must carry the legacy batch's tombstone into the new generation")
+    assert(!fs.exists(new Path(s"$cur/appends/batch=crashed")),
+      "a partial marker's batch never landed — no tombstone")
+    val st2 = Similarity.ivfIndexStaleness(spark, path).head()
+    assert(st2.getLong(1) == 0L, s"rebuild absorbs the mass: $st2")
+    // (c) a late upstream retry of the absorbed batch is skipped
+    val listRows = spark.read.parquet(s"$cur/lists").count()
+    Similarity.appendToIvfIndex(d1, path, "vec_id", "embedding", "d1")
+    assert(spark.read.parquet(s"$cur/lists").count() == listRows,
+      "a late retry of an absorbed legacy batch must not re-append vectors")
+    assert(Similarity.ivfIndexStaleness(spark, path).head().getLong(1) == 0L)
+    fs.delete(new Path(path), true): Unit
+  }
+
   test("legacy unsuffixed minhash tables: serve, append, rebuild migrates, next publish drops them") {
     val docs = Tables.load(spark, dir, "documents")
     val table = s"legacymh_$pid"
