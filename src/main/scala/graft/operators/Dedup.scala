@@ -955,7 +955,12 @@ object Dedup {
     * join. Split into (maxDist+1) chunks: any pair within distance
     * maxDist agrees exactly on ≥ 1 chunk, so the chunk-equality
     * self-join has full recall. */
-  private[graft] def hammingPairs(sig: DataFrame, maxDist: Int): DataFrame = {
+  /** Pigeonhole banding for a 64-bit signature table (doc_id, simhash):
+    * one row per (doc, chunk) with the chunk index and value — any pair
+    * within Hamming distance maxDist agrees exactly on ≥ 1 chunk. Shared
+    * by the inline self-join below and the persisted
+    * [[graft.operators.PhashIndex]] (whose stored layout IS this frame). */
+  private[graft] def bandedSignatures(sig: DataFrame, maxDist: Int): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     val chunkStructs = (0 until chunks).map { ci =>
@@ -963,10 +968,14 @@ object Dedup {
         .bitwiseAND(lit((1L << bitsPer) - 1))
       struct(lit(ci).as("ci"), v.as("cv"))
     }
-    val blocked = sig.select(col("doc_id"), col("simhash"),
+    sig.select(col("doc_id"), col("simhash"),
       explode(array(chunkStructs: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+  }
+
+  private[graft] def hammingPairs(sig: DataFrame, maxDist: Int): DataFrame = {
+    val blocked = bandedSignatures(sig, maxDist)
     // same bucket-local pair generation as minhashLsh: one shuffle, pairs
     // only from chunks that actually collide (struct sort keys on doc_id
     // first, so a < b ordering is preserved)

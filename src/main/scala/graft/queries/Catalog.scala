@@ -3403,6 +3403,95 @@ object Catalog {
       SELECT n AS n_identical_pairs, n AS n_identical_found, TRUE AS max_dist_ok
       FROM p"""))
 
+  /** Persisted perceptual-hash index lifecycle ([[graft.operators.PhashIndex]]
+    * — the q127 one-shot dedup grown into the build → serve → append →
+    * staleness → rebuild discipline the minhash/IVF families have, making
+    * multimodal dedup a first-class lifecycle citizen): built on the
+    * mod-3=0 third of the q127 planted-duplicate corpus, day-1/day-2
+    * deltas served against the merged index, a mid-run rebuild, retry
+    * and absorbed-batch no-ops, and the workflow's pair union compared
+    * against the one-shot inline run. Counts and the staleness
+    * recommendation are SQL-exact (same integer arithmetic both sides);
+    * the set-valued checks are pinned booleans (the q84/q15 device). */
+  private val q166 = QueryDef(
+    "q166_phash_index_lifecycle",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Media, PhashIndex}
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dd = d.union(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("media", Media.asMedia("payload", "image/stub"))
+      def part(m: Int) = dd.filter(pmod(col("doc_id"), lit(3)) === m)
+      val (base, d1, d2) = (part(0), part(1), part(2))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-phidx-" +
+        s"${dir.split('/').filter(_.nonEmpty).last.replace('.', '_')}-" +
+        s"${java.lang.ProcessHandle.current().pid()}"
+      def norm(df: DataFrame): Set[(Long, Long)] =
+        df.select(least(col("doc_a"), col("doc_b")),
+            greatest(col("doc_a"), col("doc_b")))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def stRow() = PhashIndex.staleness(s, path).head()
+      PhashIndex.build(base, "doc_id", "media", path)
+      val st0 = stRow()
+      val day1 = norm(PhashIndex.pairsAgainstIndex(d1, "doc_id", "media", path)) ++
+        norm(Media.perceptualDupPairs(d1, "doc_id", "media"))
+      PhashIndex.append(d1, "doc_id", "media", path, "b1")
+      val st1 = stRow()
+      PhashIndex.append(d1, "doc_id", "media", path, "b1") // committed retry
+      val retryNoop = stRow().getLong(1) == st1.getLong(1)
+      val serve2 = norm(PhashIndex.pairsAgainstIndex(d2, "doc_id", "media", path))
+      val day2 = serve2 ++ norm(Media.perceptualDupPairs(d2, "doc_id", "media"))
+      PhashIndex.rebuild(s, path)
+      val st2 = stRow()
+      PhashIndex.append(d1, "doc_id", "media", path, "b1") // absorbed retry
+      val absorbedNoop = stRow().getLong(1) == 0L
+      // banding is untrained: the rebuilt (defragmented) index must serve
+      // the identical pair set the fragmented one did
+      val rebuildStable =
+        norm(PhashIndex.pairsAgainstIndex(d2, "doc_id", "media", path)) == serve2
+      PhashIndex.append(d2, "doc_id", "media", path, "b2")
+      val st3 = stRow()
+      val workflow = norm(Media.perceptualDupPairs(base, "doc_id", "media")) ++
+        day1 ++ day2
+      val inline = norm(Media.perceptualDupPairs(dd, "doc_id", "media"))
+      val ident = dd.select(col("doc_id"), md5(col("text")).as("h"))
+      val identPairs = ident.as("a").join(ident.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Seq((dd.count(), st0.getLong(0), st1.getLong(1), st1.getBoolean(3),
+        retryNoop, st2.getLong(0), st2.getLong(1), absorbedNoop,
+        rebuildStable, st3.getLong(1),
+        identPairs.size.toLong, identPairs.count(workflow.contains).toLong,
+        workflow == inline))
+        .toDF("n_docs", "built0", "appended1", "rebuild_recommended1",
+          "retry_noop", "built2", "appended2", "absorbed_retry_noop",
+          "rebuild_pairs_stable", "appended3",
+          "n_identical_pairs", "n_identical_found", "workflow_equals_inline")
+    },
+    Some("""WITH dd AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      c AS (SELECT
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS BIGINT) AS nb,
+          CAST(COUNT(CASE WHEN doc_id % 3 = 1 THEN 1 END) AS BIGINT) AS nd1,
+          CAST(COUNT(CASE WHEN doc_id % 3 = 2 THEN 1 END) AS BIGINT) AS nd2
+        FROM dd),
+      ip AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM dd a JOIN dd b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+      SELECT c.n_docs, c.nb AS built0, c.nd1 AS appended1,
+        (CAST(c.nd1 AS DOUBLE) / CAST(c.nb + c.nd1 AS DOUBLE)) > 0.5
+          AS rebuild_recommended1,
+        TRUE AS retry_noop,
+        c.nb + c.nd1 AS built2, CAST(0 AS BIGINT) AS appended2,
+        TRUE AS absorbed_retry_noop, TRUE AS rebuild_pairs_stable,
+        c.nd2 AS appended3,
+        ip.n AS n_identical_pairs, ip.n AS n_identical_found,
+        TRUE AS workflow_equals_inline
+      FROM c, ip"""))
+
   /** Token-entropy quality signal (lexical diversity): per-doc Shannon
     * entropy under the repo's 1/16-bit quantized log — one row-local
     * byte pass ([[graft.functions.token_entropy]]), zero shuffle at any
@@ -4484,7 +4573,7 @@ object Catalog {
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q157, q158, q160, q161, q164, q165) ++
+    q154, q155, q157, q158, q160, q161, q164, q165, q166) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -963,6 +963,166 @@ object StreamGateQueries {
         TRUE AS multi_epoch, TRUE AS rebuilt
       FROM r GROUP BY label ORDER BY label"""))
 
+  /** In-stream phash-index rebuilds per [[streamPhashIngest]] tag. */
+  private[graft] val spiRebuilds =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** The q167 delta: documents with doc_id % 3 != 0 wrapped as binary
+    * media, where two id classes stream exact PAYLOAD twins (the q162
+    * device, text-byte modality — the [[spiDelta]] probe found zero
+    * non-identical payload pairs within Hamming ≤ 3 at any SF, so a
+    * perceptual-hash reject is exactly a payload-equality reject and the
+    * oracle replays plain text equality): v % 7 == 1 streams the payload
+    * of base doc 3·⌊(v−1)/3⌋ (an index member from epoch 0), v % 7 == 2
+    * (v ≥ 3) streams delta doc v−3's payload (same residue class,
+    * smaller id, itself raw since (v−3) % 7 == 6 — no twin chains);
+    * everything else streams its own text bytes. */
+  private[graft] def spiDelta(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val d0 = raw.filter(col("doc_id") % 3 =!= 0)
+    val cls1 = d0.filter(col("doc_id") % 7 === 1)
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") - lit(1) - pmod(col("doc_id") - 1, lit(3))).as("src"))
+    val cls2 = d0.filter(col("doc_id") % 7 === 2 && col("doc_id") >= 3)
+      .select(col("doc_id"), col("source"), (col("doc_id") - 3).as("src"))
+    val twins = cls1.unionByName(cls2)
+      .join(raw.select(col("doc_id").as("src"), col("text").as("stext")),
+        Seq("src"))
+      .select(col("doc_id"), col("source"), col("stext").as("text"))
+    d0.join(twins.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(twins)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media", graft.operators.Media.asMedia("payload", "image/stub"))
+      .select(col("doc_id"), col("source"), col("media"))
+  }
+
+  /** One q167 epoch against the persisted phash index at `path` — the
+    * sdiEpoch discipline, hamming-banded: serve (same-id pairs dropped
+    * in [[graft.operators.PhashIndex.pairsAgainstIndex]]; pairs whose
+    * index doc is in THIS batch anti-joined to the within-batch pass —
+    * the replay guard) → smaller-id-wins within the batch →
+    * seen-signature merge (exactly-once per batchId, `_DONE`-gated) →
+    * staleness-triggered in-stream REBUILD (generation publish; banding
+    * is untrained so the fold changes no pair — rebuild-point
+    * invariance is the same property as schedule invariance). */
+  private[graft] def spiEpoch(path: String, tag: String)(
+      batch: DataFrame, id: Long): (Array[Row], Array[Row]) = {
+    import graft.operators.{Media, PhashIndex}
+    val bs = batch.sparkSession
+    val rejIdx = PhashIndex.pairsAgainstIndex(batch, "doc_id", "media", path)
+      .join(batch.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .select(col("doc_b").as("doc_id"))
+    val rejSelf = Media.perceptualDupPairs(batch, "doc_id", "media")
+      .select(col("doc_b").as("doc_id"))
+    val acc = batch
+      .join(rejIdx.unionByName(rejSelf).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).collect()
+    val sn = batch.select(col("doc_id"), col("source")).collect()
+    PhashIndex.append(batch, "doc_id", "media", path, id.toString)
+    if (PhashIndex.staleness(bs, path).head().getBoolean(3)) {
+      PhashIndex.rebuild(bs, path)
+      spiRebuilds.updateWith(tag)(c => Some(c.getOrElse(0L) + 1L)): Unit
+    }
+    (acc, sn)
+  }
+
+  /** Streaming perceptual-hash dedup ingest — q159's continuous-ingest
+    * shape for the MULTIMODAL family, closing its lifecycle gap: the
+    * phash index is built once on the base corpus's media, every
+    * arriving micro-batch is served/self-deduped/merged, and the index
+    * is defragmented in-stream when the appended fraction trips. The
+    * accepted set is schedule-invariant by the q159 argument (docs
+    * arrive in id order; reject ⟺ a Hamming≤3 partner among base or
+    * smaller-id delta payloads ⟺ payload equality on these fixtures),
+    * so the oracle replays plain text equality over the twin CASE. */
+  private[graft] def streamPhashIngest(s: SparkSession, dir: String,
+      perOf: Long => Long, tag: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Media, PhashIndex}
+    val uri = s"hub:spi_$tag"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-spi-" +
+      s"${java.lang.ProcessHandle.current().pid()}-" +
+      java.lang.Integer.toHexString(tag.hashCode).replace('-', 'm')
+    val fsP = new org.apache.hadoop.fs.Path(path)
+    val fs = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(fsP)) fs.delete(fsP, true)
+    val base = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media", Media.asMedia("payload", "image/stub"))
+      .select(col("doc_id"), col("media"))
+    PhashIndex.build(base, "doc_id", "media", path)
+    val ids = spiDelta(s, dir).select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    MemHub.publish(uri, "docs", ids.iterator.map { v =>
+      (v.toString, Map.empty[String, String], v, Array[Byte](1))
+    })
+    val per = perOf(ids.length.toLong)
+    val stream = s.readStream.format("graft-topic")
+      .option("profile", "pulsar").option("uri", uri).option("topics", "docs")
+      .option("maxPerTrigger", per.toString)
+      .load()
+      .select(col("key").cast("long").as("doc_id"))
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var epochs = 0L
+    val cp = s"${System.getProperty("java.io.tmpdir")}/graft-spi-cp-" +
+      s"${java.lang.ProcessHandle.current().pid()}-" +
+      java.lang.Integer.toHexString(tag.hashCode)
+    awaitIntake(s"q167:$tag", cpv => stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cpv)
+      .foreachBatch { (idBatch: DataFrame, id: Long) =>
+        val bs = idBatch.sparkSession
+        val batch = idBatch.join(spiDelta(bs, dir), Seq("doc_id"))
+        val (acc, sn) = spiEpoch(path, tag)(batch, id)
+        synchronized {
+          epochs = math.max(epochs, id + 1)
+          accepted ++= acc.map(_.getLong(0))
+          seen ++= sn.map(r => (r.getLong(0), r.getString(1)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start(), cp, () => synchronized { epochs })
+    seen.toSeq.toDF("doc_id", "source")
+      .join(accepted.toSeq.toDF("doc_id").withColumn("__a", lit(1)),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_in"),
+        count(col("__a")).as("n_accepted"),
+        (count(lit(1)) - count(col("__a"))).as("n_rejected"))
+      .withColumn("multi_epoch", lit(epochs > 1))
+      .withColumn("rebuilt", lit(spiRebuilds.getOrElse(tag, 0L) > 0L))
+      .orderBy(col("source"))
+  }
+
+  val qStreamPhashIngest = QueryDef(
+    "q167_stream_phash_ingest",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/spi",
+      streamPhashIngest(s, dir, n => math.max(1L, n / 7L), s"q167_$dir")),
+    // reject ⟺ streamed payload equals a base doc's payload or a
+    // smaller-id delta's streamed payload (see spiDelta: Hamming ≤ 3 ⟺
+    // payload equality on these fixtures — probed at every SF).
+    // `rebuilt` is deterministically TRUE: appended mass ends at 2× the
+    // built mass, so the 0.5 fraction trips mid-stream at every sf
+    Some("""WITH e AS (SELECT doc_id AS v, source, text FROM documents),
+      d AS (SELECT v, source,
+          CASE WHEN v % 7 = 1 THEN (SELECT b.text FROM e b WHERE b.v = d0.v - 1 - ((d0.v - 1) % 3))
+               WHEN v % 7 = 2 AND v >= 3 THEN (SELECT b.text FROM e b WHERE b.v = d0.v - 3)
+               ELSE text END AS st
+        FROM e d0 WHERE v % 3 <> 0),
+      r AS (SELECT d.v, d.source,
+          (EXISTS (SELECT 1 FROM e b WHERE b.v % 3 = 0 AND b.text = d.st)
+           OR EXISTS (SELECT 1 FROM d d2 WHERE d2.v < d.v AND d2.st = d.st)) AS rej
+        FROM d)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in,
+        CAST(SUM(CASE WHEN rej THEN 0 ELSE 1 END) AS BIGINT) AS n_accepted,
+        CAST(SUM(CASE WHEN rej THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+        TRUE AS multi_epoch, TRUE AS rebuilt
+      FROM r GROUP BY source ORDER BY source"""))
+
   /** In-stream registry compactions per [[streamClusterIngest]] tag. */
   private[graft] val scrCompactions =
     new scala.collection.concurrent.TrieMap[String, Long]()
@@ -1129,5 +1289,5 @@ object StreamGateQueries {
   val all: Seq[QueryDef] = Seq(qStreamRolling, qStreamDedup, qStreamWindow,
     qMapService, qStreamSessions, qStreamJoin, qStreamEnrich, qStreamOuterJoin,
     qStreamCurate, qStreamDedupIngest, qStreamSemanticIngest,
-    qStreamClusterRegistry)
+    qStreamClusterRegistry, qStreamPhashIngest)
 }
