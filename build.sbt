@@ -27,6 +27,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Suites assert the COUNT-rule sweep semantics on fixtures committed
+// seconds apart; the time leg of the generation grace (production
+// default 6h — see graft.core.GenDir.MaxScanAgeKey) is pinned off for
+// the whole shared test session. Its own tests set the session conf.
+Test / javaOptions += "-Dspark.graft.maxScanAgeMs=0"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -48,15 +48,30 @@ object GenDir {
   /** Committed generations kept BEHIND the live one on publish. */
   val GraceKeep = 1
 
+  /** Conf key for the TIME leg of the grace window (spark.-prefixed —
+    * spark-submit drops non-spark conf keys): a committed generation
+    * younger than this many milliseconds is kept on publish even when
+    * the count rule would drop it. The count rule alone protects a scan
+    * across ONE rebuild; a multi-hour full-corpus scan racing two
+    * back-to-back compactions would lose its files mid-flight — the one
+    * residual swap hazard. Default generous (6 h — longer than any sane
+    * scan); sweep-asserting tests pin it to 0. */
+  val MaxScanAgeKey = "spark.graft.maxScanAgeMs"
+  val DefaultMaxScanAgeMs: Long = 6L * 3600L * 1000L
+
+  private[graft] def maxScanAgeMs(spark: SparkSession): Long =
+    spark.conf.get(MaxScanAgeKey, DefaultMaxScanAgeMs.toString).toLong
+
   private def fsOf(spark: SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def genPath(root: String, gen: Int): String = s"$root/$Prefix$gen"
 
-  /** All generation numbers under the root, with their committed flag —
-    * one listing (plus one existence probe per gen dir). */
-  private def gens(spark: SparkSession, root: String): Seq[(Int, Boolean)] = {
+  /** All generation numbers under the root, with their committed flag
+    * and commit time (the `_COMMITTED` sentinel's mtime; 0 when
+    * uncommitted) — one listing plus one status probe per gen dir. */
+  private def gens(spark: SparkSession, root: String): Seq[(Int, Boolean, Long)] = {
     val fs = fsOf(spark, root)
     val p = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(p)) Seq.empty
@@ -66,14 +81,18 @@ object GenDir {
         val n = s.getPath.getName
         if (!n.startsWith(Prefix)) None
         else n.stripPrefix(Prefix).toIntOption.map { g =>
-          g -> fs.exists(new org.apache.hadoop.fs.Path(s.getPath, CommitMarker))
+          val marker = new org.apache.hadoop.fs.Path(s.getPath, CommitMarker)
+          val at =
+            try fs.getFileStatus(marker).getModificationTime
+            catch { case _: java.io.FileNotFoundException => -1L }
+          (g, at >= 0L, math.max(at, 0L))
         }
       }
   }
 
   /** The live (highest committed) generation's path, if any. */
   def resolve(spark: SparkSession, root: String): Option[String] = {
-    val committed = gens(spark, root).collect { case (g, true) => g }
+    val committed = gens(spark, root).collect { case (g, true, _) => g }
     if (committed.isEmpty) None else Some(genPath(root, committed.max))
   }
 
@@ -89,20 +108,25 @@ object GenDir {
     if (all.isEmpty) 0 else all.max + 1
   }
 
-  /** The generations a publish of `newGen` must delete: committed ones
-    * older than the grace window — the newest [[GraceKeep]] committed
-    * generations below `newGen`, selected by RECENCY, not by number (gen
-    * numbers need not be dense when debris was staged in between) — and
-    * every uncommitted debris generation below `newGen`. Pure selection,
+  /** The generations a publish of `newGen` must delete. KEEP is the OR
+    * of two rules: the newest [[GraceKeep]] committed generations below
+    * `newGen`, selected by RECENCY, not by number (gen numbers need not
+    * be dense when debris was staged in between) — and any committed
+    * generation whose commit is younger than `maxScanAgeMs` (the time
+    * leg: a reader whose scan outlives two back-to-back rebuilds keeps
+    * its files as long as the scan is shorter than the configured age).
+    * Uncommitted debris below `newGen` always drops. Pure selection,
     * shared by the path-backed commit here and the catalog-table minhash
     * variant ([[graft.operators.Dedup]]), so the grace policy can never
     * diverge between the two index layouts. */
-  def toDrop(all: Seq[(Int, Boolean)], newGen: Int): Seq[Int] = {
-    val kept = all.collect { case (g, true) if g < newGen => g }
+  def toDrop(all: Seq[(Int, Boolean, Long)], newGen: Int,
+      now: Long, maxScanAgeMs: Long): Seq[Int] = {
+    val kept = all.collect { case (g, true, _) if g < newGen => g }
       .sorted.takeRight(GraceKeep).toSet
     all.collect {
-      case (g, true) if g < newGen && !kept.contains(g) => g
-      case (g, false) if g < newGen => g
+      case (g, true, at) if g < newGen && !kept.contains(g) &&
+        now - at >= maxScanAgeMs => g
+      case (g, false, _) if g < newGen => g
     }
   }
 
@@ -114,7 +138,8 @@ object GenDir {
     val fs = fsOf(spark, root)
     val marker = new org.apache.hadoop.fs.Path(genPath(root, gen), CommitMarker)
     if (!fs.exists(marker)) fs.create(marker, false).close()
-    toDrop(gens(spark, root), gen).foreach { g =>
+    toDrop(gens(spark, root), gen,
+        System.currentTimeMillis(), maxScanAgeMs(spark)).foreach { g =>
       fs.delete(new org.apache.hadoop.fs.Path(genPath(root, g)), true): Unit
     }
   }

@@ -603,20 +603,24 @@ object Dedup {
     * unsuffixed index (identified by its banding properties) reports as
     * generation -1, committed. */
   private def minhashGens(
-      spark: SparkSession, table: String): Seq[(Int, Boolean)] = {
+      spark: SparkSession, table: String): Seq[(Int, Boolean, Long)] = {
     val cat = spark.sessionState.catalog
     val prefix = s"${table}_buckets__g"
     val gens = cat.listTables(cat.getCurrentDatabase, s"$prefix*").flatMap { ti =>
       ti.table.stripPrefix(prefix).toIntOption.map { g =>
-        g -> cat.getTableMetadata(ti).properties
-          .get("graft.committed").contains("true")
+        val props = cat.getTableMetadata(ti).properties
+        // graft.committedAt stamps the publish; tables from before the
+        // time-grace era read 0 — always past any scan age, so they fall
+        // back to the count rule alone (the old behavior)
+        (g, props.get("graft.committed").contains("true"),
+          props.get("graft.committedAt").flatMap(_.toLongOption).getOrElse(0L))
       }
     }
     val legacyId = org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_buckets")
     val legacy =
       cat.tableExists(legacyId) &&
         cat.getTableMetadata(legacyId).properties.contains("graft.shingleSize")
-    if (legacy) gens :+ (-1 -> true) else gens
+    if (legacy) gens :+ ((-1, true, 0L)) else gens
   }
 
   /** The live generation and its properties (from the buckets table —
@@ -624,7 +628,7 @@ object Dedup {
     * consistent snapshot). */
   private[graft] def minhashResolve(
       spark: SparkSession, table: String): (Int, Map[String, String]) = {
-    val committed = minhashGens(spark, table).collect { case (g, true) => g }
+    val committed = minhashGens(spark, table).collect { case (g, true, _) => g }
     if (committed.isEmpty) throw new IllegalArgumentException(
       s"$table is not a graft minhash index (no committed generation)")
     val gen = committed.max
@@ -647,7 +651,9 @@ object Dedup {
       spark: SparkSession, table: String, newGen: Int): Unit =
     // the grace/debris selection is graft.core.GenDir's — ONE policy for
     // the path-backed and the catalog-table index layouts
-    graft.core.GenDir.toDrop(minhashGens(spark, table), newGen).foreach { g =>
+    graft.core.GenDir.toDrop(minhashGens(spark, table), newGen,
+        System.currentTimeMillis(),
+        graft.core.GenDir.maxScanAgeMs(spark)).foreach { g =>
       val (sh, bk) = minhashGenTables(table, g)
       Bucketing.dropTableAndLocation(spark, sh)
       Bucketing.dropTableAndLocation(spark, bk)
@@ -656,7 +662,7 @@ object Dedup {
   /** Drop the whole index (every generation + any pre-generation legacy
     * tables) — the cleanup hook fixtures and streaming gates use. */
   def dropMinhashIndex(spark: SparkSession, table: String): Unit = {
-    minhashGens(spark, table).foreach { case (g, _) =>
+    minhashGens(spark, table).foreach { case (g, _, _) =>
       val (sh, bk) = minhashGenTables(table, g)
       Bucketing.dropTableAndLocation(spark, sh)
       Bucketing.dropTableAndLocation(spark, bk)
@@ -715,7 +721,8 @@ object Dedup {
       s"'graft.numHashes' = '$numHashes', 'graft.bands' = '$bands', " +
       s"'graft.indexedRows' = '${spark.table(shT)
         .select(col("doc_id")).distinct().count()}', " +
-      s"'graft.appendedRows' = '0', 'graft.committed' = 'true')")
+      s"'graft.appendedRows' = '0', 'graft.committed' = 'true', " +
+      s"'graft.committedAt' = '${System.currentTimeMillis()}')")
     minhashDropOldGens(spark, table, gen)
   }
 
@@ -872,7 +879,8 @@ object Dedup {
       s"'graft.indexedRows' = '$total', " +
       s"'graft.appendedRows' = '0', " +
       s"'graft.appendedBatches' = '$carried', " +
-      s"'graft.committed' = 'true')")
+      s"'graft.committed' = 'true', " +
+      s"'graft.committedAt' = '${System.currentTimeMillis()}')")
     minhashDropOldGens(spark, table, gen + 1)
   }
 

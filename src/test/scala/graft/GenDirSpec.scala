@@ -12,6 +12,11 @@ import graft.core.{GenDir, GraftSession}
   * (not numeric) grace selection, idempotent commits, and the hidden
   * naming contract. */
 class GenDirSpec extends AnyFunSuite {
+  // NOTE the time leg of the grace window is pinned off for the whole
+  // test JVM (build.sbt -Dspark.graft.maxScanAgeMs=0) — fixtures commit
+  // seconds apart, so the count-rule sweeps stay assertable; the time
+  // leg's own cases pass explicit ages to the pure toDrop or set the
+  // session conf locally.
   lazy val spark = GraftSession.local(2, "graft-gendir")
   private val pid = java.lang.ProcessHandle.current().pid()
   private var n = 0
@@ -61,17 +66,38 @@ class GenDirSpec extends AnyFunSuite {
   }
 
   test("toDrop: recency grace, non-dense numbering, debris sweep") {
+    // all commits "old" (age 0 conf): pure count-rule behavior
+    def drop(all: Seq[(Int, Boolean)], newGen: Int): Seq[Int] =
+      GenDir.toDrop(all.map { case (g, c) => (g, c, 0L) }, newGen,
+        now = 1000L, maxScanAgeMs = 0L)
     // committed 0, debris 1, committed 2; publishing 3 keeps 2 (newest
     // committed below 3 BY RECENCY), drops 0 and the debris 1
-    assert(GenDir.toDrop(Seq(0 -> true, 1 -> false, 2 -> true), 3).sorted == Seq(0, 1))
+    assert(drop(Seq(0 -> true, 1 -> false, 2 -> true), 3).sorted == Seq(0, 1))
     // non-dense: committed 0, debris 9; publishing 10 keeps 0 as grace —
     // the numeric gen-1 rule would have wrongly dropped it
-    assert(GenDir.toDrop(Seq(0 -> true, 9 -> false), 10) == Seq(9))
+    assert(drop(Seq(0 -> true, 9 -> false), 10) == Seq(9))
     // nothing below: no drops
-    assert(GenDir.toDrop(Seq(5 -> true), 5).isEmpty)
+    assert(drop(Seq(5 -> true), 5).isEmpty)
     // gens above the published one (a concurrent later stage) are never touched
-    assert(GenDir.toDrop(Seq(0 -> true, 2 -> false), 1).sorted == Seq.empty[Int],
+    assert(drop(Seq(0 -> true, 2 -> false), 1).sorted == Seq.empty[Int],
       "gen 0 is grace; debris 2 is above the publish and must be left alone")
+  }
+
+  test("toDrop: the TIME leg keeps recently-committed generations past the count rule") {
+    // committed 0 at t=100, committed 1 at t=900, publishing 2 at t=1000
+    // with maxScanAge 500: count rule keeps 1; gen 0 is 900ms old → drops
+    assert(GenDir.toDrop(Seq((0, true, 100L), (1, true, 900L)), 2,
+      now = 1000L, maxScanAgeMs = 500L) == Seq(0))
+    // same but gen 0 committed at t=700 (300ms old < 500): KEPT — a scan
+    // that started against gen 0 survives the two back-to-back publishes
+    assert(GenDir.toDrop(Seq((0, true, 700L), (1, true, 900L)), 2,
+      now = 1000L, maxScanAgeMs = 500L).isEmpty)
+    // debris is never time-protected (it was never readable)
+    assert(GenDir.toDrop(Seq((0, true, 999L), (1, false, 999L)), 2,
+      now = 1000L, maxScanAgeMs = 500L) == Seq(1))
+    // boundary: exactly maxScanAge old → drops (>= comparison)
+    assert(GenDir.toDrop(Seq((0, true, 500L), (1, true, 900L)), 2,
+      now = 1000L, maxScanAgeMs = 500L) == Seq(0))
   }
 
   test("commit: idempotent, sweeps debris, keeps exactly the grace window") {
@@ -93,6 +119,32 @@ class GenDirSpec extends AnyFunSuite {
     GenDir.commit(spark, root, 3)
     assert(!f.exists(new Path(GenDir.genPath(root, 0))))
     assert(f.exists(new Path(GenDir.genPath(root, 2))))
+  }
+
+  test("commit honors the time grace: a young superseded generation survives two publishes") {
+    val root = freshRoot()
+    mkGen(root, 0, committed = true)
+    GenDir.commit(spark, root, 0)
+    // restore the TEST-JVM pin (an unset would fall back to the 6h
+    // production default and break later suites' sweep assertions on the
+    // shared session)
+    val saved = spark.conf.getOption(GenDir.MaxScanAgeKey)
+    spark.conf.set(GenDir.MaxScanAgeKey, GenDir.DefaultMaxScanAgeMs.toString)
+    try {
+      // two back-to-back publishes: the count rule alone would drop gen 0
+      // on the second — the time leg keeps it (committed seconds ago)
+      mkGen(root, 1, committed = false)
+      GenDir.commit(spark, root, 1)
+      mkGen(root, 2, committed = false)
+      GenDir.commit(spark, root, 2)
+      val f = fs(root)
+      assert(f.exists(new Path(GenDir.genPath(root, 0))),
+        "a scan that resolved gen 0 must keep its files across two " +
+          "back-to-back publishes inside the scan-age window")
+      assert(f.exists(new Path(GenDir.genPath(root, 1))))
+      assert(GenDir.resolve(spark, root).contains(GenDir.genPath(root, 2)))
+    } finally saved.fold(spark.conf.unset(GenDir.MaxScanAgeKey))(
+      spark.conf.set(GenDir.MaxScanAgeKey, _))
   }
 
   test("generation dirs are hidden from accidental root reads") {

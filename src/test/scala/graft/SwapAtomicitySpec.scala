@@ -135,6 +135,42 @@ class SwapAtomicitySpec extends AnyFunSuite {
     assert(readSet() == ref)
   }
 
+  test("slow reader spans TWO back-to-back compactions: the time grace keeps its generation") {
+    import spark.implicits._
+    // the count rule alone protects a scan across ONE publish; a scan
+    // resolved before two back-to-back compactions used to lose its
+    // files. With the (production-default) time leg on, the resolved
+    // generation survives as long as the scan is younger than maxScanAge.
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-swap-slow-$pid"
+    UrlIndex.seed((0 until 100).map(i => s"http://d$i.example.com/p")
+      .toDF("canonical_url"), path)
+    (0 until 4).foreach { e =>
+      UrlIndex.claim((0 until 20).map(i => s"http://e$e-$i.example.com/p")
+        .toDF("canonical_url"), path, e.toString)
+    }
+    // restore the test-JVM pin afterwards (an unset falls back to the 6h
+    // production default and breaks later suites' sweep assertions)
+    val saved = spark.conf.getOption(GenDir.MaxScanAgeKey)
+    spark.conf.set(GenDir.MaxScanAgeKey, GenDir.DefaultMaxScanAgeMs.toString)
+    try {
+      // the slow scan resolves its generation ONCE, here
+      val resolved = GenDir.resolveRequired(spark, path)
+      val before = spark.read.parquet(resolved).count()
+      // two back-to-back maintenance publishes while the scan is "running"
+      assert(UrlIndex.compactIfFragmented(spark, path, threshold = 1))
+      UrlIndex.claim((0 until 5).map(i => s"http://x$i.example.com/p")
+        .toDF("canonical_url"), path, "x")
+      assert(UrlIndex.compactIfFragmented(spark, path, threshold = 1))
+      assert(GenDir.resolveRequired(spark, path) != resolved,
+        "two generations must have published past the scan's snapshot")
+      // the scan finishes against its original generation, files intact
+      assert(spark.read.parquet(resolved).count() == before,
+        "a scan inside the time-grace window must keep its files across " +
+          "two back-to-back publishes")
+    } finally saved.fold(spark.conf.unset(GenDir.MaxScanAgeKey))(
+      spark.conf.set(GenDir.MaxScanAgeKey, _))
+  }
+
   test("dataset compaction: concurrent reads through Bucketing.current never fail, content invariant") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-swap-compact-$pid"
     val ev = Tables.load(spark, dir, "events")
