@@ -4558,6 +4558,72 @@ object Catalog {
         LEFT JOIN best ON best.rep = cl.rep
       ORDER BY d.doc_id"""))
 
+  /** The dedup-map PUBLISHED with the curated corpus (VERDICT r12 item 6
+    * — the registry read path composing WITH the pipeline instead of
+    * living beside it): every document that passes the curation
+    * threshold carries its provenance columns from
+    * [[graft.operators.ClusterRegistry.assignWithReps]] — the stable
+    * cluster id, the quality-elected doc that KEPT the cluster's slot,
+    * and, for suppressed docs, who suppressed them. Reuses the q164
+    * registry artifact (seed + two epochs + a compaction), so the gate
+    * also proves the artifact is readable by a second consumer. */
+  private val q168 = QueryDef(
+    "q168_curate_dedup_map",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val regPath = keepBestRegistry(s, dir, docs)
+      val curated = docs
+        .select(col("doc_id"), col("lang"),
+          token_count(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 10)
+      curated
+        .join(graft.operators.ClusterRegistry
+          .assignWithReps(curated.select(col("doc_id")), regPath),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cluster_id"), col("rep_doc"),
+          (col("doc_id") === col("rep_doc")).as("kept"),
+          when(col("doc_id") === col("rep_doc"), lit(-1L))
+            .otherwise(col("rep_doc")).as("suppressed_by_rep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT da AS a, db AS b
+                FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      reach(v, w) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a),
+      cl AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS rep FROM reach GROUP BY v),
+      q AS (SELECT doc_id, lang,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+            FROM documents),
+      best AS (SELECT rep, doc_id AS rep_doc FROM (
+          SELECT cl.rep, cl.doc_id, row_number() OVER (
+            PARTITION BY cl.rep ORDER BY q.n_tokens DESC, cl.doc_id) AS rn
+          FROM cl JOIN q USING (doc_id)) WHERE rn = 1),
+      m AS (SELECT d.doc_id, d.lang, d.n_tokens,
+          CAST(COALESCE(cl.rep, d.doc_id) AS BIGINT) AS cluster_id,
+          CAST(COALESCE(best.rep_doc, d.doc_id) AS BIGINT) AS rep_doc
+        FROM q d LEFT JOIN cl USING (doc_id)
+          LEFT JOIN best ON best.rep = cl.rep
+        WHERE d.n_tokens >= 10)
+      SELECT doc_id, lang, n_tokens, cluster_id, rep_doc,
+        (doc_id = rep_doc) AS kept,
+        CASE WHEN doc_id = rep_doc THEN CAST(-1 AS BIGINT)
+             ELSE rep_doc END AS suppressed_by_rep
+      FROM m ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4573,7 +4639,7 @@ object Catalog {
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q157, q158, q160, q161, q164, q165, q166) ++
+    q154, q155, q157, q158, q160, q161, q164, q165, q166, q168) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
