@@ -89,16 +89,52 @@ object UrlIndex {
     spark.read.parquet(liveDir(spark, path))
       .select(col("canonical_url"))
 
+  /** Test seam: runs between a claim's batch write and its
+    * live-generation re-check, so the race spec can publish a compaction
+    * inside the exact window the re-write guards. */
+  private[graft] var claimRaceProbe: () => Unit = () => ()
+
   /** Record one epoch's claimed urls, exactly-once per `batchId`: the
     * batch's partition dir in the live generation is overwritten, so a
-    * foreachBatch retry replaces its own prior (possibly partial) write. */
+    * foreachBatch retry replaces its own prior (possibly partial) write.
+    *
+    * Compaction race (ADVICE r12): a claim landing in a generation a
+    * CONCURRENT [[compactIfFragmented]] already read would be silently
+    * dropped when the grace sweep deletes that generation. After
+    * writing, claim now RE-RESOLVES the live generation and re-writes
+    * its batch if a publish moved it, which closes every interleaving
+    * where the publish lands before the re-check — the window that
+    * dominates in practice, since a compaction's read→commit spans
+    * Spark jobs while write→re-check is one listing. The one residual
+    * interleaving (compaction read BEFORE this claim's write, commit
+    * AFTER the re-check) remains covered by the documented
+    * single-logical-writer contract (the q156 foreachBatch runs claims
+    * and maintenance sequentially); the time leg of the generation
+    * grace additionally keeps the orphaned rows readable for
+    * `spark.graft.maxScanAgeMs` rather than deleting them at the
+    * publish-after-next. */
   def claim(urls: DataFrame, path: String, batchId: String,
       urlCol: String = "canonical_url"): Unit = {
     require(batchId.matches("[A-Za-z0-9._-]+"),
       s"UrlIndex.claim: batchId must be a plain file-name token, got '$batchId'")
-    val cur = liveDir(urls.sparkSession, path)
-    urls.select(col(urlCol).as("canonical_url")).distinct()
-      .write.mode("overwrite").parquet(s"$cur/batch=b$batchId")
+    val spark = urls.sparkSession
+    val rows = urls.select(col(urlCol).as("canonical_url")).distinct()
+    var cur = liveDir(spark, path)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      rows.write.mode("overwrite").parquet(s"$cur/batch=b$batchId")
+      claimRaceProbe()
+      val live = liveDir(spark, path)
+      if (live == cur) done = true
+      else {
+        attempts += 1
+        require(attempts <= 8,
+          s"UrlIndex.claim: live generation moved $attempts times during one " +
+            "claim — a maintenance loop is racing this writer")
+        cur = live
+      }
+    }
   }
 
   /** Part files currently in the live generation. */

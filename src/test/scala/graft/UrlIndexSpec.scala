@@ -79,6 +79,47 @@ class UrlIndexSpec extends AnyFunSuite {
       "compaction must fold cross-batch duplicate rows")
   }
 
+  test("claim racing a compaction re-writes into the published generation") {
+    import graft.core.GenDir
+    // reproduce the ADVICE r12 window exactly: a compaction publishes
+    // BETWEEN the claim's batch write and its live-generation re-check —
+    // without the re-write the claim would sit only in the superseded
+    // generation and die with the grace sweep
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-urlidx-race-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    UrlIndex.seed(urls(0 until 20), path)
+    (0 until 3).foreach(e =>
+      UrlIndex.claim(urls(100 + e * 5 until 105 + e * 5), path, e.toString))
+    val claimed = (900 until 905).map(i => s"http://d$i.example.com/p")
+    var fired = 0
+    UrlIndex.claimRaceProbe = () => {
+      // fire on the first write only — the RE-write's probe must not
+      // publish again or the claim never stabilizes
+      if (fired == 0) {
+        fired += 1
+        assert(UrlIndex.compactIfFragmented(spark, path, threshold = 1))
+      }
+    }
+    try {
+      import spark.implicits._
+      UrlIndex.claim(claimed.toDF("canonical_url"), path, "raced")
+    } finally UrlIndex.claimRaceProbe = () => ()
+    assert(fired == 1, "the racing compaction must have run inside the window")
+    // the claim must be visible in the LIVE generation lineage...
+    assert(claimed.toSet.subsetOf(memberSet(path)),
+      "a raced claim must be re-written into the published generation")
+    val live = GenDir.resolveRequired(spark, path)
+    val liveRows = spark.read.parquet(live)
+      .select(col("canonical_url")).collect().map(_.getString(0)).toSet
+    assert(claimed.toSet.subsetOf(liveRows),
+      "the raced batch must live in the CURRENT generation, not only the doomed one")
+    // ...and survive the next full compaction + sweep cycle
+    UrlIndex.claim(urls(300 until 305), path, "after")
+    assert(UrlIndex.compactIfFragmented(spark, path, threshold = 1))
+    assert(claimed.toSet.subsetOf(memberSet(path)),
+      "the raced claim must survive later compactions and sweeps")
+  }
+
   test("compaction publishes generations: grace keeps one back, debris is swept") {
     import graft.core.GenDir
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-urlidx-swap-" +
