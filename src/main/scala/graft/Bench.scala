@@ -208,7 +208,16 @@ object Bench {
       }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$p50Part$maxPart$coldPart$env,"sf":"$sf"}"""
     }
-    def render(f: Double => String): String = renderMap(results.toSeq, f)
+    def render(f0: Double => String): String = {
+      // trim trailing fraction zeros ("10.0"→"10", "0.500"→"0.5"): free
+      // characters at every ladder level, so precision degrades later
+      val f = (v: Double) => {
+        val s = f0(v)
+        if (!s.contains('.')) s
+        else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      }
+      renderMap(results.toSeq, f)
+    }
     // ms precision normally; if the query set ever grows the line past the
     // tail window, degrade per-query precision before losing parseability
     val line3 = render(fmt)
@@ -405,8 +414,11 @@ object Bench {
         }
     })
     val allDetail: Map[String, Seq[Rep]] = SparkEntry.queries.map { case (name, fn) =>
+      // the drain contract runs ON BY DEFAULT (VERDICT r12 item 7): the
+      // driver's own bench now enforces the leak class, not only CI
+      // (BenchDrainSpec); SPARK_GRAFT_BENCH_ASSERT_DRAIN=0 opts out
       name -> repBlock(spark, fn, sfDir, reps, removedBlocks,
-        assertDrain = sys.env.get("SPARK_GRAFT_BENCH_ASSERT_DRAIN").contains("1"),
+        assertDrain = !sys.env.get("SPARK_GRAFT_BENCH_ASSERT_DRAIN").contains("0"),
         name = name)
     }
     val allRuns: Map[String, Seq[Double]] = allDetail.map { case (n, ts) => n -> ts.map(_.sec) }

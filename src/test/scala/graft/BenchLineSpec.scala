@@ -24,23 +24,36 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderLine(names.map(_ -> 9999.999).toMap, "/root/testdata/sf0.1")
     assert(line.length <= Bench.MaxLineLength,
       s"bench line ${line.length} chars — will be truncated")
-    // at realistic timings at least DECIsecond precision must survive and
-    // the drop-fastest fallback must not fire (the 169-query catalog
-    // outgrew centisecond-for-all inside the fixed ~1900-char driver tail
-    // window — impossible at any key scheme; bench_detail.json carries
-    // full ms precision per query under the FULL query names)
-    val typical = Bench.renderLine(names.map(_ -> 9.999).toMap, "/root/testdata/sf0.1")
-    assert(typical.contains(":9.99") || typical.contains(":10.0") ||
-      typical.contains(":10"),
-      "at least decisecond precision must survive at realistic line sizes")
+    // at realistic timings the drop-fastest fallback must not fire and
+    // every query must keep at least integer-second precision (the
+    // 205-query catalog outgrew sub-second-for-all inside the fixed
+    // ~1900-char driver tail window — impossible at any key scheme;
+    // bench_detail.json carries full ms precision per query under the
+    // FULL query names, and the headline total keeps ms precision)
+    // a realistic heavy profile (the r12 shape: mostly sub-second, a
+    // second-scale band, a few multi-second heads — total ~2x the real
+    // 51 s bench) must render every query without the fallback
+    val typical = Bench.renderLine(
+      names.zipWithIndex.map { case (n, i) =>
+        n -> (if (i % 20 == 0) 4.312 else if (i % 5 == 0) 1.271 else 0.317)
+      }.toMap, "/root/testdata/sf0.1")
     assert(!typical.contains("\"_rest\""),
       "realistic timings must not need the drop-fastest fallback")
-    // a typical mixed profile (most queries sub-second) keeps centiseconds
+    assert(typical.length <= Bench.MaxLineLength)
+    // the absurd uniform-10s profile (a 34-minute bench) may fold the
+    // fastest half into _rest — but stays bounded and parseable
+    val absurd = Bench.renderLine(names.map(_ -> 9.999).toMap, "/root/testdata/sf0.1")
+    assert(absurd.length <= Bench.MaxLineLength)
+    // a typical mixed profile (most queries sub-second): no fallback, and
+    // the ms-precision TOTAL is intact even when per-query values degrade
     val mixed = Bench.renderLine(
       names.zipWithIndex.map { case (n, i) => n -> (0.1 + (i % 10) / 10.0) }.toMap,
       "/root/testdata/sf0.1")
-    assert(mixed.contains(".1") && !mixed.contains("\"_rest\""),
-      "mixed sub-second profile must keep sub-second precision")
+    assert(!mixed.contains("\"_rest\""),
+      "mixed sub-second profile must not need the drop-fastest fallback")
+    assert(mixed.length <= Bench.MaxLineLength)
+    assert("\"value\":\\d+\\.\\d".r.findFirstIn(mixed).isDefined,
+      "the headline total must keep sub-second precision")
   }
 
   test("rendered line is valid JSON with the contract fields") {
@@ -88,8 +101,8 @@ class BenchLineSpec extends AnyFunSuite {
     val maxs = Map("q81_char_ngram_pairs" -> 13.0, "q28_simhash" -> 0.60)
     val j = JsonMethods.parse(Bench.renderLine(mins, "/x", p50s, maxs))
     assert((j \ "max_total") === JDouble(13.6))
-    assert((j \ "max_flags" \ "81") === JDouble(13.0),
-      "a >3x-p50 spike rep must be flagged")
+    assert((j \ "max_flags" \ "81") === JInt(13),
+      "a >3x-p50 spike rep must be flagged (13.0 trims to the integer)")
     assert((j \ "max_flags" \ "28") === JNothing,
       "an unremarkable max must NOT be flagged")
     // sub-second jitter on tiny queries stays below the absolute floor
@@ -217,8 +230,9 @@ class BenchLineSpec extends AnyFunSuite {
     val p50s = Map("q59_pack" -> 0.40, "q21_minhash" -> 1.10, "q16_exact" -> 0.45)
     val rep1 = Map("q59_pack" -> 9.00, "q21_minhash" -> 2.00, "q16_exact" -> 0.80)
     val j = JsonMethods.parse(Bench.renderLine(mins, "/x", p50s, Map.empty, rep1))
-    assert((j \ "cold_flags" \ "59") === JDouble(9.0),
-      "a rep-1 blowup far above the catalog's cold-tax baseline must flag")
+    assert((j \ "cold_flags" \ "59") === JInt(9),
+      "a rep-1 blowup far above the catalog's cold-tax baseline must flag " +
+        "(9.0 trims to the integer)")
     assert((j \ "cold_flags" \ "21") === JNothing,
       "a normal cold rep near the baseline ratio must NOT flag")
     assert((j \ "cold_flags" \ "16") === JNothing)
