@@ -50,10 +50,11 @@ object ClusterRegistry {
     * [[Dedup.connectedComponents]]) that computes the identical
     * assign/relabel rows without driver state — a hot template cluster
     * (one batch doc near-dup to a million indexed docs) produces such an
-    * epoch routinely at ingest scale. `var` as a test knob (the
-    * `Dedup.maxBroadcastIdBytes = 0` pattern) to force the distributed
+    * epoch routinely at ingest scale. `@volatile var` as a test knob
+    * (the `Dedup.maxBroadcastIdBytes = 0` pattern — volatile because
+    * streaming foreachBatch threads read it) to force the distributed
     * path on small fixtures. */
-  var MaxEpochEdges: Int = 1 << 22
+  @volatile var MaxEpochEdges: Int = 1 << 22
 
   /** Relabel batches past which [[staleness]] recommends a [[compact]]:
     * every read pays one driver collect of the relabel log plus a
@@ -149,13 +150,16 @@ object ClusterRegistry {
     * given quality. */
   def electedReps(spark: SparkSession, path: String): DataFrame = {
     val g = cur(spark, path)
-    val rel = relabelMap(spark, g, excludeBatch = None)
+    electedRepsAt(spark, g, relabelMap(spark, g, excludeBatch = None))
+  }
+
+  private def electedRepsAt(spark: SparkSession, g: String,
+      rel: Map[Long, Long]): DataFrame =
     electResolved(spark, g, rel, excludeBatch = None)
       .groupBy(col("rep_r").as("rep"))
       .agg(max(struct(col("best_quality"), (-col("best_doc")).as("negid"))).as("w"))
       .select(col("rep"), (-col("w.negid")).as("rep_doc"),
         col("w.best_quality").as("rep_quality"))
-  }
 
   /** [[assignFor]] plus the quality-elected representative: (doc_id,
     * cluster_id, rep_doc) — `cluster_id` is the stable minimum-id label
@@ -167,8 +171,13 @@ object ClusterRegistry {
   def assignWithReps(docs: DataFrame, path: String,
       docsDistinct: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
-    assignFor(docs, path, docsDistinct)
-      .join(electedReps(spark, path), Seq("rep"), "left")
+    // resolve the generation and collect the relabel log ONCE for both
+    // halves — also guarantees the assignment and the election read the
+    // same generation even if a compaction publishes mid-call
+    val g = cur(spark, path)
+    val rel = relabelMap(spark, g, excludeBatch = None)
+    assignForAt(docs, g, rel, docsDistinct)
+      .join(electedRepsAt(spark, g, rel), Seq("rep"), "left")
       .select(col("doc_id"), col("rep").as("cluster_id"),
         coalesce(col("rep_doc"), col("rep")).as("rep_doc"))
   }
@@ -191,22 +200,23 @@ object ClusterRegistry {
     val g0 = GenDir.genPath(path, 0)
     val cc = quality.fold(Dedup.connectedComponents(pairs))(_ =>
       graft.core.GraftSession.pin(Dedup.connectedComponents(pairs)))
-    cc.filter(col("rep") =!= col("doc_id"))
-      .select(col("doc_id"), col("rep"))
-      .write.mode("overwrite").parquet(s"$g0/assign/batch=seed")
-    emptyDf(spark, "old_rep BIGINT, new_rep BIGINT")
-      .write.mode("overwrite").parquet(s"$g0/relabel/batch=seed")
-    quality.foreach { q =>
-      writeQual(q, path, "seed")
-      cc.join(q.select(col("doc_id"),
-          col("quality").cast("double").as("quality")), Seq("doc_id"))
-        .groupBy(col("rep"))
-        .agg(max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("w"))
-        .select(col("rep"), (-col("w.negid")).as("best_doc"),
-          col("w.quality").as("best_quality"))
-        .write.mode("overwrite").parquet(s"$g0/elect/batch=seed")
-      graft.core.GraftSession.release(cc)
-    }
+    try {
+      cc.filter(col("rep") =!= col("doc_id"))
+        .select(col("doc_id"), col("rep"))
+        .write.mode("overwrite").parquet(s"$g0/assign/batch=seed")
+      emptyDf(spark, "old_rep BIGINT, new_rep BIGINT")
+        .write.mode("overwrite").parquet(s"$g0/relabel/batch=seed")
+      quality.foreach { q =>
+        writeQual(q, path, "seed")
+        cc.join(q.select(col("doc_id"),
+            col("quality").cast("double").as("quality")), Seq("doc_id"))
+          .groupBy(col("rep"))
+          .agg(max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("w"))
+          .select(col("rep"), (-col("w.negid")).as("best_doc"),
+            col("w.quality").as("best_quality"))
+          .write.mode("overwrite").parquet(s"$g0/elect/batch=seed")
+      }
+    } finally if (quality.isDefined) graft.core.GraftSession.release(cc)
     GenDir.commit(spark, path, 0)
   }
 
@@ -260,7 +270,12 @@ object ClusterRegistry {
       docsDistinct: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val g = cur(spark, path)
-    val rel = relabelMap(spark, g, excludeBatch = None)
+    assignForAt(docs, g, relabelMap(spark, g, excludeBatch = None), docsDistinct)
+  }
+
+  private def assignForAt(docs: DataFrame, g: String, rel: Map[Long, Long],
+      docsDistinct: Boolean): DataFrame = {
+    val spark = docs.sparkSession
     val base = docs.select(col("doc_id"))
       .join(rawAssign(spark, g).select(col("doc_id"), col("rep")),
         Seq("doc_id"), "left")
@@ -299,9 +314,14 @@ object ClusterRegistry {
       // data-size-dependent-require anti-pattern): same decision, computed
       // distributed
       import spark.implicits._
+      // getOrElse, not apply: the driver path below tolerates a doc
+      // missing from batchQuality (-inf candidate) — the dispatch must
+      // not turn that same input into a key-not-found crash
       val docsDf =
         if (batchQuality.isEmpty) batchDocs.toDF("doc_id")
-        else batchDocs.map(d => (d, batchQuality(d))).toDF("doc_id", "quality")
+        else batchDocs
+          .map(d => (d, batchQuality.getOrElse(d, Double.NegativeInfinity)))
+          .toDF("doc_id", "quality")
       registerDistributed(spark, path, docsDf,
         edges.toDF("doc_a", "doc_b"), batchId)
       return
@@ -406,23 +426,30 @@ object ClusterRegistry {
       batchDocs: DataFrame, edges: DataFrame, batchId: String): Unit = {
     require(batchId.matches("[A-Za-z0-9._-]+"),
       s"ClusterRegistry.registerEpoch: batchId must be a plain token, got '$batchId'")
-    val e = edges.select(col("doc_a").cast("long").as("doc_a"),
-      col("doc_b").cast("long").as("doc_b"))
-    if (e.limit(MaxEpochEdges + 1).count() > MaxEpochEdges)
-      registerDistributed(spark, path, batchDocs, e, batchId)
-    else {
-      val es = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      if (batchDocs.columns.contains("quality")) {
-        val dq = batchDocs.select(col("doc_id").cast("long"),
-            col("quality").cast("double"))
-          .collect().map(r => (r.getLong(0), r.getDouble(1)))
-        register(spark, path, dq.map(_._1).toSeq, es, batchId, dq.toMap)
-      } else {
-        val docs = batchDocs.select(col("doc_id").cast("long"))
-          .collect().map(_.getLong(0)).toSeq
-        register(spark, path, docs, es, batchId)
+    // pin the edge frame across the dispatch: its lineage is typically a
+    // pair of LSH serve joins (the q163 epoch), and both the count probe
+    // and the chosen path re-read it — without the pin every epoch would
+    // pay the serve cost twice
+    val e = graft.core.GraftSession.pin(
+      edges.select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b")))
+    try {
+      if (e.limit(MaxEpochEdges + 1).count() > MaxEpochEdges)
+        registerDistributed(spark, path, batchDocs, e, batchId)
+      else {
+        val es = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        if (batchDocs.columns.contains("quality")) {
+          val dq = batchDocs.select(col("doc_id").cast("long"),
+              col("quality").cast("double"))
+            .collect().map(r => (r.getLong(0), r.getDouble(1)))
+          register(spark, path, dq.map(_._1).toSeq, es, batchId, dq.toMap)
+        } else {
+          val docs = batchDocs.select(col("doc_id").cast("long"))
+            .collect().map(_.getLong(0)).toSeq
+          register(spark, path, docs, es, batchId)
+        }
       }
-    }
+    } finally graft.core.GraftSession.release(e)
   }
 
   /** The distributed twin of [[register]]'s driver fold — same inputs,
@@ -502,14 +529,21 @@ object ClusterRegistry {
         .join(cc.select(col("doc_id").as("rep_r"), col("rep").as("lbl")), Seq("rep_r"))
         .select(col("lbl"), col("best_doc").as("cand"), col("best_quality").as("q"))
       val qr = qualRoot(path)
+      // semi-join the (batch-bounded) singleton set into the sidecar
+      // BEFORE aggregating — the sidecar is corpus-sized (one row per
+      // registered doc) and Catalyst cannot push a join below a groupBy,
+      // so aggregating first would shuffle the whole sidecar per epoch
+      val singletons = preps
+        .join(prior.select(col("rep_r").as("prep")).distinct(),
+          Seq("prep"), "left_anti")
       val qualDf =
         if (fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(qr)))
           spark.read.parquet(qr)
+            .join(singletons.select(col("prep").as("doc_id")), Seq("doc_id"),
+              "left_semi")
             .groupBy(col("doc_id")).agg(max(col("quality")).as("sq"))
         else emptyDf(spark, "doc_id BIGINT, sq DOUBLE")
-      val candSingleton = preps
-        .join(prior.select(col("rep_r").as("prep")).distinct(),
-          Seq("prep"), "left_anti")
+      val candSingleton = singletons
         .join(cc.select(col("doc_id").as("prep"), col("rep").as("lbl")), Seq("prep"))
         .join(qualDf.select(col("doc_id").as("prep"), col("sq")), Seq("prep"), "left")
         .select(col("lbl"), col("prep").as("cand"),

@@ -55,9 +55,7 @@ object PhashIndex {
 
   private def banded(df: DataFrame, idCol: String, mediaCol: String,
       maxDist: Int): DataFrame =
-    Dedup.bandedSignatures(
-      Media.phashAll(df, idCol, mediaCol).withColumnRenamed("doc_id", "doc_id"),
-      maxDist)
+    Dedup.bandedSignatures(Media.phashAll(df, idCol, mediaCol), maxDist)
       .select(col("ci"), col("cv"), col("doc_id"), col("simhash"))
 
   /** Build the index over a media corpus, publishing generation 0. */

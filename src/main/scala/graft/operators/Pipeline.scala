@@ -851,20 +851,26 @@ object Pipeline {
         words.join(broadcast(tokDf), Seq("w"))
           .select(col("grp"), col("t").cast("long").as("t"))
       case None =>
-        // fallback: the k learned replaces run as a literal codegen'd
-        // chain per word instance — no joins, no vocab broadcast
-        var enc: Column = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
-        trained.merges.foreach { case (_, l, r, m, _) =>
-          enc = call_function("replace", enc, lit(s"|$l|$r|"), lit(s"|$m|"))
-        }
-        words.select(col("grp"),
-          (size(split(enc, "\\|")) - 2).cast("long").as("t"))
+        replaceChainTokens(words, trained.merges)
     }
     perWord
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_words"), sum(col("t")).as("n_tokens"))
       .withColumn("fertility",
         col("n_tokens").cast("double") / col("n_words").cast("double"))
+  }
+
+  /** The fallback (string-replace-variant) apply: the k learned replaces
+    * run as a literal codegen'd chain per word instance — no joins, no
+    * vocab broadcast. One definition for the same-frame and held-out
+    * fertility paths, so the variant semantics can never split. */
+  private def replaceChainTokens(words: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
+    var enc: Column = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
+    merges.foreach { case (_, l, r, m, _) =>
+      enc = call_function("replace", enc, lit(s"|$l|$r|"), lit(s"|$m|"))
+    }
+    words.select(col("grp"), (size(split(enc, "\\|")) - 2).cast("long").as("t"))
   }
 
   /** Held-out tokenizer-fit report: TRAIN the merge table on `train`,
@@ -895,6 +901,10 @@ object Pipeline {
         .groupBy(col("grp"))
         .agg(sum(col("st.n_words")).as("n_words"),
           sum(col("st.n_tokens")).as("n_tokens"))
+        // group-set parity with the explode-shaped paths: a group whose
+        // docs carry no tokenizable words (or only null text) emits no
+        // row there, so it must not emit a (0, 0, NaN) row here either
+        .filter(col("n_words") > 0)
         .withColumn("fertility",
           col("n_tokens").cast("double") / col("n_words").cast("double"))
     } else {
@@ -902,11 +912,7 @@ object Pipeline {
         .select(col(groupCol).as("grp"),
           explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
         .filter(length(col("w")) > 0)
-      var enc: Column = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
-      trained.merges.foreach { case (_, l, r, m, _) =>
-        enc = call_function("replace", enc, lit(s"|$l|$r|"), lit(s"|$m|"))
-      }
-      words.select(col("grp"), (size(split(enc, "\\|")) - 2).cast("long").as("t"))
+      replaceChainTokens(words, trained.merges)
         .groupBy(col("grp"))
         .agg(count(lit(1)).as("n_words"), sum(col("t")).as("n_tokens"))
         .withColumn("fertility",

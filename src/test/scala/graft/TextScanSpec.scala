@@ -466,6 +466,17 @@ class TextScanSpec extends AnyFunSuite {
     val enc = Pipeline.bpeEncode(eval, "text", merges)
       .select("bpe_tokens").head().getSeq[String](0)
     assert(enc == Seq("bb", "bb"), s"bpeEncode must chain-apply per doc: $enc")
+    // (6) group-set parity: a group whose docs carry no tokenizable words
+    // emits NO row on either path (the explode shape never sees it; the
+    // per-doc kernel shape must filter its (0,0) aggregate)
+    val wordless = Seq((1L, "en", "bbbb"), (2L, "zz", "!!! ???"))
+      .toDF("doc_id", "lang", "text")
+    val gExact = Pipeline.bpeFertilityHeldOut(train, wordless, "lang", "text",
+      k = 1, forceExact = Some(true)).select("grp").collect().map(_.getString(0)).toSet
+    val gVar = Pipeline.bpeFertilityHeldOut(train, wordless, "lang", "text",
+      k = 1, forceExact = Some(false)).select("grp").collect().map(_.getString(0)).toSet
+    assert(gExact == Set("en") && gVar == Set("en"),
+      s"wordless groups must emit no row on either path: $gExact / $gVar")
   }
 
   test("bpe exact path holds k = 256 inside the bench budget") {
