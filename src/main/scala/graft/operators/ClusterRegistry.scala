@@ -54,7 +54,7 @@ object ClusterRegistry {
     * (the `Dedup.maxBroadcastIdBytes = 0` pattern — volatile because
     * streaming foreachBatch threads read it) to force the distributed
     * path on small fixtures. */
-  @volatile var MaxEpochEdges: Int = 1 << 22
+  @volatile private[graft] var MaxEpochEdges: Int = 1 << 22
 
   /** Relabel batches past which [[staleness]] recommends a [[compact]]:
     * every read pays one driver collect of the relabel log plus a
