@@ -954,7 +954,8 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 2,
       maxDist: Int = 3): DataFrame =
-    hammingPairs(simhashSignatures(df, idCol, textCol, shingleSize), maxDist)
+    hammingPairs(simhashSignatures(df, idCol, textCol, shingleSize), maxDist,
+      Some(simhashSignatures(hammingProbeSample(df), idCol, textCol, shingleSize)))
 
   /** Pigeonhole-blocked Hamming pairs over ANY 64-bit signature table
     * (doc_id, simhash) — dedup is modality-agnostic once a row carries a
@@ -982,11 +983,59 @@ object Dedup {
         col("ck.ci").as("ci"), col("ck.cv").as("cv"))
   }
 
-  private[graft] def hammingPairs(sig: DataFrame, maxDist: Int): DataFrame = {
-    val blocked = bandedSignatures(sig, maxDist)
-    // same bucket-local pair generation as minhashLsh: one shuffle, pairs
-    // only from chunks that actually collide (struct sort keys on doc_id
-    // first, so a < b ordering is preserved)
+  /** Salt width for the identical-signature pair expansion below: one
+    * duplicate group's quadratic pair mass spreads over S(S+1)/2 tasks. */
+  private val HammingSaltS = 16
+
+  /** Estimated identical-signature group size above which [[hammingPairs]]
+    * diverts to the salted-expansion path. Below it the direct bucket
+    * formulation is both correct and CHEAPER (two stages; the salted
+    * path's collapse/distinct/joins cost ~2-3× on duplication-free
+    * corpora — measured at sf0.1); above it the direct path would expand
+    * one viral group's B²/2 pairs inside a single task. `@volatile` test
+    * knob (the density-probe dispatch discipline, q81). */
+  @volatile private[graft] var hammingSaltMinGroup: Long = 4096L
+
+  /** Deterministic-seed sample rate for the duplicate-group probe —
+    * seeded so WHICH path a dataset takes never varies run to run (the
+    * bc61540 plan-stability rule). */
+  private val HammingProbeRate = 0.02
+
+  /** `sampledSig`, when given, is the SAME signature computation over a
+    * [[HammingProbeRate]] sample of the input taken BELOW the kernel
+    * (Catalyst does not push Sample under a projection, so probing the
+    * full `sig` frame would re-run the signature kernel over the whole
+    * corpus — measured ~+0.7 s at sf0.1); both in-repo callers pass it. */
+  private[graft] def hammingPairs(sig: DataFrame, maxDist: Int,
+      sampledSig: Option[DataFrame] = None): DataFrame = {
+    val docs = sig.select(col("doc_id"), col("simhash"))
+    // the viral-duplicate dispatch (round 13): a cheap deterministic
+    // sample estimates the largest identical-signature group; genuine
+    // duplication mass (one payload re-posted 100k times) diverts to the
+    // salted expansion, everything else keeps the two-stage direct path
+    val probe = sampledSig.getOrElse(
+      docs.sample(withReplacement = false, HammingProbeRate, seed = 7L))
+    val sampledMax = probe.groupBy(col("simhash")).count()
+      .agg(max(col("count"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val estMax = (sampledMax / HammingProbeRate).toLong
+    if (estMax <= hammingSaltMinGroup) hammingPairsDirect(docs, maxDist)
+    else hammingPairsSalted(docs, maxDist)
+  }
+
+  /** The probe sample for [[hammingPairs]]'s `sampledSig` — taken on the
+    * RAW frame so the signature kernel runs over 2 %, not 100 %. */
+  private[graft] def hammingProbeSample(df: DataFrame): DataFrame =
+    df.sample(withReplacement = false, HammingProbeRate, seed = 7L)
+
+  /** The direct formulation: band every row, bucket-local pairCombos —
+    * two stages, optimal when no identical-signature group is large
+    * (near-dup buckets are tiny by construction; only DUPLICATION makes
+    * them quadratic). */
+  private def hammingPairsDirect(docs: DataFrame, maxDist: Int): DataFrame = {
+    val blocked = bandedSignatures(docs, maxDist)
     blocked.groupBy(col("ci"), col("cv"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
       .filter(size(col("xs")) > 1)
@@ -995,6 +1044,65 @@ object Dedup {
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** The salted formulation for duplication-heavy inputs:
+    *   1. identical signatures collapse BEFORE banding; each group's
+    *      intra pairs (hamming 0 by construction) are generated by a
+    *      salted two-level explode — members sliced mod S, every
+    *      (slice_i, slice_j) cell its own task after a repartition on
+    *      (sig, si, sj), so one viral group's quadratic output spreads
+    *      over S(S+1)/2 streaming tasks with no large intermediates;
+    *   2. banding + bucket pairCombos runs over DISTINCT signatures only
+    *      (bucket sizes bounded by near-dup structure, never by
+    *      duplication), yielding signature-level pairs;
+    *   3. inter-group pairs expand those over both member sets with two
+    *      streaming joins.
+    * Output contract identical to [[hammingPairsDirect]] (spec-pinned):
+    * (doc_a < doc_b, hamming ≤ maxDist), one row per pair. */
+  private def hammingPairsSalted(docs: DataFrame, maxDist: Int): DataFrame = {
+    val S = HammingSaltS
+    val saltCells = array((0 until S).flatMap(i => (i until S).map(j =>
+      struct(lit(i).as("si"), lit(j).as("sj")))): _*)
+    val groups = docs.groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val intra = groups
+      .select(col("simhash"), col("ms"), explode(saltCells).as("s"))
+      .select(col("simhash"), col("s.si").as("si"), col("s.sj").as("sj"),
+        filter(col("ms"), (_, k) => pmod(k, lit(S)) === col("s.si")).as("mi"),
+        filter(col("ms"), (_, k) => pmod(k, lit(S)) === col("s.sj")).as("mj"))
+      .repartition(col("simhash"), col("si"), col("sj"))
+      .select(col("si"), col("sj"), col("mj"), explode(col("mi")).as("x"))
+      .select(col("x"), explode(when(col("si") === col("sj"),
+          filter(col("mj"), y => y > col("x")))
+        .otherwise(col("mj"))).as("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
+        lit(0).as("hamming"))
+    if (maxDist == 0) intra
+    else {
+      // signature-level candidate pairs over the distinct signatures
+      val uniq = docs.select(col("simhash")).distinct()
+        .select(col("simhash").as("doc_id"), col("simhash"))
+      val sigPairs = bandedSignatures(uniq, maxDist)
+        .groupBy(col("ci"), col("cv"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("xs"))
+        .filter(size(col("xs")) > 1)
+        .select(explode(pairCombos(col("xs"))).as("p"))
+        .select(col("p.a").as("sig_a"), col("p.b").as("sig_b"),
+          bit_count(col("p.a").bitwiseXOR(col("p.b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxDist)
+      val inter = sigPairs
+        .join(docs.select(col("simhash").as("sig_a"), col("doc_id").as("ida")),
+          Seq("sig_a"))
+        .join(docs.select(col("simhash").as("sig_b"), col("doc_id").as("idb")),
+          Seq("sig_b"))
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+      intra.unionByName(inter)
+    }
   }
 
   /** Connected components over near-duplicate pairs: every document in a

@@ -187,5 +187,6 @@ object Media {
       idCol: String,
       mediaCol: String,
       maxDist: Int = 3): DataFrame =
-    graft.operators.Dedup.hammingPairs(phashAll(df, idCol, mediaCol), maxDist)
+    graft.operators.Dedup.hammingPairs(phashAll(df, idCol, mediaCol), maxDist,
+      Some(phashAll(graft.operators.Dedup.hammingProbeSample(df), idCol, mediaCol)))
 }

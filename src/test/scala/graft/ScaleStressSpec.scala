@@ -815,6 +815,58 @@ class ScaleStressSpec extends AnyFunSuite {
       s"retry of an absorbed batch must be a no-op after rebuild: $st4")
   }
 
+  test("hammingPairs viral duplicate block: the quadratic expansion is salted " +
+      "across tasks, pair set exact") {
+    import graft.operators.Media
+    import spark.implicits._
+    // 3000 identical payloads (one viral image re-posted) + a 2000-doc
+    // distinct tail: the old per-bucket pairCombos generated the group's
+    // 4,498,500 pairs inside ONE task; the salted expansion spreads them
+    // over (sig, si, sj) cells. The fixture corpus has NO non-identical
+    // pair within Hamming ≤ 3 (probed at every SF), so the exact answer
+    // is V(V-1)/2 intra pairs and nothing else.
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val viralText = d.filter(col("doc_id") === 0).select(col("text")).head().getString(0)
+    // 6000 copies: the deterministic 2% probe estimates the group well
+    // past hammingSaltMinGroup (4096), so the PRODUCTION dispatch — not
+    // a test knob — routes this corpus to the salted path
+    val v = 6000
+    val viral = spark.range(v).select((col("id") + 1000000L).as("doc_id"),
+      lit(viralText).as("text"))
+    val corpus = d.filter(col("doc_id") >= 1 && col("doc_id") < 2000)
+      .unionByName(viral)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media", Media.asMedia("payload", "image/stub"))
+    // the repartition stage carries one small sliced row per salt cell —
+    // lower the record floor so the balance audit sees it spread
+    val n = assertBalanced("viralHamming", factor = 8.0, minRecords = 100L) {
+      Media.perceptualDupPairs(corpus, "doc_id", "media", maxDist = 3).count()
+    }
+    val expected = v.toLong * (v - 1) / 2
+    assert(n == expected, s"viral block must yield exactly $expected pairs, got $n")
+    // path identity: on the planted-duplicate q127 corpus (small groups —
+    // the direct path's home turf) the salted path, forced via the knob,
+    // must produce the identical pair multiset
+    val small = d.union(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media", Media.asMedia("payload", "image/stub"))
+    def pairSet(): Set[(Long, Long, Int)] =
+      Media.perceptualDupPairs(small, "doc_id", "media", maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = pairSet()
+    val savedMin = graft.operators.Dedup.hammingSaltMinGroup
+    val salted = try {
+      graft.operators.Dedup.hammingSaltMinGroup = 0L
+      pairSet()
+    } finally graft.operators.Dedup.hammingSaltMinGroup = savedMin
+    assert(salted == direct,
+      s"salted path must equal direct: missing ${(direct -- salted).take(5)}, " +
+        s"extra ${(salted -- direct).take(5)}")
+    assert(direct.nonEmpty)
+  }
+
   test("cluster-registry hot-template epoch past the edge ceiling: dispatches " +
       "distributed (used to throw), balanced, equal to batch connected components") {
     import graft.operators.ClusterRegistry
