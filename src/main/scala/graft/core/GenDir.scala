@@ -59,8 +59,24 @@ object GenDir {
   val MaxScanAgeKey = "spark.graft.maxScanAgeMs"
   val DefaultMaxScanAgeMs: Long = 6L * 3600L * 1000L
 
+  /** Cap on generations the TIME leg may keep (newest-first by commit
+    * time), `spark.graft.maxTimeKeptGens`. Without it a stream that
+    * compacts every few minutes (q156-style UrlIndex folds, in-stream
+    * registry/minhash maintenance) would retain dozens of full index
+    * copies inside the 6 h window — the window bounds scan AGE, this
+    * bounds disk AMPLIFICATION. The storage envelope is
+    * `(1 + GraceKeep + cap)` live copies worst-case; the protection
+    * envelope shrinks to `cap × compaction cadence` when the cadence is
+    * faster than `maxScanAgeMs / cap` — size the cap to the longest scan
+    * you run against the most compaction-happy artifact. */
+  val MaxTimeKeptKey = "spark.graft.maxTimeKeptGens"
+  val DefaultMaxTimeKeptGens: Int = 4
+
   private[graft] def maxScanAgeMs(spark: SparkSession): Long =
     spark.conf.get(MaxScanAgeKey, DefaultMaxScanAgeMs.toString).toLong
+
+  private[graft] def maxTimeKeptGens(spark: SparkSession): Int =
+    spark.conf.get(MaxTimeKeptKey, DefaultMaxTimeKeptGens.toString).toInt
 
   private def fsOf(spark: SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
@@ -111,21 +127,29 @@ object GenDir {
   /** The generations a publish of `newGen` must delete. KEEP is the OR
     * of two rules: the newest [[GraceKeep]] committed generations below
     * `newGen`, selected by RECENCY, not by number (gen numbers need not
-    * be dense when debris was staged in between) — and any committed
-    * generation whose commit is younger than `maxScanAgeMs` (the time
-    * leg: a reader whose scan outlives two back-to-back rebuilds keeps
-    * its files as long as the scan is shorter than the configured age).
-    * Uncommitted debris below `newGen` always drops. Pure selection,
-    * shared by the path-backed commit here and the catalog-table minhash
-    * variant ([[graft.operators.Dedup]]), so the grace policy can never
-    * diverge between the two index layouts. */
+    * be dense when debris was staged in between) — and the newest (by
+    * commit time) at most `maxTimeKept` committed generations whose
+    * commit is younger than `maxScanAgeMs` (the time leg: a reader whose
+    * scan outlives two back-to-back rebuilds keeps its files as long as
+    * the scan is shorter than the configured age; the cap bounds the
+    * disk amplification a fast-compacting stream would otherwise build
+    * up inside the window — see [[MaxTimeKeptKey]]). Uncommitted debris
+    * below `newGen` always drops. Pure selection, shared by the
+    * path-backed commit here and the catalog-table minhash variant
+    * ([[graft.operators.Dedup]]), so the grace policy can never diverge
+    * between the two index layouts. */
   def toDrop(all: Seq[(Int, Boolean, Long)], newGen: Int,
-      now: Long, maxScanAgeMs: Long): Seq[Int] = {
+      now: Long, maxScanAgeMs: Long,
+      maxTimeKept: Int = DefaultMaxTimeKeptGens): Seq[Int] = {
     val kept = all.collect { case (g, true, _) if g < newGen => g }
       .sorted.takeRight(GraceKeep).toSet
+    val timeKept = all.collect {
+        case (g, true, at) if g < newGen && !kept.contains(g) &&
+          now - at < maxScanAgeMs => (at, g)
+      }.sorted.takeRight(math.max(maxTimeKept, 0)).map(_._2).toSet
     all.collect {
-      case (g, true, at) if g < newGen && !kept.contains(g) &&
-        now - at >= maxScanAgeMs => g
+      case (g, true, _) if g < newGen && !kept.contains(g) &&
+        !timeKept.contains(g) => g
       case (g, false, _) if g < newGen => g
     }
   }
@@ -139,7 +163,8 @@ object GenDir {
     val marker = new org.apache.hadoop.fs.Path(genPath(root, gen), CommitMarker)
     if (!fs.exists(marker)) fs.create(marker, false).close()
     toDrop(gens(spark, root), gen,
-        System.currentTimeMillis(), maxScanAgeMs(spark)).foreach { g =>
+        System.currentTimeMillis(), maxScanAgeMs(spark),
+        maxTimeKeptGens(spark)).foreach { g =>
       fs.delete(new org.apache.hadoop.fs.Path(genPath(root, g)), true): Unit
     }
   }

@@ -653,7 +653,8 @@ object Dedup {
     // the path-backed and the catalog-table index layouts
     graft.core.GenDir.toDrop(minhashGens(spark, table), newGen,
         System.currentTimeMillis(),
-        graft.core.GenDir.maxScanAgeMs(spark)).foreach { g =>
+        graft.core.GenDir.maxScanAgeMs(spark),
+        graft.core.GenDir.maxTimeKeptGens(spark)).foreach { g =>
       val (sh, bk) = minhashGenTables(table, g)
       Bucketing.dropTableAndLocation(spark, sh)
       Bucketing.dropTableAndLocation(spark, bk)
@@ -957,13 +958,6 @@ object Dedup {
     hammingPairs(simhashSignatures(df, idCol, textCol, shingleSize), maxDist,
       Some(simhashSignatures(hammingProbeSample(df), idCol, textCol, shingleSize)))
 
-  /** Pigeonhole-blocked Hamming pairs over ANY 64-bit signature table
-    * (doc_id, simhash) — dedup is modality-agnostic once a row carries a
-    * signature, so text SimHash ([[simhashPairs]]) and media perceptual
-    * hash ([[graft.operators.Media.perceptualDupPairs]]) share this
-    * join. Split into (maxDist+1) chunks: any pair within distance
-    * maxDist agrees exactly on ≥ 1 chunk, so the chunk-equality
-    * self-join has full recall. */
   /** Pigeonhole banding for a 64-bit signature table (doc_id, simhash):
     * one row per (doc, chunk) with the chunk index and value — any pair
     * within Hamming distance maxDist agrees exactly on ≥ 1 chunk. Shared

@@ -716,9 +716,16 @@ object Similarity {
     * vectors. On a LEGACY layout only (no committed generation — under
     * the generation discipline every committed marker carries the
     * sentinel, so a sentinel-less dir there is genuine crash debris), a
-    * sentinel-less batch dir whose rows parquet is READABLE is a
-    * committed legacy marker: stamp the sentinel. An unreadable dir is a
-    * real partial write and stays unstamped for its retry to delete. */
+    * sentinel-less batch dir is a committed legacy marker IFF its rows
+    * parquet is readable as exactly one non-null count AND that count
+    * matches the batch's lists delta (the `delta-<id>-`-prefixed list
+    * files its append moved in — the batch's other commit evidence).
+    * Readability alone only proves commit under a job-commit output
+    * committer (v1); with direct-write committers (S3A magic,
+    * FileOutputCommitter v2) a crashed append can leave READABLE partial
+    * files, and stamping those would turn the retry's redo into a silent
+    * skip. A dir failing either check is a real partial write and stays
+    * unstamped for its retry to delete. */
   private def stampLegacyAppendMarkers(spark: SparkSession, path: String,
       cur: String): Unit =
     if (graft.core.GenDir.resolve(spark, path).isEmpty) {
@@ -729,12 +736,34 @@ object Similarity {
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
             !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, BatchDoneMarker)))
           .foreach { b =>
-            val readable =
+            val recorded =
               try {
-                spark.read.parquet(b.getPath.toString)
-                  .select(col("rows")).count() >= 0L
-              } catch { case scala.util.control.NonFatal(_) => false }
-            if (readable)
+                val rows = spark.read.parquet(b.getPath.toString)
+                  .select(col("rows")).collect()
+                if (rows.length == 1 && !rows(0).isNullAt(0))
+                  Some(rows(0).getLong(0))
+                else None
+              } catch { case scala.util.control.NonFatal(_) => None }
+            val confirmed = recorded.exists { n =>
+              val batchId = b.getPath.getName.stripPrefix("batch=")
+              val lists = new org.apache.hadoop.fs.Path(s"$cur/lists")
+              val deltaFiles =
+                if (!fs.exists(lists)) Array.empty[String]
+                else fs.listStatus(lists).filter(_.isDirectory).flatMap { d =>
+                  fs.listStatus(d.getPath)
+                    .filter(f => f.isFile &&
+                      f.getPath.getName.startsWith(s"delta-$batchId-"))
+                    .map(_.getPath.toString)
+                }
+              val actual =
+                if (deltaFiles.isEmpty) 0L
+                else
+                  try spark.read.parquet(deltaFiles.toIndexedSeq: _*)
+                    .select(col("neighbor_id")).distinct().count()
+                  catch { case scala.util.control.NonFatal(_) => -1L }
+              actual == n
+            }
+            if (confirmed)
               fs.create(new org.apache.hadoop.fs.Path(b.getPath, BatchDoneMarker),
                 false).close()
           }

@@ -3416,13 +3416,17 @@ object Catalog {
   /** Session-scoped q166 result (the q163 `ran` convention: the gate IS
     * a lifecycle — build/serve/append/rebuild checkpoints can only be
     * measured by running it, and re-running ~25 jobs per bench rep would
-    * time the fixture, not an operator). */
+    * time the fixture, not an operator). Keyed by (session, dir): the
+    * cached DataFrame is bound to the session that ran the lifecycle, so
+    * a SECOND SparkSession in the same JVM must re-run it rather than
+    * read a frame tied to a possibly-stopped session. */
   private val ranPhashLifecycle =
     new scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   private val q166 = QueryDef(
     "q166_phash_index_lifecycle",
-    (s, dir) => ranPhashLifecycle.getOrElseUpdate(s"$dir/phl", {
+    (s, dir) => ranPhashLifecycle.getOrElseUpdate(
+      s"${System.identityHashCode(s)}:$dir/phl", {
       import s.implicits._
       import graft.operators.{Media, PhashIndex}
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))

@@ -89,8 +89,8 @@ object StreamGateQueries {
         synchronized { epochs = math.max(epochs, id + 1); merge(id, rows) }
       }
       .trigger(Trigger.AvailableNow())
-      .start(), cp, () => epochs)
-    epochs
+      .start(), cp, () => synchronized { epochs })
+    synchronized { epochs }
   }
 
   /** T — rollingAggregate (update-mode keyed streaming aggregate): the

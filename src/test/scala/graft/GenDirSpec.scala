@@ -100,6 +100,29 @@ class GenDirSpec extends AnyFunSuite {
       now = 1000L, maxScanAgeMs = 500L) == Seq(0))
   }
 
+  test("toDrop: the time leg is CAPPED — a fast-compacting stream cannot pile " +
+      "up unbounded generations inside the window") {
+    // six committed gens all seconds old (a stream compacting every few
+    // minutes); publishing 6 with cap 2: count rule keeps gen 5, the time
+    // leg keeps only the NEWEST 2 of the rest (gens 4 and 3) — gens 0-2
+    // drop even though they are inside the scan-age window
+    val all = (0 to 5).map(g => (g, true, 900L + g))
+    assert(GenDir.toDrop(all, 6, now = 1000L, maxScanAgeMs = 500L,
+      maxTimeKept = 2).sorted == Seq(0, 1, 2))
+    // newest-by-COMMIT-TIME, not by number: gen 0 committed last is the
+    // one the cap protects
+    assert(GenDir.toDrop(Seq((0, true, 990L), (1, true, 910L), (2, true, 920L),
+        (3, true, 999L)), 4,
+      now = 1000L, maxScanAgeMs = 500L, maxTimeKept = 1).sorted == Seq(1, 2))
+    // cap 0 degenerates to the pure count rule
+    assert(GenDir.toDrop(Seq((0, true, 999L), (1, true, 999L)), 2,
+      now = 1000L, maxScanAgeMs = 500L, maxTimeKept = 0) == Seq(0))
+    // the default cap (4) keeps the r13 behavior on small histories —
+    // the pre-cap spec cases above all ran with <= 2 candidates
+    assert(GenDir.toDrop(Seq((0, true, 700L), (1, true, 900L)), 2,
+      now = 1000L, maxScanAgeMs = 500L).isEmpty)
+  }
+
   test("commit: idempotent, sweeps debris, keeps exactly the grace window") {
     val root = freshRoot()
     mkGen(root, 0, committed = true)

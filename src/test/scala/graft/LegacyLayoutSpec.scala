@@ -91,6 +91,12 @@ class LegacyLayoutSpec extends AnyFunSuite {
     // and one GENUINE partial marker (empty dir, unreadable parquet) —
     // it must never be stamped or counted
     fs.mkdirs(new Path(s"$path/appends/batch=crashed"))
+    // and one TORN marker (readable parquet — the direct-write-committer
+    // crash shape — but its recorded count disagrees with the lists
+    // delta, because the append died between moving list files and the
+    // final count): resolution must leave it unstamped for its retry
+    spark.createDataFrame(Seq(Tuple1(999999L))).toDF("rows")
+      .write.mode("overwrite").parquet(s"$path/appends/batch=torn")
     // (a) staleness must read the legacy committed batch's mass, not 0
     val st = Similarity.ivfIndexStaleness(spark, path).head()
     val d1Rows = d1.count()
@@ -100,6 +106,9 @@ class LegacyLayoutSpec extends AnyFunSuite {
       "legacy resolution must stamp the sentinel on the readable marker")
     assert(!fs.exists(new Path(s"$path/appends/batch=crashed/_DONE")),
       "an unreadable partial marker must stay unstamped")
+    assert(!fs.exists(new Path(s"$path/appends/batch=torn/_DONE")),
+      "a readable marker whose count disagrees with the lists delta is a " +
+        "torn direct-write and must stay unstamped")
     // (b) rebuild (the migration) carries the batch tombstone forward
     fs.delete(sentinel, false) // strip again: prove REBUILD also stamps
     Similarity.rebuildIvfIndex(spark, path)
