@@ -990,6 +990,16 @@ object Dedup {
     * knob (the density-probe dispatch discipline, q81). */
   @volatile private[graft] var hammingSaltMinGroup: Long = 4096L
 
+  /** Per-SIDE group size above which an INTER-group signature pair takes
+    * the salted expansion inside [[hammingPairsSalted]]: two mutually-
+    * near viral groups (the same meme re-encoded twice, each re-posted
+    * 100k times) emit |A|×|B| rows — quadratic only when BOTH sides are
+    * viral, so the dispatch keys on the smaller side. One-side-viral
+    * pairs stay on the direct join: their output is linear in the viral
+    * side and the join distributes it by the small side's rows.
+    * `@volatile` test knob (same discipline as [[hammingSaltMinGroup]]). */
+  @volatile private[graft] var hammingSaltInterMinSide: Long = 4096L
+
   /** Deterministic-seed sample rate for the duplicate-group probe —
     * seeded so WHICH path a dataset takes never varies run to run (the
     * bc61540 plan-stability rule). */
@@ -1050,17 +1060,26 @@ object Dedup {
     *   2. banding + bucket pairCombos runs over DISTINCT signatures only
     *      (bucket sizes bounded by near-dup structure, never by
     *      duplication), yielding signature-level pairs;
-    *   3. inter-group pairs expand those over both member sets with two
-    *      streaming joins.
+    *   3. inter-group pairs expand those over both member sets — with two
+    *      streaming joins when at least one side is small (output linear
+    *      in the big side, distributed by the small side's rows), and
+    *      through the same mod-S slicing as the intra path when BOTH
+    *      sides exceed [[hammingSaltInterMinSide]] (a viral×viral pair's
+    *      |A|×|B| emission would otherwise land in one join task; sliced,
+    *      it spreads over S² (sig_a, sig_b, si, sj) cells).
     * Output contract identical to [[hammingPairsDirect]] (spec-pinned):
     * (doc_a < doc_b, hamming ≤ maxDist), one row per pair. */
   private def hammingPairsSalted(docs: DataFrame, maxDist: Int): DataFrame = {
     val S = HammingSaltS
     val saltCells = array((0 until S).flatMap(i => (i until S).map(j =>
       struct(lit(i).as("si"), lit(j).as("sj")))): _*)
-    val groups = docs.groupBy(col("simhash"))
+    // one member aggregate serves both paths (the groupBy exchange is
+    // reused across its references): size>1 groups drive the intra
+    // expansion, the unfiltered frame backs the viral×viral inter slices
+    // (a forced-dispatch side can be a singleton signature)
+    val memsAll = docs.groupBy(col("simhash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
-      .filter(size(col("ms")) > 1)
+    val groups = memsAll.filter(size(col("ms")) > 1)
     val intra = groups
       .select(col("simhash"), col("ms"), explode(saltCells).as("s"))
       .select(col("simhash"), col("s.si").as("si"), col("s.sj").as("sj"),
@@ -1088,14 +1107,53 @@ object Dedup {
           bit_count(col("p.a").bitwiseXOR(col("p.b"))).as("hamming"))
         .distinct()
         .filter(col("hamming") <= maxDist)
-      val inter = sigPairs
+      // group sizes are already known at the collapse step: tag each sig
+      // pair's two sides so the viral×viral pairs — and only those —
+      // divert to the slicing (Catalyst prunes this to a count-only
+      // aggregate; the arrays never ride the size join)
+      val cnts = memsAll.select(col("simhash"), size(col("ms")).as("gn"))
+      val sized = sigPairs
+        .join(cnts.select(col("simhash").as("sig_a"), col("gn").as("na")),
+          Seq("sig_a"))
+        .join(cnts.select(col("simhash").as("sig_b"), col("gn").as("nb")),
+          Seq("sig_b"))
+      val minSide = hammingSaltInterMinSide
+      val small = sized
+        .filter(col("na") <= minSide || col("nb") <= minSide)
+        .select(col("sig_a"), col("sig_b"), col("hamming"))
+      val interSmall = small
         .join(docs.select(col("simhash").as("sig_a"), col("doc_id").as("ida")),
           Seq("sig_a"))
         .join(docs.select(col("simhash").as("sig_b"), col("doc_id").as("idb")),
           Seq("sig_b"))
         .select(least(col("ida"), col("idb")).as("doc_a"),
           greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
-      intra.unionByName(inter)
+      val big = sized
+        .filter(col("na") > minSide && col("nb") > minSide)
+        .select(col("sig_a"), col("sig_b"), col("hamming"))
+      // full S×S cells (not the intra path's triangle): the two member
+      // sets are disjoint — a doc has ONE signature — so every (si, sj)
+      // cell is a distinct slice pair and no self-pair guard is needed
+      val fullCells = array((0 until S).flatMap(i => (0 until S).map(j =>
+        struct(lit(i).as("si"), lit(j).as("sj")))): _*)
+      val mems = memsAll
+      val interBig = big
+        .join(mems.select(col("simhash").as("sig_a"), col("ms").as("ma")),
+          Seq("sig_a"))
+        .join(mems.select(col("simhash").as("sig_b"), col("ms").as("mb")),
+          Seq("sig_b"))
+        .select(col("sig_a"), col("sig_b"), col("hamming"),
+          col("ma"), col("mb"), explode(fullCells).as("s"))
+        .select(col("sig_a"), col("sig_b"), col("hamming"),
+          col("s.si").as("si"), col("s.sj").as("sj"),
+          filter(col("ma"), (_, k) => pmod(k, lit(S)) === col("s.si")).as("mi"),
+          filter(col("mb"), (_, k) => pmod(k, lit(S)) === col("s.sj")).as("mj"))
+        .repartition(col("sig_a"), col("sig_b"), col("si"), col("sj"))
+        .select(col("hamming"), col("mj"), explode(col("mi")).as("x"))
+        .select(col("hamming"), col("x"), explode(col("mj")).as("y"))
+        .select(least(col("x"), col("y")).as("doc_a"),
+          greatest(col("x"), col("y")).as("doc_b"), col("hamming"))
+      intra.unionByName(interSmall).unionByName(interBig)
     }
   }
 

@@ -867,6 +867,68 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("hammingPairs TWO mutually-near viral groups: the inter-group |A|x|B| " +
+      "expansion is salted across tasks, pair set exact") {
+    import graft.operators.Media
+    import spark.implicits._
+    // the round-13 salted path spread one viral group's INTRA pairs over
+    // S(S+1)/2 cells but expanded inter-group pairs with two plain joins —
+    // two mutually-near viral groups (the same meme re-encoded twice, each
+    // re-posted thousands of times) piled |A|x|B| rows into one join task.
+    // Fixture: group A = 6000 copies of a doc, group B = 6000 copies of a
+    // one-char edit whose stub phash lands within Hamming 1..3 of A's (a
+    // local edit perturbs only the stride samples it touches).
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val textA = d.filter(col("doc_id") === 0).select(col("text")).head().getString(0)
+    val hashA = Media.StubCodec.phash64(textA.getBytes("UTF-8"))
+    val textB = (0 until textA.length).iterator.map { p =>
+      textA.updated(p, if (textA(p) == 'a') 'b' else 'a')
+    }.find { t =>
+      val dist = java.lang.Long.bitCount(
+        Media.StubCodec.phash64(t.getBytes("UTF-8")) ^ hashA)
+      dist >= 1 && dist <= 3
+    }.getOrElse(fail("fixture: no one-char edit lands within Hamming 1..3"))
+    val v = 6000
+    def copies(t: String, base: Long) = spark.range(v)
+      .select((col("id") + base).as("doc_id"), lit(t).as("text"))
+    val corpus = copies(textA, 1000000L).unionByName(copies(textB, 2000000L))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media", Media.asMedia("payload", "image/stub"))
+    val n = assertBalanced("viralInterHamming", factor = 8.0, minRecords = 100L) {
+      Media.perceptualDupPairs(corpus, "doc_id", "media", maxDist = 3).count()
+    }
+    // exactly: each group's v(v-1)/2 intra pairs plus the v*v inter pairs
+    val expected = v.toLong * (v - 1) + v.toLong * v
+    assert(n == expected,
+      s"two mutually-near viral groups must yield exactly $expected pairs, got $n")
+    // forced-path identity: with BOTH salt knobs at 0 every signature pair
+    // takes the sliced inter expansion — on the small planted-dup corpus
+    // (singleton signatures included) the pair set must be identical
+    val small = d.union(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media", Media.asMedia("payload", "image/stub"))
+    def pairSet(): Set[(Long, Long, Int)] =
+      Media.perceptualDupPairs(small, "doc_id", "media", maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = pairSet()
+    val savedMin = graft.operators.Dedup.hammingSaltMinGroup
+    val savedSide = graft.operators.Dedup.hammingSaltInterMinSide
+    val forced = try {
+      graft.operators.Dedup.hammingSaltMinGroup = 0L
+      graft.operators.Dedup.hammingSaltInterMinSide = 0L
+      pairSet()
+    } finally {
+      graft.operators.Dedup.hammingSaltMinGroup = savedMin
+      graft.operators.Dedup.hammingSaltInterMinSide = savedSide
+    }
+    assert(forced == direct,
+      s"sliced inter path must equal direct: missing ${(direct -- forced).take(5)}, " +
+        s"extra ${(forced -- direct).take(5)}")
+    assert(direct.nonEmpty)
+  }
+
   test("cluster-registry hot-template epoch past the edge ceiling: dispatches " +
       "distributed (used to throw), balanced, equal to batch connected components") {
     import graft.operators.ClusterRegistry
