@@ -84,10 +84,32 @@ object ClusterRegistry {
     * generation dirs. */
   private def qualRoot(path: String): String = s"$path/_qual"
 
-  private def writeQual(df: DataFrame, path: String, batch: String): Unit =
+  /** Marker stamping a sidecar batch dir as ABSORBED by a [[compact]]
+    * fold: the dir stays as an empty tombstone (the
+    * [[PhashIndex.rebuild]] device) so a late upstream retry of the
+    * absorbed batch is a no-op instead of re-fragmenting the sidecar —
+    * its rows already live in the consolidated `batch=c<gen>` dir. */
+  private val QualFoldedMarker = "_FOLDED"
+
+  private def writeQual(df: DataFrame, path: String, batch: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"${qualRoot(path)}/batch=$batch")
+    val fs = fsOf(spark = df.sparkSession, path = path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, QualFoldedMarker))) return
     df.select(col("doc_id").cast("long").as("doc_id"),
         col("quality").cast("double").as("quality"))
-      .write.mode("overwrite").parquet(s"${qualRoot(path)}/batch=$batch")
+      .write.mode("overwrite").parquet(dir.toString)
+  }
+
+  /** Sidecar batch dirs currently HOLDING rows (tombstones excluded). */
+  private def qualDataDirs(spark: SparkSession, path: String): Seq[String] = {
+    val qr = new org.apache.hadoop.fs.Path(qualRoot(path))
+    val fs = fsOf(spark, path)
+    if (!fs.exists(qr)) Seq.empty
+    else fs.listStatus(qr).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, QualFoldedMarker)))
+      .map(_.getPath.toString)
+  }
 
   /** Sidecar qualities for `ids` (bounded) — max over replay-duplicated
     * rows (identical values; max for determinism). Empty map when the
@@ -561,19 +583,31 @@ object ClusterRegistry {
     }: Unit
   }
 
-  /** Registry health: member rows, relabel entries/batches, and whether
-    * the relabel log is long enough to fold ([[CompactRelabelBatches]]). */
+  /** Registry health: member rows, relabel entries/batches, whether the
+    * relabel log is long enough to fold ([[CompactRelabelBatches]]) —
+    * plus the ELECTION surface a dedup-map consumer needs to tell
+    * keep-best provenance from the min-id fallback
+    * ([[assignWithReps]] silently uses `rep_doc = cluster_id` for
+    * quality-less registries/clusters): `has_quality` (the registry
+    * carries an elect log or sidecar rows), `elected_clusters` (clusters
+    * with a keep-best winner), and `qual_batches` (sidecar DATA dirs —
+    * the fragmentation [[compact]]'s sidecar fold resets). */
   def staleness(spark: SparkSession, path: String): DataFrame = {
     val g = cur(spark, path)
-    // one Spark job for both row counts (the r11 rebuildIvfIndex fold):
-    // distinct members and relabel rows union through a tag column
+    val rel = relabelMap(spark, g, excludeBatch = None)
+    // one Spark job for all three counts (the r11 rebuildIvfIndex fold):
+    // distinct members, relabel rows and distinct elected clusters union
+    // through a tag column
     val counts = rawAssign(spark, g).select(col("doc_id")).distinct()
       .select(lit("m").as("k"))
       .unionByName(spark.read.parquet(s"$g/relabel").select(lit("r").as("k")))
+      .unionByName(electResolved(spark, g, rel, excludeBatch = None)
+        .select(col("rep_r")).distinct().select(lit("e").as("k")))
       .groupBy(col("k")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val members = counts.getOrElse("m", 0L)
     val relRows = counts.getOrElse("r", 0L)
+    val elected = counts.getOrElse("e", 0L)
     // batch DIRS, not row-bearing batches: every read pays the dir
     // listing whether a batch carried relabels or not (an epoch with no
     // bridges still writes its empty exactly-once partition), so the
@@ -583,10 +617,14 @@ object ClusterRegistry {
       .listStatus(new org.apache.hadoop.fs.Path(s"$g/relabel"))
       .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .toLong
+    val qualBatches = qualDataDirs(spark, path).size.toLong
+    val hasQuality = qualBatches > 0L ||
+      fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(s"$g/elect"))
     spark.createDataFrame(Seq((members, relRows, relBatches,
-        relBatches > CompactRelabelBatches)))
+        relBatches > CompactRelabelBatches, hasQuality, elected, qualBatches)))
       .toDF("member_rows", "relabel_rows", "relabel_batches",
-        "compact_recommended")
+        "compact_recommended", "has_quality", "elected_clusters",
+        "qual_batches")
   }
 
   /** Fold the relabel log into the member rows as a fresh generation
@@ -624,6 +662,30 @@ object ClusterRegistry {
         .select(col("rep"), (-col("w.negid")).as("best_doc"),
           col("w.best_quality").as("best_quality"))
         .write.mode("overwrite").parquet(s"$stage/elect/batch=c")
+    // fold the quality sidecar too (one `batch=` dir per epoch FOREVER
+    // was the r13 residual — at daily-epoch cadence that is hundreds of
+    // tiny-file dirs on every election read): per-doc max is order-free,
+    // so one consolidated `batch=c<gen>` dir is exact; absorbed dirs stay
+    // as empty `_FOLDED` tombstones (the [[PhashIndex.rebuild]] device)
+    // so a late upstream retry of an absorbed batch is a no-op. The
+    // sidecar lives OUTSIDE generations, so the fold is idempotent rather
+    // than publish-atomic: a re-run re-reads whatever data dirs remain
+    // (max over duplicates is the same value) and re-tombstones.
+    val dataDirs = qualDataDirs(spark, path)
+    if (dataDirs.nonEmpty) {
+      val fs = fsOf(spark, path)
+      val cdir = s"${qualRoot(path)}/batch=c$gen"
+      spark.read.parquet(dataDirs: _*)
+        .groupBy(col("doc_id")).agg(max(col("quality")).as("quality"))
+        .write.mode("overwrite").parquet(cdir)
+      dataDirs.filterNot(_ == cdir).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        fs.delete(p, true)
+        fs.mkdirs(p)
+        fs.create(new org.apache.hadoop.fs.Path(p, QualFoldedMarker),
+          false).close()
+      }
+    }
     GenDir.commit(spark, path, gen)
   }
 }

@@ -4635,6 +4635,105 @@ object Catalog {
              ELSE rep_doc END AS suppressed_by_rep
       FROM m ORDER BY doc_id"""))
 
+  /** Session-scoped MEDIA cluster registry (VERDICT r13 item 4 — the
+    * registry is modality-agnostic; this feeds it from the phash family
+    * instead of minhash): the q127 planted-duplicate media corpus split
+    * into a base third and two ingest epochs, edges per epoch = the
+    * [[graft.operators.PhashIndex]] serve against everything already
+    * indexed plus the within-batch pass (the q166/q167 pair stream), a
+    * compaction mid-run. Quality is a PER-COPY media signal (stand-in
+    * for stored bitrate/resolution metadata — the stub copies are
+    * byte-identical, so the keep-best signal rides the row, not the
+    * payload). On these fixtures Hamming ≤ 3 ⟺ payload equality (the
+    * q167 oracle's probed property), so the final clusters are exactly
+    * the identical-payload groups — which is what lets DuckDB replay the
+    * whole lifecycle as a GROUP BY md5(text). */
+  private val builtMediaRegistry =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def mediaDd(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media", graft.operators.Media.asMedia("payload", "image/stub"))
+  }
+  private def mediaRegistry(s: SparkSession, dir: String): String = {
+    val key = dir.split('/').filter(_.nonEmpty).last
+    builtMediaRegistry.getOrElseUpdate(key, {
+      import graft.operators.{ClusterRegistry, Media, PhashIndex}
+      val dd = mediaDd(s, dir)
+      def withQual(df: DataFrame) = df.select(col("doc_id"),
+        pmod(col("doc_id"), lit(97)).cast("double").as("quality"))
+      def part(m: Int) = dd.filter(pmod(col("doc_id"), lit(3)) === m)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-mreg-" +
+        s"${key.replace('.', '_')}-${java.lang.ProcessHandle.current().pid()}"
+      val (pidx, reg) = (s"$tmp-pidx", s"$tmp-reg")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(pidx, reg).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp)) fs.delete(hp, true)
+      }
+      val base = part(0)
+      PhashIndex.build(base, "doc_id", "media", pidx)
+      ClusterRegistry.seed(s,
+        Media.perceptualDupPairs(base, "doc_id", "media")
+          .select(col("doc_a"), col("doc_b")),
+        reg, Some(withQual(base)))
+      for (m <- 1 to 2) {
+        val b = part(m)
+        val edges = PhashIndex.pairsAgainstIndex(b, "doc_id", "media", pidx)
+          .select(col("doc_a"), col("doc_b"))
+          .unionByName(Media.perceptualDupPairs(b, "doc_id", "media")
+            .select(col("doc_a"), col("doc_b")))
+        ClusterRegistry.registerEpoch(s, reg, withQual(b), edges, s"m$m")
+        PhashIndex.append(b, "doc_id", "media", pidx, s"m$m")
+        if (m == 1) ClusterRegistry.compact(s, reg)
+      }
+      reg
+    })
+  }
+
+  /** The MEDIA dedup-map (q168's artifact for the phash family): every
+    * media doc's stable cluster id, the copy that kept the slot under
+    * the per-copy quality election, and — for suppressed copies — who
+    * suppressed them, read from the registry the q166-style ingest
+    * maintained. Proves the provenance machinery composes across
+    * modalities with zero new operators. */
+  private val q169 = QueryDef(
+    "q169_media_dedup_map",
+    (s, dir) => {
+      val reg = mediaRegistry(s, dir)
+      graft.operators.ClusterRegistry
+        .assignWithReps(mediaDd(s, dir).select(col("doc_id")), reg)
+        .select(col("doc_id"), col("cluster_id"), col("rep_doc"),
+          (col("doc_id") === col("rep_doc")).as("kept"),
+          when(col("doc_id") === col("rep_doc"), lit(-1L))
+            .otherwise(col("rep_doc")).as("suppressed_by_rep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dd AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      q AS (SELECT doc_id, md5(text) AS h,
+              CAST(doc_id % 97 AS DOUBLE) AS quality FROM dd),
+      g AS (SELECT h, CAST(MIN(doc_id) AS BIGINT) AS cid, COUNT(*) AS n
+            FROM q GROUP BY h),
+      best AS (SELECT h, doc_id AS bd FROM (
+          SELECT h, doc_id, row_number() OVER (
+            PARTITION BY h ORDER BY quality DESC, doc_id) AS rn
+          FROM q) WHERE rn = 1),
+      m AS (SELECT q.doc_id,
+          CAST(CASE WHEN g.n > 1 THEN g.cid ELSE q.doc_id END AS BIGINT)
+            AS cluster_id,
+          CAST(CASE WHEN g.n > 1 THEN best.bd ELSE q.doc_id END AS BIGINT)
+            AS rep_doc
+        FROM q JOIN g USING (h) JOIN best USING (h))
+      SELECT doc_id, cluster_id, rep_doc,
+        (doc_id = rep_doc) AS kept,
+        CASE WHEN doc_id = rep_doc THEN CAST(-1 AS BIGINT)
+             ELSE rep_doc END AS suppressed_by_rep
+      FROM m ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4650,7 +4749,7 @@ object Catalog {
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q157, q158, q160, q161, q164, q165, q166, q168) ++
+    q154, q155, q157, q158, q160, q161, q164, q165, q166, q168, q169) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

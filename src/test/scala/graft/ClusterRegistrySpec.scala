@@ -298,6 +298,65 @@ class ClusterRegistrySpec extends AnyFunSuite {
     assert(electedMap(path).get(50L).contains((50L, 6.0)))
   }
 
+  test("compact folds the quality sidecar: one data dir, tombstoned batches, " +
+      "late sidecar retry is a no-op; staleness surfaces election semantics") {
+    import org.apache.spark.sql.functions.{col, max}
+    val path = freshPath()
+    def sidecarMax(p: String): Map[Long, Double] =
+      spark.read.parquet(s"$p/_qual")
+        .groupBy(col("doc_id")).agg(max(col("quality")).as("q"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val qual = Seq((1L, 2.0), (5L, 7.0), (2L, 4.0), (8L, 3.0), (3L, 9.0))
+      .toDF("doc_id", "quality")
+    ClusterRegistry.seed(spark,
+      Seq((1L, 5L), (2L, 8L)).toDF("doc_a", "doc_b"), path, Some(qual))
+    ClusterRegistry.register(spark, path, Seq(20L),
+      Seq((20L, 5L), (20L, 8L)), "0", Map(20L -> 5.0))
+    ClusterRegistry.register(spark, path, Seq(21L, 22L),
+      Seq((21L, 22L)), "1", Map(21L -> 1.0, 22L -> 2.5))
+    val st0 = ClusterRegistry.staleness(spark, path).head()
+    assert(st0.getBoolean(4), s"has_quality must read true: $st0")
+    assert(st0.getLong(5) == 2L,
+      s"the merged cluster and {21,22} hold elections: $st0")
+    assert(st0.getLong(6) == 3L,
+      s"three sidecar data dirs before the fold (seed, b0, b1): $st0")
+    val electBefore = electedMap(path)
+    val qualBefore = sidecarMax(path)
+    ClusterRegistry.compact(spark, path)
+    val st1 = ClusterRegistry.staleness(spark, path).head()
+    assert(st1.getLong(6) == 1L,
+      s"the fold must leave ONE consolidated sidecar data dir: $st1")
+    assert(st1.getBoolean(4) && st1.getLong(5) == 2L,
+      s"election surface unchanged across the fold: $st1")
+    assert(electedMap(path) == electBefore,
+      "resolved elections must be identical across the sidecar fold")
+    assert(sidecarMax(path) == qualBefore,
+      "per-doc sidecar values must be identical across the fold")
+    // late upstream retry of an absorbed epoch: the sidecar write is a
+    // no-op (the _FOLDED tombstone gates it) and the dir stays empty
+    ClusterRegistry.register(spark, path, Seq(20L),
+      Seq((20L, 5L), (20L, 8L)), "0", Map(20L -> 5.0))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b0 = new Path(s"$path/_qual/batch=b0")
+    assert(fs.listStatus(b0).forall(_.getPath.getName.startsWith("_")),
+      "the absorbed batch's sidecar dir must stay an empty tombstone")
+    assert(ClusterRegistry.staleness(spark, path).head().getLong(6) == 1L,
+      "a late retry must not re-fragment the folded sidecar")
+    assert(electedMap(path) == electBefore)
+    assert(sidecarMax(path) == qualBefore)
+    // a SECOND compact folds the consolidated dir into the next one
+    ClusterRegistry.compact(spark, path)
+    assert(ClusterRegistry.staleness(spark, path).head().getLong(6) == 1L)
+    assert(electedMap(path) == electBefore)
+    assert(sidecarMax(path) == qualBefore)
+    // a quality-LESS registry reads has_quality false, zero elections
+    val plain = freshPath()
+    ClusterRegistry.seed(spark, Seq((1L, 5L)).toDF("doc_a", "doc_b"), plain)
+    val stp = ClusterRegistry.staleness(spark, plain).head()
+    assert(!stp.getBoolean(4) && stp.getLong(5) == 0L && stp.getLong(6) == 0L,
+      s"a min-id-fallback registry must be distinguishable: $stp")
+  }
+
   test("quality-aware distributed fallback writes identical elect rows") {
     def run(path: String): Unit = {
       val qual = Seq((1L, 2.0), (5L, 7.0), (2L, 4.0), (8L, 3.0), (3L, 9.0))
