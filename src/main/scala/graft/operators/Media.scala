@@ -186,7 +186,9 @@ object Media {
       df: DataFrame,
       idCol: String,
       mediaCol: String,
-      maxDist: Int = 3): DataFrame =
+      maxDist: Int = 3,
+      forceDirect: Boolean = false): DataFrame =
     graft.operators.Dedup.hammingPairs(phashAll(df, idCol, mediaCol), maxDist,
-      Some(phashAll(graft.operators.Dedup.hammingProbeSample(df), idCol, mediaCol)))
+      Some(phashAll(graft.operators.Dedup.hammingProbeSample(df), idCol, mediaCol)),
+      forceDirect)
 }

