@@ -112,6 +112,40 @@ class BenchLineSpec extends AnyFunSuite {
       s"user-cpu elevation must still flag: $pInt")
   }
 
+  test("RepProfiler: arming rules, dump thresholds, JFR round-trip summary") {
+    import graft.tools.RepProfiler
+    // thresholds: 1.5x the block min with the 0.25 s absolute floor
+    assert(RepProfiler.dumpWorthy(1.0, 1.6))
+    assert(!RepProfiler.dumpWorthy(1.0, 1.4))
+    assert(!RepProfiler.dumpWorthy(0.05, 0.12),
+      "sub-floor jitter on fast queries must not dump")
+    // default arming: q81 only (the standing watch item)
+    assert(RepProfiler.armedFor("q81_char_ngram_pairs"))
+    assert(!RepProfiler.armedFor("q22_simhash_pairs"))
+    // record a short busy window, dump, and summarize — proves the JFR
+    // plumbing end-to-end in CI (start may return None on a stripped
+    // runtime; the rig must degrade, not break)
+    RepProfiler.start() match {
+      case None => // no JFR here — the no-op degradation is the contract
+      case Some(r) =>
+        val stop = System.nanoTime() + 300L * 1000 * 1000
+        var x = 0L
+        while (System.nanoTime() < stop) { x += java.util.Arrays.hashCode(Array(x)) }
+        assert(x != Long.MinValue)
+        RepProfiler.stop(r)
+        val stem = s"${System.getProperty("java.io.tmpdir")}/graft-jfr-spec-" +
+          java.lang.ProcessHandle.current().pid()
+        val out = RepProfiler.dumpWithSummary(r, stem)
+        assert(out.isDefined, "dump+summary must succeed on a live JVM")
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(out.get)), "UTF-8")
+        assert(txt.startsWith("samples=") && txt.contains("top leaf frames"),
+          s"summary must carry the sample sections: ${txt.take(80)}")
+        Seq(s"$stem.jfr", s"$stem.txt").foreach(p =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit)
+    }
+  }
+
   test("rendered line is valid JSON with the contract fields") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
