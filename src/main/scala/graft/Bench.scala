@@ -200,6 +200,15 @@ object Bench {
       val entries = nonzero.map { case (k, v) => "\"" + k + "\":" + v } ++
         (if (zeros.isEmpty) Nil else Seq("\"_z\":" + zeros.size))
       val qs = entries.mkString("{", ",", "}")
+      // flag values keep centisecond precision at EVERY rung: the lists
+      // are bounded (MaxP50Flags), so they never threaten the ceiling,
+      // and a flag rendered "0" at integer precision loses the very
+      // information it exists to carry
+      val ff = (v: Double) => {
+        val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+        if (!s.contains('.')) s
+        else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      }
       val total = if (results.nonEmpty) results.values.sum else 0.0
       val sf = sfDir.split('/').last
       // p50 visibility (VERDICT r7 #7): the total plus a BOUNDED list of
@@ -214,7 +223,7 @@ object Bench {
           .filter { case (n, p) => results.get(n).exists(m => p50Flagged(m, flagV(n, p))) }
           .sortBy { case (n, p) => (-(flagV(n, p) - results(n)), n) }
           .take(MaxP50Flags)
-          .map { case (n, p) => "\"" + keys.getOrElse(n, n) + "\":" + f(flagV(n, p)) }
+          .map { case (n, p) => "\"" + keys.getOrElse(n, n) + "\":" + ff(flagV(n, p)) }
           .mkString("{", ",", "}")
         s""","p50_total":${fmt(p50s.values.sum)},"p50_flags":$flags"""
       }
@@ -226,7 +235,7 @@ object Bench {
           .filter { case (n, m) => p50s.get(n).exists(p => maxFlagged(p, m)) }
           .sortBy { case (n, m) => (-(m - p50s(n)), n) }
           .take(MaxP50Flags)
-          .map { case (n, m) => "\"" + keys.getOrElse(n, n) + "\":" + f(m) }
+          .map { case (n, m) => "\"" + keys.getOrElse(n, n) + "\":" + ff(m) }
           .mkString("{", ",", "}")
         s""","max_total":${fmt(maxs.values.sum)},"max_flags":$flags"""
       }
@@ -239,7 +248,7 @@ object Bench {
           .filter { case (n, r1) => p50s.get(n).exists(p => coldFlagged(r1, p, mr)) }
           .sortBy { case (n, r1) => (-(r1 - p50s(n)), n) }
           .take(MaxP50Flags)
-          .map { case (n, r1) => "\"" + keys.getOrElse(n, n) + "\":" + f(r1) }
+          .map { case (n, r1) => "\"" + keys.getOrElse(n, n) + "\":" + ff(r1) }
           .mkString("{", ",", "}")
         s""","cold_flags":$flags"""
       }
