@@ -47,6 +47,13 @@ object Bench {
 
   def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Trim trailing fraction zeros ("10.0"→"10", "0.500"→"0.5") — free
+    * characters at every precision rung, shared by the query map and the
+    * flag lists so the two can never trim differently. */
+  private def trimZeros(s: String): String =
+    if (!s.contains('.')) s
+    else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+
   /** Hard ceiling for the rendered line: the driver tail keeps ~2000 chars
     * and sbt appends a ~75-char success line after ours. */
   val MaxLineLength = 1900
@@ -114,8 +121,13 @@ object Bench {
     val minV = secs.min
     val userOf = (r: Rep) => math.max(0.0, r.cpuS - r.cpuSysS)
     val userBase = userOf(reps(secs.indexOf(minV)))
+    // the exclusion needs CPU evidence: on a host without process-CPU
+    // counters (cpuS reads 0 everywhere) every elevated rep would look
+    // "user-flat" and the flag would silently die — fall back to the
+    // pre-r14 wall-clock-only flagging there
     val internal = reps.filterNot { r =>
-      p50Flagged(minV, r.sec) && userOf(r) <= userBase * 1.3 + 0.5
+      r.cpuS > 0.0 && p50Flagged(minV, r.sec) &&
+        userOf(r) <= userBase * 1.3 + 0.5
     }.map(_.sec)
     val tail = steadyTail(if (internal.isEmpty) secs else internal)
     tail.sorted.apply((tail.size - 1) / 2)
@@ -204,11 +216,8 @@ object Bench {
       // are bounded (MaxP50Flags), so they never threaten the ceiling,
       // and a flag rendered "0" at integer precision loses the very
       // information it exists to carry
-      val ff = (v: Double) => {
-        val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-        if (!s.contains('.')) s
-        else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-      }
+      val ff = (v: Double) =>
+        trimZeros("%.2f".formatLocal(java.util.Locale.ROOT, v))
       val total = if (results.nonEmpty) results.values.sum else 0.0
       val sf = sfDir.split('/').last
       // p50 visibility (VERDICT r7 #7): the total plus a BOUNDED list of
@@ -255,13 +264,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$p50Part$maxPart$coldPart$env,"sf":"$sf"}"""
     }
     def render(f0: Double => String): String = {
-      // trim trailing fraction zeros ("10.0"→"10", "0.500"→"0.5"): free
-      // characters at every ladder level, so precision degrades later
-      val f = (v: Double) => {
-        val s = f0(v)
-        if (!s.contains('.')) s
-        else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-      }
+      // trimmed at every ladder level, so precision degrades later
+      val f = (v: Double) => trimZeros(f0(v))
       renderMap(results.toSeq, f)
     }
     // ms precision normally; if the query set ever grows the line past the
@@ -466,8 +470,11 @@ object Bench {
     // targeted repro loops (the q81 flight-recorder hunt needs dozens of
     // same-session reps of ONE query): SPARK_GRAFT_BENCH_ONLY=<prefix,...>
     // restricts the catalog; unset = the full driver surface
+    // a set-but-EMPTY var means unset (a CI var defaulted to "") — it must
+    // not silently filter out the whole catalog
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val queries = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.exists(p => n == p || n.startsWith(p)))
     }

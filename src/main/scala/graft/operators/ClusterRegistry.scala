@@ -75,13 +75,21 @@ object ClusterRegistry {
 
   /** Per-doc quality sidecar — `root/_qual/batch=<id>`, OUTSIDE the
     * generations: (doc_id, quality) is an immutable fact about a
-    * document, independent of cluster structure, so compaction never
-    * rewrites it (it is corpus-sized — one slim row per registered doc —
-    * and exists so a doc that arrives as a SINGLETON and is bridged into
-    * a cluster epochs later can still stand for election with its real
-    * quality). Exactly-once per batch by partition overwrite; the `_`
-    * prefix keeps `spark.read.parquet(root)` blind to it, like the
-    * generation dirs. */
+    * document, independent of cluster structure (it is corpus-sized —
+    * one slim row per registered doc — and exists so a doc that arrives
+    * as a SINGLETON and is bridged into a cluster epochs later can still
+    * stand for election with its real quality). Exactly-once per batch
+    * by partition overwrite; the `_` prefix keeps
+    * `spark.read.parquet(root)` blind to it, like the generation dirs.
+    * [[compact]] FOLDS committed batches into one consolidated dir —
+    * values are never changed (per-doc max is order-free), but batch
+    * dirs are rewritten in place, which is safe only under the
+    * registry's standing single-maintainer discipline: register/
+    * registerEpoch/compact are already mutually exclusive (compact folds
+    * the relabel log register reads and writes), and the sidecar is read
+    * ONLY by those maintenance ops — the serve paths (assignFor/
+    * assignWithReps/electedReps) read the generation-protected member
+    * and elect logs, never the sidecar. */
   private def qualRoot(path: String): String = s"$path/_qual"
 
   /** Marker stamping a sidecar batch dir as ABSORBED by a [[compact]]
@@ -678,7 +686,13 @@ object ClusterRegistry {
       spark.read.parquet(dataDirs: _*)
         .groupBy(col("doc_id")).agg(max(col("quality")).as("quality"))
         .write.mode("overwrite").parquet(cdir)
-      dataDirs.filterNot(_ == cdir).foreach { d =>
+      // exclude by NAME, not string equality: listing paths are
+      // scheme-qualified (file:/...) while cdir is the caller's raw form
+      // — a string compare would never match and a future gen-numbering
+      // change could tombstone the dir just written
+      dataDirs.filterNot(d =>
+          new org.apache.hadoop.fs.Path(d).getName == s"batch=c$gen")
+        .foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)
         fs.delete(p, true)
         fs.mkdirs(p)

@@ -3422,17 +3422,23 @@ object Catalog {
   /** Session-scoped q166 result (the q163 `ran` convention: the gate IS
     * a lifecycle — build/serve/append/rebuild checkpoints can only be
     * measured by running it, and re-running ~25 jobs per bench rep would
-    * time the fixture, not an operator). Keyed by (session, dir): the
-    * cached DataFrame is bound to the session that ran the lifecycle, so
-    * a SECOND SparkSession in the same JVM must re-run it rather than
-    * read a frame tied to a possibly-stopped session. */
+    * time the fixture, not an operator). Keyed by the session REFERENCE
+    * (not a hash — hashes can collide) and dir: the cached DataFrame is
+    * bound to the session that ran the lifecycle, so a second
+    * SparkSession in the same JVM re-runs it instead of reading a frame
+    * tied to a possibly-stopped session; entries owned by stopped
+    * sessions are evicted on access so a long-lived multi-session JVM
+    * cannot accrete dead sessions through the cache. */
   private val ranPhashLifecycle =
-    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   private val q166 = QueryDef(
     "q166_phash_index_lifecycle",
-    (s, dir) => ranPhashLifecycle.getOrElseUpdate(
-      s"${System.identityHashCode(s)}:$dir/phl", {
+    (s, dir) => {
+      ranPhashLifecycle.keysIterator
+        .filter(k => (k._1 ne s) && k._1.sparkContext.isStopped)
+        .foreach(ranPhashLifecycle.remove)
+      ranPhashLifecycle.getOrElseUpdate((s, s"$dir/phl"), {
       import s.implicits._
       import graft.operators.{Media, PhashIndex}
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -3487,7 +3493,8 @@ object Catalog {
           "retry_noop", "built2", "appended2", "absorbed_retry_noop",
           "rebuild_pairs_stable", "appended3",
           "n_identical_pairs", "n_identical_found", "workflow_equals_inline")
-    }),
+    })
+    },
     Some("""WITH dd AS (SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
       c AS (SELECT
