@@ -133,6 +133,24 @@ object Bench {
     tail.sorted.apply((tail.size - 1) / 2)
   }
 
+  /** The max the SPIKE FLAG tests — same external-attribution exclusion
+    * as [[flagP50]], over the steady reps (rep 1 carries known cold
+    * costs and stays excluded by the caller convention): a single
+    * host-pressure wall spike with flat user cpu must not max-flag.
+    * `max_total` stays the honest full-trace worst. */
+  def flagMax(reps: Seq[Rep]): Double = {
+    val steady = if (reps.size > 1) reps.drop(1) else reps
+    val secs = steady.map(_.sec)
+    val minV = secs.min
+    val userOf = (r: Rep) => math.max(0.0, r.cpuS - r.cpuSysS)
+    val userBase = userOf(steady(secs.indexOf(minV)))
+    val internal = steady.filterNot { r =>
+      r.cpuS > 0.0 && p50Flagged(minV, r.sec) &&
+        userOf(r) <= userBase * 1.3 + 0.5
+    }.map(_.sec)
+    (if (internal.isEmpty) secs else internal).max
+  }
+
   /** Floor for the rep-1/p50 ratio denominator: sub-50 ms queries have
     * ratios dominated by scheduler quantum noise. */
   val ColdP50Floor = 0.05
@@ -187,7 +205,8 @@ object Bench {
       maxs: Map[String, Double] = Map.empty,
       rep1s: Map[String, Double] = Map.empty,
       steadyP50s: Map[String, Double] = Map.empty,
-      env: String = ""): String = {
+      env: String = "",
+      flagMaxs: Map[String, Double] = Map.empty): String = {
     // collision guard: two names compressing to one short key would
     // silently merge bench lines — disambiguate at render time with a
     // stable hash suffix (BenchLineSpec pins the current catalog clean)
@@ -240,11 +259,15 @@ object Bench {
       // list of >3×-p50 spike queries, so single-rep pathologies reach the
       // headline artifact instead of hiding in bench_detail.json
       val maxPart = if (maxs.isEmpty) "" else {
+        // the flag tests the ATTRIBUTED max (see flagMax): an external
+        // wall spike with flat user cpu must not flag; max_total stays
+        // the honest full-trace worst
+        def mFlag(n: String, m: Double) = flagMaxs.getOrElse(n, m)
         val flags = maxs.toSeq
-          .filter { case (n, m) => p50s.get(n).exists(p => maxFlagged(p, m)) }
-          .sortBy { case (n, m) => (-(m - p50s(n)), n) }
+          .filter { case (n, m) => p50s.get(n).exists(p => maxFlagged(p, mFlag(n, m))) }
+          .sortBy { case (n, m) => (-(mFlag(n, m) - p50s(n)), n) }
           .take(MaxP50Flags)
-          .map { case (n, m) => "\"" + keys.getOrElse(n, n) + "\":" + ff(m) }
+          .map { case (n, m) => "\"" + keys.getOrElse(n, n) + "\":" + ff(mFlag(n, m)) }
           .mkString("{", ",", "}")
         s""","max_total":${fmt(maxs.values.sum)},"max_flags":$flags"""
       }
@@ -586,7 +609,8 @@ object Bench {
       allRuns.map { case (n, ts) => n -> ts.head },
       allDetail.map { case (n, rs) => n -> flagP50(rs) },
       envPart(load1Pre, graft.tools.HostStat.load1,
-        graft.tools.HostStat.delta(runSnap0, graft.tools.HostStat.snap()))))
+        graft.tools.HostStat.delta(runSnap0, graft.tools.HostStat.snap())),
+      allDetail.map { case (n, rs) => n -> flagMax(rs) }))
     spark.stop()
   }
 }

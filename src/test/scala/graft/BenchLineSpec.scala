@@ -110,6 +110,21 @@ class BenchLineSpec extends AnyFunSuite {
     val pInt = Bench.flagP50(internal)
     assert(Bench.p50Flagged(1.25, pInt),
       s"user-cpu elevation must still flag: $pInt")
+    // the max spike flag gets the same attribution: a single external
+    // wall spike (user flat) must not max-flag; a user-cpu spike must
+    val extSpike = Seq(rep(1.3, 12, 9), rep(1.25, 11, 8), rep(13.0, 24, 21),
+      rep(1.31, 12, 9), rep(1.27, 11.5, 8.5))
+    assert(!Bench.maxFlagged(1.28, Bench.flagMax(extSpike)),
+      s"external spike must not max-flag: ${Bench.flagMax(extSpike)}")
+    val intSpike = Seq(rep(1.3, 12, 9), rep(1.25, 11, 8), rep(13.0, 24, 8),
+      rep(1.31, 12, 9), rep(1.27, 11.5, 8.5))
+    assert(Bench.flagMax(intSpike) == 13.0,
+      s"user-cpu spike must keep its max: ${Bench.flagMax(intSpike)}")
+    // no CPU counters (cpuS 0 everywhere): both fall back to wall-only
+    val noCpu = Seq(rep(1.3, 0, 0), rep(1.25, 0, 0), rep(13.0, 0, 0))
+    assert(Bench.flagMax(noCpu) == 13.0)
+    assert(Bench.p50Flagged(1.25, Bench.flagP50(noCpu)) ||
+      Bench.flagP50(noCpu) >= 1.25)
   }
 
   test("RepProfiler: arming rules, dump thresholds, JFR round-trip summary") {
