@@ -196,7 +196,8 @@ object Bench {
       runDelta: graft.tools.HostStat.Delta): String = {
     def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     s""","env":{"load1":[${f1(load1Pre)},${f1(load1Post)}],""" +
-      s""""cpu_s":${f1(runDelta.cpuS)},"other_s":${f1(runDelta.otherBusyS)},""" +
+      s""""cpu_s":${f1(runDelta.cpuS)},"sys_s":${f1(runDelta.cpuSysS)},""" +
+      s""""other_s":${f1(runDelta.otherBusyS)},""" +
       s""""steal_s":${f1(runDelta.stealS)},"jit_s":${f1(runDelta.jitMs / 1000.0)}}"""
   }
 
