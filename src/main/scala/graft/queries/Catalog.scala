@@ -4747,6 +4747,125 @@ object Catalog {
              ELSE rep_doc END AS suppressed_by_rep
       FROM m ORDER BY doc_id"""))
 
+  /** Deterministic ~35-token tail for the media-only duplicate plants:
+    * long enough to push the copy's text Jaccard under the 0.8 near-dup
+    * threshold for most corpus docs, while the media payload (a 200-char
+    * prefix) stays byte-identical. Plain ASCII so the Spark concat and
+    * the DuckDB `||` replay byte-for-byte. */
+  private val CrossmodalFiller = " lorem filler segment alpha beta gamma" +
+    " delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi" +
+    " rho sigma tau upsilon phi chi psi omega one two three four five" +
+    " six seven eight nine ten"
+
+  /** CROSS-MODAL dedup-map: a document is a duplicate when EITHER family
+    * says so — text near-dup (exact-Jaccard ≥ 0.8, the minhash operator)
+    * OR media payload dup (perceptual hash over the stored thumbnail —
+    * here the 200-char payload prefix, the re-hosted-image-same-article
+    * shape). The fixture plants BOTH kinds: full copies (%7, text+media
+    * dup) and media-only copies (%5 — same payload prefix, a filler tail
+    * pushing text Jaccard under threshold), so clusters exist that
+    * NEITHER family finds alone and the union of the two edge streams is
+    * load-bearing. Connected components over the union + keep-best
+    * election publish the map columns. Scale shape: both pair streams
+    * are the bucketed/banded operators (no all-pairs), the union feeds
+    * the same CC the registry family uses, and the election is one
+    * aggregate — nothing new materializes beyond the pair lists. */
+  private def crossmodalDd(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(CrossmodalFiller)).as("text")))
+  }
+
+  /** Session-scoped cross-modal CC artifact (the keepBestRegistry
+    * convention: the union-pair CC is the one-time build cost a real
+    * pipeline amortizes; the per-rep measurement is the dedup-map READ
+    * path — the same artifact-build/read split as q164/q169). */
+  private val builtCrossmodalCc =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def crossmodalCc(s: SparkSession, dir: String): String = {
+    val key = dir.split('/').filter(_.nonEmpty).last
+    builtCrossmodalCc.getOrElseUpdate(key, {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-xmcc-" +
+        s"${key.replace('.', '_')}-${java.lang.ProcessHandle.current().pid()}"
+      val dd = crossmodalDd(s, dir)
+      val media = dd
+        .withColumn("payload", encode(substring(col("text"), 1, 200), "UTF-8"))
+        .withColumn("media", graft.operators.Media.asMedia("payload", "image/stub"))
+      val textPairs = Dedup.minhashLsh(dd, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))
+      val mediaPairs = graft.operators.Media
+        .perceptualDupPairs(media, "doc_id", "media")
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.connectedComponents(textPairs.unionByName(mediaPairs))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+  }
+
+  private val q170 = QueryDef(
+    "q170_crossmodal_dedup_map",
+    (s, dir) => {
+      val dd = crossmodalDd(s, dir)
+      val members = dd.select(col("doc_id"))
+        .join(s.read.parquet(crossmodalCc(s, dir)), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_id"))
+      val best = members
+        .join(dd.select(col("doc_id"),
+          pmod(col("doc_id"), lit(97)).cast("double").as("quality")), Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("w"))
+        .select(col("cluster_id"), (-col("w.negid")).as("rep_doc"))
+      members.join(best, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("rep_doc"),
+          (col("doc_id") === col("rep_doc")).as("kept"),
+          when(col("doc_id") === col("rep_doc"), lit(-1L))
+            .otherwise(col("rep_doc")).as("suppressed_by_rep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE
+      base AS (SELECT doc_id, text FROM documents),
+      dd AS (SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id % 7 = 0
+        UNION ALL SELECT doc_id + 2000000,
+          text || '$CrossmodalFiller' FROM base WHERE doc_id % 5 = 0),
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM dd),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      tpairs AS (SELECT da AS a, db AS b
+                FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      mpairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM dd a JOIN dd b
+        ON md5(substr(a.text, 1, 200)) = md5(substr(b.text, 1, 200))
+          AND a.doc_id < b.doc_id),
+      edges AS (SELECT a, b FROM tpairs UNION SELECT b, a FROM tpairs
+        UNION SELECT a, b FROM mpairs UNION SELECT b, a FROM mpairs),
+      reach(v, w) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a),
+      cl AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS rep FROM reach GROUP BY v),
+      m AS (SELECT d.doc_id,
+          CAST(COALESCE(cl.rep, d.doc_id) AS BIGINT) AS cluster_id
+        FROM dd d LEFT JOIN cl USING (doc_id)),
+      q AS (SELECT doc_id, CAST(doc_id % 97 AS DOUBLE) AS quality FROM dd),
+      best AS (SELECT cluster_id, doc_id AS rep_doc FROM (
+          SELECT m.cluster_id, m.doc_id, row_number() OVER (
+            PARTITION BY m.cluster_id ORDER BY q.quality DESC, m.doc_id) AS rn
+          FROM m JOIN q USING (doc_id)) WHERE rn = 1)
+      SELECT m.doc_id, m.cluster_id, CAST(best.rep_doc AS BIGINT) AS rep_doc,
+        (m.doc_id = best.rep_doc) AS kept,
+        CASE WHEN m.doc_id = best.rep_doc THEN CAST(-1 AS BIGINT)
+             ELSE CAST(best.rep_doc AS BIGINT) END AS suppressed_by_rep
+      FROM m JOIN best USING (cluster_id) ORDER BY m.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4762,7 +4881,8 @@ object Catalog {
     q118, q119, q120, q121, q123, q124, q125, q127, q128, q129, q130,
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q157, q158, q160, q161, q164, q165, q166, q168, q169) ++
+    q154, q155, q157, q158, q160, q161, q164, q165, q166, q168, q169,
+    q170) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }
