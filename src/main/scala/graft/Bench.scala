@@ -16,7 +16,13 @@ object Bench {
       blocksRemoved: Long, codegenCompiles: Long,
       cpuS: Double = 0.0, otherBusyS: Double = 0.0, stealS: Double = 0.0,
       jitMs: Long = 0L, bcastBytesLeft: Long = 0L,
-      stages: Long = 0L, shufWriteBytes: Long = 0L, cpuSysS: Double = 0.0)
+      stages: Long = 0L, shufWriteBytes: Long = 0L, cpuSysS: Double = 0.0,
+      jobs: Long = 0L) {
+    /** USER cpu seconds of the rep — the host-noise-robust work measure
+      * (kernel time rides host fs/scheduler pressure; user time at a
+      * constant plan is the code's own cycles). */
+    def userS: Double = math.max(0.0, cpuS - cpuSysS)
+  }
 
   /** Driver's tail capture is ~2000 chars (BENCH_r03.json "tail"); the JSON
     * line plus sbt's trailing "[success] ..." line must fit inside it or the
@@ -116,18 +122,38 @@ object Bench {
     * rep's full channel set (runs/cpu_s/sys_s/stages/shuf_w_mb) for
     * manual re-adjudication; `p50_total` stays the honest full-trace
     * median sum. */
+  /** The full external-attribution predicate (r14 flag + the r14 ADVICE
+    * strengthening): a flagged rep is PROVEN external only when
+    *  (a) its USER cpu stays at the min rep's level (×1.3 + 0.5 s) —
+    *      identical own-code work, the extra wall is kernel/host time;
+    *  (b) its plan-shape channels MATCH the min rep's — stages exactly
+    *      and shuffle bytes within 10 % + 16 MB (a lost exchange reuse
+    *      or a plan flip writes more shuffle files and runs more stages
+    *      with near-flat user cpu — sys-dominated, and WITHOUT this leg
+    *      it would silently auto-exempt);
+    *  (c) its GC time didn't blow up (×2 + 0.5 s over the min rep —
+    *      storage-pressure churn is internal even when the collector's
+    *      cycles land partly in stime).
+    * The min rep runs the same query, so at an unchanged plan every
+    * channel matches by construction — the r14 q81 root-cause evidence
+    * ("stages and shuffle bytes constant") is exactly this predicate. */
+  def externalRep(r: Rep, base: Rep): Boolean =
+    r.cpuS > 0.0 &&
+      r.userS <= base.userS * 1.3 + 0.5 &&
+      r.stages == base.stages &&
+      r.shufWriteBytes <= base.shufWriteBytes + base.shufWriteBytes / 10 + (16L << 20) &&
+      r.gcMs <= base.gcMs * 2 + 500
+
   def flagP50(reps: Seq[Rep]): Double = {
     val secs = reps.map(_.sec)
     val minV = secs.min
-    val userOf = (r: Rep) => math.max(0.0, r.cpuS - r.cpuSysS)
-    val userBase = userOf(reps(secs.indexOf(minV)))
+    val base = reps(secs.indexOf(minV))
     // the exclusion needs CPU evidence: on a host without process-CPU
     // counters (cpuS reads 0 everywhere) every elevated rep would look
     // "user-flat" and the flag would silently die — fall back to the
     // pre-r14 wall-clock-only flagging there
     val internal = reps.filterNot { r =>
-      r.cpuS > 0.0 && p50Flagged(minV, r.sec) &&
-        userOf(r) <= userBase * 1.3 + 0.5
+      p50Flagged(minV, r.sec) && externalRep(r, base)
     }.map(_.sec)
     val tail = steadyTail(if (internal.isEmpty) secs else internal)
     tail.sorted.apply((tail.size - 1) / 2)
@@ -142,11 +168,9 @@ object Bench {
     val steady = if (reps.size > 1) reps.drop(1) else reps
     val secs = steady.map(_.sec)
     val minV = secs.min
-    val userOf = (r: Rep) => math.max(0.0, r.cpuS - r.cpuSysS)
-    val userBase = userOf(steady(secs.indexOf(minV)))
+    val base = steady(secs.indexOf(minV))
     val internal = steady.filterNot { r =>
-      r.cpuS > 0.0 && p50Flagged(minV, r.sec) &&
-        userOf(r) <= userBase * 1.3 + 0.5
+      p50Flagged(minV, r.sec) && externalRep(r, base)
     }.map(_.sec)
     (if (internal.isEmpty) secs else internal).max
   }
@@ -176,6 +200,83 @@ object Bench {
     if (ratios.isEmpty) 1.0 else math.max(1.0, ratios((ratios.size - 1) / 2))
   }
 
+  // ------------------------------------------------------------------
+  // floors.json — best-known per-query min (the quiet-window floor)
+  // across SESSIONS, per sf dir, with the env stamp of the last
+  // improving run. Every within-session comparison drifts with host
+  // pressure (the r14 +30 % headline was pure host noise); the BEST min
+  // ever observed is the one number noise can only improve, so a query
+  // whose session min sits far above its recorded floor on a QUIET host
+  // is a regression signal no single noisy session can fake. The file
+  // is committed with the repo, so floors accumulate round over round.
+
+  /** Pure floor merge: per query, the smaller of the recorded floor and
+    * this session's min (new queries enter at their min). */
+  def mergeFloors(prev: Map[String, Double],
+      cur: Map[String, Double]): Map[String, Double] =
+    (prev.keySet ++ cur.keySet).iterator.map { k =>
+      k -> math.min(prev.getOrElse(k, Double.MaxValue),
+        cur.getOrElse(k, Double.MaxValue))
+    }.toMap
+
+  /** Render the floors file: `{sf: {"_env": {...stamp...}, q: floor}}`,
+    * keys sorted for stable diffs. */
+  def renderFloors(
+      all: Map[String, (Map[String, Double], Map[String, Double])]): String = {
+    def obj(entries: Seq[String]) = entries.mkString("{", ", ", "}")
+    val sfs = all.toSeq.sortBy(_._1).map { case (sf, (stamp, floors)) =>
+      val env = "\"_env\": " + obj(stamp.toSeq.sortBy(_._1).map {
+        case (k, v) => s""""$k": ${fmt(v)}"""
+      })
+      val qs = floors.toSeq.sortBy(_._1).map { case (q, v) =>
+        s""""$q": ${fmt(v)}"""
+      }
+      s""""$sf": ${obj(env +: qs)}"""
+    }
+    sfs.mkString("{\n", ",\n", "\n}\n")
+  }
+
+  /** Parse a floors file (inverse of [[renderFloors]]); tolerant of a
+    * missing `_env`. */
+  def parseFloors(
+      text: String): Map[String, (Map[String, Double], Map[String, Double])] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def nums(fs: List[JField]): Map[String, Double] = fs.collect {
+      case (k, JDouble(d)) => k -> d
+      case (k, JInt(i)) => k -> i.toDouble
+      case (k, JDecimal(d)) => k -> d.toDouble
+    }.toMap
+    JsonMethods.parse(text) match {
+      case JObject(sfs) => sfs.collect { case (sf, JObject(fields)) =>
+        val stamp = fields.collectFirst {
+          case ("_env", JObject(e)) => nums(e)
+        }.getOrElse(Map.empty[String, Double])
+        sf -> (stamp, nums(fields.filterNot(_._1 == "_env")))
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Merge this session's mins into the floors file at `path` (other sf
+    * sections preserved; the env stamp is replaced only when a floor
+    * actually improved). Returns true when anything improved. */
+  def updateFloors(path: java.nio.file.Path, sf: String,
+      mins: Map[String, Double], stamp: Map[String, Double]): Boolean = {
+    val empty = Map.empty[String, (Map[String, Double], Map[String, Double])]
+    val all: Map[String, (Map[String, Double], Map[String, Double])] =
+      if (!java.nio.file.Files.exists(path)) empty
+      else try parseFloors(new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+      catch { case _: Throwable => empty }
+    val (oldStamp, oldFloors) =
+      all.getOrElse(sf, (Map.empty[String, Double], Map.empty[String, Double]))
+    val merged = mergeFloors(oldFloors, mins)
+    val improved = merged != oldFloors
+    val next = all + (sf -> (if (improved) stamp else oldStamp, merged))
+    java.nio.file.Files.write(path, renderFloors(next).getBytes("UTF-8"))
+    improved
+  }
+
   /** Cumulative stop-the-world GC milliseconds across all collectors —
     * per-rep deltas attribute spike reps to GC pauses vs real work. */
   def gcMillis(): Long = {
@@ -195,8 +296,13 @@ object Bench {
   def envPart(load1Pre: Double, load1Post: Double,
       runDelta: graft.tools.HostStat.Delta): String = {
     def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    // user_s (utime = cpu_s − sys_s) carried explicitly: the one whole-run
+    // number that is host-noise-robust at constant plans (r14's +30 % wall
+    // needed a narrative; user-cpu totals settle cross-round drift in one
+    // arithmetic comparison — see README "machine drift")
     s""","env":{"load1":[${f1(load1Pre)},${f1(load1Post)}],""" +
       s""""cpu_s":${f1(runDelta.cpuS)},"sys_s":${f1(runDelta.cpuSysS)},""" +
+      s""""user_s":${f1(math.max(0.0, runDelta.cpuS - runDelta.cpuSysS))},""" +
       s""""other_s":${f1(runDelta.otherBusyS)},""" +
       s""""steal_s":${f1(runDelta.stealS)},"jit_s":${f1(runDelta.jitMs / 1000.0)}}"""
   }
@@ -207,7 +313,8 @@ object Bench {
       rep1s: Map[String, Double] = Map.empty,
       steadyP50s: Map[String, Double] = Map.empty,
       env: String = "",
-      flagMaxs: Map[String, Double] = Map.empty): String = {
+      flagMaxs: Map[String, Double] = Map.empty,
+      p50UserCpu: Option[Double] = None): String = {
     // collision guard: two names compressing to one short key would
     // silently merge bench lines — disambiguate at render time with a
     // stable hash suffix (BenchLineSpec pins the current catalog clean)
@@ -254,7 +361,13 @@ object Bench {
           .take(MaxP50Flags)
           .map { case (n, p) => "\"" + keys.getOrElse(n, n) + "\":" + ff(flagV(n, p)) }
           .mkString("{", ",", "}")
-        s""","p50_total":${fmt(p50s.values.sum)},"p50_flags":$flags"""
+        // p50_user_cpu: the catalog-wide sum of per-query MEDIAN user-cpu
+        // seconds — the host-noise-robust cross-round comparator (wall and
+        // total cpu_s ride host pressure; user cpu at constant plans is
+        // the code's own work, so round N vs N−1 is plain arithmetic)
+        val userPart = p50UserCpu.fold("")(u =>
+          s""","p50_user_cpu":${trimZeros("%.1f".formatLocal(java.util.Locale.ROOT, u))}""")
+        s""","p50_total":${fmt(p50s.values.sum)}$userPart,"p50_flags":$flags"""
       }
       // spike visibility (VERDICT r8 #8): worst-rep total plus a BOUNDED
       // list of >3×-p50 spike queries, so single-rep pathologies reach the
@@ -363,6 +476,8 @@ object Bench {
       stagesRun: java.util.concurrent.atomic.AtomicLong =
         new java.util.concurrent.atomic.AtomicLong(0),
       shufWrite: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong(0),
+      jobsRun: java.util.concurrent.atomic.AtomicLong =
         new java.util.concurrent.atomic.AtomicLong(0)): Seq[Rep] = {
     import org.apache.spark.GraftSparkBridge
     // settle the heap before timing: one query's garbage (and its GC
@@ -383,6 +498,7 @@ object Bench {
       val ev0 = removedBlocks.get()
       val st0 = stagesRun.get()
       val sw0 = shufWrite.get()
+      val jb0 = jobsRun.get()
       val bc0 = GraftSparkBridge.broadcastIds()
       val host0 = graft.tools.HostStat.snap()
       val storHi = new java.util.concurrent.atomic.AtomicLong(
@@ -427,7 +543,8 @@ object Bench {
         removedBlocks.get() - ev0,
         GraftSparkBridge.codegenCompileCount - cg0,
         hostD.cpuS, hostD.otherBusyS, hostD.stealS, hostD.jitMs, bcastLeft,
-        stagesRun.get() - st0, shufWrite.get() - sw0, hostD.cpuSysS)
+        stagesRun.get() - st0, shufWrite.get() - sw0, hostD.cpuSysS,
+        jobsRun.get() - jb0)
     }
     val times = scala.collection.mutable.ArrayBuffer.fill(reps)(Rep(0.0, 0L, 0L, 0L, 0L))
     times.indices.foreach(i => times(i) = run())
@@ -541,6 +658,11 @@ object Bench {
     // these two channels separate the latter from the former
     val stagesRun = new java.util.concurrent.atomic.AtomicLong(0)
     val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    // jobs per rep (the q116 attribution channel): a near-serial query —
+    // wall ≫ cpu_s/threads — is usually a many-small-jobs profile (driver
+    // actions in sequence: stats heads, pin counts, broadcast builds);
+    // this channel counts them so the serial bound is readable per rep
+    val jobsRun = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onBlockUpdated(e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
         if (e.blockUpdatedInfo.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
@@ -548,8 +670,15 @@ object Bench {
         }
       override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stagesRun.incrementAndGet()
-        shufWrite.addAndGet(
-          e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+        // taskMetrics is null for failed/aborted stages — an NPE here is
+        // swallowed by the listener bus and silently undercounts (r14
+        // ADVICE); the rep boundary drains the bus before reading, so no
+        // post-window event can land in the next rep's delta
+        val tm = e.stageInfo.taskMetrics
+        if (tm != null) shufWrite.addAndGet(tm.shuffleWriteMetrics.bytesWritten): Unit
+      }
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobsRun.incrementAndGet(): Unit
       }
     })
     val allDetail: Map[String, Seq[Rep]] = queries.map { case (name, fn) =>
@@ -558,7 +687,8 @@ object Bench {
       // (BenchDrainSpec); SPARK_GRAFT_BENCH_ASSERT_DRAIN=0 opts out
       name -> repBlock(spark, fn, sfDir, reps, removedBlocks,
         assertDrain = !sys.env.get("SPARK_GRAFT_BENCH_ASSERT_DRAIN").contains("0"),
-        name = name, stagesRun = stagesRun, shufWrite = shufWrite)
+        name = name, stagesRun = stagesRun, shufWrite = shufWrite,
+        jobsRun = jobsRun)
     }
     val allRuns: Map[String, Seq[Double]] = allDetail.map { case (n, ts) => n -> ts.map(_.sec) }
     val results = allRuns.map { case (n, ts) => n -> ts.min }
@@ -586,7 +716,8 @@ object Bench {
         s""""jit_ms": [${rs.map(_.jitMs).mkString(", ")}], """ +
         s""""stages": [${rs.map(_.stages).mkString(", ")}], """ +
         s""""shuf_w_mb": [${rs.map(_.shufWriteBytes >> 20).mkString(", ")}], """ +
-        s""""sys_s": [${rs.map(r => fmt(r.cpuSysS)).mkString(", ")}]}"""
+        s""""sys_s": [${rs.map(r => fmt(r.cpuSysS)).mkString(", ")}], """ +
+        s""""jobs": [${rs.map(_.jobs).mkString(", ")}]}"""
     }.mkString("{\n", ",\n", "\n}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
@@ -603,15 +734,29 @@ object Bench {
     // would permanently flag; the q81-class pathology this flag exists for
     // (r8: a 13 s rep THREE) is mid-session by definition. bench_detail.json
     // keeps every rep, rep 1 included, so nothing is hidden.
+    // best-known floor tracking: merge this session's mins into the
+    // committed floors.json (per sf dir, env-stamped) so regressions
+    // against the best-ever floor stay visible when every session is noisy
+    val load1Post = graft.tools.HostStat.load1
+    val runDelta = graft.tools.HostStat.delta(runSnap0, graft.tools.HostStat.snap())
+    try updateFloors(java.nio.file.Paths.get("floors.json"),
+      sfDir.split('/').filter(_.nonEmpty).last, results ++ buildLine,
+      Map("load1_pre" -> load1Pre, "load1_post" -> load1Post,
+        "cpu_s" -> runDelta.cpuS, "sys_s" -> runDelta.cpuSysS)): Unit
+    catch { case _: Throwable => () }
     println(renderLine(results ++ buildLine, sfDir,
       allRuns.map { case (n, ts) => n -> p50(ts) },
       allRuns.map { case (n, ts) =>
         n -> (if (ts.size > 1) ts.drop(1).max else ts.max) },
       allRuns.map { case (n, ts) => n -> ts.head },
       allDetail.map { case (n, rs) => n -> flagP50(rs) },
-      envPart(load1Pre, graft.tools.HostStat.load1,
-        graft.tools.HostStat.delta(runSnap0, graft.tools.HostStat.snap())),
-      allDetail.map { case (n, rs) => n -> flagMax(rs) }))
+      envPart(load1Pre, load1Post, runDelta),
+      allDetail.map { case (n, rs) => n -> flagMax(rs) },
+      // per-query MEDIAN user-cpu, summed: the cross-round work comparator
+      Some(allDetail.valuesIterator.map { rs =>
+        val us = rs.map(_.userS).sorted
+        us((us.size - 1) / 2)
+      }.sum)))
     spark.stop()
   }
 }

@@ -162,9 +162,26 @@ object GenDir {
     val fs = fsOf(spark, root)
     val marker = new org.apache.hadoop.fs.Path(genPath(root, gen), CommitMarker)
     if (!fs.exists(marker)) fs.create(marker, false).close()
-    toDrop(gens(spark, root), gen,
-        System.currentTimeMillis(), maxScanAgeMs(spark),
-        maxTimeKeptGens(spark)).foreach { g =>
+    val all = gens(spark, root)
+    val now = System.currentTimeMillis()
+    val ageMs = maxScanAgeMs(spark)
+    val cap = maxTimeKeptGens(spark)
+    val drops = toDrop(all, gen, now, ageMs, cap)
+    // loud when the CAP (not age) evicts a committed generation still
+    // inside the scan window: a stream compacting faster than
+    // maxScanAgeMs/cap has silently shrunk its reader-protection envelope
+    // to cap × cadence — the operator should either raise the cap or
+    // accept the shorter window knowingly (r14 ADVICE)
+    val commitAt = all.collect { case (g, true, at) => g -> at }.toMap
+    val capDropped = drops.filter(g =>
+      commitAt.get(g).exists(at => now - at < ageMs))
+    if (capDropped.nonEmpty)
+      System.err.println(s"[graft] GenDir $root: dropping committed " +
+        s"generation(s) ${capDropped.sorted.mkString(",")} still inside the " +
+        s"${ageMs} ms scan window — $MaxTimeKeptKey=$cap caps time-kept " +
+        "generations; scans longer than cap x compaction cadence can lose " +
+        "files mid-flight (raise the cap or slow the compaction cadence)")
+    drops.foreach { g =>
       fs.delete(new org.apache.hadoop.fs.Path(genPath(root, g)), true): Unit
     }
   }

@@ -61,6 +61,23 @@ object ClusterRegistry {
     * broadcast-join hop per lookup, so the log is kept short. */
   val CompactRelabelBatches = 4
 
+  /** Caller batch ids: plain tokens, with the maintenance namespaces
+    * RESERVED. All epoch partitions (assign/relabel/elect and the quality
+    * sidecar) are written under a `b` prefix (`batch=b<id>`), so a caller
+    * id can never collide with [[compact]]'s `batch=c` fold or the
+    * sidecar's consolidated `batch=c<gen>` dir by construction — but the
+    * explicit reservation (no `^c\d*$`, no `seed`) keeps that invariant
+    * LOUD instead of incidental: a future write path that drops the
+    * prefix fails its specs here rather than silently overwriting the
+    * consolidated sidecar and corrupting keep-best elections. */
+  private def requireBatchId(op: String, batchId: String): Unit = {
+    require(batchId.matches("[A-Za-z0-9._-]+"),
+      s"ClusterRegistry.$op: batchId must be a plain token, got '$batchId'")
+    require(!batchId.matches("c\\d*") && batchId != "seed",
+      s"ClusterRegistry.$op: batchId '$batchId' is reserved for registry " +
+        "maintenance (seed / compaction folds)")
+  }
+
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -337,8 +354,7 @@ object ClusterRegistry {
   def register(spark: SparkSession, path: String,
       batchDocs: Seq[Long], edges: Seq[(Long, Long)], batchId: String,
       batchQuality: Map[Long, Double] = Map.empty): Unit = {
-    require(batchId.matches("[A-Za-z0-9._-]+"),
-      s"ClusterRegistry.register: batchId must be a plain token, got '$batchId'")
+    requireBatchId("register", batchId)
     if (edges.size > MaxEpochEdges) {
       // past the driver ceiling this is a dispatch, not a crash (the
       // data-size-dependent-require anti-pattern): same decision, computed
@@ -454,8 +470,7 @@ object ClusterRegistry {
     * `batchDocs` is one `doc_id` column, `edges` is (`doc_a`, `doc_b`). */
   def registerEpoch(spark: SparkSession, path: String,
       batchDocs: DataFrame, edges: DataFrame, batchId: String): Unit = {
-    require(batchId.matches("[A-Za-z0-9._-]+"),
-      s"ClusterRegistry.registerEpoch: batchId must be a plain token, got '$batchId'")
+    requireBatchId("registerEpoch", batchId)
     // pin the edge frame across the dispatch: its lineage is typically a
     // pair of LSH serve joins (the q163 epoch), and both the count probe
     // and the chosen path re-read it — without the pin every epoch would

@@ -24,15 +24,56 @@ object RepProfiler {
 
   val ArmEnv = "SPARK_GRAFT_BENCH_JFR"
 
-  /** q81 is the standing watch item (six rounds of driver-side
-    * recurrence); everything else pays zero overhead. */
+  /** q81 is the standing fallback watch item (six rounds of driver-side
+    * recurrence, adjudicated r14); everything else pays zero overhead. */
   private val DefaultArmed = "q81_char_ngram_pairs"
 
-  def armedFor(name: String): Boolean = {
-    val conf = sys.env.getOrElse(ArmEnv, DefaultArmed).trim
-    conf != "0" && conf.split(',').map(_.trim).filter(_.nonEmpty)
-      .exists(p => name == p || name.startsWith(p))
-  }
+  /** Short keys (Bench.shortKey form) flagged by the NEWEST
+    * `BENCH_r*.json` under `dir` — the previous driver round's
+    * `p50_flags` + `max_flags`. This is what makes the arming DYNAMIC
+    * (VERDICT r14 item 1): a query the driver flagged last round arrives
+    * at the next driver bench already recording, so its first recurrence
+    * lands with a profile instead of opening another watch cycle.
+    * Empty when no round file is present or parseable. */
+  def flaggedShortKeys(dir: java.nio.file.Path): Set[String] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val benchRe = "BENCH_r(\\d+)\\.json".r
+      val files = java.nio.file.Files.list(dir).iterator().asScala
+        .flatMap { p =>
+          p.getFileName.toString match {
+            case benchRe(n) => Some((n.toInt, p))
+            case _ => None
+          }
+        }.toSeq
+      if (files.isEmpty) Set.empty
+      else {
+        val text = new String(
+          java.nio.file.Files.readAllBytes(files.maxBy(_._1)._2), "UTF-8")
+        // the flag maps appear twice (raw "tail" with escaped quotes,
+        // driver-"parsed" object) — a tolerant regex over the whole text
+        // reads either form and survives parsed:null rounds
+        val span = "(?:p50|max)_flags\\\\?\"\\s*:\\s*\\{([^}]*)\\}".r
+        val key = "([A-Za-z0-9_]+)\\\\?\"\\s*:".r
+        span.findAllMatchIn(text).flatMap(m =>
+          key.findAllMatchIn(m.group(1)).map(_.group(1))).toSet
+      }
+    } catch { case _: Throwable => Set.empty }
+
+  private lazy val dynamicArmed: Set[String] =
+    flaggedShortKeys(java.nio.file.Paths.get("."))
+
+  def armedFor(name: String): Boolean =
+    sys.env.get(ArmEnv).map(_.trim).filter(_.nonEmpty) match {
+      case Some("0") => false
+      case Some(conf) => conf.split(',').map(_.trim).filter(_.nonEmpty)
+        .exists(p => name == p || name.startsWith(p))
+      case None =>
+        // default arming: everything the previous driver round flagged,
+        // plus the standing q81 fallback
+        dynamicArmed.contains(graft.Bench.shortKey(name)) ||
+          name.startsWith(DefaultArmed)
+    }
 
   /** A rep qualifies for a dump when it is meaningfully above the block
     * minimum — 1.5× with the same 0.25 s absolute floor the bench's p50

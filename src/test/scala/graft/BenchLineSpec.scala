@@ -127,6 +127,85 @@ class BenchLineSpec extends AnyFunSuite {
       Bench.flagP50(noCpu) >= 1.25)
   }
 
+  test("externalRep demands plan-shape invariance, not just flat user cpu " +
+      "(r14 ADVICE): extra stages / shuffle bytes / gc keep flagging") {
+    def rep(sec: Double, cpu: Double, sys: Double, stages: Long = 7L,
+        shufMb: Long = 6L, gcMs: Long = 40L) =
+      Bench.Rep(sec, gcMs, 0L, 0L, 0L, cpuS = cpu, cpuSysS = sys,
+        stages = stages, shufWriteBytes = shufMb << 20)
+    val base = rep(1.25, 11, 8)
+    // the r14 q81 evidence shape: identical stages/shuffle/gc, user flat,
+    // extra wall all stime — external
+    assert(Bench.externalRep(rep(7.8, 24, 21), base))
+    // a LOST EXCHANGE REUSE: sys-dominated (shuffle files are syscalls),
+    // user near-flat, but MORE stages and MORE shuffle bytes — internal,
+    // the class the user-cpu-only predicate silently dropped
+    assert(!Bench.externalRep(rep(7.8, 13, 9.5, stages = 11, shufMb = 48), base))
+    // same stages but a shuffle-byte blowup alone (new spill-to-shuffle
+    // path) — internal
+    assert(!Bench.externalRep(rep(7.8, 13, 9.5, shufMb = 64), base))
+    // gc blowup with flat user cpu (collector cycles bill partly to
+    // stime) — internal
+    assert(!Bench.externalRep(rep(7.8, 13, 9.5, gcMs = 2500), base))
+    // and the full flag path: the lost-reuse trace must flag even though
+    // every elevated rep is user-flat
+    val lostReuse = Seq(base, rep(1.3, 12, 9),
+      rep(7.8, 13, 9.5, stages = 11, shufMb = 48),
+      rep(7.5, 13, 9.6, stages = 11, shufMb = 48),
+      rep(7.6, 13, 9.4, stages = 11, shufMb = 48))
+    assert(Bench.p50Flagged(1.25, Bench.flagP50(lostReuse)),
+      s"sys-dominated plan-shape regressions must flag: ${Bench.flagP50(lostReuse)}")
+    assert(Bench.maxFlagged(1.3, Bench.flagMax(lostReuse)))
+    // small shuffle wobble (compression nondeterminism) stays external
+    assert(Bench.externalRep(rep(7.8, 24, 21, shufMb = 6), base.copy(shufWriteBytes = 6L << 20)))
+  }
+
+  test("floors.json: pure merge keeps the best-known min; file round-trips " +
+      "with per-sf env stamps and only improving runs restamp") {
+    assert(Bench.mergeFloors(Map("a" -> 1.0, "b" -> 2.0),
+      Map("a" -> 0.8, "c" -> 3.0)) === Map("a" -> 0.8, "b" -> 2.0, "c" -> 3.0))
+    val f = java.nio.file.Files.createTempFile("graft-floors", ".json")
+    java.nio.file.Files.delete(f)
+    // first run creates the file and stamps the env
+    assert(Bench.updateFloors(f, "sf0.1",
+      Map("q01_x" -> 1.234, "q02_y" -> 0.5), Map("load1_pre" -> 3.5)))
+    val r1 = Bench.parseFloors(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+    assert(r1("sf0.1")._2 === Map("q01_x" -> 1.234, "q02_y" -> 0.5))
+    assert(r1("sf0.1")._1("load1_pre") === 3.5)
+    // a slower noisy run must NOT move floors or the stamp
+    assert(!Bench.updateFloors(f, "sf0.1",
+      Map("q01_x" -> 2.0, "q02_y" -> 0.9), Map("load1_pre" -> 28.0)))
+    val r2 = Bench.parseFloors(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+    assert(r2("sf0.1")._2("q01_x") === 1.234)
+    assert(r2("sf0.1")._1("load1_pre") === 3.5, "stamp must survive a non-improving run")
+    // a quiet-window improvement moves ONLY the improved query + stamp;
+    // another sf's section is independent
+    assert(Bench.updateFloors(f, "sf0.1",
+      Map("q01_x" -> 1.1, "q02_y" -> 0.9), Map("load1_pre" -> 0.5)))
+    assert(Bench.updateFloors(f, "sf0.001", Map("q01_x" -> 0.05), Map.empty))
+    val r3 = Bench.parseFloors(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+    assert(r3("sf0.1")._2 === Map("q01_x" -> 1.1, "q02_y" -> 0.5))
+    assert(r3("sf0.1")._1("load1_pre") === 0.5)
+    assert(r3("sf0.001")._2 === Map("q01_x" -> 0.05))
+    java.nio.file.Files.delete(f): Unit
+  }
+
+  test("p50_user_cpu renders in the line and the line still fits with it") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(Bench.renderLine(
+      Map("q01_pricing_summary" -> 1.0), "/x",
+      p50s = Map("q01_pricing_summary" -> 1.1), p50UserCpu = Some(432.18)))
+    assert((j \ "p50_user_cpu") === JDouble(432.2),
+      "the catalog-wide median-user-cpu sum must ride the line at 0.1 s precision")
+    val worst = Bench.renderLine(
+      names.map(_ -> 9999.999).toMap, "/root/testdata/sf0.1",
+      names.map(_ -> 9999.999).toMap, names.map(_ -> 99999.999).toMap,
+      names.map(_ -> 99999.999).toMap, Map.empty, "", Map.empty,
+      Some(99999.9))
+    assert(worst.length <= Bench.MaxLineLength)
+  }
+
   test("RepProfiler: arming rules, dump thresholds, JFR round-trip summary") {
     import graft.tools.RepProfiler
     // thresholds: 1.5x the block min with the 0.25 s absolute floor
@@ -134,9 +213,38 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!RepProfiler.dumpWorthy(1.0, 1.4))
     assert(!RepProfiler.dumpWorthy(0.05, 0.12),
       "sub-floor jitter on fast queries must not dump")
-    // default arming: q81 only (the standing watch item)
+    // default arming: the q81 standing fallback plus whatever the
+    // previous driver round flagged (dynamic — see below); never q22
     assert(RepProfiler.armedFor("q81_char_ngram_pairs"))
     assert(!RepProfiler.armedFor("q22_simhash_pairs"))
+    // dynamic arming (VERDICT r14 item 1): the newest BENCH_r*.json's
+    // p50_flags/max_flags short keys arm their queries for the NEXT run —
+    // both the raw escaped-tail form and the driver-parsed form parse
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-arm")
+    java.nio.file.Files.write(dir.resolve("BENCH_r03.json"),
+      """{"tail": "...\"p50_flags\":{\"81\":2.0},\"max_flags\":{}...", "parsed": null}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("BENCH_r14.json"),
+      ("""{"tail": "...\"p50_flags\":{\"158\":1.66},\"max_flags\":{\"smofipu\":9.1}...",""" +
+        """ "parsed": {"p50_flags": {"158": 1.66}, "max_flags": {"smofipu": 9.1}}}""")
+        .getBytes("UTF-8"))
+    // only the NEWEST round's flags arm (r3's q81 flag is stale history)
+    assert(RepProfiler.flaggedShortKeys(dir) === Set("158", "smofipu"))
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    // no bench files at all → empty set, q81 fallback still covers
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-bench-arm2")
+    assert(RepProfiler.flaggedShortKeys(emptyDir) === Set.empty[String])
+    java.nio.file.Files.delete(emptyDir)
+    // the repo's own newest round file (if running from the repo root)
+    // must arm what it flagged — the driver's next bench records the
+    // recurrence with a profile instead of opening a new watch cycle
+    val repoKeys = RepProfiler.flaggedShortKeys(java.nio.file.Paths.get("."))
+    repoKeys.foreach { k =>
+      val q = SparkEntry.queries.keys.find(n => Bench.shortKey(n) == k)
+      q.foreach(n => assert(RepProfiler.armedFor(n),
+        s"flagged query $n must be armed by default"))
+    }
     // record a short busy window, dump, and summarize — proves the JFR
     // plumbing end-to-end in CI (start may return None on a stripped
     // runtime; the rig must degrade, not break)
