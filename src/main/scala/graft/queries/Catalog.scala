@@ -4752,7 +4752,7 @@ object Catalog {
     * threshold for most corpus docs, while the media payload (a 200-char
     * prefix) stays byte-identical. Plain ASCII so the Spark concat and
     * the DuckDB `||` replay byte-for-byte. */
-  private val CrossmodalFiller = " lorem filler segment alpha beta gamma" +
+  private[queries] val CrossmodalFiller = " lorem filler segment alpha beta gamma" +
     " delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi" +
     " rho sigma tau upsilon phi chi psi omega one two three four five" +
     " six seven eight nine ten"
@@ -4770,7 +4770,7 @@ object Catalog {
     * are the bucketed/banded operators (no all-pairs), the union feeds
     * the same CC the registry family uses, and the election is one
     * aggregate — nothing new materializes beyond the pair lists. */
-  private def crossmodalDd(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def crossmodalDd(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))

@@ -1234,6 +1234,201 @@ object StreamGateQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** In-stream registry compactions per [[streamCrossmodalIngest]] tag. */
+  private[graft] val sxmCompactions =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** The q171 corpus: the q170 cross-modal fixture (full copies at %7 —
+    * text AND media dup — plus media-only copies at %5 whose filler tail
+    * pushes text Jaccard under the 0.8 threshold), each doc's media
+    * payload the 200-char text prefix (the re-hosted-image-same-article
+    * shape). Clusters exist that NEITHER family finds alone, so the
+    * per-epoch union of both pair streams is load-bearing. */
+  private[graft] def sxmDocs(s: SparkSession, dir: String): DataFrame =
+    Catalog.crossmodalDd(s, dir)
+      .withColumn("payload", encode(substring(col("text"), 1, 200), "UTF-8"))
+      .withColumn("media", graft.operators.Media.asMedia("payload", "image/stub"))
+      .select(col("doc_id"), col("text"), col("media"))
+
+  /** Per-copy quality signal (the q169/q170 election convention). */
+  private def sxmQual(df: DataFrame): DataFrame = df.select(col("doc_id"),
+    pmod(col("doc_id"), lit(97)).cast("double").as("quality"))
+
+  /** One q171 epoch: BOTH families' near-dup edges for the batch — the
+    * text minhash serve against the seen index (replay guard: index pairs
+    * whose index member is in THIS batch are the within-batch pass's
+    * property) plus the within-batch minhash pass, UNIONed with the media
+    * phash serve plus the within-batch phash pass — feed ONE quality-aware
+    * [[graft.operators.ClusterRegistry.registerEpoch]] (exactly-once per
+    * batchId), then BOTH seen-indexes merge the batch and the registry
+    * folds its relabel log in-stream when its batch count trips. The edge
+    * frames stay distributed end-to-end (the q163 discipline): the
+    * registry collects them only below its driver ceiling. */
+  private[graft] def sxmEpoch(tbl: String, phPath: String, regPath: String,
+      tag: String)(batch: DataFrame, id: Long): Array[Row] = {
+    import graft.operators.{ClusterRegistry, Dedup, Media, PhashIndex}
+    val bs = batch.sparkSession
+    val textIdx = Dedup.minhashLshAgainstIndex(batch, "doc_id", "text", tbl)
+      .join(batch.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+    val textSelf = Dedup.minhashLsh(batch, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    val mediaIdx = PhashIndex.pairsAgainstIndex(batch, "doc_id", "media", phPath)
+      .join(batch.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+    val mediaSelf = Media.perceptualDupPairs(batch, "doc_id", "media")
+      .select(col("doc_a"), col("doc_b"))
+    ClusterRegistry.registerEpoch(bs, regPath, sxmQual(batch),
+      textIdx.unionByName(textSelf).unionByName(mediaIdx).unionByName(mediaSelf),
+      id.toString)
+    Dedup.minhashIndexAppend(batch, "doc_id", "text", tbl, id.toString)
+    PhashIndex.append(batch, "doc_id", "media", phPath, id.toString)
+    if (ClusterRegistry.staleness(bs, regPath).head().getBoolean(3)) {
+      ClusterRegistry.compact(bs, regPath)
+      sxmCompactions.updateWith(tag)(c => Some(c.getOrElse(0L) + 1L)): Unit
+    }
+    batch.select(col("doc_id")).collect()
+  }
+
+  /** Streaming CROSS-MODAL dedup-map ingest — q170's union-of-families
+    * composed in-stream (VERDICT r14 item 3): the minhash index, the phash
+    * index and ONE [[graft.operators.ClusterRegistry]] are built on the
+    * base corpus (the registry seeded with CC over the UNION of both
+    * families' base pairs, quality-aware); every arriving micro-batch
+    * contributes both families' observed edges into the same registry and
+    * merges both seen-indexes; the registry's relabel log folds in-stream.
+    * Publishes the per-doc dedup-map row ([[graft.operators
+    * .ClusterRegistry.assignWithReps]]: stable cluster id + keep-best
+    * elected representative) for every streamed doc.
+    *
+    * Schedule-invariant by the q163 argument, per family: docs arrive in
+    * id order against seen-signature indexes, so the union of observed
+    * edges over any schedule is every exact-Jaccard≥0.8 text pair PLUS
+    * every payload-prefix-equal media pair among the corpus (base↔base via
+    * the seed, the rest via serve/within-batch), and incremental
+    * union-find equals batch CC over that union — the q170 oracle's
+    * cluster structure, restricted to the streamed docs. */
+  private[graft] def streamCrossmodalIngest(s: SparkSession, dir: String,
+      perOf: Long => Long, tag: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{ClusterRegistry, Dedup, Media, PhashIndex}
+    val uri = s"hub:sxm_$tag"
+    val pid = java.lang.ProcessHandle.current().pid()
+    val hx = java.lang.Integer.toHexString(tag.hashCode).replace('-', 'm')
+    val tbl = s"sxm_${java.lang.Long.toHexString(pid)}_$hx"
+    val phPath = s"${System.getProperty("java.io.tmpdir")}/graft-sxm-ph-$pid-$hx"
+    val regPath = s"${System.getProperty("java.io.tmpdir")}/graft-sxm-reg-$pid-$hx"
+    Seq(phPath, regPath).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    val docs = sxmDocs(s, dir)
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    Dedup.minhashIndexWrite(base, "doc_id", "text", tbl)
+    PhashIndex.build(base, "doc_id", "media", phPath)
+    ClusterRegistry.seed(s,
+      Dedup.minhashLsh(base, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))
+        .unionByName(Media.perceptualDupPairs(base, "doc_id", "media")
+          .select(col("doc_a"), col("doc_b"))),
+      regPath, Some(sxmQual(base)))
+    val ids = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    MemHub.publish(uri, "docs", ids.iterator.map { v =>
+      (v.toString, Map.empty[String, String], v, Array[Byte](1))
+    })
+    val per = perOf(ids.length.toLong)
+    val stream = s.readStream.format("graft-topic")
+      .option("profile", "pulsar").option("uri", uri).option("topics", "docs")
+      .option("maxPerTrigger", per.toString)
+      .load()
+      .select(col("key").cast("long").as("doc_id"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var epochs = 0L
+    val cp = s"${System.getProperty("java.io.tmpdir")}/graft-sxm-cp-$pid-" +
+      java.lang.Integer.toHexString(tag.hashCode)
+    awaitIntake(s"q171:$tag", cpv => stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cpv)
+      .foreachBatch { (idBatch: DataFrame, id: Long) =>
+        val bs = idBatch.sparkSession
+        val batch = idBatch.join(sxmDocs(bs, dir), Seq("doc_id"))
+        val sn = sxmEpoch(tbl, phPath, regPath, tag)(batch, id)
+        synchronized {
+          epochs = math.max(epochs, id + 1)
+          seen ++= sn.map(_.getLong(0))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start(), cp, () => synchronized { epochs })
+    Dedup.dropMinhashIndex(s, tbl)
+    ClusterRegistry.assignWithReps(seen.toSeq.toDF("doc_id"), regPath)
+      .select(col("doc_id"), col("cluster_id"), col("rep_doc"),
+        (col("doc_id") === col("rep_doc")).as("kept"),
+        when(col("doc_id") === col("rep_doc"), lit(-1L))
+          .otherwise(col("rep_doc")).as("suppressed_by_rep"))
+      .withColumn("multi_epoch", lit(epochs > 1))
+      .withColumn("registry_compacted",
+        lit(sxmCompactions.getOrElse(tag, 0L) > 0L))
+      .orderBy(col("doc_id"))
+  }
+
+  val qStreamCrossmodal = QueryDef(
+    "q171_stream_crossmodal_registry",
+    (s, dir) => ran.getOrElseUpdate(s"$dir/sxm",
+      streamCrossmodalIngest(s, dir, n => math.max(1L, n / 7L), s"q171_$dir")),
+    // the q170 oracle (CC over the union of exact-Jaccard text pairs and
+    // payload-prefix-equal media pairs, keep-best election over the whole
+    // cluster) restricted to the STREAMED docs (doc_id % 3 <> 0 on the
+    // expanded fixture ids); registry_compacted is deterministically TRUE
+    // (the relabel-batch dir count grows once per epoch, so the fold
+    // trigger trips mid-stream at per = n/7 at every sf)
+    Some(s"""WITH RECURSIVE
+      base AS (SELECT doc_id, text FROM documents),
+      dd AS (SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id % 7 = 0
+        UNION ALL SELECT doc_id + 2000000,
+          text || '${Catalog.CrossmodalFiller}' FROM base WHERE doc_id % 5 = 0),
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM dd),
+      sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      tpairs AS (SELECT da AS a, db AS b
+                FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      mpairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM dd a JOIN dd b
+        ON md5(substr(a.text, 1, 200)) = md5(substr(b.text, 1, 200))
+          AND a.doc_id < b.doc_id),
+      edges AS (SELECT a, b FROM tpairs UNION SELECT b, a FROM tpairs
+        UNION SELECT a, b FROM mpairs UNION SELECT b, a FROM mpairs),
+      reach(v, w) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a),
+      cl AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS rep FROM reach GROUP BY v),
+      m AS (SELECT d.doc_id,
+          CAST(COALESCE(cl.rep, d.doc_id) AS BIGINT) AS cluster_id
+        FROM dd d LEFT JOIN cl USING (doc_id)),
+      q AS (SELECT doc_id, CAST(doc_id % 97 AS DOUBLE) AS quality FROM dd),
+      best AS (SELECT cluster_id, doc_id AS rep_doc FROM (
+          SELECT m.cluster_id, m.doc_id, row_number() OVER (
+            PARTITION BY m.cluster_id ORDER BY q.quality DESC, m.doc_id) AS rn
+          FROM m JOIN q USING (doc_id)) WHERE rn = 1)
+      SELECT m.doc_id, m.cluster_id, CAST(best.rep_doc AS BIGINT) AS rep_doc,
+        (m.doc_id = best.rep_doc) AS kept,
+        CASE WHEN m.doc_id = best.rep_doc THEN CAST(-1 AS BIGINT)
+             ELSE CAST(best.rep_doc AS BIGINT) END AS suppressed_by_rep,
+        TRUE AS multi_epoch, TRUE AS registry_compacted
+      FROM m JOIN best USING (cluster_id)
+      WHERE m.doc_id % 3 <> 0 ORDER BY m.doc_id"""))
+
   val qStreamClusterRegistry = QueryDef(
     "q163_stream_cluster_registry",
     (s, dir) => ran.getOrElseUpdate(s"$dir/scr",
@@ -1289,5 +1484,5 @@ object StreamGateQueries {
   val all: Seq[QueryDef] = Seq(qStreamRolling, qStreamDedup, qStreamWindow,
     qMapService, qStreamSessions, qStreamJoin, qStreamEnrich, qStreamOuterJoin,
     qStreamCurate, qStreamDedupIngest, qStreamSemanticIngest,
-    qStreamClusterRegistry, qStreamPhashIngest)
+    qStreamClusterRegistry, qStreamPhashIngest, qStreamCrossmodal)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Media, PhashIndex, Pipeline, Similarity}
+import graft.operators.{ClusterRegistry, Dedup, Media, PhashIndex, Pipeline, Similarity}
 import graft.streaming.Sessionize
 
 /** One-line scale/skew stress benchmark over [[StressData]]'s hostile
@@ -12,6 +12,49 @@ import graft.streaming.Sessionize
   * The VALUES are pinned by ScaleStressSpec; this line tracks the COST
   * of surviving skew round over round. */
 object StressBench {
+
+  /** Fragmented-registry shape: `RegistryEpochs` chained quality-aware
+    * epochs of `RegistryPer` docs each — one assign/relabel/elect batch
+    * dir per epoch, one [[ClusterRegistry.compact]] mid-way (so the
+    * quality sidecar holds FOLDED tombstones AND re-fragmented post-fold
+    * dirs, and the second half's batch dirs re-fragment the fresh
+    * generation). Epoch k's docs each carry one edge to the previous
+    * epoch's doc of the same residue: `RegistryPer` chains, cluster id =
+    * the residue, elected rep = the max-quality chain member. */
+  val RegistryEpochs = 100
+  val RegistryPer = 200
+
+  private val builtReg = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build (once per JVM) the fragmented registry above and return its
+    * path — the daily-epoch-cadence pipeline state whose election read
+    * ([[ClusterRegistry.assignWithReps]]) the `registry_assign` stress
+    * leg times (the r14 sidecar fold fixed WRITE fragmentation; this
+    * keeps the READ path honest round over round). */
+  def fragmentedRegistry(spark: SparkSession): String =
+    builtReg.getOrElseUpdate("reg", {
+      import spark.implicits._
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-stressbench-reg-" +
+        s"${java.lang.ProcessHandle.current().pid()}"
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+      def qual(ids: Seq[Long]) = ids.map(d => (d, (d % 97).toDouble))
+      // epoch-0 docs seed as quality-covered singletons (no pairs yet):
+      // every later bridge elects through the sidecar, the r14 device
+      ClusterRegistry.seed(spark,
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), path,
+        Some(qual(0L until RegistryPer.toLong)
+          .toDF("doc_id", "quality")))
+      for (k <- 1 until RegistryEpochs) {
+        val docs = (k.toLong * RegistryPer) until ((k + 1).toLong * RegistryPer)
+        ClusterRegistry.register(spark, path, docs,
+          docs.map(d => (d, d - RegistryPer)), k.toString,
+          qual(docs).toMap)
+        if (k == RegistryEpochs / 2) ClusterRegistry.compact(spark, path)
+      }
+      path
+    })
 
   def line(spark: SparkSession): String = {
     val dir = StressData.ensure(spark)
@@ -67,7 +110,16 @@ object StressBench {
       "phash_serve" -> time(PhashIndex.pairsAgainstIndex(
         asMedia(docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))),
-        "doc_id", "media", phashPath).count()))
+        "doc_id", "media", phashPath).count()),
+      // dedup-map read path against the ~100-epoch fragmented registry
+      // (setup untimed — the amortized ingest; the timed leg is what a
+      // corpus-publish pays per read)
+      "registry_assign" -> {
+        val reg = fragmentedRegistry(spark)
+        val ids = spark.range(RegistryEpochs.toLong * RegistryPer)
+          .select(col("id").as("doc_id"))
+        time(ClusterRegistry.assignWithReps(ids, reg).count())
+      })
     val total = ops.map(_._2).sum
     val qs = ops.map { case (k, v) => s""""$k":${graft.Bench.fmt(v)}""" }.mkString(",")
     s"""{"metric":"stress","value":${graft.Bench.fmt(total)},"unit":"sec","ops":{$qs},"rows":${StressData.Docs}}"""

@@ -36,15 +36,23 @@ class ScaleStressSpec extends AnyFunSuite {
     * onto one task shows up as max ≈ total (32× median at 32 partitions)
     * — far outside any factor here. */
   private def assertBalanced[T](label: String, factor: Double = 6.0,
-      minTasks: Int = 4, minRecords: Long = 50000L)(action: => T): T = {
+      minTasks: Int = 4, minRecords: Long = 50000L,
+      shuffleOnly: Boolean = false)(action: => T): T = {
     val perStage = new scala.collection.concurrent.TrieMap[Int, List[Long]]()
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         // a task's data intake is whichever side feeds it: exchange reads
         // for shuffle stages, source records for scan stages (an ANN probe
-        // moves data through a pruned scan + broadcast, never a shuffle)
+        // moves data through a pruned scan + broadcast, never a shuffle).
+        // `shuffleOnly` drops the scan channel: a layout that is by
+        // construction one consolidated dir beside many small delta dirs
+        // (the fragmented registry) scans unevenly at TOY file sizes —
+        // at scale `spark.sql.files.maxPartitionBytes` bounds scan tasks,
+        // which is Spark's contract, not the operator's; the operator
+        // owns its SHUFFLES
         val recs = Option(t.taskMetrics).map(m =>
-          math.max(m.shuffleReadMetrics.recordsRead,
+          if (shuffleOnly) m.shuffleReadMetrics.recordsRead
+          else math.max(m.shuffleReadMetrics.recordsRead,
             m.inputMetrics.recordsRead)).getOrElse(0L)
         perStage.updateWith(t.stageId) {
           case Some(l) => Some(recs :: l)
@@ -74,7 +82,10 @@ class ScaleStressSpec extends AnyFunSuite {
     }
     assert(audited.nonEmpty,
       s"$label: no stage moved >= $minRecords records — the stress " +
-        "input did not exercise the operator's shuffle")
+        "input did not exercise the operator's shuffle; saw " +
+        perStage.toSeq.sortBy(_._1).map { case (s, rs) =>
+          s"stage $s: ${rs.length} tasks, ${rs.sum} recs"
+        }.mkString("[", "; ", "]"))
     audited.foreach { case (stage, recs) =>
       val sorted = recs.sorted
       val median = math.max(1L, sorted(sorted.length / 2))
@@ -968,5 +979,55 @@ class ScaleStressSpec extends AnyFunSuite {
     val relabels = spark.read.parquet(s"$g/relabel").count()
     assert(relabels == (nClusters - 1).toLong,
       s"one relabel row per losing rep expected, saw $relabels")
+  }
+
+  test("fragmented-registry election read: assignWithReps over ~100 epoch " +
+      "batch dirs (sidecar folded + re-fragmented) is job-bounded and exact") {
+    import graft.operators.ClusterRegistry
+    import graft.tools.StressBench
+    import spark.implicits._
+    // the StressBench registry_assign fixture: 100 chained quality-aware
+    // epochs, one compact mid-way — the daily-epoch-cadence registry state
+    val reg = StressBench.fragmentedRegistry(spark)
+    val n = StressBench.RegistryEpochs.toLong * StressBench.RegistryPer
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    // the scale property a fragmented registry read must hold: ~100 batch
+    // dirs are ONE parquet source each for the member/elect reads — the
+    // job count is a small constant, never per-dir (a per-batch loop
+    // would read as dirs × jobs and collapse at daily-epoch cadence).
+    // Shuffle balance is vacuously clean here (the member/elect sides
+    // broadcast at this size; the hot-epoch test above audits the
+    // registry's distributed-CC shuffles), so the audit is the job bound
+    // plus exactness.
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val jl = new SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(jl)
+    val got =
+      try ClusterRegistry.assignWithReps(ids, reg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      finally {
+        org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(jl)
+      }
+    assert(jobs.get() <= 12,
+      s"the election read must stay a constant handful of jobs over ~100 " +
+        s"batch dirs, ran ${jobs.get()}")
+    assert(got.length == n)
+    // chains by residue: cluster id = the residue (epoch-0 doc), elected
+    // rep = the max-quality chain member (quality = doc % 97, ties to the
+    // smaller id) — exact against the direct formulation
+    val per = StressBench.RegistryPer
+    def expectRep(r: Long): Long =
+      (r until n by per.toLong).minBy(d => (-(d % 97), d))
+    val reps = (0L until per.toLong).map(r => r -> expectRep(r)).toMap
+    got.foreach { case (doc, cid, rep) =>
+      assert(cid == doc % per, s"doc $doc cluster $cid != ${doc % per}")
+      assert(rep == reps(doc % per),
+        s"doc $doc rep $rep != elected ${reps(doc % per)}")
+    }
   }
 }

@@ -1021,6 +1021,113 @@ class StreamingSpec extends AnyFunSuite {
       s"${a.zip(b).filter { case (x, y) => x != y }.take(3)}")
   }
 
+  test("q171 cross-modal registry: schedule-invariant dedup-map, in-stream " +
+      "fold, media-only links land (the union is load-bearing)") {
+    // q170's union-of-families composed in-stream: both pair streams feed
+    // ONE registry per epoch. Two schedules observe different per-epoch
+    // edge sets and fold at different points; the FINAL dedup-map must be
+    // identical (both equal CC over the union of every text pair and
+    // every media payload pair).
+    graft.SparkEntry.queries.size: Unit
+    import graft.queries.StreamGateQueries
+    def run(tag: String, perOf: Long => Long) = {
+      val got = StreamGateQueries.streamCrossmodalIngest(
+          spark, "/root/testdata/sf0.001", perOf, tag)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getLong(4))).toSeq
+      (got, StreamGateQueries.sxmCompactions.getOrElse(tag, 0L))
+    }
+    val (a, compA) = run("sxm-sched-7", n => math.max(1L, n / 7L))
+    val (b, compB) = run("sxm-sched-5", n => math.max(1L, n / 5L))
+    assert(compA >= 1L && compB >= 1L,
+      s"the relabel-log fold must ride the stream: $compA / $compB")
+    assert(a == b, s"final dedup-map must be schedule-invariant: " +
+      s"${a.zip(b).filter { case (x, y) => x != y }.take(3)}")
+    // the media family must be load-bearing: a media-only copy (+2M ids —
+    // filler tail kills text Jaccard, payload prefix identical) clustered
+    // with sub-2M members can only have arrived through a phash edge
+    val mediaOnly = a.filter { case (d, c, _, _, _) => d >= 2000000L && c < 2000000L }
+    assert(mediaOnly.nonEmpty,
+      "media-only duplicates must cluster with their source across the modality union")
+    // keep-best provenance: every suppressed doc points at its cluster's
+    // elected rep, every kept doc is its own
+    a.foreach { case (d, _, rep, kept, sup) =>
+      if (kept) { assert(d == rep); assert(sup == -1L) }
+      else { assert(d != rep); assert(sup == rep) }
+    }
+  }
+
+  test("q171 epoch replay: re-running an epoch is assignment- and " +
+      "both-index-idempotent") {
+    graft.SparkEntry.queries.size: Unit
+    import graft.operators.{ClusterRegistry, Dedup, Media, PhashIndex}
+    import graft.queries.StreamGateQueries
+    import spark.implicits._
+    val pid = java.lang.ProcessHandle.current().pid()
+    val tbl = s"sxmrep_$pid"
+    val phPath = s"${System.getProperty("java.io.tmpdir")}/graft-sxmrep-ph-$pid"
+    val regPath = s"${System.getProperty("java.io.tmpdir")}/graft-sxmrep-$pid"
+    Dedup.dropMinhashIndex(spark, tbl)
+    Seq(phPath, regPath).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    val toks = (0 until 70).map(i => s"w$i")
+    def span(from: Int, until: Int) = toks.slice(from, until).mkString(" ")
+    def withMedia(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("payload", encode(substring(col("text"), 1, 200), "UTF-8"))
+      .withColumn("media", Media.asMedia("payload", "image/stub"))
+    // base: docs 0 and 3 are TEXT near-dups with different 200-prefixes
+    val base = withMedia(Seq((0L, span(0, 60)), (3L, span(4, 64)))
+      .toDF("doc_id", "text"))
+    Dedup.minhashIndexWrite(base, "doc_id", "text", tbl)
+    PhashIndex.build(base, "doc_id", "media", phPath)
+    ClusterRegistry.seed(spark,
+      Dedup.minhashLsh(base, "doc_id", "text").select(col("doc_a"), col("doc_b"))
+        .unionByName(Media.perceptualDupPairs(base, "doc_id", "media")
+          .select(col("doc_a"), col("doc_b"))),
+      regPath, Some(base.select(col("doc_id"),
+        pmod(col("doc_id"), lit(97)).cast("double").as("quality"))))
+    // batch: 10 fresh; 11 text-dups 10 (within-batch text edge); 12
+    // text-dups base 3 (index text edge); 13 MEDIA-dups base 0 — same
+    // 200-char prefix, junk tail killing text Jaccard (index phash edge).
+    // 10/11 use an uppercase token texture: the dHash samples byte
+    // GRADIENTS, so any same-shaped lowercase+digit stream ("x0 x1 ...")
+    // collides with the w-span payloads at Hamming 0 — the caps texture
+    // sits ≥ 29 bits from every span-prefix payload (probed)
+    val junk = (0 until 90).map(i => s"junk$i").mkString(" ")
+    val batch = withMedia(Seq(
+      (10L, (0 until 40).map(i => s"QQ${i}ZZ").mkString(" ")),
+      (11L, (0 until 38).map(i => s"QQ${i}ZZ").mkString(" ") + " QA QB"),
+      (12L, span(2, 62)),
+      (13L, span(0, 60).take(200) + " " + junk)).toDF("doc_id", "text"))
+    def epoch() = StreamGateQueries.sxmEpoch(tbl, phPath, regPath,
+      "sxm-replay")(batch, 0L)
+    epoch()
+    def assigned() = ClusterRegistry
+      .assignWithReps(Seq(10L, 11L, 12L, 13L).toDF("doc_id"), regPath)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val first = assigned()
+    // 13 joins the {0, 3} cluster through the MEDIA edge alone, 12
+    // through the text index edge; election over {0, 3, 12, 13} by
+    // quality = id % 97 picks 13, over {10, 11} picks 11
+    assert(first == Map(10L -> ((10L, 11L)), 11L -> ((10L, 11L)),
+      12L -> ((0L, 13L)), 13L -> ((0L, 13L))),
+      s"cross-modal fold into the seeded cluster + keep-best election: $first")
+    val (shT, _) = Dedup.minhashLiveTables(spark, tbl)
+    val shRows = spark.table(shT).count()
+    val g = graft.core.GenDir.resolveRequired(spark, phPath)
+    val phRows = spark.read.parquet(s"$g/appends").count()
+    epoch()
+    assert(assigned() == first, "a replayed epoch must not move any assignment")
+    assert(spark.table(shT).count() == shRows,
+      "a replayed epoch must not duplicate minhash index rows")
+    assert(spark.read.parquet(s"$g/appends").count() == phRows,
+      "a replayed epoch must not duplicate phash index rows")
+    Dedup.dropMinhashIndex(spark, tbl)
+  }
+
   test("q163 epoch replay: registering the same epoch twice is assignment- and index-idempotent") {
     graft.SparkEntry.queries.size: Unit
     import graft.operators.{ClusterRegistry, Dedup}
