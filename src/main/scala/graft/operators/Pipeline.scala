@@ -1337,23 +1337,32 @@ object Pipeline {
       .select(col(corpusIdCol).cast("long").as("doc_id"),
         graft.functions.tokens_fast(coalesce(col(corpusTextCol), lit(""))).as("__toks"))
       .withColumn("dl", size(col("__toks")).cast("long"))
-    val stats = c.agg(sum(col("dl")), count(lit(1))).head()
-    val totalT = stats.getLong(0)
-    val n = stats.getLong(1)
-    require(n > 0, "empty corpus")
     // explode_outer + a cheap term filter, NOT plain explode: Generate's
     // implied non-empty-array constraint would be inferred as a
     // size(tokens_scan(…)) > 0 filter and pushed into the scan — running
     // the tokenize kernel TWICE per row (PlanAudit kernel-in-filter flag)
-    // pin (persist + count, lineage kept): the postings feed BOTH the df
-    // table and the scoring join — without the pin the tokenize/explode
-    // subtree runs once per consumer. One corpus pass, FT-safe.
+    // pin (persist + count, lineage kept): the postings feed the corpus
+    // stats, the df table AND the scoring join — without the pin the
+    // tokenize/explode subtree runs once per consumer. The null-term rows
+    // explode_outer emits for EMPTY docs are kept through the combine (one
+    // row per empty doc) precisely so the stats below see every doc; they
+    // are filtered out of the term-keyed consumers. ONE corpus
+    // read+tokenize pass total — the r14 profile showed the old separate
+    // stats pre-pass re-tokenizing the whole corpus per run, a second full
+    // scan a 100 TB corpus cannot afford. FT-safe.
     val postings = graft.core.GraftSession.pin(c
       .select(col("doc_id"), col("dl"), explode_outer(col("__toks")).as("term"))
-      .filter(col("term").isNotNull)
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf")))
-    val dfTable = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // corpus stats from the PINNED postings: distinct (doc_id, dl) is one
+    // cheap agg over in-memory data, not a corpus re-scan
+    val stats = postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(sum(col("dl")), count(lit(1))).head()
+    val totalT = stats.getLong(0)
+    val n = stats.getLong(1)
+    require(n > 0, "empty corpus")
+    val terms = postings.filter(col("term").isNotNull)
+    val dfTable = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qterms = queries.filter(col(queryTextCol).isNotNull)
       .select(col(queryIdCol).cast("long").as("query_id"),
         explode_outer(graft.functions.tokens_fast(
@@ -1370,7 +1379,7 @@ object Pipeline {
       // the postings join; dropping them is exactly score-preserving
       .filter(col("idf_q") > 0)
       .select(col("query_id"), col("term"), col("idf_q"))
-    postings.join(broadcast(qti), "term")
+    terms.join(broadcast(qti), "term")
       .withColumn("__sc", col("idf_q") * expr(
         s"(44 * tf * ${totalT}L * 16) DIV (20 * tf * ${totalT}L + 6 * ${totalT}L + 18 * dl * ${n}L)"))
       .groupBy(col("query_id"), col("doc_id"))
