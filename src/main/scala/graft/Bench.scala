@@ -270,7 +270,12 @@ object Bench {
       catch { case _: Throwable => empty }
     val (oldStamp, oldFloors) =
       all.getOrElse(sf, (Map.empty[String, Double], Map.empty[String, Double]))
-    val merged = mergeFloors(oldFloors, mins)
+    // quantize to the RENDERED precision before comparing: a full-precision
+    // min fractionally below its own 3-decimal rendering would otherwise
+    // read as an improvement on every identical session, churning the
+    // stamp while the file re-renders byte-identical floors
+    val minsQ = mins.map { case (k, v) => k -> fmt(v).toDouble }
+    val merged = mergeFloors(oldFloors, minsQ)
     val improved = merged != oldFloors
     val next = all + (sf -> (if (improved) stamp else oldStamp, merged))
     java.nio.file.Files.write(path, renderFloors(next).getBytes("UTF-8"))

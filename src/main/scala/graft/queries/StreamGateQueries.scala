@@ -1354,8 +1354,16 @@ object StreamGateQueries {
       .option("checkpointLocation", cpv)
       .foreachBatch { (idBatch: DataFrame, id: Long) =>
         val bs = idBatch.sparkSession
-        val batch = idBatch.join(sxmDocs(bs, dir), Seq("doc_id"))
-        val sn = sxmEpoch(tbl, phPath, regPath, tag)(batch, id)
+        // pin the epoch's payload-joined batch: sxmEpoch has ~8 consumers
+        // (two serves, two self passes, the registry collect, both index
+        // appends, the seen collect) and each would otherwise re-derive
+        // the 3-leg expanded corpus from parquet — the pin makes every
+        // consumer read micro-batch-sized in-memory rows instead
+        val batch = graft.core.GraftSession.pin(
+          idBatch.join(sxmDocs(bs, dir), Seq("doc_id")))
+        val sn =
+          try sxmEpoch(tbl, phPath, regPath, tag)(batch, id)
+          finally graft.core.GraftSession.release(batch)
         synchronized {
           epochs = math.max(epochs, id + 1)
           seen ++= sn.map(_.getLong(0))

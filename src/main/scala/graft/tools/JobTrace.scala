@@ -56,13 +56,25 @@ object JobTrace {
       println(f"== $name rep $r wall=$wall%.3f s, ${js.size} jobs ==")
       js.foreach { j =>
         val gap = if (prevEnd == 0L) 0L else math.max(0L, j.start - prevEnd)
-        prevEnd = math.max(prevEnd, j.end)
-        println(f"  job ${j.id}%4d  ${(j.end - j.start) / 1000.0}%7.3f s  " +
+        prevEnd = math.max(prevEnd, math.max(j.end, j.start))
+        val dur = if (j.end >= j.start) f"${(j.end - j.start) / 1000.0}%7.3f s"
+          else "  (no end)"
+        println(f"  job ${j.id}%4d  $dur  " +
           f"gap ${gap / 1000.0}%6.3f s  stages=${j.stages}%2d tasks=${j.tasks}%4d  ${j.desc}")
       }
-      val jobS = js.map(j => math.max(0L, j.end - j.start)).sum / 1000.0
-      val gapS = wall - jobS
-      println(f"  jobs $jobS%.3f s + driver gaps $gapS%.3f s")
+      // covered time = the union of job intervals (concurrent jobs — a
+      // broadcast build overlapping the main job — must not double-count
+      // into the serial attribution; a lost end event contributes nothing)
+      val ivs = js.filter(j => j.end > j.start)
+        .map(j => (j.start, j.end)).sortBy(_._1)
+      var (covMs, covEnd) = (0L, 0L)
+      ivs.foreach { case (s, e) =>
+        covMs += math.max(0L, e - math.max(s, covEnd))
+        covEnd = math.max(covEnd, e)
+      }
+      val jobS = covMs / 1000.0
+      val gapS = math.max(0.0, wall - jobS)
+      println(f"  jobs (interval union) $jobS%.3f s + driver gaps $gapS%.3f s")
     }
     spark.stop()
   }

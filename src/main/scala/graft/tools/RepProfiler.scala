@@ -39,13 +39,15 @@ object RepProfiler {
     try {
       import scala.jdk.CollectionConverters._
       val benchRe = "BENCH_r(\\d+)\\.json".r
-      val files = java.nio.file.Files.list(dir).iterator().asScala
-        .flatMap { p =>
+      val listing = java.nio.file.Files.list(dir)
+      val files =
+        try listing.iterator().asScala.flatMap { p =>
           p.getFileName.toString match {
             case benchRe(n) => Some((n.toInt, p))
             case _ => None
           }
         }.toSeq
+        finally listing.close()
       if (files.isEmpty) Set.empty
       else {
         val text = new String(
@@ -64,8 +66,10 @@ object RepProfiler {
     flaggedShortKeys(java.nio.file.Paths.get("."))
 
   def armedFor(name: String): Boolean =
-    sys.env.get(ArmEnv).map(_.trim).filter(_.nonEmpty) match {
-      case Some("0") => false
+    sys.env.get(ArmEnv).map(_.trim) match {
+      // set-but-empty (like "0") disarms everything — the pre-r15
+      // behavior an operator relies on to run a profiling-free bench
+      case Some("0") | Some("") => false
       case Some(conf) => conf.split(',').map(_.trim).filter(_.nonEmpty)
         .exists(p => name == p || name.startsWith(p))
       case None =>

@@ -166,12 +166,17 @@ class BenchLineSpec extends AnyFunSuite {
       Map("a" -> 0.8, "c" -> 3.0)) === Map("a" -> 0.8, "b" -> 2.0, "c" -> 3.0))
     val f = java.nio.file.Files.createTempFile("graft-floors", ".json")
     java.nio.file.Files.delete(f)
-    // first run creates the file and stamps the env
+    // first run creates the file and stamps the env (full-precision mins
+    // quantize to the rendered 3 decimals)
     assert(Bench.updateFloors(f, "sf0.1",
-      Map("q01_x" -> 1.234, "q02_y" -> 0.5), Map("load1_pre" -> 3.5)))
+      Map("q01_x" -> 1.2341234, "q02_y" -> 0.5), Map("load1_pre" -> 3.5)))
     val r1 = Bench.parseFloors(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
     assert(r1("sf0.1")._2 === Map("q01_x" -> 1.234, "q02_y" -> 0.5))
     assert(r1("sf0.1")._1("load1_pre") === 3.5)
+    // an IDENTICAL session must not read as an improvement (the
+    // quantization guard: full-precision min vs 3-decimal stored floor)
+    assert(!Bench.updateFloors(f, "sf0.1",
+      Map("q01_x" -> 1.2341234, "q02_y" -> 0.5), Map("load1_pre" -> 9.0)))
     // a slower noisy run must NOT move floors or the stamp
     assert(!Bench.updateFloors(f, "sf0.1",
       Map("q01_x" -> 2.0, "q02_y" -> 0.9), Map("load1_pre" -> 28.0)))

@@ -36,23 +36,15 @@ class ScaleStressSpec extends AnyFunSuite {
     * onto one task shows up as max ≈ total (32× median at 32 partitions)
     * — far outside any factor here. */
   private def assertBalanced[T](label: String, factor: Double = 6.0,
-      minTasks: Int = 4, minRecords: Long = 50000L,
-      shuffleOnly: Boolean = false)(action: => T): T = {
+      minTasks: Int = 4, minRecords: Long = 50000L)(action: => T): T = {
     val perStage = new scala.collection.concurrent.TrieMap[Int, List[Long]]()
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         // a task's data intake is whichever side feeds it: exchange reads
         // for shuffle stages, source records for scan stages (an ANN probe
-        // moves data through a pruned scan + broadcast, never a shuffle).
-        // `shuffleOnly` drops the scan channel: a layout that is by
-        // construction one consolidated dir beside many small delta dirs
-        // (the fragmented registry) scans unevenly at TOY file sizes —
-        // at scale `spark.sql.files.maxPartitionBytes` bounds scan tasks,
-        // which is Spark's contract, not the operator's; the operator
-        // owns its SHUFFLES
+        // moves data through a pruned scan + broadcast, never a shuffle)
         val recs = Option(t.taskMetrics).map(m =>
-          if (shuffleOnly) m.shuffleReadMetrics.recordsRead
-          else math.max(m.shuffleReadMetrics.recordsRead,
+          math.max(m.shuffleReadMetrics.recordsRead,
             m.inputMetrics.recordsRead)).getOrElse(0L)
         perStage.updateWith(t.stageId) {
           case Some(l) => Some(recs :: l)
