@@ -1464,8 +1464,13 @@ object Pipeline {
           coalesce(col(textCol), lit("")))).as("term"))
         .filter(col("term").isNotNull)
         .groupBy(col("term")).agg(count(lit(1)).as(out))
-    val ca = counts(before, "c_before")
-    val cb = counts(after, "c_after")
+    // pin both term tables (vocab-sized): the totals heads, the full-outer
+    // join AND the rising/falling sorts all consume them — unpinned, each
+    // consumer re-ran the half's full tokenize+combine (3 corpus passes
+    // per half per run, the q116 defect class). One tokenize pass per
+    // half; the pins release with the returned frame (bm25 convention).
+    val ca = graft.core.GraftSession.pin(counts(before, "c_before"))
+    val cb = graft.core.GraftSession.pin(counts(after, "c_after"))
     val (ta, va) = {
       val r = ca.agg(sum(col("c_before")), count(lit(1))).head()
       (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
@@ -1502,8 +1507,13 @@ object Pipeline {
     * one map-side-combined pass; the weight table is domain-sized. */
   def temperatureMixture(
       df: DataFrame, domainCol: String, tokens: Column): DataFrame = {
-    val agg = df.groupBy(col(domainCol))
-      .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("tokens"))
+    // pin the domain-sized aggregate: the corpus token-count pass feeds
+    // the total head, the weight-sum head AND the returned frame —
+    // unpinned, it re-scanned the corpus three times per run (the q116
+    // defect class); pinned, the corpus is read once and both heads plus
+    // the result read domain-count rows
+    val agg = graft.core.GraftSession.pin(df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("tokens")))
     val t = agg.agg(sum(col("tokens"))).head().getLong(0)
     require(t > 0, "empty corpus")
     val w = agg.withColumn("weight_q",
@@ -1516,10 +1526,12 @@ object Pipeline {
   /** Curation funnel report: the [[curate]] chain with per-stage survivor
     * counts — the audit a 100 TB curation run reports next to its output
     * (how much each stage discarded decides where to tune). One row:
-    * (n_input, n_lang, n_quality, n_dedup, n_final). Each count is an
-    * aggregate over the same declarative stages curate runs — counts
-    * pipeline into the stage plans, no extra corpus passes beyond the
-    * stages themselves. */
+    * (n_input, n_lang, n_quality, n_dedup, n_final). Corpus passes are
+    * bounded by construction: input+lang counts fold into one aggregate
+    * over the raw scan, the quality survivors are pinned (their count is
+    * the materialization itself), and the dedup window + decontamination
+    * anti-join count off the pin — the raw corpus is read twice total,
+    * never once per stage. */
   def curationFunnel(
       docs: DataFrame,
       evalDocs: DataFrame,
@@ -1531,19 +1543,30 @@ object Pipeline {
       maxTokens: Int,
       minDistinctRatio: Double): DataFrame = {
     require(langs.nonEmpty, "language allowlist must not be empty")
-    val allowed = docs.filter(col(langCol).isin(langs: _*))
-    val quality = qualityFilter(
-      allowed, idCol, textCol, minTokens, maxTokens, minDistinctRatio)
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    val deduped = quality
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-    val fin = decontaminate(deduped, evalDocs, textCol)
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq((docs.count(), allowed.count(), quality.count(), deduped.count(), fin.count()))
-      .toDF("n_input", "n_lang", "n_quality", "n_dedup", "n_final")
+    // the five stage counts must not each re-run their chain PREFIX
+    // (five counts = the raw corpus scanned five times, the quality
+    // kernels three times — the q116 defect class): input+lang fold into
+    // ONE aggregate over the raw scan, the quality survivors pin once
+    // (their count is the pin's own materialization), and the dedup
+    // window + decontamination anti-join run over the pin
+    val inLang = docs.agg(count(lit(1)).as("n_input"),
+      count(when(col(langCol).isin(langs: _*), 1)).as("n_lang")).head()
+    val allowed = docs.filter(col(langCol).isin(langs: _*))
+    val quality = graft.core.GraftSession.pin(qualityFilter(
+      allowed, idCol, textCol, minTokens, maxTokens, minDistinctRatio))
+    try {
+      val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+      val deduped = quality
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+      val fin = decontaminate(deduped, evalDocs, textCol)
+      Seq((inLang.getLong(0), inLang.getLong(1), quality.count(),
+          deduped.count(), fin.count()))
+        .toDF("n_input", "n_lang", "n_quality", "n_dedup", "n_final")
+    } finally graft.core.GraftSession.release(quality)
   }
 
   /** Gopher/MassiveText-style per-document n-gram repetition signals (Rae
