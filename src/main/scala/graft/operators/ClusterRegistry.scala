@@ -141,12 +141,17 @@ object ClusterRegistry {
     * registry predates the quality era. */
   private def qualFor(spark: SparkSession, path: String,
       ids: Set[Long]): Map[Long, Double] = {
-    val qr = qualRoot(path)
-    if (ids.isEmpty || !fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(qr)))
+    // read the batch dirs EXPLICITLY, never the `_qual` root: the root's
+    // underscore-prefixed name makes Spark's DataSource log an "All paths
+    // were ignored" WARN on every read (the read still works — partition
+    // discovery proceeds — but the WARN is noise the driver's bounded
+    // tail capture pays for; VERDICT r15 item 6)
+    val dirs = qualDataDirs(spark, path)
+    if (ids.isEmpty || dirs.isEmpty)
       Map.empty
     else {
       import spark.implicits._
-      spark.read.parquet(qr)
+      spark.read.parquet(dirs: _*)
         .join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"))
         .groupBy(col("doc_id")).agg(max(col("quality")).as("quality"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -573,7 +578,9 @@ object ClusterRegistry {
         .join(preps, col("rep_r") === col("prep"))
         .join(cc.select(col("doc_id").as("rep_r"), col("rep").as("lbl")), Seq("rep_r"))
         .select(col("lbl"), col("best_doc").as("cand"), col("best_quality").as("q"))
-      val qr = qualRoot(path)
+      // batch dirs explicitly, never the `_qual` root (same WARN-noise
+      // reason as qualFor)
+      val qualDirs = qualDataDirs(spark, path)
       // semi-join the (batch-bounded) singleton set into the sidecar
       // BEFORE aggregating — the sidecar is corpus-sized (one row per
       // registered doc) and Catalyst cannot push a join below a groupBy,
@@ -582,8 +589,8 @@ object ClusterRegistry {
         .join(prior.select(col("rep_r").as("prep")).distinct(),
           Seq("prep"), "left_anti")
       val qualDf =
-        if (fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(qr)))
-          spark.read.parquet(qr)
+        if (qualDirs.nonEmpty)
+          spark.read.parquet(qualDirs: _*)
             .join(singletons.select(col("prep").as("doc_id")), Seq("doc_id"),
               "left_semi")
             .groupBy(col("doc_id")).agg(max(col("quality")).as("sq"))

@@ -53,41 +53,50 @@ object BenchDiff {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BenchDiff <old detail> <new detail> [topN]")
-    val (oldD, newD) = (parse(args(0)), parse(args(1)))
-    val topN = if (args.length > 2) args(2).toInt else 15
+  /** The full comparison as one string — consumed by [[main]] (stdout)
+    * and by the bench itself, which writes it as `benchdiff.txt` next to
+    * `bench_detail.json` on every full-catalog run (VERDICT r15 item 5:
+    * the cross-round story is committed measurement state). */
+  def report(oldD: Map[String, Q], newD: Map[String, Q], topN: Int): String = {
+    val sb = new StringBuilder
     val common = oldD.keySet.intersect(newD.keySet).toSeq
     val oldUser = common.map(oldD(_).userP50).sum
     val newUser = common.map(newD(_).userP50).sum
     val oldWall = common.map(oldD(_).wallP50).sum
     val newWall = common.map(newD(_).wallP50).sum
-    println(f"common queries: ${common.size}; p50 wall ${oldWall}%.1f -> ${newWall}%.1f s " +
+    sb ++= f"common queries: ${common.size}; p50 wall ${oldWall}%.1f -> ${newWall}%.1f s " +
       f"(x${newWall / math.max(oldWall, 0.001)}%.2f); " +
       f"p50 USER CPU ${oldUser}%.1f -> ${newUser}%.1f s " +
-      f"(x${newUser / math.max(oldUser, 0.001)}%.2f)  <- the robust axis")
+      f"(x${newUser / math.max(oldUser, 0.001)}%.2f)  <- the robust axis%n"
     val planMoved = common.filter { q =>
       val (o, n) = (oldD(q), newD(q))
       o.stages != n.stages ||
         (o.jobs >= 0 && n.jobs >= 0 && o.jobs != n.jobs)
     }
     if (planMoved.nonEmpty) {
-      println(s"\nplan-shape moved (${planMoved.size}) — user-cpu deltas here are a PLAN story:")
+      sb ++= f"%nplan-shape moved (${planMoved.size}) — user-cpu deltas here are a PLAN story:%n"
       planMoved.sortBy(q => -(newD(q).userP50 - oldD(q).userP50)).take(topN).foreach { q =>
-        println(f"  $q%-36s stages ${oldD(q).stages}->${newD(q).stages} " +
-          f"jobs ${oldD(q).jobs}->${newD(q).jobs} user ${oldD(q).userP50}%.2f->${newD(q).userP50}%.2f s")
+        sb ++= f"  $q%-36s stages ${oldD(q).stages}->${newD(q).stages} " +
+          f"jobs ${oldD(q).jobs}->${newD(q).jobs} user ${oldD(q).userP50}%.2f->${newD(q).userP50}%.2f s%n"
       }
     }
-    println(s"\ntop user-cpu movers at CONSTANT plan shape:")
+    sb ++= f"%ntop user-cpu movers at CONSTANT plan shape:%n"
     common.filterNot(planMoved.contains)
       .sortBy(q => -math.abs(newD(q).userP50 - oldD(q).userP50)).take(topN).foreach { q =>
         val (o, n) = (oldD(q).userP50, newD(q).userP50)
-        println(f"  $q%-36s user $o%6.2f -> $n%6.2f s (${if (n > o) "+" else ""}${n - o}%.2f)  " +
-          f"wall ${oldD(q).wallP50}%5.2f -> ${newD(q).wallP50}%5.2f s")
+        sb ++= f"  $q%-36s user $o%6.2f -> $n%6.2f s (${if (n > o) "+" else ""}${n - o}%.2f)  " +
+          f"wall ${oldD(q).wallP50}%5.2f -> ${newD(q).wallP50}%5.2f s%n"
       }
     val gone = oldD.keySet.diff(newD.keySet)
     val added = newD.keySet.diff(oldD.keySet)
-    if (gone.nonEmpty) println(s"\nremoved: ${gone.toSeq.sorted.mkString(", ")}")
-    if (added.nonEmpty) println(s"added: ${added.toSeq.sorted.mkString(", ")}")
+    if (gone.nonEmpty) sb ++= f"%nremoved: ${gone.toSeq.sorted.mkString(", ")}%n"
+    if (added.nonEmpty) sb ++= f"added: ${added.toSeq.sorted.mkString(", ")}%n"
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchDiff <old detail> <new detail> [topN]")
+    val topN = if (args.length > 2) args(2).toInt else 15
+    print(report(parse(args(0)), parse(args(1)), topN))
   }
 }

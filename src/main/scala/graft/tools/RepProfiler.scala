@@ -62,8 +62,22 @@ object RepProfiler {
       }
     } catch { case _: Throwable => Set.empty }
 
-  private lazy val dynamicArmed: Set[String] =
-    flaggedShortKeys(java.nio.file.Paths.get("."))
+  private lazy val armedDir =
+    java.nio.file.Paths.get(".").toAbsolutePath.normalize
+
+  private lazy val dynamicArmed: Set[String] = flaggedShortKeys(armedDir)
+
+  /** One-line arming report for the bench log (r15 ADVICE): WHICH short
+    * keys are dynamically armed and WHERE the flags were read from — a
+    * bench launched outside the repo root shows its degraded q81-only
+    * arming instead of silently falling back, and the operator can
+    * discount JFR overhead (~1-2 % on armed queries) when
+    * re-adjudicating a flagged query that the rig itself is recording. */
+  def armingReport(): String = {
+    val envConf = sys.env.get(ArmEnv).map(v => s"; env override '$v'").getOrElse("")
+    s"[graft-bench] JFR arming: dynamic={${dynamicArmed.toSeq.sorted.mkString(",")}} " +
+      s"from BENCH_r*.json under $armedDir; fallback=$DefaultArmed$envConf"
+  }
 
   def armedFor(name: String): Boolean =
     sys.env.get(ArmEnv).map(_.trim) match {
@@ -126,6 +140,7 @@ object RepProfiler {
     val leafs = mutable.Map.empty[String, Int].withDefaultValue(0)
     val stacks = mutable.Map.empty[String, Int].withDefaultValue(0)
     val deoptReasons = mutable.Map.empty[String, Int].withDefaultValue(0)
+    val compMethods = mutable.Map.empty[String, Long].withDefaultValue(0L)
     var samples = 0
     var deopts = 0
     var codeCacheFull = 0
@@ -157,7 +172,20 @@ object RepProfiler {
         case "jdk.CodeCacheFull" => codeCacheFull += 1
         case "jdk.Compilation" =>
           compilations += 1
-          compMs += (try e.getDuration.toMillis catch { case _: Throwable => 0L })
+          val d = try e.getDuration.toMillis catch { case _: Throwable => 0L }
+          compMs += d
+          // per-method compile cost (VERDICT r15 item 3): the cold-rep
+          // JIT bill needs NAMES to be attributable — the q158 rep-1
+          // analysis showed it is Spark's own Catalyst/driver methods
+          // crossing C2 thresholds, not generated code, which only the
+          // method channel can show
+          val cm = try {
+            val m = e.getValue("method")
+              .asInstanceOf[jdk.jfr.consumer.RecordedMethod]
+            if (m == null) "?"
+            else s"${Option(m.getType).map(_.getName).getOrElse("?")}.${m.getName}"
+          } catch { case _: Throwable => "?" }
+          compMethods(cm) += d
         case _ =>
       }
     } finally rf.close()
@@ -169,6 +197,11 @@ object RepProfiler {
       deoptReasons.toSeq.sortBy(-_._2).take(10).foreach { case (r, c) =>
         sb ++= f"  $c%6d  $r%n"
       }
+    }
+    if (compMethods.nonEmpty) {
+      sb ++= "top compile consumers (by total compile ms):\n"
+      compMethods.toSeq.sortBy { case (m, d) => (-d, m) }.take(10)
+        .foreach { case (m, d) => sb ++= f"  $d%6d  $m%n" }
     }
     sb ++= "top leaf frames (by sample):\n"
     leafs.toSeq.sortBy { case (f, c) => (-c, f) }.take(15).foreach { case (f, c) =>

@@ -192,7 +192,102 @@ class BenchLineSpec extends AnyFunSuite {
     assert(r3("sf0.1")._2 === Map("q01_x" -> 1.1, "q02_y" -> 0.5))
     assert(r3("sf0.1")._1("load1_pre") === 0.5)
     assert(r3("sf0.001")._2 === Map("q01_x" -> 0.05))
-    java.nio.file.Files.delete(f): Unit
+    // the write is atomic (temp + rename): no .tmp debris next to the file
+    assert(!java.nio.file.Files.exists(
+      f.resolveSibling(f.getFileName.toString + ".tmp")),
+      "updateFloors must clean up its temp file")
+    // a PRESENT-BUT-CORRUPT file must SKIP the update, not rewrite from
+    // empty (r15 ADVICE: treating a truncated file as empty silently
+    // discards every accumulated floor and sf section)
+    val before = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    java.nio.file.Files.write(f, (before.dropRight(20) + "garbage").getBytes("UTF-8"))
+    val corrupt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    assert(!Bench.updateFloors(f, "sf0.1", Map("q01_x" -> 0.01), Map.empty),
+      "corrupt floors file must not accept updates")
+    assert(new String(java.nio.file.Files.readAllBytes(f), "UTF-8") === corrupt,
+      "corrupt floors file must be left byte-identical for manual recovery")
+    assert(Bench.loadFloors(f).isEmpty, "loadFloors must report unparseable as None")
+    java.nio.file.Files.delete(f)
+    assert(Bench.loadFloors(f) === Some(Map.empty),
+      "an absent file is a fresh start, not a parse failure")
+  }
+
+  test("floor_flags: regression test, quiet-env gate, and line rendering " +
+      "(emitted-when-quiet / omitted-when-loud both pinned)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // regression predicate: x1.5 over the best floor with the 0.25 s
+    // absolute guard (toy-query scheduler wobble never flags)
+    assert(Bench.floorRegressed(1.0, 1.8, 1.5))
+    assert(!Bench.floorRegressed(1.0, 1.7, 1.5))
+    assert(!Bench.floorRegressed(0.05, 0.09, 1.5),
+      "sub-floor wobble on a 50 ms query must not flag")
+    // quiet-env gate: a genuinely quiet session passes; the r15 driver
+    // run's shape (other_s 3475 on a 2045 s x 32-cpu run = 5.3 %) is LOUD
+    def delta(steal: Double, other: Double) =
+      graft.tools.HostStat.Delta(cpuS = 100.0, otherBusyS = other,
+        stealS = steal, jitMs = 0L)
+    assert(Bench.envQuietForFloors(delta(0.5, 200.0), 2000.0, 32))
+    assert(!Bench.envQuietForFloors(delta(85.4, 3475.4), 2045.0, 32),
+      "the r15 driver session must classify loud")
+    assert(!Bench.envQuietForFloors(delta(999.6, 200.0), 2000.0, 32),
+      "steal-heavy sessions must classify loud")
+    // rendering: quiet + regressions -> flags present; quiet + clean ->
+    // empty object (distinguishable from unchecked); loud -> field absent
+    val withFlags = Bench.renderLine(Map("q01_pricing_summary" -> 1.9), "/x",
+      floorFlags = Some(Map("q01_pricing_summary" -> 1.9)))
+    val j = JsonMethods.parse(withFlags)
+    assert((j \ "floor_flags" \ "01") === JDouble(1.9),
+      "a quiet-session floor regression must ride the line")
+    val clean = JsonMethods.parse(Bench.renderLine(
+      Map("q01_pricing_summary" -> 1.0), "/x", floorFlags = Some(Map.empty)))
+    assert((clean \ "floor_flags") === JObject(Nil),
+      "a quiet clean run must emit the empty object, not omit the field")
+    val loud = Bench.renderLine(Map("q01_pricing_summary" -> 1.0), "/x",
+      floorFlags = None)
+    assert(!loud.contains("floor_flags"),
+      "a loud session must omit the field entirely")
+    // bounded: every query flagged at worst-case values still fits
+    val worst = Bench.renderLine(
+      names.map(_ -> 9999.999).toMap, "/root/testdata/sf0.1",
+      names.map(_ -> 9999.999).toMap, names.map(_ -> 99999.999).toMap,
+      names.map(_ -> 99999.999).toMap, Map.empty, "", Map.empty, Some(99999.9),
+      Some(names.map(_ -> 9999.999).toMap))
+    assert(worst.length <= Bench.MaxLineLength,
+      s"bench line with floor flags is ${worst.length} chars — will be truncated")
+    val wj = JsonMethods.parse(worst)
+    assert((wj \ "floor_flags").asInstanceOf[JObject].obj.size === Bench.MaxP50Flags,
+      s"floor flag list must cap at ${Bench.MaxP50Flags}")
+  }
+
+  test("BenchDiff.report: robust-axis header, plan-move quarantine, and " +
+      "constant-plan movers — the committed benchdiff.txt shape") {
+    import graft.tools.BenchDiff
+    val oldD = Map(
+      "q1" -> BenchDiff.Q(userP50 = 2.0, wallP50 = 1.0, stages = 5, jobs = 2),
+      "q2" -> BenchDiff.Q(userP50 = 3.0, wallP50 = 1.5, stages = 7, jobs = 3),
+      "gone" -> BenchDiff.Q(1.0, 1.0, 1, 1))
+    val newD = Map(
+      "q1" -> BenchDiff.Q(userP50 = 2.5, wallP50 = 1.2, stages = 5, jobs = 2),
+      "q2" -> BenchDiff.Q(userP50 = 5.0, wallP50 = 2.0, stages = 9, jobs = 3),
+      "added" -> BenchDiff.Q(1.0, 1.0, 1, 1))
+    val r = BenchDiff.report(oldD, newD, 15)
+    assert(r.contains("the robust axis"))
+    assert(r.contains("common queries: 2"))
+    // q2's stage count moved -> quarantined as a plan story, not a mover
+    assert(r.contains("plan-shape moved (1)"))
+    assert(r.linesIterator.exists(l => l.contains("q2") && l.contains("stages 7->9")))
+    assert(r.linesIterator.exists(l => l.contains("q1") && l.contains("2.00 ->   2.50")))
+    assert(r.contains("removed: gone") && r.contains("added: added"))
+  }
+
+  test("RepProfiler.armingReport names the arming set, the consulted " +
+      "directory, and the fallback") {
+    val rpt = graft.tools.RepProfiler.armingReport()
+    assert(rpt.contains("JFR arming"))
+    assert(rpt.contains("q81_char_ngram_pairs"), "the standing fallback must be named")
+    assert(rpt.contains(java.nio.file.Paths.get(".").toAbsolutePath.normalize.toString),
+      "the directory the dynamic flags were read from must be named")
   }
 
   test("p50_user_cpu renders in the line and the line still fits with it") {
