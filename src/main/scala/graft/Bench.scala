@@ -725,6 +725,32 @@ object Bench {
         if (name.startsWith("q"))
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // settle the JIT backlog before timing (STRESS.md round 16): the
+    // catalog-wide warm above queues hundreds of C2 compilations of
+    // Spark's own driver infrastructure (optimizer rules, SizeEstimator,
+    // serialization); without a settle that backlog drains into whichever
+    // query the timed loop runs first and bills its rep 1 with
+    // catalog-wide compile cost (r15: q158 rep 1 carried 160 CPU-s of
+    // jit, of which its own first-sf0.1 burst is only ~40-46 s). Wait —
+    // bounded — until the process-wide compile rate drops below 200 ms
+    // per 2 s window, so rep 1 measures the query's OWN cold cost.
+    locally {
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (jit != null && jit.isCompilationTimeMonitoringSupported) {
+        val deadlineNs = System.nanoTime() + 90L * 1000000000L
+        var prev = jit.getTotalCompilationTime
+        var settled = false
+        while (!settled && System.nanoTime() < deadlineNs) {
+          Thread.sleep(2000)
+          val cur = jit.getTotalCompilationTime
+          settled = cur - prev < 200
+          prev = cur
+        }
+        System.err.println(
+          s"[bench] jit settle: ${if (settled) "settled" else "90s deadline"}" +
+            s" (totalCompileMs=${jit.getTotalCompilationTime})")
+      }
+    }
     // EVERY query: 5 runs, report min (steady-state operator cost, not
     // scheduler/GC/first-run-compile noise) AND p50 (what a bencher who
     // didn't pick the best run would see — the two together attribute a

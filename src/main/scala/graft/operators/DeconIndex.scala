@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GenDir
+
+/** Persisted, versioned benchmark-shingle index — the decontamination
+  * membership set behind streaming curation against an EVOLVING benchmark
+  * suite (q172).
+  *
+  * The batch decontamination family (q39/q47/q55/q116) treats the eval
+  * set as fixed. Real pipelines don't get that luxury: benchmark suites
+  * RELEASE — a new eval drop arrives while the crawl is mid-stream, and
+  * the pipeline owes two answers: (a) go-forward, every doc arriving
+  * after the release is gated against the union, and (b) retroactive,
+  * docs accepted BEFORE the release must be re-audited against the new
+  * shingles and recalled from the published corpus with provenance (the
+  * same fold discipline [[ClusterRegistry]]'s relabel log applies to
+  * cluster membership). This index is the artifact both answers read.
+  *
+  * Layout: a [[graft.core.GenDir]] root whose live generation holds the
+  * FULL shingle set as `(g: long, bench_gen: int)` rows — `g` is the
+  * xxhash64 word-n-gram hash ([[graft.functions.shingle_hashes]], the q55
+  * wire format: fixed-width longs, never text) and `bench_gen` is the
+  * EARLIEST benchmark release containing the shingle (min-gen rule: a
+  * shingle present in release 1 and re-shipped in release 2 contaminates
+  * as release 1, so retro audits — which probe only the NEW release's
+  * rows — can never re-flag a doc the older release already gated).
+  * Each release publishes a whole new generation with the single atomic
+  * sentinel create, so a reader mid-probe keeps its files and a resolver
+  * mid-publish sees either complete release state, never a partial union.
+  *
+  * At 100 TB the asymmetry is the whole design: benchmark suites are
+  * tiny (millions of shingles) next to the corpus, so [[serve]] explodes
+  * the BATCH side map-side and lets the planner broadcast the index scan
+  * (one column of longs + a tag); nothing about the corpus ever enters
+  * the index, and a release publish costs one read+write of the shingle
+  * set, not a corpus pass. */
+object DeconIndex {
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def shingles(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.select(explode(graft.functions.shingle_hashes(col(textCol), n)).as("g"))
+      .distinct()
+
+  /** Create (or reset) the index from the first benchmark release. */
+  def seed(spark: SparkSession, path: String, bench: DataFrame,
+      textCol: String, n: Int): Unit = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (f.exists(p)) f.delete(p, true)
+    shingles(bench, textCol, n)
+      .select(col("g"), lit(1).as("bench_gen"))
+      .write.mode("overwrite").parquet(s"${GenDir.genPath(path, 0)}/data")
+    GenDir.commit(spark, path, 0)
+  }
+
+  // rows live under a `data` child of the generation dir: handing the
+  // hidden-named `_gN` root to the reader would log a spurious `All
+  // paths were ignored` WARN on every probe (r15 item 6 — tail spam)
+  private def live(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"${GenDir.resolveRequired(spark, path)}/data")
+
+  /** Highest benchmark release folded into the live generation — the
+    * publish replay guard (an epoch retried after its release committed
+    * must see the release as already-published, across JVM restarts). */
+  def maxBenchGen(spark: SparkSession, path: String): Int =
+    live(spark, path).agg(max(col("bench_gen"))).head().getInt(0)
+
+  /** Fold benchmark release `benchGen` into the index: stage the union
+    * (new shingles tagged `benchGen`, existing rows kept verbatim — the
+    * min-gen rule) beside the live generation and publish atomically.
+    * Idempotent: a release already folded is a no-op, so a streaming
+    * epoch that publishes mid-batch can be replayed safely. */
+  def publish(spark: SparkSession, path: String, bench: DataFrame,
+      textCol: String, n: Int, benchGen: Int): Unit = {
+    if (maxBenchGen(spark, path) >= benchGen) return
+    val cur = live(spark, path)
+    val add = shingles(bench, textCol, n)
+      .join(cur.select(col("g")), Seq("g"), "left_anti")
+      .select(col("g"), lit(benchGen).as("bench_gen"))
+    val gen = GenDir.next(spark, path)
+    cur.unionByName(add).write.mode("overwrite")
+      .parquet(s"${GenDir.genPath(path, gen)}/data")
+    GenDir.commit(spark, path, gen)
+  }
+
+  /** Contamination probe: for each doc in `docs`, the EARLIEST benchmark
+    * release sharing any word n-gram with it — `(idCol, contam_gen)`,
+    * clean docs absent. The batch explodes to hashes map-side; the index
+    * side is the small one and broadcasts (q55's join shape, with the
+    * release tag riding along). */
+  def serve(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.shingle_hashes(col(textCol), n)).as("g"))
+      .join(live(spark, path), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(min(col("bench_gen")).as("contam_gen"))
+
+  /** Retroactive audit for release `benchGen`: among `docs` (the
+    * already-accepted set), the ids sharing any n-gram with rows the
+    * release ADDED (`bench_gen == benchGen` — older releases' shingles
+    * already gated these docs at intake, so probing only the delta makes
+    * the recall set exactly the docs the release newly contaminates). */
+  def retro(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String, n: Int, benchGen: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.shingle_hashes(col(textCol), n)).as("g"))
+      .join(live(spark, path).filter(col("bench_gen") === benchGen)
+        .select(col("g")), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+
+  /** Remove the index (gate cleanup). */
+  def drop(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (f.exists(p)) f.delete(p, true): Unit
+  }
+}

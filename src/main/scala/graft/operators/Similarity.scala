@@ -879,13 +879,22 @@ object Similarity {
     corpusLists(normalizedCorpus(delta, corpusId, corpusVec), codebook, replicate)
       .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(stage)
-    // distinct ids, not list rows: replicate>1 writes each vector into
-    // several lists, and the staleness fraction compares CORPUS masses
-    val deltaRows = spark.read.parquet(stage)
-      .select(col("neighbor_id")).distinct().count()
     import org.apache.hadoop.fs.Path
     val lists = new Path(s"$cur/lists")
     val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // distinct ids, not list rows: replicate>1 writes each vector into
+    // several lists, and the staleness fraction compares CORPUS masses.
+    // Read the staged bucket dirs explicitly — the stage dir's own name
+    // (`.delta-*.stage`) is hidden under Spark's path filter, so handing
+    // it to the reader logs a spurious `All paths were ignored` WARN per
+    // append (paths are still used; the WARN is tail spam — r15 item 6)
+    val stagedBuckets = fs.listStatus(new Path(stage))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(_.getPath.toString)
+    val deltaRows =
+      if (stagedBuckets.isEmpty) 0L
+      else spark.read.parquet(stagedBuckets.toIndexedSeq: _*)
+        .select(col("neighbor_id")).distinct().count()
     val prefix = s"delta-$batchId-"
     // retry idempotence: a re-run removes exactly its own prior files
     fs.listStatus(lists).filter(_.isDirectory).foreach { b =>

@@ -85,9 +85,23 @@ object UrlIndex {
   /** The claimed-url membership set (may contain duplicate rows across
     * batch dirs after a retried epoch; consumers anti-join / semi-join,
     * so duplicates are semantically invisible). */
-  def members(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(liveDir(spark, path))
+  def members(spark: SparkSession, path: String): DataFrame = {
+    // read the batch dirs explicitly rather than the generation root:
+    // `_gN` is a hidden name under Spark's path filter, so handing it to
+    // the reader as the input path logs a spurious `All paths were
+    // ignored` WARN on every membership read (the paths are still used —
+    // DataSource.checkAndGlobPathIfNecessary returns them regardless —
+    // but the r15 driver tail spent its capture budget on the spam; the
+    // ClusterRegistry `_qual` fix, applied here)
+    val live = liveDir(spark, path)
+    val f = fs(spark, path)
+    val batches = f.listStatus(new org.apache.hadoop.fs.Path(live))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.toString)
+    require(batches.nonEmpty, s"UrlIndex at $path: live generation holds no batch dirs")
+    spark.read.parquet(batches.toIndexedSeq: _*)
       .select(col("canonical_url"))
+  }
 
   /** Test seam: runs between a claim's batch write and its
     * live-generation re-check, so the race spec can publish a compaction

@@ -1166,4 +1166,80 @@ class StreamingSpec extends AnyFunSuite {
       "a replayed epoch must not duplicate index rows")
     Dedup.dropMinhashIndex(spark, tbl)
   }
+
+  test("q172 decon gate: schedule-invariant corpus and audit, release fold " +
+      "mid-stream, every provenance class load-bearing") {
+    // the evolving-benchmark decontamination gate: release 2 drops at a
+    // DATA-defined point (doc_id >= R), so two epoch schedules fold it in
+    // different epochs — one of them mid-batch — yet the final corpus AND
+    // the audit provenance (blocked-at-intake vs retro-recalled) must be
+    // identical
+    graft.SparkEntry.queries.size: Unit
+    import graft.queries.StreamGateQueries
+    def run(tag: String, perOf: Long => Long) =
+      StreamGateQueries.streamDeconIngest(spark, "/root/testdata/sf0.001",
+          perOf, tag)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getBoolean(7))).toSeq
+    val a = run("sdc-sched-7", n => math.max(1L, n / 7L))
+    val b = run("sdc-sched-5", n => math.max(1L, n / 5L))
+    assert(a == b, s"final corpus + audit must be schedule-invariant: " +
+      s"${a.zip(b).filter { case (x, y) => x != y }.take(3)}")
+    assert(a.forall(_._8), "the value must arrive through several epochs")
+    // every provenance class must be exercised by the fixture (probed:
+    // sf0.001 carries 5 release-1 blocks, 2 retro recalls, 1 release-2
+    // intake block among 423 train docs)
+    assert(a.map(_._4).sum >= 1L, "release-1 intake blocks missing")
+    assert(a.map(_._5).sum >= 1L, "release-2 intake blocks missing")
+    assert(a.map(_._6).sum >= 1L, "retro recalls missing")
+    assert(a.map(_._3).sum >= 1L, "accepted corpus empty")
+    assert(a.map(_._2).sum ==
+      a.map(r => r._3 + r._4 + r._5 + r._6).sum,
+      "every train doc must land in exactly one class")
+  }
+
+  test("q172 epoch replay: the release fold is exactly-once and a replayed " +
+      "epoch classifies identically") {
+    graft.SparkEntry.queries.size: Unit
+    import graft.operators.DeconIndex
+    import graft.queries.StreamGateQueries
+    val dir = "/root/testdata/sf0.001"
+    val pid = java.lang.ProcessHandle.current().pid()
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-sdcrep-$pid"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val r = docs.agg(max(col("doc_id"))).head().getLong(0) * 2L / 5L
+    DeconIndex.drop(spark, root)
+    DeconIndex.seed(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(13)) === 3), "text", 6)
+    val train = docs.filter(!pmod(col("doc_id"), lit(13)).isin(3, 8))
+    val batch1 = train.filter(col("doc_id") < r)
+    val batch2 = train.filter(col("doc_id") >= r)
+    val (acc1, aud1, rec1) = StreamGateQueries.sdcEpoch(root, dir, r,
+      "sdc-replay", () => Nil)(batch1, 0L)
+    assert(rec1.isEmpty, "no release fold before the stream reaches R")
+    // the probed retro candidates (5, 174: release-2-only contamination,
+    // below R) must be ACCEPTED at their arrival epoch — gen 2 is not live
+    val acc1Ids = acc1.map(_._1).toSet
+    assert(Set(5L, 174L).subsetOf(acc1Ids), s"pre-release acceptance broken")
+    val (acc2, aud2, rec2) = StreamGateQueries.sdcEpoch(root, dir, r,
+      "sdc-replay", () => acc1Ids.toSeq)(batch2, 1L)
+    assert(rec2.toSet == Set(5L, 174L),
+      s"the release fold must recall exactly the probed retro set: $rec2")
+    assert(aud2.exists(a => a._1 == 349L && a._3 == 2 && a._4 == "intake"),
+      s"doc 349 (release-2 contaminated, past R) must block at intake: $aud2")
+    // replay with the in-JVM flag live: publish short-circuits
+    val (acc2r, aud2r, rec2r) = StreamGateQueries.sdcEpoch(root, dir, r,
+      "sdc-replay", () => acc1Ids.toSeq)(batch2, 1L)
+    assert(rec2r.isEmpty && acc2r == acc2 && aud2r == aud2,
+      "a same-JVM replayed epoch must classify identically with no re-recall")
+    // replay as a FRESH JVM would see it (no flag): the INDEX state is
+    // the replay guard — publish no-ops, the recall set stays applied
+    val (acc2f, aud2f, rec2f) = StreamGateQueries.sdcEpoch(root, dir, r,
+      "sdc-replay-fresh", () => acc1Ids.toSeq)(batch2, 1L)
+    assert(rec2f.isEmpty && acc2f == acc2 && aud2f == aud2,
+      "a fresh-JVM replayed epoch must classify identically with no re-recall")
+    assert(DeconIndex.maxBenchGen(spark, root) == 2)
+    DeconIndex.drop(spark, root)
+  }
 }
