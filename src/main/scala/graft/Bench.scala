@@ -675,7 +675,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // static conf, must be on the builder: see GraftSession.configure
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.codegen.cache.maxEntries", "12000")
       // partition-listing metadata cache sized for the FULL catalog's
       // listing set (206 queries × tables + the persisted index dirs,
       // each with ~64-200 `bucket=`/generation partition dirs). At the
@@ -885,7 +885,14 @@ object Bench {
     val floorRatio = sys.env.get("SPARK_GRAFT_FLOOR_RATIO")
       .flatMap(_.toDoubleOption).getOrElse(1.5)
     val floorFlags: Option[Map[String, Double]] =
-      if (!envQuietForFloors(runDelta, wallSec, cpus.toInt)) None
+      // capacity = HOST cores, not Spark threads: steal_s/other_busy_s
+      // are whole-host /proc/stat channels, so judging them against the
+      // (smaller) executor-thread capacity inflates the ratio — on this
+      // 32-core host a local[4] run with the host's ~1.5 %-of-4-cpu
+      // baseline steal classified LOUD forever and the tripwire never
+      // fired (the scaladoc example always did the arithmetic at 32)
+      if (!envQuietForFloors(runDelta, wallSec,
+        Runtime.getRuntime.availableProcessors())) None
       else {
         val prior = loadFloors(java.nio.file.Paths.get("floors.json"))
           .flatMap(_.get(sfKey)).map(_._2).getOrElse(Map.empty[String, Double])

@@ -35,9 +35,12 @@ object GraftSession {
       // JVM-wide Janino-compiled class cache: the default 100 entries is
       // smaller than ONE composite value-pin query's unit count (q155
       // compiles ~99), so rep cycles thrash the cache and re-pay compiles
-      // mid-session; a 191-query analytics session wants room for the
-      // whole working set (entries are KB-scale generated classes)
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // mid-session. 4000 was still too small for the full catalog at
+      // multi-SF warm + 5 reps — the r15/r16 bench detail shows 12 queries
+      // re-compiling in LATE reps (cg>0 after rep 2: eviction churn, not
+      // warm-up) — so size for the whole working set with headroom;
+      // entries are KB-scale generated classes, tens of MB total
+      .config("spark.sql.codegen.cache.maxEntries", "12000")
       // honor KeyGroupedPartitioning reported by our DSv2 scans (one
       // partition per stream/shard → exchange-free groupBy on the key)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -106,7 +109,7 @@ object GraftSession {
     preexisting.foreach { _ =>
       val drops = staticConfDrops(spark,
         warehouseDir.map("spark.sql.warehouse.dir" -> _).toSeq :+
-          ("spark.sql.codegen.cache.maxEntries" -> "4000"))
+          ("spark.sql.codegen.cache.maxEntries" -> "12000"))
       if (drops.nonEmpty)
         System.err.println(
           "[graft] cluster(): a SparkSession already existed in this JVM, " +

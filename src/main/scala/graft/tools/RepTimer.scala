@@ -27,7 +27,7 @@ object RepTimer {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // static conf, must be on the builder: see GraftSession.configure
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.codegen.cache.maxEntries", "12000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.GraftSession.prepare(spark)

@@ -119,6 +119,22 @@ object StressBench {
         val ids = spark.range(RegistryEpochs.toLong * RegistryPer)
           .select(col("id").as("doc_id"))
         time(ClusterRegistry.assignWithReps(ids, reg).count())
+      },
+      // benchmark-decon gate at stress scale (the q172 go-forward probe):
+      // a 2 % benchmark slice indexed (untimed — the amortized release
+      // ingest), the FULL hostile corpus served through the shingle
+      // probe. The hot block is the adversarial part: ~24 benchmark docs
+      // inside the 1200-doc near-identical block make its shingles
+      // corpus-hot, so the explode-join fans out on few keys — absorbed
+      // by map-side partial aggregation, never a driver loop
+      "decon_serve" -> {
+        val dPath = s"${System.getProperty("java.io.tmpdir")}/graft-stressbench-dc-" +
+          s"${java.lang.ProcessHandle.current().pid()}"
+        graft.operators.DeconIndex.drop(spark, dPath)
+        graft.operators.DeconIndex.seed(spark, dPath,
+          docs.filter(col("doc_id") % 50 === 0), "text", 6)
+        time(graft.operators.DeconIndex.serve(spark, dPath, docs,
+          "doc_id", "text", 6).count())
       })
     val total = ops.map(_._2).sum
     val qs = ops.map { case (k, v) => s""""$k":${graft.Bench.fmt(v)}""" }.mkString(",")

@@ -973,6 +973,60 @@ class ScaleStressSpec extends AnyFunSuite {
       s"one relabel row per losing rep expected, saw $relabels")
   }
 
+  test("benchmark-decon serve on the hostile corpus: balanced under the " +
+      "hot-shingle fan-out, exact against a driver-side string replay, min-gen versioned") {
+    import graft.operators.DeconIndex
+    val docs = Tables.load(spark, dir, "documents")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-decon-spec-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    DeconIndex.drop(spark, path)
+    // the StressBench decon_serve fixture: a 2 % benchmark slice — ~24 of
+    // its docs sit INSIDE the near-identical hot block, so the block's
+    // shared shingles are corpus-hot keys through the probe join
+    DeconIndex.seed(spark, path, docs.filter(col("doc_id") % 50 === 0), "text", 6)
+    val got = assertBalanced("deconServe", factor = 8.0) {
+      DeconIndex.serve(spark, path, docs, "doc_id", "text", 6)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    }
+    assert(got.valuesIterator.forall(_ == 1), "single release: every hit is gen 1")
+    // the hot block must read as (nearly) fully contaminated — the
+    // benchmark members inside it share their shingles with the block
+    val hotHits = got.keysIterator.count(_ < StressData.HotBlock)
+    assert(hotHits > StressData.HotBlock * 0.9,
+      s"hot-block contamination $hotHits of ${StressData.HotBlock} — the " +
+        "hot-shingle fan-out path was not exercised")
+    // exactness: driver-side STRING 6-gram replay (the DuckDB-oracle
+    // formulation, independent of the engine's hash kernel) over the hot
+    // block plus a modulo sample of the tail
+    val benchTexts = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("text")).collect().map(_.getString(0))
+    def grams(t: String): Set[String] = {
+      val w = t.trim.split("\\s+").toIndexedSeq
+      if (w.length >= 6) w.sliding(6).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val benchGrams = benchTexts.iterator.flatMap(grams).toSet
+    val sample = docs.filter(col("doc_id") < StressData.HotBlock ||
+        col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).collect()
+    sample.foreach { r =>
+      val expectHit = grams(r.getString(1)).exists(benchGrams.contains)
+      assert(got.contains(r.getLong(0)) == expectHit,
+        s"doc ${r.getLong(0)}: engine ${got.contains(r.getLong(0))} vs replay $expectHit")
+    }
+    // versioned path at scale: a second release over a disjoint slice —
+    // gen-1 hits keep their gen (min-gen), new hits carry gen 2
+    DeconIndex.publish(spark, path,
+      docs.filter(col("doc_id") % 50 === 7), "text", 6, benchGen = 2)
+    val got2 = DeconIndex.serve(spark, path, docs, "doc_id", "text", 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    got.foreach { case (d, g) =>
+      assert(got2.get(d).contains(g), s"doc $d: release-1 hit moved to ${got2.get(d)}")
+    }
+    assert(got2.size > got.size, "release 2 must contaminate new docs")
+    DeconIndex.drop(spark, path)
+  }
+
   test("fragmented-registry election read: assignWithReps over ~100 epoch " +
       "batch dirs (sidecar folded + re-fragmented) is job-bounded and exact") {
     import graft.operators.ClusterRegistry
