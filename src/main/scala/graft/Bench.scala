@@ -830,7 +830,11 @@ object Bench {
         s""""shuf_w_mb": [${rs.map(_.shufWriteBytes >> 20).mkString(", ")}], """ +
         s""""sys_s": [${rs.map(r => fmt(r.cpuSysS)).mkString(", ")}], """ +
         s""""jobs": [${rs.map(_.jobs).mkString(", ")}]}"""
-    }.mkString("{\n", ",\n", "\n}")
+    }.mkString(
+      // the "_sf" marker keys the rotation below: cross-SF details must
+      // never compare (BenchDiff.parse skips "_"-prefixed entries)
+      s"""{\n  "_sf": {"sf": "${sfDir.split('/').filter(_.nonEmpty).last}"},\n""",
+      ",\n", "\n}")
     // cross-round artifact rotation (VERDICT r15 item 5): on FULL-catalog
     // runs, keep the previous full detail as bench_detail_prev.json and
     // write the BenchDiff report next to it — the round-over-round
@@ -841,9 +845,17 @@ object Bench {
     // is not promoted to "previous round".
     val detailPath = java.nio.file.Paths.get("bench_detail.json")
     val prevPath = java.nio.file.Paths.get("bench_detail_prev.json")
+    // rotation + diff gate on SCALE as well as fullness: a full-catalog
+    // run at a different sf (a local sf0.001 smoke) must neither promote
+    // the committed sf0.1 detail to "previous round" nor emit a
+    // cross-scale comparison. Files predating the "_sf" marker are all
+    // sf0.1 full runs, so a missing marker counts as matching.
+    val sfK = sfDir.split('/').filter(_.nonEmpty).last
+    def sfMatches(p: java.nio.file.Path): Boolean =
+      graft.tools.BenchDiff.sfOf(p.toString).forall(_ == sfK)
     if (only.isEmpty)
       try {
-        if (java.nio.file.Files.exists(detailPath) &&
+        if (java.nio.file.Files.exists(detailPath) && sfMatches(detailPath) &&
             graft.tools.BenchDiff.parse(detailPath.toString).size >= queries.size / 2)
           java.nio.file.Files.copy(detailPath, prevPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
@@ -852,7 +864,7 @@ object Bench {
     catch { case _: Throwable => () }
     if (only.isEmpty)
       try {
-        if (java.nio.file.Files.exists(prevPath))
+        if (java.nio.file.Files.exists(prevPath) && sfMatches(prevPath))
           java.nio.file.Files.write(java.nio.file.Paths.get("benchdiff.txt"),
             graft.tools.BenchDiff.report(
               graft.tools.BenchDiff.parse(prevPath.toString),
@@ -890,9 +902,11 @@ object Bench {
       // (smaller) executor-thread capacity inflates the ratio — on this
       // 32-core host a local[4] run with the host's ~1.5 %-of-4-cpu
       // baseline steal classified LOUD forever and the tripwire never
-      // fired (the scaladoc example always did the arithmetic at 32)
-      if (!envQuietForFloors(runDelta, wallSec,
-        Runtime.getRuntime.availableProcessors())) None
+      // fired (the scaladoc example always did the arithmetic at 32).
+      // HostStat.hostCpus, not availableProcessors: the latter is
+      // cgroup-aware and would re-create the mismatch inside a
+      // cpu-limited container
+      if (!envQuietForFloors(runDelta, wallSec, graft.tools.HostStat.hostCpus)) None
       else {
         val prior = loadFloors(java.nio.file.Paths.get("floors.json"))
           .flatMap(_.get(sfKey)).map(_._2).getOrElse(Map.empty[String, Double])

@@ -67,9 +67,12 @@ object DeconIndex {
 
   /** Highest benchmark release folded into the live generation — the
     * publish replay guard (an epoch retried after its release committed
-    * must see the release as already-published, across JVM restarts). */
+    * must see the release as already-published, across JVM restarts).
+    * An EMPTY committed generation (a seed over a benchmark with no
+    * shingles) reads as 0, not an NPE from the null max aggregate. */
   def maxBenchGen(spark: SparkSession, path: String): Int =
-    live(spark, path).agg(max(col("bench_gen"))).head().getInt(0)
+    live(spark, path).agg(coalesce(max(col("bench_gen")), lit(0)))
+      .head().getInt(0)
 
   /** Fold benchmark release `benchGen` into the index: stage the union
     * (new shingles tagged `benchGen`, existing rows kept verbatim — the

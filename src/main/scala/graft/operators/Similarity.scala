@@ -902,12 +902,14 @@ object Similarity {
         .filter(_.getPath.getName.startsWith(prefix))
         .foreach(f => fs.delete(f.getPath, false))
     }
-    fs.listStatus(new Path(stage))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .foreach { b =>
-        val dest = new Path(lists, b.getPath.getName)
+    // reuse the single staged listing above — a second listStatus of the
+    // stage dir is one extra metadata round-trip per append on object
+    // stores, the cost this path is built to avoid
+    stagedBuckets.map(new Path(_))
+      .foreach { bp =>
+        val dest = new Path(lists, bp.getName)
         fs.mkdirs(dest)
-        fs.listStatus(b.getPath)
+        fs.listStatus(bp)
           .filter { f =>
             val n = f.getPath.getName
             f.isFile && !n.startsWith("_") && !n.startsWith(".")

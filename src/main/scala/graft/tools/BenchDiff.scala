@@ -36,7 +36,9 @@ object BenchDiff {
       if (xs.isEmpty) 0.0 else xs.sorted.apply((xs.size - 1) / 2)
     JsonMethods.parse(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")) match {
-      case JObject(qs) => qs.map { case (name, e) =>
+      // "_"-prefixed entries are file metadata (the "_sf" scale marker),
+      // not queries
+      case JObject(qs) => qs.filterNot(_._1.startsWith("_")).map { case (name, e) =>
         val cpu = nums(e \ "cpu_s")
         val sys = nums(e \ "sys_s")
         val jit = nums(e \ "jit_ms").map(_ / 1000.0)
@@ -51,6 +53,22 @@ object BenchDiff {
       }.toMap
       case _ => Map.empty
     }
+  }
+
+  /** The "_sf" scale marker a detail file carries (None for files
+    * predating it — those are all sf0.1 full-catalog runs). The bench's
+    * rotation/diff gates on it so a full run at a DIFFERENT sf (a local
+    * sf0.001 smoke) can never promote an sf0.1 detail to "previous
+    * round" and emit a nonsense cross-scale comparison. */
+  def sfOf(path: String): Option[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8")) \ "_sf" \ "sf" match {
+      case JString(s) => Some(s)
+      case _ => None
+    } catch { case _: Throwable => None }
   }
 
   /** The full comparison as one string — consumed by [[main]] (stdout)

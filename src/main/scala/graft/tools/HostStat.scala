@@ -106,6 +106,25 @@ object HostStat {
     Snap(processCpuNs, jitMillis, busy, stealIrq, readSelfStime())
   }
 
+  /** HOST core count from /proc/stat's per-cpu lines — the capacity the
+    * whole-host channels (busy/steal) are measured against. NOT
+    * `Runtime.availableProcessors()`: that is cgroup/affinity-aware, so
+    * in a cpu-limited container it undercounts the host and re-creates
+    * the capacity/channel mismatch the floor-gate fix removed (a
+    * 4-cpu-quota process on a 64-core host would judge 64 cores' worth
+    * of neighbor noise against a 4-core capacity and classify every
+    * session loud). Falls back to availableProcessors when /proc is
+    * absent — there the busy channels are zero anyway. */
+  def hostCpus: Int =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val n = src.getLines().count(l => l.startsWith("cpu") &&
+          l.length > 3 && l(3).isDigit)
+        if (n > 0) n else Runtime.getRuntime.availableProcessors()
+      } finally src.close()
+    } catch { case _: Throwable => Runtime.getRuntime.availableProcessors() }
+
   /** Deltas between two snapshots. otherBusyS clamps at 0: our own CPU is
     * part of host busy, but the two counters tick on different clocks so a
     * tiny negative residual is measurement noise, not other-process work. */

@@ -130,7 +130,6 @@ object StressBench {
       "decon_serve" -> {
         val dPath = s"${System.getProperty("java.io.tmpdir")}/graft-stressbench-dc-" +
           s"${java.lang.ProcessHandle.current().pid()}"
-        graft.operators.DeconIndex.drop(spark, dPath)
         graft.operators.DeconIndex.seed(spark, dPath,
           docs.filter(col("doc_id") % 50 === 0), "text", 6)
         time(graft.operators.DeconIndex.serve(spark, dPath, docs,

@@ -979,7 +979,7 @@ class ScaleStressSpec extends AnyFunSuite {
     val docs = Tables.load(spark, dir, "documents")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-decon-spec-" +
       s"${java.lang.ProcessHandle.current().pid()}"
-    DeconIndex.drop(spark, path)
+    // seed() self-resets the path, so no pre-drop is needed
     // the StressBench decon_serve fixture: a 2 % benchmark slice — ~24 of
     // its docs sit INSIDE the near-identical hot block, so the block's
     // shared shingles are corpus-hot keys through the probe join
