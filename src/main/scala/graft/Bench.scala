@@ -332,6 +332,16 @@ object Bench {
       runDelta.otherBusyS <= 0.05 * cap + 5.0
   }
 
+  /** May a detail file with scale marker `markerSf` be rotated/compared
+    * by a run at `currentSf`? Files predating the `_sf` marker — and
+    * corrupt files the marker can't be read from — default to the
+    * CONCRETE "sf0.1" (every committed pre-marker full detail is an
+    * sf0.1 run), never to "matches anything": an sf0.001 smoke against a
+    * marker-less sf0.1 detail must NOT promote it to previous-round or
+    * emit a cross-scale diff. */
+  def sfGateAllows(markerSf: Option[String], currentSf: String): Boolean =
+    markerSf.getOrElse("sf0.1") == currentSf
+
   /** Cumulative stop-the-world GC milliseconds across all collectors —
     * per-rep deltas attribute spike reps to GC pauses vs real work. */
   def gcMillis(): Long = {
@@ -805,13 +815,22 @@ object Bench {
     val allRuns: Map[String, Seq[Double]] = allDetail.map { case (n, ts) => n -> ts.map(_.sec) }
     val results = allRuns.map { case (n, ts) => n -> ts.min }
     def p50(ts: Seq[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
+    // ONE derivation of the scale key for the build line, the detail
+    // marker, the rotation gate and the floors section below — three
+    // inline variants of this split were drifting apart
+    val sfK = sfDir.split('/').filter(_.nonEmpty).last
     // the q84 index build is a one-time amortized cost (paid during
     // warm-up above) — reported as its own line, never inside q84's time
     val buildLine = graft.queries.Catalog.ivfIndexBuildSeconds
-      .get(sfDir.split('/').last).map("ivf_build" -> _)
+      .get(sfK).map("ivf_build" -> _)
     // per-query min/p50/runs detail — too wide for the driver's ~2000-char
-    // stdout tail, so it lands in a file the judge can read directly
-    val detail = allDetail.toSeq.sortBy(_._1).map { case (n, rs) =>
+    // stdout tail, so it lands in a file the judge can read directly.
+    // The "_sf" marker is the FIRST ENTRY (not part of the mkString start
+    // string) so an empty-catalog run still renders valid JSON — a start
+    // string ending in ",\n" would leave a dangling comma when the entry
+    // seq is empty.
+    val detail = (s"""  "_sf": {"sf": "$sfK"}""" +:
+      allDetail.toSeq.sortBy(_._1).map { case (n, rs) =>
       val ts = rs.map(_.sec)
       s"""  "$n": {"min": ${fmt(ts.min)}, "p50": ${fmt(p50(ts))}, """ +
         s""""p50_steady": ${fmt(p50(steadyTail(ts)))}, """ +
@@ -830,11 +849,7 @@ object Bench {
         s""""shuf_w_mb": [${rs.map(_.shufWriteBytes >> 20).mkString(", ")}], """ +
         s""""sys_s": [${rs.map(r => fmt(r.cpuSysS)).mkString(", ")}], """ +
         s""""jobs": [${rs.map(_.jobs).mkString(", ")}]}"""
-    }.mkString(
-      // the "_sf" marker keys the rotation below: cross-SF details must
-      // never compare (BenchDiff.parse skips "_"-prefixed entries)
-      s"""{\n  "_sf": {"sf": "${sfDir.split('/').filter(_.nonEmpty).last}"},\n""",
-      ",\n", "\n}")
+    }).mkString("{\n", ",\n", "\n}")
     // cross-round artifact rotation (VERDICT r15 item 5): on FULL-catalog
     // runs, keep the previous full detail as bench_detail_prev.json and
     // write the BenchDiff report next to it — the round-over-round
@@ -848,14 +863,16 @@ object Bench {
     // rotation + diff gate on SCALE as well as fullness: a full-catalog
     // run at a different sf (a local sf0.001 smoke) must neither promote
     // the committed sf0.1 detail to "previous round" nor emit a
-    // cross-scale comparison. Files predating the "_sf" marker are all
-    // sf0.1 full runs, so a missing marker counts as matching.
-    val sfK = sfDir.split('/').filter(_.nonEmpty).last
-    def sfMatches(p: java.nio.file.Path): Boolean =
-      graft.tools.BenchDiff.sfOf(p.toString).forall(_ == sfK)
+    // cross-scale comparison. Files predating the "_sf" marker (and
+    // corrupt files sfOf can't read) are treated as sf0.1 — every
+    // committed pre-marker full detail IS an sf0.1 run, so the default
+    // must be the CONCRETE scale, never "matches anything" (sfGateAllows,
+    // BenchLineSpec-pinned). Each file's marker is read once.
+    val detailSf = graft.tools.BenchDiff.sfOf(detailPath.toString)
     if (only.isEmpty)
       try {
-        if (java.nio.file.Files.exists(detailPath) && sfMatches(detailPath) &&
+        if (java.nio.file.Files.exists(detailPath) &&
+            sfGateAllows(detailSf, sfK) &&
             graft.tools.BenchDiff.parse(detailPath.toString).size >= queries.size / 2)
           java.nio.file.Files.copy(detailPath, prevPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
@@ -864,7 +881,8 @@ object Bench {
     catch { case _: Throwable => () }
     if (only.isEmpty)
       try {
-        if (java.nio.file.Files.exists(prevPath) && sfMatches(prevPath))
+        if (java.nio.file.Files.exists(prevPath) &&
+            sfGateAllows(graft.tools.BenchDiff.sfOf(prevPath.toString), sfK))
           java.nio.file.Files.write(java.nio.file.Paths.get("benchdiff.txt"),
             graft.tools.BenchDiff.report(
               graft.tools.BenchDiff.parse(prevPath.toString),
@@ -888,7 +906,6 @@ object Bench {
     val load1Post = graft.tools.HostStat.load1
     val runDelta = graft.tools.HostStat.delta(runSnap0, graft.tools.HostStat.snap())
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    val sfKey = sfDir.split('/').filter(_.nonEmpty).last
     // floor-regression tripwire (VERDICT r15 item 2): compare this
     // session's mins against the COMMITTED best-known floors BEFORE
     // merging, under the quiet-env gate — a loud host omits the field
@@ -909,13 +926,13 @@ object Bench {
       if (!envQuietForFloors(runDelta, wallSec, graft.tools.HostStat.hostCpus)) None
       else {
         val prior = loadFloors(java.nio.file.Paths.get("floors.json"))
-          .flatMap(_.get(sfKey)).map(_._2).getOrElse(Map.empty[String, Double])
+          .flatMap(_.get(sfK)).map(_._2).getOrElse(Map.empty[String, Double])
         Some((results ++ buildLine).filter { case (n, v) =>
           prior.get(n).exists(f => floorRegressed(f, v, floorRatio))
         })
       }
     try updateFloors(java.nio.file.Paths.get("floors.json"),
-      sfKey, results ++ buildLine,
+      sfK, results ++ buildLine,
       Map("load1_pre" -> load1Pre, "load1_post" -> load1Post,
         "cpu_s" -> runDelta.cpuS, "sys_s" -> runDelta.cpuSysS)): Unit
     catch { case _: Throwable => () }

@@ -565,4 +565,36 @@ class BenchLineSpec extends AnyFunSuite {
     val wj = JsonMethods.parse(worst)
     assert((wj \ "cold_flags").asInstanceOf[JObject].obj.size <= Bench.MaxP50Flags)
   }
+
+  test("bench_detail rotation scale gate: _sf marker read both ways, " +
+      "marker-less/corrupt files default to sf0.1 — never to matches-anything") {
+    // the gate rule itself
+    assert(Bench.sfGateAllows(Some("sf0.1"), "sf0.1"))
+    assert(!Bench.sfGateAllows(Some("sf0.1"), "sf0.001"),
+      "an sf0.001 smoke must not rotate/compare an sf0.1 detail")
+    assert(!Bench.sfGateAllows(Some("sf0.001"), "sf0.1"))
+    assert(Bench.sfGateAllows(None, "sf0.1"),
+      "pre-marker committed details are sf0.1 full runs")
+    assert(!Bench.sfGateAllows(None, "sf0.001"),
+      "a missing/unreadable marker must default to the CONCRETE sf0.1, " +
+        "not match the current run's scale")
+    // sfOf over real files: marked, marker-less, corrupt
+    def tmp(content: String): String = {
+      val p = java.nio.file.Files.createTempFile("graft-sfof", ".json")
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+      p.toFile.deleteOnExit()
+      p.toString
+    }
+    import graft.tools.BenchDiff
+    assert(BenchDiff.sfOf(tmp(
+      """{"_sf": {"sf": "sf0.001"}, "q01": {"runs": [1.0]}}""")) ===
+      Some("sf0.001"))
+    assert(BenchDiff.sfOf(tmp("""{"q01": {"runs": [1.0]}}""")) === None)
+    assert(BenchDiff.sfOf(tmp("""{"q01": {"runs""")) === None,
+      "a corrupt file reads as no-marker (then defaults to sf0.1 above)")
+    // the marker entry must be invisible to the query parse
+    assert(!BenchDiff.parse(tmp(
+      """{"_sf": {"sf": "sf0.1"}, "q01": {"runs": [1.0], "cpu_s": [1.0]}}"""))
+      .contains("_sf"))
+  }
 }
