@@ -4866,6 +4866,129 @@ object Catalog {
              ELSE CAST(best.rep_doc AS BIGINT) END AS suppressed_by_rep
       FROM m JOIN best USING (cluster_id) ORDER BY m.doc_id"""))
 
+  /** Corpus publish with exclusion PROVENANCE (q173) — the composite a
+    * release pipeline actually emits: every universe doc labelled
+    * `kept` / `dup` (with the elected keeper it should be read as) /
+    * `contaminated` (benchmark overlap), under the q156-documented
+    * pipeline order: DECON FIRST, dedup among the CLEAN docs only. The
+    * order is semantics, not style — a clean doc whose only near-dup
+    * partner is a contaminated doc must SURVIVE (the contaminated doc is
+    * out of the dedup universe, so it cannot suppress its twin), and a
+    * doc that is both contaminated and duplicated reads `contaminated`
+    * (removal reason with the stronger downstream obligation wins).
+    *
+    * Natural data at the gate SFs has near-empty decon×dedup overlap, so
+    * the interplay is PLANTED the q170 way — derived in-query from the
+    * docs table, replayed verbatim by the oracle:
+    *  - `+1M` mirrors (base %10==4): base text + a 6-token benchmark
+    *    snippet — contaminated by construction AND ≥0.8-Jaccard to their
+    *    base, so the base's ONLY partner is contaminated (34/35/343
+    *    ordering-load-bearing docs at sf0.001/0.01/0.1 — a dedup run
+    *    over the full universe would wrongly suppress them, and the
+    *    clean-pair set differs from the universe-pair set 68 vs 112 at
+    *    sf0.001, so the oracle hash distinguishes the orderings);
+    *  - `+2M` exact copies (base %10==7): clean dup clusters exercising
+    *    the keep-best election (equal quality → smaller id keeps).
+    *
+    * Scale shape: contamination is the q55 broadcast-ish shingle semi
+    * join; dedup rides the audited minhash/CC machinery; the election is
+    * one map-side max-struct per cluster — no new shuffle classes. */
+  private val q173 = QueryDef(
+    "q173_corpus_publish_provenance",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(13)) === 3)
+      val base = docs.filter(pmod(col("doc_id"), lit(13)) =!= 3)
+        .select(col("doc_id"), col("text"))
+      // the planted benchmark snippet: first 6 tokens of the min-id
+      // benchmark doc (one driver-side string — O(1))
+      val snip = bench.orderBy(col("doc_id")).select(col("text"))
+        .head().getString(0).trim.split("\\s+").take(6).mkString(" ")
+      val uni = base
+        .unionByName(base.filter(pmod(col("doc_id"), lit(10)) === 4)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" " + snip)).as("text")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(10)) === 7)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val benchG = bench.select(
+        explode(graft.functions.shingle_hashes(col("text"), 6)).as("g")).distinct()
+      val contam = uni
+        .select(col("doc_id"),
+          explode(graft.functions.shingle_hashes(col("text"), 6)).as("g"))
+        .join(benchG, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val clean = uni.join(contam, Seq("doc_id"), "left_anti")
+      val cc = Dedup.connectedComponents(
+        Dedup.minhashLsh(clean, "doc_id", "text"))
+      val quality = clean.select(col("doc_id"),
+        graft.functions.token_count(col("text")).cast("double").as("__q"))
+      val elected = cc.join(quality, Seq("doc_id"))
+        .groupBy(col("rep"))
+        .agg(max(struct(col("__q"), (-col("doc_id")).as("nid"))).as("__w"))
+        .select(col("rep"), (-col("__w.nid")).as("__e"))
+      val clustered = cc.join(elected, Seq("rep"))
+        .select(col("doc_id"), col("__e"))
+      uni.select(col("doc_id"))
+        .join(contam.withColumn("__c", lit(1)), Seq("doc_id"), "left")
+        .join(clustered, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__c") === 1, lit("contaminated"))
+            .when(col("__e").isNotNull && col("__e") =!= col("doc_id"), lit("dup"))
+            .otherwise(lit("kept")).as("status"),
+          when(col("__c") === 1, lit(-1L))
+            .otherwise(coalesce(col("__e"), col("doc_id"))).as("rep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+      snip AS (SELECT array_to_string((string_split_regex(trim(text), '\s+'))[1:6], ' ') AS s
+               FROM documents WHERE doc_id % 13 = 3 ORDER BY doc_id LIMIT 1),
+      base AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 3),
+      uni AS (SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id + 1000000, text || ' ' || (SELECT s FROM snip)
+          FROM base WHERE doc_id % 10 = 4
+        UNION ALL SELECT doc_id + 2000000, text FROM base WHERE doc_id % 10 = 7),
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM uni),
+      sh6 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 6
+          THEN list_distinct([array_to_string(t[i:i+5], ' ') for i in range(1, len(t) - 4)])
+          ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
+      btoks AS (SELECT string_split_regex(trim(text), '\s+') AS t
+                FROM documents WHERE doc_id % 13 = 3),
+      bg AS (SELECT DISTINCT unnest(CASE WHEN len(t) >= 6
+          THEN list_distinct([array_to_string(t[i:i+5], ' ') for i in range(1, len(t) - 4)])
+          ELSE [array_to_string(t, ' ')] END) AS g FROM btoks),
+      c1 AS (SELECT DISTINCT doc_id FROM sh6 WHERE g IN (SELECT g FROM bg)),
+      sh3 AS (SELECT doc_id, CASE WHEN len(t) >= 3
+          THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+          ELSE [array_to_string(t, ' ')] END AS g FROM toks
+        WHERE doc_id NOT IN (SELECT doc_id FROM c1)),
+      sg AS (SELECT doc_id, unnest(g) AS g FROM sh3),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      p AS (SELECT da AS a, db AS b
+            FROM i JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      reach(v, w) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a),
+      cl AS (SELECT v AS doc_id, LEAST(v, MIN(w)) AS rep FROM reach GROUP BY v),
+      qn AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM uni),
+      rn AS (SELECT cl.doc_id, cl.rep, row_number() OVER (PARTITION BY cl.rep
+              ORDER BY qn.n_tokens DESC, cl.doc_id) AS rn
+             FROM cl JOIN qn USING (doc_id)),
+      el AS (SELECT rep, doc_id AS e FROM rn WHERE rn = 1),
+      cm AS (SELECT cl.doc_id, el.e FROM cl JOIN el USING (rep))
+      SELECT u.doc_id,
+        CASE WHEN u.doc_id IN (SELECT doc_id FROM c1) THEN 'contaminated'
+             WHEN cm.e IS NOT NULL AND cm.e <> u.doc_id THEN 'dup'
+             ELSE 'kept' END AS status,
+        CAST(CASE WHEN u.doc_id IN (SELECT doc_id FROM c1) THEN -1
+             ELSE COALESCE(cm.e, u.doc_id) END AS BIGINT) AS rep
+      FROM uni u LEFT JOIN cm ON cm.doc_id = u.doc_id
+      ORDER BY u.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4882,7 +5005,7 @@ object Catalog {
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q157, q158, q160, q161, q164, q165, q166, q168, q169,
-    q170) ++
+    q170, q173) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

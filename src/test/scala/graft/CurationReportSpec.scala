@@ -968,4 +968,45 @@ class CurationReportSpec extends AnyFunSuite {
       kept(3).startsWith("Quoted ending"),
       s"wrong kept lines: $kept")
   }
+
+  test("q173 publish provenance: decon-before-dedup ordering is load-bearing, " +
+      "priority and election classes land as planted") {
+    // drive the shipped catalog query (decon first, dedup among CLEAN
+    // docs) and assert the three planted classes (see the q173 scaladoc)
+    graft.SparkEntry.queries.size: Unit
+    val rows = graft.SparkEntry.queries("q173_corpus_publish_provenance")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // priority: every +1M mirror carries a benchmark 6-gram by
+    // construction -> 'contaminated' with rep -1, even though each is
+    // also a >=0.8 near-dup of its base (removal reason priority)
+    val mirrors = rows.filter(r => r._1 >= 1000000L && r._1 < 2000000L)
+    assert(mirrors.nonEmpty)
+    assert(mirrors.forall(r => r._2 == "contaminated" && r._3 == -1L),
+      s"mirror misclassified: ${mirrors.filter(_._2 != "contaminated").take(3)}")
+    // ordering: a clean base whose ONLY near-dup partner is its
+    // contaminated mirror must be KEPT — dedup over the full universe
+    // would suppress it (probed: 34 such docs at sf0.001). Bases of
+    // mirrors that are clean and natural-pair-free end 'kept':
+    val keptMirrorBases = mirrors.map(_._1 - 1000000L).count { b =>
+      byId.get(b).exists(r => r._2 == "kept" && r._3 == b)
+    }
+    assert(keptMirrorBases >= 30,
+      s"only $keptMirrorBases mirror bases kept — the decon-before-dedup " +
+        "ordering is not being honored")
+    // election: +2M exact copies form clean dup clusters; equal quality
+    // ties elect the smaller id, so copies read 'dup' pointing at a
+    // smaller keeper (their base, unless a larger natural partner wins)
+    val copies = rows.filter(_._1 >= 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { c =>
+      assert(c._2 == "dup" || c._2 == "contaminated",
+        s"exact copy ${c._1} cannot be 'kept' against its smaller-id base: $c")
+      if (c._2 == "dup") assert(c._3 < c._1, s"dup keeper must be elected, got $c")
+    }
+    assert(copies.exists(c => c._2 == "dup" && c._3 == c._1 - 2000000L),
+      "at least one copy must elect its own base as keeper")
+    // partition: every universe doc is exactly one of the three statuses
+    assert(rows.map(_._2).toSet.subsetOf(Set("kept", "dup", "contaminated")))
+  }
 }
