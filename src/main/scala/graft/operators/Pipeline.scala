@@ -1265,8 +1265,10 @@ object Pipeline {
       .drop(langCol + "_b", "__t1", "__t2", "n_oov", "lm_score")
   }
 
-  /** Fixed-point scale for the BM25 idf quantization. */
-  private val Bm25Scale = 4096L
+  /** Fixed-point scale for the BM25 idf quantization (shared with the
+    * persisted-postings serve path, [[RetrievalIndex]] — the two scorers
+    * must stay bit-identical or serve-from-index drifts from fresh). */
+  private[graft] val Bm25Scale = 4096L
 
   /** Quantized log2 at 1/16-bit resolution as a SQL fragment over a
     * positive BIGINT expression: `16·e + (x·16 >> e) − 16` with
@@ -1275,7 +1277,7 @@ object Pipeline {
     * the formula is pure integer arithmetic). The coarse 1-bit floor-log2
     * device (q103/q109/q110) is too lossy for ranking; this refinement
     * keeps idf differences well under a bit while staying hash-exact. */
-  private def qlog2Sql(x: String): String =
+  private[graft] def qlog2Sql(x: String): String =
     s"(CAST(length(bin($x)) AS BIGINT) - 1) * 16 + " +
       s"shiftright(($x) * 16, CAST(length(bin($x)) AS INT) - 1) - 16"
 

@@ -4989,6 +4989,109 @@ object Catalog {
       FROM uni u LEFT JOIN cm ON cm.doc_id = u.doc_id
       ORDER BY u.doc_id"""))
 
+  /** Session-scoped q174 index lifecycle (the q166 convention: the
+    * build/append/retry/rebuild checkpoints are fixture, measured once
+    * per (session, dir)); the SERVE runs fresh every invocation, so a
+    * bench rep times the steady-state path a RAG deployment actually
+    * pays — query-batch in, partition-pruned postings read, top-k out. */
+  private val ranRetrievalLifecycle =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), (String, DataFrame)]()
+
+  /** Persisted BM25 postings-index lifecycle
+    * ([[graft.operators.RetrievalIndex]] — the q113 one-shot scorer grown
+    * into the build → serve → append → staleness → rebuild discipline the
+    * minhash/IVF/phash/decon families have, closing the last index family
+    * that still re-tokenized its corpus per run): built on the mod-3≠1
+    * two-thirds of the corpus, the rest appended as a committed batch
+    * (with retry/crash/absorbed-retry no-op checks), a mid-run rebuild,
+    * and the final serve — whose top-k must be BIT-identical to a fresh
+    * q113-style pass over the whole corpus, because the index stores
+    * sufficient statistics and re-derives df/idf live (appends never
+    * stale a score; rebuild moves bytes, never statistics). The oracle is
+    * therefore q113's fresh-BM25 SQL verbatim plus the lifecycle
+    * constants — one oracle gating two data paths is the exactness
+    * statement. */
+  private val q174 = QueryDef(
+    "q174_bm25_index_lifecycle",
+    (s, dir) => {
+      ranRetrievalLifecycle.keysIterator
+        .filter(k => (k._1 ne s) && k._1.sparkContext.isStopped)
+        .foreach(ranRetrievalLifecycle.remove)
+      val (path, flags) = ranRetrievalLifecycle.getOrElseUpdate((s, s"$dir/rix"), {
+        import s.implicits._
+        import graft.operators.RetrievalIndex
+        val docs = t(s, dir, "documents")
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft-retridx-" +
+          s"${dir.split('/').filter(_.nonEmpty).last.replace('.', '_')}-" +
+          s"${java.lang.ProcessHandle.current().pid()}"
+        val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 1)
+        val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+        val qset = docs.filter(col("doc_id") < 3)
+        def stRow() = RetrievalIndex.staleness(s, p).head()
+        def serveSet() = RetrievalIndex.topK(qset, "doc_id", "text", p, k = 5)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        RetrievalIndex.build(base, "doc_id", "text", p)
+        val built0 = stRow().getLong(0)
+        RetrievalIndex.append(delta, "doc_id", "text", p, "b1")
+        val appended1 = stRow().getLong(1)
+        RetrievalIndex.append(delta, "doc_id", "text", p, "b1") // committed retry
+        val retryNoop = stRow().getLong(1) == appended1
+        val pre = serveSet()
+        RetrievalIndex.rebuild(s, p)
+        val st2 = stRow()
+        RetrievalIndex.append(delta, "doc_id", "text", p, "b1") // absorbed retry
+        val absorbedNoop = stRow().getLong(1) == 0L
+        val serveStable = serveSet() == pre
+        (p, Seq((built0, appended1, retryNoop, st2.getLong(0), st2.getLong(1),
+            absorbedNoop, serveStable))
+          .toDF("built0", "appended1", "retry_noop", "built2", "appended2",
+            "absorbed_retry_noop", "serve_stable"))
+      })
+      graft.operators.RetrievalIndex.topK(
+          t(s, dir, "documents").filter(col("doc_id") < 3),
+          "doc_id", "text", path, k = 5)
+        .crossJoin(flags)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM ct),
+      st AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+      p AS (SELECT doc_id, unnest(l) AS term FROM ct),
+      pf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY doc_id, term),
+      dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pf GROUP BY term),
+      q0 AS (SELECT doc_id AS query_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents WHERE doc_id < 3),
+      qt AS (SELECT DISTINCT query_id, term FROM q0),
+      idf AS (SELECT term,
+               4096 + (2 * (SELECT n FROM st) - 2 * df + 1) * 4096 // (2 * df + 1) AS r
+              FROM dfr),
+      idfq AS (SELECT term,
+               (length(bin(r)) - 1) * 16 + ((r * 16) >> (length(bin(r)) - 1)) - 16 - 192 AS idf_q
+              FROM idf),
+      sc AS (SELECT qt.query_id, pf.doc_id,
+               CAST(SUM(idfq.idf_q *
+                 ((44 * pf.tf * st.t * 16) //
+                  (20 * pf.tf * st.t + 6 * st.t + 18 * dl.dl * st.n))) AS BIGINT) AS score
+             FROM qt
+             JOIN pf ON qt.term = pf.term
+             JOIN idfq ON qt.term = idfq.term
+             JOIN dl ON dl.doc_id = pf.doc_id
+             CROSS JOIN st
+             GROUP BY qt.query_id, pf.doc_id),
+      r AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+            FROM sc WHERE score > 0),
+      lc AS (SELECT
+          CAST(COUNT(CASE WHEN doc_id % 3 <> 1 AND text IS NOT NULL THEN 1 END) AS BIGINT) AS built0,
+          CAST(COUNT(CASE WHEN doc_id % 3 = 1 AND text IS NOT NULL THEN 1 END) AS BIGINT) AS appended1
+        FROM documents)
+      SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score,
+        lc.built0, lc.appended1, TRUE AS retry_noop,
+        lc.built0 + lc.appended1 AS built2, CAST(0 AS BIGINT) AS appended2,
+        TRUE AS absorbed_retry_noop, TRUE AS serve_stable
+      FROM r CROSS JOIN lc WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -5005,7 +5108,7 @@ object Catalog {
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q157, q158, q160, q161, q164, q165, q166, q168, q169,
-    q170, q173) ++
+    q170, q173, q174) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

@@ -1685,6 +1685,126 @@ object StreamGateQueries {
         TRUE AS multi_epoch
       FROM cls GROUP BY source ORDER BY source"""))
 
+  /** Session-scoped q175 stream+index state (the q166 keying: the served
+    * frame lazily READS the persisted index, so it is bound to the
+    * session that built it; stopped-session entries evict on access). */
+  private val ranBm25Ingest =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** q175 — the persisted BM25 postings index maintained IN-STREAM
+    * ([[graft.operators.RetrievalIndex]], q174's batch lifecycle composed
+    * with the q159/q167/q172 ingest discipline): the index is built over
+    * the mod-3=0 third of the corpus, the rest arrives as a rate-limited
+    * stream whose every epoch folds into the index as a committed append
+    * batch keyed by the epoch id — replayed in-epoch once to prove the
+    * sentinel makes retries no-ops — and the post-intake serve must be
+    * BIT-identical to fresh BM25 over the ENTIRE corpus (the q113/q174
+    * oracle verbatim): df/idf re-derive from live postings, so no epoch
+    * boundary can leave a score stale. The serve itself stays lazy, so a
+    * bench rep times the steady-state query path, not the fixture. */
+  private[graft] def streamBm25Ingest(s: SparkSession, dir: String,
+      perOf: Long => Long, tag: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.RetrievalIndex
+    val uri = s"hub:sbm_$tag"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-sbm-idx-" +
+      s"${java.lang.ProcessHandle.current().pid()}-" +
+      java.lang.Integer.toHexString(tag.hashCode)
+    val docs = t(s, dir, "documents")
+    RetrievalIndex.build(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", root)
+    val train = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val rows = train.select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+    MemHub.publish(uri, "docs", rows.iterator.map { r =>
+      val payload = s"""{"text":${jsonStr(r.getString(1))}}"""
+      (r.getLong(0).toString, Map.empty[String, String], r.getLong(0),
+        payload.getBytes("UTF-8"))
+    })
+    val per = perOf(rows.length.toLong)
+    val stream = s.readStream.format("graft-topic")
+      .option("profile", "pulsar").option("uri", uri).option("topics", "docs")
+      .option("maxPerTrigger", per.toString)
+      .load()
+      .select(col("key").cast("long").as("doc_id"),
+        from_json(col("value").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL("text STRING"))
+          .getField("text").as("text"))
+    var epochs = 0L
+    val cp = s"${System.getProperty("java.io.tmpdir")}/graft-sbm-cp-" +
+      s"${java.lang.ProcessHandle.current().pid()}-" +
+      java.lang.Integer.toHexString(tag.hashCode)
+    awaitIntake(s"q175:$tag", cpv => stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cpv)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.select(col("doc_id"), col("text"))
+        RetrievalIndex.append(b, "doc_id", "text", root, s"e$id")
+        // immediate replay of the same epoch: the _DONE sentinel must
+        // make it a no-op, or the oracle equality below breaks on tf/df
+        RetrievalIndex.append(b, "doc_id", "text", root, s"e$id")
+        synchronized { epochs = math.max(epochs, id + 1) }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start(), cp, () => synchronized { epochs })
+    val st = RetrievalIndex.staleness(s, root).head()
+    val flags = Seq((st.getLong(0), st.getLong(1), epochs > 1))
+      .toDF("built_rows", "appended_rows", "multi_epoch")
+    RetrievalIndex.topK(docs.filter(col("doc_id") < 3),
+        "doc_id", "text", root, k = 5)
+      .crossJoin(flags)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val qStreamBm25Ingest = QueryDef(
+    "q175_stream_bm25_ingest",
+    (s, dir) => {
+      ranBm25Ingest.keysIterator
+        .filter(k => (k._1 ne s) && k._1.sparkContext.isStopped)
+        .foreach(ranBm25Ingest.remove)
+      ranBm25Ingest.getOrElseUpdate((s, s"$dir/sbm"),
+        streamBm25Ingest(s, dir, n => math.max(1L, n / 6L), s"q175_$dir"))
+    },
+    // fresh BM25 over the whole corpus (the q113/q174 SQL verbatim):
+    // base third indexed at build, streamed two-thirds folded per epoch,
+    // serve must equal the batch formulation exactly
+    Some("""WITH ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM ct),
+      st AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+      p AS (SELECT doc_id, unnest(l) AS term FROM ct),
+      pf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY doc_id, term),
+      dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pf GROUP BY term),
+      q0 AS (SELECT doc_id AS query_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents WHERE doc_id < 3),
+      qt AS (SELECT DISTINCT query_id, term FROM q0),
+      idf AS (SELECT term,
+               4096 + (2 * (SELECT n FROM st) - 2 * df + 1) * 4096 // (2 * df + 1) AS r
+              FROM dfr),
+      idfq AS (SELECT term,
+               (length(bin(r)) - 1) * 16 + ((r * 16) >> (length(bin(r)) - 1)) - 16 - 192 AS idf_q
+              FROM idf),
+      sc AS (SELECT qt.query_id, pf.doc_id,
+               CAST(SUM(idfq.idf_q *
+                 ((44 * pf.tf * st.t * 16) //
+                  (20 * pf.tf * st.t + 6 * st.t + 18 * dl.dl * st.n))) AS BIGINT) AS score
+             FROM qt
+             JOIN pf ON qt.term = pf.term
+             JOIN idfq ON qt.term = idfq.term
+             JOIN dl ON dl.doc_id = pf.doc_id
+             CROSS JOIN st
+             GROUP BY qt.query_id, pf.doc_id),
+      r AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+            FROM sc WHERE score > 0),
+      lc AS (SELECT
+          CAST(COUNT(CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL THEN 1 END) AS BIGINT) AS built_rows,
+          CAST(COUNT(CASE WHEN doc_id % 3 <> 0 AND text IS NOT NULL THEN 1 END) AS BIGINT) AS appended_rows
+        FROM documents)
+      SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score,
+        lc.built_rows, lc.appended_rows, TRUE AS multi_epoch
+      FROM r CROSS JOIN lc WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
   /** Minimal JSON string escaper for the seeded payloads (the corpus text
     * is plain ASCII-ish but quotes/backslashes/newlines must survive the
     * round-trip exactly — md5(text) is part of the decontamination key). */
@@ -1706,5 +1826,5 @@ object StreamGateQueries {
     qMapService, qStreamSessions, qStreamJoin, qStreamEnrich, qStreamOuterJoin,
     qStreamCurate, qStreamDedupIngest, qStreamSemanticIngest,
     qStreamClusterRegistry, qStreamPhashIngest, qStreamCrossmodal,
-    qStreamDeconIngest)
+    qStreamDeconIngest, qStreamBm25Ingest)
 }
