@@ -1412,6 +1412,30 @@ object Pipeline {
     train.join(flagged, train(idCol).cast("long") === col("__flag"), "left_anti")
   }
 
+  /** [[decontaminateRetrieval]] served from a persisted
+    * [[RetrievalIndex]] built over the SAME train corpus — identical
+    * output (the index re-derives df/idf live with this file's exact
+    * integer scorer), different cost model: the fresh path tokenizes the
+    * whole train corpus per audit, the indexed path reads the eval
+    * queries' postings partitions. That difference is the operating
+    * cadence at 100 TB — retrieval decon is a re-run-per-benchmark-drop
+    * audit (a new eval release means a new query set over the same
+    * corpus version), so the corpus pass should be paid once per corpus
+    * VERSION (build/append), not once per audit. */
+  def decontaminateRetrievalIndexed(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      evalIdCol: String,
+      evalTextCol: String,
+      indexPath: String,
+      minScore: Long): DataFrame = {
+    val flagged = RetrievalIndex.scores(evalDocs, evalIdCol, evalTextCol, indexPath)
+      .filter(col("score") >= minScore)
+      .select(col("doc_id").as("__flag")).distinct()
+    train.join(flagged, train(idCol).cast("long") === col("__flag"), "left_anti")
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
     * ranked retrieval lists — the standard hybrid-retrieval combiner for
     * a dense (ANN cosine) and a sparse (BM25) list. Contribution per

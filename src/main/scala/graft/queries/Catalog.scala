@@ -5092,6 +5092,75 @@ object Catalog {
         TRUE AS absorbed_retry_noop, TRUE AS serve_stable
       FROM r CROSS JOIN lc WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
+  /** Session-scoped q176 train-corpus index (path only — the build is
+    * the amortized corpus-version cost; every invocation re-runs the
+    * AUDIT, which is what a benchmark drop costs the pipeline). */
+  private val ranDeconIndex =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+
+  /** Retrieval-based decontamination served from the persisted BM25
+    * postings index (q176 — q116's audit re-expressed against
+    * [[graft.operators.RetrievalIndex]]): the train corpus is indexed
+    * once per corpus version (memoized fixture), and each benchmark drop
+    * re-runs ONLY the audit — eval queries' postings partitions read,
+    * flagged ids anti-joined back. The oracle is q116's SQL verbatim:
+    * identical output through a different data path, same statement as
+    * q174 vs q113. What the bench rep times is the per-audit cost — the
+    * number that, fresh, includes a full corpus tokenize (q116) and,
+    * indexed, doesn't. */
+  private val q176 = QueryDef(
+    "q176_indexed_retrieval_decon",
+    (s, dir) => {
+      ranDeconIndex.keysIterator
+        .filter(k => (k._1 ne s) && k._1.sparkContext.isStopped)
+        .foreach(ranDeconIndex.remove)
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 100 =!= 0)
+      val path = ranDeconIndex.getOrElseUpdate((s, s"$dir/rdx"), {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft-rdxidx-" +
+          s"${dir.split('/').filter(_.nonEmpty).last.replace('.', '_')}-" +
+          s"${java.lang.ProcessHandle.current().pid()}"
+        graft.operators.RetrievalIndex.build(train, "doc_id", "text", p)
+        p
+      })
+      graft.operators.Pipeline.decontaminateRetrievalIndexed(
+        train, docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "doc_id", "text", path, minScore = 2500L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tr AS (SELECT * FROM documents WHERE doc_id % 100 <> 0),
+      ev AS (SELECT * FROM documents WHERE doc_id % 100 = 0),
+      ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM tr),
+      dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM ct),
+      st AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+      p AS (SELECT doc_id, unnest(l) AS term FROM ct),
+      pf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY doc_id, term),
+      dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pf GROUP BY term),
+      q0 AS (SELECT doc_id AS query_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM ev),
+      qt AS (SELECT DISTINCT query_id, term FROM q0),
+      idf AS (SELECT term,
+               4096 + (2 * (SELECT n FROM st) - 2 * df + 1) * 4096 // (2 * df + 1) AS r
+              FROM dfr),
+      idfq AS (SELECT term,
+               (length(bin(r)) - 1) * 16 + ((r * 16) >> (length(bin(r)) - 1)) - 16 - 192 AS idf_q
+              FROM idf),
+      sc AS (SELECT qt.query_id, pf.doc_id,
+               CAST(SUM(idfq.idf_q *
+                 ((44 * pf.tf * st.t * 16) //
+                  (20 * pf.tf * st.t + 6 * st.t + 18 * dl.dl * st.n))) AS BIGINT) AS score
+             FROM qt
+             JOIN pf ON qt.term = pf.term
+             JOIN idfq ON qt.term = idfq.term
+             JOIN dl ON dl.doc_id = pf.doc_id
+             CROSS JOIN st
+             GROUP BY qt.query_id, pf.doc_id),
+      fl AS (SELECT DISTINCT doc_id FROM sc WHERE score > 0 AND score >= 2500)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM fl)
+      GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -5108,7 +5177,7 @@ object Catalog {
     q131, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q157, q158, q160, q161, q164, q165, q166, q168, q169,
-    q170, q173, q174) ++
+    q170, q173, q174, q176) ++
     StreamGateQueries.all ++
     ConnectorQueries.all
 }

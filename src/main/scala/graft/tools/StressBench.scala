@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{ClusterRegistry, Dedup, Media, PhashIndex, Pipeline, Similarity}
+import graft.operators.{ClusterRegistry, Dedup, Media, PhashIndex, Pipeline, RetrievalIndex, Similarity}
 import graft.streaming.Sessionize
 
 /** One-line scale/skew stress benchmark over [[StressData]]'s hostile
@@ -127,6 +127,23 @@ object StressBench {
       // inside the 1200-doc near-identical block make its shingles
       // corpus-hot, so the explode-join fans out on few keys — absorbed
       // by map-side partial aggregation, never a driver loop
+      // BM25 postings index at stress scale: build = the once-per-corpus-
+      // version cost over the full hostile corpus (hot-block term skew
+      // included — 1200 near-identical docs make their terms corpus-hot,
+      // absorbed by the map-side (doc,term) combine); serve = a 100-doc
+      // query batch's top-10, the per-audit/per-RAG-batch cost that reads
+      // only the query terms' pb partitions
+      "bm25_build" -> {
+        val rPath = s"${System.getProperty("java.io.tmpdir")}/graft-stressbench-bm-" +
+          s"${java.lang.ProcessHandle.current().pid()}"
+        time { RetrievalIndex.build(docs, "doc_id", "text", rPath); 0L }
+      },
+      "bm25_serve" -> {
+        val rPath = s"${System.getProperty("java.io.tmpdir")}/graft-stressbench-bm-" +
+          s"${java.lang.ProcessHandle.current().pid()}"
+        time(RetrievalIndex.topK(docs.filter(col("doc_id") % 500 === 7),
+          "doc_id", "text", rPath, k = 10).count())
+      },
       "decon_serve" -> {
         val dPath = s"${System.getProperty("java.io.tmpdir")}/graft-stressbench-dc-" +
           s"${java.lang.ProcessHandle.current().pid()}"

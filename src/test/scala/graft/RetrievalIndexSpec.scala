@@ -125,8 +125,24 @@ class RetrievalIndexSpec extends AnyFunSuite {
     // filters (dir pruning), not ride as a post-scan data filter (a
     // single-bucket query simplifies IN to equality — accept both)
     assert(plan.contains("PartitionFilters") &&
-      "PartitionFilters: \\[[^\\]]*pb[^\\]]*(IN|=) ".r.findFirstIn(plan).isDefined,
-      s"expected a pb IN/= partition filter in:\n$plan")
+      "PartitionFilters: \\[[^\\]]*pb[^\\]]*(INSET|IN|=) ".r.findFirstIn(plan).isDefined,
+      s"expected a pb IN/INSET/= partition filter in:\n$plan")
+    RetrievalIndex.drop(spark, path)
+  }
+
+  test("indexed retrieval decon == the fresh-scorer path (q176 vs q116)") {
+    val path = tmp("decon")
+    val evalDocs = Seq((200L, "quick brown fox"), (201L, "sun rises")).toDF("eid", "etext")
+    RetrievalIndex.build(corpus, "doc_id", "text", path, parts = 8)
+    def ids(df: DataFrame): Set[Long] =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val freshKept = ids(Pipeline.decontaminateRetrieval(
+      corpus, evalDocs, "doc_id", "text", "eid", "etext", minScore = 200L))
+    val indexedKept = ids(Pipeline.decontaminateRetrievalIndexed(
+      corpus, evalDocs, "doc_id", "eid", "etext", path, minScore = 200L))
+    assert(indexedKept == freshKept)
+    // the floor must actually drop something, or the equality is vacuous
+    assert(freshKept.size < corpus.count())
     RetrievalIndex.drop(spark, path)
   }
 

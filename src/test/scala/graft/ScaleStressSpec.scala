@@ -973,6 +973,41 @@ class ScaleStressSpec extends AnyFunSuite {
       s"one relabel row per losing rep expected, saw $relabels")
   }
 
+  test("BM25 index serve on the hostile corpus: balanced under hot-block " +
+      "term skew, partition-pruned, exact vs the fresh scorer") {
+    import graft.operators.{Pipeline, RetrievalIndex}
+    val docs = Tables.load(spark, dir, "documents")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-bm25-spec-" +
+      s"${java.lang.ProcessHandle.current().pid()}"
+    // the StressBench bm25 fixture: the full corpus indexed (hot-block
+    // terms are corpus-hot — 1200 near-identical docs share vocabulary —
+    // absorbed at build by the map-side (doc, term) combine), a ~100-doc
+    // query batch served; one query from INSIDE the hot block makes its
+    // hot terms ride the serve join
+    RetrievalIndex.build(docs, "doc_id", "text", path)
+    val qs = docs.filter(col("doc_id") % 500 === 7)
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val got = assertBalanced("bm25Serve", factor = 8.0) {
+      norm(RetrievalIndex.topK(qs, "doc_id", "text", path, k = 10))
+    }
+    assert(got.nonEmpty && got.exists(_._1 == 7L),
+      "the hot-block query (doc 7) must return rankings")
+    // exactness at stress scale: the fresh one-shot scorer over the same
+    // corpus is the reference (its own oracle equivalence is q113's gate)
+    assert(got == norm(Pipeline.bm25TopK(qs, docs, "doc_id", "text",
+      "doc_id", "text", k = 10)), "serve-from-index drifted from fresh at 10x")
+    // the pruning contract survives the stress layout: the serve's pb
+    // filter lands as a partition filter, so only the query terms'
+    // partitions are read
+    val plan = RetrievalIndex.prunedFor(
+        docs.filter(col("doc_id") === 7), "doc_id", "text", path)._2
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pb[^\\]]*(INSET|IN|=) ".r.findFirstIn(plan).isDefined,
+      s"expected a pb partition filter in:\n$plan")
+    RetrievalIndex.drop(spark, path)
+  }
+
   test("benchmark-decon serve on the hostile corpus: balanced under the " +
       "hot-shingle fan-out, exact against a driver-side string replay, min-gen versioned") {
     import graft.operators.DeconIndex
