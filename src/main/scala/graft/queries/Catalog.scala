@@ -4895,7 +4895,13 @@ object Catalog {
     * one map-side max-struct per cluster — no new shuffle classes. */
   private val q173 = QueryDef(
     "q173_corpus_publish_provenance",
-    (s, dir) => {
+    // pinScope (drain contract): minhashLsh pins its candidate + shingle
+    // frames; at gate SFs the CC result is a localComponents frame with NO
+    // lineage into those pins, so the rep boundary's release(frame) cannot
+    // reach them — without a scope they wait for a driver GC and the
+    // bench's assertDrain trips (measured this round: rdd blocks 342→375
+    // over one q173 rep block, IllegalStateException aborting the run).
+    (s, dir) => graft.core.GraftSession.pinScope {
       val docs = t(s, dir, "documents")
       val bench = docs.filter(pmod(col("doc_id"), lit(13)) === 3)
       val base = docs.filter(pmod(col("doc_id"), lit(13)) =!= 3)
