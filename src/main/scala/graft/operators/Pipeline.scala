@@ -1983,16 +1983,26 @@ object Pipeline {
       textCol: String,
       isTarget: Column,
       n: Int = 100): DataFrame = {
-    val feats = hashedNgramFeatures(df, idCol, textCol,
-      Seq(isTarget.as("__t")))
-    val w = feats.groupBy(col("bk"))
-      .agg(count(lit(1)).as("r"), count(when(col("__t"), 1)).as("t"))
+    // ONE tokenize+md5 kernel pass for the two consumers (bucket weights,
+    // per-doc fold): pre-aggregate the feature stream to
+    // (doc_id, bk, target, multiplicity). Both consumers read the SAME
+    // exchange (ReusedExchange), so the kernel — the expensive part, a
+    // full md5 per unigram+bigram — runs once instead of once per
+    // consumer; what crosses the wire is ~20 bytes per DISTINCT
+    // (doc, bucket) after map-side combining, cheaper than re-hashing
+    // the corpus. Counts fold back exactly: r = Σc, t = Σc|target,
+    // n_feats = Σc, logw = Σ s·c — integer arithmetic unchanged.
+    val g = hashedNgramFeatures(df, idCol, textCol, Seq(isTarget.as("__t")))
+      .groupBy(col("doc_id"), col("bk"), col("__t"))
+      .agg(count(lit(1)).as("c"))
+    val w = g.groupBy(col("bk"))
+      .agg(sum(col("c")).as("r"), sum(when(col("__t"), col("c"))).as("t"))
     val s = w.select(col("bk"),
-      (length(bin(expr("((t + 1) * 65536) DIV (r + 1)"))) - 1 - 16)
+      (length(bin(expr("((coalesce(t, 0) + 1) * 65536) DIV (r + 1)"))) - 1 - 16)
         .cast("long").as("s"))
-    val d = feats.join(broadcast(s), "bk")
+    val d = g.join(broadcast(s), "bk")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("s")).as("logw"))
+      .agg(sum(col("c")).as("n_feats"), sum(col("s") * col("c")).as("logw"))
     // global top-n = TakeOrdered (bounded per-partition top-n merged on
     // the driver), then a broadcast flag join — never a full sort
     val top = d.orderBy(col("logw").desc, col("doc_id")).limit(n)
@@ -2047,16 +2057,27 @@ object Pipeline {
       textCol: String,
       posSeed: Column,
       negSeed: Column): DataFrame = {
-    val feats = hashedNgramFeatures(df, idCol, textCol,
-      Seq(posSeed.as("__p"), negSeed.as("__n")))
-    // per-bucket class counts over seed features only (4096 keys)
-    val counts = feats.groupBy(col("bk"))
+    // TRAIN pass tokenizes the SEED rows only: the per-bucket class counts
+    // condition on posSeed/negSeed, so rows matching neither contribute
+    // nothing — filtering BEFORE the tokenize+md5 kernel turns the train
+    // pass from a full corpus pass into a seed-sized one (the q116/q113
+    // repeated-corpus-pass class; at 100 TB the seeds are a sliver).
+    val seedFeats = hashedNgramFeatures(df.filter(posSeed || negSeed),
+      idCol, textCol, Seq(posSeed.as("__p"), negSeed.as("__n")))
+    // per-bucket class counts over seed features only, RANGE-FILLED to the
+    // full 4096-bucket domain: the score join below is inner on bk, and a
+    // bucket observed in the corpus but never in the seeds must still get
+    // the add-one-smoothed floor weight (exactly what the all-rows
+    // formulation produced for cp=0/cn=0 buckets), not silently drop.
+    val seedCounts = seedFeats.groupBy(col("bk"))
       .agg(count(when(col("__p"), 1)).as("cp"),
         count(when(col("__n"), 1)).as("cn"))
+    val spark0 = df.sparkSession
+    val counts = spark0.range(4096).select(col("id").cast("int").as("bk"))
+      .join(seedCounts, Seq("bk"), "left")
+      .select(col("bk"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
     val totals = counts.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"))
-    // w_b = quantized log P(b|pos) − log P(b|neg); buckets never seen in
-    // the seeds still get the smoothed floor — the weight table covers all
-    // observed buckets (a bucket outside it appears in no doc)
     val w = counts.crossJoin(totals).select(col("bk"),
       ((length(bin(expr("((cp + 1) * 65536) DIV (tp + 4096)"))) - 1) -
         (length(bin(expr("((cn + 1) * 65536) DIV (tn + 4096)"))) - 1))
@@ -2070,6 +2091,9 @@ object Pipeline {
       .select(((length(bin(expr("((dp + 1) * 65536) DIV (dp + dn + 2)"))) - 1) -
         (length(bin(expr("((dn + 1) * 65536) DIV (dp + dn + 2)"))) - 1))
         .cast("long").as("prior"))
+    // SCORE pass: the one full-corpus tokenize+md5 pass (no seed-flag
+    // carry — the weight table is the only training state it needs)
+    val feats = hashedNgramFeatures(df, idCol, textCol, Nil)
     feats.join(broadcast(w), "bk")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("wsum"))

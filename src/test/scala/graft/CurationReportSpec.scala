@@ -795,6 +795,49 @@ class CurationReportSpec extends AnyFunSuite {
     assert(got(100L)._2 > got(101L)._2)
   }
 
+  test("nbQualityScores: corpus-only buckets keep the smoothed floor weight") {
+    import spark.implicits._
+    // the probe's vocabulary is DISJOINT from both seed vocabularies: its
+    // feature buckets were never observed in training, so each must score
+    // the add-one-smoothed cp=0/cn=0 floor weight — and count in n_feats —
+    // exactly as the all-rows count formulation produced. (The train pass
+    // now tokenizes seed rows only and range-fills the 4096-bucket weight
+    // table; an inner score join that silently DROPPED unseen buckets
+    // would fail this.)
+    val pos = (0 until 4).map(i => (i.toLong, s"clean prose flows tok$i", "p"))
+    val neg = (0 until 4).map(i => (10L + i, s"spam junk noise tok$i", "n"))
+    val probe = Seq((100L, "xylophone quasar bumblebee", "u"))
+    val df = (pos ++ neg ++ probe).toDF("doc_id", "text", "cls")
+    val got = Pipeline.nbQualityScores(df, "doc_id", "text",
+      posSeed = col("cls") === "p", negSeed = col("cls") === "n")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(f: String): Int = Integer.parseInt(md5hex(f).take(3), 16)
+    def flog2(x: Long): Long = if (x == 0) 0 else 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val seedFeats = (pos ++ neg).map { case (id, text, cls) =>
+      val w = text.trim.split("\\s+").toSeq
+      (cls, w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+    }
+    val pCnt = seedFeats.filter(_._1 == "p").flatMap(_._2).map(bucket)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nCnt = seedFeats.filter(_._1 == "n").flatMap(_._2).map(bucket)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tp, tn) = (pCnt.values.sum, nCnt.values.sum)
+    def w(bk: Int): Long =
+      flog2(((pCnt.getOrElse(bk, 0L) + 1) * 65536L) / (tp + 4096)) -
+        flog2(((nCnt.getOrElse(bk, 0L) + 1) * 65536L) / (tn + 4096))
+    val prior = flog2(5L * 65536L / 10L) - flog2(5L * 65536L / 10L)
+    val pw = probe.head._2.trim.split("\\s+").toSeq
+    val pFeats = pw ++ pw.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    val want = (pFeats.size.toLong, pFeats.map(f => w(bucket(f))).sum + prior)
+    assert(pFeats.map(bucket).forall(bk => !pCnt.contains(bk) && !nCnt.contains(bk)),
+      "fixture invariant: probe buckets must be unseen in the seeds")
+    assert(got(100L) == want,
+      s"unseen-bucket probe: got ${got(100L)}, want $want")
+  }
+
   test("ccnetBuckets: tercile boundary rule holds per language, buckets ordered by score") {
     import graft.operators.Pipeline
     val docs = Tables.load(spark, dir, "documents")
