@@ -347,7 +347,11 @@ object Similarity {
       refine: Int = 3,
       replicate: Int = 1): DataFrame = {
     boundedQueryBatch(queries, "ivfTopK")
-    val c = normalizedCorpus(corpus, corpusId, corpusVec)
+    // widen before the per-row assignment kernel (nlist×dim dots per
+    // vector): a one-split demo corpus would otherwise run the whole
+    // corpus-side assignment on one task; no-op on wide inputs
+    val c = normalizedCorpus(graft.core.GraftSession.widen(corpus),
+      corpusId, corpusVec)
     val nl = resolveNlist(nlist, c)
     val codebook = trainIvfCodebook(c, nl, refine)
     val cb = corpusLists(c, codebook, replicate)
@@ -619,6 +623,20 @@ object Similarity {
     rankTopK(uniq, k)
   }
 
+  /** The one way IVF list rows reach parquet: repartition on the
+    * partition column so each task holds whole buckets (the partitioned
+    * write emits one file per bucket dir instead of one per (task,
+    * bucket) — at 100 TB with a 65k-list codebook the difference is 65k
+    * right-sized files vs task-count × 65k shards), and sort within the
+    * partition on (bucket, neighbor_id) so file contents stay
+    * deterministic per corpus+params (the shuffle's fetch order is not).
+    * The RetrievalIndex postings writer applies the same discipline. */
+  private def writeLists(rows: DataFrame, dest: String): Unit =
+    rows.select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("neighbor_id"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dest)
+
   /** Persist an IVF index: inverted lists as parquet PARTITIONED BY list
     * id (so probes prune at the directory level) plus the codebook. This
     * is the 100 TB shape of [[ivfTopK]]: train the codebook once, pay the
@@ -644,15 +662,20 @@ object Similarity {
       replicate: Int = 1): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = normalizedCorpus(corpus, corpusId, corpusVec)
+    // widen before the assignment kernel: a demo-scale corpus arrives as
+    // one or two parquet splits, and without this the nlist×dim dot pass
+    // AND the partitioned lists write below both run on that one task
+    // (measured at the 10× stress corpus: full build ~26-42 s of which
+    // codebook training is only ~0.3-1.6 s — the rest was the single-task
+    // assignment plus one task creating ~566 bucket dirs serially)
+    val c = normalizedCorpus(graft.core.GraftSession.widen(corpus),
+      corpusId, corpusVec)
     val nl = resolveNlist(nlist, c)
     val codebook = trainIvfCodebook(c, nl, refine)
     sweepLegacyIvf(spark, path)
     val gen = graft.core.GenDir.next(spark, path)
     val stage = graft.core.GenDir.genPath(path, gen)
-    corpusLists(c, codebook, replicate)
-      .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$stage/lists")
+    writeLists(corpusLists(c, codebook, replicate), s"$stage/lists")
     codebook.zipWithIndex.map { case (v, j) => (j, v) }
       .toDF("j", "v")
       .write.mode("overwrite").parquet(s"$stage/codebook")
@@ -876,9 +899,9 @@ object Similarity {
       .orderBy(col("j")).collect()
       .map(r => r.getSeq[Double](1).toSeq).toSeq
     val stage = s"$cur/.delta-$batchId.stage"
-    corpusLists(normalizedCorpus(delta, corpusId, corpusVec), codebook, replicate)
-      .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    writeLists(corpusLists(normalizedCorpus(
+      graft.core.GraftSession.widen(delta), corpusId, corpusVec),
+      codebook, replicate), stage)
     import org.apache.hadoop.fs.Path
     val lists = new Path(s"$cur/lists")
     val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1004,9 +1027,7 @@ object Similarity {
     val stage = graft.core.GenDir.genPath(path, gen)
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    corpusLists(corpus, codebook, rep)
-      .select(col("neighbor_id"), col("cv"), col("cn"), col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$stage/lists")
+    writeLists(corpusLists(corpus, codebook, rep), s"$stage/lists")
     codebook.zipWithIndex.map { case (v, j) => (j, v) }
       .toDF("j", "v")
       .write.mode("overwrite").parquet(s"$stage/codebook")
@@ -1328,7 +1349,8 @@ object Similarity {
       refinePq: Int = 8): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = normalizedCorpus(corpus, corpusId, corpusVec)
+    val c = normalizedCorpus(graft.core.GraftSession.widen(corpus),
+      corpusId, corpusVec)
     val nl = resolveNlist(nlist, c)
     val coarse = trainIvfCodebook(c, nl, refine)
     val dim = coarse.head.length
@@ -1342,6 +1364,9 @@ object Similarity {
       .withColumn("codes", graft.functions.pq_encode(
         vhat, col("bucket"), coarse.flatten, pq, nl, dim, m, ksub))
       .select(col("neighbor_id"), col("codes"), col("bucket"))
+      // same fan discipline as writeLists (schema differs: codes, no cv/cn)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("neighbor_id"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/lists")
     coarse.zipWithIndex.map { case (v, j) => (j, v) }
       .toDF("j", "v")
