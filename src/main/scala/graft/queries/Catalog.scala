@@ -4918,11 +4918,21 @@ object Catalog {
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       val benchG = bench.select(
         explode(graft.functions.shingle_hashes(col("text"), 6)).as("g")).distinct()
-      val contam = uni
-        .select(col("doc_id"),
-          explode(graft.functions.shingle_hashes(col("text"), 6)).as("g"))
-        .join(benchG, Seq("g"), "left_semi")
-        .select(col("doc_id")).distinct()
+      // pin the contaminated-id set (a SMALL reduced artifact): `clean`
+      // is consumed by FOUR separate actions (the minhash candidate and
+      // verification pins, the CC edge pin, the final labeled plan), and
+      // each re-ran the whole 6-shingle explode + semi-join subtree at
+      // corpus scale — AQE stage reuse does not cross query executions.
+      // Pinned, the decon pass runs once and the anti/left joins against
+      // it carry exact (small) stats, so they plan as broadcasts instead
+      // of shuffling `uni` by doc_id. widen before the explode kernel:
+      // `uni` inherits the one-split demo scan's parallelism.
+      val contam = graft.core.GraftSession.pin(
+        graft.core.GraftSession.widen(uni)
+          .select(col("doc_id"),
+            explode(graft.functions.shingle_hashes(col("text"), 6)).as("g"))
+          .join(benchG, Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct())
       val clean = uni.join(contam, Seq("doc_id"), "left_anti")
       val cc = Dedup.connectedComponents(
         Dedup.minhashLsh(clean, "doc_id", "text"))
