@@ -267,7 +267,13 @@ object GraftSession {
     * only where lineage is one or two stages deep — for iterative loops
     * whose lineage grows per round, use [[reliableCheckpoint]], and
     * release provably-dead loop intermediates eagerly with [[release]]. */
-  def pin(df: DataFrame): DataFrame = {
+  def pin(df: DataFrame): DataFrame = pinCounted(df)._1
+
+  /** [[pin]] plus the row count its eager materialization already
+    * computed — for callers that need the cardinality next (the CC edge
+    * ceiling, rebuild's built_rows), so they don't re-run a count job
+    * over the blocks the pin just materialized. */
+  def pinCounted(df: DataFrame): (DataFrame, Long) = {
     val spark = df.sparkSession
     val rdd = org.apache.spark.sql.GraftSqlBridge.internalRdd(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -283,7 +289,7 @@ object GraftSession {
       case scope :: _ => scope += rdd
       case Nil        => ()
     }
-    org.apache.spark.sql.GraftSqlBridge.cachedDf(spark, rdd, df.schema, size, n)
+    (org.apache.spark.sql.GraftSqlBridge.cachedDf(spark, rdd, df.schema, size, n), n)
   }
 
   /** RDD ids graft has pinned (and not yet released). Ids are never reused

@@ -1199,11 +1199,11 @@ object Dedup {
     // failing a multi-hour job the way localCheckpoint would. The enclosing
     // pinScope frees the edge blocks the moment the returned frame no
     // longer references them (both exits below).
-    val edges = graft.core.GraftSession.pin(
+    val (edges, nEdges) = graft.core.GraftSession.pinCounted(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct())
-    if (edges.count() <= maxLocalEdges) localComponents(edges)
+    if (nEdges <= maxLocalEdges) localComponents(edges)
     else {
       // seed with the first round folded in: label(v) = min(v, neighbors(v)).
       // Plain pair-clusters (the common case) converge immediately — the loop

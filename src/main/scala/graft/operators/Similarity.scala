@@ -349,10 +349,12 @@ object Similarity {
     boundedQueryBatch(queries, "ivfTopK")
     // widen before the per-row assignment kernel (nlist×dim dots per
     // vector): a one-split demo corpus would otherwise run the whole
-    // corpus-side assignment on one task; no-op on wide inputs
+    // corpus-side assignment on one task; no-op on wide inputs. The
+    // auto-nlist count runs on the UN-widened scan — a count through the
+    // widen repartition would pay the round-robin shuffle just to count.
+    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
     val c = normalizedCorpus(graft.core.GraftSession.widen(corpus),
       corpusId, corpusVec)
-    val nl = resolveNlist(nlist, c)
     val codebook = trainIvfCodebook(c, nl, refine)
     val cb = corpusLists(c, codebook, replicate)
     ivfProbe(queries, cb, codebook, queryId, queryVec, k,
@@ -374,9 +376,6 @@ object Similarity {
   private[graft] def autoNlist(count: Long): Int =
     math.max(16, math.min(count / 16, math.min(1L << 16,
       math.ceil(4 * math.sqrt(count.toDouble)).toLong)).toInt)
-
-  private def resolveNlist(nlist: Int, c: DataFrame): Int =
-    if (nlist > 0) nlist else autoNlist(c.count())
 
   /** Corpus projected to the internal (neighbor_id, cv, cn) shape. */
   private[graft] def normalizedCorpus(
@@ -668,9 +667,13 @@ object Similarity {
     // (measured at the 10× stress corpus: full build ~26-42 s of which
     // codebook training is only ~0.3-1.6 s — the rest was the single-task
     // assignment plus one task creating ~566 bucket dirs serially)
+    // count on the UN-widened scan (metadata-fast; through the widen
+    // repartition it would pay the shuffle), reused for auto-nlist AND
+    // meta's built_rows — the original paid two count jobs per build
+    val built = corpus.count()
     val c = normalizedCorpus(graft.core.GraftSession.widen(corpus),
       corpusId, corpusVec)
-    val nl = resolveNlist(nlist, c)
+    val nl = if (nlist > 0) nlist else autoNlist(built)
     val codebook = trainIvfCodebook(c, nl, refine)
     sweepLegacyIvf(spark, path)
     val gen = graft.core.GenDir.next(spark, path)
@@ -682,7 +685,7 @@ object Similarity {
     // build parameters ride with the index: replicate decides the serve
     // side's pair dedup, so a mismatch would silently corrupt top-k.
     // built_rows seeds the staleness counter ivfIndexStaleness reads.
-    Seq((nl, refine, replicate, c.count()))
+    Seq((nl, refine, replicate, built))
       .toDF("nlist", "refine", "replicate", "built_rows")
       .write.mode("overwrite").parquet(s"$stage/meta")
     graft.core.GenDir.commit(spark, path, gen)
@@ -1013,11 +1016,13 @@ object Similarity {
     // recover the distinct corpus from the lists: replicate>1 wrote each
     // vector into several bucket partitions; (cv, cn) are identical across
     // replicas so any representative is exact
-    val corpus = graft.core.GraftSession.pin(
+    // pinCounted: built_rows below reuses the materialization's own count
+    // instead of re-running a count job over the pinned blocks
+    val (corpus, builtRows) = graft.core.GraftSession.pinCounted(
       spark.read.parquet(s"$cur/lists")
         .groupBy(col("neighbor_id"))
         .agg(first(col("cv")).as("cv"), first(col("cn")).as("cn")))
-    val nl = resolveNlist(nlist, corpus)
+    val nl = if (nlist > 0) nlist else autoNlist(builtRows)
     val codebook = trainIvfCodebook(corpus, nl, ref)
     // a legacy flat layout superseded by an earlier migration is now two
     // publishes old — sweep before staging (self-healing: also covers a
@@ -1033,7 +1038,6 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$stage/codebook")
     // built_rows = the pinned distinct corpus — no re-listing of the
     // staged lists (corpusLists writes each corpus vector, replicated)
-    val builtRows = corpus.count()
     graft.core.GraftSession.release(corpus)
     Seq((nl, ref, rep, builtRows))
       .toDF("nlist", "refine", "replicate", "built_rows")
@@ -1349,9 +1353,10 @@ object Similarity {
       refinePq: Int = 8): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // count on the UN-widened scan (see buildIvfIndex)
+    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
     val c = normalizedCorpus(graft.core.GraftSession.widen(corpus),
       corpusId, corpusVec)
-    val nl = resolveNlist(nlist, c)
     val coarse = trainIvfCodebook(c, nl, refine)
     val dim = coarse.head.length
     require(dim % m == 0, s"buildIvfPqIndex: dim ($dim) must be divisible by m ($m)")
