@@ -11,6 +11,34 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-test durations in the log (-oD): the r17 suite-time trim needs the
+// slow suites attributable without timestamp archaeology.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+// The full suite is wall-bound by two suites (r17 baseline, quiet host:
+// StreamingSpec ~10 min of micro-batch lifecycle waits, ScaleStressSpec
+// ~7.5 min of 10x-corpus legs; everything else ~9.5 min) — run the three
+// as PARALLEL forked JVMs so `sbt test` wall is the max, not the sum
+// (~27 min -> ~11 min; the r16 driver test run was killed mid-suite by
+// its time budget, stopping the shared SparkContext under running
+// suites). A JVM per group also makes suites immune to another group's
+// context lifecycle — the stopped-context class can no longer cross.
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  val fo = ForkOptions().withRunJVMOptions(opts)
+  (Test / definedTests).value.groupBy { t =>
+    if (t.name.endsWith("StreamingSpec")) "streaming"
+    else if (t.name.endsWith("ScaleStressSpec")) "stress"
+    else "rest"
+  }.toSeq.map { case (g, ts) => Tests.Group(g, ts, Tests.SubProcess(fo)) }
+}
+// sbt's default concurrentRestrictions cap forked test groups at 1 —
+// lift just that cap (3 groups, ~8g heap each: fits the 128 GiB sandbox
+// and any CI host with >= 32 GiB).
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(math.max(java.lang.Runtime.getRuntime.availableProcessors(), 1)),
+  Tags.limit(Tags.ForkedTestGroup, 3),
+  Tags.exclusiveGroup(Tags.Clean),
+)
 // Send forked-run output straight to stdout: sbt's LoggedOutput prefixes
 // every line with "[info] ", which breaks machine parsing of Bench's JSON
 // metric line by the driver harness.

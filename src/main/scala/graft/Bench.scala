@@ -392,16 +392,27 @@ object Bench {
           n -> (k + "_" + java.lang.Integer.toHexString(n.hashCode).take(4))
         }
       }.toMap
-    def renderMap(rs: Seq[(String, Double)], f: Double => String): String = {
+    def renderMap(rs: Seq[(String, Double)], f: Double => String,
+        display: Double => String = null): String = {
       // zero-drop (catalog-growth headroom): entries that round to "0" at
       // the current precision carry no information the total doesn't —
       // fold them into one "_z" count ("_z" cannot collide: query keys
       // are digits or s/k-prefixed, and "_rest" is the only other
       // synthetic). bench_detail.json keeps every value at full precision.
+      // `display` (VERDICT r16 item 7): survivors of the fold may render at
+      // a FINER precision than the fold test — the fold bounds the entry
+      // count, so whole-second quantization of the listed values bought no
+      // length headroom while blinding the driver's per-query comparison
+      // (26 of 32 common queries rendered "1" in r16 and every ratio was a
+      // 100 %-step artifact); centisecond survivors cost ~3 chars each over
+      // a BOUNDED list. BenchLineSpec pins the worst-case length.
+      val disp = if (display == null) f else display
       val rendered = rs.map { case (k, v) =>
-        (keys.getOrElse(k, k), f(v))
+        (keys.getOrElse(k, k), f(v), disp(v))
       }
-      val (zeros, nonzero) = rendered.partition(_._2 == "0")
+      val (zeros0, nonzero0) = rendered.partition(_._2 == "0")
+      val zeros = zeros0
+      val nonzero = nonzero0.map { case (k, _, d) => (k, d) }
       val entries = nonzero.map { case (k, v) => "\"" + k + "\":" + v } ++
         (if (zeros.isEmpty) Nil else Seq("\"_z\":" + zeros.size))
       val qs = entries.mkString("{", ",", "}")
@@ -479,23 +490,26 @@ object Bench {
       }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$p50Part$maxPart$coldPart$floorPart$env,"sf":"$sf"}"""
     }
-    def render(f0: Double => String): String = {
+    def render(f0: Double => String, d0: Double => String = null): String = {
       // trimmed at every ladder level, so precision degrades later
       val f = (v: Double) => trimZeros(f0(v))
-      renderMap(results.toSeq, f)
+      val d = if (d0 == null) null else (v: Double) => trimZeros(d0(v))
+      renderMap(results.toSeq, f, d)
     }
+    val centi = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // ms precision normally; if the query set ever grows the line past the
-    // tail window, degrade per-query precision before losing parseability
+    // tail window, degrade the FOLD threshold before losing parseability —
+    // survivors keep centisecond display at every rung (see renderMap)
     val line3 = render(fmt)
     if (line3.length <= MaxLineLength) line3
     else {
-      val line2 = render(v => "%.2f".formatLocal(java.util.Locale.ROOT, v))
+      val line2 = render(centi)
       if (line2.length <= MaxLineLength) line2
       else {
-        val line1 = render(v => "%.1f".formatLocal(java.util.Locale.ROOT, v))
+        val line1 = render(v => "%.1f".formatLocal(java.util.Locale.ROOT, v), centi)
         if (line1.length <= MaxLineLength) line1
         else {
-          val line0 = render(v => "%.0f".formatLocal(java.util.Locale.ROOT, v))
+          val line0 = render(v => "%.0f".formatLocal(java.util.Locale.ROOT, v), centi)
           if (line0.length <= MaxLineLength) line0
           else {
             // terminal fallback — bounded at ANY catalog size: keep the

@@ -438,6 +438,53 @@ object TextScan {
     }
     if (best < 4) Langs(best) else Und
   }
+
+  // one MD5 instance per thread: getInstance is a provider lookup per call,
+  // far more expensive than the 16-byte digest itself
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val SpaceByte = Array[Byte](0x20)
+
+  /** 12-bit md5-prefix feature buckets of the word unigrams + bigrams of
+    * `s` — value-identical (same multiset) to
+    * `conv(substring(md5(f), 1, 3), 16, 10)` evaluated over
+    * f ∈ tokens ++ adjacent-pairs-joined-with-' ', with tokens =
+    * `split(trim(s), "[ \\t\\n\\f\\r]+")` (the [[tokenize]] boundaries the
+    * token kernels share). The first 3 hex chars of an md5 are exactly the
+    * first 12 bits of its digest, so the bucket is read straight off the
+    * digest bytes — no hex-string materialization, no conv parse, and the
+    * whole unigram+bigram stream is produced in ONE pass over the
+    * document's bytes instead of a regex split + explode + an INTERPRETED
+    * `transform(sequence(...))` bigram builder per row. */
+  def hashedNgramBuckets(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val tk = tokenize(bytes, 0, bytes.length)
+    val m = tk.length / 2
+    val md = md5Local.get()
+    val out = new Array[Int](if (m >= 2) 2 * m - 1 else m)
+    def bucketOf(d: Array[Byte]): Int =
+      ((d(0) & 0xff) << 4) | ((d(1) & 0xff) >>> 4)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(bytes, tk(2 * i), tk(2 * i + 1) - tk(2 * i))
+      out(i) = bucketOf(md.digest())
+      i += 1
+    }
+    i = 0
+    while (i < m - 1) {
+      md.reset()
+      md.update(bytes, tk(2 * i), tk(2 * i + 1) - tk(2 * i))
+      md.update(SpaceByte, 0, 1)
+      md.update(bytes, tk(2 * i + 2), tk(2 * i + 3) - tk(2 * i + 2))
+      out(m + i) = bucketOf(md.digest())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `shingle_hashes(text, n)`: sorted distinct xxhash64 values of the word
@@ -636,6 +683,28 @@ case class BloomMightContain(bloomBytes: Expression, child: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(bloomBytes = newLeft, child = newRight)
+}
+
+/** `hashed_ngram_buckets(text)`: 12-bit md5-prefix buckets of the word
+  * unigram+bigram feature stream — the fused fast path for
+  * `conv(substring(md5(f), 1, 3), 16, 10)` over exploded
+  * unigrams ++ adjacent-bigrams (identical bucket multiset, one byte-level
+  * pass, digest bytes read directly — no hex string, no conv). */
+case class HashedNgramBuckets(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hashed_ngram_buckets needs a string input, got ${child.dataType}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextScan.hashedNgramBuckets(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScan.hashedNgramBuckets($c)")
+  override def prettyName: String = "hashed_ngram_buckets"
+  override protected def withNewChildInternal(newChild: Expression): HashedNgramBuckets =
+    copy(child = newChild)
 }
 
 /** `lang_guess_scan(loweredText)`: byte-scan language heuristic, identical

@@ -116,6 +116,7 @@ package object functions {
       "sorted_intersect_count" -> { exprs => SortedIntersectCount(exprs(0), exprs(1)) },
       "bloom_might_contain" -> { exprs => BloomMightContain(exprs(0), exprs(1)) },
       "tokens_scan" -> { exprs => TokensScan(exprs.head) },
+      "hashed_ngram_buckets" -> { exprs => HashedNgramBuckets(exprs.head) },
       "ngram_repetition_scan" -> {
         case Seq(c, Literal(n: Int, _)) => NgramRepetitionScan(c, n)
         case _ => throw new IllegalArgumentException("ngram_repetition_scan(text, n)")
@@ -457,6 +458,13 @@ package object functions {
   /** Byte-scan fast path for [[lang_guess]] (identical values). */
   def lang_guess_fast(c: Column): Column =
     call_function("lang_guess_scan", lower(c))
+
+  /** 12-bit md5-prefix buckets of the word unigram+bigram feature stream —
+    * fused fast path for `conv(substring(md5(f), 1, 3), 16, 10)` over the
+    * exploded unigrams ++ adjacent-bigrams of `split(trim(c), ws+)`
+    * (identical bucket multiset; see [[TextScan.hashedNgramBuckets]]). */
+  def hashed_ngram_buckets(c: Column): Column =
+    call_function("hashed_ngram_buckets", c)
 
   /** Fused fast path for [[shingles]] (identical distinct shingle strings). */
   def shingle_strings(c: Column, n: Int): Column =

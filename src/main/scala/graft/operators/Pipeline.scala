@@ -2021,20 +2021,19 @@ object Pipeline {
       idCol: String,
       textCol: String,
       carry: Seq[Column]): DataFrame = {
-    val toks = split(trim(col(textCol)), "[ \\t\\n\\f\\r]+")
-    // widen before the explode+md5 kernel pass: the feature stream is
-    // consumed twice (bucket weights, then the per-doc fold), and a
-    // narrow scan would run both passes at the file-split parallelism
+    // widen before the kernel pass: the feature stream is consumed twice
+    // (bucket weights, then the per-doc fold), and a narrow scan would run
+    // both passes at the file-split parallelism. The fused kernel
+    // ([[graft.functions.TextScan.hashedNgramBuckets]]) emits the 12-bit
+    // md5-prefix bucket of every unigram+bigram in ONE codegen'd byte pass
+    // — same bucket multiset as the former split + explode + interpreted
+    // transform(sequence(...)) bigram builder + md5-hex + conv chain
+    // (TextKernelFuzzSpec pins the equivalence), no hex-string round-trip.
     val base = graft.core.GraftSession.widen(df).select(
-      (col(idCol).cast("long").as("doc_id") +: carry :+ toks.as("__toks")): _*)
-    val keep = base.columns.filter(_ != "__toks").map(col).toSeq
-    val uni = base.select((keep :+ explode(col("__toks")).as("f")): _*)
-    val bi = base.filter(size(col("__toks")) >= 2)
-      .select((keep :+ explode(transform(sequence(lit(1), size(col("__toks")) - 1),
-        i => concat(element_at(col("__toks"), i), lit(" "),
-          element_at(col("__toks"), i + 1)))).as("f")): _*)
-    uni.unionAll(bi)
-      .withColumn("bk", conv(substring(md5(col("f")), 1, 3), 16, 10).cast("int"))
+      (col(idCol).cast("long").as("doc_id") +: carry :+
+        graft.functions.hashed_ngram_buckets(col(textCol)).as("__bks")): _*)
+    val keep = base.columns.filter(_ != "__bks").map(col).toSeq
+    base.select((keep :+ explode(col("__bks")).as("bk")): _*)
   }
 
   /** Fasttext-style quality classifier (the GPT-3/LLaMA "looks like the

@@ -44,6 +44,12 @@ object ScratchIvf {
         emb.filter(col("vec_id") < 100), "vec_id", "embedding", k = 10,
         nprobe = 28).count())
       println(s"SCRATCH probe_rows $probe")
+      // drop the round's index: repeated profiling runs were accumulating
+      // stress-scale index trees in the tmpdir (r16 ADVICE)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(p))
     }
     spark.stop()
   }

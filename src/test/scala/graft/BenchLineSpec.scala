@@ -92,6 +92,29 @@ class BenchLineSpec extends AnyFunSuite {
       "240 of 300 render as 0 at the settled precision")
   }
 
+  test("zero-fold survivors keep centisecond precision at the folded rungs " +
+      "(VERDICT r16 item 7: whole-second quantization blinded PERF)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // the r16 driver profile shape: ~40 second-scale queries, the rest a
+    // fast tail that folds into _z at the settled rung. The survivors must
+    // render at centisecond precision — "1" vs "2" carried no signal and
+    // manufactured six phantom 0.5x "regressions" in PERF_r16.
+    val profile = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 5 == 0) 0.811 + (i % 7) * 0.211 else 0.317)
+    }.toMap
+    val line = Bench.renderLine(profile, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.MaxLineLength)
+    assert(line.contains("\"_z\":"), "the fast tail must fold")
+    assert(!line.contains("\"_rest\""))
+    val j = JsonMethods.parse(line)
+    val survivor = names.zipWithIndex.collectFirst {
+      case (n, i) if i % 5 == 0 && i % 7 == 3 => n // value 1.444
+    }.get
+    assert((j \ "queries" \ Bench.shortKey(survivor)) === JDouble(1.44),
+      "fold survivors must keep centisecond precision, not whole seconds")
+  }
+
   test("flagP50 excludes externally-attributed reps (flat user cpu) and " +
       "keeps internal ones") {
     def rep(sec: Double, cpu: Double, sys: Double) =

@@ -75,6 +75,30 @@ class TextKernelFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("hashed_ngram_buckets fuzz == declarative md5-prefix over unigrams+bigrams") {
+    import graft.functions.hashed_ngram_buckets
+    // the declarative chain hashedNgramFeatures fused (multiset equality:
+    // explode both sides, count per (doc, bucket))
+    val toks = split(trim(col("text")), "[ \\t\\n\\f\\r]+")
+    val base = df.select(col("doc_id"), toks.as("__toks"))
+    val uni = base.select(col("doc_id"), explode(col("__toks")).as("f"))
+    val bi = base.filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat(element_at(col("__toks"), i), lit(" "),
+            element_at(col("__toks"), i + 1)))).as("f"))
+    val want = uni.unionAll(bi)
+      .withColumn("bk", conv(substring(md5(col("f")), 1, 3), 16, 10).cast("int"))
+      .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
+    val got = df.select(col("doc_id"),
+        explode(hashed_ngram_buckets(col("text"))).as("bk"))
+      .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("c"))
+    val bad = got.as("g").join(want.as("w"), Seq("doc_id", "bk"), "full")
+      .filter(col("g.c").isNull || col("w.c").isNull || col("g.c") =!= col("w.c"))
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(bad.isEmpty, s"hashed_ngram_buckets diverges on ids ${bad.take(5).toSeq}")
+  }
+
   test("token_entropy fuzz: invariants hold on every input") {
     import graft.functions.token_entropy
     val rows = df.select(col("doc_id"), token_entropy(col("text")).as("e"))
