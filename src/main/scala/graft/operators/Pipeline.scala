@@ -1381,9 +1381,15 @@ object Pipeline {
       // the postings join; dropping them is exactly score-preserving
       .filter(col("idf_q") > 0)
       .select(col("query_id"), col("term"), col("idf_q"))
-    terms.join(broadcast(qti), "term")
-      .withColumn("__sc", col("idf_q") * expr(
+    // __sat (the tf/dl saturation quotient) depends only on the posting,
+    // never the query — compute it once per posting row, not once per
+    // (posting × query) fanout row (guide §2.3; the RetrievalIndex twin
+    // measured the fanout at 59× the posting count on hot-term query
+    // batches). Same integer expression, same values.
+    terms.withColumn("__sat", expr(
         s"(44 * tf * ${totalT}L * 16) DIV (20 * tf * ${totalT}L + 6 * ${totalT}L + 18 * dl * ${n}L)"))
+      .join(broadcast(qti), "term")
+      .withColumn("__sc", col("idf_q") * col("__sat"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__sc")).cast("long").as("score"))
       .filter(col("score") > 0)

@@ -306,10 +306,34 @@ object RetrievalIndex {
       .withColumn("idf_q", expr(Pipeline.qlog2Sql("__r")) - lit(qlogScale))
       .filter(col("idf_q") > 0)
       .select(col("query_id"), col("term"), col("idf_q"))
-    matched.join(broadcast(qti), "term")
-      .withColumn("__sc", col("idf_q") * expr(
+    // hot-term fanout discipline (r17; optimization guide §2.3/§2.4):
+    // the qti join fans every posting row out once per query containing
+    // its term — 70.4M rows from 1.2M matched postings at the 10× stress
+    // serve (common terms have df ≈ 0.6·corpus and appear in most
+    // queries). Two exact-preserving moves keep that volume off the
+    // expensive paths:
+    //  - __sat (the tf/dl saturation quotient) depends only on the
+    //    posting, so it is computed ONCE per matched row, not once per
+    //    fanout row;
+    //  - matched is hash-repartitioned by doc_id BEFORE the fanout:
+    //    HashPartitioning(doc_id) satisfies the per-(query_id, doc_id)
+    //    sum's ClusteredDistribution, so the fanout rows are aggregated
+    //    WHERE THEY ARE PRODUCED — no exchange of the fanout, and each
+    //    task's aggregation map holds only its own docs' pairs instead
+    //    of a spilling 5M-group partial map (the r17 JFR profile:
+    //    BytesToBytesMap growAndRehash + spill writes dominated the
+    //    serve). Measured on the stress serve: 8.4 s → ~2 s for the
+    //    score aggregation. Partition count rides
+    //    spark.sql.shuffle.partitions / AQE (scale-adaptive, not a
+    //    local constant); sum(long) is order-independent, so values are
+    //    bit-identical (oracle-gated q174/q176).
+    matched
+      .withColumn("__sat", expr(
         s"(44 * tf * ${totalT}L * 16) DIV " +
           s"(20 * tf * ${totalT}L + 6 * ${totalT}L + 18 * dl * ${n}L)"))
+      .repartition(col("doc_id"))
+      .join(broadcast(qti), "term")
+      .withColumn("__sc", col("idf_q") * col("__sat"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__sc")).cast("long").as("score"))
       .filter(col("score") > 0)
