@@ -64,6 +64,12 @@ object ScratchServe {
         if (i != slow && i != fast) r.foreach(RepProfiler.discard)
       }
     }
+    // drop each leg's index tree when done: repeated profiling runs were
+    // accumulating stress-scale index data in the tmpdir (the ScratchIvf
+    // r16-ADVICE class)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
     if (which("phash")) {
       val phashPath = s"${System.getProperty("java.io.tmpdir")}/scratch-serve-ph-$pid"
       PhashIndex.build(asMedia(docs), "doc_id", "media", phashPath)
@@ -71,12 +77,14 @@ object ScratchServe {
         asMedia(docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))),
         "doc_id", "media", phashPath))
+      rm(new java.io.File(phashPath))
     }
     if (which("bm25")) {
       val rPath = s"${System.getProperty("java.io.tmpdir")}/scratch-serve-bm-$pid"
       RetrievalIndex.build(docs, "doc_id", "text", rPath)
       repLoop("bm25_serve", () => RetrievalIndex.topK(
         docs.filter(col("doc_id") % 500 === 7), "doc_id", "text", rPath, k = 10))
+      rm(new java.io.File(rPath))
     }
     spark.stop()
   }

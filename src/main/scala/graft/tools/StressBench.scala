@@ -56,7 +56,24 @@ object StressBench {
       path
     })
 
+  /** Delete this JVM's stress index trees at exit (registered once):
+    * the per-pid dirs otherwise accumulate stress-scale index data in
+    * the tmpdir across rounds — the ScratchIvf r16-ADVICE class. Exit-
+    * time only, so no timed leg changes. */
+  private lazy val tmpdirCleanup: Unit = {
+    val pid = java.lang.ProcessHandle.current().pid()
+    val tmp = System.getProperty("java.io.tmpdir")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      Seq("ivf", "ph", "bm", "dc", "reg")
+        .foreach(k => rm(new java.io.File(s"$tmp/graft-stressbench-$k-$pid")))
+    }))
+  }
+
   def line(spark: SparkSession): String = {
+    tmpdirCleanup
     val dir = StressData.ensure(spark)
     val docs = Tables.load(spark, dir, "documents")
     // near-dup PAIR ENUMERATION output is quadratic in the duplicate-set
