@@ -67,6 +67,18 @@ object RetrievalIndex {
     * union leg and up to `parts` files to each serve. */
   val RebuildFraction = 0.5
 
+  /** Matched-posting rows above which [[scores]] pre-partitions the
+    * scoring side by doc_id (the hot-term fanout discipline — see the
+    * comment in [[scores]]). Data-driven (the pin's exact count), with
+    * ~4–10× margin to both measured regimes: gate-SF serves sit at
+    * ~115k matched rows where the extra exchange LOSES, the 10× stress
+    * serve at 1.2M where it wins 3–4×; any at-scale serve is far above.
+    * Var so RetrievalIndexSpec can force BOTH branches and pin their
+    * value identity (the [[Similarity.maxBroadcastDeltaBytes]] spec-knob
+    * convention). */
+  @volatile private[graft] var FanoutRepartitionMinRows = 512L * 1024
+  private[graft] val DefaultFanoutRepartitionMinRows = 512L * 1024
+
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -294,8 +306,10 @@ object RetrievalIndex {
     val (qterms, pruned, n, totalT) =
       prunedFor(queries, queryIdCol, queryTextCol, path)
     // postings of the query terms: needed by BOTH the df aggregate and
-    // the scoring join — pin so the pruned read happens once
-    val matched = graft.core.GraftSession.pin(
+    // the scoring join — pin so the pruned read happens once (the pin's
+    // eager materialization also yields the exact row count the fanout
+    // discipline below keys on, for free)
+    val (matched, matchedRows) = graft.core.GraftSession.pinCounted(
       pruned.join(broadcast(qterms.select(col("term")).distinct()), Seq("term")))
     val dfTable = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qlogScale = 16L * (63 - java.lang.Long.numberOfLeadingZeros(Pipeline.Bm25Scale))
@@ -315,23 +329,36 @@ object RetrievalIndex {
     //  - __sat (the tf/dl saturation quotient) depends only on the
     //    posting, so it is computed ONCE per matched row, not once per
     //    fanout row;
-    //  - matched is hash-repartitioned by doc_id BEFORE the fanout:
-    //    HashPartitioning(doc_id) satisfies the per-(query_id, doc_id)
-    //    sum's ClusteredDistribution, so the fanout rows are aggregated
-    //    WHERE THEY ARE PRODUCED — no exchange of the fanout, and each
-    //    task's aggregation map holds only its own docs' pairs instead
-    //    of a spilling 5M-group partial map (the r17 JFR profile:
-    //    BytesToBytesMap growAndRehash + spill writes dominated the
-    //    serve). Measured on the stress serve: 8.4 s → ~2 s for the
-    //    score aggregation. Partition count rides
-    //    spark.sql.shuffle.partitions / AQE (scale-adaptive, not a
-    //    local constant); sum(long) is order-independent, so values are
-    //    bit-identical (oracle-gated q174/q176).
-    matched
+    //  - when the matched mass is large, it is hash-repartitioned by
+    //    doc_id BEFORE the fanout: HashPartitioning(doc_id) satisfies
+    //    the per-(query_id, doc_id) sum's ClusteredDistribution, so the
+    //    fanout rows are aggregated WHERE THEY ARE PRODUCED — no
+    //    exchange of the fanout, and each task's aggregation map holds
+    //    only its own docs' pairs instead of a spilling 5M-group
+    //    partial map (the r17 JFR profile: BytesToBytesMap
+    //    growAndRehash + spill writes dominated the serve). Measured on
+    //    the stress serve: 8.4 s → ~2 s for the score aggregation.
+    //    Partition count rides spark.sql.shuffle.partitions / AQE
+    //    (scale-adaptive, not a local constant); sum(long) is
+    //    order-independent, so values are bit-identical either way
+    //    (oracle-gated q174/q176 — BOTH branches pass).
+    //    The engage cutoff is the pin's EXACT row count (data-driven,
+    //    never core-count-driven): below it the extra exchange costs
+    //    more than the no-shuffle agg saves — measured at gate SF
+    //    (q176: matched 115k / fanout 4.4M, repartition +0.4 s wall,
+    //    sys-heavy exchange on small data) and at the 10× stress serve
+    //    (matched 1.2M / fanout 70M, repartition −6 s) — with ~4–10×
+    //    margin to the cutoff on each side; a 100 TB serve is always
+    //    far above it.
+    val scoring = matched
       .withColumn("__sat", expr(
         s"(44 * tf * ${totalT}L * 16) DIV " +
           s"(20 * tf * ${totalT}L + 6 * ${totalT}L + 18 * dl * ${n}L)"))
-      .repartition(col("doc_id"))
+    val placed =
+      if (matchedRows >= FanoutRepartitionMinRows)
+        scoring.repartition(col("doc_id"))
+      else scoring
+    placed
       .join(broadcast(qti), "term")
       .withColumn("__sc", col("idf_q") * col("__sat"))
       .groupBy(col("query_id"), col("doc_id"))

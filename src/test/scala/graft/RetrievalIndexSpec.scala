@@ -146,6 +146,31 @@ class RetrievalIndexSpec extends AnyFunSuite {
     RetrievalIndex.drop(spark, path)
   }
 
+  test("fanout-repartition engages above the cutoff with identical values " +
+      "(r17 hot-term fanout discipline, both branches)") {
+    import graft.operators.RetrievalIndex.{FanoutRepartitionMinRows, DefaultFanoutRepartitionMinRows}
+    val path = tmp("fanout")
+    RetrievalIndex.build(corpus, "doc_id", "text", path, parts = 8)
+    def planOf(): String = RetrievalIndex
+      .scores(queriesDf, "qid", "qtext", path)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    try {
+      RetrievalIndex.FanoutRepartitionMinRows = Long.MaxValue
+      val below = served(path)
+      assert(!planOf().contains("REPARTITION_BY_COL"),
+        "below the cutoff the scoring side must NOT add the doc_id exchange")
+      RetrievalIndex.FanoutRepartitionMinRows = 0L
+      val above = served(path)
+      assert(planOf().contains("REPARTITION_BY_COL"),
+        "above the cutoff the scoring side must pre-partition by doc_id")
+      assert(above == below,
+        "the fanout repartition is placement-only: served top-k identical")
+      assert(above == fresh(corpus), "and still exact vs the fresh scorer")
+    } finally RetrievalIndex.FanoutRepartitionMinRows = DefaultFanoutRepartitionMinRows
+    assert(FanoutRepartitionMinRows == DefaultFanoutRepartitionMinRows)
+  }
+
   test("empty-delta append stays readable and WARN-quiet") {
     val path = tmp("empty")
     RetrievalIndex.build(corpus, "doc_id", "text", path, parts = 8)
